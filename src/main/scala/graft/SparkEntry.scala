@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.BatchRelational
+import graft.operators.{BatchRelational, ScalarFuncs}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -49,6 +49,11 @@ object SparkEntry {
     "q_over_range"      -> (BatchRelational.overRange _),
     "q_unnest_words"    -> (BatchRelational.unnestWords _),
     "q_values"          -> (BatchRelational.valuesScan _),
+    "q_fn_string"       -> (ScalarFuncs.strings _),
+    "q_fn_math"         -> (ScalarFuncs.math _),
+    "q_fn_datetime"     -> (ScalarFuncs.datetime _),
+    "q_fn_conditional"  -> (ScalarFuncs.conditional _),
+    "q_fn_complex"      -> (ScalarFuncs.complexTypes _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -209,5 +214,95 @@ object SparkEntry {
         |GROUP BY word ORDER BY word""".stripMargin,
     "q_values" ->
       """SELECT * FROM (VALUES (1,'a'),(2,'b'),(3,'c')) AS t(id, tag) ORDER BY id""",
+    "q_fn_string" ->
+      """SELECT p_partkey,
+        | upper(p_name) AS up, lower(p_brand) AS lo,
+        | substring(p_name, 2, 5) AS sub,
+        | left(p_name, 4) AS l4, right(p_name, 3) AS r3,
+        | CAST(length(p_name) AS INT) AS len,
+        | concat(p_brand, '-', p_type) AS cat,
+        | concat_ws('|', p_brand, p_type) AS catws,
+        | lpad(p_brand, 12, '*') AS lp, rpad(p_brand, 12, '#') AS rp,
+        | trim(lpad(p_brand, 12, '*'), '*') AS tr,
+        | replace(p_type, 'a', '@') AS rep,
+        | reverse(p_name) AS rev,
+        | repeat(p_brand, 2) AS rep2,
+        | CAST(instr(p_name, 'a') AS INT) AS pos_a,
+        | CAST(ascii(p_name) AS INT) AS asc1,
+        | chr(65 + (p_size % 26)) AS ch,
+        | split_part(p_name, ' ', 1) AS tok1,
+        | regexp_extract(p_name, '([a-z]+)', 1) AS rex,
+        | regexp_replace(p_name, '[aeiou]', '_', 'g') AS rrep,
+        | translate(p_name, 'abc', 'xyz') AS trn,
+        | md5(p_name) AS h_md5, sha256(p_name) AS h_sha,
+        | to_base64(encode(p_brand)) AS b64,
+        | p_name LIKE '%a%' AS has_a,
+        | regexp_matches(p_name, '[0-9]') AS has_digit
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q_fn_math" ->
+      """SELECT p_partkey,
+        | round(abs(-p_retailprice), 2) AS v_abs,
+        | CAST(ceil(p_retailprice) AS BIGINT) AS v_ceil,
+        | CAST(floor(p_retailprice) AS BIGINT) AS v_floor,
+        | round(exp(p_size / 50.0), 6) AS v_exp,
+        | round(ln(p_retailprice), 6) AS v_ln,
+        | round(log10(p_retailprice), 6) AS v_log10,
+        | round(log2(CAST(p_size AS DOUBLE) + 1), 6) AS v_log2,
+        | round(sqrt(p_retailprice), 6) AS v_sqrt,
+        | round(power(CAST(p_size AS DOUBLE), 2), 2) AS v_pow,
+        | p_size % 7 AS v_mod,
+        | CAST(sign(p_retailprice - 1000) AS INT) AS v_sign,
+        | round(sin(CAST(p_size AS DOUBLE)), 6) AS v_sin,
+        | round(cos(CAST(p_size AS DOUBLE)), 6) AS v_cos,
+        | round(atan2(CAST(p_size AS DOUBLE), 3.0), 6) AS v_atan2,
+        | round(cot(CAST(p_size AS DOUBLE) + 0.5), 6) AS v_cot,
+        | round(degrees(1.0), 6) AS v_deg,
+        | round(radians(180.0), 6) AS v_rad,
+        | greatest(p_size, 25) AS v_great,
+        | least(p_size, 25) AS v_least,
+        | bin(p_size) AS v_bin,
+        | hex(p_size) AS v_hex
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q_fn_datetime" ->
+      """SELECT o_orderkey,
+        | CAST(year(o_orderdate) AS INT) AS y,
+        | CAST(quarter(o_orderdate) AS INT) AS q,
+        | CAST(month(o_orderdate) AS INT) AS m,
+        | CAST(day(o_orderdate) AS INT) AS d,
+        | CAST(hour(o_orderdate) AS INT) AS h,
+        | CAST(minute(o_orderdate) AS INT) AS mi,
+        | CAST(second(o_orderdate) AS INT) AS sec,
+        | CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+        | CAST(weekofyear(o_orderdate) AS INT) AS woy,
+        | CAST(dayofyear(o_orderdate) AS INT) AS doy,
+        | CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS mon_start,
+        | CAST(datediff('day', DATE '2024-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since,
+        | strftime(date_add(CAST(o_orderdate AS DATE), 30), '%Y-%m-%d') AS plus30,
+        | CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+        | strftime(o_orderdate, '%Y-%m-%d') AS fmt,
+        | o_orderdate + INTERVAL 5 HOUR AS plus5h
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_fn_conditional" ->
+      """SELECT c_custkey,
+        | CASE WHEN c_acctbal > 5000 THEN 'high' WHEN c_acctbal > 1000 THEN 'mid' ELSE 'low' END AS tier,
+        | coalesce(nullif(c_mktsegment, 'AUTOMOBILE'), 'OTHER') AS seg,
+        | if(c_acctbal > 0, 'pos', 'nonpos') AS sgn,
+        | c_acctbal IS NULL AS isn,
+        | c_acctbal BETWEEN 100 AND 2000 AS in_range,
+        | c_mktsegment IN ('AUTOMOBILE', 'MACHINERY') AS seg_in,
+        | c_mktsegment IS DISTINCT FROM 'BUILDING' AS is_distinct,
+        | coalesce(c_name, '?') AS nm,
+        | round(greatest(c_acctbal, 0.0), 2) AS bal_pos
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_fn_complex" ->
+      """SELECT n_nationkey,
+        | [n_nationkey, n_regionkey] AS arr,
+        | CAST(len([n_nationkey, n_regionkey]) AS INT) AS card,
+        | [n_name, 'x'][1] AS elem1,
+        | map(['k'], [n_name])['k'][1] AS mval,
+        | struct_pack(a := n_nationkey, b := n_name).b AS fld,
+        | list_sort([n_regionkey, n_nationkey]) AS sorted_arr,
+        | list_contains([n_nationkey, n_regionkey], 0) AS has0
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
   )
 }

@@ -1,0 +1,133 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Scalar function parity layer (SURVEY.md §2.8).
+  *
+  * The reference declares ~250 SQL operators (FlinkSqlOperatorTable.java,
+  * BuiltInFunctionDefinitions.java:78+); nearly all map 1:1 onto Spark
+  * built-ins, which stay inside whole-stage codegen. These queries exercise
+  * the mapping wide (one query per category) so the oracle pins down
+  * semantics, not just availability — 1-based substring/instr, '' on
+  * regexp miss, HALF_UP rounding, Sunday=1 dayofweek, etc.
+  *
+  * All expressions here are Catalyst built-ins — no UDFs — so at 100 TB the
+  * whole projection fuses into one WholeStageCodegen span over the scan.
+  */
+object ScalarFuncs {
+
+  /** String functions: ref SqlFunctionUtils.java / SqlLikeUtils.java.
+    * SPLIT_INDEX → element_at(split(...)); LEFT/RIGHT/OVERLAY native. */
+  def strings(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "part").selectExpr(
+      "p_partkey",
+      "upper(p_name) AS up",
+      "lower(p_brand) AS lo",
+      "substring(p_name, 2, 5) AS sub",
+      "left(p_name, 4) AS l4",
+      "right(p_name, 3) AS r3",
+      "length(p_name) AS len",
+      "concat(p_brand, '-', p_type) AS cat",
+      "concat_ws('|', p_brand, p_type) AS catws",
+      "lpad(p_brand, 12, '*') AS lp",
+      "rpad(p_brand, 12, '#') AS rp",
+      "trim(BOTH '*' FROM lpad(p_brand, 12, '*')) AS tr",
+      "replace(p_type, 'a', '@') AS rep",
+      "reverse(p_name) AS rev",
+      "repeat(p_brand, 2) AS rep2",
+      "instr(p_name, 'a') AS pos_a",
+      "ascii(p_name) AS asc1",
+      "chr(65 + pmod(p_size, 26)) AS ch",
+      "element_at(split(p_name, ' '), 1) AS tok1",
+      "regexp_extract(p_name, '([a-z]+)', 1) AS rex",
+      "regexp_replace(p_name, '[aeiou]', '_') AS rrep",
+      "translate(p_name, 'abc', 'xyz') AS trn",
+      "md5(p_name) AS h_md5",
+      "sha2(p_name, 256) AS h_sha",
+      "base64(cast(p_brand AS BINARY)) AS b64",
+      "p_name LIKE '%a%' AS has_a",
+      "p_name RLIKE '[0-9]' AS has_digit"
+    ).orderBy("p_partkey")
+
+  /** Math functions: ref FlinkSqlOperatorTable math ops. Rounded to kill
+    * cross-libm last-ulp drift. */
+  def math(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "part").selectExpr(
+      "p_partkey",
+      "round(abs(-p_retailprice), 2) AS v_abs",
+      "ceil(p_retailprice) AS v_ceil",
+      "floor(p_retailprice) AS v_floor",
+      "round(exp(p_size / 50.0), 6) AS v_exp",
+      "round(ln(p_retailprice), 6) AS v_ln",
+      "round(log10(p_retailprice), 6) AS v_log10",
+      "round(log2(cast(p_size AS DOUBLE) + 1), 6) AS v_log2",
+      "round(sqrt(p_retailprice), 6) AS v_sqrt",
+      "round(power(cast(p_size AS DOUBLE), 2), 2) AS v_pow",
+      "pmod(p_size, 7) AS v_mod",
+      "cast(signum(p_retailprice - 1000) AS INT) AS v_sign",
+      "round(sin(cast(p_size AS DOUBLE)), 6) AS v_sin",
+      "round(cos(cast(p_size AS DOUBLE)), 6) AS v_cos",
+      "round(atan2(cast(p_size AS DOUBLE), 3.0), 6) AS v_atan2",
+      "round(cot(cast(p_size AS DOUBLE) + 0.5), 6) AS v_cot",
+      "round(degrees(1.0), 6) AS v_deg",
+      "round(radians(180.0), 6) AS v_rad",
+      "greatest(p_size, 25) AS v_great",
+      "least(p_size, 25) AS v_least",
+      "bin(p_size) AS v_bin",
+      "hex(p_size) AS v_hex"
+    ).orderBy("p_partkey")
+
+  /** Temporal functions: ref SqlDateTimeUtils.java. dayofweek aligned to
+    * Spark's Sunday=1 convention (oracle adds +1 to DuckDB's Sunday=0). */
+  def datetime(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "orders").selectExpr(
+      "o_orderkey",
+      "year(o_orderdate) AS y",
+      "quarter(o_orderdate) AS q",
+      "month(o_orderdate) AS m",
+      "day(o_orderdate) AS d",
+      "hour(o_orderdate) AS h",
+      "minute(o_orderdate) AS mi",
+      "second(o_orderdate) AS sec",
+      "dayofweek(o_orderdate) AS dow",
+      "weekofyear(o_orderdate) AS woy",
+      "dayofyear(o_orderdate) AS doy",
+      "date_trunc('month', o_orderdate) AS mon_start",
+      "datediff(o_orderdate, DATE '2024-01-01') AS days_since",
+      "cast(date_add(cast(o_orderdate AS DATE), 30) AS STRING) AS plus30",
+      "unix_timestamp(o_orderdate) AS epoch_s",
+      "date_format(o_orderdate, 'yyyy-MM-dd') AS fmt",
+      "o_orderdate + INTERVAL 5 HOUR AS plus5h"
+    ).orderBy("o_orderkey")
+
+  /** Conditional / comparison: CASE, NULLIF, COALESCE, IF, BETWEEN, IN,
+    * IS [NOT] DISTINCT FROM (ref FlinkSqlOperatorTable comparison ops). */
+  def conditional(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "customer").selectExpr(
+      "c_custkey",
+      "CASE WHEN c_acctbal > 5000 THEN 'high' WHEN c_acctbal > 1000 THEN 'mid' ELSE 'low' END AS tier",
+      "coalesce(nullif(c_mktsegment, 'AUTOMOBILE'), 'OTHER') AS seg",
+      "if(c_acctbal > 0, 'pos', 'nonpos') AS sgn",
+      "c_acctbal IS NULL AS isn",
+      "c_acctbal BETWEEN 100 AND 2000 AS in_range",
+      "c_mktsegment IN ('AUTOMOBILE', 'MACHINERY') AS seg_in",
+      "NOT (c_mktsegment <=> 'BUILDING') AS is_distinct",
+      "nvl(c_name, '?') AS nm",
+      "round(greatest(c_acctbal, 0.0), 2) AS bal_pos"
+    ).orderBy("c_custkey")
+
+  /** Array / map / struct constructors and access (ref ARRAY[]/MAP[]/ROW(),
+    * CARDINALITY, ITEM, ELEMENT). */
+  def complexTypes(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "nation").selectExpr(
+      "n_nationkey",
+      "array(n_nationkey, n_regionkey) AS arr",
+      "size(array(n_nationkey, n_regionkey)) AS card",
+      "element_at(array(n_name, 'x'), 1) AS elem1",
+      "map('k', n_name)['k'] AS mval",
+      "named_struct('a', n_nationkey, 'b', n_name).b AS fld",
+      "sort_array(array(n_regionkey, n_nationkey)) AS sorted_arr",
+      "array_contains(array(n_nationkey, n_regionkey), 0) AS has0"
+    ).orderBy("n_nationkey")
+}
