@@ -1,0 +1,199 @@
+package graft
+
+/** DuckDB oracle SQL for the LLM-pipeline operators (text analysis, dedup,
+  * similarity, multimodal). Kept apart from SparkEntry for readability.
+  *
+  * Hash-dependent operators (minhash/simhash/hyperplane LSH) are fully
+  * reproducible here because every hash is md5-derived:
+  * `('0x'||substr(md5(s),1,15))::UBIGINT` == Spark's
+  * `conv(substr(md5(s),1,15),16,10)` == graft.functions.TextHashes.md5hex60.
+  */
+object LlmOracles {
+
+  private val stopEnSql = "['the','a','of','to','and','in','is','it','that','as']"
+  private val toksCte =
+    "WITH toks AS (SELECT doc_id, text, string_split(lower(text), ' ') AS t FROM documents)"
+  private val shinglesCte =
+    toksCte + """,
+      |sh AS (SELECT doc_id, CASE WHEN len(t) < 3 THEN [] ELSE
+      |  list_distinct([t[i]||' '||t[i+1]||' '||t[i+2] FOR i IN range(1, len(t)-1)]) END AS s
+      |  FROM toks)""".stripMargin
+
+  val sql: Map[String, String] = Map(
+    "q_text_stats" ->
+      (toksCte + """
+        |SELECT doc_id,
+        | CAST(len(t) AS INT) AS n_tokens,
+        | CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS n_tokens_re,
+        | CAST(length(text) AS INT) AS n_chars_m,
+        | round(list_sum(list_transform(t, x -> length(x)))::DOUBLE / len(t), 6) AS avg_tok_len,
+        | round(len(list_filter(t, x -> list_contains(""" + stopEnSql + """, x)))::DOUBLE / len(t), 6) AS stop_ratio,
+        | round((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE / length(text), 6) AS punct_ratio,
+        | md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp_md5,
+        | list_reduce(list_prepend(0::BIGINT,
+        |   list_transform(range(1, length(text)+1), i -> ascii(text[i])::BIGINT)),
+        |   (acc, c) -> (acc * 31 + c) % 1000000007) AS fp_roll
+        |FROM toks ORDER BY doc_id""").stripMargin,
+    "q_text_langid" ->
+      (toksCte + """,
+        |sc AS (SELECT doc_id,
+        | CAST(len(list_intersect(list_distinct(t), """ + stopEnSql + """)) AS INT) AS s_en,
+        | CAST(len(list_intersect(list_distinct(t), ['der','die','das','und','ist','nicht','mit','ein','zu','den'])) AS INT) AS s_de,
+        | CAST(len(list_intersect(list_distinct(t), ['le','la','les','et','est','un','une','dans','que','pour'])) AS INT) AS s_fr,
+        | CAST(len(list_intersect(list_distinct(t), ['el','los','y','es','en','una','lo','como','mas','por'])) AS INT) AS s_es
+        | FROM toks)
+        |SELECT doc_id, s_en, s_de, s_fr, s_es,
+        | CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+        |      WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+        |      WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS lang_pred
+        |FROM sc ORDER BY doc_id""").stripMargin,
+    "q_dedup_exact" ->
+      """SELECT keep_id, n_copies FROM (
+        | SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,
+        |        min(doc_id) AS keep_id, count(*) AS n_copies
+        | FROM (SELECT doc_id, text FROM documents
+        |       UNION ALL SELECT doc_id + 1000000, text FROM documents)
+        | GROUP BY fp) ORDER BY keep_id""".stripMargin,
+    "q_dedup_ngram_pairs" ->
+      (shinglesCte + """
+        |SELECT doc_a, doc_b, j FROM (
+        | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  round(len(list_intersect(a.s, b.s))::DOUBLE /
+        |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS j
+        | FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |WHERE j >= 0.5 ORDER BY doc_a, doc_b""").stripMargin,
+    "q_dedup_ngram_keep" ->
+      (shinglesCte + """,
+        |pairs AS (
+        | SELECT doc_a, doc_b FROM (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |   round(len(list_intersect(a.s, b.s))::DOUBLE /
+        |         (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS j
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id) WHERE j >= 0.5)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
+        |ORDER BY doc_id""").stripMargin,
+    "q_dedup_minhash_lsh" ->
+      (shinglesCte + """,
+        |mh AS (
+        | SELECT doc_id, seed,
+        |   min(('0x'||substr(md5(seed::VARCHAR||':'||sg), 1, 15))::UBIGINT) AS h
+        | FROM (SELECT doc_id, unnest(s) AS sg FROM sh), range(32) r(seed)
+        | GROUP BY doc_id, seed),
+        |bands AS (
+        | SELECT m1.doc_id, m1.seed // 2 AS band, m1.h AS h1, m2.h AS h2
+        | FROM mh m1 JOIN mh m2 ON m1.doc_id = m2.doc_id AND m2.seed = m1.seed + 1
+        | WHERE m1.seed % 2 = 0),
+        |cand AS (
+        | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        | FROM bands a JOIN bands b
+        |   ON a.band = b.band AND a.h1 = b.h1 AND a.h2 = b.h2 AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, j FROM (
+        | SELECT doc_a, doc_b,
+        |  round(len(list_intersect(sa.s, sb.s))::DOUBLE /
+        |        (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))), 4) AS j
+        | FROM cand JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b)
+        |WHERE j >= 0.5 ORDER BY doc_a, doc_b""").stripMargin,
+    "q_dedup_simhash" ->
+      (toksCte + """,
+        |th AS (SELECT doc_id, ('0x'||substr(md5(tok), 1, 15))::UBIGINT AS h
+        |       FROM (SELECT doc_id, unnest(t) AS tok FROM toks)),
+        |bits AS (
+        | SELECT doc_id, b.b AS bit,
+        |   sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS cnt
+        | FROM th, range(60) b(b) GROUP BY doc_id, b.b),
+        |sims AS (SELECT doc_id,
+        |   CAST(sum(CASE WHEN cnt > 0 THEN (1::UBIGINT << bit) ELSE 0 END) AS BIGINT) AS sim
+        | FROM bits GROUP BY doc_id),
+        |chunks AS (SELECT doc_id, sim, c.c AS chunk, (sim >> (15 * c.c)) & 32767 AS cv
+        | FROM sims, range(4) c(c)),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |   CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming
+        | FROM chunks a JOIN chunks b
+        |   ON a.chunk = b.chunk AND a.cv = b.cv AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= 12
+        |ORDER BY doc_a, doc_b""").stripMargin,
+    "q_ann_brute" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 5),
+        |scored AS (
+        | SELECT qid, e.vec_id,
+        |  round(list_dot_product(qv, CAST(e.embedding AS DOUBLE[])) /
+        |   (sqrt(list_dot_product(qv, qv)) *
+        |    sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))), 6) AS cos
+        | FROM embeddings e, q WHERE e.vec_id <> qid),
+        |r AS (SELECT qid, vec_id, cos,
+        |  CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS INT) AS rank
+        | FROM scored)
+        |SELECT qid, rank, vec_id, cos FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+    "q_ann_ivf" ->
+      """WITH cent AS (
+        | SELECT label, i.i AS d, round(avg(embedding[i.i]), 6) AS c
+        | FROM embeddings, range(1, 65) i(i) GROUP BY label, i.i),
+        |centv AS (SELECT label AS clabel, list(c ORDER BY d) AS cv FROM cent GROUP BY label),
+        |q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+        |      FROM embeddings WHERE vec_id < 5),
+        |probes AS (
+        | SELECT qid, qv, clabel,
+        |  CAST(row_number() OVER (PARTITION BY qid ORDER BY ccos DESC, clabel) AS INT) AS crank
+        | FROM (SELECT qid, qv, clabel,
+        |   round(list_dot_product(qv, cv) /
+        |    (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS ccos
+        |  FROM q, centv)),
+        |sel AS (SELECT qid, qv, clabel FROM probes WHERE crank <= 3),
+        |scored AS (
+        | SELECT qid, e.vec_id,
+        |  round(list_dot_product(qv, CAST(e.embedding AS DOUBLE[])) /
+        |   (sqrt(list_dot_product(qv, qv)) *
+        |    sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))), 6) AS cos
+        | FROM sel JOIN embeddings e ON e.label = sel.clabel AND e.vec_id <> sel.qid),
+        |r AS (SELECT qid, vec_id, cos,
+        |  CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS INT) AS rank
+        | FROM scored)
+        |SELECT qid, rank, vec_id, cos FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+    "q_ann_cos_pairs" ->
+      """SELECT va, vb, cos FROM (
+        | SELECT a.vec_id AS va, b.vec_id AS vb,
+        |  round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+        |   (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
+        |    sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) AS cos
+        | FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        |WHERE cos >= 0.5 ORDER BY va, vb""".stripMargin,
+    "q_ann_hyperplane_lsh" ->
+      """WITH planes AS (
+        | SELECT p.p AS p, d.d AS d,
+        |  (('0x'||substr(md5(p.p::VARCHAR||'_'||d.d::VARCHAR), 1, 15))::UBIGINT::DOUBLE
+        |    / 1152921504606846976.0) * 2 - 1 AS h
+        | FROM range(32) p(p), range(1, 65) d(d)),
+        |sig AS (
+        | SELECT e.vec_id, pl.p,
+        |  CASE WHEN sum(e.embedding[pl.d]::DOUBLE * pl.h) > 0 THEN 1 ELSE 0 END AS bit
+        | FROM embeddings e, planes pl GROUP BY e.vec_id, pl.p),
+        |tabs AS (SELECT vec_id, p // 4 AS tbl,
+        |  CAST(sum(bit * power(2, p % 4)) AS BIGINT) AS tsig
+        | FROM sig GROUP BY vec_id, p // 4),
+        |cand AS (SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+        | FROM tabs a JOIN tabs b
+        |  ON a.tbl = b.tbl AND a.tsig = b.tsig AND a.vec_id < b.vec_id)
+        |SELECT va, vb, cos FROM (
+        | SELECT va, vb,
+        |  round(list_dot_product(CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])) /
+        |   (sqrt(list_dot_product(CAST(ea.embedding AS DOUBLE[]), CAST(ea.embedding AS DOUBLE[]))) *
+        |    sqrt(list_dot_product(CAST(eb.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])))), 6) AS cos
+        | FROM cand JOIN embeddings ea ON ea.vec_id = va JOIN embeddings eb ON eb.vec_id = vb)
+        |WHERE cos >= 0.4 ORDER BY va, vb""".stripMargin,
+    "q_mm_decode" ->
+      """SELECT doc_id,
+        | CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+        | CAST(64 + octet_length(encode(text)) % 577 AS INT) AS width,
+        | CAST(64 + (octet_length(encode(text)) * 31) % 421 AS INT) AS height,
+        | CAST(1 + octet_length(encode(text)) % 7 AS INT) AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_mm_frames" ->
+      """SELECT doc_id, CAST(f.f AS INT) AS frame_idx,
+        | md5(doc_id::VARCHAR||':'||f.f::VARCHAR) AS frame_key
+        |FROM (SELECT doc_id, 1 + octet_length(encode(text)) % 7 AS n_frames FROM documents) d,
+        |     range(7) f(f)
+        |WHERE f.f < n_frames ORDER BY doc_id, frame_idx""".stripMargin,
+  )
+}

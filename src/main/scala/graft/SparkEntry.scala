@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{BatchRelational, ScalarFuncs}
+import graft.operators.{BatchRelational, Dedup, Multimodal, ScalarFuncs, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -54,6 +54,19 @@ object SparkEntry {
     "q_fn_datetime"     -> (ScalarFuncs.datetime _),
     "q_fn_conditional"  -> (ScalarFuncs.conditional _),
     "q_fn_complex"      -> (ScalarFuncs.complexTypes _),
+    "q_text_stats"      -> (TextAnalysis.stats _),
+    "q_text_langid"     -> (TextAnalysis.langId _),
+    "q_dedup_exact"     -> (Dedup.exact _),
+    "q_dedup_ngram_pairs" -> (Dedup.ngramJaccardPairs _),
+    "q_dedup_ngram_keep"  -> (Dedup.ngramDedupKeep _),
+    "q_dedup_minhash_lsh" -> (Dedup.minhashLshPairs _),
+    "q_dedup_simhash"   -> (Dedup.simhashPairs _),
+    "q_ann_brute"       -> (Similarity.annBruteForce _),
+    "q_ann_ivf"         -> (Similarity.annIvf _),
+    "q_ann_cos_pairs"   -> (Similarity.cosinePairs _),
+    "q_ann_hyperplane_lsh" -> (Similarity.hyperplaneLshPairs _),
+    "q_mm_decode"       -> (Multimodal.decodeStub _),
+    "q_mm_frames"       -> (Multimodal.frameSample _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -304,5 +317,5 @@ object SparkEntry {
         | list_sort([n_regionkey, n_nationkey]) AS sorted_arr,
         | list_contains([n_nationkey, n_regionkey], 0) AS has0
         |FROM nation ORDER BY n_nationkey""".stripMargin,
-  )
+  ) ++ LlmOracles.sql
 }

@@ -1,0 +1,138 @@
+package graft.functions
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Document-fingerprint hash expressions (SURVEY.md §7 driver-mandated
+  * extensions: minhash / simhash dedup).
+  *
+  * Design constraints:
+  *  - One pass over the token array per row — NO explode-based data
+  *    amplification (k× or 60×), which is what makes these viable at 100 TB.
+  *    The reference's analog is a per-record operator, not a shuffle.
+  *  - Hashes are derived from MD5 hex strings so the DuckDB oracle can
+  *    reproduce them bit-for-bit (`('0x'||substr(md5(s),1,15))::UBIGINT`).
+  *    15 hex chars = 60 bits keeps everything positive in a signed long.
+  *    At production scale the md5 could be swapped for xxhash64 — the
+  *    operator contract (tokens → signature) is unchanged.
+  */
+object TextHashes {
+
+  @inline private def md5hex60(s: String): Long = {
+    val d = MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(StandardCharsets.UTF_8))
+    // first 15 hex chars == top 60 bits of the digest
+    var acc = 0L
+    var i = 0
+    while (i < 8) {
+      val b = d(i) & 0xff
+      if (i < 7) acc = (acc << 8) | b
+      else acc = (acc << 4) | (b >>> 4) // 7 bytes + high nibble = 60 bits
+      i += 1
+    }
+    acc
+  }
+
+  /** min-hash value for seed `k` over one token: md5(s"$k:$tok"). */
+  @inline private def seededHash(k: Int, tok: UTF8String): Long =
+    md5hex60(s"$k:${tok.toString}")
+
+  def simhash60(tokens: Iterator[UTF8String]): Long = {
+    val counts = new Array[Int](60)
+    var n = 0
+    tokens.foreach { t =>
+      if (t != null) {
+        val h = md5hex60(t.toString)
+        var b = 0
+        while (b < 60) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+        n += 1
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 60) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  def minhash(tokens: ArrayData, k: Int): Array[Long] = {
+    val mins = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    val n = tokens.numElements()
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val tok = tokens.getUTF8String(i)
+        var s = 0
+        while (s < k) {
+          val h = seededHash(s, tok)
+          if (h < mins(s)) mins(s) = h
+          s += 1
+        }
+      }
+      i += 1
+    }
+    mins
+  }
+
+  /** Register `simhash60(array<string>)` and `minhash32(array<string>)`
+    * into the session's function registry so they are usable from
+    * `expr(...)` / `spark.sql(...)` like any built-in. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.registerFunction(
+      FunctionIdentifier("simhash60"),
+      new ExpressionInfo(classOf[SimHash60Expr].getName, "simhash60"),
+      (exprs: Seq[Expression]) => SimHash60Expr(exprs.head))
+    reg.registerFunction(
+      FunctionIdentifier("minhash32"),
+      new ExpressionInfo(classOf[MinHash32Expr].getName, "minhash32"),
+      (exprs: Seq[Expression]) => MinHash32Expr(exprs.head))
+  }
+}
+
+/** 60-bit SimHash over a token array (weighted by multiplicity).
+  * Ref analog: document fingerprinting for streaming dedup
+  * (flink operators/deduplicate/ keeps exact keys; simhash extends to
+  * near-dup keys). CodegenFallback: one virtual call per row, the md5
+  * work dominates — acceptable outside the TPC-H hot path. */
+case class SimHash60Expr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes() =
+    if (child.dataType.isInstanceOf[ArrayType]) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure("simhash60 expects array<string>")
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val toks = (0 until arr.numElements()).iterator
+      .filterNot(arr.isNullAt).map(arr.getUTF8String)
+    TextHashes.simhash60(toks)
+  }
+  override def prettyName: String = "simhash60"
+  override protected def withNewChildInternal(newChild: Expression): SimHash60Expr =
+    copy(child = newChild)
+}
+
+/** 32-seed MinHash signature (array<long>) over a token array. */
+case class MinHash32Expr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  val k = 32
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes() =
+    if (child.dataType.isInstanceOf[ArrayType]) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure("minhash32 expects array<string>")
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(TextHashes.minhash(input.asInstanceOf[ArrayData], k))
+  override def prettyName: String = "minhash32"
+  override protected def withNewChildInternal(newChild: Expression): MinHash32Expr =
+    copy(child = newChild)
+}

@@ -1,0 +1,144 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.VecOps
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Vector similarity search over the `embeddings` table (SURVEY.md §7
+  * driver-mandated extensions).
+  *
+  * Scale design (100 TB):
+  *  - Brute force is the baseline: queries broadcast against the corpus, one
+  *    streaming pass, per-partition top-k then global top-k.
+  *  - IVF is the scale path: corpus pre-partitioned into cells (here the
+  *    `label` column stands in for a k-means assignment); a query probes the
+  *    nprobe nearest cell centroids and scans only those cells — at 1000
+  *    executors that is partition pruning on the cell id.
+  *  - Hyperplane LSH gives sublinear near-dup pair generation: b tables of
+  *    r sign-bits; hyperplane components are md5-derived so the oracle
+  *    reproduces them exactly.
+  *
+  * The pairwise scorer is `graft.functions.VecDot` — a codegen'd primitive
+  * loop (Spark's `zip_with`+`aggregate` HOFs are CodegenFallback and were
+  * ~20× slower). Norms are computed ONCE per vector and joined through,
+  * never per pair; the double arithmetic (left-to-right summation, then
+  * dot/(sqrt*sqrt)) matches DuckDB's `list_dot_product` bit-for-bit so
+  * `round(..., 6)` agrees across engines.
+  */
+object Similarity {
+
+  /** cosine(a, b) recomputing both norms — for tests / one-off use.
+    * Hot paths precompute norms instead. */
+  def cosine(a: Column, b: Column): Column =
+    VecOps.dot(a, b) / (VecOps.norm(a) * VecOps.norm(b))
+
+  private def cosPre(ea: Column, eb: Column, na: Column, nb: Column): Column =
+    round(VecOps.dot(ea, eb) / (na * nb), 6)
+
+  /** Corpus with per-vector norm computed once (one codegen pass). */
+  private def withNorm(df: DataFrame): DataFrame =
+    df.withColumn("nrm", VecOps.norm(col("embedding")))
+
+  /** Brute-force cosine top-10 for query vectors (vec_id < 5) against the
+    * whole corpus. Rank on the ROUNDED similarity so cross-engine last-ulp
+    * drift cannot flip the order; vec_id breaks ties deterministically. */
+  def annBruteForce(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = withNorm(Tables(s, dir, "embeddings"))
+    val queries = emb.where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("nrm").as("qn"))
+    val scored = emb.crossJoin(broadcast(queries))
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        cosPre(col("qv"), col("embedding"), col("qn"), col("nrm")).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 10)
+      .select(col("qid"), col("rank"), col("vec_id"), col("cos"))
+      .orderBy("qid", "rank")
+  }
+
+  /** IVF-style ANN: cells = `label`, centroid = per-dimension mean (rounded
+    * to 6 so fp summation order is irrelevant), query probes the 3 nearest
+    * centroids by cosine and searches only those cells. */
+  def annIvf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = withNorm(Tables(s, dir, "embeddings"))
+    // per-label centroid: posexplode + avg + re-assemble ordered by dim
+    val cent = emb.select(col("label"), posexplode(col("embedding")).as(Seq("d", "v")))
+      .groupBy(col("label"), col("d"))
+      .agg(round(avg(col("v")), 6).as("c"))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("d"), col("c")))).as("dc"))
+      .select(col("label").as("clabel"), expr("transform(dc, x -> x.c)").as("cv"))
+      .withColumn("cn", VecOps.norm(col("cv")))
+    val queries = emb.where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("nrm").as("qn"))
+    // probe: 3 nearest centroids per query
+    val wq = Window.partitionBy(col("qid")).orderBy(col("ccos").desc, col("clabel"))
+    val probes = queries.crossJoin(broadcast(cent))
+      .select(col("qid"), col("qv"), col("qn"), col("clabel"),
+        cosPre(col("qv"), col("cv"), col("qn"), col("cn")).as("ccos"))
+      .withColumn("crank", row_number().over(wq))
+      .where(col("crank") <= 3)
+      .select(col("qid"), col("qv"), col("qn"), col("clabel"))
+    // search only the probed cells (join on cell id = partition pruning at scale)
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    probes.join(emb, col("label") === col("clabel") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        cosPre(col("qv"), col("embedding"), col("qn"), col("nrm")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 10)
+      .select(col("qid"), col("rank"), col("vec_id"), col("cos"))
+      .orderBy("qid", "rank")
+  }
+
+  /** Embedding near-dup pairs: brute-force cosine >= 0.5 (baseline). */
+  def cosinePairs(s: SparkSession, dir: String): DataFrame = {
+    val emb = withNorm(Tables(s, dir, "embeddings"))
+    val a = emb.select(col("vec_id").as("va"), col("embedding").as("ea"), col("nrm").as("na"))
+    val b = emb.select(col("vec_id").as("vb"), col("embedding").as("eb"), col("nrm").as("nb"))
+    a.join(broadcast(b), col("va") < col("vb"))
+      .select(col("va"), col("vb"), cosPre(col("ea"), col("eb"), col("na"), col("nb")).as("cos"))
+      .where(col("cos") >= 0.5)
+      .orderBy("va", "vb")
+  }
+
+  /** Sign-LSH near-dup pairs: 8 tables x 4 hyperplane sign-bits; candidates
+    * share a table signature; verified with exact cosine >= 0.4. Hyperplane
+    * component (p, d) = md5-derived uniform in [-1, 1] — deterministic and
+    * oracle-reproducible. */
+  def hyperplaneLshPairs(s: SparkSession, dir: String): DataFrame = {
+    val emb = withNorm(Tables(s, dir, "embeddings"))
+    // planes: 32 planes x 64 dims, h in [-1,1] from md5(p || '_' || d)
+    val planes = s.range(32).toDF("p")
+      .crossJoin(s.range(1, 65).toDF("d"))
+      .select(col("p"), col("d"),
+        (expr("cast(conv(substr(md5(concat(p, '_', d)), 1, 15), 16, 10) AS DOUBLE)")
+          / lit(math.pow(2, 60)) * 2 - 1).as("h"))
+    // sign bits: dot(embedding, plane_p) > 0
+    val sig = emb.select(col("vec_id"), posexplode(col("embedding")).as(Seq("d0", "v")))
+      .withColumn("d", col("d0") + 1)
+      .join(broadcast(planes), "d")
+      .groupBy(col("vec_id"), col("p"))
+      .agg(sum(col("v").cast("double") * col("h")).as("dot"))
+      .select(col("vec_id"), col("p"), when(col("dot") > 0, 1).otherwise(0).as("bit"))
+    // table signature: 8 tables (p/4), 4 bits each
+    val tables = sig
+      .groupBy(col("vec_id"), (col("p") / 4).cast("int").as("tbl"))
+      .agg(sum(col("bit") * pow(lit(2), pmod(col("p"), lit(4)))).cast("long").as("tsig"))
+    val cand = tables.as("a").join(tables.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.tsig") === col("b.tsig") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
+      .distinct()
+    val withEmb = emb.select(col("vec_id"), col("embedding"), col("nrm"))
+    cand
+      .join(withEmb.select(col("vec_id").as("va"), col("embedding").as("ea"), col("nrm").as("na")), "va")
+      .join(withEmb.select(col("vec_id").as("vb"), col("embedding").as("eb"), col("nrm").as("nb")), "vb")
+      .select(col("va"), col("vb"), cosPre(col("ea"), col("eb"), col("na"), col("nb")).as("cos"))
+      .where(col("cos") >= 0.4)
+      .orderBy("va", "vb")
+  }
+}

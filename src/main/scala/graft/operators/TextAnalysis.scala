@@ -1,0 +1,66 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM training-data pipelines (driver-mandated
+  * extensions, SURVEY.md §7): token counting, quality scoring, language ID,
+  * document fingerprinting.
+  *
+  * All pure Catalyst built-ins (higher-order array functions) — the whole
+  * stage fuses into one codegen span over the parquet scan, no UDF
+  * serialization boundary, so the per-document cost at 100 TB is one
+  * streaming pass.
+  */
+object TextAnalysis {
+
+  /** Shared tokenization: lowercase, single-space split. */
+  def tokens(c: Column): Column = split(lower(c), " ")
+
+  val stopEn = Seq("the", "a", "of", "to", "and", "in", "is", "it", "that", "as")
+  val stopDe = Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den")
+  val stopFr = Seq("le", "la", "les", "et", "est", "un", "une", "dans", "que", "pour")
+  val stopEs = Seq("el", "los", "y", "es", "en", "una", "lo", "como", "mas", "por")
+
+  /** Token counts (whitespace + BPE-ish regex), length stats, punctuation /
+    * stopword ratios, and two fingerprints (md5 + polynomial rolling hash).
+    * Ref analog: per-record Calc with rich scalar exprs (CalcCodeGenerator). */
+  def stats(s: SparkSession, dir: String): DataFrame = {
+    val stopArr = array(stopEn.map(lit): _*)
+    Tables(s, dir, "documents")
+      .withColumn("toks", tokens(col("text")))
+      .select(
+        col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        size(expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")).as("n_tokens_re"),
+        length(col("text")).as("n_chars_m"),
+        round(expr("aggregate(transform(toks, t -> length(t)), 0L, (a, b) -> a + b)")
+          .cast("double") / size(col("toks")), 6).as("avg_tok_len"),
+        round(size(filter(col("toks"), t => array_contains(stopArr, t))).cast("double")
+          / size(col("toks")), 6).as("stop_ratio"),
+        round((length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", "")))
+          .cast("double") / length(col("text")), 6).as("punct_ratio"),
+        md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("fp_md5"),
+        expr("aggregate(transform(sequence(1, length(text)), i -> ascii(substring(text, i, 1))), " +
+          "0L, (acc, c) -> (acc * 31 + c) % 1000000007)").as("fp_roll"))
+      .orderBy("doc_id")
+  }
+
+  /** Language ID by stopword-hit scoring over 4 language lists, ties broken
+    * in fixed order en>de>fr>es. N-gram-heuristic class of the reference-era
+    * langid tools; exact arithmetic so the oracle reproduces it. */
+  def langId(s: SparkSession, dir: String): DataFrame = {
+    def score(words: Seq[String]): Column =
+      size(array_intersect(array_distinct(tokens(col("text"))), array(words.map(lit): _*)))
+    Tables(s, dir, "documents")
+      .withColumn("s_en", score(stopEn)).withColumn("s_de", score(stopDe))
+      .withColumn("s_fr", score(stopFr)).withColumn("s_es", score(stopEs))
+      .select(col("doc_id"), col("s_en"), col("s_de"), col("s_fr"), col("s_es"),
+        when(col("s_en") >= col("s_de") && col("s_en") >= col("s_fr") && col("s_en") >= col("s_es"), "en")
+          .when(col("s_de") >= col("s_fr") && col("s_de") >= col("s_es"), "de")
+          .when(col("s_fr") >= col("s_es"), "fr")
+          .otherwise("es").as("lang_pred"))
+      .orderBy("doc_id")
+  }
+}

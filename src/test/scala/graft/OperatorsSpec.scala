@@ -1,0 +1,171 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.functions._
+
+/** End-to-end operator specs over the sf0.001 driver tables. These assert
+  * semantic invariants (the full value-level gate is the DuckDB oracle run
+  * by graft.Verify + tools/check.py). */
+class OperatorsSpec extends SparkSpec {
+
+  test("q1_agg groups lineitem by flag/status with positive sums") {
+    val rows = BatchRelational.q1Agg(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val flags = rows.map(_.getString(0)).distinct
+    assert(flags.forall(Set("A", "N", "R")))
+    assert(rows.forall(_.getDouble(2) > 0)) // sum_qty
+  }
+
+  test("semi + anti join partition customer space") {
+    val semi = BatchRelational.joinSemi(spark, sf).count()
+    val anti = BatchRelational.joinAnti(spark, sf).count()
+    val total = Tables(spark, sf, "customer").count()
+    assert(semi > 0)
+    // semi(>100k) and anti(>400k) use different thresholds; both within total
+    assert(semi <= total && anti <= total)
+  }
+
+  test("full outer join covers both unmatched sides") {
+    val df = BatchRelational.joinFull(spark, sf)
+    assert(df.count() >= Tables(spark, sf, "supplier").count())
+  }
+
+  test("topN per group emits at most N per key, rank-ordered") {
+    val rows = BatchRelational.topNPerGroup(spark, sf).collect()
+    val perGroup = rows.groupBy(_.getString(0))
+    assert(perGroup.values.forall(_.length <= 3))
+    perGroup.values.foreach { g =>
+      val rns = g.map(_.getInt(1)).sorted
+      assert(rns.zipWithIndex.forall { case (rn, i) => rn == i + 1 })
+    }
+  }
+
+  test("dedup first/last keep exactly one row per user") {
+    val users = Tables(spark, sf, "events").select("user_id").distinct().count()
+    assert(BatchRelational.dedupFirst(spark, sf).count() === users)
+    assert(BatchRelational.dedupLast(spark, sf).count() === users)
+  }
+
+  test("set ops: union == union_all dedup; except disjoint from intersect") {
+    val unionAll = BatchRelational.setUnionAll(spark, sf).count()
+    val union = BatchRelational.setUnion(spark, sf).count()
+    assert(union <= unionAll)
+    val inter = BatchRelational.setIntersect(spark, sf)
+    val except = BatchRelational.setExcept(spark, sf)
+    assert(inter.join(except, Seq("k"), "inner").count() === 0)
+  }
+
+  test("exact dedup halves the doubled corpus") {
+    val docs = Tables(spark, sf, "documents").count()
+    val deduped = Dedup.exact(spark, sf)
+    // doubled corpus (2x) collapses to <= docs fingerprints, every copy counted
+    assert(deduped.count() <= docs)
+    assert(deduped.agg(sum("n_copies")).head().getLong(0) === 2 * docs)
+  }
+
+  test("ngram Jaccard pairs are symmetric-free (a < b) and above threshold") {
+    val rows = Dedup.ngramJaccardPairs(spark, sf).collect()
+    assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(rows.forall(_.getDouble(2) >= 0.5))
+  }
+
+  test("minhash LSH finds the same pairs as exact ngram Jaccard at 0.5") {
+    // LSH with 16 bands x 2 rows has ~P(hit)=1-(1-j^2)^16 >= 0.99 at j=0.5;
+    // on the planted-duplicate corpus the candidate set should recover all.
+    val exact = Dedup.ngramJaccardPairs(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairs(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact)) // verification step guarantees precision
+    assert(lsh === exact, s"LSH missed ${(exact -- lsh).size} true pairs")
+  }
+
+  test("simhash pairs respect hamming threshold") {
+    val rows = Dedup.simhashPairs(spark, sf).collect()
+    assert(rows.forall(_.getInt(2) <= 12))
+  }
+
+  test("brute-force ANN returns top-10 per query, cosine-sorted") {
+    val rows = Similarity.annBruteForce(spark, sf).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.keySet === Set(0L, 1L, 2L, 3L, 4L))
+    byQ.values.foreach { g =>
+      assert(g.length === 10)
+      val cos = g.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("IVF ANN: structure correct and recall@10 is non-degenerate") {
+    val bf = Similarity.annBruteForce(spark, sf)
+      .select("qid", "vec_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val ivfRows = Similarity.annIvf(spark, sf).collect()
+    val byQ = ivfRows.groupBy(_.getLong(0))
+    assert(byQ.keySet === bf.keySet)
+    byQ.values.foreach { g =>
+      assert(g.length === 10)
+      val cos = g.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+    }
+    // ANN with nprobe=3 of 10 cells is approximate; measured recall on the
+    // synthetic corpus is ~0.3-0.6 — assert it stays above a floor so a
+    // centroid/probe regression (recall ~ 0) is caught.
+    val ivf = byQ.view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    val recall = bf.keys.map(q => (bf(q) & ivf(q)).size / 10.0).sum / bf.size
+    assert(recall >= 0.2, s"mean recall@10 $recall below floor")
+  }
+
+  test("cosine of a vector with itself is 1") {
+    import spark.implicits._
+    val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(1.0f, 2.0f, 3.0f)))
+      .toDF("a", "b")
+      .select(round(Similarity.cosine(col("a"), col("b")), 9).as("c"))
+    assert(df.head().getDouble(0) === 1.0)
+  }
+
+  test("text stats ratios are within [0,1] and token counts positive") {
+    val rows = TextAnalysis.stats(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getInt(1) > 0) // n_tokens
+      val stop = r.getDouble(5)
+      val punct = r.getDouble(6)
+      assert(stop >= 0 && stop <= 1)
+      assert(punct >= 0 && punct <= 1)
+    }
+  }
+
+  test("langId predicts a language from the fixed set") {
+    val langs = TextAnalysis.langId(spark, sf)
+      .select("lang_pred").distinct().collect().map(_.getString(0)).toSet
+    assert(langs.subsetOf(Set("en", "de", "fr", "es")))
+  }
+
+  test("multimodal decode emits metadata within stub bounds") {
+    val rows = Multimodal.decodeStub(spark, sf).collect()
+    assert(rows.length === Tables(spark, sf, "documents").count())
+    rows.foreach { r =>
+      assert(r.getInt(2) >= 64 && r.getInt(2) < 64 + 577) // width
+      assert(r.getInt(4) >= 1 && r.getInt(4) <= 7)        // n_frames
+    }
+  }
+
+  test("frame sampling emits n_frames rows per doc") {
+    val frames = Multimodal.frameSample(spark, sf)
+      .groupBy("doc_id").count()
+    val meta = Multimodal.decodeStub(spark, sf).select("doc_id", "n_frames")
+    val joined = frames.join(meta, "doc_id")
+      .where(col("count") =!= col("n_frames")).count()
+    assert(joined === 0)
+  }
+
+  test("entry smoke: flagship query returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query in SparkEntry.queries has an oracle or is documented") {
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(noOracle.isEmpty, s"queries missing oracle SQL: $noOracle")
+  }
+}
