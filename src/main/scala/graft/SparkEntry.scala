@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{BatchRelational, Dedup, Multimodal, ScalarFuncs, Similarity, TextAnalysis}
+import graft.operators.{BatchRelational, Dedup, Multimodal, ScalarFuncs, Similarity, TextAnalysis, WindowAggs}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -67,6 +67,20 @@ object SparkEntry {
     "q_ann_hyperplane_lsh" -> (Similarity.hyperplaneLshPairs _),
     "q_mm_decode"       -> (Multimodal.decodeStub _),
     "q_mm_frames"       -> (Multimodal.frameSample _),
+    "q_win_tumble"      -> (WindowAggs.tumble _),
+    "q_win_hop"         -> (WindowAggs.hop _),
+    "q_win_session"     -> (WindowAggs.session _),
+    "q_win_cumulate"    -> (WindowAggs.cumulate _),
+    "q_interval_join"   -> (WindowAggs.intervalJoin _),
+    "q_asof_join"       -> (WindowAggs.asOfJoin _),
+    "q_stream_tumble"   -> (streaming.StreamWindowAggs.tumble _),
+    "q_stream_session"  -> (streaming.StreamWindowAggs.session _),
+    "q_stream_interval_join" -> (streaming.StreamWindowAggs.intervalJoin _),
+    "q_stream_dedup_last" -> (streaming.StreamQueries.dedupLast _),
+    "q_stream_topn"     -> (streaming.StreamQueries.topN _),
+    "q_stream_over"     -> (streaming.StreamQueries.over _),
+    "q_stream_changelog" -> (streaming.StreamQueries.changelog _),
+    "q_stream_cep"      -> (streaming.StreamQueries.cep _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -317,5 +331,5 @@ object SparkEntry {
         | list_sort([n_regionkey, n_nationkey]) AS sorted_arr,
         | list_contains([n_nationkey, n_regionkey], 0) AS has0
         |FROM nation ORDER BY n_nationkey""".stripMargin,
-  ) ++ LlmOracles.sql
+  ) ++ LlmOracles.sql ++ WindowOracles.sql ++ streaming.StreamQueries.sql
 }

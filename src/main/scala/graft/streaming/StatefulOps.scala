@@ -1,0 +1,159 @@
+package graft.streaming
+
+import graft.streaming.StreamSource.Event
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Custom stateful streaming operators (SURVEY.md §7.1 "custom stateful
+  * operators" — the capabilities Spark lacks as built-ins, re-expressed as
+  * `flatMapGroupsWithState` functions over `KeyValueGroupedDataset`).
+  *
+  * Reference analogs:
+  *  - keepLast       → operators/deduplicate/ProcTimeDeduplicateKeepLastRowFunction.java
+  *  - topN           → operators/rank/AppendOnlyTopNFunction.java:48 (+Updatable)
+  *  - runningAgg     → operators/over/RowTimeRowsUnboundedPrecedingFunction (over-window on stream)
+  *  - changelogNormalize → StreamExecChangelogNormalize.scala + RowKind.java:35-58
+  *
+  * Ordering contract: rows are processed in event-time order WITHIN each
+  * micro-batch (we sort the group iterator); cross-batch order relies on the
+  * source replaying in order, which holds for file replay and ordered test
+  * feeds. Full out-of-order safety buffers rows until the watermark passes
+  * them — that pattern is TemporalSort below (EventTimeTimeout + state
+  * buffer), which the others can be composed with at the cost of latency.
+  *
+  * Scale: state per key is O(1) (keepLast, runningAgg), O(N) (topN) or
+  * O(unflushed window) (temporalSort) — all bounded; keys shard across
+  * executors by groupByKey hash, the same keyed-state sharding the
+  * reference uses.
+  */
+object StatefulOps {
+
+  /** Event-time sort key in MICROseconds — Timestamp.getTime is millis-only
+    * and would mis-order same-millisecond events vs the oracle's full-
+    * precision ORDER BY ts. */
+  private[streaming] def micros(t: java.sql.Timestamp): Long =
+    (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
+
+  private def ord(e: Event): (Long, Long) = (micros(e.ts), e.event_id)
+
+  /** Keep-last-row-per-key dedup (update semantics). Emits the new latest
+    * row for a key whenever it changes. */
+  def keepLast(ds: Dataset[Event]): Dataset[Event] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Event, Event](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (_: Long, rows: Iterator[Event], state: GroupState[Event]) =>
+          val latestIn = rows.maxBy(ord)
+          val cur = state.getOption
+          if (cur.isEmpty || Ordering[(Long, Long)].gt(ord(latestIn), ord(cur.get))) {
+            state.update(latestIn)
+            Iterator.single(latestIn)
+          } else Iterator.empty
+      }
+  }
+
+  case class Ranked(event_type: String, rank: Int, event_id: Long,
+                    user_id: Long, value: Double)
+
+  /** Continuously-maintained per-key Top-N by (value desc, event_id asc).
+    * Each batch emits the key's full current top-N (update semantics: the
+    * sink's last emission per key is the answer; the reference's retract
+    * variant maps to changelogNormalize-style -U/+U emission). */
+  def topN(ds: Dataset[Event], n: Int): Dataset[Ranked] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.event_type)
+      .flatMapGroupsWithState[List[Event], Ranked](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[Event], state: GroupState[List[Event]]) =>
+          val merged = (state.getOption.getOrElse(Nil) ++ rows)
+            .sortBy(e => (-e.value, e.event_id))
+            .take(n)
+          state.update(merged)
+          merged.iterator.zipWithIndex.map { case (e, i) =>
+            Ranked(key, i + 1, e.event_id, e.user_id, e.value)
+          }
+      }
+  }
+
+  case class Running(user_id: Long, event_id: Long, run_cnt: Long, run_sum: Double)
+  case class AggState(cnt: Long, sum: Double)
+
+  /** Streaming OVER aggregate: per-key running count/sum in event-time
+    * order (ROWS UNBOUNDED PRECEDING). One emission per input row. */
+  def runningAgg(ds: Dataset[Event]): Dataset[Running] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[AggState, Running](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[Event], state: GroupState[AggState]) =>
+          var st = state.getOption.getOrElse(AggState(0L, 0.0))
+          val out = rows.toSeq.sortBy(ord).map { e =>
+            st = AggState(st.cnt + 1, st.sum + e.value)
+            Running(key, e.event_id, st.cnt, st.sum)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
+  case class Change(user_id: Long, event_id: Long, rowkind: String)
+  case class LastRow(ts: Long, event_id: Long)
+
+  /** Changelog-normalize: interpret the keyed stream as upserts and emit a
+    * +I / -U / +U changelog (the reference's RowKind flow made explicit as
+    * a column — the `__rowkind` convention from SURVEY.md §7.1). */
+  def changelogNormalize(ds: Dataset[Event]): Dataset[Change] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastRow, Change](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[Event], state: GroupState[LastRow]) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[Change]
+          var cur = state.getOption
+          rows.toSeq.sortBy(ord).foreach { e =>
+            cur match {
+              case None =>
+                out += Change(key, e.event_id, "+I")
+              case Some(prev) =>
+                out += Change(key, prev.event_id, "-U")
+                out += Change(key, e.event_id, "+U")
+            }
+            cur = Some(LastRow(e.ts.getTime, e.event_id))
+          }
+          cur.foreach(state.update)
+          out.iterator
+      }
+  }
+
+  case class SortedOut(user_id: Long, event_id: Long, ts: java.sql.Timestamp)
+  case class SortBuf(rows: List[(Long, Long)]) // (tsMillis, event_id)
+
+  /** Temporal sort (ref StreamExecTemporalSort): buffer out-of-order rows
+    * per key and emit them in event-time order once the watermark passes.
+    * EventTimeTimeout + state buffer — the production-grade ordering
+    * pattern the eager operators above trade away for latency. Rows at or
+    * beyond the final watermark stay buffered (correct for unbounded
+    * semantics; tests advance the watermark with a sentinel to drain). */
+  def temporalSort(ds: Dataset[Event]): Dataset[SortedOut] = {
+    import ds.sparkSession.implicits._
+    ds.withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SortBuf, SortedOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: Long, rows: Iterator[Event], state: GroupState[SortBuf]) =>
+          val wm = state.getCurrentWatermarkMs()
+          val buf = state.getOption.map(_.rows).getOrElse(Nil) ++
+            rows.map(e => (e.ts.getTime, e.event_id))
+          val (ripe, hold) = buf.partition(_._1 <= wm)
+          if (hold.nonEmpty) {
+            state.update(SortBuf(hold))
+            state.setTimeoutTimestamp(hold.map(_._1).min)
+          } else state.remove()
+          ripe.sorted.iterator.map { case (t, id) =>
+            SortedOut(key, id, new java.sql.Timestamp(t))
+          }
+      }
+  }
+}

@@ -1,0 +1,124 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver-contract adapters: run each custom stateful streaming operator
+  * over the events file as a REAL Structured Streaming query (file source →
+  * flatMapGroupsWithState → memory sink) and return the drained result for
+  * the DuckDB-oracle compare. Update-mode operators emit once per key per
+  * micro-batch; the bounded replay arrives as one batch, so the drained
+  * sink equals the operator's final answer. */
+object StreamQueries {
+
+  def dedupLast(s: SparkSession, dir: String): DataFrame = {
+    val out = StatefulOps.keepLast(StreamSource.eventsTyped(s, dir)).toDF()
+    StreamSource.runToTable(s, out, "stream_dedup_last", "update")
+      .select(col("user_id"), col("event_id"), col("event_type"))
+      .orderBy("user_id")
+  }
+
+  def topN(s: SparkSession, dir: String): DataFrame = {
+    val out = StatefulOps.topN(StreamSource.eventsTyped(s, dir), 3).toDF()
+    StreamSource.runToTable(s, out, "stream_topn", "update")
+      .select(col("event_type"), col("rank"), col("event_id"),
+        col("user_id"), round(col("value"), 2).as("value"))
+      .orderBy("event_type", "rank")
+  }
+
+  def over(s: SparkSession, dir: String): DataFrame = {
+    val out = StatefulOps.runningAgg(StreamSource.eventsTyped(s, dir)).toDF()
+    StreamSource.runToTable(s, out, "stream_over", "update")
+      .select(col("user_id"), col("event_id"), col("run_cnt"),
+        round(col("run_sum"), 4).as("run_sum"))
+      .orderBy("user_id", "event_id")
+  }
+
+  def changelog(s: SparkSession, dir: String): DataFrame = {
+    val out = StatefulOps.changelogNormalize(StreamSource.eventsTyped(s, dir)).toDF()
+    StreamSource.runToTable(s, out, "stream_changelog", "update")
+      .select(col("user_id"), col("event_id"), col("rowkind"))
+      .orderBy("user_id", "event_id", "rowkind")
+  }
+
+  def cep(s: SparkSession, dir: String): DataFrame = {
+    import StreamSource.Event
+    val pattern: Seq[Event => Boolean] = Seq(
+      _.event_type == "view", _.event_type == "click", _.event_type == "purchase")
+    val out = Cep.matchPattern(StreamSource.eventsTyped(s, dir), pattern).toDF()
+    StreamSource.runToTable(s, out, "stream_cep", "update")
+      .select(col("user_id"),
+        col("ids").getItem(0).as("a_id"),
+        col("ids").getItem(1).as("b_id"),
+        col("ids").getItem(2).as("c_id"))
+      .orderBy("user_id", "a_id")
+  }
+
+  /** DuckDB oracles — batch-SQL statements equivalent to each streaming
+    * operator's final drained output. */
+  val sql: Map[String, String] = Map(
+    "q_stream_tumble" ->
+      """SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS w_start, event_type,
+        | count(*) AS cnt, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_stream_session" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t, value FROM events),
+        |m AS (SELECT user_id, t, value,
+        |  CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t) <= INTERVAL 1 HOUR
+        |       THEN 0 ELSE 1 END AS brk FROM e),
+        |g AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY t
+        |       ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+        |SELECT min(t) AS w_start, max(t) + INTERVAL 1 HOUR AS w_end, user_id,
+        | count(*) AS cnt, round(sum(value), 2) AS sum_value
+        |FROM g GROUP BY user_id, sid ORDER BY user_id, w_start""".stripMargin,
+    "q_stream_interval_join" ->
+      """SELECT p.user_id, p.event_id AS p_id, v.event_id AS v_id
+        |FROM (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS t FROM events
+        |      WHERE event_type = 'purchase') p
+        |JOIN (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS t FROM events
+        |      WHERE event_type = 'view') v
+        |  ON p.user_id = v.user_id AND v.t <= p.t AND v.t >= p.t - INTERVAL 1 HOUR
+        |ORDER BY p.user_id, p_id, v_id""".stripMargin,
+    "q_stream_dedup_last" ->
+      """SELECT user_id, event_id, event_type FROM (
+        | SELECT user_id, event_id, event_type,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+        | FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "q_stream_topn" ->
+      """SELECT event_type, CAST(rn AS INT) AS rank, event_id, user_id,
+        | round(value, 2) AS value
+        |FROM (SELECT event_type, event_id, user_id, value,
+        |  row_number() OVER (PARTITION BY event_type
+        |    ORDER BY value DESC, event_id) AS rn FROM events)
+        |WHERE rn <= 3 ORDER BY event_type, rn""".stripMargin,
+    "q_stream_over" ->
+      """SELECT user_id, event_id,
+        | count(*) OVER w AS run_cnt,
+        | round(sum(value) OVER w, 4) AS run_sum
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
+    "q_stream_changelog" ->
+      """WITH o AS (SELECT user_id, event_id,
+        |  row_number() OVER w AS rn, count(*) OVER (PARTITION BY user_id) AS mx
+        | FROM events
+        | WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id))
+        |SELECT user_id, event_id, rowkind FROM (
+        | SELECT user_id, event_id, '+I' AS rowkind FROM o WHERE rn = 1
+        | UNION ALL SELECT user_id, event_id, '+U' FROM o WHERE rn > 1
+        | UNION ALL SELECT user_id, event_id, '-U' FROM o WHERE rn < mx)
+        |ORDER BY user_id, event_id, rowkind""".stripMargin,
+    "q_stream_cep" ->
+      """WITH o AS (SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS t
+        |           FROM events),
+        |sq AS (SELECT user_id, event_id AS a_id, event_type AS et0,
+        |  lead(event_type, 1) OVER w AS et1, lead(event_id, 1) OVER w AS b_id,
+        |  lead(event_type, 2) OVER w AS et2, lead(event_id, 2) OVER w AS c_id
+        | FROM o WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id))
+        |SELECT user_id, a_id, b_id, c_id FROM sq
+        |WHERE et0 = 'view' AND et1 = 'click' AND et2 = 'purchase'
+        |ORDER BY user_id, a_id""".stripMargin,
+  )
+}

@@ -1,0 +1,56 @@
+package graft.streaming
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Streaming-side access to the driver's `events` table and the
+  * run-to-completion harness used by the Verify entries.
+  *
+  * The driver's correctness gate calls `(SparkSession, sfDir) => DataFrame`;
+  * streaming operators satisfy it by running a REAL Structured Streaming
+  * query over the events file (file source → operator → memory sink),
+  * draining it with processAllAvailable, and returning the sink table.
+  * The plan that runs is the same micro-batch plan a production job runs —
+  * state store, watermarks and all; only the source (file replay) and sink
+  * (memory) are test doubles. Flink analog: bounded execution of a
+  * streaming pipeline (flink-streaming-java bounded sources).
+  */
+object StreamSource {
+
+  /** Typed event row (ts already truncated to micros by graft.Tables). */
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+
+  /** events as an unbounded DataFrame via the parquet file-stream source. */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    // file source needs an explicit schema: take it from the batch reader
+    // (nanosAsLong conf is set there; ts arrives as long nanos)
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  def eventsTyped(s: SparkSession, dir: String): Dataset[Event] = {
+    import s.implicits._
+    events(s, dir).select("event_id", "ts", "user_id", "event_type", "value").as[Event]
+  }
+
+  /** Run `df` (a streaming DataFrame) to completion into a memory sink and
+    * return the materialized result. */
+  def runToTable(s: SparkSession, df: DataFrame, name: String,
+                 mode: String): DataFrame = {
+    val q: StreamingQuery = df.writeStream
+      .format("memory").queryName(name).outputMode(mode)
+      .option("checkpointLocation",
+        s"/tmp/graft-ckpt/$name-${System.nanoTime()}")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    s.table(name)
+  }
+}

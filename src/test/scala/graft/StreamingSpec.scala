@@ -1,0 +1,123 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.streaming.StreamSource.Event
+import graft.streaming.{Cep, StatefulOps}
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Incremental-semantics tests for the custom stateful operators: feed
+  * MemoryStream batches, drain after each, assert per-batch emissions —
+  * the Spark analog of the reference's operator harness tests
+  * (GroupAggregateHarnessTest etc., SURVEY.md §5.3). */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Int): Timestamp = new Timestamp(1700000000000L + min * 60000L)
+  private def ev(id: Long, min: Int, user: Long, typ: String, v: Double): Event =
+    Event(id, ts(min), user, typ, v)
+
+  /** Run op over a MemoryStream; returns (feed, drain, stop) handles. */
+  private def harness[T](op: Dataset[Event] => Dataset[T], name: String)(
+      implicit enc: org.apache.spark.sql.Encoder[T])
+      : (Seq[Event] => Unit, () => Seq[T], () => Unit) = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q: StreamingQuery = op(input.toDS()).writeStream
+      .format("memory").queryName(name).outputMode("update")
+      .option("checkpointLocation", s"/tmp/graft-ckpt/test-$name-${System.nanoTime()}")
+      .start()
+    var seen = 0L
+    val feed = (rows: Seq[Event]) => { input.addData(rows); () }
+    val drain = () => {
+      q.processAllAvailable()
+      val all = spark.table(name).as[T].collect().toSeq
+      val fresh = all.drop(seen.toInt)
+      seen = all.size
+      fresh
+    }
+    val stop = () => q.stop()
+    (feed, drain, stop)
+  }
+
+  test("keepLast emits only when a newer row arrives for the key") {
+    val (feed, drain, stop) = harness(StatefulOps.keepLast, "t_keeplast")
+    feed(Seq(ev(1, 10, 7, "view", 1.0), ev(2, 20, 7, "click", 2.0)))
+    assert(drain().map(_.event_id) === Seq(2)) // only latest of batch 1
+    feed(Seq(ev(3, 15, 7, "view", 3.0))) // older than current state
+    assert(drain().isEmpty)
+    feed(Seq(ev(4, 30, 7, "purchase", 4.0)))
+    assert(drain().map(_.event_id) === Seq(4))
+    stop()
+  }
+
+  test("topN re-emits updated ranking as better rows arrive") {
+    val (feed, drain, stop) = harness(StatefulOps.topN(_, 2), "t_topn")
+    feed(Seq(ev(1, 1, 1, "view", 10.0), ev(2, 2, 2, "view", 20.0)))
+    val b1 = drain()
+    assert(b1.map(r => (r.rank, r.event_id)) === Seq((1, 2), (2, 1)))
+    feed(Seq(ev(3, 3, 3, "view", 15.0))) // displaces event 1 from rank 2
+    val b2 = drain()
+    assert(b2.map(r => (r.rank, r.event_id)) === Seq((1, 2), (2, 3)))
+    stop()
+  }
+
+  test("runningAgg accumulates across batches in event-time order") {
+    val (feed, drain, stop) = harness(StatefulOps.runningAgg, "t_runagg")
+    feed(Seq(ev(2, 20, 5, "view", 2.0), ev(1, 10, 5, "view", 1.0)))
+    // within-batch sort: event 1 first despite arrival order
+    assert(drain().map(r => (r.event_id, r.run_cnt, r.run_sum)) ===
+      Seq((1L, 1L, 1.0), (2L, 2L, 3.0)))
+    feed(Seq(ev(3, 30, 5, "view", 4.0)))
+    assert(drain().map(r => (r.event_id, r.run_cnt, r.run_sum)) === Seq((3L, 3L, 7.0)))
+    stop()
+  }
+
+  test("changelogNormalize emits +I then -U/+U pairs") {
+    val (feed, drain, stop) = harness(StatefulOps.changelogNormalize, "t_chlog")
+    feed(Seq(ev(1, 10, 9, "view", 1.0)))
+    assert(drain().map(c => (c.event_id, c.rowkind)) === Seq((1L, "+I")))
+    feed(Seq(ev(2, 20, 9, "view", 2.0)))
+    assert(drain().map(c => (c.event_id, c.rowkind)) === Seq((1L, "-U"), (2L, "+U")))
+    stop()
+  }
+
+  test("cep matches strict-contiguity pattern across batch boundary") {
+    val pat: Seq[Event => Boolean] = Seq(
+      _.event_type == "view", _.event_type == "click", _.event_type == "purchase")
+    val (feed, drain, stop) = harness(Cep.matchPattern(_, pat), "t_cep")
+    feed(Seq(ev(1, 10, 3, "view", 0), ev(2, 20, 3, "click", 0)))
+    assert(drain().isEmpty) // partial match held in state
+    feed(Seq(ev(3, 30, 3, "purchase", 0)))
+    assert(drain().map(_.ids) === Seq(Seq(1L, 2L, 3L)))
+    feed(Seq(ev(4, 40, 3, "view", 0))) // no new match
+    assert(drain().isEmpty)
+    stop()
+  }
+
+  test("temporalSort holds rows until watermark passes, then emits in order") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = StatefulOps.temporalSort(input.toDS()).writeStream
+      .format("memory").queryName("t_tsort").outputMode("append")
+      .option("checkpointLocation", s"/tmp/graft-ckpt/test-tsort-${System.nanoTime()}")
+      .start()
+    // out-of-order batch; watermark still at -inf → everything buffered
+    input.addData(Seq(ev(2, 20, 1, "view", 0), ev(1, 10, 1, "view", 0)))
+    q.processAllAvailable()
+    assert(spark.table("t_tsort").count() === 0)
+    // sentinel far in the future advances watermark past both rows
+    input.addData(Seq(ev(99, 600, 1, "view", 0)))
+    q.processAllAvailable()
+    input.addData(Seq(ev(100, 601, 1, "view", 0))) // trigger timeout processing
+    q.processAllAvailable()
+    val got = spark.table("t_tsort").as[StatefulOps.SortedOut]
+      .collect().toSeq.filter(_.event_id < 99)
+    assert(got.map(_.event_id) === Seq(1L, 2L)) // emitted in event-time order
+    q.stop()
+  }
+}
