@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{BatchRelational, Dedup, Multimodal, ScalarFuncs, Similarity, TextAnalysis, WindowAggs}
+import graft.operators.{BatchRelational, Dedup, Formats, Multimodal, ScalarFuncs, Similarity, TextAnalysis, Udafs, WindowAggs}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -81,6 +81,14 @@ object SparkEntry {
     "q_stream_over"     -> (streaming.StreamQueries.over _),
     "q_stream_changelog" -> (streaming.StreamQueries.changelog _),
     "q_stream_cep"      -> (streaming.StreamQueries.cep _),
+    "q_fmt_csv"         -> (Formats.csvRoundtrip _),
+    "q_fmt_json"        -> (Formats.jsonRoundtrip _),
+    "q_fmt_orc"         -> (Formats.orcRoundtrip _),
+    "q_fn_json"         -> (Formats.jsonColumn _),
+    "q_fn_classify"     -> (ScalarFuncs.classify _),
+    "q_agg_firstlast"   -> (Udafs.firstLast _),
+    "q_agg_single_value" -> (Udafs.singleValue _),
+    "q_tableagg_top2"   -> (Udafs.tableAggTop2 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -331,5 +339,22 @@ object SparkEntry {
         | list_sort([n_regionkey, n_nationkey]) AS sorted_arr,
         | list_contains([n_nationkey, n_regionkey], 0) AS has0
         |FROM nation ORDER BY n_nationkey""".stripMargin,
-  ) ++ LlmOracles.sql ++ WindowOracles.sql ++ streaming.StreamQueries.sql
+    "q_fn_classify" ->
+      """SELECT p_partkey,
+        | regexp_full_match(CAST(p_size AS VARCHAR), '[+-]?([0-9]+\.?[0-9]*|\.[0-9]+)([eE][+-]?[0-9]+)?') AS dec_int,
+        | regexp_full_match(CAST(p_retailprice AS VARCHAR), '[+-]?([0-9]+\.?[0-9]*|\.[0-9]+)([eE][+-]?[0-9]+)?') AS dec_frac,
+        | regexp_full_match(p_brand, '[+-]?([0-9]+\.?[0-9]*|\.[0-9]+)([eE][+-]?[0-9]+)?') AS dec_brand,
+        | regexp_full_match(CAST(p_partkey AS VARCHAR), '[0-9]+') AS dig_key,
+        | regexp_full_match(p_type, '[0-9]+') AS dig_type,
+        | regexp_full_match(split_part(p_name, ' ', 1), '[A-Za-z]+') AS alpha_tok,
+        | regexp_full_match(p_brand, '[A-Za-z]+') AS alpha_brand,
+        | CAST(((list_reduce(list_prepend(0::BIGINT,
+        |    list_transform(range(1, length(p_brand)+1), i -> ascii(p_brand[i])::BIGINT)),
+        |    (a, c) -> (a * 31 + c) % 4294967296) + 2147483648) % 4294967296) - 2147483648 AS INT) AS hc_brand,
+        | CAST(((list_reduce(list_prepend(0::BIGINT,
+        |    list_transform(range(1, length(p_name)+1), i -> ascii(p_name[i])::BIGINT)),
+        |    (a, c) -> (a * 31 + c) % 4294967296) + 2147483648) % 4294967296) - 2147483648 AS INT) AS hc_name
+        |FROM part ORDER BY p_partkey""".stripMargin,
+  ) ++ LlmOracles.sql ++ WindowOracles.sql ++ streaming.StreamQueries.sql ++
+    Formats.sql ++ Udafs.sql
 }

@@ -1,0 +1,91 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** File-format sources/sinks (SURVEY.md §2.1: flink-formats csv/json/orc/
+  * parquet → `spark.read.{csv,json,orc,parquet}`).
+  *
+  * Each query is a write→read round trip: the driver table is written to
+  * the format under /tmp, read back through that format's source, and
+  * aggregated; the DuckDB oracle aggregates the original parquet, so a
+  * fidelity bug in either direction breaks the hash match. Avro is omitted:
+  * the spark-avro datasource jar isn't in this deployment's /opt/spark/jars
+  * (the mapping is `spark.read.format("avro")`, same shape as ORC).
+  *
+  * CSV/JSON round trips exclude timestamp columns (text formats default to
+  * millisecond precision — micros would be silently truncated; production
+  * pipelines set timestampFormat explicitly). ORC keeps timestamps to prove
+  * full-fidelity binary round-tripping.
+  */
+object Formats {
+
+  private def tmpDir(fmt: String, dir: String): String =
+    s"/tmp/graft-fmt/$fmt-${dir.replaceAll("[^a-zA-Z0-9.]", "_")}"
+
+  /** CSV with header: nation round trip, aggregated per region. */
+  def csvRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val path = tmpDir("csv", dir)
+    val nation = Tables(s, dir, "nation")
+    nation.write.mode("overwrite").option("header", "true").csv(path)
+    s.read.schema(nation.schema).option("header", "true").csv(path)
+      .groupBy(col("n_regionkey"))
+      .agg(count(lit(1)).as("cnt"), min(col("n_name")).as("first_name"))
+      .orderBy("n_regionkey")
+  }
+
+  /** JSON lines: orders round trip, aggregated per status. */
+  def jsonRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val path = tmpDir("json", dir)
+    val orders = Tables(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    orders.write.mode("overwrite").json(path)
+    s.read.schema(orders.schema).json(path)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("total"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** ORC: lineitem round trip including a timestamp filter (micros must
+    * survive), aggregated per return flag. */
+  def orcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val path = tmpDir("orc", dir)
+    val li = Tables(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity"), col("l_shipdate"))
+    li.write.mode("overwrite").orc(path)
+    s.read.orc(path)
+      .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("cnt"), round(sum("l_quantity"), 2).as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  /** JSON column functions over events.props (§2.8 STR_TO_MAP/JSON family):
+    * extract a field from an embedded JSON string and aggregate it. */
+  def jsonColumn(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "events")
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("cnt"), sum(col("k")).as("sum_k"),
+        max(col("k")).as("max_k"))
+      .orderBy("user_id")
+
+  val sql: Map[String, String] = Map(
+    "q_fmt_csv" ->
+      """SELECT n_regionkey, count(*) AS cnt, min(n_name) AS first_name
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+    "q_fmt_json" ->
+      """SELECT o_orderstatus, count(*) AS cnt, round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_fmt_orc" ->
+      """SELECT l_returnflag, count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_fn_json" ->
+      """SELECT user_id, count(*) AS cnt,
+        | CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+        | CAST(max(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS max_k
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+  )
+}

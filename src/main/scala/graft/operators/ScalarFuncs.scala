@@ -130,4 +130,23 @@ object ScalarFuncs {
       "sort_array(array(n_regionkey, n_nationkey)) AS sorted_arr",
       "array_contains(array(n_nationkey, n_regionkey), 0) AS has0"
     ).orderBy("n_nationkey")
+
+  /** Reference-only scalar functions with no Spark built-in, implemented as
+    * native codegen expressions (graft.functions.StringClassify): IS_DECIMAL,
+    * IS_DIGIT, IS_ALPHA, HASH_CODE (ref SqlFunctionUtils, SURVEY.md §2.8). */
+  def classify(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.StringClassify.register(s)
+    Tables(s, dir, "part").selectExpr(
+      "p_partkey",
+      "is_decimal(cast(p_size AS STRING)) AS dec_int",
+      "is_decimal(cast(p_retailprice AS STRING)) AS dec_frac",
+      "is_decimal(p_brand) AS dec_brand",
+      "is_digit(cast(p_partkey AS STRING)) AS dig_key",
+      "is_digit(p_type) AS dig_type",
+      "is_alpha(split_part(p_name, ' ', 1)) AS alpha_tok",
+      "is_alpha(p_brand) AS alpha_brand",
+      "hash_code(p_brand) AS hc_brand",
+      "hash_code(p_name) AS hc_name"
+    ).orderBy("p_partkey")
+  }
 }

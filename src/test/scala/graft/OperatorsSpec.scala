@@ -160,6 +160,34 @@ class OperatorsSpec extends SparkSpec {
     assert(joined === 0)
   }
 
+  test("string classify expressions match their regex contracts") {
+    graft.functions.StringClassify.register(spark)
+    import spark.implicits._
+    val rows = Seq("123", "-4.5", ".5e3", "abc", "a1", "", "1.2.3")
+      .toDF("s")
+      .selectExpr("s", "is_decimal(s) AS d", "is_digit(s) AS g", "is_alpha(s) AS a",
+        "hash_code(s) AS h")
+      .collect().map(r => (r.getString(0), r.getBoolean(1), r.getBoolean(2), r.getBoolean(3), r.getInt(4)))
+    val expect = Map(
+      "123" -> (true, true, false), "-4.5" -> (true, false, false),
+      ".5e3" -> (true, false, false), "abc" -> (false, false, true),
+      "a1" -> (false, false, false), "" -> (false, false, false),
+      "1.2.3" -> (false, false, false))
+    rows.foreach { case (s, d, g, a, h) =>
+      assert((d, g, a) === expect(s), s"for '$s'")
+      assert(h === s.hashCode)
+    }
+  }
+
+  test("SINGLE_VALUE aggregator fails on multi-row groups") {
+    import org.apache.spark.sql.functions.udaf
+    import spark.implicits._
+    val sv = udaf(operators.Udafs.SingleValueAgg)
+    val df = Seq((1, 1.0), (1, 2.0)).toDF("k", "v").groupBy("k").agg(sv($"v"))
+    val e = intercept[Exception] { df.collect() }
+    assert(e.getMessage != null)
+  }
+
   test("entry smoke: flagship query returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
