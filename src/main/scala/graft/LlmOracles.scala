@@ -10,10 +10,10 @@ package graft
   */
 object LlmOracles {
 
-  private val stopEnSql = "['the','a','of','to','and','in','is','it','that','as']"
-  private val toksCte =
+  val stopEnSql = "['the','a','of','to','and','in','is','it','that','as']"
+  val toksCte =
     "WITH toks AS (SELECT doc_id, text, string_split(lower(text), ' ') AS t FROM documents)"
-  private val shinglesCte =
+  val shinglesCte =
     toksCte + """,
       |sh AS (SELECT doc_id, CASE WHEN len(t) < 3 THEN [] ELSE
       |  list_distinct([t[i]||' '||t[i+1]||' '||t[i+2] FOR i IN range(1, len(t)-1)]) END AS s

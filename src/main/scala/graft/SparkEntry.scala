@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{BatchRelational, Dedup, Formats, Multimodal, ScalarFuncs, Similarity, TextAnalysis, Udafs, WindowAggs}
+import graft.operators.{BatchRelational, Dedup, Formats, Graph, Multimodal, ScalarFuncs, Similarity, SqlSurface, TextAnalysis, Udafs, WindowAggs}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -89,6 +89,9 @@ object SparkEntry {
     "q_agg_firstlast"   -> (Udafs.firstLast _),
     "q_agg_single_value" -> (Udafs.singleValue _),
     "q_tableagg_top2"   -> (Udafs.tableAggTop2 _),
+    "q_graph_cc"        -> (Graph.docComponents _),
+    "q_sql_q3"          -> (SqlSurface.q3 _),
+    "q_sql_subquery"    -> (SqlSurface.correlatedSubquery _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -356,5 +359,5 @@ object SparkEntry {
         |    (a, c) -> (a * 31 + c) % 4294967296) + 2147483648) % 4294967296) - 2147483648 AS INT) AS hc_name
         |FROM part ORDER BY p_partkey""".stripMargin,
   ) ++ LlmOracles.sql ++ WindowOracles.sql ++ streaming.StreamQueries.sql ++
-    Formats.sql ++ Udafs.sql
+    Formats.sql ++ Udafs.sql ++ Graph.sql ++ SqlSurface.sql
 }

@@ -188,6 +188,15 @@ class OperatorsSpec extends SparkSpec {
     assert(e.getMessage != null)
   }
 
+  test("connected components labels transitive clusters with the min id") {
+    import spark.implicits._
+    val verts = (1L to 7L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("src", "dst")
+    val cc = operators.Graph.connectedComponents(verts, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L, 7L -> 7L))
+  }
+
   test("entry smoke: flagship query returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

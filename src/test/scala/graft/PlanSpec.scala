@@ -1,0 +1,60 @@
+package graft
+
+import graft.operators.{BatchRelational, Dedup, Similarity}
+
+/** Physical-plan assertions for OUR layout choices (SURVEY.md §5.1: golden
+  * plan tests only for decisions we own, not Catalyst's behavior): filter/
+  * column pushdown reaching the scan, dimension broadcasts, partial top-k,
+  * and absence of accidental cartesian products. These are the properties
+  * that keep the plans viable at 100 TB; a regression here can stay
+  * value-correct while losing orders of magnitude. */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String = {
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q1_agg pushes the shipdate filter and prunes columns at the scan") {
+    val p = df1.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"missing pushdown in:\n$p")
+    assert(!p.contains("l_comment"), "scan reads unprojected columns")
+  }
+  private lazy val df1 = BatchRelational.q1Agg(spark, sf)
+
+  test("star join broadcasts every dimension table") {
+    val p = plan(BatchRelational.joinInner(spark, sf))
+    assert(p.split("BroadcastHashJoin").length >= 4, // 3 joins
+      s"expected 3 broadcast joins in:\n$p")
+    assert(!p.contains("SortMergeJoin"), "dimension join degraded to SMJ")
+  }
+
+  test("grouped top-N uses partial WindowGroupLimit before the shuffle") {
+    val p = plan(BatchRelational.topNPerGroup(spark, sf))
+    assert(p.contains("WindowGroupLimit"), s"no partial top-k in:\n$p")
+  }
+
+  test("ANN brute force broadcasts the query side, not the corpus") {
+    val p = plan(Similarity.annBruteForce(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin"), s"plan:\n$p")
+    // the broadcast side must be the filtered query set (vec_id < 5)
+    assert(p.contains("LessThan(vec_id,5)"), s"query-side filter not pushed:\n$p")
+  }
+
+  test("minhash LSH candidate join is a hash join on band buckets, not cartesian") {
+    val p = plan(Dedup.minhashLshPairs(spark, sf))
+    assert(!p.contains("CartesianProduct"), s"cartesian in LSH plan:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"BNL in LSH plan:\n$p")
+  }
+
+  test("vec_dot participates in whole-stage codegen") {
+    import org.apache.spark.sql.functions.col
+    val df = Tables(spark, sf, "embeddings")
+      .select(graft.functions.VecOps.dot(col("embedding"), col("embedding")).as("d"))
+    val p = df.queryExecution.executedPlan.toString
+    // the '*' prefix marks operators inside a WholeStageCodegen stage; a
+    // CodegenFallback expression would leave the Project un-starred
+    assert(p.contains("*(1) Project"), s"vec_dot projection not codegen'd:\n$p")
+    assert(df.head().getDouble(0) > 0.0)
+  }
+}
