@@ -75,11 +75,20 @@ object LlmOracles {
         |ORDER BY doc_id""").stripMargin,
     "q_dedup_minhash_lsh" ->
       (shinglesCte + """,
+        |seeds AS (
+        | SELECT r.range AS seed,
+        |  ('0x'||substr(md5('mh:a:'||r.range), 1, 15))::UBIGINT % 1073741823 + 1 AS ak,
+        |  ('0x'||substr(md5('mh:b:'||r.range), 1, 15))::UBIGINT % 1073741823 + 1 AS ck,
+        |  ('0x'||substr(md5('mh:c:'||r.range), 1, 15))::UBIGINT % 2305843009213693951 AS dk
+        | FROM range(32) r),
+        |tokh AS (
+        | SELECT doc_id, b >> 30 AS hi, b & 1073741823 AS lo FROM
+        |  (SELECT doc_id, ('0x'||substr(md5(sg), 1, 15))::UBIGINT AS b
+        |   FROM (SELECT doc_id, unnest(s) AS sg FROM sh))),
         |mh AS (
         | SELECT doc_id, seed,
-        |   min(('0x'||substr(md5(seed::VARCHAR||':'||sg), 1, 15))::UBIGINT) AS h
-        | FROM (SELECT doc_id, unnest(s) AS sg FROM sh), range(32) r(seed)
-        | GROUP BY doc_id, seed),
+        |   min((ak * hi + ck * lo + dk) % 2305843009213693951) AS h
+        | FROM tokh, seeds GROUP BY doc_id, seed),
         |bands AS (
         | SELECT m1.doc_id, m1.seed // 2 AS band, m1.h AS h1, m2.h AS h2
         | FROM mh m1 JOIN mh m2 ON m1.doc_id = m2.doc_id AND m2.seed = m1.seed + 1

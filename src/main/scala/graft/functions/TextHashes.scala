@@ -41,9 +41,19 @@ object TextHashes {
     acc
   }
 
-  /** min-hash value for seed `k` over one token: md5(s"$k:$tok"). */
-  @inline private def seededHash(k: Int, tok: UTF8String): Long =
-    md5hex60(s"$k:${tok.toString}")
+  /** Universal-hash family for minhash: ONE md5 per token, then per seed a
+    * 2-universal linear transform h_k = (A_k*hi + C_k*lo + D_k) mod 2^61-1
+    * over the token hash's 30-bit halves. 32x less hashing than seeded-md5
+    * per token — this is what makes 32-seed minhash viable at 100 TB — and
+    * every constant is itself md5-derived, so the DuckDB oracle reproduces
+    * the exact signature with UBIGINT arithmetic (all products < 2^60). */
+  private val M61 = (1L << 61) - 1
+  private[graft] val MhA = Array.tabulate(64)(k => md5hex60(s"mh:a:$k") % ((1L << 30) - 1) + 1)
+  private[graft] val MhC = Array.tabulate(64)(k => md5hex60(s"mh:b:$k") % ((1L << 30) - 1) + 1)
+  private[graft] val MhD = Array.tabulate(64)(k => md5hex60(s"mh:c:$k") % M61)
+
+  @inline private def seeded(k: Int, hi: Long, lo: Long): Long =
+    (MhA(k) * hi + MhC(k) * lo + MhD(k)) % M61
 
   def simhash60(tokens: Iterator[UTF8String]): Long = {
     val counts = new Array[Int](60)
@@ -71,10 +81,12 @@ object TextHashes {
     val n = tokens.numElements()
     while (i < n) {
       if (!tokens.isNullAt(i)) {
-        val tok = tokens.getUTF8String(i)
+        val base = md5hex60(tokens.getUTF8String(i).toString)
+        val hi = base >>> 30
+        val lo = base & ((1L << 30) - 1)
         var s = 0
         while (s < k) {
-          val h = seededHash(s, tok)
+          val h = seeded(s, hi, lo)
           if (h < mins(s)) mins(s) = h
           s += 1
         }

@@ -51,9 +51,12 @@ object TextAnalysis {
     * in fixed order en>de>fr>es. N-gram-heuristic class of the reference-era
     * langid tools; exact arithmetic so the oracle reproduces it. */
   def langId(s: SparkSession, dir: String): DataFrame = {
+    // tokenize + distinct ONCE, intersect per language (4x cheaper than
+    // re-deriving the token set inside each score expression)
     def score(words: Seq[String]): Column =
-      size(array_intersect(array_distinct(tokens(col("text"))), array(words.map(lit): _*)))
+      size(array_intersect(col("dt"), array(words.map(lit): _*)))
     Tables(s, dir, "documents")
+      .withColumn("dt", array_distinct(tokens(col("text"))))
       .withColumn("s_en", score(stopEn)).withColumn("s_de", score(stopDe))
       .withColumn("s_fr", score(stopFr)).withColumn("s_es", score(stopEs))
       .select(col("doc_id"), col("s_en"), col("s_de"), col("s_fr"), col("s_es"),

@@ -41,16 +41,26 @@ object StreamSource {
   }
 
   /** Run `df` (a streaming DataFrame) to completion into a memory sink and
-    * return the materialized result. */
+    * return the materialized result.
+    *
+    * State-store sizing: each shuffle partition materializes one state-store
+    * instance per stateful operator per batch (snapshot + fsync under the
+    * checkpoint dir). For the bounded replays here that fixed cost dominates
+    * the actual work, so streaming queries run with a smaller shuffle
+    * fan-out; production unbounded jobs size this to key cardinality. */
   def runToTable(s: SparkSession, df: DataFrame, name: String,
                  mode: String): DataFrame = {
-    val q: StreamingQuery = df.writeStream
-      .format("memory").queryName(name).outputMode(mode)
-      .option("checkpointLocation",
-        s"/tmp/graft-ckpt/$name-${System.nanoTime()}")
-      .start()
-    q.processAllAvailable()
-    q.stop()
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q: StreamingQuery = df.writeStream
+        .format("memory").queryName(name).outputMode(mode)
+        .option("checkpointLocation",
+          s"/tmp/graft-ckpt/$name-${System.nanoTime()}")
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     s.table(name)
   }
 }

@@ -38,13 +38,14 @@ class TextHashesSpec extends SparkSpec {
       .head()
     val mh = row.getSeq[Long](0)
     assert(mh.length === 32)
-    // seed s hash of token t is md5(s"$s:$t") first 15 hex chars
-    val exp0 = Seq("aa", "bb")
-      .map(t => java.lang.Long.parseLong(md5hex(s"0:$t").take(15), 16)).min
-    assert(mh.head === exp0)
-    val exp31 = Seq("aa", "bb")
-      .map(t => java.lang.Long.parseLong(md5hex(s"31:$t").take(15), 16)).min
-    assert(mh.last === exp31)
+    // h_k(tok) = (A_k*hi + C_k*lo + D_k) mod 2^61-1 over md5(tok)'s 60 bits
+    def expected(k: Int): Long = Seq("aa", "bb").map { t =>
+      val base = java.lang.Long.parseLong(md5hex(t).take(15), 16)
+      val (hi, lo) = (base >>> 30, base & ((1L << 30) - 1))
+      (TextHashes.MhA(k) * hi + TextHashes.MhC(k) * lo + TextHashes.MhD(k)) % ((1L << 61) - 1)
+    }.min
+    assert(mh.head === expected(0))
+    assert(mh.last === expected(31))
   }
 
   test("near-identical token sets give close minhash signatures") {
