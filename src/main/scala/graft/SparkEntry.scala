@@ -73,6 +73,7 @@ object SparkEntry {
     "q_win_cumulate"    -> (WindowAggs.cumulate _),
     "q_interval_join"   -> (WindowAggs.intervalJoin _),
     "q_asof_join"       -> (WindowAggs.asOfJoin _),
+    "q_asof_custom"     -> (WindowAggs.asOfJoinCustom _),
     "q_stream_tumble"   -> (streaming.StreamWindowAggs.tumble _),
     "q_stream_session"  -> (streaming.StreamWindowAggs.session _),
     "q_stream_interval_join" -> (streaming.StreamWindowAggs.intervalJoin _),

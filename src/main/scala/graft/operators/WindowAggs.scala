@@ -86,6 +86,21 @@ object WindowAggs {
       .orderBy("user_id", "p_id", "v_id")
   }
 
+  /** Custom-operator as-of join (graft.plans.AsOfJoin: LogicalPlan +
+    * SparkStrategy + co-partitioned sort-merge SparkPlan) on the same
+    * probe/build split as asOfJoin below — the two implementations must
+    * agree (AsOfJoinSpec) and both match DuckDB's ASOF JOIN oracle. */
+  def asOfJoinCustom(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+    val purchases = e.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"), col("ts").as("p_ts"))
+    val views = e.where(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("v_id"), col("ts").as("v_ts"))
+    graft.plans.AsOfJoin(purchases, views, "user_id", "v_user", "p_ts", "v_ts")
+      .select(col("user_id"), col("p_id"), col("v_id"))
+      .orderBy("user_id", "p_id")
+  }
+
   /** Event-time as-of join (batch form): each purchase joined to the same
     * user's latest view at-or-before it. Ref: TemporalRowTimeJoinOperator
     * .java:77 — the batch equivalent is DuckDB's ASOF JOIN; Spark-side we

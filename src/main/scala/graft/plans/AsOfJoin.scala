@@ -1,0 +1,130 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.SparkStrategy
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
+
+/** Event-time AS-OF join as a first-class operator: logical node +
+  * planner strategy + physical sort-merge execution (SURVEY.md §7.1 item 3;
+  * extension tier (c) of the build contract — a whole-operator semantic
+  * Spark lacks, so it gets a `LogicalPlan` + `Strategy` + `SparkPlan`).
+  *
+  * Reference: TemporalRowTimeJoinOperator.java:77 (probe row joined to the
+  * newest build-side version at-or-before its event time) and the planner
+  * rewrite LogicalCorrelateToJoinFromTemporalTableRule.scala.
+  *
+  * Physical contract: both children hash-clustered on the join key and
+  * sorted by (key, time) — declared via requiredChildDistribution /
+  * requiredChildOrdering, so Catalyst inserts the exchanges and sorts and
+  * AQE sizes them. Execution is a single zipPartitions merge: one pass,
+  * O(1) state (the last build row per key), no union/window
+  * materialization — at 100 TB this is one co-partitioned shuffle per side
+  * and nothing else, strictly better than the window-trick fallback
+  * (operators.WindowAggs.asOfJoin) which shuffles the unioned schema and
+  * runs a window sort over both sides together.
+  */
+case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
+                        leftKey: Attribute, rightKey: Attribute,
+                        leftTime: Attribute, rightTime: Attribute)
+    extends BinaryNode {
+  // LEFT OUTER as-of: every probe row survives, build side nullable
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(l: LogicalPlan, r: LogicalPlan): AsOfJoinPlan =
+    copy(left = l, right = r)
+}
+
+case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
+                        leftKey: Expression, rightKey: Expression,
+                        leftTime: Expression, rightTime: Expression,
+                        override val output: Seq[Attribute])
+    extends BinaryExecNode {
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    Seq(ClusteredDistribution(Seq(leftKey)), ClusteredDistribution(Seq(rightKey)))
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lKey = BindReferences.bindReference(leftKey, left.output)
+    val lTime = BindReferences.bindReference(leftTime, left.output)
+    val rKey = BindReferences.bindReference(rightKey, right.output)
+    val rTime = BindReferences.bindReference(rightTime, right.output)
+    val rightArity = right.output.size
+    // project through the NULLABLE output attributes — building the
+    // projection from the children's (non-null) attributes would elide the
+    // null checks and read 0 from the null-padded build row
+    val schema = output
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val proj = UnsafeProjection.create(schema, schema)
+      val joined = new JoinedRow
+      val nullRight = new GenericInternalRow(rightArity)
+      val rBuf = rIter.buffered
+      // last build row with key == current probe key and time <= probe time
+      var matchKey: Long = 0L
+      var hasMatch = false
+      var matchRow: InternalRow = null
+      lIter.map { lRow =>
+        val k = lKey.eval(lRow).asInstanceOf[Long]
+        val t = lTime.eval(lRow).asInstanceOf[Long]
+        if (!hasMatch || matchKey != k) { hasMatch = false; matchRow = null }
+        // advance build side through (key < k) and (key == k && time <= t)
+        var advancing = true
+        while (advancing && rBuf.hasNext) {
+          val head = rBuf.head
+          val hk = rKey.eval(head).asInstanceOf[Long]
+          if (hk < k) { rBuf.next() }
+          else if (hk == k && rTime.eval(head).asInstanceOf[Long] <= t) {
+            matchRow = rBuf.next().copy(); matchKey = k; hasMatch = true
+          } else advancing = false
+        }
+        val r = if (hasMatch && matchKey == k) matchRow else nullRight
+        proj(joined(lRow, r))
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(l: SparkPlan, r: SparkPlan): AsOfJoinExec =
+    copy(left = l, right = r)
+}
+
+object AsOfStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt,
+        l.output ++ r.output.map(_.withNullability(true))) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Public API: `AsOfJoin(probe, build, "key", "key2", "pts", "vts")` —
+  * every probe row paired with the newest build row of the same key whose
+  * time is at-or-before the probe time (nulls if none). Column names must
+  * be disjoint between the two sides (rename beforehand). */
+object AsOfJoin {
+  def apply(probe: DataFrame, build: DataFrame,
+            probeKey: String, buildKey: String,
+            probeTime: String, buildTime: String): DataFrame = {
+    val s: SparkSession = probe.sparkSession
+    if (!s.experimental.extraStrategies.contains(AsOfStrategy))
+      s.experimental.extraStrategies = s.experimental.extraStrategies :+ AsOfStrategy
+    val lPlan = probe.queryExecution.analyzed
+    val rPlan = build.queryExecution.analyzed
+    def attr(p: LogicalPlan, n: String): Attribute =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"no column $n in ${p.output.map(_.name)}"))
+    org.apache.spark.sql.graftshim.ColumnShim.ofRows(s,
+      AsOfJoinPlan(lPlan, rPlan,
+        attr(lPlan, probeKey), attr(rPlan, buildKey),
+        attr(lPlan, probeTime), attr(rPlan, buildTime)))
+  }
+}
