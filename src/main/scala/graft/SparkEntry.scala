@@ -82,6 +82,9 @@ object SparkEntry {
     "q_stream_over"     -> (streaming.StreamQueries.over _),
     "q_stream_changelog" -> (streaming.StreamQueries.changelog _),
     "q_stream_cep"      -> (streaming.StreamQueries.cep _),
+    "q_stream_semi_join" -> (streaming.StreamQueries.semiJoin _),
+    "q_stream_anti_join" -> (streaming.StreamQueries.antiJoin _),
+    "q_stream_count_win" -> (streaming.StreamQueries.countWindow _),
     "q_fmt_csv"         -> (Formats.csvRoundtrip _),
     "q_fmt_json"        -> (Formats.jsonRoundtrip _),
     "q_fmt_orc"         -> (Formats.orcRoundtrip _),

@@ -1,0 +1,111 @@
+package graft.streaming
+
+import graft.streaming.StreamSource.Event
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming semi/anti join and count windows — the remaining stateful
+  * operators SURVEY.md §2 lists with no Spark built-in.
+  *
+  * Reference analogs:
+  *  - semi/anti → operators/join/stream/StreamingSemiAntiJoinOperator.java:36
+  *    (IN / EXISTS / NOT EXISTS on streams, retraction on late build rows)
+  *  - count windows → flink-streaming-java windowing/assigners
+  *    CountTumblingWindowAssigner (purging count trigger)
+  *
+  * Semi join is append-only: a probe row is emitted exactly once, as soon
+  * as a build row for its key exists (probes arriving first are buffered).
+  * Anti join is a changelog: +I when a probe currently has no build match,
+  * -D retracting it if a build row arrives later — the reference emits the
+  * same retraction; consumers fold the changelog (see
+  * StreamQueries.antiJoin). State per key: one boolean once a build row has
+  * been seen; the probe buffer only holds probes that precede the first
+  * build row.
+  */
+object StreamJoins {
+
+  case class SemiOut(user_id: Long, p_id: Long)
+  case class AntiOut(user_id: Long, p_id: Long, rowkind: String)
+  case class SemiState(buildSeen: Boolean, pendingProbes: List[Long])
+
+  /** probe ∈ events[event_type=probeType], build ∈ events[buildType]. */
+  def semiJoin(ds: Dataset[Event], probeType: String, buildType: String): Dataset[SemiOut] = {
+    import ds.sparkSession.implicits._
+    ds.filter(e => e.event_type == probeType || e.event_type == buildType)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SemiState, SemiOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[Event], state: GroupState[SemiState]) =>
+          var st = state.getOption.getOrElse(SemiState(false, Nil))
+          val out = scala.collection.mutable.ArrayBuffer.empty[SemiOut]
+          rows.foreach { e =>
+            if (e.event_type == buildType) {
+              if (!st.buildSeen) {
+                st.pendingProbes.reverse.foreach(p => out += SemiOut(key, p))
+                st = SemiState(buildSeen = true, Nil)
+              }
+            } else { // probe
+              if (st.buildSeen) out += SemiOut(key, e.event_id)
+              else st = st.copy(pendingProbes = e.event_id :: st.pendingProbes)
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
+  case class AntiState(buildSeen: Boolean, emitted: List[Long])
+
+  /** Anti join changelog: +I per probe with no build match so far, -D
+    * retractions when a build row invalidates earlier emissions. */
+  def antiJoin(ds: Dataset[Event], probeType: String, buildType: String): Dataset[AntiOut] = {
+    import ds.sparkSession.implicits._
+    ds.filter(e => e.event_type == probeType || e.event_type == buildType)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AntiState, AntiOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[Event], state: GroupState[AntiState]) =>
+          var st = state.getOption.getOrElse(AntiState(false, Nil))
+          val out = scala.collection.mutable.ArrayBuffer.empty[AntiOut]
+          rows.foreach { e =>
+            if (e.event_type == buildType) {
+              if (!st.buildSeen) {
+                st.emitted.reverse.foreach(p => out += AntiOut(key, p, "-D"))
+                st = AntiState(buildSeen = true, Nil)
+              }
+            } else if (!st.buildSeen) {
+              out += AntiOut(key, e.event_id, "+I")
+              st = st.copy(emitted = e.event_id :: st.emitted)
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
+  case class CountWin(user_id: Long, win_id: Long, cnt: Long, sum_value: Double)
+  case class CountWinState(winId: Long, cnt: Long, sum: Double)
+
+  /** Tumbling COUNT window: per key, every `n` rows (event-time order
+    * within batch) form a window; fires exactly when full — incomplete
+    * windows never fire (reference purging count-trigger semantics). */
+  def countTumbling(ds: Dataset[Event], n: Int): Dataset[CountWin] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[CountWinState, CountWin](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[Event], state: GroupState[CountWinState]) =>
+          var st = state.getOption.getOrElse(CountWinState(0L, 0L, 0.0))
+          val out = scala.collection.mutable.ArrayBuffer.empty[CountWin]
+          rows.toSeq.sortBy(e => (StatefulOps.micros(e.ts), e.event_id)).foreach { e =>
+            st = CountWinState(st.winId, st.cnt + 1, st.sum + e.value)
+            if (st.cnt == n) {
+              out += CountWin(key, st.winId, st.cnt, st.sum)
+              st = CountWinState(st.winId + 1, 0L, 0.0)
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+}

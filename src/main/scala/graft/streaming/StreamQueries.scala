@@ -54,9 +54,52 @@ object StreamQueries {
       .orderBy("user_id", "a_id")
   }
 
+  def semiJoin(s: SparkSession, dir: String): DataFrame = {
+    val out = StreamJoins.semiJoin(StreamSource.eventsTyped(s, dir), "purchase", "view").toDF()
+    StreamSource.runToTable(s, out, "stream_semi_join", "append")
+      .orderBy("user_id", "p_id")
+  }
+
+  /** Anti join: fold the changelog (+I minus -D) to the final row set. */
+  def antiJoin(s: SparkSession, dir: String): DataFrame = {
+    val out = StreamJoins.antiJoin(StreamSource.eventsTyped(s, dir), "purchase", "view").toDF()
+    StreamSource.runToTable(s, out, "stream_anti_join", "update")
+      .groupBy(col("user_id"), col("p_id"))
+      .agg(sum(when(col("rowkind") === "+I", 1).otherwise(-1)).as("net"))
+      .where(col("net") > 0)
+      .select(col("user_id"), col("p_id"))
+      .orderBy("user_id", "p_id")
+  }
+
+  def countWindow(s: SparkSession, dir: String): DataFrame = {
+    val out = StreamJoins.countTumbling(StreamSource.eventsTyped(s, dir), 5).toDF()
+    StreamSource.runToTable(s, out, "stream_count_win", "append")
+      .select(col("user_id"), col("win_id"), col("cnt"),
+        round(col("sum_value"), 2).as("sum_value"))
+      .orderBy("user_id", "win_id")
+  }
+
   /** DuckDB oracles — batch-SQL statements equivalent to each streaming
     * operator's final drained output. */
   val sql: Map[String, String] = Map(
+    "q_stream_semi_join" ->
+      """SELECT user_id, event_id AS p_id FROM events e
+        |WHERE event_type = 'purchase' AND EXISTS (
+        |  SELECT 1 FROM events v WHERE v.event_type = 'view' AND v.user_id = e.user_id)
+        |ORDER BY user_id, p_id""".stripMargin,
+    "q_stream_anti_join" ->
+      """SELECT user_id, event_id AS p_id FROM events e
+        |WHERE event_type = 'purchase' AND NOT EXISTS (
+        |  SELECT 1 FROM events v WHERE v.event_type = 'view' AND v.user_id = e.user_id)
+        |ORDER BY user_id, p_id""".stripMargin,
+    "q_stream_count_win" ->
+      """WITH o AS (SELECT user_id, value,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY CAST(ts AS TIMESTAMP), event_id) - 1 AS rn FROM events)
+        |SELECT user_id, rn // 5 AS win_id, count(*) AS cnt,
+        |  round(sum(value), 2) AS sum_value
+        |FROM o GROUP BY user_id, rn // 5 HAVING count(*) = 5
+        |ORDER BY user_id, win_id""".stripMargin,
     "q_stream_tumble" ->
       """SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS w_start, event_type,
         | count(*) AS cnt, round(sum(value), 2) AS sum_value

@@ -20,14 +20,15 @@ class StreamingSpec extends SparkSpec {
     Event(id, ts(min), user, typ, v)
 
   /** Run op over a MemoryStream; returns (feed, drain, stop) handles. */
-  private def harness[T](op: Dataset[Event] => Dataset[T], name: String)(
+  private def harness[T](op: Dataset[Event] => Dataset[T], name: String,
+      mode: String = "update")(
       implicit enc: org.apache.spark.sql.Encoder[T])
       : (Seq[Event] => Unit, () => Seq[T], () => Unit) = {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
     val q: StreamingQuery = op(input.toDS()).writeStream
-      .format("memory").queryName(name).outputMode("update")
+      .format("memory").queryName(name).outputMode(mode)
       .option("checkpointLocation", s"/tmp/graft-ckpt/test-$name-${System.nanoTime()}")
       .start()
     var seen = 0L
@@ -95,6 +96,41 @@ class StreamingSpec extends SparkSpec {
     assert(drain().map(_.ids) === Seq(Seq(1L, 2L, 3L)))
     feed(Seq(ev(4, 40, 3, "view", 0))) // no new match
     assert(drain().isEmpty)
+    stop()
+  }
+
+  test("semi join emits buffered probes once the build side appears") {
+    import graft.streaming.StreamJoins
+    val (feed, drain, stop) = harness(StreamJoins.semiJoin(_, "purchase", "view"), "t_semi", "append")
+    feed(Seq(ev(1, 10, 5, "purchase", 0))) // probe before any build
+    assert(drain().isEmpty)
+    feed(Seq(ev(2, 20, 5, "view", 0))) // build arrives → flush buffered probe
+    assert(drain().map(_.p_id) === Seq(1))
+    feed(Seq(ev(3, 30, 5, "purchase", 0))) // probe after build → immediate
+    assert(drain().map(_.p_id) === Seq(3))
+    stop()
+  }
+
+  test("anti join retracts earlier emissions when a build row arrives") {
+    import graft.streaming.StreamJoins
+    val (feed, drain, stop) = harness(StreamJoins.antiJoin(_, "purchase", "view"), "t_anti")
+    feed(Seq(ev(1, 10, 6, "purchase", 0)))
+    assert(drain().map(a => (a.p_id, a.rowkind)) === Seq((1L, "+I")))
+    feed(Seq(ev(2, 20, 6, "view", 0))) // invalidates the earlier emission
+    assert(drain().map(a => (a.p_id, a.rowkind)) === Seq((1L, "-D")))
+    feed(Seq(ev(3, 30, 6, "purchase", 0))) // build already seen → nothing
+    assert(drain().isEmpty)
+    stop()
+  }
+
+  test("count window fires exactly on the n-th row, never partially") {
+    import graft.streaming.StreamJoins
+    val (feed, drain, stop) = harness(StreamJoins.countTumbling(_, 3), "t_cntwin", "append")
+    feed(Seq(ev(1, 10, 8, "view", 1.0), ev(2, 20, 8, "view", 2.0)))
+    assert(drain().isEmpty) // 2 of 3 buffered
+    feed(Seq(ev(3, 30, 8, "view", 3.0), ev(4, 40, 8, "view", 4.0)))
+    val wins = drain()
+    assert(wins.map(w => (w.win_id, w.cnt, w.sum_value)) === Seq((0L, 3L, 6.0)))
     stop()
   }
 
