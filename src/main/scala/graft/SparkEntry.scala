@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{BatchRelational, Dedup, Formats, Graph, Multimodal, ScalarFuncs, Similarity, SqlSurface, TextAnalysis, Udafs, WindowAggs}
+import graft.operators.{BatchRelational, Dedup, Formats, Graph, Multimodal, ScalarFuncs, ScaleOps, Similarity, SqlSurface, TextAnalysis, Udafs, WindowAggs}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -96,6 +96,10 @@ object SparkEntry {
     "q_graph_cc"        -> (Graph.docComponents _),
     "q_sql_q3"          -> (SqlSurface.q3 _),
     "q_sql_subquery"    -> (SqlSurface.correlatedSubquery _),
+    "q_part_prune"      -> (ScaleOps.partitionedWrite _),
+    "q_join_salted"     -> (ScaleOps.saltedJoin(_, _)),
+    "q_stream_static_join" -> (ScaleOps.streamStaticJoin _),
+    "q_agg_sum0_native" -> (ScaleOps.sum0Native _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -363,5 +367,5 @@ object SparkEntry {
         |    (a, c) -> (a * 31 + c) % 4294967296) + 2147483648) % 4294967296) - 2147483648 AS INT) AS hc_name
         |FROM part ORDER BY p_partkey""".stripMargin,
   ) ++ LlmOracles.sql ++ WindowOracles.sql ++ streaming.StreamQueries.sql ++
-    Formats.sql ++ Udafs.sql ++ Graph.sql ++ SqlSurface.sql
+    Formats.sql ++ Udafs.sql ++ Graph.sql ++ SqlSurface.sql ++ ScaleOps.sql
 }

@@ -47,6 +47,29 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), s"BNL in LSH plan:\n$p")
   }
 
+  test("partitioned write prunes partitions at the scan, not with data filters") {
+    val p = plan(operators.ScaleOps.partitionedWrite(spark, sf))
+    assert(p.contains("PartitionFilters: [isnotnull(o_orderstatus"),
+      s"status filter not applied as partition pruning:\n$p")
+  }
+
+  test("native sum0 aggregate stays inside whole-stage codegen") {
+    val p = plan(operators.ScaleOps.sum0Native(spark, sf))
+    // DeclarativeAggregate plans as HashAggregate partial+final like built-ins
+    assert(p.split("HashAggregate").length >= 3, s"plan:\n$p")
+    assert(p.contains("sum0"), s"plan:\n$p")
+  }
+
+  test("sum0 returns 0.0 (not null) for empty groups") {
+    import spark.implicits._
+    import graft.functions.Sum0.sum0
+    val df = Seq((1, Option.empty[Double]), (2, Some(5.0)))
+      .toDF("k", "v").groupBy($"k").agg(sum0($"v").as("s")).orderBy($"k")
+    val rows = df.collect()
+    assert(!rows(0).isNullAt(1) && rows(0).getDouble(1) === 0.0)
+    assert(rows(1).getDouble(1) === 5.0)
+  }
+
   test("vec_dot participates in whole-stage codegen") {
     import org.apache.spark.sql.functions.col
     val df = Tables(spark, sf, "embeddings")
