@@ -82,6 +82,7 @@ object SparkEntry {
     "q_stream_over"     -> (streaming.StreamQueries.over _),
     "q_stream_changelog" -> (streaming.StreamQueries.changelog _),
     "q_stream_cep"      -> (streaming.StreamQueries.cep _),
+    "q_stream_cep_relaxed" -> (streaming.StreamQueries.cepRelaxed _),
     "q_stream_semi_join" -> (streaming.StreamQueries.semiJoin _),
     "q_stream_anti_join" -> (streaming.StreamQueries.antiJoin _),
     "q_stream_count_win" -> (streaming.StreamQueries.countWindow _),

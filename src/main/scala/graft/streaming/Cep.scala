@@ -22,6 +22,8 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object Cep {
 
   case class Match(user_id: Long, ids: Seq[Long])
+  case class Partial(ids: Seq[Long], startMicros: Long, next: Int)
+  case class NfaState(partials: Seq[Partial])
 
   /** All strict-contiguity matches of `steps` (one predicate per pattern
     * position) in per-key event-time order. */
@@ -42,6 +44,44 @@ object Cep {
             recent = (window.takeRight(L - 1))
           }
           state.update(recent)
+          out.iterator
+      }
+  }
+
+  /** Relaxed-contiguity NFA (`A followed_by B followed_by C` with a WITHIN
+    * window — ref NFA.java relaxed contiguity + Pattern#within): partial
+    * matches skip non-matching events; each partial advances on the FIRST
+    * later event matching its next step (earliest-match semantics, which is
+    * deterministic and SQL-reproducible); every step-0 match spawns a new
+    * partial. Partials expire once event time passes start + within —
+    * that bound is what keeps per-key state finite on an unbounded stream
+    * (the reference prunes the shared buffer with the same within timer). */
+  def matchRelaxed(ds: Dataset[Event], steps: Seq[Event => Boolean],
+                   withinMs: Long): Dataset[Match] = {
+    import ds.sparkSession.implicits._
+    val L = steps.length
+    val withinMicros = withinMs * 1000L
+    require(L >= 2)
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[NfaState, Match](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[Event], state: GroupState[NfaState]) =>
+          var partials = state.getOption.map(_.partials.toList).getOrElse(Nil)
+          val out = scala.collection.mutable.ArrayBuffer.empty[Match]
+          rows.toSeq.sortBy(e => (StatefulOps.micros(e.ts), e.event_id)).foreach { e =>
+            val m = StatefulOps.micros(e.ts)
+            partials = partials.filter(p => m <= p.startMicros + withinMicros)
+            partials = partials.flatMap { p =>
+              if (steps(p.next)(e)) {
+                val adv = Partial(p.ids :+ e.event_id, p.startMicros, p.next + 1)
+                if (adv.next == L) { out += Match(key, adv.ids); Nil }
+                else List(adv)
+              } else List(p)
+            }
+            if (steps.head(e))
+              partials = partials :+ Partial(Seq(e.event_id), m, 1)
+          }
+          state.update(NfaState(partials))
           out.iterator
       }
   }

@@ -54,6 +54,20 @@ object StreamQueries {
       .orderBy("user_id", "a_id")
   }
 
+  def cepRelaxed(s: SparkSession, dir: String): DataFrame = {
+    import StreamSource.Event
+    val pattern: Seq[Event => Boolean] = Seq(
+      _.event_type == "view", _.event_type == "click", _.event_type == "purchase")
+    val out = Cep.matchRelaxed(StreamSource.eventsTyped(s, dir), pattern,
+      withinMs = 7L * 24 * 3600 * 1000).toDF()
+    StreamSource.runToTable(s, out, "stream_cep_relaxed", "update")
+      .select(col("user_id"),
+        col("ids").getItem(0).as("a_id"),
+        col("ids").getItem(1).as("b_id"),
+        col("ids").getItem(2).as("c_id"))
+      .orderBy("user_id", "a_id")
+  }
+
   def semiJoin(s: SparkSession, dir: String): DataFrame = {
     val out = StreamJoins.semiJoin(StreamSource.eventsTyped(s, dir), "purchase", "view").toDF()
     StreamSource.runToTable(s, out, "stream_semi_join", "append")
@@ -82,6 +96,22 @@ object StreamQueries {
   /** DuckDB oracles — batch-SQL statements equivalent to each streaming
     * operator's final drained output. */
   val sql: Map[String, String] = Map(
+    "q_stream_cep_relaxed" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS t
+        |           FROM events),
+        |a AS (SELECT user_id, event_id AS a_id, t AS a_t FROM e WHERE event_type = 'view'),
+        |ab AS (SELECT a.*, (SELECT min(t) FROM e x WHERE x.user_id = a.user_id
+        |        AND x.event_type = 'click' AND x.t > a.a_t
+        |        AND x.t <= a.a_t + INTERVAL 7 DAY) AS b_t FROM a),
+        |abc AS (SELECT ab.*, (SELECT min(t) FROM e x WHERE x.user_id = ab.user_id
+        |        AND x.event_type = 'purchase' AND x.t > ab.b_t
+        |        AND x.t <= ab.a_t + INTERVAL 7 DAY) AS c_t
+        |        FROM ab WHERE b_t IS NOT NULL)
+        |SELECT abc.user_id, a_id, b.event_id AS b_id, c.event_id AS c_id
+        |FROM abc
+        |JOIN e b ON b.user_id = abc.user_id AND b.t = abc.b_t AND b.event_type = 'click'
+        |JOIN e c ON c.user_id = abc.user_id AND c.t = abc.c_t AND c.event_type = 'purchase'
+        |WHERE c_t IS NOT NULL ORDER BY abc.user_id, a_id""".stripMargin,
     "q_stream_semi_join" ->
       """SELECT user_id, event_id AS p_id FROM events e
         |WHERE event_type = 'purchase' AND EXISTS (

@@ -99,6 +99,24 @@ class StreamingSpec extends SparkSpec {
     stop()
   }
 
+  test("relaxed CEP skips non-matching events and expires partials by within-window") {
+    val pat: Seq[Event => Boolean] = Seq(
+      _.event_type == "view", _.event_type == "click", _.event_type == "purchase")
+    val (feed, drain, stop) = harness(
+      Cep.matchRelaxed(_, pat, withinMs = 60L * 60000), "t_cep_rel") // within 60 min
+    // view .. (error skipped) .. click in batch 1; purchase in batch 2
+    feed(Seq(ev(1, 0, 4, "view", 0), ev(2, 5, 4, "error", 0), ev(3, 10, 4, "click", 0)))
+    assert(drain().isEmpty)
+    feed(Seq(ev(4, 20, 4, "purchase", 0)))
+    assert(drain().map(_.ids) === Seq(Seq(1L, 3L, 4L)))
+    // a new view whose window expires before the purchase arrives
+    feed(Seq(ev(5, 30, 4, "view", 0), ev(6, 40, 4, "click", 0)))
+    assert(drain().isEmpty)
+    feed(Seq(ev(7, 100, 4, "purchase", 0))) // 70 min after view 5 → expired
+    assert(drain().isEmpty)
+    stop()
+  }
+
   test("semi join emits buffered probes once the build side appears") {
     import graft.streaming.StreamJoins
     val (feed, drain, stop) = harness(StreamJoins.semiJoin(_, "purchase", "view"), "t_semi", "append")
