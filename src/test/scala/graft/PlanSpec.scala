@@ -70,6 +70,36 @@ class PlanSpec extends SparkSpec {
     assert(rows(1).getDouble(1) === 5.0)
   }
 
+  test("bucketed tables join without any exchange (co-located join)") {
+    import org.apache.spark.sql.functions.col
+    // bucketing = the pre-partitioning that makes repeated big-big joins
+    // shuffle-free at 100 TB (SURVEY §4.2 exchange elimination)
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_customer")
+    // a previously-failed run can leave the managed location behind without
+    // a catalog entry — saveAsTable then refuses the location
+    Seq("b_orders", "b_customer").foreach { t =>
+      val d = new java.io.File(s"/tmp/graft-warehouse/$t")
+      if (d.exists()) { scala.reflect.io.Directory(d).deleteRecursively() }
+    }
+    Tables(spark, sf, "orders").write
+      .bucketBy(4, "o_custkey").sortBy("o_custkey").saveAsTable("b_orders")
+    Tables(spark, sf, "customer").write
+      .bucketBy(4, "c_custkey").sortBy("c_custkey").saveAsTable("b_customer")
+    // force the shuffle-class join path (broadcast would win on tiny SF and
+    // bypass bucketing entirely; at real scale both sides are too big)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("b_orders")
+        .join(spark.table("b_customer"), col("o_custkey") === col("c_custkey"))
+      val p = joined.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange hashpartitioning"), s"bucketed join still shuffles:\n$p")
+      assert(p.contains("Bucketed: true"), s"bucketed read not used:\n$p")
+      assert(joined.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("vec_dot participates in whole-stage codegen") {
     import org.apache.spark.sql.functions.col
     val df = Tables(spark, sf, "embeddings")
