@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{BatchRelational, Dedup, Formats, Graph, Multimodal, ScalarFuncs, ScaleOps, Similarity, SqlSurface, TextAnalysis, Udafs, WindowAggs}
+import graft.operators.{BatchRelational, Dedup, Formats, Graph, Multimodal, Pipeline, ScalarFuncs, ScaleOps, Similarity, SqlSurface, TextAnalysis, Udafs, WindowAggs}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -101,6 +101,9 @@ object SparkEntry {
     "q_join_salted"     -> (ScaleOps.saltedJoin(_, _)),
     "q_stream_static_join" -> (ScaleOps.streamStaticJoin _),
     "q_agg_sum0_native" -> (ScaleOps.sum0Native _),
+    "q_pipeline_clean"  -> (Pipeline.cleanCorpus _),
+    "q_emb_normalize"   -> (Pipeline.normalize _),
+    "q_emb_quantize"    -> (Pipeline.quantize _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -368,5 +371,5 @@ object SparkEntry {
         |    (a, c) -> (a * 31 + c) % 4294967296) + 2147483648) % 4294967296) - 2147483648 AS INT) AS hc_name
         |FROM part ORDER BY p_partkey""".stripMargin,
   ) ++ LlmOracles.sql ++ WindowOracles.sql ++ streaming.StreamQueries.sql ++
-    Formats.sql ++ Udafs.sql ++ Graph.sql ++ SqlSurface.sql ++ ScaleOps.sql
+    Formats.sql ++ Udafs.sql ++ Graph.sql ++ SqlSurface.sql ++ ScaleOps.sql ++ Pipeline.sql
 }

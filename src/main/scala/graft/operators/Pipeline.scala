@@ -1,0 +1,103 @@
+package graft.operators
+
+import graft.Tables
+import graft.LlmOracles
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end LLM training-data preparation pipeline — the composition the
+  * engine exists for: language filter → quality filter → exact dedup →
+  * near-dup removal → clean corpus. One declarative plan: Catalyst fuses
+  * the per-document stages into the scan projection, and the dedup stages
+  * are the same hash-groupBy / inverted-index joins as the standalone
+  * operators. The oracle reproduces the whole chain in SQL, so every stage
+  * boundary is value-checked, not just the final count.
+  *
+  * Also embedding preprocessing: unit normalization and int8 quantization
+  * (scale = max|x|/127, q = floor(x/scale + 0.5)) — the standard vector
+  * compression for ANN index shipping; floor(+0.5) keeps rounding identical
+  * across engines.
+  */
+object Pipeline {
+
+  import TextAnalysis.{tokens, stopEn}
+
+  /** Clean-corpus selection: en docs, >=30 tokens, >=3% stopwords, first
+    * copy of each exact-duplicate group, near-dup losers dropped. */
+  def cleanCorpus(s: SparkSession, dir: String): DataFrame = {
+    val stopArr = array(stopEn.map(lit): _*)
+    val docs = Tables(s, dir, "documents")
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("stop_ratio",
+        size(filter(col("toks"), t => array_contains(stopArr, t))).cast("double")
+          / size(col("toks")))
+      .withColumn("fp", md5(regexp_replace(lower(col("text")), "\\s+", " ")))
+    val quality = docs.where(col("n_tokens") >= 30 && col("stop_ratio") >= 0.03)
+    // exact dedup among surviving docs: keep min doc_id per fingerprint
+    val keepExact = quality
+      .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    // near-dup removal: drop the doc_b side of exact-Jaccard pairs
+    val losers = Dedup.ngramJaccardPairs(s, dir)
+      .select(col("doc_b").as("doc_id")).distinct()
+    quality.select(col("doc_id"), col("n_tokens"))
+      .join(keepExact, Seq("doc_id"), "left_semi")
+      .join(losers, Seq("doc_id"), "left_anti")
+      .orderBy("doc_id")
+  }
+
+  /** Unit-normalized embeddings (first 4 components + norm, rounded). */
+  def normalize(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "embeddings")
+      .withColumn("nrm", graft.functions.VecOps.norm(col("embedding")))
+      .select(col("vec_id"), round(col("nrm"), 6).as("norm"),
+        expr("transform(slice(embedding, 1, 4), x -> round(cast(x AS DOUBLE) / nrm, 6))").as("head4"))
+      .orderBy("vec_id")
+
+  /** Int8 quantization summary per vector. */
+  def quantize(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "embeddings")
+      .withColumn("scale",
+        expr("array_max(transform(embedding, x -> abs(cast(x AS DOUBLE)))) / 127.0D"))
+      .select(col("vec_id"), round(col("scale"), 8).as("scale"),
+        expr("aggregate(transform(embedding, x -> cast(floor(cast(x AS DOUBLE) / scale + 0.5D) AS BIGINT)), 0L, (a, b) -> a + b)").as("qsum"),
+        expr("cast(array_min(transform(embedding, x -> floor(cast(x AS DOUBLE) / scale + 0.5D))) AS BIGINT)").as("qmin"),
+        expr("cast(array_max(transform(embedding, x -> floor(cast(x AS DOUBLE) / scale + 0.5D))) AS BIGINT)").as("qmax"))
+      .orderBy("vec_id")
+
+  val sql: Map[String, String] = Map(
+    "q_pipeline_clean" -> (LlmOracles.shinglesCte + """,
+      |stats AS (SELECT doc_id, text, len(t) AS n_tokens,
+      |  len(list_filter(t, x -> list_contains(""" + LlmOracles.stopEnSql + """, x)))::DOUBLE / len(t) AS stop_ratio,
+      |  md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+      | FROM toks),
+      |quality AS (SELECT * FROM stats WHERE n_tokens >= 30 AND stop_ratio >= 0.03),
+      |keep_exact AS (SELECT min(doc_id) AS doc_id FROM quality GROUP BY fp),
+      |pairs AS (
+      | SELECT doc_a, doc_b FROM (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |   round(len(list_intersect(a.s, b.s))::DOUBLE /
+      |         (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS j
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id) WHERE j >= 0.5)
+      |SELECT q.doc_id, CAST(q.n_tokens AS INT) AS n_tokens FROM quality q
+      |WHERE q.doc_id IN (SELECT doc_id FROM keep_exact)
+      |  AND q.doc_id NOT IN (SELECT doc_b FROM pairs)
+      |ORDER BY q.doc_id""").stripMargin,
+    "q_emb_normalize" ->
+      """SELECT vec_id,
+        | round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))), 6) AS norm,
+        | list_transform(CAST(embedding[1:4] AS DOUBLE[]),
+        |   x -> round(x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))), 6)) AS head4
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "q_emb_quantize" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |  list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) / 127.0 AS scale
+        | FROM embeddings)
+        |SELECT vec_id, round(scale, 8) AS scale,
+        | CAST(list_sum(list_transform(v, x -> CAST(floor(x / scale + 0.5) AS BIGINT))) AS BIGINT) AS qsum,
+        | CAST(list_min(list_transform(v, x -> floor(x / scale + 0.5))) AS BIGINT) AS qmin,
+        | CAST(list_max(list_transform(v, x -> floor(x / scale + 0.5))) AS BIGINT) AS qmax
+        |FROM e ORDER BY vec_id""".stripMargin,
+  )
+}
