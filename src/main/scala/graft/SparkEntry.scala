@@ -97,6 +97,12 @@ object SparkEntry {
     "q_graph_cc"        -> (Graph.docComponents _),
     "q_sql_q3"          -> (SqlSurface.q3 _),
     "q_sql_subquery"    -> (SqlSurface.correlatedSubquery _),
+    "q_tpch_q4"         -> (SqlSurface.tpchQuery("q_tpch_q4") _),
+    "q_tpch_q5"         -> (SqlSurface.tpchQuery("q_tpch_q5") _),
+    "q_tpch_q6"         -> (SqlSurface.tpchQuery("q_tpch_q6") _),
+    "q_tpch_q10"        -> (SqlSurface.tpchQuery("q_tpch_q10") _),
+    "q_tpch_q14"        -> (SqlSurface.tpchQuery("q_tpch_q14") _),
+    "q_tpch_q18"        -> (SqlSurface.tpchQuery("q_tpch_q18") _),
     "q_part_prune"      -> (ScaleOps.partitionedWrite _),
     "q_join_salted"     -> (ScaleOps.saltedJoin(_, _)),
     "q_stream_static_join" -> (ScaleOps.streamStaticJoin _),

@@ -29,9 +29,72 @@ object SqlSurface {
       |                   WHERE c_nationkey = c.c_nationkey)
       |ORDER BY c_custkey""".stripMargin
 
+  /** TPC-H-shaped suite over the available schema (no partsupp; reduced
+    * columns) — the reference's own correctness corpus is TPC-H/TPC-DS
+    * (SURVEY.md §5.4), so these speak its test language. Dialect-shared
+    * SQL: the identical text is the DuckDB oracle. */
+  val tpch: Map[String, String] = Map(
+    // Q4: order-priority checking via EXISTS
+    "q_tpch_q4" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // Q5: local-supplier volume (customer and supplier in the same nation)
+    "q_tpch_q5" ->
+      """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    // Q6: forecasting revenue change (single-scan aggregate)
+    "q_tpch_q6" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+    // Q10: returned-item reporting, top 20 by lost revenue
+    "q_tpch_q10" ->
+      """SELECT c_custkey, c_name, n_name,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    // Q14: promotion effect (conditional aggregation over a fact-dim join)
+    "q_tpch_q14" ->
+      """SELECT round(100.00 * sum(CASE WHEN p_type = 'PROMO'
+        |    THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+        |  / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-02-01'""".stripMargin,
+    // Q18: large-volume customers (HAVING over a grouped join)
+    "q_tpch_q18" ->
+      """SELECT c_custkey, o_orderkey, round(sum(l_quantity), 2) AS sum_qty
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |GROUP BY c_custkey, o_orderkey
+        |HAVING sum(l_quantity) > 150
+        |ORDER BY sum_qty DESC, o_orderkey LIMIT 50""".stripMargin,
+  )
+
   def q3(s: SparkSession, dir: String): DataFrame = {
     Tables.registerAll(s, dir)
     s.sql(q3Sql)
+  }
+
+  def tpchQuery(name: String)(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(tpch(name))
   }
 
   def correlatedSubquery(s: SparkSession, dir: String): DataFrame = {
@@ -42,5 +105,5 @@ object SqlSurface {
   val sql: Map[String, String] = Map(
     "q_sql_q3" -> q3Sql,
     "q_sql_subquery" -> subquerySql,
-  )
+  ) ++ tpch
 }

@@ -78,8 +78,9 @@ class PlanSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS b_customer")
     // a previously-failed run can leave the managed location behind without
     // a catalog entry — saveAsTable then refuses the location
-    Seq("b_orders", "b_customer").foreach { t =>
-      val d = new java.io.File(s"/tmp/graft-warehouse/$t")
+    for (base <- Seq("/tmp/graft-warehouse", "spark-warehouse");
+         t <- Seq("b_orders", "b_customer")) {
+      val d = new java.io.File(s"$base/$t")
       if (d.exists()) { scala.reflect.io.Directory(d).deleteRecursively() }
     }
     Tables(spark, sf, "orders").write
