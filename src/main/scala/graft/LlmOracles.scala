@@ -160,6 +160,33 @@ object LlmOracles {
         |  CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS INT) AS rank
         | FROM scored)
         |SELECT qid, rank, vec_id, cos FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+    "q_ann_kmeans" ->
+      """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM emb WHERE vec_id < 8),
+        |a1 AS (SELECT vec_id, cid FROM (
+        |  SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |    round(list_dot_product(e.v, c.cv) /
+        |      (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
+        |    c.cid) AS rk
+        |  FROM emb e, c0 c) WHERE rk = 1),
+        |c1d AS (SELECT a1.cid, i.i AS d, round(avg(e.v[i.i]), 6) AS m
+        |  FROM a1 JOIN emb e USING (vec_id), range(1, 65) i(i) GROUP BY a1.cid, i.i),
+        |c1 AS (SELECT cid, list(m ORDER BY d) AS cv FROM c1d GROUP BY cid),
+        |a2 AS (SELECT vec_id, cid FROM (
+        |  SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |    round(list_dot_product(e.v, c.cv) /
+        |      (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
+        |    c.cid) AS rk
+        |  FROM emb e, c1 c) WHERE rk = 1),
+        |c2d AS (SELECT a2.cid, i.i AS d, round(avg(e.v[i.i]), 6) AS m
+        |  FROM a2 JOIN emb e USING (vec_id), range(1, 65) i(i) GROUP BY a2.cid, i.i),
+        |c2 AS (SELECT cid, list(m ORDER BY d) AS cv FROM c2d GROUP BY cid)
+        |SELECT vec_id, cid AS cluster FROM (
+        |  SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |    round(list_dot_product(e.v, c.cv) /
+        |      (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
+        |    c.cid) AS rk
+        |  FROM emb e, c2 c) WHERE rk = 1 ORDER BY vec_id""".stripMargin,
     "q_ann_cos_pairs" ->
       """SELECT va, vb, cos FROM (
         | SELECT a.vec_id AS va, b.vec_id AS vb,

@@ -33,6 +33,8 @@ object SparkEntry {
     "q_agg_cube"        -> (BatchRelational.aggCube _),
     "q_agg_listagg"     -> (BatchRelational.aggListagg _),
     "q_agg_sum0"        -> (BatchRelational.aggSum0 _),
+    "q_agg_percentile"  -> (BatchRelational.aggPercentile _),
+    "q_agg_collect"     -> (BatchRelational.aggCollect _),
     "q_set_union_all"   -> (BatchRelational.setUnionAll _),
     "q_set_union"       -> (BatchRelational.setUnion _),
     "q_set_intersect"   -> (BatchRelational.setIntersect _),
@@ -63,6 +65,7 @@ object SparkEntry {
     "q_dedup_simhash"   -> (Dedup.simhashPairs _),
     "q_ann_brute"       -> (Similarity.annBruteForce _),
     "q_ann_ivf"         -> (Similarity.annIvf _),
+    "q_ann_kmeans"      -> (Similarity.annKmeans _),
     "q_ann_cos_pairs"   -> (Similarity.cosinePairs _),
     "q_ann_hyperplane_lsh" -> (Similarity.hyperplaneLshPairs _),
     "q_mm_decode"       -> (Multimodal.decodeStub _),
@@ -189,6 +192,16 @@ object SparkEntry {
         |FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_totalprice>450000) o
         | ON c_custkey=o_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_agg_percentile" ->
+      """SELECT l_returnflag,
+        | round(quantile_cont(l_quantity, 0.5), 6) AS p50,
+        | round(quantile_cont(l_quantity, 0.9), 6) AS p90,
+        | round(quantile_cont(l_extendedprice, 0.25), 6) AS price_p25
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_agg_collect" ->
+      """SELECT s_nationkey, list_sort(list(s_suppkey)) AS supps,
+        | list_sort(list_distinct(list(s_nationkey))) AS nk_set
+        |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
     "q_set_union_all" ->
       """SELECT k, count(*) AS cnt FROM (
         | SELECT o_custkey AS k FROM orders WHERE o_orderstatus='F'

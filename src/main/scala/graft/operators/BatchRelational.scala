@@ -148,6 +148,26 @@ object BatchRelational {
       .agg(array_join(sort_array(collect_list(col("n_name"))), ",").as("nations"))
       .orderBy("n_regionkey")
 
+  /** Exact percentiles (linear interpolation over the sorted values — the
+    * same definition as DuckDB quantile_cont, so the oracle is exact). */
+  def aggPercentile(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_quantity, 0.5)"), 6).as("p50"),
+        round(expr("percentile(l_quantity, 0.9)"), 6).as("p90"),
+        round(expr("percentile(l_extendedprice, 0.25)"), 6).as("price_p25"))
+      .orderBy("l_returnflag")
+
+  /** COLLECT / MULTISET aggregation: the value multiset per group,
+    * canonicalized by sorting (ref: aggfunctions CollectAggFunction). */
+  def aggCollect(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "supplier")
+      .groupBy(col("s_nationkey"))
+      .agg(sort_array(collect_list(col("s_suppkey"))).as("supps"),
+        sort_array(collect_set(col("s_nationkey"))).as("nk_set"))
+      .orderBy("s_nationkey")
+
   /** SUM0 semantics (empty group → 0 not NULL): coalesce(sum, 0).
     * Ref: aggfunctions/Sum0AggFunction. */
   def aggSum0(s: SparkSession, dir: String): DataFrame =

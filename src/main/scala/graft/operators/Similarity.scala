@@ -94,6 +94,59 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
+  /** One k-means assignment pass: every vector to its max-cosine centroid
+    * (cosine rounded to 6 before ranking, cid breaks ties — deterministic
+    * and oracle-reproducible). Centroids ride in as a broadcast literal
+    * table: k×64 doubles, never a shuffle. */
+  private def kmeansAssign(emb: DataFrame, cents: Seq[(Int, Seq[Double])]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = emb.sparkSession
+    import s.implicits._
+    val cdf = broadcast(cents.toDF("cid", "cv")
+      .withColumn("cn", graft.functions.VecOps.norm(col("cv"))))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("cid"))
+    emb.crossJoin(cdf)
+      .select(col("vec_id"), col("cid"),
+        round(graft.functions.VecOps.dot(col("embedding"), col("cv"))
+          / (col("nrm") * col("cn")), 6).as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1)
+      .select(col("vec_id"), col("cid"))
+  }
+
+  /** Lloyd's k-means over the embedding corpus (k=8, 2 iterations,
+    * deterministic init = vectors 0..k-1), then the final assignment.
+    * Per-iteration cost at scale: one broadcast-join scan for assignment +
+    * one posexplode aggregation for the new centroids; only the k×dim
+    * centroid table is collected to the driver (an aggregate, not data).
+    * Centroids are rounded to 6 per dimension so float summation order
+    * cannot leak into the next iteration — that is what makes a 2-round
+    * iterative ML fit bit-reproducible in the DuckDB oracle. */
+  def annKmeans(s: SparkSession, dir: String): DataFrame = {
+    val k = 8
+    val emb = withNorm(Tables(s, dir, "embeddings"))
+      .select(col("vec_id"), col("embedding"), col("nrm"))
+      .cache()
+    var cents: Seq[(Int, Seq[Double])] = emb.where(col("vec_id") < k)
+      .select(col("vec_id").cast("int"), col("embedding"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Float](1).map(_.toDouble))).toSeq
+    for (_ <- 1 to 2) {
+      val assigned = kmeansAssign(emb, cents)
+      cents = assigned.join(emb, "vec_id")
+        .select(col("cid"), posexplode(col("embedding")).as(Seq("d", "x")))
+        .groupBy(col("cid"), col("d"))
+        .agg(round(avg(col("x")), 6).as("m"))
+        .groupBy(col("cid"))
+        .agg(array_sort(collect_list(struct(col("d"), col("m")))).as("dm"))
+        .select(col("cid"), expr("transform(dm, p -> p.m)").as("cv"))
+        .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq
+        .sortBy(_._1)
+    }
+    kmeansAssign(emb, cents)
+      .select(col("vec_id"), col("cid").as("cluster"))
+      .orderBy("vec_id")
+  }
+
   /** Embedding near-dup pairs: brute-force cosine >= 0.5 (baseline). */
   def cosinePairs(s: SparkSession, dir: String): DataFrame = {
     val emb = withNorm(Tables(s, dir, "embeddings"))

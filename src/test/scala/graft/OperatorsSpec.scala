@@ -197,6 +197,27 @@ class OperatorsSpec extends SparkSpec {
     assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L, 7L -> 7L))
   }
 
+  test("approx_count_distinct (HLL++) lands within 5% of exact") {
+    import org.apache.spark.sql.functions.{approx_count_distinct, countDistinct, col}
+    val r = Tables(spark, sf, "lineitem")
+      .agg(countDistinct(col("l_partkey")).as("exact"),
+        approx_count_distinct(col("l_partkey")).as("approx"))
+      .head()
+    val (exact, approx) = (r.getLong(0), r.getLong(1))
+    assert(math.abs(approx - exact).toDouble / exact <= 0.05,
+      s"approx $approx vs exact $exact")
+  }
+
+  test("rate source streams synthetic rows (DataGen analog)") {
+    val q = spark.readStream.format("rate").option("rowsPerSecond", "500").load()
+      .writeStream.format("memory").queryName("t_rate").outputMode("append").start()
+    try {
+      Thread.sleep(1500)
+      q.processAllAvailable()
+      assert(spark.table("t_rate").count() > 0)
+    } finally q.stop()
+  }
+
   test("entry smoke: flagship query returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
