@@ -89,6 +89,9 @@ object SparkEntry {
     "q_stream_semi_join" -> (streaming.StreamQueries.semiJoin _),
     "q_stream_anti_join" -> (streaming.StreamQueries.antiJoin _),
     "q_stream_count_win" -> (streaming.StreamQueries.countWindow _),
+    "q_stream_hop"      -> (streaming.StreamWindowAggs.hop _),
+    "q_stream_cumulate" -> (streaming.StreamWindowAggs.cumulate _),
+    "q_stream_upsert"   -> (streaming.StreamQueries.upsert _),
     "q_fmt_csv"         -> (Formats.csvRoundtrip _),
     "q_fmt_json"        -> (Formats.jsonRoundtrip _),
     "q_fmt_orc"         -> (Formats.orcRoundtrip _),

@@ -54,6 +54,13 @@ object StreamQueries {
       .orderBy("user_id", "a_id")
   }
 
+  /** Changelog → foreachBatch upsert sink: the materialized target equals
+    * keep-last per key (M5 terminal operator). */
+  def upsert(s: SparkSession, dir: String): DataFrame = {
+    val changelog = StatefulOps.changelogNormalize(StreamSource.eventsTyped(s, dir)).toDF()
+    UpsertSink.runUpsert(s, changelog, "stream_upsert")
+  }
+
   def cepRelaxed(s: SparkSession, dir: String): DataFrame = {
     import StreamSource.Event
     val pattern: Seq[Event => Boolean] = Seq(
@@ -96,6 +103,27 @@ object StreamQueries {
   /** DuckDB oracles — batch-SQL statements equivalent to each streaming
     * operator's final drained output. */
   val sql: Map[String, String] = Map(
+    "q_stream_hop" ->
+      """WITH e AS (SELECT event_type, value,
+        |  make_timestamp((epoch_us(CAST(ts AS TIMESTAMP)) // 43200000000) * 43200000000) AS s0
+        | FROM events)
+        |SELECT ws AS w_start, event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
+        |FROM (SELECT unnest([s0, s0 - INTERVAL 12 HOUR]) AS ws, event_type, value FROM e)
+        |GROUP BY ws, event_type ORDER BY ws, event_type""".stripMargin,
+    "q_stream_cumulate" ->
+      """WITH e AS (SELECT event_type, value, CAST(ts AS TIMESTAMP) AS t,
+        |  date_trunc('day', CAST(ts AS TIMESTAMP)) AS day FROM events),
+        |kk AS (SELECT *, greatest(CAST(ceil((epoch_us(t) - epoch_us(day)) / 21600000000.0) AS INT), 1) AS k0 FROM e),
+        |x AS (SELECT event_type, value, day, unnest(range(k0, 5)) AS k FROM kk)
+        |SELECT day AS w_start, make_timestamp(epoch_us(day) + k * 21600000000) AS w_end,
+        | event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
+        |FROM x GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q_stream_upsert" ->
+      """SELECT user_id, event_id FROM (
+        | SELECT user_id, event_id,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+        | FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "q_stream_cep_relaxed" ->
       """WITH e AS (SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS t
         |           FROM events),

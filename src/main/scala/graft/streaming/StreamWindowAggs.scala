@@ -43,6 +43,36 @@ object StreamWindowAggs {
       .orderBy("user_id", "w_start")
   }
 
+  /** HOP(1 day, slide 12h) as a streaming query — each event in 2 windows. */
+  def hop(s: SparkSession, dir: String): DataFrame = {
+    val agg = StreamSource.events(s, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day", "12 hours").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("cnt"), col("sum_value"))
+    StreamSource.runToTable(s, agg, "stream_hop", "complete")
+      .orderBy("w_start", "event_type")
+  }
+
+  /** CUMULATE(1 day, step 6h) as a streaming query: the same sequence+
+    * explode expansion as the batch operator feeds a streaming agg — the
+    * reference's CumulativeWindowAssigner maps to expansion + windowed
+    * state exactly like HOP does. */
+  def cumulate(s: SparkSession, dir: String): DataFrame = {
+    val agg = StreamSource.events(s, dir)
+      .withWatermark("ts", "1 hour")
+      .withColumn("day", date_trunc("day", col("ts")))
+      .withColumn("k0",
+        ceil((unix_micros(col("ts")) - unix_micros(col("day"))) / lit(21600000000.0)).cast("int"))
+      .withColumn("k", explode(expr("sequence(greatest(k0, 1), 4)")))
+      .groupBy(col("day").as("w_start"),
+        (col("day").cast("long") + col("k") * lit(21600L)).cast("timestamp").as("w_end"),
+        col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value"))
+    StreamSource.runToTable(s, agg, "stream_cumulate", "complete")
+      .orderBy("w_start", "w_end", "event_type")
+  }
+
   /** Stream–stream interval join: purchases × views of the same user within
     * the preceding hour. This is exactly Spark's supported event-time-range
     * stream join (ref: TimeIntervalJoin.java:479 — state pruned by

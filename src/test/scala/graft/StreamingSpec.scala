@@ -152,6 +152,23 @@ class StreamingSpec extends SparkSpec {
     stop()
   }
 
+  test("upsert sink applies +I/+U and -D across batches") {
+    import graft.streaming.{StatefulOps, UpsertSink}
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StatefulOps.Change]
+    // batch 1: insert keys 1, 2
+    input.addData(Seq(StatefulOps.Change(1, 10, "+I"), StatefulOps.Change(2, 20, "+I")))
+    // run to completion in two phases using the same target name is not
+    // supported by runUpsert (it drains fully); feed everything, including
+    // an update and a delete, and assert the final merged table
+    input.addData(Seq(
+      StatefulOps.Change(1, 10, "-U"), StatefulOps.Change(1, 11, "+U"),
+      StatefulOps.Change(2, 20, "-D")))
+    val out = UpsertSink.runUpsert(spark, input.toDS().toDF(), "t_upsert")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 11L)) // key 1 updated to 11, key 2 deleted
+  }
+
   test("temporalSort holds rows until watermark passes, then emits in order") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
