@@ -218,6 +218,20 @@ object LlmOracles {
         |    sqrt(list_dot_product(CAST(eb.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])))), 6) AS cos
         | FROM cand JOIN embeddings ea ON ea.vec_id = va JOIN embeddings eb ON eb.vec_id = vb)
         |WHERE cos >= 0.4 ORDER BY va, vb""".stripMargin,
+    "q_mm_resize" ->
+      """WITH m AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+        |d AS (SELECT doc_id, CAST(64 + n % 577 AS INT) AS width,
+        |       CAST(64 + (n * 31) % 421 AS INT) AS height FROM m)
+        |SELECT doc_id, width, height,
+        | CAST(width * 224 // greatest(width, height) AS INT) AS out_w,
+        | CAST(height * 224 // greatest(width, height) AS INT) AS out_h
+        |FROM d ORDER BY doc_id""".stripMargin,
+    "q_mm_features" ->
+      """WITH x AS (SELECT doc_id, b.b AS band,
+        |  len(list_filter(range(1, length(text) + 1), i -> ascii(text[i]) % 8 = b.b)) AS cnt
+        | FROM documents, range(8) b(b))
+        |SELECT doc_id, list(CAST(cnt AS BIGINT) ORDER BY band) AS features
+        |FROM x GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_mm_decode" ->
       """SELECT doc_id,
         | CAST(octet_length(encode(text)) AS INT) AS n_bytes,

@@ -70,6 +70,8 @@ object SparkEntry {
     "q_ann_hyperplane_lsh" -> (Similarity.hyperplaneLshPairs _),
     "q_mm_decode"       -> (Multimodal.decodeStub _),
     "q_mm_frames"       -> (Multimodal.frameSample _),
+    "q_mm_resize"       -> (Multimodal.resizeStub _),
+    "q_mm_features"     -> (Multimodal.featureStub _),
     "q_win_tumble"      -> (WindowAggs.tumble _),
     "q_win_hop"         -> (WindowAggs.hop _),
     "q_win_session"     -> (WindowAggs.session _),

@@ -86,15 +86,35 @@ object Dedup {
     * at least one band bucket; verified with exact Jaccard >= 0.5.
     * Ref shape: MinHashLSH; hashes are md5-derived so the DuckDB oracle
     * reproduces the exact same candidate set. */
-  def minhashLshPairs(s: SparkSession, dir: String): DataFrame = {
+  def minhashLshPairs(s: SparkSession, dir: String): DataFrame =
+    minhashLshPairsFrom(s, Tables(s, dir, "documents"), Int.MaxValue)
+
+  /** MinHash LSH over an arbitrary (doc_id, text) corpus, with an optional
+    * hot-bucket cap: band buckets holding more than `maxBucket` docs are
+    * dropped before the candidate self-join. A bucket of size m contributes
+    * m^2 candidate pairs — one viral boilerplate shingle set at 100 TB
+    * would otherwise dominate the whole job; capping bounds every bucket's
+    * cost and only sacrifices recall inside pathological buckets (their
+    * members still meet through their other 15 bands). */
+  def minhashLshPairsFrom(s: SparkSession, docs: DataFrame,
+                          maxBucket: Int): DataFrame = {
     TextHashes.register(s)
-    val ds = docShingles(s, dir)
+    val ds = docs
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("sh", shingles(col("toks")))
+      .select(col("doc_id"), col("sh"), size(col("sh")).as("n_sh"))
       .withColumn("mh", expr("minhash32(sh)"))
       .cache()
-    val bands = ds.select(col("doc_id"),
+    val allBands = ds.select(col("doc_id"),
         explode(expr("transform(sequence(0, 15), " +
           "b -> struct(b AS band, element_at(mh, 2*b+1) AS h1, element_at(mh, 2*b+2) AS h2))")).as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.h1"), col("bb.h2"))
+    val bands = if (maxBucket == Int.MaxValue) allBands else {
+      val small = allBands.groupBy(col("band"), col("h1"), col("h2"))
+        .agg(count(lit(1)).as("bsz")).where(col("bsz") <= maxBucket)
+        .drop("bsz")
+      allBands.join(small, Seq("band", "h1", "h2"))
+    }
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.h1") === col("b.h1") &&
           col("a.h2") === col("b.h2") && col("a.doc_id") < col("b.doc_id"))

@@ -54,6 +54,36 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Resize planning: target box 224x224 preserving aspect ratio (integer
+    * arithmetic so the oracle reproduces it; a real codec would also emit
+    * the resized payload). floor semantics: scaled = dim * 224 / max(w,h). */
+  def resizeStub(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    mediaTable(s, dir).as[MediaRow]
+      .mapPartitions(_.map(decodeOne))
+      .toDF()
+      .select(col("doc_id"), col("width"), col("height"),
+        (col("width") * 224 / greatest(col("width"), col("height"))).cast("int").as("out_w"),
+        (col("height") * 224 / greatest(col("width"), col("height"))).cast("int").as("out_h"))
+      .orderBy("doc_id")
+  }
+
+  /** Feature extraction stub: an 8-dim feature vector from the payload via
+    * per-band byte histograms (deterministic; a real extractor swaps the
+    * band statistic for model output — the schema/partitioning contract is
+    * identical). Band b = count of payload bytes with value % 8 == b. */
+  def featureStub(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    mediaTable(s, dir).as[MediaRow]
+      .mapPartitions(_.map { r =>
+        val bands = new Array[Long](8)
+        r.data.foreach(b => bands((b & 0xff) % 8) += 1)
+        (r.doc_id, bands.toSeq)
+      })
+      .toDF("doc_id", "features")
+      .orderBy("doc_id")
+  }
+
   /** Frame sampling: one output row per sampled frame, frame identity =
     * md5(doc fingerprint + frame index). Generator-based — never collects. */
   def frameSample(s: SparkSession, dir: String): DataFrame = {

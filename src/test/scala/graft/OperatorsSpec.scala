@@ -218,6 +218,34 @@ class OperatorsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("LSH hot-bucket cap drops viral buckets but keeps small-bucket pairs") {
+    import spark.implicits._
+    // 40 identical "viral boilerplate" docs (one giant bucket in EVERY
+    // band) + one planted near-dup pair of distinct docs
+    val viral = (100L until 140L).map(i => (i, "spam " * 3 + "alpha beta gamma delta epsilon"))
+    val pairDocs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again tonight"))
+    val docs = (viral ++ pairDocs).toDF("doc_id", "text")
+    val uncapped = operators.Dedup.minhashLshPairsFrom(spark, docs, Int.MaxValue)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = operators.Dedup.minhashLshPairsFrom(spark, docs, 10)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.contains((1L, 2L)) && uncapped.size > 100) // viral pairs present
+    assert(capped === Set((1L, 2L))) // cap kills the viral bucket, keeps the pair
+  }
+
+  test("async ordered map preserves input order with bounded parallelism") {
+    import scala.concurrent.Future
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import spark.implicits._
+    val ds = spark.createDataset(1 to 50)
+    val out = operators.AsyncMap.ordered(ds, parallelism = 4) { i =>
+      Future { Thread.sleep((i % 5) * 2L); i * 10 } // jittered latency
+    }.collect()
+    assert(out.toSeq === (1 to 50).map(_ * 10)) // order preserved despite jitter
+  }
+
   test("entry smoke: flagship query returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
