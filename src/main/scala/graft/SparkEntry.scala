@@ -94,6 +94,7 @@ object SparkEntry {
     "q_stream_hop"      -> (streaming.StreamWindowAggs.hop _),
     "q_stream_cumulate" -> (streaming.StreamWindowAggs.cumulate _),
     "q_stream_upsert"   -> (streaming.StreamQueries.upsert _),
+    "q_stream_dyn_session" -> (streaming.StreamQueries.dynamicSession _),
     "q_fmt_csv"         -> (Formats.csvRoundtrip _),
     "q_fmt_json"        -> (Formats.jsonRoundtrip _),
     "q_fmt_orc"         -> (Formats.orcRoundtrip _),
@@ -111,6 +112,8 @@ object SparkEntry {
     "q_tpch_q10"        -> (SqlSurface.tpchQuery("q_tpch_q10") _),
     "q_tpch_q14"        -> (SqlSurface.tpchQuery("q_tpch_q14") _),
     "q_tpch_q18"        -> (SqlSurface.tpchQuery("q_tpch_q18") _),
+    "q_sql_topn_pattern" -> (SqlSurface.tpchQuery("q_sql_topn_pattern") _),
+    "q_sql_dedup_pattern" -> (SqlSurface.tpchQuery("q_sql_dedup_pattern") _),
     "q_part_prune"      -> (ScaleOps.partitionedWrite _),
     "q_join_salted"     -> (ScaleOps.saltedJoin(_, _)),
     "q_stream_static_join" -> (ScaleOps.streamStaticJoin _),

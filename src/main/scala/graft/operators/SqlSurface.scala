@@ -94,7 +94,7 @@ object SqlSurface {
 
   def tpchQuery(name: String)(s: SparkSession, dir: String): DataFrame = {
     Tables.registerAll(s, dir)
-    s.sql(tpch(name))
+    s.sql((tpch ++ patterns)(name))
   }
 
   def correlatedSubquery(s: SparkSession, dir: String): DataFrame = {
@@ -102,8 +102,29 @@ object SqlSurface {
     s.sql(subquerySql)
   }
 
+  /** The reference's documented SQL patterns (docs/dev/table/sql/queries.md
+    * :937-969): Top-N = ROW_NUMBER window + rownum filter, dedup =
+    * ROW_NUMBER()=1 — run as raw SQL text so the planner path (window +
+    * filter → WindowGroupLimit) is exercised from SQL, not the DSL. */
+  val patterns: Map[String, String] = Map(
+    "q_sql_topn_pattern" ->
+      """SELECT c_mktsegment, rn, c_custkey, round(c_acctbal, 2) AS c_acctbal
+        |FROM (SELECT c_mktsegment, c_custkey, c_acctbal,
+        |  row_number() OVER (PARTITION BY c_mktsegment
+        |    ORDER BY c_acctbal DESC, c_custkey) AS rn
+        | FROM customer) t
+        |WHERE rn <= 5 ORDER BY c_mktsegment, rn""".stripMargin,
+    "q_sql_dedup_pattern" ->
+      """SELECT user_id, event_id FROM (
+        | SELECT user_id, event_id,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+        | FROM events) t
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+  )
+
   val sql: Map[String, String] = Map(
     "q_sql_q3" -> q3Sql,
     "q_sql_subquery" -> subquerySql,
-  ) ++ tpch
+  ) ++ tpch ++ patterns
 }

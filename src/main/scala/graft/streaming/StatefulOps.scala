@@ -127,6 +127,50 @@ object StatefulOps {
       }
   }
 
+  case class SessOut(user_id: Long, w_start: java.sql.Timestamp, cnt: Long, sum_value: Double)
+  case class SessState(startMicros: Long, endMicros: Long, cnt: Long, sum: Double)
+
+  private def tsOfMicros(m: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(m / 1000L)
+    t.setNanos(((m % 1000000L) * 1000L).toInt)
+    t
+  }
+
+  /** Session windows with a PER-EVENT gap (ref: dynamic-gap session
+    * assigner, SessionWindowTimeGapExtractor): each event extends its
+    * session's end to max(end, ts + gap(event)); an event beyond the
+    * current end closes the session and opens a new one. Completed
+    * sessions emit once final; the open session re-emits per batch with
+    * its current aggregate (update semantics — the sink keeps the row
+    * with the highest cnt per (key, w_start)). */
+  def dynamicSession(ds: Dataset[Event], gapMicros: Event => Long): Dataset[SessOut] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, SessOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[Event], state: GroupState[SessState]) =>
+          var cur = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer.empty[SessOut]
+          rows.toSeq.sortBy(ord).foreach { e =>
+            val m = micros(e.ts)
+            cur match {
+              case Some(s) if m <= s.endMicros =>
+                cur = Some(SessState(s.startMicros,
+                  math.max(s.endMicros, m + gapMicros(e)), s.cnt + 1, s.sum + e.value))
+              case other =>
+                other.foreach(s =>
+                  out += SessOut(key, tsOfMicros(s.startMicros), s.cnt, s.sum))
+                cur = Some(SessState(m, m + gapMicros(e), 1L, e.value))
+            }
+          }
+          cur.foreach { s =>
+            state.update(s)
+            out += SessOut(key, tsOfMicros(s.startMicros), s.cnt, s.sum)
+          }
+          out.iterator
+      }
+  }
+
   case class SortedOut(user_id: Long, event_id: Long, ts: java.sql.Timestamp)
   case class SortBuf(rows: List[(Long, Long)]) // (tsMillis, event_id)
 

@@ -54,6 +54,21 @@ object StreamQueries {
       .orderBy("user_id", "a_id")
   }
 
+  /** Dynamic-gap sessions: 30 min after an error event, 60 min otherwise.
+    * Fold the update-mode emissions to the final state per session. */
+  def dynamicSession(s: SparkSession, dir: String): DataFrame = {
+    import StreamSource.Event
+    val gap: Event => Long =
+      e => if (e.event_type == "error") 30L * 60 * 1000000 else 60L * 60 * 1000000
+    val out = StatefulOps.dynamicSession(StreamSource.eventsTyped(s, dir), gap).toDF()
+    StreamSource.runToTable(s, out, "stream_dyn_session", "update")
+      .groupBy(col("user_id"), col("w_start"))
+      .agg(max(struct(col("cnt"), col("sum_value"))).as("fin"))
+      .select(col("user_id"), col("w_start"), col("fin.cnt").as("cnt"),
+        round(col("fin.sum_value"), 2).as("sum_value"))
+      .orderBy("user_id", "w_start")
+  }
+
   /** Changelog → foreachBatch upsert sink: the materialized target equals
     * keep-last per key (M5 terminal operator). */
   def upsert(s: SparkSession, dir: String): DataFrame = {
@@ -118,6 +133,19 @@ object StreamQueries {
         |SELECT day AS w_start, make_timestamp(epoch_us(day) + k * 21600000000) AS w_end,
         | event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
         |FROM x GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q_stream_dyn_session" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t, value,
+        |  CASE WHEN event_type = 'error' THEN INTERVAL 30 MINUTE
+        |       ELSE INTERVAL 60 MINUTE END AS gap FROM events),
+        |m AS (SELECT *, max(t + gap) OVER (PARTITION BY user_id ORDER BY t
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end FROM e),
+        |br AS (SELECT *, CASE WHEN prev_end IS NULL OR t > prev_end
+        |  THEN 1 ELSE 0 END AS brk FROM m),
+        |g AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY t
+        |  ROWS UNBOUNDED PRECEDING) AS sid FROM br)
+        |SELECT user_id, min(t) AS w_start, count(*) AS cnt,
+        | round(sum(value), 2) AS sum_value
+        |FROM g GROUP BY user_id, sid ORDER BY user_id, w_start""".stripMargin,
     "q_stream_upsert" ->
       """SELECT user_id, event_id FROM (
         | SELECT user_id, event_id,
