@@ -1,0 +1,132 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.streaming.StatefulOps
+import graft.streaming.StreamSource.Event
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Event-time semantics of the BUILT-IN streaming operators the engine
+  * relies on (SURVEY.md M3 late-data policy; §2.5 early firing; §1.4 state
+  * backends / exactly-once): watermark-driven late-data dropping, per-batch
+  * early emission in update mode, the RocksDB state store provider, and
+  * state recovery from a checkpoint after query restart. */
+class StreamingSemanticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Int): Timestamp = new Timestamp(1700000000000L + min * 60000L)
+  private def ev(id: Long, min: Int, user: Long, typ: String, v: Double): Event =
+    Event(id, ts(min), user, typ, v)
+
+  test("watermarked window agg drops data later than the watermark delay") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val agg = input.toDS().toDF()
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").as("w_start"), col("cnt"))
+    val q = agg.writeStream.format("memory").queryName("t_late")
+      .outputMode("append")
+      .option("checkpointLocation", s"/tmp/graft-ckpt/t-late-${System.nanoTime()}")
+      .start()
+    input.addData(Seq(ev(1, 5, 1, "view", 0), ev(2, 25, 1, "view", 0)))
+    q.processAllAvailable() // watermark → 25 - 10 = 15
+    input.addData(Seq(ev(3, 100, 1, "view", 0)))
+    q.processAllAvailable() // watermark → 90; window [0,30) closes and emits
+    // this row belongs to window [0,30) which is already finalized → dropped
+    input.addData(Seq(ev(4, 8, 1, "view", 0)))
+    q.processAllAvailable()
+    input.addData(Seq(ev(5, 200, 1, "view", 0)))
+    q.processAllAvailable()
+    val counts = spark.table("t_late").collect()
+      .map(r => r.getTimestamp(0).getTime -> r.getLong(1)).toMap
+    // event 4 (min 8) falls in the same epoch-aligned window as event 1
+    // (min 5), but that window was finalized before it arrived — append
+    // mode emitted cnt=1 and the late row was dropped, never re-emitted
+    val w0 = ts(5).getTime / 1800000L * 1800000L
+    assert(ts(8).getTime / 1800000L * 1800000L === w0) // same window
+    assert(counts(w0) === 1L)
+    q.stop()
+  }
+
+  test("update-mode window agg fires early, then refines (early-fire trigger)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val agg = input.toDS().toDF()
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "60 minutes").as("w"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").as("w_start"), col("cnt"))
+    val q = agg.writeStream.format("memory").queryName("t_early")
+      .outputMode("update")
+      .option("checkpointLocation", s"/tmp/graft-ckpt/t-early-${System.nanoTime()}")
+      .start()
+    input.addData(Seq(ev(1, 5, 1, "view", 0)))
+    q.processAllAvailable()
+    input.addData(Seq(ev(2, 15, 1, "view", 0)))
+    q.processAllAvailable()
+    val emissions = spark.table("t_early").collect().map(_.getLong(1)).toSeq
+    // same window emitted twice: partial cnt=1 then refined cnt=2
+    assert(emissions === Seq(1L, 2L))
+    q.stop()
+  }
+
+  test("stateful op runs on the RocksDB state store provider") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[Event]
+      val q = StatefulOps.keepLast(input.toDS()).writeStream
+        .format("memory").queryName("t_rocks").outputMode("update")
+        .option("checkpointLocation", s"/tmp/graft-ckpt/t-rocks-${System.nanoTime()}")
+        .start()
+      input.addData(Seq(ev(1, 10, 3, "view", 1.0), ev(2, 20, 3, "click", 2.0)))
+      q.processAllAvailable()
+      input.addData(Seq(ev(3, 30, 3, "purchase", 3.0)))
+      q.processAllAvailable()
+      val got = spark.table("t_rocks").as[Event].collect().map(_.event_id).toSeq
+      assert(got === Seq(2L, 3L)) // state carried across batches under RocksDB
+      q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("state survives query restart from the same checkpoint (exactly-once recovery)") {
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = s"/tmp/graft-ckpt/t-recover-${System.nanoTime()}"
+    val emitted = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    def start(input: MemoryStream[Event]) =
+      StatefulOps.keepLast(input.toDS()).writeStream
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[Event], _: Long) =>
+          batch.collect().foreach(e => emitted.add(e.event_id)); ()
+        }
+        .start()
+    val input = MemoryStream[Event]
+    val q1 = start(input)
+    input.addData(Seq(ev(1, 50, 9, "view", 1.0)))
+    q1.processAllAvailable()
+    q1.stop()
+    assert(emitted.toArray.toSeq === Seq(1L))
+    // restart against the SAME checkpoint and source; feed an OLDER row —
+    // recovered state (event 1 @ min 50) must still win
+    val q2 = start(input)
+    input.addData(Seq(ev(2, 40, 9, "view", 2.0)))
+    q2.processAllAvailable()
+    assert(!emitted.contains(2L),
+      "older row should be suppressed by state recovered from checkpoint")
+    input.addData(Seq(ev(3, 60, 9, "view", 3.0)))
+    q2.processAllAvailable()
+    assert(emitted.contains(3L))
+    q2.stop()
+  }
+}
