@@ -104,6 +104,8 @@ object SparkEntry {
     "q_agg_single_value" -> (Udafs.singleValue _),
     "q_tableagg_top2"   -> (Udafs.tableAggTop2 _),
     "q_graph_cc"        -> (Graph.docComponents _),
+    "q_graph_labelprop" -> (Graph.docLabelProp _),
+    "q_graph_pagerank"  -> (Graph.docPageRank _),
     "q_sql_q3"          -> (SqlSurface.q3 _),
     "q_sql_subquery"    -> (SqlSurface.correlatedSubquery _),
     "q_tpch_q4"         -> (SqlSurface.tpchQuery("q_tpch_q4") _),

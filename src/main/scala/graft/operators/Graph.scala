@@ -55,6 +55,83 @@ object Graph {
     labels
   }
 
+  /** Synchronous label propagation (ref Gelly library/LabelPropagation):
+    * each round every vertex adopts the most frequent label among its
+    * neighbors (ties → smallest label; no neighbors → keep own). Fixed
+    * round count keeps it deterministic and oracle-unrollable. */
+  def labelPropagation(vertices: DataFrame, edges: DataFrame,
+                       rounds: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = vertices.select(col("id"), col("id").as("label"))
+      .localCheckpoint(true)
+    val w = Window.partitionBy(col("id")).orderBy(col("c").desc, col("label"))
+    for (_ <- 1 to rounds) {
+      val freq = sym
+        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src").as("id"), col("label"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("id"), col("label").as("nl"))
+      labels = vertices.select(col("id"))
+        .join(freq, Seq("id"), "left")
+        .select(col("id"), coalesce(col("nl"), col("id")).as("label"))
+        .localCheckpoint(true)
+    }
+    labels
+  }
+
+  /** PageRank, fixed iterations with damping 0.85 (ref Gelly linkanalysis/
+    * PageRank). Ranks are rounded to 9 decimals each round so float
+    * summation order cannot diverge between engines or executors. */
+  def pageRank(vertices: DataFrame, edges: DataFrame, iters: Int): DataFrame = {
+    val nv = vertices.count()
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    val outdeg = sym.groupBy(col("src").as("id")).agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint(true)
+    var ranks = vertices.select(col("id"),
+        round(lit(1.0) / nv, 9).as("rank"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val contrib = sym
+        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .join(outdeg.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(sum(col("rank") / col("outdeg")).as("in_sum"))
+      ranks = vertices.select(col("id"))
+        .join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          round(lit(0.15) / nv + lit(0.85) * coalesce(col("in_sum"), lit(0.0)), 9).as("rank"))
+        .localCheckpoint(true)
+    }
+    ranks
+  }
+
+  def docLabelProp(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.ngramJaccardPairs(s, dir)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val verts = graft.Tables(s, dir, "documents").select(col("doc_id").as("id"))
+    labelPropagation(verts, pairs, rounds = 3)
+      .select(col("id").as("doc_id"), col("label"))
+      .orderBy("doc_id")
+  }
+
+  def docPageRank(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.ngramJaccardPairs(s, dir)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val verts = graft.Tables(s, dir, "documents").select(col("doc_id").as("id"))
+    pageRank(verts, pairs, iters = 3)
+      .select(col("id").as("doc_id"), col("rank"))
+      .orderBy("doc_id")
+  }
+
   /** Near-duplicate clustering of the documents corpus: CC over the exact
     * n-gram-Jaccard pair graph — upgrades pairwise dedup to transitive
     * clusters (A~B, B~C → {A,B,C} share one component). */
@@ -67,7 +144,51 @@ object Graph {
       .orderBy("doc_id")
   }
 
+  /** Shared oracle fragment: near-dup pair edges (symmetrized) + vertices. */
+  private val graphCtes: String = graft.LlmOracles.shinglesCte + """,
+    |pairs AS (
+    | SELECT doc_a, doc_b FROM (
+    |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    |   round(len(list_intersect(a.s, b.s))::DOUBLE /
+    |         (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS j
+    |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id) WHERE j >= 0.5),
+    |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+    |          UNION SELECT doc_b, doc_a FROM pairs),
+    |verts AS (SELECT doc_id AS id FROM documents)""".stripMargin
+
+  private def lpRound(i: Int): String = {
+    val prev = s"l${i - 1}"
+    s""",
+    |n$i AS (SELECT e.src AS id, l.label, count(*) AS c
+    |  FROM edges e JOIN $prev l ON l.id = e.dst GROUP BY e.src, l.label),
+    |p$i AS (SELECT id, label FROM (SELECT id, label,
+    |    row_number() OVER (PARTITION BY id ORDER BY c DESC, label) AS rn FROM n$i)
+    |  WHERE rn = 1),
+    |l$i AS (SELECT v.id, coalesce(p.label, v.id) AS label
+    |  FROM verts v LEFT JOIN p$i p ON p.id = v.id)""".stripMargin
+  }
+
+  private def prRound(i: Int): String = {
+    val prev = s"r${i - 1}"
+    s""",
+    |r$i AS (SELECT v.id, round(0.15 / (SELECT n FROM nv)
+    |    + 0.85 * coalesce(s.in_sum, 0), 9) AS rank
+    |  FROM verts v LEFT JOIN (SELECT e.dst AS id, sum(r.rank / d.outdeg) AS in_sum
+    |    FROM edges e JOIN $prev r ON r.id = e.src JOIN deg d ON d.id = e.src
+    |    GROUP BY e.dst) s ON s.id = v.id)""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
+    "q_graph_labelprop" -> (graphCtes +
+      ",\nl0 AS (SELECT id, id AS label FROM verts)" +
+      (1 to 3).map(lpRound).mkString +
+      "\nSELECT id AS doc_id, label FROM l3 ORDER BY doc_id"),
+    "q_graph_pagerank" -> (graphCtes + """,
+      |nv AS (SELECT count(*)::DOUBLE AS n FROM verts),
+      |deg AS (SELECT src AS id, count(*) AS outdeg FROM edges GROUP BY src),
+      |r0 AS (SELECT id, round(1.0 / (SELECT n FROM nv), 9) AS rank FROM verts)""".stripMargin +
+      (1 to 3).map(prRound).mkString +
+      "\nSELECT id AS doc_id, rank FROM r3 ORDER BY doc_id"),
     // transitive closure by recursive CTE, component = min reachable id
     "q_graph_cc" -> (graft.LlmOracles.shinglesCte + """,
       |pairs AS (
