@@ -84,9 +84,12 @@ object StatefulOps {
     * order (ROWS UNBOUNDED PRECEDING). One emission per input row. */
   def runningAgg(ds: Dataset[Event]): Dataset[Running] = {
     import ds.sparkSession.implicits._
+    // append mode: every input row emits exactly one output row, never
+    // revised — and append is what allows composing after sortedEvents
+    // (chained stateful operators must all be append)
     ds.groupByKey(_.user_id)
       .flatMapGroupsWithState[AggState, Running](
-        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (key: Long, rows: Iterator[Event], state: GroupState[AggState]) =>
           var st = state.getOption.getOrElse(AggState(0L, 0.0))
           val out = rows.toSeq.sortBy(ord).map { e =>
@@ -168,6 +171,33 @@ object StatefulOps {
             out += SessOut(key, tsOfMicros(s.startMicros), s.cnt, s.sum)
           }
           out.iterator
+      }
+  }
+
+  case class EventBuf(rows: List[Event])
+
+  /** Watermark-ordered event stream: buffers FULL events per key and
+    * releases them in event-time order once the watermark passes — the
+    * generalized temporal sort that composes in FRONT of the in-order
+    * operators (runningAgg, CEP, dynamicSession), upgrading them from
+    * in-order-arrival to full out-of-order safety at one extra stateful
+    * stage. Spark supports chained stateful operators in a single query;
+    * both stages share the key partitioning, so no extra shuffle. */
+  def sortedEvents(ds: Dataset[Event], delay: String = "10 minutes"): Dataset[Event] = {
+    import ds.sparkSession.implicits._
+    ds.withWatermark("ts", delay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[EventBuf, Event](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: Long, rows: Iterator[Event], state: GroupState[EventBuf]) =>
+          val wm = state.getCurrentWatermarkMs()
+          val buf = state.getOption.map(_.rows).getOrElse(Nil) ++ rows
+          val (ripe, hold) = buf.partition(e => e.ts.getTime <= wm)
+          if (hold.nonEmpty) {
+            state.update(EventBuf(hold))
+            state.setTimeoutTimestamp(hold.map(_.ts.getTime).min)
+          } else state.remove()
+          ripe.sortBy(ord).iterator
       }
   }
 

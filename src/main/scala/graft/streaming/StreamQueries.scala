@@ -28,7 +28,7 @@ object StreamQueries {
 
   def over(s: SparkSession, dir: String): DataFrame = {
     val out = StatefulOps.runningAgg(StreamSource.eventsTyped(s, dir)).toDF()
-    StreamSource.runToTable(s, out, "stream_over", "update")
+    StreamSource.runToTable(s, out, "stream_over", "append")
       .select(col("user_id"), col("event_id"), col("run_cnt"),
         round(col("run_sum"), 4).as("run_sum"))
       .orderBy("user_id", "event_id")

@@ -99,6 +99,40 @@ class StreamingSemanticsSpec extends SparkSpec {
     }
   }
 
+  test("sortedEvents + runningAgg: out-of-order input, correct event-time totals") {
+    implicit val sqlCtx = spark.sqlContext
+    // the reorderer intentionally emits rows older than the global
+    // watermark (they were buffered); the downstream fMGWS is
+    // watermark-agnostic (NoTimeout), so Spark's conservative
+    // cross-operator check is a false positive here — documented override
+    spark.conf.set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+    val input = MemoryStream[Event]
+    // two chained stateful operators in one query: reorder, then aggregate
+    val out = StatefulOps.runningAgg(StatefulOps.sortedEvents(input.toDS()))
+    val q = out.writeStream.format("memory").queryName("t_sorted_agg")
+      .outputMode("append")
+      .option("checkpointLocation", s"/tmp/graft-ckpt/t-sorted-${System.nanoTime()}")
+      .start()
+    // event 2 arrives a batch BEFORE event 1 (cross-batch disorder that
+    // plain runningAgg would mis-order)
+    input.addData(Seq(ev(2, 20, 1, "view", 2.0)))
+    q.processAllAvailable() // watermark → 10; event 1 must stay ABOVE it
+    input.addData(Seq(ev(1, 15, 1, "view", 1.0)))
+    q.processAllAvailable()
+    // advance watermark past both, then trigger timeout processing
+    input.addData(Seq(ev(99, 600, 1, "view", 0.0)))
+    q.processAllAvailable()
+    input.addData(Seq(ev(100, 601, 1, "view", 0.0)))
+    q.processAllAvailable()
+    val got = spark.table("t_sorted_agg").as[StatefulOps.Running]
+      .collect().filter(_.event_id < 99).sortBy(_.run_cnt)
+    // event 1 (t=15) counted before event 2 (t=20) despite arrival order
+    assert(got.map(r => (r.event_id, r.run_cnt, r.run_sum)).toSeq ===
+      Seq((1L, 1L, 1.0), (2L, 2L, 3.0)))
+    q.stop()
+    spark.conf.set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "true")
+  }
+
   test("state survives query restart from the same checkpoint (exactly-once recovery)") {
     implicit val sqlCtx = spark.sqlContext
     val ckpt = s"/tmp/graft-ckpt/t-recover-${System.nanoTime()}"

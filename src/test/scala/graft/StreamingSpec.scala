@@ -67,7 +67,7 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("runningAgg accumulates across batches in event-time order") {
-    val (feed, drain, stop) = harness(StatefulOps.runningAgg, "t_runagg")
+    val (feed, drain, stop) = harness(StatefulOps.runningAgg, "t_runagg", "append")
     feed(Seq(ev(2, 20, 5, "view", 2.0), ev(1, 10, 5, "view", 1.0)))
     // within-batch sort: event 1 first despite arrival order
     assert(drain().map(r => (r.event_id, r.run_cnt, r.run_sum)) ===
