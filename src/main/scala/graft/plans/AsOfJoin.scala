@@ -97,11 +97,74 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     copy(left = l, right = r)
 }
 
+/** Broadcast variant: when the build (versioned-dimension) side is small,
+  * collect it into a key → time-sorted version index, broadcast it, and
+  * probe by binary search per row — the probe side keeps its partitioning
+  * and NO exchange or sort is inserted on either side. This is the
+  * slowly-changing-dimension case (ref TemporalProcessTimeJoinOperator
+  * backed by a lookup table): at 100 TB the probe scan is the whole cost
+  * and must not shuffle. */
+case class AsOfJoinBroadcastExec(left: SparkPlan, right: SparkPlan,
+                                 leftKey: Expression, rightKey: Expression,
+                                 leftTime: Expression, rightTime: Expression,
+                                 override val output: Seq[Attribute])
+    extends BinaryExecNode {
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val rKey = BindReferences.bindReference(rightKey, right.output)
+    val rTime = BindReferences.bindReference(rightTime, right.output)
+    // build: key -> versions sorted by time (collected then broadcast; the
+    // strategy only picks this exec under the broadcast size threshold)
+    val index: Map[Long, Array[(Long, InternalRow)]] = right.executeCollect()
+      .map(row => (rKey.eval(row).asInstanceOf[Long],
+        (rTime.eval(row).asInstanceOf[Long], row)))
+      .groupBy(_._1)
+      .map { case (k, rows) => k -> rows.map(_._2).sortBy(_._1) }
+    val bc = session.sparkContext.broadcast(index)
+    val lKey = BindReferences.bindReference(leftKey, left.output)
+    val lTime = BindReferences.bindReference(leftTime, left.output)
+    val rightArity = right.output.size
+    val schema = output
+    left.execute().mapPartitions { lIter =>
+      val proj = UnsafeProjection.create(schema, schema)
+      val joined = new JoinedRow
+      val nullRight = new GenericInternalRow(rightArity)
+      val idx = bc.value
+      lIter.map { lRow =>
+        val t = lTime.eval(lRow).asInstanceOf[Long]
+        val versions = idx.getOrElse(lKey.eval(lRow).asInstanceOf[Long], null)
+        var r: InternalRow = nullRight
+        if (versions != null) {
+          // binary search: last version with time <= t
+          var lo = 0; var hi = versions.length - 1; var found = -1
+          while (lo <= hi) {
+            val mid = (lo + hi) >>> 1
+            if (versions(mid)._1 <= t) { found = mid; lo = mid + 1 } else hi = mid - 1
+          }
+          if (found >= 0) r = versions(found)._2
+        }
+        proj(joined(lRow, r))
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(l: SparkPlan, r: SparkPlan): AsOfJoinBroadcastExec =
+    copy(left = l, right = r)
+}
+
 object AsOfStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case AsOfJoinPlan(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt,
-        l.output ++ r.output.map(_.withNullability(true))) :: Nil
+      val out = l.output ++ r.output.map(_.withNullability(true))
+      val threshold = org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
+      // same size heuristic as Spark's broadcast joins: small build side →
+      // probe-side-preserving broadcast exec; otherwise co-partitioned merge
+      if (threshold > 0 && r.stats.sizeInBytes <= threshold)
+        AsOfJoinBroadcastExec(planLater(l), planLater(r), lk, rk, lt, rt, out) :: Nil
+      else
+        AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, out) :: Nil
     case _ => Nil
   }
 }

@@ -34,16 +34,39 @@ class AsOfJoinSpec extends SparkSpec {
     assert(a === b)
   }
 
-  test("plan is co-partitioned sort-merge: two exchanges, no BNL/cartesian") {
+  private def probeBuild = {
     val e = Tables(spark, sf, "events")
     val probe = e.where(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id").as("p_id"), col("ts").as("p_ts"))
     val build = e.where(col("event_type") === "view")
       .select(col("user_id").as("v_user"), col("event_id").as("v_id"), col("ts").as("v_ts"))
-    val p = AsOfJoin(probe, build, "user_id", "v_user", "p_ts", "v_ts")
-      .queryExecution.executedPlan.toString
-    assert(p.contains("AsOfJoin"), s"plan:\n$p")
-    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), s"plan:\n$p")
-    assert(p.split("hashpartitioning").length >= 3, s"expected co-partitioning exchanges:\n$p")
+    (probe, build)
+  }
+
+  test("small build side takes the broadcast path: probe side never shuffles") {
+    val (probe, build) = probeBuild
+    val df = AsOfJoin(probe, build, "user_id", "v_user", "p_ts", "v_ts")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("AsOfJoinBroadcast"), s"plan:\n$p")
+    assert(!p.contains("hashpartitioning"), s"probe side shuffled:\n$p")
+  }
+
+  test("large build side: co-partitioned sort-merge, and both paths agree") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val (probe, build) = probeBuild
+      val df = AsOfJoin(probe, build, "user_id", "v_user", "p_ts", "v_ts")
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("AsOfJoin") && !p.contains("AsOfJoinBroadcast"), s"plan:\n$p")
+      assert(p.split("hashpartitioning").length >= 3, s"expected co-partitioning exchanges:\n$p")
+      val merge = df.select("p_id", "v_id").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      val bcast = AsOfJoin(probeBuild._1, probeBuild._2, "user_id", "v_user", "p_ts", "v_ts")
+        .select("p_id", "v_id").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+      assert(merge === bcast)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 }
