@@ -133,6 +133,29 @@ class StreamingSemanticsSpec extends SparkSpec {
     spark.conf.set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "true")
   }
 
+  test("side outputs: one pass fans out to main and error sinks via foreachBatch") {
+    implicit val sqlCtx = spark.sqlContext
+    val main = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val side = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val input = MemoryStream[Event]
+    // the OutputTag pattern: ONE streaming pass, the batch is split inside
+    // foreachBatch (persist avoids a double source scan in production)
+    val q = input.toDS().writeStream
+      .option("checkpointLocation", s"/tmp/graft-ckpt/t-side-${System.nanoTime()}")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Event], _: Long) =>
+        batch.persist()
+        batch.filter(_.event_type != "error").collect().foreach(e => main.add(e.event_id))
+        batch.filter(_.event_type == "error").collect().foreach(e => side.add(e.event_id))
+        batch.unpersist()
+        ()
+      }.start()
+    input.addData(Seq(ev(1, 1, 1, "view", 0), ev(2, 2, 1, "error", 0), ev(3, 3, 1, "click", 0)))
+    q.processAllAvailable()
+    assert(main.toArray.toSeq.map(_.asInstanceOf[Long]).sorted === Seq(1L, 3L))
+    assert(side.toArray.toSeq.map(_.asInstanceOf[Long]) === Seq(2L))
+    q.stop()
+  }
+
   test("state survives query restart from the same checkpoint (exactly-once recovery)") {
     implicit val sqlCtx = spark.sqlContext
     val ckpt = s"/tmp/graft-ckpt/t-recover-${System.nanoTime()}"
