@@ -187,6 +187,16 @@ object LlmOracles {
         |      (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
         |    c.cid) AS rk
         |  FROM emb e, c2 c) WHERE rk = 1 ORDER BY vec_id""".stripMargin,
+    "q_emb_dedup_keep" ->
+      """WITH pairs AS (
+        | SELECT a.vec_id AS va, b.vec_id AS vb,
+        |  round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+        |   (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
+        |    sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) AS cos
+        | FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        |SELECT vec_id FROM embeddings
+        |WHERE vec_id NOT IN (SELECT vb FROM pairs WHERE cos >= 0.5)
+        |ORDER BY vec_id""".stripMargin,
     "q_ann_cos_pairs" ->
       """SELECT va, vb, cos FROM (
         | SELECT a.vec_id AS va, b.vec_id AS vb,

@@ -67,6 +67,7 @@ object SparkEntry {
     "q_ann_ivf"         -> (Similarity.annIvf _),
     "q_ann_kmeans"      -> (Similarity.annKmeans _),
     "q_ann_cos_pairs"   -> (Similarity.cosinePairs _),
+    "q_emb_dedup_keep"  -> (Similarity.cosineDedupKeep _),
     "q_ann_hyperplane_lsh" -> (Similarity.hyperplaneLshPairs _),
     "q_mm_decode"       -> (Multimodal.decodeStub _),
     "q_mm_frames"       -> (Multimodal.frameSample _),

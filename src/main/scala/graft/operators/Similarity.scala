@@ -158,6 +158,17 @@ object Similarity {
       .orderBy("va", "vb")
   }
 
+  /** Embedding-cosine near-dup REMOVAL (the dedup counterpart of
+    * cosinePairs): drop every vector that has a higher-similarity twin
+    * with a smaller id; keep the survivors. */
+  def cosineDedupKeep(s: SparkSession, dir: String): DataFrame = {
+    val losers = cosinePairs(s, dir).where(col("cos") >= 0.5)
+      .select(col("vb").as("vec_id")).distinct()
+    Tables(s, dir, "embeddings").select(col("vec_id"))
+      .join(losers, Seq("vec_id"), "left_anti")
+      .orderBy("vec_id")
+  }
+
   /** Sign-LSH near-dup pairs: 8 tables x 4 hyperplane sign-bits; candidates
     * share a table signature; verified with exact cosine >= 0.4. Hyperplane
     * component (p, d) = md5-derived uniform in [-1, 1] — deterministic and
