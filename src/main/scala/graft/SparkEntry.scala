@@ -85,6 +85,7 @@ object SparkEntry {
     "q_stream_interval_join" -> (streaming.StreamWindowAggs.intervalJoin _),
     "q_stream_dedup_last" -> (streaming.StreamQueries.dedupLast _),
     "q_stream_topn"     -> (streaming.StreamQueries.topN _),
+    "q_stream_topn_retract" -> (streaming.StreamQueries.topNRetract _),
     "q_stream_over"     -> (streaming.StreamQueries.over _),
     "q_stream_changelog" -> (streaming.StreamQueries.changelog _),
     "q_stream_cep"      -> (streaming.StreamQueries.cep _),

@@ -77,6 +77,40 @@ object StatefulOps {
       }
   }
 
+  case class RankedChange(event_type: String, rank: Int, event_id: Long,
+                          user_id: Long, value: Double, rowkind: String)
+
+  /** Retracting Top-N (ref operators/rank/RetractableTopNFunction.java:53):
+    * per batch, the OLD ranking is diffed against the NEW one and only the
+    * changed ranks emit — -U/+U for a replaced entry, +I for a newly
+    * occupied rank, -D for a vacated one. Consumers fold the changelog
+    * (net > 0 per (key, rank, event_id)) to the current ranking; a sink
+    * keyed on (key, rank) can apply it as upserts/deletes directly. */
+  def topNChangelog(ds: Dataset[Event], n: Int): Dataset[RankedChange] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.event_type)
+      .flatMapGroupsWithState[List[Event], RankedChange](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[Event], state: GroupState[List[Event]]) =>
+          val old = state.getOption.getOrElse(Nil)
+          val cur = (old ++ rows).sortBy(e => (-e.value, e.event_id)).take(n)
+          state.update(cur)
+          val out = scala.collection.mutable.ArrayBuffer.empty[RankedChange]
+          def chg(e: Event, r: Int, kind: String): RankedChange =
+            RankedChange(key, r + 1, e.event_id, e.user_id, e.value, kind)
+          (0 until math.max(old.size, cur.size)).foreach { r =>
+            (old.lift(r), cur.lift(r)) match {
+              case (Some(o), Some(nw)) if o.event_id == nw.event_id => ()
+              case (Some(o), Some(nw)) => out += chg(o, r, "-U") += chg(nw, r, "+U")
+              case (None, Some(nw))    => out += chg(nw, r, "+I")
+              case (Some(o), None)     => out += chg(o, r, "-D")
+              case _ => ()
+            }
+          }
+          out.iterator
+      }
+  }
+
   case class Running(user_id: Long, event_id: Long, run_cnt: Long, run_sum: Double)
   case class AggState(cnt: Long, sum: Double)
 

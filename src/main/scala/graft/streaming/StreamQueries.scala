@@ -26,6 +26,20 @@ object StreamQueries {
       .orderBy("event_type", "rank")
   }
 
+  /** Retracting Top-N: fold the -U/+U/-D/+I changelog to the current
+    * ranking (net > 0 per (key, rank, event_id)). */
+  def topNRetract(s: SparkSession, dir: String): DataFrame = {
+    val out = StatefulOps.topNChangelog(StreamSource.eventsTyped(s, dir), 3).toDF()
+    StreamSource.runToTable(s, out, "stream_topn_retract", "update")
+      .groupBy(col("event_type"), col("rank"), col("event_id"),
+        col("user_id"), col("value"))
+      .agg(sum(when(col("rowkind").isin("+I", "+U"), 1).otherwise(-1)).as("net"))
+      .where(col("net") > 0)
+      .select(col("event_type"), col("rank"), col("event_id"),
+        col("user_id"), round(col("value"), 2).as("value"))
+      .orderBy("event_type", "rank")
+  }
+
   def over(s: SparkSession, dir: String): DataFrame = {
     val out = StatefulOps.runningAgg(StreamSource.eventsTyped(s, dir)).toDF()
     StreamSource.runToTable(s, out, "stream_over", "append")
@@ -214,6 +228,13 @@ object StreamQueries {
         |  row_number() OVER (PARTITION BY user_id
         |    ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
         | FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "q_stream_topn_retract" ->
+      """SELECT event_type, CAST(rn AS INT) AS rank, event_id, user_id,
+        | round(value, 2) AS value
+        |FROM (SELECT event_type, event_id, user_id, value,
+        |  row_number() OVER (PARTITION BY event_type
+        |    ORDER BY value DESC, event_id) AS rn FROM events)
+        |WHERE rn <= 3 ORDER BY event_type, rn""".stripMargin,
     "q_stream_topn" ->
       """SELECT event_type, CAST(rn AS INT) AS rank, event_id, user_id,
         | round(value, 2) AS value

@@ -66,6 +66,21 @@ class StreamingSpec extends SparkSpec {
     stop()
   }
 
+  test("retracting topN emits -U/+U only for changed ranks, -D for vacated") {
+    val (feed, drain, stop) = harness(StatefulOps.topNChangelog(_, 2), "t_topn_re")
+    feed(Seq(ev(1, 1, 1, "view", 10.0)))
+    assert(drain().map(c => (c.rank, c.event_id, c.rowkind)) === Seq((1, 1L, "+I")))
+    feed(Seq(ev(2, 2, 2, "view", 20.0))) // takes rank 1, pushes event 1 to rank 2
+    assert(drain().map(c => (c.rank, c.event_id, c.rowkind)) ===
+      Seq((1, 1L, "-U"), (1, 2L, "+U"), (2, 1L, "+I")))
+    feed(Seq(ev(3, 3, 3, "view", 5.0))) // below top-2 → no emission
+    assert(drain().isEmpty)
+    feed(Seq(ev(4, 4, 4, "view", 15.0))) // replaces event 1 at rank 2
+    assert(drain().map(c => (c.rank, c.event_id, c.rowkind)) ===
+      Seq((2, 1L, "-U"), (2, 4L, "+U")))
+    stop()
+  }
+
   test("runningAgg accumulates across batches in event-time order") {
     val (feed, drain, stop) = harness(StatefulOps.runningAgg, "t_runagg", "append")
     feed(Seq(ev(2, 20, 5, "view", 2.0), ev(1, 10, 5, "view", 1.0)))
