@@ -240,7 +240,7 @@ object LlmOracles {
       """WITH x AS (SELECT doc_id, b.b AS band,
         |  len(list_filter(range(1, length(text) + 1), i -> ascii(text[i]) % 8 = b.b)) AS cnt
         | FROM documents, range(8) b(b))
-        |SELECT doc_id, list(CAST(cnt AS BIGINT) ORDER BY band) AS features
+        |SELECT doc_id, array_to_string(list(CAST(cnt AS BIGINT) ORDER BY band), ',') AS features
         |FROM x GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_mm_decode" ->
       """SELECT doc_id,

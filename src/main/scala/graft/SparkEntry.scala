@@ -211,8 +211,9 @@ object SparkEntry {
         | round(quantile_cont(l_extendedprice, 0.25), 6) AS price_p25
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_agg_collect" ->
-      """SELECT s_nationkey, list_sort(list(s_suppkey)) AS supps,
-        | list_sort(list_distinct(list(s_nationkey))) AS nk_set
+      """SELECT s_nationkey,
+        | array_to_string(list_sort(list(s_suppkey)), ',') AS supps,
+        | array_to_string(list_sort(list_distinct(list(s_nationkey))), ',') AS nk_set
         |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
     "q_set_union_all" ->
       """SELECT k, count(*) AS cnt FROM (
@@ -377,12 +378,12 @@ object SparkEntry {
         |FROM customer ORDER BY c_custkey""".stripMargin,
     "q_fn_complex" ->
       """SELECT n_nationkey,
-        | [n_nationkey, n_regionkey] AS arr,
+        | array_to_string([n_nationkey, n_regionkey], ',') AS arr,
         | CAST(len([n_nationkey, n_regionkey]) AS INT) AS card,
         | [n_name, 'x'][1] AS elem1,
         | map(['k'], [n_name])['k'][1] AS mval,
         | struct_pack(a := n_nationkey, b := n_name).b AS fld,
-        | list_sort([n_regionkey, n_nationkey]) AS sorted_arr,
+        | array_to_string(list_sort([n_regionkey, n_nationkey]), ',') AS sorted_arr,
         | list_contains([n_nationkey, n_regionkey], 0) AS has0
         |FROM nation ORDER BY n_nationkey""".stripMargin,
     "q_fn_classify" ->

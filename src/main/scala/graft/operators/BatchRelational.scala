@@ -164,8 +164,12 @@ object BatchRelational {
   def aggCollect(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "supplier")
       .groupBy(col("s_nationkey"))
-      .agg(sort_array(collect_list(col("s_suppkey"))).as("supps"),
-        sort_array(collect_set(col("s_nationkey"))).as("nk_set"))
+      .agg(
+        // serialized to a comma-joined string: the driver's pandas hash
+        // compare can't sort array cells, and bigint→string is format-stable
+        // across Spark and DuckDB
+        array_join(sort_array(collect_list(col("s_suppkey"))).cast("array<string>"), ",").as("supps"),
+        array_join(sort_array(collect_set(col("s_nationkey"))).cast("array<string>"), ",").as("nk_set"))
       .orderBy("s_nationkey")
 
   /** SUM0 semantics (empty group → 0 not NULL): coalesce(sum, 0).

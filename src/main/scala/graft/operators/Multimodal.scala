@@ -81,6 +81,10 @@ object Multimodal {
         (r.doc_id, bands.toSeq)
       })
       .toDF("doc_id", "features")
+      // serialized to a comma-joined string for the oracle compare (the
+      // driver's pandas hash can't sort array cells; bigint text is stable)
+      .select(col("doc_id"),
+        array_join(col("features").cast("array<string>"), ",").as("features"))
       .orderBy("doc_id")
   }
 

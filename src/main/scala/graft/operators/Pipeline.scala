@@ -47,12 +47,17 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
-  /** Unit-normalized embeddings (first 4 components + norm, rounded). */
+  /** Unit-normalized embeddings (first 4 components + norm, rounded).
+    * Components emitted as scalar columns h1..h4 — numeric scalars avoid the
+    * driver compare's array limitation and cross-engine float formatting. */
   def normalize(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "embeddings")
       .withColumn("nrm", graft.functions.VecOps.norm(col("embedding")))
       .select(col("vec_id"), round(col("nrm"), 6).as("norm"),
-        expr("transform(slice(embedding, 1, 4), x -> round(cast(x AS DOUBLE) / nrm, 6))").as("head4"))
+        expr("round(cast(element_at(embedding, 1) AS DOUBLE) / nrm, 6)").as("h1"),
+        expr("round(cast(element_at(embedding, 2) AS DOUBLE) / nrm, 6)").as("h2"),
+        expr("round(cast(element_at(embedding, 3) AS DOUBLE) / nrm, 6)").as("h3"),
+        expr("round(cast(element_at(embedding, 4) AS DOUBLE) / nrm, 6)").as("h4"))
       .orderBy("vec_id")
 
   /** Int8 quantization summary per vector. */
@@ -85,11 +90,13 @@ object Pipeline {
       |  AND q.doc_id NOT IN (SELECT doc_b FROM pairs)
       |ORDER BY q.doc_id""").stripMargin,
     "q_emb_normalize" ->
-      """SELECT vec_id,
-        | round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))), 6) AS norm,
-        | list_transform(CAST(embedding[1:4] AS DOUBLE[]),
-        |   x -> round(x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))), 6)) AS head4
-        |FROM embeddings ORDER BY vec_id""".stripMargin,
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+        | FROM embeddings)
+        |SELECT vec_id, round(nrm, 6) AS norm,
+        | round(v[1] / nrm, 6) AS h1, round(v[2] / nrm, 6) AS h2,
+        | round(v[3] / nrm, 6) AS h3, round(v[4] / nrm, 6) AS h4
+        |FROM e ORDER BY vec_id""".stripMargin,
     "q_emb_quantize" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
         |  list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) / 127.0 AS scale

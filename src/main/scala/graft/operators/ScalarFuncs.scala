@@ -122,12 +122,14 @@ object ScalarFuncs {
   def complexTypes(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "nation").selectExpr(
       "n_nationkey",
-      "array(n_nationkey, n_regionkey) AS arr",
+      // arrays serialized to comma-joined strings for the oracle compare
+      // (driver's pandas hash can't sort array cells)
+      "array_join(cast(array(n_nationkey, n_regionkey) AS array<string>), ',') AS arr",
       "size(array(n_nationkey, n_regionkey)) AS card",
       "element_at(array(n_name, 'x'), 1) AS elem1",
       "map('k', n_name)['k'] AS mval",
       "named_struct('a', n_nationkey, 'b', n_name).b AS fld",
-      "sort_array(array(n_regionkey, n_nationkey)) AS sorted_arr",
+      "array_join(cast(sort_array(array(n_regionkey, n_nationkey)) AS array<string>), ',') AS sorted_arr",
       "array_contains(array(n_nationkey, n_regionkey), 0) AS has0"
     ).orderBy("n_nationkey")
 

@@ -67,6 +67,8 @@ def main(sf_dir, out_dir):
             files = glob.glob(os.path.join(qdir, "*.parquet"))
             rows = sum(pd.read_parquet(f).shape[0] for f in files) if files else 0
             status = "PASS" if rows > 0 else "FAIL"
+            if rows == 0:
+                n_fail += 1
             print(f"{status} {name} (rows-only: {rows})")
             no_oracle.append(name)
     print(f"\n== {n_pass} pass / {n_fail} fail / {len(no_oracle)} rows-only ==")
