@@ -52,6 +52,11 @@ object Graph {
       done = changed == 0
       iter += 1
     }
+    if (!done)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — graph " +
+          s"diameter exceeds maxIter; labels would be silently wrong. " +
+          s"Raise maxIter (cost is one join+agg shuffle per round).")
     labels
   }
 

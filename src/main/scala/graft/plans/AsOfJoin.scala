@@ -74,21 +74,38 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
       var hasMatch = false
       var matchRow: InternalRow = null
       lIter.map { lRow =>
-        val k = lKey.eval(lRow).asInstanceOf[Long]
-        val t = lTime.eval(lRow).asInstanceOf[Long]
-        if (!hasMatch || matchKey != k) { hasMatch = false; matchRow = null }
-        // advance build side through (key < k) and (key == k && time <= t)
-        var advancing = true
-        while (advancing && rBuf.hasNext) {
-          val head = rBuf.head
-          val hk = rKey.eval(head).asInstanceOf[Long]
-          if (hk < k) { rBuf.next() }
-          else if (hk == k && rTime.eval(head).asInstanceOf[Long] <= t) {
-            matchRow = rBuf.next().copy(); matchKey = k; hasMatch = true
-          } else advancing = false
+        val kv = lKey.eval(lRow)
+        val tv = lTime.eval(lRow)
+        if (kv == null || tv == null) {
+          // NULL probe key/time never matches (SQL equality semantics):
+          // emit the null-padded build side instead of unboxing null to 0
+          proj(joined(lRow, nullRight))
+        } else {
+          val k = kv.asInstanceOf[Long]
+          val t = tv.asInstanceOf[Long]
+          if (!hasMatch || matchKey != k) { hasMatch = false; matchRow = null }
+          // advance build side through (key < k) and (key == k && time <= t);
+          // null build keys sort first under Ascending and are discarded
+          var advancing = true
+          while (advancing && rBuf.hasNext) {
+            val head = rBuf.head
+            val hkv = rKey.eval(head)
+            if (hkv == null) { rBuf.next() }
+            else {
+              val hk = hkv.asInstanceOf[Long]
+              if (hk < k) { rBuf.next() }
+              else if (hk == k) {
+                val htv = rTime.eval(head)
+                if (htv == null) { rBuf.next() } // null version time: unusable
+                else if (htv.asInstanceOf[Long] <= t) {
+                  matchRow = rBuf.next().copy(); matchKey = k; hasMatch = true
+                } else advancing = false
+              } else advancing = false
+            }
+          }
+          val r = if (hasMatch && matchKey == k) matchRow else nullRight
+          proj(joined(lRow, r))
         }
-        val r = if (hasMatch && matchKey == k) matchRow else nullRight
-        proj(joined(lRow, r))
       }
     }
   }
@@ -118,8 +135,12 @@ case class AsOfJoinBroadcastExec(left: SparkPlan, right: SparkPlan,
     // build: key -> versions sorted by time (collected then broadcast; the
     // strategy only picks this exec under the broadcast size threshold)
     val index: Map[Long, Array[(Long, InternalRow)]] = right.executeCollect()
-      .map(row => (rKey.eval(row).asInstanceOf[Long],
-        (rTime.eval(row).asInstanceOf[Long], row)))
+      .flatMap { row =>
+        val k = rKey.eval(row); val t = rTime.eval(row)
+        // rows with NULL key or version time can never match any probe
+        if (k == null || t == null) None
+        else Some((k.asInstanceOf[Long], (t.asInstanceOf[Long], row)))
+      }
       .groupBy(_._1)
       .map { case (k, rows) => k -> rows.map(_._2).sortBy(_._1) }
     val bc = session.sparkContext.broadcast(index)
@@ -133,8 +154,12 @@ case class AsOfJoinBroadcastExec(left: SparkPlan, right: SparkPlan,
       val nullRight = new GenericInternalRow(rightArity)
       val idx = bc.value
       lIter.map { lRow =>
-        val t = lTime.eval(lRow).asInstanceOf[Long]
-        val versions = idx.getOrElse(lKey.eval(lRow).asInstanceOf[Long], null)
+        val kv = lKey.eval(lRow)
+        val tv = lTime.eval(lRow)
+        val t = if (tv == null) Long.MinValue else tv.asInstanceOf[Long]
+        val versions =
+          if (kv == null || tv == null) null // NULL key/time: no match
+          else idx.getOrElse(kv.asInstanceOf[Long], null)
         var r: InternalRow = nullRight
         if (versions != null) {
           // binary search: last version with time <= t
@@ -185,9 +210,21 @@ object AsOfJoin {
     def attr(p: LogicalPlan, n: String): Attribute =
       p.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(s"no column $n in ${p.output.map(_.name)}"))
+    // the physical operators unbox key/time eval results to Long: accept only
+    // 8-byte-long-backed types up front rather than ClassCastException at run
+    import org.apache.spark.sql.types.{LongType, TimestampType, TimestampNTZType}
+    def requireLongBacked(a: Attribute, role: String): Attribute = {
+      require(a.dataType == LongType || a.dataType == TimestampType ||
+        a.dataType == TimestampNTZType,
+        s"AsOfJoin $role column '${a.name}' must be BIGINT or TIMESTAMP, " +
+          s"got ${a.dataType.simpleString}; cast it before joining")
+      a
+    }
     org.apache.spark.sql.graftshim.ColumnShim.ofRows(s,
       AsOfJoinPlan(lPlan, rPlan,
-        attr(lPlan, probeKey), attr(rPlan, buildKey),
-        attr(lPlan, probeTime), attr(rPlan, buildTime)))
+        requireLongBacked(attr(lPlan, probeKey), "probe key"),
+        requireLongBacked(attr(rPlan, buildKey), "build key"),
+        requireLongBacked(attr(lPlan, probeTime), "probe time"),
+        requireLongBacked(attr(rPlan, buildTime), "build time")))
   }
 }

@@ -22,7 +22,8 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object Cep {
 
   case class Match(user_id: Long, ids: Seq[Long])
-  case class Partial(ids: Seq[Long], startMicros: Long, next: Int)
+  case class Partial(ids: Seq[Long], startMicros: Long, next: Int,
+                     lastMicros: Long)
   case class NfaState(partials: Seq[Partial])
 
   /** All strict-contiguity matches of `steps` (one predicate per pattern
@@ -71,15 +72,18 @@ object Cep {
           rows.toSeq.sortBy(e => (StatefulOps.micros(e.ts), e.event_id)).foreach { e =>
             val m = StatefulOps.micros(e.ts)
             partials = partials.filter(p => m <= p.startMicros + withinMicros)
+            // strictly-later event time required to advance: two events with
+            // equal timestamps are simultaneous, not "followed by" (matches
+            // the oracle's x.t > a.a_t and the reference's event-time order)
             partials = partials.flatMap { p =>
-              if (steps(p.next)(e)) {
-                val adv = Partial(p.ids :+ e.event_id, p.startMicros, p.next + 1)
+              if (m > p.lastMicros && steps(p.next)(e)) {
+                val adv = Partial(p.ids :+ e.event_id, p.startMicros, p.next + 1, m)
                 if (adv.next == L) { out += Match(key, adv.ids); Nil }
                 else List(adv)
               } else List(p)
             }
             if (steps.head(e))
-              partials = partials :+ Partial(Seq(e.event_id), m, 1)
+              partials = partials :+ Partial(Seq(e.event_id), m, 1, m)
           }
           state.update(NfaState(partials))
           out.iterator
