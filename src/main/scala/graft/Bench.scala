@@ -29,6 +29,12 @@ object Bench {
       // operators that cache() internally (dedup/kmeans) must not leak those
       // partitions into the next query's timing/memory
       spark.catalog.clearCache()
+      // streaming queries leave their HDFSBackedStateStoreProvider version
+      // maps loaded after stop(); 60+ stream queries in one session accumulate
+      // heap and GC pressure that taxes every later query. Unload them.
+      org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+      val rt = Runtime.getRuntime
+      System.err.println(f"[bench] $name%-28s $dt%8.2fs heapUsed=${(rt.totalMemory - rt.freeMemory) / (1 << 20)}%dMiB")
       name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
