@@ -135,7 +135,10 @@ object StatefulOps {
       }
   }
 
-  case class Change(user_id: Long, event_id: Long, rowkind: String)
+  /** `seq` is the change's event-time in micros: downstream keyed sinks use
+    * (seq, event_id) for an executor-side last-writer-wins merge instead of
+    * replaying rows in emission order on the driver. */
+  case class Change(user_id: Long, event_id: Long, rowkind: String, seq: Long = 0L)
   case class LastRow(ts: Long, event_id: Long)
 
   /** Changelog-normalize: interpret the keyed stream as upserts and emit a
@@ -150,14 +153,15 @@ object StatefulOps {
           val out = scala.collection.mutable.ArrayBuffer.empty[Change]
           var cur = state.getOption
           rows.toSeq.sortBy(ord).foreach { e =>
+            val m = micros(e.ts)
             cur match {
               case None =>
-                out += Change(key, e.event_id, "+I")
+                out += Change(key, e.event_id, "+I", m)
               case Some(prev) =>
-                out += Change(key, prev.event_id, "-U")
-                out += Change(key, e.event_id, "+U")
+                out += Change(key, prev.event_id, "-U", prev.ts)
+                out += Change(key, e.event_id, "+U", m)
             }
-            cur = Some(LastRow(e.ts.getTime, e.event_id))
+            cur = Some(LastRow(m, e.event_id))
           }
           cur.foreach(state.update)
           out.iterator

@@ -40,6 +40,39 @@ object StreamSource {
     events(s, dir).select("event_id", "ts", "user_id", "event_type", "value").as[Event]
   }
 
+  /** events stream unioned with a one-row far-future sentinel so the final
+    * watermark passes every real window: append-mode window aggregations then
+    * emit each closed window exactly once with watermark-bounded state — the
+    * plan an unbounded production job runs (Flink analog: event-time windows
+    * firing on watermark passage + cleanup timers, WindowOperator.java:98),
+    * unlike complete mode which re-materializes all windows every batch and
+    * retains state forever. Callers filter the sentinel key back out
+    * (`event_type = '__sentinel'`, `user_id = -1`). */
+  def eventsWithSentinel(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    val schema = raw.schema
+    import org.apache.spark.sql.functions.max
+    val maxNanos = raw.agg(max("ts")).head.getLong(0)
+    // ts is raw parquet TIMESTAMP(NANOS) read as long; +30 days of nanos
+    val sentinelTs = maxNanos + 30L * 24 * 3600 * 1000000000L
+    val values: Array[Any] = schema.fields.map(_.name).map {
+      case "event_id" => -1L
+      case "ts" => sentinelTs
+      case "user_id" => -1L
+      case "event_type" => "__sentinel"
+      case "value" => 0.0
+      case _ => null
+    }
+    val sentinelDir = s"/tmp/graft-sentinel/${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+    s.createDataFrame(java.util.Arrays.asList(org.apache.spark.sql.Row(values: _*)), schema)
+      .coalesce(1).write.mode("overwrite").parquet(sentinelDir)
+    val real = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val sentinel = s.readStream.schema(schema).parquet(sentinelDir)
+    real.union(sentinel).withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
   /** Run `df` (a streaming DataFrame) to completion into a memory sink and
     * return the materialized result.
     *

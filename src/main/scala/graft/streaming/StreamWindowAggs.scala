@@ -15,61 +15,71 @@ import org.apache.spark.sql.functions._
   */
 object StreamWindowAggs {
 
-  /** TUMBLE(1 day) per event_type as a streaming query. Complete mode
-    * materializes the full result so the bounded replay equals the batch
-    * answer (append mode would hold back windows the final watermark never
-    * passes — semantically right for unbounded input, wrong for a drain). */
+  /** TUMBLE(1 day) per event_type as a streaming query, APPEND mode: each
+    * window is emitted exactly once when the watermark passes its end, and
+    * its state is evicted — bounded state, no re-materialization (the plan
+    * an unbounded production job runs; complete mode would re-emit the whole
+    * result every batch and retain all windows forever). The far-future
+    * sentinel row closes the final windows for the bounded drain. */
   def tumble(s: SparkSession, dir: String): DataFrame = {
-    val agg = StreamSource.events(s, dir)
+    val agg = StreamSource.eventsWithSentinel(s, dir)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
       .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value"))
       .select(col("w.start").as("w_start"), col("event_type"), col("cnt"), col("sum_value"))
-    StreamSource.runToTable(s, agg, "stream_tumble", "complete")
+    StreamSource.runToTable(s, agg, "stream_tumble", "append")
+      .where(col("event_type") =!= "__sentinel")
       .orderBy("w_start", "event_type")
   }
 
   /** SESSION(gap 1 hour) per user as a streaming query (session_window +
     * watermark; state merges adjacent sessions like the reference's
-    * session assigner + merge callback). */
+    * session assigner + merge callback). Append mode: sessions emit once
+    * closed by the watermark, state evicted. */
   def session(s: SparkSession, dir: String): DataFrame = {
-    val agg = StreamSource.events(s, dir)
+    val agg = StreamSource.eventsWithSentinel(s, dir)
       .withWatermark("ts", "1 hour")
       .groupBy(session_window(col("ts"), "1 hour").as("w"), col("user_id"))
       .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value"))
       .select(col("w.start").as("w_start"), col("w.end").as("w_end"),
         col("user_id"), col("cnt"), col("sum_value"))
-    StreamSource.runToTable(s, agg, "stream_session", "complete")
+    StreamSource.runToTable(s, agg, "stream_session", "append")
+      .where(col("user_id") =!= -1L)
       .orderBy("user_id", "w_start")
   }
 
-  /** HOP(1 day, slide 12h) as a streaming query — each event in 2 windows. */
+  /** HOP(1 day, slide 12h), append mode — each event in 2 windows. */
   def hop(s: SparkSession, dir: String): DataFrame = {
-    val agg = StreamSource.events(s, dir)
+    val agg = StreamSource.eventsWithSentinel(s, dir)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 day", "12 hours").as("w"), col("event_type"))
       .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value"))
       .select(col("w.start").as("w_start"), col("event_type"), col("cnt"), col("sum_value"))
-    StreamSource.runToTable(s, agg, "stream_hop", "complete")
+    StreamSource.runToTable(s, agg, "stream_hop", "append")
+      .where(col("event_type") =!= "__sentinel")
       .orderBy("w_start", "event_type")
   }
 
   /** CUMULATE(1 day, step 6h) as a streaming query: the same sequence+
     * explode expansion as the batch operator feeds a streaming agg — the
     * reference's CumulativeWindowAssigner maps to expansion + windowed
-    * state exactly like HOP does. */
+    * state exactly like HOP does. Append mode over the expanded windows:
+    * emitted when the watermark passes w_end (groupBy includes the
+    * event-time day column so Spark tracks eviction on it). */
   def cumulate(s: SparkSession, dir: String): DataFrame = {
-    val agg = StreamSource.events(s, dir)
+    val agg = StreamSource.eventsWithSentinel(s, dir)
       .withWatermark("ts", "1 hour")
       .withColumn("day", date_trunc("day", col("ts")))
       .withColumn("k0",
         ceil((unix_micros(col("ts")) - unix_micros(col("day"))) / lit(21600000000.0)).cast("int"))
       .withColumn("k", explode(expr("sequence(greatest(k0, 1), 4)")))
-      .groupBy(col("day").as("w_start"),
-        (col("day").cast("long") + col("k") * lit(21600L)).cast("timestamp").as("w_end"),
-        col("event_type"))
+      .groupBy(window(col("ts"), "1 day").as("w"), col("k"), col("event_type"))
       .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value"))
-    StreamSource.runToTable(s, agg, "stream_cumulate", "complete")
+      .select(col("w.start").as("w_start"),
+        (col("w.start").cast("long") + col("k") * lit(21600L)).cast("timestamp").as("w_end"),
+        col("event_type"), col("cnt"), col("sum_value"))
+    StreamSource.runToTable(s, agg, "stream_cumulate", "append")
+      .where(col("event_type") =!= "__sentinel")
       .orderBy("w_start", "w_end", "event_type")
   }
 
