@@ -53,18 +53,34 @@ object Dedup {
   }
 
   /** Exact n-gram Jaccard near-dup pairs via inverted-index join.
-    * Returns (doc_a, doc_b, j) with J >= 0.5. */
+    * Returns (doc_a, doc_b, j) with J >= 0.5.
+    *
+    * Document-frequency cap (mirrors the minhash path's `maxBucket`): a
+    * shingle shared by m docs contributes m^2 rows to the candidate
+    * self-join, so one viral boilerplate shingle at 100 TB would dominate
+    * the job. Shingles with df > 128 are dropped from candidate generation
+    * only — verification computes exact J over the FULL shingle sets, so
+    * any pair that still meets through one rare shingle scores exactly.
+    * Recall-safe for J >= 0.5: such pairs share >= a third of their
+    * shingles, and a pair whose every shared shingle is boilerplate-hot is
+    * pathological (the minhash path covers that regime). */
   def ngramJaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    val dfCap = 128
     val ds = docShingles(s, dir).cache()
     val inv = ds.select(col("doc_id"), explode(col("sh")).as("shingle"))
-    val inter = inv.as("a").join(inv.as("b"),
+    val rare = inv.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df")).where(col("df") <= dfCap)
+      .select(col("shingle"))
+    val capped = inv.join(rare, "shingle")
+    val cand = capped.as("a").join(capped.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-    val sizes = ds.select(col("doc_id"), col("n_sh"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "nb"), "doc_b")
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val withSh = ds.select(col("doc_id"), col("sh"), col("n_sh"))
+    cand
+      .join(withSh.select(col("doc_id").as("doc_a"), col("sh").as("sha"), col("n_sh").as("na")), "doc_a")
+      .join(withSh.select(col("doc_id").as("doc_b"), col("sh").as("shb"), col("n_sh").as("nb")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
       .withColumn("j", round(col("inter").cast("double") /
         (col("na") + col("nb") - col("inter")), 4))
       .where(col("j") >= 0.5)

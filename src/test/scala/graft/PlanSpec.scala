@@ -47,6 +47,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), s"BNL in LSH plan:\n$p")
   }
 
+  test("embedding dedup-keep routes through LSH candidates, no all-pairs join") {
+    val p = plan(Similarity.cosineDedupKeep(spark, sf))
+    assert(!p.contains("CartesianProduct"), s"cartesian in dedup plan:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"all-pairs BNL in dedup plan:\n$p")
+  }
+
+  test("ngram pair generation caps shingle document frequency before the self-join") {
+    val p = plan(Dedup.ngramJaccardPairs(spark, sf))
+    assert(!p.contains("CartesianProduct"), s"cartesian in ngram plan:\n$p")
+    // df-cap aggregation (count per shingle) must appear upstream of the join
+    assert(p.contains("partial_count"), s"no df aggregation in:\n$p")
+  }
+
   test("partitioned write prunes partitions at the scan, not with data filters") {
     val p = plan(operators.ScaleOps.partitionedWrite(spark, sf))
     assert(p.contains("PartitionFilters: [isnotnull(o_orderstatus"),
