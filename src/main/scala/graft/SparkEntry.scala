@@ -87,9 +87,14 @@ object SparkEntry {
     "q_stream_topn"     -> (streaming.StreamQueries.topN _),
     "q_stream_topn_retract" -> (streaming.StreamQueries.topNRetract _),
     "q_stream_over"     -> (streaming.StreamQueries.over _),
+    "q_stream_over_rows_b" -> (streaming.StreamQueries.overRowsBounded _),
+    "q_stream_over_range_b" -> (streaming.StreamQueries.overRangeBounded _),
     "q_stream_changelog" -> (streaming.StreamQueries.changelog _),
     "q_stream_cep"      -> (streaming.StreamQueries.cep _),
     "q_stream_cep_relaxed" -> (streaming.StreamQueries.cepRelaxed _),
+    "q_stream_cep_plus"    -> (streaming.StreamQueries.cepPlus _),
+    "q_stream_cep_plus_rel" -> (streaming.StreamQueries.cepPlusReluctant _),
+    "q_stream_cep_skip_past" -> (streaming.StreamQueries.cepSkipPast _),
     "q_stream_semi_join" -> (streaming.StreamQueries.semiJoin _),
     "q_stream_anti_join" -> (streaming.StreamQueries.antiJoin _),
     "q_stream_count_win" -> (streaming.StreamQueries.countWindow _),

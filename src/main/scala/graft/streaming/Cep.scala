@@ -49,6 +49,127 @@ object Cep {
       }
   }
 
+  /** One quantified pattern step: `pred` must hold for `min`..`max`
+    * consecutive rows; `greedy` tries the longest repetition first,
+    * reluctant (`greedy = false`) the shortest. Ref:
+    * flink-cep cep/pattern/Quantifier.java (times / oneOrMore /
+    * greedy / reluctant properties) compiled by NFACompiler. */
+  case class QStep(pred: Event => Boolean, min: Int, max: Int, greedy: Boolean)
+  object QStep {
+    def once(p: Event => Boolean): QStep = QStep(p, 1, 1, greedy = true)
+    def times(p: Event => Boolean, n: Int): QStep = QStep(p, n, n, greedy = true)
+    def oneOrMore(p: Event => Boolean, greedy: Boolean = true): QStep =
+      QStep(p, 1, Int.MaxValue, greedy)
+    def zeroOrMore(p: Event => Boolean, greedy: Boolean = true): QStep =
+      QStep(p, 0, Int.MaxValue, greedy)
+  }
+
+  case class CepBuffer(rows: Seq[Event])
+
+  private sealed trait Res
+  private case class Found(end: Int, ids: List[Long]) extends Res
+  private case object NoMatch extends Res
+  private case object NeedMore extends Res
+
+  /** MATCH_RECOGNIZE-style quantified pattern matching over the per-key
+    * event-time-ordered row sequence, with AFTER MATCH SKIP policies
+    * (ref NFA.java shared-buffer traversal + AfterMatchSkipStrategy;
+    * SQL surface docs/dev/table/sql/queries.md:366).
+    *
+    * Semantics: at each undecided start row (in order) the quantified
+    * steps match CONSECUTIVE rows (SQL MATCH_RECOGNIZE contiguity) with
+    * backtracking — greedy steps concede repetitions from the longest,
+    * reluctant from the shortest. After a match, `skipPastLastRow`
+    * resumes after the match's last row (non-overlapping matches);
+    * otherwise at start+1 (every start position is tested).
+    *
+    * Streaming: a match attempt that reaches the end of buffered input
+    * while it could still extend parks the key's buffer (NeedMore) —
+    * decided prefixes emit immediately, batch by batch. Pending attempts
+    * finalize when the watermark passes the key's last buffered event by
+    * `quiesceMs` of event time (a session-gap-style bound — the analog of
+    * the reference pruning pending NFA states with the within timer): the
+    * quiet key is treated as ended, the buffer drains, state is freed.
+    * State per key = rows from the first undecided start only. */
+  def matchRecognize(ds: Dataset[Event], steps: Seq[QStep],
+                     skipPastLastRow: Boolean,
+                     quiesceMs: Long = 24L * 3600 * 1000): Dataset[Match] = {
+    import ds.sparkSession.implicits._
+    require(steps.nonEmpty)
+
+    def tryMatch(buf: IndexedSeq[Event], start: Int, atEnd: Boolean): Res = {
+      def go(pos: Int, si: Int, acc: List[Long]): Res = {
+        if (si == steps.length) Found(pos, acc.reverse)
+        else {
+          val st = steps(si)
+          var run = 0
+          while (pos + run < buf.length && run < st.max && st.pred(buf(pos + run))) run += 1
+          // the repetition stopped at buffer end, not at max/pred — more
+          // input could lengthen it, so the attempt is undecidable now
+          if (pos + run >= buf.length && run < st.max && !atEnd) NeedMore
+          else {
+            val counts = if (st.greedy) run to st.min by -1 else st.min to run
+            var res: Res = NoMatch
+            val it = counts.iterator
+            while (res == NoMatch && it.hasNext) {
+              val c = it.next()
+              var acc2 = acc
+              var k = 0
+              while (k < c) { acc2 = buf(pos + k).event_id :: acc2; k += 1 }
+              go(pos + c, si + 1, acc2) match {
+                case f: Found => res = f
+                case NeedMore => res = NeedMore
+                case NoMatch  => ()
+              }
+            }
+            res
+          }
+        }
+      }
+      go(start, 0, Nil)
+    }
+
+    def drain(buf: IndexedSeq[Event], atEnd: Boolean): (List[List[Long]], IndexedSeq[Event]) = {
+      val out = scala.collection.mutable.ListBuffer.empty[List[Long]]
+      var i = 0
+      while (i < buf.length) {
+        tryMatch(buf, i, atEnd) match {
+          case NeedMore        => return (out.toList, buf.drop(i))
+          case NoMatch         => i += 1
+          case Found(end, ids) =>
+            out += ids
+            i = if (skipPastLastRow) math.max(end, i + 1) else i + 1
+        }
+      }
+      (out.toList, IndexedSeq.empty)
+    }
+
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[CepBuffer, Match](
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: Long, rows: Iterator[Event], state: GroupState[CepBuffer]) =>
+          val buf0 = state.getOption.map(_.rows.toIndexedSeq).getOrElse(IndexedSeq.empty)
+          if (state.hasTimedOut) {
+            val (out, _) = drain(buf0, atEnd = true)
+            state.remove()
+            out.iterator.map(ids => Match(key, ids))
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (StatefulOps.micros(e.ts), e.event_id))
+            val all = buf0 ++ sorted
+            val (out, rest) = drain(all, atEnd = false)
+            if (rest.nonEmpty) {
+              state.update(CepBuffer(rest))
+              // flush once the key has been event-time quiet for quiesceMs
+              // (must stay ahead of the current watermark or Spark rejects it)
+              val lastMs = StatefulOps.micros(all.last.ts) / 1000L
+              state.setTimeoutTimestamp(
+                math.max(lastMs + quiesceMs, state.getCurrentWatermarkMs() + 1))
+            } else state.remove()
+            out.iterator.map(ids => Match(key, ids))
+          }
+      }
+  }
+
   /** Relaxed-contiguity NFA (`A followed_by B followed_by C` with a WITHIN
     * window — ref NFA.java relaxed contiguity + Pattern#within): partial
     * matches skip non-matching events; each partial advances on the FIRST

@@ -135,6 +135,58 @@ object StatefulOps {
       }
   }
 
+  case class BoundedAgg(user_id: Long, event_id: Long, w_cnt: Long, w_sum: Double)
+  case class RowsBuf(vals: Seq[Double])
+  case class RangeBuf(rows: Seq[(Long, Double)])
+
+  /** Streaming bounded OVER aggregate, `ROWS BETWEEN n PRECEDING AND
+    * CURRENT ROW`: per-key ring buffer of the previous n values — O(n)
+    * state, one emission per row (ref operators/over/
+    * RowTimeRowsBoundedPrecedingFunction.java:68, which keeps the same
+    * retract-from-left buffer). The window sum is recomputed left-to-right
+    * over the (short) buffer instead of add/retract accumulation so float
+    * results are order-stable against the batch oracle. */
+  def boundedRowsAgg(ds: Dataset[Event], nPreceding: Int): Dataset[BoundedAgg] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[RowsBuf, BoundedAgg](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[Event], state: GroupState[RowsBuf]) =>
+          var buf = state.getOption.map(_.vals.toVector).getOrElse(Vector.empty)
+          val out = rows.toSeq.sortBy(ord).map { e =>
+            val win = (buf :+ e.value).takeRight(nPreceding + 1)
+            buf = win
+            BoundedAgg(key, e.event_id, win.length.toLong, win.sum)
+          }
+          state.update(RowsBuf(buf.takeRight(nPreceding)))
+          out.iterator
+      }
+  }
+
+  /** Streaming bounded OVER aggregate, `RANGE BETWEEN interval PRECEDING
+    * AND CURRENT ROW`: per-key buffer of (event-time, value) pruned below
+    * the sliding horizon — state bounded by the interval's row capacity
+    * (ref operators/over/RowTimeRangeBoundedPrecedingFunction.java:61).
+    * The frame is the processed-prefix order (ties included only up to the
+    * current (ts, event_id)), matching the interval-join oracle. */
+  def boundedRangeAgg(ds: Dataset[Event], precedingMicros: Long): Dataset[BoundedAgg] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[RangeBuf, BoundedAgg](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[Event], state: GroupState[RangeBuf]) =>
+          var buf = state.getOption.map(_.rows.toVector).getOrElse(Vector.empty)
+          val out = rows.toSeq.sortBy(ord).map { e =>
+            val m = micros(e.ts)
+            buf = (buf :+ (m, e.value)).dropWhile(_._1 < m - precedingMicros)
+            BoundedAgg(key, e.event_id, buf.length.toLong,
+              buf.foldLeft(0.0)(_ + _._2))
+          }
+          state.update(RangeBuf(buf))
+          out.iterator
+      }
+  }
+
   /** `seq` is the change's event-time in micros: downstream keyed sinks use
     * (seq, event_id) for an executor-side last-writer-wins merge instead of
     * replaying rows in emission order on the driver. */

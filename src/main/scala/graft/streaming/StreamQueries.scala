@@ -48,6 +48,26 @@ object StreamQueries {
       .orderBy("user_id", "event_id")
   }
 
+  /** Bounded streaming OVER: ROWS BETWEEN 2 PRECEDING AND CURRENT ROW. */
+  def overRowsBounded(s: SparkSession, dir: String): DataFrame = {
+    val out = StatefulOps.boundedRowsAgg(StreamSource.eventsTyped(s, dir), 2).toDF()
+    StreamSource.runToTable(s, out, "stream_over_rows_b", "append")
+      .select(col("user_id"), col("event_id"), col("w_cnt"),
+        round(col("w_sum"), 4).as("w_sum"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Bounded streaming OVER: RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND
+    * CURRENT ROW (frame = processed prefix, ties up to (ts, event_id)). */
+  def overRangeBounded(s: SparkSession, dir: String): DataFrame = {
+    val out = StatefulOps.boundedRangeAgg(StreamSource.eventsTyped(s, dir),
+      3600L * 1000000).toDF()
+    StreamSource.runToTable(s, out, "stream_over_range_b", "append")
+      .select(col("user_id"), col("event_id"), col("w_cnt"),
+        round(col("w_sum"), 4).as("w_sum"))
+      .orderBy("user_id", "event_id")
+  }
+
   def changelog(s: SparkSession, dir: String): DataFrame = {
     val out = StatefulOps.changelogNormalize(StreamSource.eventsTyped(s, dir)).toDF()
     StreamSource.runToTable(s, out, "stream_changelog", "update")
@@ -88,6 +108,50 @@ object StreamQueries {
   def upsert(s: SparkSession, dir: String): DataFrame = {
     val changelog = StatefulOps.changelogNormalize(StreamSource.eventsTyped(s, dir)).toDF()
     UpsertSink.runUpsert(s, changelog, "stream_upsert")
+  }
+
+  /** PATTERN (A+ B) greedy, AFTER MATCH SKIP TO NEXT ROW: A = any
+    * non-error event, B = purchase (B implies A, so the greedy quantifier
+    * concedes repetitions until the LAST purchase inside the A-run). */
+  def cepPlus(s: SparkSession, dir: String): DataFrame = {
+    import StreamSource.Event
+    val a: Event => Boolean = e => e.event_type != "error" && e.event_type != "__sentinel"
+    val b: Event => Boolean = _.event_type == "purchase"
+    val out = Cep.matchRecognize(StreamSource.eventsTypedWithSentinel(s, dir),
+      Seq(Cep.QStep.oneOrMore(a), Cep.QStep.once(b)), skipPastLastRow = false).toDF()
+    StreamSource.runToTable(s, out, "stream_cep_plus", "update")
+      .select(col("user_id"), expr("ids[0]").as("a_id"),
+        expr("element_at(ids, -1)").as("b_id"), (size(col("ids")) - 1).as("n_a"))
+      .orderBy("user_id", "a_id")
+  }
+
+  /** PATTERN (A+? B) — the RELUCTANT quantifier stops at the FIRST
+    * purchase inside the A-run (contrast with cepPlus). */
+  def cepPlusReluctant(s: SparkSession, dir: String): DataFrame = {
+    import StreamSource.Event
+    val a: Event => Boolean = e => e.event_type != "error" && e.event_type != "__sentinel"
+    val b: Event => Boolean = _.event_type == "purchase"
+    val out = Cep.matchRecognize(StreamSource.eventsTypedWithSentinel(s, dir),
+      Seq(Cep.QStep.oneOrMore(a, greedy = false), Cep.QStep.once(b)),
+      skipPastLastRow = false).toDF()
+    StreamSource.runToTable(s, out, "stream_cep_plus_rel", "update")
+      .select(col("user_id"), expr("ids[0]").as("a_id"),
+        expr("element_at(ids, -1)").as("b_id"), (size(col("ids")) - 1).as("n_a"))
+      .orderBy("user_id", "a_id")
+  }
+
+  /** PATTERN (view view) AFTER MATCH SKIP PAST LAST ROW: consecutive
+    * view pairs, non-overlapping — within a run of k views the matcher
+    * pairs rows (1,2), (3,4), ... (skip-to-next-row would emit k-1
+    * overlapping pairs instead). */
+  def cepSkipPast(s: SparkSession, dir: String): DataFrame = {
+    import StreamSource.Event
+    val v: Event => Boolean = _.event_type == "view"
+    val out = Cep.matchRecognize(StreamSource.eventsTypedWithSentinel(s, dir),
+      Seq(Cep.QStep.once(v), Cep.QStep.once(v)), skipPastLastRow = true).toDF()
+    StreamSource.runToTable(s, out, "stream_cep_skip_past", "update")
+      .select(col("user_id"), expr("ids[0]").as("a_id"), expr("ids[1]").as("b_id"))
+      .orderBy("user_id", "a_id")
   }
 
   def cepRelaxed(s: SparkSession, dir: String): DataFrame = {
@@ -132,6 +196,72 @@ object StreamQueries {
   /** DuckDB oracles — batch-SQL statements equivalent to each streaming
     * operator's final drained output. */
   val sql: Map[String, String] = Map(
+    "q_stream_over_rows_b" ->
+      """SELECT user_id, event_id,
+        | count(*) OVER w AS w_cnt,
+        | round(sum(value) OVER w, 4) AS w_sum
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+        |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
+    "q_stream_over_range_b" ->
+      """WITH e AS (SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS t FROM events)
+        |SELECT e.user_id, e.event_id, count(*) AS w_cnt, round(sum(x.value), 4) AS w_sum
+        |FROM e JOIN e x ON x.user_id = e.user_id
+        |  AND x.t >= e.t - INTERVAL 1 HOUR
+        |  AND (x.t < e.t OR (x.t = e.t AND x.event_id <= e.event_id))
+        |GROUP BY e.user_id, e.event_id
+        |ORDER BY e.user_id, e.event_id""".stripMargin,
+    "q_stream_cep_plus" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS t FROM events),
+        |o AS (SELECT user_id, event_id, event_type,
+        |        row_number() OVER (PARTITION BY user_id ORDER BY t, event_id) AS rn,
+        |        CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_err
+        |      FROM e),
+        |g AS (SELECT *, sum(is_err) OVER (PARTITION BY user_id ORDER BY rn) AS grp FROM o),
+        |a AS (SELECT * FROM g WHERE is_err = 0),
+        |s AS (SELECT user_id, grp, rn, event_id,
+        |        max(CASE WHEN event_type = 'purchase' THEN rn END) OVER
+        |          (PARTITION BY user_id, grp ORDER BY rn
+        |           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS j_rn
+        |      FROM a)
+        |SELECT s.user_id, s.event_id AS a_id, b.event_id AS b_id,
+        |       CAST(s.j_rn - s.rn AS INT) AS n_a
+        |FROM s JOIN a b ON b.user_id = s.user_id AND b.rn = s.j_rn
+        |WHERE s.j_rn IS NOT NULL
+        |ORDER BY s.user_id, a_id""".stripMargin,
+    "q_stream_cep_plus_rel" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS t FROM events),
+        |o AS (SELECT user_id, event_id, event_type,
+        |        row_number() OVER (PARTITION BY user_id ORDER BY t, event_id) AS rn,
+        |        CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_err
+        |      FROM e),
+        |g AS (SELECT *, sum(is_err) OVER (PARTITION BY user_id ORDER BY rn) AS grp FROM o),
+        |a AS (SELECT * FROM g WHERE is_err = 0),
+        |s AS (SELECT user_id, grp, rn, event_id,
+        |        min(CASE WHEN event_type = 'purchase' THEN rn END) OVER
+        |          (PARTITION BY user_id, grp ORDER BY rn
+        |           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS j_rn
+        |      FROM a)
+        |SELECT s.user_id, s.event_id AS a_id, b.event_id AS b_id,
+        |       CAST(s.j_rn - s.rn AS INT) AS n_a
+        |FROM s JOIN a b ON b.user_id = s.user_id AND b.rn = s.j_rn
+        |WHERE s.j_rn IS NOT NULL
+        |ORDER BY s.user_id, a_id""".stripMargin,
+    "q_stream_cep_skip_past" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS t FROM events),
+        |o AS (SELECT user_id, event_id,
+        |        row_number() OVER (PARTITION BY user_id ORDER BY t, event_id) AS rn,
+        |        CASE WHEN event_type = 'view' THEN 0 ELSE 1 END AS not_v
+        |      FROM e),
+        |g AS (SELECT *, sum(not_v) OVER (PARTITION BY user_id ORDER BY rn) AS grp FROM o),
+        |v AS (SELECT user_id, grp, rn, event_id,
+        |        row_number() OVER (PARTITION BY user_id, grp ORDER BY rn) AS k
+        |      FROM g WHERE not_v = 0)
+        |SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id
+        |FROM v a JOIN v b ON b.user_id = a.user_id AND b.grp = a.grp AND b.k = a.k + 1
+        |WHERE a.k % 2 = 1
+        |ORDER BY a.user_id, a_id""".stripMargin,
     "q_stream_hop" ->
       """WITH e AS (SELECT event_type, value,
         |  make_timestamp((epoch_us(CAST(ts AS TIMESTAMP)) // 43200000000) * 43200000000) AS s0

@@ -73,6 +73,17 @@ object StreamSource {
     real.union(sentinel).withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
+  /** Typed sentinel stream with a 1-hour watermark: stateful operators
+    * using EventTimeTimeout flush their buffers when the sentinel drives
+    * the watermark past end-of-data. The sentinel row itself only reaches
+    * key -1's group (and matches no real predicate). */
+  def eventsTypedWithSentinel(s: SparkSession, dir: String): Dataset[Event] = {
+    import s.implicits._
+    eventsWithSentinel(s, dir)
+      .withWatermark("ts", "1 hour")
+      .select("event_id", "ts", "user_id", "event_type", "value").as[Event]
+  }
+
   /** Run `df` (a streaming DataFrame) to completion into a memory sink and
     * return the materialized result.
     *

@@ -167,6 +167,52 @@ class StreamingSpec extends SparkSpec {
     stop()
   }
 
+  test("matchRecognize quantifiers: greedy takes the last B in the run, reluctant the first") {
+    val a: Event => Boolean = _.event_type != "error"
+    val b: Event => Boolean = _.event_type == "purchase"
+    for ((greedy, name, expectB) <- Seq((true, "t_mr_greedy", 5L), (false, "t_mr_rel", 3L))) {
+      val (feed, drain, stop) = harness[Cep.Match](ds =>
+        Cep.matchRecognize(ds.withWatermark("ts", "0 seconds"),
+          Seq(Cep.QStep.oneOrMore(a, greedy), Cep.QStep.once(b)),
+          skipPastLastRow = false, quiesceMs = 60L * 60000), name)
+      // batch 1 ends mid-run: A+ could still extend, nothing may emit yet
+      feed(Seq(ev(1, 10, 5, "view", 0), ev(2, 11, 5, "view", 0), ev(3, 12, 5, "purchase", 0)))
+      assert(drain().isEmpty, s"$name emitted before the run was decided")
+      // batch 2 closes the run with an error; matches decide without timeout
+      feed(Seq(ev(4, 13, 5, "click", 0), ev(5, 14, 5, "purchase", 0), ev(6, 15, 5, "error", 0)))
+      val m = drain().sortBy(_.ids.head)
+      // starts 1..4 all match; greedy binds B to the LAST purchase (5),
+      // reluctant to the FIRST reachable one (3 for starts 1-2, 5 after)
+      assert(m.map(_.ids.head) === Seq(1L, 2L, 3L, 4L), s"$name starts: $m")
+      assert(m.head.ids.last === expectB, s"$name bound B to ${m.head.ids.last}")
+      if (greedy) assert(m.map(_.ids) === Seq(
+        Seq(1L, 2L, 3L, 4L, 5L), Seq(2L, 3L, 4L, 5L), Seq(3L, 4L, 5L), Seq(4L, 5L)))
+      else assert(m.map(_.ids) === Seq(
+        Seq(1L, 2L, 3L), Seq(2L, 3L), Seq(3L, 4L, 5L), Seq(4L, 5L)))
+      stop()
+    }
+  }
+
+  test("matchRecognize skip-past-last-row pairs a view run without overlap; quiesce flushes the tail") {
+    val v: Event => Boolean = _.event_type == "view"
+    val (feed, drain, stop) = harness[Cep.Match](ds =>
+      Cep.matchRecognize(ds.withWatermark("ts", "0 seconds"),
+        Seq(Cep.QStep.once(v), Cep.QStep.once(v)), skipPastLastRow = true,
+        quiesceMs = 60L * 60000), "t_mr_skip")
+    // run of 5 views: non-overlapping pairs (1,2) and (3,4); 5 stays pending
+    feed(Seq(ev(1, 10, 5, "view", 0), ev(2, 11, 5, "view", 0), ev(3, 12, 5, "view", 0),
+      ev(4, 13, 5, "view", 0), ev(5, 14, 5, "view", 0)))
+    assert(drain().map(_.ids) === Seq(Seq(1L, 2L), Seq(3L, 4L)))
+    // another user's far-future event drives the watermark past key 5's
+    // quiesce horizon -> its pending single view finalizes to no-match
+    feed(Seq(ev(99, 10000, 9, "view", 0)))
+    assert(drain().isEmpty)
+    // a fresh pair for user 5 after the flush starts a clean buffer
+    feed(Seq(ev(6, 10001, 5, "view", 0), ev(7, 10002, 5, "view", 0), ev(8, 10003, 5, "error", 0)))
+    assert(drain().map(_.ids) === Seq(Seq(6L, 7L)))
+    stop()
+  }
+
   test("upsert sink applies +I/+U and -D across batches") {
     import graft.streaming.{StatefulOps, UpsertSink}
     implicit val sqlCtx = spark.sqlContext
