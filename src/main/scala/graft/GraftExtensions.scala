@@ -37,5 +37,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     fn("hash_code", classOf[HashCodeExpr], es => HashCodeExpr(es.head))
     fn("sum0", classOf[Sum0], es => Sum0(es.head).toAggregateExpression())
     e.injectPlannerStrategy(_ => graft.plans.AsOfStrategy)
+    // SQL-pattern recognition: ROW_NUMBER-over-versions as-of shape →
+    // AsOfJoinPlan (ref LogicalCorrelateToJoinFromTemporalTableRule)
+    e.injectOptimizerRule(_ => graft.plans.AsOfPatternRule)
   }
 }

@@ -97,7 +97,11 @@ object SparkEntry {
     "q_stream_cep_skip_past" -> (streaming.StreamQueries.cepSkipPast _),
     "q_stream_semi_join" -> (streaming.StreamQueries.semiJoin _),
     "q_stream_anti_join" -> (streaming.StreamQueries.antiJoin _),
+    "q_stream_outer_join" -> (streaming.StreamQueries.outerJoin _),
     "q_stream_count_win" -> (streaming.StreamQueries.countWindow _),
+    "q_stream_count_slide" -> (streaming.StreamQueries.countSlideWindow _),
+    "q_stream_tumble_late" -> (streaming.StreamQueries.tumbleLate _),
+    "q_stream_evictor"  -> (streaming.StreamQueries.tumbleEvictor _),
     "q_stream_hop"      -> (streaming.StreamWindowAggs.hop _),
     "q_stream_cumulate" -> (streaming.StreamWindowAggs.cumulate _),
     "q_stream_upsert"   -> (streaming.StreamQueries.upsert _),
@@ -122,6 +126,7 @@ object SparkEntry {
     "q_tpch_q14"        -> (SqlSurface.tpchQuery("q_tpch_q14") _),
     "q_tpch_q18"        -> (SqlSurface.tpchQuery("q_tpch_q18") _),
     "q_sql_topn_pattern" -> (SqlSurface.tpchQuery("q_sql_topn_pattern") _),
+    "q_sql_asof_pattern" -> (SqlSurface.asofPattern _),
     "q_sql_dedup_pattern" -> (SqlSurface.tpchQuery("q_sql_dedup_pattern") _),
     "q_part_prune"      -> (ScaleOps.partitionedWrite _),
     "q_join_salted"     -> (ScaleOps.saltedJoin(_, _)),

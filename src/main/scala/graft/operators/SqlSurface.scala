@@ -123,8 +123,41 @@ object SqlSurface {
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
   )
 
+  /** The as-of SQL idiom (purchase joined to its latest preceding view):
+    * AsOfPatternRule rewrites this text onto AsOfJoinPlan — the plan runs
+    * the single-pass merge/broadcast exec, not a per-probe version blowup
+    * + window rank. Identical text (modulo ts cast) is the DuckDB oracle. */
+  val asofPatternSql: String =
+    """SELECT user_id, p_id, p_ts, v_id FROM (
+      | SELECT p.user_id, p.event_id AS p_id, p.ts AS p_ts, v.event_id AS v_id,
+      |  row_number() OVER (PARTITION BY p.event_id ORDER BY v.ts DESC) AS rn
+      | FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase') p
+      | JOIN (SELECT user_id AS v_user, event_id, ts FROM events WHERE event_type = 'view') v
+      |  ON p.user_id = v.v_user AND v.ts <= p.ts
+      |) WHERE rn = 1 ORDER BY user_id, p_id""".stripMargin
+
+  def asofPattern(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    import graft.plans.{AsOfPatternRule, AsOfStrategy}
+    if (!s.experimental.extraOptimizations.contains(AsOfPatternRule))
+      s.experimental.extraOptimizations = s.experimental.extraOptimizations :+ AsOfPatternRule
+    if (!s.experimental.extraStrategies.contains(AsOfStrategy))
+      s.experimental.extraStrategies = s.experimental.extraStrategies :+ AsOfStrategy
+    s.sql(asofPatternSql)
+  }
+
   val sql: Map[String, String] = Map(
     "q_sql_q3" -> q3Sql,
     "q_sql_subquery" -> subquerySql,
+    "q_sql_asof_pattern" ->
+      """SELECT user_id, p_id, p_ts, v_id FROM (
+        | SELECT p.user_id, p.event_id AS p_id, p.t AS p_ts, v.event_id AS v_id,
+        |  row_number() OVER (PARTITION BY p.event_id ORDER BY v.t DESC) AS rn
+        | FROM (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS t FROM events
+        |       WHERE event_type = 'purchase') p
+        | JOIN (SELECT user_id AS v_user, event_id, CAST(ts AS TIMESTAMP) AS t FROM events
+        |       WHERE event_type = 'view') v
+        |  ON p.user_id = v.v_user AND v.t <= p.t
+        |) WHERE rn = 1 ORDER BY user_id, p_id""".stripMargin,
   ) ++ tpch ++ patterns
 }

@@ -93,7 +93,23 @@ object Cep {
     * State per key = rows from the first undecided start only. */
   def matchRecognize(ds: Dataset[Event], steps: Seq[QStep],
                      skipPastLastRow: Boolean,
-                     quiesceMs: Long = 24L * 3600 * 1000): Dataset[Match] = {
+                     quiesceMs: Long = 24L * 3600 * 1000): Dataset[Match] =
+    matcher(ds, steps, skipPastLastRow, quiesceMs, eventTimeFlush = true)
+
+  /** Variant for composing AFTER another stateful operator (sortedEvents):
+    * downstream of a sorter there is no watermarked column left to hang an
+    * EventTimeTimeout on (re-tagging one would make the engine drop the
+    * sorter's releases as late), so this runs without the quiesce flush —
+    * decided matches still emit batch-by-batch; trailing undecided
+    * attempts stay parked (drive stream end with a pattern-breaking row
+    * per key, or use the timeout variant on in-order input). */
+  def matchRecognizeOrdered(ds: Dataset[Event], steps: Seq[QStep],
+                            skipPastLastRow: Boolean): Dataset[Match] =
+    matcher(ds, steps, skipPastLastRow, 0L, eventTimeFlush = false)
+
+  private def matcher(ds: Dataset[Event], steps: Seq[QStep],
+                      skipPastLastRow: Boolean, quiesceMs: Long,
+                      eventTimeFlush: Boolean): Dataset[Match] = {
     import ds.sparkSession.implicits._
     require(steps.nonEmpty)
 
@@ -144,9 +160,14 @@ object Cep {
       (out.toList, IndexedSeq.empty)
     }
 
+    // Append: every match emits exactly once and is never revised — which
+    // also lets the matcher chain AFTER another stateful operator
+    // (sortedEvents) in one query, Spark requires all-append for that
+    val timeoutConf = if (eventTimeFlush) GroupStateTimeout.EventTimeTimeout()
+                      else GroupStateTimeout.NoTimeout()
     ds.groupByKey(_.user_id)
       .flatMapGroupsWithState[CepBuffer, Match](
-        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
+        OutputMode.Append(), timeoutConf) {
         (key: Long, rows: Iterator[Event], state: GroupState[CepBuffer]) =>
           val buf0 = state.getOption.map(_.rows.toIndexedSeq).getOrElse(IndexedSeq.empty)
           if (state.hasTimedOut) {
@@ -161,9 +182,11 @@ object Cep {
               state.update(CepBuffer(rest))
               // flush once the key has been event-time quiet for quiesceMs
               // (must stay ahead of the current watermark or Spark rejects it)
-              val lastMs = StatefulOps.micros(all.last.ts) / 1000L
-              state.setTimeoutTimestamp(
-                math.max(lastMs + quiesceMs, state.getCurrentWatermarkMs() + 1))
+              if (eventTimeFlush) {
+                val lastMs = StatefulOps.micros(all.last.ts) / 1000L
+                state.setTimeoutTimestamp(
+                  math.max(lastMs + quiesceMs, state.getCurrentWatermarkMs() + 1))
+              }
             } else state.remove()
             out.iterator.map(ids => Match(key, ids))
           }

@@ -83,6 +83,45 @@ object StreamJoins {
       }
   }
 
+  case class OuterOut(user_id: Long, p_id: Long, v_id: Option[Long], rowkind: String)
+  case class OuterState(builds: List[Long], probes: List[Long])
+
+  /** Streaming LEFT OUTER join with null-padding revision (ref
+    * operators/join/stream/StreamingJoinOperator.java:38 outer paths): a
+    * probe with no build match emits +I (p, NULL) immediately; the FIRST
+    * build row for the key retracts every null-padded probe (-D) and
+    * re-emits them paired (+I); later rows pair eagerly. Consumers fold
+    * net>0 per (key, p_id, v_id) — the folded table equals the batch LEFT
+    * JOIN. State = all build+probe ids per key, the same unbounded bound
+    * as Spark's own un-watermarked stream-stream join (production bounds
+    * it with the event-time interval variant, q_stream_interval_join). */
+  def leftOuterJoin(ds: Dataset[Event], probeType: String,
+                    buildType: String): Dataset[OuterOut] = {
+    import ds.sparkSession.implicits._
+    ds.filter(e => e.event_type == probeType || e.event_type == buildType)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OuterState, OuterOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[Event], state: GroupState[OuterState]) =>
+          var st = state.getOption.getOrElse(OuterState(Nil, Nil))
+          val out = scala.collection.mutable.ArrayBuffer.empty[OuterOut]
+          rows.foreach { e =>
+            if (e.event_type == buildType) {
+              if (st.builds.isEmpty)
+                st.probes.foreach(p => out += OuterOut(key, p, None, "-D"))
+              st.probes.foreach(p => out += OuterOut(key, p, Some(e.event_id), "+I"))
+              st = st.copy(builds = e.event_id :: st.builds)
+            } else {
+              if (st.builds.isEmpty) out += OuterOut(key, e.event_id, None, "+I")
+              else st.builds.foreach(b => out += OuterOut(key, e.event_id, Some(b), "+I"))
+              st = st.copy(probes = e.event_id :: st.probes)
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   case class CountWin(user_id: Long, win_id: Long, cnt: Long, sum_value: Double)
   case class CountWinState(winId: Long, cnt: Long, sum: Double)
 

@@ -119,7 +119,7 @@ object StreamQueries {
     val b: Event => Boolean = _.event_type == "purchase"
     val out = Cep.matchRecognize(StreamSource.eventsTypedWithSentinel(s, dir),
       Seq(Cep.QStep.oneOrMore(a), Cep.QStep.once(b)), skipPastLastRow = false).toDF()
-    StreamSource.runToTable(s, out, "stream_cep_plus", "update")
+    StreamSource.runToTable(s, out, "stream_cep_plus", "append")
       .select(col("user_id"), expr("ids[0]").as("a_id"),
         expr("element_at(ids, -1)").as("b_id"), (size(col("ids")) - 1).as("n_a"))
       .orderBy("user_id", "a_id")
@@ -134,7 +134,7 @@ object StreamQueries {
     val out = Cep.matchRecognize(StreamSource.eventsTypedWithSentinel(s, dir),
       Seq(Cep.QStep.oneOrMore(a, greedy = false), Cep.QStep.once(b)),
       skipPastLastRow = false).toDF()
-    StreamSource.runToTable(s, out, "stream_cep_plus_rel", "update")
+    StreamSource.runToTable(s, out, "stream_cep_plus_rel", "append")
       .select(col("user_id"), expr("ids[0]").as("a_id"),
         expr("element_at(ids, -1)").as("b_id"), (size(col("ids")) - 1).as("n_a"))
       .orderBy("user_id", "a_id")
@@ -149,7 +149,7 @@ object StreamQueries {
     val v: Event => Boolean = _.event_type == "view"
     val out = Cep.matchRecognize(StreamSource.eventsTypedWithSentinel(s, dir),
       Seq(Cep.QStep.once(v), Cep.QStep.once(v)), skipPastLastRow = true).toDF()
-    StreamSource.runToTable(s, out, "stream_cep_skip_past", "update")
+    StreamSource.runToTable(s, out, "stream_cep_skip_past", "append")
       .select(col("user_id"), expr("ids[0]").as("a_id"), expr("ids[1]").as("b_id"))
       .orderBy("user_id", "a_id")
   }
@@ -185,6 +185,55 @@ object StreamQueries {
       .orderBy("user_id", "p_id")
   }
 
+  /** Count-SLIDING window (size 4, slide 2). */
+  def countSlideWindow(s: SparkSession, dir: String): DataFrame = {
+    val out = WindowExtras.countSliding(StreamSource.eventsTyped(s, dir), 4, 2).toDF()
+    StreamSource.runToTable(s, out, "stream_count_slide", "append")
+      .select(col("user_id"), col("win_id"), col("cnt"),
+        round(col("sum_value"), 2).as("sum_value"))
+      .orderBy("user_id", "win_id")
+  }
+
+  /** Daily tumble with allowed lateness 1h + late side output; the bounded
+    * replay is all on-time, so the primary firings equal the plain tumble
+    * (lateness/refire/side-output semantics are pinned by the
+    * WindowExtrasSpec multi-batch tests). */
+  def tumbleLate(s: SparkSession, dir: String): DataFrame = {
+    // watermark delay = lateness + slack so late rows reach the operator
+    // (see WindowExtras.tumbleLateness scaladoc)
+    val out = WindowExtras.tumbleLateness(
+      StreamSource.eventsTypedWithSentinel(s, dir, "2 hours"),
+      86400L * 1000000, 3600L * 1000000).toDF()
+    StreamSource.runToTable(s, out, "stream_tumble_late", "update")
+      .where(col("kind") === "fire" && col("event_type") =!= "__sentinel")
+      .select(col("w_start"), col("event_type"), col("cnt"),
+        round(col("sum_value"), 2).as("sum_value"))
+      .orderBy("w_start", "event_type")
+  }
+
+  /** Daily tumble per user with a count evictor keeping the last 3 rows. */
+  def tumbleEvictor(s: SparkSession, dir: String): DataFrame = {
+    val out = WindowExtras.tumbleCountEvictor(StreamSource.eventsTypedWithSentinel(s, dir),
+      86400L * 1000000, 3).toDF()
+    StreamSource.runToTable(s, out, "stream_evictor", "update")
+      .where(col("user_id") =!= -1L)
+      .select(col("w_start"), col("user_id"), col("cnt"),
+        round(col("sum_value"), 2).as("sum_value"))
+      .orderBy("user_id", "w_start")
+  }
+
+  /** Left outer join changelog folded to the final row set (net>0). */
+  def outerJoin(s: SparkSession, dir: String): DataFrame = {
+    val out = StreamJoins.leftOuterJoin(StreamSource.eventsTyped(s, dir),
+      "purchase", "view").toDF()
+    StreamSource.runToTable(s, out, "stream_outer_join", "update")
+      .groupBy(col("user_id"), col("p_id"), col("v_id"))
+      .agg(sum(when(col("rowkind") === "+I", 1).otherwise(-1)).as("net"))
+      .where(col("net") > 0)
+      .select(col("user_id"), col("p_id"), col("v_id"))
+      .orderBy("user_id", "p_id", "v_id")
+  }
+
   def countWindow(s: SparkSession, dir: String): DataFrame = {
     val out = StreamJoins.countTumbling(StreamSource.eventsTyped(s, dir), 5).toDF()
     StreamSource.runToTable(s, out, "stream_count_win", "append")
@@ -196,6 +245,34 @@ object StreamQueries {
   /** DuckDB oracles — batch-SQL statements equivalent to each streaming
     * operator's final drained output. */
   val sql: Map[String, String] = Map(
+    "q_stream_outer_join" ->
+      """SELECT p.user_id, p.event_id AS p_id, v.event_id AS v_id
+        |FROM (SELECT user_id, event_id FROM events WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT user_id, event_id FROM events WHERE event_type = 'view') v
+        |  ON v.user_id = p.user_id
+        |ORDER BY p.user_id, p_id, v_id NULLS FIRST""".stripMargin,
+    "q_stream_count_slide" ->
+      """WITH o AS (SELECT user_id, value,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY CAST(ts AS TIMESTAMP), event_id) - 1 AS rn FROM events),
+        |x AS (SELECT user_id, value,
+        |  unnest(range(greatest(CAST(ceil((rn - 3) / 2.0) AS BIGINT), 0), rn // 2 + 1)) AS win_id
+        | FROM o)
+        |SELECT user_id, win_id, count(*) AS cnt, round(sum(value), 2) AS sum_value
+        |FROM x GROUP BY user_id, win_id HAVING count(*) = 4
+        |ORDER BY user_id, win_id""".stripMargin,
+    "q_stream_tumble_late" ->
+      """SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS w_start, event_type,
+        | count(*) AS cnt, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_stream_evictor" ->
+      """WITH e AS (SELECT user_id, value, event_id, CAST(ts AS TIMESTAMP) AS t,
+        |  date_trunc('day', CAST(ts AS TIMESTAMP)) AS day FROM events),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id, day
+        |        ORDER BY t DESC, event_id DESC) AS rk FROM e)
+        |SELECT day AS w_start, user_id, count(*) AS cnt, round(sum(value), 2) AS sum_value
+        |FROM r WHERE rk <= 3 GROUP BY day, user_id
+        |ORDER BY user_id, w_start""".stripMargin,
     "q_stream_over_rows_b" ->
       """SELECT user_id, event_id,
         | count(*) OVER w AS w_cnt,

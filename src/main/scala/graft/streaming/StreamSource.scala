@@ -77,10 +77,11 @@ object StreamSource {
     * using EventTimeTimeout flush their buffers when the sentinel drives
     * the watermark past end-of-data. The sentinel row itself only reaches
     * key -1's group (and matches no real predicate). */
-  def eventsTypedWithSentinel(s: SparkSession, dir: String): Dataset[Event] = {
+  def eventsTypedWithSentinel(s: SparkSession, dir: String,
+                              delay: String = "1 hour"): Dataset[Event] = {
     import s.implicits._
     eventsWithSentinel(s, dir)
-      .withWatermark("ts", "1 hour")
+      .withWatermark("ts", delay)
       .select("event_id", "ts", "user_id", "event_type", "value").as[Event]
   }
 

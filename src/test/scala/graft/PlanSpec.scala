@@ -60,6 +60,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count"), s"no df aggregation in:\n$p")
   }
 
+  test("raw SQL as-of idiom plans as AsOfJoin exec, not window-over-versions") {
+    val df = operators.SqlSurface.asofPattern(spark, sf)
+    val p = plan(df)
+    assert(p.contains("AsOfJoin"), s"rule did not fire; plan:\n$p")
+    assert(!p.contains("RunningWindowFunction") && !p.contains("Window "),
+      s"version-ranking window still present:\n$p")
+    // untouched control: the single-table dedup pattern must keep Spark's
+    // native window path (the rule must not fire without an as-of join)
+    graft.Tables.registerAll(spark, sf)
+    val ctl = spark.sql(operators.SqlSurface.patterns("q_sql_dedup_pattern"))
+    assert(plan(ctl).contains("Window"), "dedup pattern lost its window plan")
+  }
+
   test("partitioned write prunes partitions at the scan, not with data filters") {
     val p = plan(operators.ScaleOps.partitionedWrite(spark, sf))
     assert(p.contains("PartitionFilters: [isnotnull(o_orderstatus"),

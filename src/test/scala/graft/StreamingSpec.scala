@@ -174,7 +174,7 @@ class StreamingSpec extends SparkSpec {
       val (feed, drain, stop) = harness[Cep.Match](ds =>
         Cep.matchRecognize(ds.withWatermark("ts", "0 seconds"),
           Seq(Cep.QStep.oneOrMore(a, greedy), Cep.QStep.once(b)),
-          skipPastLastRow = false, quiesceMs = 60L * 60000), name)
+          skipPastLastRow = false, quiesceMs = 60L * 60000), name, "append")
       // batch 1 ends mid-run: A+ could still extend, nothing may emit yet
       feed(Seq(ev(1, 10, 5, "view", 0), ev(2, 11, 5, "view", 0), ev(3, 12, 5, "purchase", 0)))
       assert(drain().isEmpty, s"$name emitted before the run was decided")
@@ -198,7 +198,7 @@ class StreamingSpec extends SparkSpec {
     val (feed, drain, stop) = harness[Cep.Match](ds =>
       Cep.matchRecognize(ds.withWatermark("ts", "0 seconds"),
         Seq(Cep.QStep.once(v), Cep.QStep.once(v)), skipPastLastRow = true,
-        quiesceMs = 60L * 60000), "t_mr_skip")
+        quiesceMs = 60L * 60000), "t_mr_skip", "append")
     // run of 5 views: non-overlapping pairs (1,2) and (3,4); 5 stays pending
     feed(Seq(ev(1, 10, 5, "view", 0), ev(2, 11, 5, "view", 0), ev(3, 12, 5, "view", 0),
       ev(4, 13, 5, "view", 0), ev(5, 14, 5, "view", 0)))
@@ -228,6 +228,65 @@ class StreamingSpec extends SparkSpec {
     val out = UpsertSink.runUpsert(spark, input.toDS().toDF(), "t_upsert")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out === Map(1L -> 11L)) // key 1 updated to 11, key 2 deleted
+  }
+
+  test("left outer join pads, retracts on first build, pairs eagerly after") {
+    import graft.streaming.StreamJoins
+    val (feed, drain, stop) = harness(
+      StreamJoins.leftOuterJoin(_, "purchase", "view"), "t_outer")
+    feed(Seq(ev(1, 10, 7, "purchase", 0)))
+    assert(drain().map(o => (o.p_id, o.v_id, o.rowkind)) === Seq((1L, None, "+I")))
+    feed(Seq(ev(2, 20, 7, "view", 0))) // retract the pad, emit the pair
+    assert(drain().map(o => (o.p_id, o.v_id, o.rowkind)) ===
+      Seq((1L, None, "-D"), (1L, Some(2L), "+I")))
+    feed(Seq(ev(3, 30, 7, "purchase", 0))) // pairs directly, no pad
+    assert(drain().map(o => (o.p_id, o.v_id, o.rowkind)) === Seq((3L, Some(2L), "+I")))
+    stop()
+  }
+
+  test("sortedEvents upgrades runningAgg to out-of-order safety (flagged composition)") {
+    // Chained stateful operators trip Spark's global-watermark correctness
+    // heuristic (the sorter intentionally emits rows AT the watermark).
+    // The downstream op is watermark-agnostic (NoTimeout, no event-time
+    // filter), so the sanctioned escape hatch is safe here.
+    spark.conf.set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+    // out-of-order multi-batch feed: batch 2 delivers an EARLIER row than
+    // batch 1's within the sort delay; the composed pipeline must produce
+    // the same running sums as an in-order feed
+    val composed: Dataset[Event] => Dataset[StatefulOps.Running] =
+      ds => StatefulOps.runningAgg(StatefulOps.sortedEvents(ds, "10 minutes"))
+    val (feed, drain, stop) = harness(composed, "t_ooo_run", "append")
+    feed(Seq(ev(2, 12, 7, "view", 2.0)))
+    feed(Seq(ev(1, 10, 7, "view", 1.0))) // earlier than event 2, later batch
+    assert(drain().isEmpty) // watermark (12:00-10min) passed neither row
+    // advance the watermark beyond both rows (other key, far future)
+    feed(Seq(ev(99, 100, 9, "view", 0.0)))
+    val out = drain().filter(_.user_id == 7L)
+    // event-time order restored: event 1 first (sum 1), then event 2 (sum 3)
+    assert(out.map(r => (r.event_id, r.run_cnt, r.run_sum)) ===
+      Seq((1L, 1L, 1.0), (2L, 2L, 3.0)))
+    stop()
+  }
+
+  test("sortedEvents + matchRecognize matches an out-of-order-fed pattern in event-time order") {
+    import graft.streaming.Cep
+    val v: Event => Boolean = _.event_type == "view"
+    val p: Event => Boolean = _.event_type == "purchase"
+    spark.conf.set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+    // the Ordered variant: no re-watermark after the sorter (re-tagging ts
+    // would make the engine drop the sorter's releases as late rows)
+    val composed: Dataset[Event] => Dataset[Cep.Match] = ds =>
+      Cep.matchRecognizeOrdered(
+        StatefulOps.sortedEvents(ds, "10 minutes"),
+        Seq(Cep.QStep.once(v), Cep.QStep.once(p)), skipPastLastRow = false)
+    val (feed, drain, stop) = harness(composed, "t_ooo_cep", "append")
+    // arrival order purchase-then-view; event-time order view(1) purchase(2)
+    feed(Seq(ev(2, 12, 7, "purchase", 0)))
+    feed(Seq(ev(1, 10, 7, "view", 0)))
+    feed(Seq(ev(99, 100, 9, "view", 0.0))) // watermark past both + quiesce
+    val m = drain().filter(_.user_id == 7L)
+    assert(m.map(_.ids) === Seq(Seq(1L, 2L)))
+    stop()
   }
 
   test("temporalSort holds rows until watermark passes, then emits in order") {
