@@ -51,6 +51,18 @@ object SparkEntry {
     "q_over_range"      -> (BatchRelational.overRange _),
     "q_unnest_words"    -> (BatchRelational.unnestWords _),
     "q_values"          -> (BatchRelational.valuesScan _),
+    "q_cogroup"         -> (BatchRelational.coGroup _),
+    "q_descriptor_dedup" -> ((s, dir) => {
+      import graft.sources.{Descriptors, TableDescriptor}
+      val d = TableDescriptor("events_desc", s"$dir/events.parquet",
+        primaryKey = Seq("user_id"), watermarkCol = Some("ts"), tsNanosAsLong = true)
+      Descriptors.dedupByPk(s, d, tieBreak = Seq("event_id"))
+        .select(org.apache.spark.sql.functions.col("user_id"),
+          org.apache.spark.sql.functions.col("event_id"),
+          org.apache.spark.sql.functions.col("event_type"))
+        .orderBy("user_id")
+    }),
+    "q_stream_drop_before" -> (streaming.StreamQueries.dropUpdateBefore _),
     "q_fn_string"       -> (ScalarFuncs.strings _),
     "q_fn_math"         -> (ScalarFuncs.math _),
     "q_fn_datetime"     -> (ScalarFuncs.datetime _),
@@ -306,6 +318,18 @@ object SparkEntry {
         |GROUP BY word ORDER BY word""".stripMargin,
     "q_values" ->
       """SELECT * FROM (VALUES (1,'a'),(2,'b'),(3,'c')) AS t(id, tag) ORDER BY id""",
+    "q_cogroup" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders,
+        | CAST(coalesce(sum(CASE WHEN o_totalprice > c_acctbal * 50 THEN 1 END), 0) AS BIGINT) AS n_above,
+        | round(coalesce(sum(o_totalprice), 0), 2) AS total
+        |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "q_descriptor_dedup" ->
+      """SELECT user_id, event_id, event_type FROM (
+        | SELECT user_id, event_id, event_type,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+        | FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "q_fn_string" ->
       """SELECT p_partkey,
         | upper(p_name) AS up, lower(p_brand) AS lo,

@@ -326,4 +326,33 @@ object BatchRelational {
     import s.implicits._
     Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "tag").orderBy("id")
   }
+
+  /** Typed coGroup (§2.3 row 19; ref DataStream.coGroup / CoGroupFunction):
+    * both sides' rows for a key arrive as two iterators in one function —
+    * here customers × their orders, emitting per-customer order stats that
+    * need BOTH iterators at once (count above the customer's own balance).
+    * Physically one co-partitioned shuffle per side, like the reference's
+    * CoGroupOperator. */
+  def coGroup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    case class CustRow(c_custkey: Long, c_acctbal: Double)
+    case class OrdRow(o_custkey: Long, o_totalprice: Double)
+    val cust = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_acctbal")).as[(Long, Double)]
+    val ords = t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_totalprice")).as[(Long, Double)]
+    cust.groupByKey(_._1).cogroup(ords.groupByKey(_._1)) {
+      (key, cs, os) =>
+        val c = cs.toSeq
+        if (c.isEmpty) Iterator.empty // orders with no customer: drop
+        else {
+          val bal = c.head._2
+          val prices = os.map(_._2).toSeq
+          Iterator.single((key, prices.length.toLong,
+            prices.count(_ > bal * 50).toLong,
+            math.rint(prices.sum * 100) / 100))
+        }
+    }.toDF("c_custkey", "n_orders", "n_above", "total")
+      .orderBy("c_custkey")
+  }
 }

@@ -39,16 +39,17 @@ object Graph {
         .join(labels.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("label")).as("nbr_label"))
+      // carry the changed flag inside the checkpointed frame: the
+      // convergence count is then a scan of materialized partitions, not
+      // an extra join+shuffle against the previous round
       val next = labels
         .join(nbrMin, Seq("id"), "left")
         .select(col("id"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
+          (least(col("label"), coalesce(col("nbr_label"), col("label"))) =!= col("label")).as("chg"))
         .localCheckpoint(true)
-      val changed = next.as("n")
-        .join(labels.as("o"), "id")
-        .where(col("n.label") =!= col("o.label"))
-        .count()
-      labels = next
+      val changed = next.where(col("chg")).count()
+      labels = next.select(col("id"), col("label"))
       done = changed == 0
       iter += 1
     }
@@ -73,15 +74,16 @@ object Graph {
       .localCheckpoint(true)
     var labels = vertices.select(col("id"), col("id").as("label"))
       .localCheckpoint(true)
-    val w = Window.partitionBy(col("id")).orderBy(col("c").desc, col("label"))
     for (_ <- 1 to rounds) {
+      // most-frequent label, ties to the smallest: max_by over
+      // (count, -label) — a two-phase aggregate with map-side combine
+      // instead of a window sort shuffle (same result, one less exchange)
       val freq = sym
         .join(labels.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src").as("id"), col("label"))
         .agg(count(lit(1)).as("c"))
-        .withColumn("rn", row_number().over(w))
-        .where(col("rn") === 1)
-        .select(col("id"), col("label").as("nl"))
+        .groupBy(col("id"))
+        .agg(max_by(col("label"), struct(col("c"), -col("label"))).as("nl"))
       labels = vertices.select(col("id"))
         .join(freq, Seq("id"), "left")
         .select(col("id"), coalesce(col("nl"), col("id")).as("label"))
@@ -99,15 +101,16 @@ object Graph {
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .localCheckpoint(true)
-    val outdeg = sym.groupBy(col("src").as("id")).agg(count(lit(1)).as("outdeg"))
-      .localCheckpoint(true)
+    // out-degree is static: bake it into the edge list once instead of a
+    // per-round join (same per-edge rank/outdeg values)
+    val outdeg = sym.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val symDeg = sym.join(outdeg, "src").localCheckpoint(true)
     var ranks = vertices.select(col("id"),
         round(lit(1.0) / nv, 9).as("rank"))
       .localCheckpoint(true)
     for (_ <- 1 to iters) {
-      val contrib = sym
+      val contrib = symDeg
         .join(ranks.withColumnRenamed("id", "src"), "src")
-        .join(outdeg.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id"))
         .agg(sum(col("rank") / col("outdeg")).as("in_sum"))
       ranks = vertices.select(col("id"))

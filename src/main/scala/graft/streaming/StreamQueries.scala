@@ -75,6 +75,17 @@ object StreamQueries {
       .orderBy("user_id", "event_id", "rowkind")
   }
 
+  /** Drop UPDATE_BEFORE (§2.9 row 73; ref DropUpdateBeforeFunction): for
+    * sinks that key on the PK, the -U half of each update pair is
+    * redundant — filter it out of the changelog. */
+  def dropUpdateBefore(s: SparkSession, dir: String): DataFrame = {
+    val out = StatefulOps.changelogNormalize(StreamSource.eventsTyped(s, dir)).toDF()
+      .where(col("rowkind") =!= "-U")
+    StreamSource.runToTable(s, out, "stream_drop_before", "update")
+      .select(col("user_id"), col("event_id"), col("rowkind"))
+      .orderBy("user_id", "event_id", "rowkind")
+  }
+
   def cep(s: SparkSession, dir: String): DataFrame = {
     import StreamSource.Event
     val pattern: Seq[Event => Boolean] = Seq(
@@ -245,6 +256,13 @@ object StreamQueries {
   /** DuckDB oracles — batch-SQL statements equivalent to each streaming
     * operator's final drained output. */
   val sql: Map[String, String] = Map(
+    "q_stream_drop_before" ->
+      """WITH o AS (SELECT user_id, event_id, row_number() OVER w AS rn FROM events
+        | WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id))
+        |SELECT user_id, event_id, rowkind FROM (
+        | SELECT user_id, event_id, '+I' AS rowkind FROM o WHERE rn = 1
+        | UNION ALL SELECT user_id, event_id, '+U' FROM o WHERE rn > 1)
+        |ORDER BY user_id, event_id, rowkind""".stripMargin,
     "q_stream_outer_join" ->
       """SELECT p.user_id, p.event_id AS p_id, v.event_id AS v_id
         |FROM (SELECT user_id, event_id FROM events WHERE event_type = 'purchase') p
