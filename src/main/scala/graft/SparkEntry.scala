@@ -114,6 +114,7 @@ object SparkEntry {
     "q_stream_count_slide" -> (streaming.StreamQueries.countSlideWindow _),
     "q_stream_tumble_late" -> (streaming.StreamQueries.tumbleLate _),
     "q_stream_evictor"  -> (streaming.StreamQueries.tumbleEvictor _),
+    "q_stream_evictor_time" -> (streaming.StreamQueries.tumbleTimeEvictor _),
     "q_stream_hop"      -> (streaming.StreamWindowAggs.hop _),
     "q_stream_cumulate" -> (streaming.StreamWindowAggs.cumulate _),
     "q_stream_upsert"   -> (streaming.StreamQueries.upsert _),
@@ -137,6 +138,9 @@ object SparkEntry {
     "q_tpch_q10"        -> (SqlSurface.tpchQuery("q_tpch_q10") _),
     "q_tpch_q14"        -> (SqlSurface.tpchQuery("q_tpch_q14") _),
     "q_tpch_q18"        -> (SqlSurface.tpchQuery("q_tpch_q18") _),
+    "q_tpch_q12"        -> (SqlSurface.tpchQuery("q_tpch_q12") _),
+    "q_tpch_q19"        -> (SqlSurface.tpchQuery("q_tpch_q19") _),
+    "q_tpch_q22"        -> (SqlSurface.tpchQuery("q_tpch_q22") _),
     "q_sql_topn_pattern" -> (SqlSurface.tpchQuery("q_sql_topn_pattern") _),
     "q_sql_asof_pattern" -> (SqlSurface.asofPattern _),
     "q_sql_dedup_pattern" -> (SqlSurface.tpchQuery("q_sql_dedup_pattern") _),

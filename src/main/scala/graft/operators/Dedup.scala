@@ -58,33 +58,55 @@ object Dedup {
     * Document-frequency cap (mirrors the minhash path's `maxBucket`): a
     * shingle shared by m docs contributes m^2 rows to the candidate
     * self-join, so one viral boilerplate shingle at 100 TB would dominate
-    * the job. Shingles with df > 128 are dropped from candidate generation
-    * only — verification computes exact J over the FULL shingle sets, so
-    * any pair that still meets through one rare shingle scores exactly.
-    * Recall-safe for J >= 0.5: such pairs share >= a third of their
-    * shingles, and a pair whose every shared shingle is boilerplate-hot is
-    * pathological (the minhash path covers that regime). */
+    * the job. Shingles with df > 128 ("hot") are excluded from the index,
+    * and the shared-CAPPED-shingle count per pair comes straight from the
+    * index groupBy — no shingle arrays are shuffled for the common case:
+    * if either doc owns zero hot shingles, no shared shingle can be hot,
+    * so the capped count IS the exact intersection and J is computed from
+    * counts alone. Only pairs where BOTH docs own hot shingles (and the
+    * upper bound (i + min(hotA, hotB)) / (na + nb - i - min(hotA, hotB))
+    * still reaches 0.5) fall back to the exact array intersection —
+    * bounded work, exact result, either way. */
   def ngramJaccardPairs(s: SparkSession, dir: String): DataFrame = {
     val dfCap = 128
     val ds = docShingles(s, dir).cache()
     val inv = ds.select(col("doc_id"), explode(col("sh")).as("shingle"))
-    val rare = inv.groupBy(col("shingle"))
-      .agg(count(lit(1)).as("df")).where(col("df") <= dfCap)
-      .select(col("shingle"))
-    val capped = inv.join(rare, "shingle")
-    val cand = capped.as("a").join(capped.as("b"),
+    val freq = inv.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val capped = inv.join(freq.where(col("df") <= dfCap).select("shingle"), "shingle")
+    // per-doc count of hot shingles (empty on non-pathological corpora)
+    val hot = inv.join(freq.where(col("df") > dfCap).select("shingle"), "shingle")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hot"))
+    val inter = capped.as("a").join(capped.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    val withSh = ds.select(col("doc_id"), col("sh"), col("n_sh"))
-    cand
-      .join(withSh.select(col("doc_id").as("doc_a"), col("sh").as("sha"), col("n_sh").as("na")), "doc_a")
-      .join(withSh.select(col("doc_id").as("doc_b"), col("sh").as("shb"), col("n_sh").as("nb")), "doc_b")
-      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
-      .withColumn("j", round(col("inter").cast("double") /
-        (col("na") + col("nb") - col("inter")), 4))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("i"))
+    val sizes = ds.select(col("doc_id"), col("n_sh"))
+    val paired = inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
+      .join(hot.select(col("doc_id").as("doc_a"), col("n_hot").as("ha")), Seq("doc_a"), "left")
+      .join(hot.select(col("doc_id").as("doc_b"), col("n_hot").as("hb")), Seq("doc_b"), "left")
+      .withColumn("ha", coalesce(col("ha"), lit(0L)))
+      .withColumn("hb", coalesce(col("hb"), lit(0L)))
+    // exact-by-counts: no hot shingles on at least one side
+    val exactByCount = paired.where(col("ha") === 0 || col("hb") === 0)
+      .withColumn("j", round(col("i").cast("double") /
+        (col("na") + col("nb") - col("i")), 4))
+    // hot fallback: prune by the J upper bound, then exact array verify
+    val maybeHot = paired.where(col("ha") > 0 && col("hb") > 0)
+      .withColumn("hmin", least(col("ha"), col("hb")))
+      .where((col("i") + col("hmin")).cast("double") /
+        (col("na") + col("nb") - col("i") - col("hmin")) >= 0.5)
+    val withSh = ds.select(col("doc_id"), col("sh"))
+    val exactHot = maybeHot
+      .join(withSh.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
+      .join(withSh.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
+      .withColumn("iv", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("j", round(col("iv").cast("double") /
+        (col("na") + col("nb") - col("iv")), 4))
+    exactByCount.select(col("doc_a"), col("doc_b"), col("j"))
+      .unionByName(exactHot.select(col("doc_a"), col("doc_b"), col("j")))
       .where(col("j") >= 0.5)
-      .select(col("doc_a"), col("doc_b"), col("j"))
       .orderBy("doc_a", "doc_b")
   }
 

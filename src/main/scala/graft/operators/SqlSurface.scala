@@ -85,6 +85,37 @@ object SqlSurface {
         |GROUP BY c_custkey, o_orderkey
         |HAVING sum(l_quantity) > 150
         |ORDER BY sum_qty DESC, o_orderkey LIMIT 50""".stripMargin,
+    // Q12 shape over the available schema (no l_shipmode column):
+    // return-flag classes vs order priority, conditional counts over a join
+    "q_tpch_q12" ->
+      """SELECT l_returnflag,
+        | CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        | CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+        |  AND l_returnflag IN ('R', 'A')
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // Q19: discounted revenue under a disjunctive brand/size/quantity predicate
+    "q_tpch_q19" ->
+      """SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 1 AND l_quantity <= 30)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity >= 10 AND l_quantity <= 40)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity >= 20 AND l_quantity <= 50)""".stripMargin,
+    // Q22 shape over the available data (every customer has orders, and
+    // the name prefix is constant): above-average balance + anti join
+    // against big-ticket orders, grouped by the name's last digit
+    "q_tpch_q22" ->
+      """SELECT right(c_name, 1) AS cntrycode, count(*) AS numcust,
+        | round(sum(c_acctbal), 2) AS totacctbal
+        |FROM customer
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        |GROUP BY right(c_name, 1)
+        |ORDER BY cntrycode""".stripMargin,
   )
 
   def q3(s: SparkSession, dir: String): DataFrame = {

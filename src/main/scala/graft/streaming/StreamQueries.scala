@@ -245,6 +245,17 @@ object StreamQueries {
       .orderBy("user_id", "p_id", "v_id")
   }
 
+  /** Daily tumble per user with a time evictor keeping the last 6 hours. */
+  def tumbleTimeEvictor(s: SparkSession, dir: String): DataFrame = {
+    val out = WindowExtras.tumbleTimeEvictor(StreamSource.eventsTypedWithSentinel(s, dir),
+      86400L * 1000000, 6L * 3600 * 1000000).toDF()
+    StreamSource.runToTable(s, out, "stream_evictor_time", "update")
+      .where(col("user_id") =!= -1L)
+      .select(col("w_start"), col("user_id"), col("cnt"),
+        round(col("sum_value"), 2).as("sum_value"))
+      .orderBy("user_id", "w_start")
+  }
+
   def countWindow(s: SparkSession, dir: String): DataFrame = {
     val out = StreamJoins.countTumbling(StreamSource.eventsTyped(s, dir), 5).toDF()
     StreamSource.runToTable(s, out, "stream_count_win", "append")
@@ -283,6 +294,15 @@ object StreamQueries {
       """SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS w_start, event_type,
         | count(*) AS cnt, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_stream_evictor_time" ->
+      """WITH e AS (SELECT user_id, value, CAST(ts AS TIMESTAMP) AS t,
+        |  date_trunc('day', CAST(ts AS TIMESTAMP)) AS day FROM events),
+        |mx AS (SELECT user_id, day, max(t) AS mt FROM e GROUP BY user_id, day)
+        |SELECT e.day AS w_start, e.user_id, count(*) AS cnt, round(sum(value), 2) AS sum_value
+        |FROM e JOIN mx ON mx.user_id = e.user_id AND mx.day = e.day
+        |WHERE e.t > mt - INTERVAL 6 HOUR
+        |GROUP BY e.day, e.user_id
+        |ORDER BY e.user_id, w_start""".stripMargin,
     "q_stream_evictor" ->
       """WITH e AS (SELECT user_id, value, event_id, CAST(ts AS TIMESTAMP) AS t,
         |  date_trunc('day', CAST(ts AS TIMESTAMP)) AS day FROM events),

@@ -130,6 +130,49 @@ object WindowExtras {
   case class EvictWinOut(w_start: java.sql.Timestamp, user_id: Long,
                          cnt: Long, sum_value: Double)
   case class EvictState(wins: Map[Long, Seq[Double]])
+  case class TimeEvictState(wins: Map[Long, Seq[(Long, Double)]])
+
+  /** Tumbling event-time window per user with a TIME EVICTOR: only rows
+    * within `keepMicros` of the window's max event time survive to the
+    * aggregate (ref windowing/evictors/TimeEvictor.java — evict elements
+    * older than max - windowSize before the function fires). Pruned
+    * incrementally on insert under the in-order contract. */
+  def tumbleTimeEvictor(ds: Dataset[Event], sizeMicros: Long,
+                        keepMicros: Long): Dataset[EvictWinOut] = {
+    import ds.sparkSession.implicits._
+    def tsOf(m: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(m / 1000L)
+      t.setNanos(((m % 1000000L) * 1000L).toInt)
+      t
+    }
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[TimeEvictState, EvictWinOut](
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: Long, rows: Iterator[Event], state: GroupState[TimeEvictState]) =>
+          val wm = state.getCurrentWatermarkMs() * 1000L
+          var wins = state.getOption.map(_.wins).getOrElse(Map.empty[Long, Seq[(Long, Double)]])
+          val out = scala.collection.mutable.ArrayBuffer.empty[EvictWinOut]
+          rows.toSeq.sortBy(e => (StatefulOps.micros(e.ts), e.event_id)).foreach { e =>
+            val m = StatefulOps.micros(e.ts)
+            val ws = Math.floorDiv(m, sizeMicros) * sizeMicros
+            if (ws + sizeMicros > wm)
+              wins += ws -> ((wins.getOrElse(ws, Vector.empty) :+ (m, e.value))
+                .dropWhile(_._1 <= m - keepMicros))
+          }
+          wins.toSeq.sortBy(_._1).foreach { case (ws, kept) =>
+            if (ws + sizeMicros <= wm) {
+              out += EvictWinOut(tsOf(ws), key, kept.length.toLong,
+                kept.foldLeft(0.0)(_ + _._2))
+              wins -= ws
+            }
+          }
+          if (wins.nonEmpty) {
+            state.update(TimeEvictState(wins))
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+          } else state.remove()
+          out.iterator
+      }
+  }
 
   /** Tumbling event-time window per user with a COUNT EVICTOR: only the
     * LAST `keep` rows (event-time order) of each window survive to the

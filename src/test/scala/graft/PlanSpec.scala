@@ -127,6 +127,41 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("AQE splits a skewed shuffle-join partition at runtime (skew=true)") {
+    import org.apache.spark.sql.functions._
+    // 100TB-relevant: one viral key would otherwise pin a single reducer;
+    // AQE's runtime re-plan splits it (the alternative to manual salting,
+    // which q_join_salted demonstrates)
+    val prev = Seq("spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "100KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val left = spark.range(200000)
+        .select(when(col("id") % 100 =!= 0, lit(0L)).otherwise(col("id")).as("k"),
+          col("id").as("v")) // 99% of rows share key 0
+      val right = spark.range(200).select(col("id").as("k2"))
+      val joined = left.join(right, col("k") === col("k2"))
+      // collect() executes THIS dataset's QueryExecution, so its adaptive
+      // plan is the one finalized (count() would plan a separate query);
+      // right keys are distinct in [0, 200): every left row with k < 200
+      // matches exactly once
+      assert(joined.collect().length === left.where(col("k") < 200).count())
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("isFinalPlan=true"), s"AQE did not finalize:\n$p")
+      assert(p.contains("skew=true"), s"skew join not triggered:\n$p")
+    } finally prev.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
   test("vec_dot participates in whole-stage codegen") {
     import org.apache.spark.sql.functions.col
     val df = Tables(spark, sf, "embeddings")
