@@ -115,6 +115,8 @@ object SparkEntry {
     "q_stream_tumble_late" -> (streaming.StreamQueries.tumbleLate _),
     "q_stream_evictor"  -> (streaming.StreamQueries.tumbleEvictor _),
     "q_stream_evictor_time" -> (streaming.StreamQueries.tumbleTimeEvictor _),
+    "q_stream_temporal_sort" -> (streaming.StreamQueries.temporalSortQuery _),
+    "q_lookup_join"     -> (operators.AsyncMap.lookupJoin _),
     "q_stream_hop"      -> (streaming.StreamWindowAggs.hop _),
     "q_stream_cumulate" -> (streaming.StreamWindowAggs.cumulate _),
     "q_stream_upsert"   -> (streaming.StreamQueries.upsert _),
@@ -322,6 +324,10 @@ object SparkEntry {
         |GROUP BY word ORDER BY word""".stripMargin,
     "q_values" ->
       """SELECT * FROM (VALUES (1,'a'),(2,'b'),(3,'c')) AS t(id, tag) ORDER BY id""",
+    "q_lookup_join" ->
+      """SELECT event_id, user_id, coalesce(c_mktsegment, 'UNKNOWN') AS segment
+        |FROM events LEFT JOIN customer ON c_custkey = user_id
+        |ORDER BY event_id""".stripMargin,
     "q_cogroup" ->
       """SELECT c_custkey, count(o_orderkey) AS n_orders,
         | CAST(coalesce(sum(CASE WHEN o_totalprice > c_acctbal * 50 THEN 1 END), 0) AS BIGINT) AS n_above,

@@ -35,4 +35,25 @@ object AsyncMap {
       }
     }
   }
+
+  /** Async LOOKUP JOIN (ref LookupJoin / AsyncTableFunction with an async
+    * lookup cache): every probe row calls the lookup service through the
+    * ordered async window; the dimension here is a broadcast snapshot map
+    * (the production analog keeps an async client + LRU cache per
+    * executor — same operator shape, different `f`). Driver collects only
+    * the DIMENSION (small by the lookup-join contract), never the probe. */
+  def lookupJoin(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dim = graft.Tables(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment")).as[(Long, String)]
+      .collect().toMap
+    val bc = s.sparkContext.broadcast(dim)
+    val probes = graft.Tables(s, dir, "events")
+      .select(col("event_id"), col("user_id")).as[(Long, Long)]
+    ordered(probes, parallelism = 8) { case (eid, uid) =>
+      Future { (eid, uid, bc.value.getOrElse(uid, "UNKNOWN")) }
+    }.toDF("event_id", "user_id", "segment").orderBy("event_id")
+  }
 }

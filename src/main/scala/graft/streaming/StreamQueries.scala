@@ -245,6 +245,22 @@ object StreamQueries {
       .orderBy("user_id", "p_id", "v_id")
   }
 
+  /** Temporal sort drained through the watermark: every (real) row is
+    * released exactly once when the watermark passes it — the oracle pins
+    * completeness/no-dupes; emission ORDER is pinned by the
+    * StreamingSpec/StreamingSemanticsSpec multi-batch tests. */
+  def temporalSortQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ds = StreamSource.eventsWithSentinel(s, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[StreamSource.Event]
+    val out = StatefulOps.temporalSort(ds).toDF()
+    StreamSource.runToTable(s, out, "stream_temporal_sort", "append")
+      .where(col("user_id") =!= -1L)
+      .select(col("user_id"), col("event_id"))
+      .orderBy("user_id", "event_id")
+  }
+
   /** Daily tumble per user with a time evictor keeping the last 6 hours. */
   def tumbleTimeEvictor(s: SparkSession, dir: String): DataFrame = {
     val out = WindowExtras.tumbleTimeEvictor(StreamSource.eventsTypedWithSentinel(s, dir),
@@ -294,6 +310,9 @@ object StreamQueries {
       """SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS w_start, event_type,
         | count(*) AS cnt, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_stream_temporal_sort" ->
+      """SELECT user_id, event_id FROM events
+        |ORDER BY user_id, event_id""".stripMargin,
     "q_stream_evictor_time" ->
       """WITH e AS (SELECT user_id, value, CAST(ts AS TIMESTAMP) AS t,
         |  date_trunc('day', CAST(ts AS TIMESTAMP)) AS day FROM events),

@@ -79,6 +79,24 @@ class PlanSpec extends SparkSpec {
       s"status filter not applied as partition pruning:\n$p")
   }
 
+  test("sort-based aggregation fallback produces the same listagg result") {
+    import org.apache.spark.sql.functions._
+    // §2.4 sort agg: with ObjectHashAggregate disabled Catalyst plans
+    // SortAggregate for collect_list-class buffers — same values
+    val q = () => Tables(spark, sf, "nation")
+      .groupBy(col("n_regionkey"))
+      .agg(concat_ws(",", array_sort(collect_list(col("n_name")))).as("nations"))
+      .orderBy("n_regionkey")
+    val default = q().collect().map(_.toSeq)
+    val prev = spark.conf.get("spark.sql.execution.useObjectHashAggregateExec")
+    try {
+      spark.conf.set("spark.sql.execution.useObjectHashAggregateExec", "false")
+      val df = q()
+      assert(plan(df).contains("SortAggregate"), s"expected SortAggregate:\n${plan(df)}")
+      assert(df.collect().map(_.toSeq) === default)
+    } finally spark.conf.set("spark.sql.execution.useObjectHashAggregateExec", prev)
+  }
+
   test("native sum0 aggregate stays inside whole-stage codegen") {
     val p = plan(operators.ScaleOps.sum0Native(spark, sf))
     // DeclarativeAggregate plans as HashAggregate partial+final like built-ins
