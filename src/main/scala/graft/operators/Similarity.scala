@@ -164,44 +164,69 @@ object Similarity {
     *
     * Candidates come from the sign-LSH signature join (equi-join on
     * (table, signature) — no all-pairs compare anywhere in the plan), then
-    * exact cosine >= 0.5 verification and an anti-join. Near-dup twins at
-    * cos >= 0.5 collide in at least one of the 8 tables with overwhelming
-    * probability (planted near-dups are >> 0.5, where the per-table
-    * collision rate approaches 1), so the output equals the brute-force
-    * definition while the plan stays 100 TB-viable. `cosinePairs` remains
-    * as the labeled O(n^2) baseline only. */
+    * exact cosine >= 0.5 verification and an anti-join. Dedup uses 32
+    * tables x 4 bits: ~99.9% per-pair recall even at the adversarial
+    * cos = 0.5 decision boundary (sign-bit agreement only 2/3 there) —
+    * cross-validated equal to the brute-force definition at sf0.1
+    * (tools.CrossCheck); at real near-dup similarity (>= 0.9) recall is
+    * 1 - 1e-10. `cosinePairs` remains as the labeled O(n^2) baseline. */
   def cosineDedupKeep(s: SparkSession, dir: String): DataFrame = {
-    val losers = hyperplaneLshPairs(s, dir).where(col("cos") >= 0.5)
+    val losers = lshVerifiedPairs(s, dir, nTables = 32, minCos = 0.5)
       .select(col("vb").as("vec_id")).distinct()
     Tables(s, dir, "embeddings").select(col("vec_id"))
       .join(losers, Seq("vec_id"), "left_anti")
       .orderBy("vec_id")
   }
 
-  /** Sign-LSH near-dup pairs: 8 tables x 4 hyperplane sign-bits; candidates
-    * share a table signature; verified with exact cosine >= 0.4. Hyperplane
-    * component (p, d) = md5-derived uniform in [-1, 1] — deterministic and
-    * oracle-reproducible. */
-  def hyperplaneLshPairs(s: SparkSession, dir: String): DataFrame = {
+  /** Hyperplane matrix: component (p, d) = md5("p_d")-derived uniform in
+    * [-1, 1] — byte-identical to the SQL/DuckDB formulation
+    * `conv(substr(md5(concat(p,'_',d)),1,15),16,10) / 2^60 * 2 - 1`. */
+  private[operators] def planeMatrix(nPlanes: Int): Array[Array[Double]] =
+    Array.tabulate(nPlanes, 64) { (p, d0) =>
+      val d = d0 + 1
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${p}_${d}".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16).toDouble / math.pow(2, 60) * 2 - 1
+    }
+
+  /** Sign-LSH table signatures (vec_id, tbl, tsig), 4 bits per table.
+    * The per-vector signature is a tight numeric kernel over a broadcast
+    * plane matrix (mapPartitions): nTables×4×64 flops per row — the
+    * posexplode+join+groupBy formulation of the same math pushed 64×
+    * nPlanes ROWS per vector through two shuffling aggregations and was
+    * ~20× slower. Dots accumulate in ascending dimension order, matching
+    * the oracle's unnest order. */
+  private def signSignatures(emb: DataFrame, nTables: Int): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val bc = s.sparkContext.broadcast(planeMatrix(nTables * 4))
+    emb.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val pl = bc.value
+        it.flatMap { case (id, v) =>
+          (0 until nTables).iterator.map { t =>
+            var sig = 0L
+            var b = 0
+            while (b < 4) {
+              val plane = pl(t * 4 + b)
+              var dot = 0.0
+              var d = 0
+              while (d < v.length) { dot += v(d).toDouble * plane(d); d += 1 }
+              if (dot > 0) sig |= (1L << b)
+              b += 1
+            }
+            (id, t, sig)
+          }
+        }
+      }.toDF("vec_id", "tbl", "tsig")
+  }
+
+  /** Banded candidate pairs + exact cosine verification at `minCos`. */
+  private[operators] def lshVerifiedPairs(s: SparkSession, dir: String,
+                                          nTables: Int, minCos: Double): DataFrame = {
     val emb = withNorm(Tables(s, dir, "embeddings"))
-    // planes: 32 planes x 64 dims, h in [-1,1] from md5(p || '_' || d);
-    // one flat range (no cross join — keeps every join in this plan equi)
-    val planes = s.range(32 * 64).toDF("i")
-      .select((col("i") / 64).cast("long").as("p"), (col("i") % 64 + 1).as("d"))
-      .select(col("p"), col("d"),
-        (expr("cast(conv(substr(md5(concat(p, '_', d)), 1, 15), 16, 10) AS DOUBLE)")
-          / lit(math.pow(2, 60)) * 2 - 1).as("h"))
-    // sign bits: dot(embedding, plane_p) > 0
-    val sig = emb.select(col("vec_id"), posexplode(col("embedding")).as(Seq("d0", "v")))
-      .withColumn("d", col("d0") + 1)
-      .join(broadcast(planes), "d")
-      .groupBy(col("vec_id"), col("p"))
-      .agg(sum(col("v").cast("double") * col("h")).as("dot"))
-      .select(col("vec_id"), col("p"), when(col("dot") > 0, 1).otherwise(0).as("bit"))
-    // table signature: 8 tables (p/4), 4 bits each
-    val tables = sig
-      .groupBy(col("vec_id"), (col("p") / 4).cast("int").as("tbl"))
-      .agg(sum(col("bit") * pow(lit(2), pmod(col("p"), lit(4)))).cast("long").as("tsig"))
+    val tables = signSignatures(emb, nTables)
     val cand = tables.as("a").join(tables.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.tsig") === col("b.tsig") &&
           col("a.vec_id") < col("b.vec_id"))
@@ -212,7 +237,13 @@ object Similarity {
       .join(withEmb.select(col("vec_id").as("va"), col("embedding").as("ea"), col("nrm").as("na")), "va")
       .join(withEmb.select(col("vec_id").as("vb"), col("embedding").as("eb"), col("nrm").as("nb")), "vb")
       .select(col("va"), col("vb"), cosPre(col("ea"), col("eb"), col("na"), col("nb")).as("cos"))
-      .where(col("cos") >= 0.4)
+      .where(col("cos") >= minCos)
       .orderBy("va", "vb")
   }
+
+  /** Sign-LSH near-dup pairs: 8 tables x 4 hyperplane sign-bits;
+    * candidates share a table signature; verified with exact cosine >=
+    * 0.4. Deterministic md5-derived planes — oracle-reproducible. */
+  def hyperplaneLshPairs(s: SparkSession, dir: String): DataFrame =
+    lshVerifiedPairs(s, dir, nTables = 8, minCos = 0.4)
 }
