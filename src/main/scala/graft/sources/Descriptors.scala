@@ -43,6 +43,7 @@ object Descriptors {
 
   /** Unbounded stream with the declared watermark applied from metadata. */
   def stream(s: SparkSession, d: TableDescriptor): DataFrame = {
+    if (d.tsNanosAsLong) s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = s.read.parquet(d.path).schema
     val raw = s.readStream.schema(schema).parquet(d.path)
     val withTime = if (d.tsNanosAsLong)

@@ -246,6 +246,25 @@ class OperatorsSpec extends SparkSpec {
     assert(out.toSeq === (1 to 50).map(_ * 10)) // order preserved despite jitter
   }
 
+  test("descriptor metadata drives the stream's watermark and the PK dedup") {
+    import graft.sources.{Descriptors, TableDescriptor}
+    val d = TableDescriptor("events_d", s"$sf/events.parquet",
+      primaryKey = Seq("user_id"), watermarkCol = Some("ts"),
+      watermarkDelay = "42 minutes", tsNanosAsLong = true)
+    // stream: the declared watermark column/delay lands in the plan
+    val plan = Descriptors.stream(spark, d).queryExecution.logical.toString
+    assert(plan.contains("EventTimeWatermark") && plan.contains("42 minutes"),
+      s"metadata watermark missing:\n$plan")
+    // dedupByPk: one row per declared PRIMARY KEY, newest rowtime wins
+    val out = Descriptors.dedupByPk(spark, d, tieBreak = Seq("event_id"))
+    val keys = out.select("user_id").collect().map(_.getLong(0))
+    assert(keys.length === keys.distinct.length && keys.nonEmpty)
+    // missing metadata is an explicit error, not silent misbehavior
+    intercept[IllegalArgumentException] {
+      Descriptors.dedupByPk(spark, d.copy(primaryKey = Nil))
+    }
+  }
+
   test("entry smoke: flagship query returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
