@@ -16,6 +16,12 @@ run / fork := true
 // break the driver's parse (BENCH_r01.parsed was null for exactly this).
 ThisBuild / showSuccess := false
 Global / excludeLintKeys += showSuccess
+// BENCH_r03 showed the forked process's stdout still reaches the driver
+// prefixed "[info] " (sbt routes forked output through its logger by
+// default), which breaks the driver's JSON parse. StdoutOutput inherits
+// the parent's raw stdout/stderr — no logger, no prefix.
+// Bare project-scoped setting: run/runMain (and Test) delegate to it.
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

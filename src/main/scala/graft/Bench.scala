@@ -42,12 +42,18 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val benchStart = System.nanoTime()
-    def elapsed: Double = (System.nanoTime() - benchStart) / 1e9
+    val failed = scala.collection.mutable.ListBuffer.empty[String]
 
+    /** One timed execution. A crash is recorded as a failure (name collected,
+      * NaN time) — never as a fast success (VERDICT r3 finding #2). */
     def run(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench-fail] $name: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+          false
+        }
       val dt = (System.nanoTime() - t0) / 1e9
       // operators that cache() internally (dedup/kmeans) must not leak those
       // partitions into the next query's timing/memory
@@ -56,7 +62,7 @@ object Bench {
       // maps loaded after stop(); 60+ stream queries in one session accumulate
       // heap and GC pressure that taxes every later query. Unload them.
       org.apache.spark.sql.execution.streaming.state.StateStore.stop()
-      dt
+      if (ok) dt else Double.NaN
     }
 
     Seq("q1_agg", "q_ann_brute").foreach { n =>
@@ -66,22 +72,40 @@ object Bench {
 
     val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
     val results = sorted.map { case (name, fn) =>
+      // Contention robustness (VERDICT r3 finding #3): the shared driver
+      // machine shows 10-70x one-off spikes. Any run over the threshold is
+      // retried up to 2 more times, unconditionally (no elapsed cutoff — the
+      // old `elapsed < 900` guard disabled re-runs exactly when they were
+      // needed), and the min is reported as the query's intrinsic cost.
       val t1 = run(name, fn)
-      // re-run outliers unless the whole bench is already running long
-      val t = if (t1 > 5.0 && elapsed < 900) math.min(t1, run(name, fn)) else t1
+      val t =
+        if (t1.isNaN) { failed += name; t1 }
+        else if (t1 <= 3.0) t1
+        else {
+          val t2 = run(name, fn)
+          val best2 = if (t2.isNaN) t1 else math.min(t1, t2)
+          if (best2 <= 3.0) best2
+          else {
+            val t3 = run(name, fn)
+            if (t3.isNaN) best2 else math.min(best2, t3)
+          }
+        }
       val rt = Runtime.getRuntime
       System.err.println(f"[bench] $name%-28s $t%8.2fs heapUsed=${(rt.totalMemory - rt.freeMemory) / (1 << 20)}%dMiB")
       name -> t
     }
 
     def entry(kv: (String, Double)): String = f""""${kv._1}":${kv._2}%.3f"""
-    val total = results.map(_._2).sum
-    val resultMap = results.toMap
+    val good = results.filterNot(_._2.isNaN)
+    val total = good.map(_._2).sum
+    val resultMap = good.toMap
     // headline queries first, then the rest alphabetically; truncate the map
     // (never mid-entry) so the final line fits the driver's 2000-char tail
     val ordered = headline.filter(resultMap.contains).map(n => n -> resultMap(n)) ++
-      results.filterNot { case (n, _) => headline.contains(n) }
-    val prefix = f"""{"metric":"total","value":$total%.2f,"unit":"sec","n":${results.size},"queries":{"""
+      good.filterNot { case (n, _) => headline.contains(n) }
+    val failedJson =
+      if (failed.isEmpty) "" else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
+    val prefix = f"""{"metric":"total","value":$total%.2f,"unit":"sec","n":${results.size},"ok":${good.size}$failedJson,"queries":{"""
     val suffix = s"""},"sf":"$sfDir"}"""
     val sb = new StringBuilder(prefix)
     var first = true

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{BatchRelational, Dedup, Formats, Graph, Multimodal, Pipeline, ScalarFuncs, ScaleOps, Similarity, SqlSurface, TextAnalysis, Udafs, WindowAggs}
+import graft.operators.{BatchRelational, Dedup, Formats, Graph, Multimodal, Pipeline, ScalarFuncs, ScaleOps, Similarity, SqlSurface, TextAnalysis, TpcDsSurface, Udafs, WindowAggs}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -18,7 +18,10 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     BatchRelational.q1Agg(spark, "/root/testdata/sf0.001")
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    base ++ TpcDsSurface.sql.keys.map(n => n -> (TpcDsSurface.query(n) _)).toMap
+
+  private def base: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"            -> (BatchRelational.q1Agg _),
     "q_join_inner"      -> (BatchRelational.joinInner _),
     "q_join_left"       -> (BatchRelational.joinLeft _),
@@ -52,7 +55,7 @@ object SparkEntry {
     "q_unnest_words"    -> (BatchRelational.unnestWords _),
     "q_values"          -> (BatchRelational.valuesScan _),
     "q_cogroup"         -> (BatchRelational.coGroup _),
-    "q_descriptor_dedup" -> ((s, dir) => {
+    "q_descriptor_dedup" -> ((s: SparkSession, dir: String) => {
       import graft.sources.{Descriptors, TableDescriptor}
       val d = TableDescriptor("events_desc", s"$dir/events.parquet",
         primaryKey = Seq("user_id"), watermarkCol = Some("ts"), tsNanosAsLong = true)
@@ -447,5 +450,6 @@ object SparkEntry {
         |    (a, c) -> (a * 31 + c) % 4294967296) + 2147483648) % 4294967296) - 2147483648 AS INT) AS hc_name
         |FROM part ORDER BY p_partkey""".stripMargin,
   ) ++ LlmOracles.sql ++ WindowOracles.sql ++ streaming.StreamQueries.sql ++
-    Formats.sql ++ Udafs.sql ++ Graph.sql ++ SqlSurface.sql ++ ScaleOps.sql ++ Pipeline.sql
+    Formats.sql ++ Udafs.sql ++ Graph.sql ++ SqlSurface.sql ++ ScaleOps.sql ++
+    Pipeline.sql ++ TpcDsSurface.sql
 }

@@ -54,10 +54,12 @@ object Pipeline {
     Tables(s, dir, "embeddings")
       .withColumn("nrm", graft.functions.VecOps.norm(col("embedding")))
       .select(col("vec_id"), round(col("nrm"), 6).as("norm"),
-        expr("round(cast(element_at(embedding, 1) AS DOUBLE) / nrm, 6)").as("h1"),
-        expr("round(cast(element_at(embedding, 2) AS DOUBLE) / nrm, 6)").as("h2"),
-        expr("round(cast(element_at(embedding, 3) AS DOUBLE) / nrm, 6)").as("h3"),
-        expr("round(cast(element_at(embedding, 4) AS DOUBLE) / nrm, 6)").as("h4"))
+        // try_element_at: NULL (not an ANSI error) on out-of-bounds, matching
+        // the DuckDB oracle's v[i] list-index semantics on short vectors
+        expr("round(cast(try_element_at(embedding, 1) AS DOUBLE) / nrm, 6)").as("h1"),
+        expr("round(cast(try_element_at(embedding, 2) AS DOUBLE) / nrm, 6)").as("h2"),
+        expr("round(cast(try_element_at(embedding, 3) AS DOUBLE) / nrm, 6)").as("h3"),
+        expr("round(cast(try_element_at(embedding, 4) AS DOUBLE) / nrm, 6)").as("h4"))
       .orderBy("vec_id")
 
   /** Int8 quantization summary per vector. */

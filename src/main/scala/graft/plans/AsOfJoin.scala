@@ -156,12 +156,12 @@ case class AsOfJoinBroadcastExec(left: SparkPlan, right: SparkPlan,
       lIter.map { lRow =>
         val kv = lKey.eval(lRow)
         val tv = lTime.eval(lRow)
-        val t = if (tv == null) Long.MinValue else tv.asInstanceOf[Long]
         val versions =
           if (kv == null || tv == null) null // NULL key/time: no match
           else idx.getOrElse(kv.asInstanceOf[Long], null)
         var r: InternalRow = nullRight
         if (versions != null) {
+          val t = tv.asInstanceOf[Long] // non-null here: versions==null otherwise
           // binary search: last version with time <= t
           var lo = 0; var hi = versions.length - 1; var found = -1
           while (lo <= hi) {

@@ -196,8 +196,10 @@ object Cep {
   /** Relaxed-contiguity NFA (`A followed_by B followed_by C` with a WITHIN
     * window — ref NFA.java relaxed contiguity + Pattern#within): partial
     * matches skip non-matching events; each partial advances on the FIRST
-    * later event matching its next step (earliest-match semantics, which is
-    * deterministic and SQL-reproducible); every step-0 match spawns a new
+    * later event matching its next step — earliest by (event time,
+    * event_id), so equal-timestamp candidates tie-break deterministically
+    * on event_id and exactly ONE advances (the oracle applies the same
+    * min-by-(t, event_id) selection); every step-0 match spawns a new
     * partial. Partials expire once event time passes start + within —
     * that bound is what keeps per-key state finite on an unbounded stream
     * (the reference prunes the shared buffer with the same within timer). */

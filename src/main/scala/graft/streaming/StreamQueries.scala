@@ -441,10 +441,12 @@ object StreamQueries {
         |        AND x.event_type = 'purchase' AND x.t > ab.b_t
         |        AND x.t <= ab.a_t + INTERVAL 7 DAY) AS c_t
         |        FROM ab WHERE b_t IS NOT NULL)
-        |SELECT abc.user_id, a_id, b.event_id AS b_id, c.event_id AS c_id
+        |SELECT abc.user_id, a_id,
+        | (SELECT min(event_id) FROM e b WHERE b.user_id = abc.user_id
+        |   AND b.event_type = 'click' AND b.t = abc.b_t) AS b_id,
+        | (SELECT min(event_id) FROM e c WHERE c.user_id = abc.user_id
+        |   AND c.event_type = 'purchase' AND c.t = abc.c_t) AS c_id
         |FROM abc
-        |JOIN e b ON b.user_id = abc.user_id AND b.t = abc.b_t AND b.event_type = 'click'
-        |JOIN e c ON c.user_id = abc.user_id AND c.t = abc.c_t AND c.event_type = 'purchase'
         |WHERE c_t IS NOT NULL ORDER BY abc.user_id, a_id""".stripMargin,
     "q_stream_semi_join" ->
       """SELECT user_id, event_id AS p_id FROM events e
