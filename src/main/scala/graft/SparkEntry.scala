@@ -113,11 +113,18 @@ object SparkEntry {
     "q_stream_semi_join" -> (streaming.StreamQueries.semiJoin _),
     "q_stream_anti_join" -> (streaming.StreamQueries.antiJoin _),
     "q_stream_outer_join" -> (streaming.StreamQueries.outerJoin _),
+    "q_stream_full_outer_join" -> (streaming.StreamQueries.fullOuterJoin _),
+    "q_stream_retract_agg" -> (streaming.StreamQueries.retractAgg _),
+    "q_proctime_dedup" -> (streaming.StreamQueries.procTimeDedup _),
+    "q_proctime_over" -> (streaming.StreamQueries.procTimeOver _),
+    "q_proctime_temporal" -> (streaming.StreamQueries.procTimeTemporal _),
+    "q_stream_right_outer_join" -> (streaming.StreamQueries.rightOuterJoin _),
     "q_stream_count_win" -> (streaming.StreamQueries.countWindow _),
     "q_stream_count_slide" -> (streaming.StreamQueries.countSlideWindow _),
     "q_stream_tumble_late" -> (streaming.StreamQueries.tumbleLate _),
     "q_stream_evictor"  -> (streaming.StreamQueries.tumbleEvictor _),
     "q_stream_evictor_time" -> (streaming.StreamQueries.tumbleTimeEvictor _),
+    "q_stream_evictor_delta" -> (streaming.StreamQueries.tumbleDeltaEvictor _),
     "q_stream_temporal_sort" -> (streaming.StreamQueries.temporalSortQuery _),
     "q_lookup_join"     -> (operators.AsyncMap.lookupJoin _),
     "q_stream_hop"      -> (streaming.StreamWindowAggs.hop _),

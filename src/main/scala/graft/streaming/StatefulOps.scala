@@ -220,6 +220,152 @@ object StatefulOps {
       }
   }
 
+  // ---------------------------------------------------------------------
+  // Processing-time operator variants (ref ProcTimeDeduplicateKeepFirstRow
+  // Function.java, ProcTimeRowsUnboundedPrecedingFunction,
+  // TemporalProcessTimeJoinOperator.java): no event-time sort, no
+  // watermark — rows take effect in ARRIVAL order and state is consulted
+  // "as of now". On the ordered file replay (events.parquet is (ts,
+  // event_id)-sorted, single split) arrival order is deterministic, which
+  // is what makes these oracle-checkable; the genuinely proc-time behavior
+  // (first ARRIVAL wins even when a smaller event-time row arrives later)
+  // is pinned by StreamingSemanticsSpec on shuffled MemoryStream input.
+  // ---------------------------------------------------------------------
+
+  /** Proc-time dedup keep-FIRST: one emission per key, the first row to
+    * ARRIVE; later rows are dropped without inspecting event time. */
+  def procTimeDedupKeepFirst(ds: Dataset[Event]): Dataset[Event] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Boolean, Event](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: Long, rows: Iterator[Event], state: GroupState[Boolean]) =>
+          if (state.getOption.contains(true) || !rows.hasNext) Iterator.empty
+          else { state.update(true); Iterator.single(rows.next()) }
+      }
+  }
+
+  /** Proc-time unbounded OVER: running count/sum in arrival order (no
+    * per-batch event-time sort — contrast runningAgg above). */
+  def procTimeRunningAgg(ds: Dataset[Event]): Dataset[Running] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[AggState, Running](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[Event], state: GroupState[AggState]) =>
+          var st = state.getOption.getOrElse(AggState(0L, 0.0))
+          val out = rows.map { e =>
+            st = AggState(st.cnt + 1, st.sum + e.value)
+            Running(key, e.event_id, st.cnt, st.sum)
+          }.toList
+          state.update(st)
+          out.iterator
+      }
+  }
+
+  case class ProcJoinOut(user_id: Long, p_id: Long, v_id: Option[Long])
+
+  /** Proc-time temporal join: each probe row pairs with the build side's
+    * CURRENT latest version at the moment the probe ARRIVES (null-padded
+    * when none yet) — the "join against the table as of now" semantics of
+    * the reference's processing-time temporal join; no versioned history
+    * is kept, so a probe can never see a build row that arrives later
+    * even if its event time is earlier. State per key: one build row. */
+  def procTimeTemporalJoin(ds: Dataset[Event], probeType: String,
+                           buildType: String): Dataset[ProcJoinOut] = {
+    import ds.sparkSession.implicits._
+    ds.filter(e => e.event_type == probeType || e.event_type == buildType)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, ProcJoinOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[Event], state: GroupState[Long]) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[ProcJoinOut]
+          var cur = state.getOption
+          rows.foreach { e =>
+            if (e.event_type == buildType) cur = Some(e.event_id)
+            else out += ProcJoinOut(key, e.event_id, cur)
+          }
+          cur.foreach(state.update)
+          out.iterator
+      }
+  }
+
+  case class ValChange(user_id: Long, event_id: Long, event_type: String,
+                       value: Double, rowkind: String, seq: Long)
+  case class LastVal(ts: Long, event_id: Long, event_type: String, value: Double)
+
+  /** Value-carrying changelog normalize in APPEND mode: each keyed upsert
+    * emits immutable change facts (+I first row, -U old / +U new after),
+    * carrying the retracted/inserted VALUE so a downstream aggregate can
+    * consume the changelog (ref StreamExecChangelogNormalize emitting
+    * RowKind-tagged full rows, not just keys). Append output is what lets
+    * the retractable aggregate chain after it in one query. */
+  def valueChangelog(ds: Dataset[Event]): Dataset[ValChange] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastVal, ValChange](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[Event], state: GroupState[LastVal]) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[ValChange]
+          var cur = state.getOption
+          rows.toSeq.sortBy(ord).foreach { e =>
+            val m = micros(e.ts)
+            cur match {
+              case None =>
+                out += ValChange(key, e.event_id, e.event_type, e.value, "+I", m)
+              case Some(p) =>
+                out += ValChange(key, p.event_id, p.event_type, p.value, "-U", p.ts)
+                out += ValChange(key, e.event_id, e.event_type, e.value, "+U", m)
+            }
+            cur = Some(LastVal(m, e.event_id, e.event_type, e.value))
+          }
+          cur.foreach(state.update)
+          out.iterator
+      }
+  }
+
+  case class RetractAggOut(event_type: String, cnt: Long, sum_value: Double,
+                           min_value: Double, max_value: Double, ver: Long)
+  case class RetractAggState(cnt: Long, sum: Double,
+                             counts: Map[Double, Long], changes: Long)
+
+  /** Retractable group aggregate: consumes a -U/+U changelog and maintains
+    * count/sum/min/max correctly under retraction (ref GroupAggFunction.java
+    * :45 processing RowKind rows; min/max recover through a value→count
+    * multiset exactly like MinWithRetractAggFunction's MapState — when the
+    * current minimum is retracted the next-smallest surviving value takes
+    * over, which no subtract-only accumulator can do). Count/sum fold
+    * commutatively (+ for accumulate rows, - for retract rows), so
+    * cross-user arrival order inside a batch cannot change the result.
+    * Emits the group's refreshed aggregate once per batch tagged with a
+    * monotone change version; the consumer keeps each group's max-version
+    * row (upsert fold). State per group: one entry per DISTINCT live value. */
+  def retractableAgg(changes: Dataset[ValChange]): Dataset[RetractAggOut] = {
+    import changes.sparkSession.implicits._
+    changes.groupByKey(_.event_type)
+      .flatMapGroupsWithState[RetractAggState, RetractAggOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[ValChange], state: GroupState[RetractAggState]) =>
+          var st = state.getOption.getOrElse(RetractAggState(0L, 0.0, Map.empty, 0L))
+          rows.foreach { c =>
+            val retract = c.rowkind == "-U" || c.rowkind == "-D"
+            val d = if (retract) -1L else 1L
+            val nc = st.counts.getOrElse(c.value, 0L) + d
+            val counts = if (nc == 0L) st.counts - c.value
+                         else st.counts + (c.value -> nc)
+            st = RetractAggState(st.cnt + d,
+              if (retract) st.sum - c.value else st.sum + c.value,
+              counts, st.changes + 1)
+          }
+          state.update(st)
+          if (st.cnt > 0) {
+            val live = st.counts.collect { case (v, n) if n > 0 => v }
+            Iterator.single(RetractAggOut(key, st.cnt, st.sum,
+              live.min, live.max, st.changes))
+          } else Iterator.empty
+      }
+  }
+
   case class SessOut(user_id: Long, w_start: java.sql.Timestamp, cnt: Long, sum_value: Double)
   case class SessState(startMicros: Long, endMicros: Long, cnt: Long, sum: Double)
 

@@ -122,6 +122,59 @@ object StreamJoins {
       }
   }
 
+  case class FullOuterOut(user_id: Long, l_id: Option[Long], r_id: Option[Long],
+                          rowkind: String)
+  case class TwoSideState(lefts: List[Long], rights: List[Long])
+
+  /** Streaming RIGHT / FULL outer join with retraction — the two outer
+    * types the reference's StreamingJoinOperator.java:38 handles beyond
+    * LEFT (leftOuterJoin above). `padLeft` emits +I (l, NULL) for a left
+    * row with no right match yet (LEFT and FULL); `padRight` emits
+    * +I (NULL, r) for an unmatched right row (RIGHT and FULL). The FIRST
+    * row arriving on one side retracts (-D) every null-padded row of the
+    * other side and the eager pairing re-emits them matched — exactly the
+    * reference's associated-record-count transition from 0 to 1. Consumers
+    * fold net>0 per (key, l_id, r_id); the folded table equals the batch
+    * outer join. State = both sides' ids per key (the same unbounded bound
+    * as Spark's own un-watermarked stream-stream join; production bounds
+    * it with the interval variant). */
+  def outerJoinChangelog(ds: Dataset[Event],
+                         leftPred: Event => Boolean, rightPred: Event => Boolean,
+                         padLeft: Boolean, padRight: Boolean): Dataset[FullOuterOut] = {
+    import ds.sparkSession.implicits._
+    ds.filter(e => leftPred(e) || rightPred(e))
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TwoSideState, FullOuterOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[Event], state: GroupState[TwoSideState]) =>
+          var st = state.getOption.getOrElse(TwoSideState(Nil, Nil))
+          val out = scala.collection.mutable.ArrayBuffer.empty[FullOuterOut]
+          rows.foreach { e =>
+            if (leftPred(e)) {
+              if (st.rights.isEmpty) {
+                if (padLeft) out += FullOuterOut(key, Some(e.event_id), None, "+I")
+              } else {
+                if (st.lefts.isEmpty && padRight)
+                  st.rights.foreach(r => out += FullOuterOut(key, None, Some(r), "-D"))
+                st.rights.foreach(r => out += FullOuterOut(key, Some(e.event_id), Some(r), "+I"))
+              }
+              st = st.copy(lefts = e.event_id :: st.lefts)
+            } else {
+              if (st.lefts.isEmpty) {
+                if (padRight) out += FullOuterOut(key, None, Some(e.event_id), "+I")
+              } else {
+                if (st.rights.isEmpty && padLeft)
+                  st.lefts.foreach(l => out += FullOuterOut(key, Some(l), None, "-D"))
+                st.lefts.foreach(l => out += FullOuterOut(key, Some(l), Some(e.event_id), "+I"))
+              }
+              st = st.copy(rights = e.event_id :: st.rights)
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   case class CountWin(user_id: Long, win_id: Long, cnt: Long, sum_value: Double)
   case class CountWinState(winId: Long, cnt: Long, sum: Double)
 

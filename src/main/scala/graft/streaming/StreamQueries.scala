@@ -245,6 +245,98 @@ object StreamQueries {
       .orderBy("user_id", "p_id", "v_id")
   }
 
+  /** Proc-time dedup keep-first — on the (ts, event_id)-sorted single-split
+    * replay, first arrival == event-time first, so the event-time oracle
+    * applies; arrival-order-wins behavior is spec-pinned. */
+  def procTimeDedup(s: SparkSession, dir: String): DataFrame = {
+    val out = StatefulOps.procTimeDedupKeepFirst(StreamSource.eventsTyped(s, dir)).toDF()
+    StreamSource.runToTable(s, out, "stream_proctime_dedup", "append")
+      .select(col("user_id"), col("event_id"), col("event_type"))
+      .orderBy("user_id")
+  }
+
+  /** Proc-time unbounded OVER in arrival order (== event-time order on the
+    * sorted replay). */
+  def procTimeOver(s: SparkSession, dir: String): DataFrame = {
+    val out = StatefulOps.procTimeRunningAgg(StreamSource.eventsTyped(s, dir)).toDF()
+    StreamSource.runToTable(s, out, "stream_proctime_over", "append")
+      .select(col("user_id"), col("event_id"), col("run_cnt"),
+        round(col("run_sum"), 4).as("run_sum"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Proc-time temporal join: purchases probe the latest view AS OF their
+    * arrival — on the sorted replay, "latest arrived" = latest by
+    * (ts, event_id) strictly before the probe in file order. */
+  def procTimeTemporal(s: SparkSession, dir: String): DataFrame = {
+    val out = StatefulOps.procTimeTemporalJoin(StreamSource.eventsTyped(s, dir),
+      "purchase", "view").toDF()
+    StreamSource.runToTable(s, out, "stream_proctime_temporal", "append")
+      .select(col("user_id"), col("p_id"), col("v_id"))
+      .orderBy("user_id", "p_id")
+  }
+
+  /** Retractable group aggregate over a changelog: per event_type, the
+    * count/sum/min/max of each user's LATEST event value. A user whose
+    * latest event changes type retracts (-U) their value from the old
+    * type's aggregate and inserts (+U) into the new — min/max recover
+    * through the multiset state. Two chained stateful stages (normalize →
+    * aggregate) in one append-mode query, same-key-free so the
+    * checkCorrectness guard is disabled for the run. Final answer = each
+    * group's max-version emission. */
+  def retractAgg(s: SparkSession, dir: String): DataFrame = {
+    val prev = s.conf.get(
+      "spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "true")
+    s.conf.set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+    try {
+      val out = StatefulOps.retractableAgg(
+        StatefulOps.valueChangelog(StreamSource.eventsTyped(s, dir))).toDF()
+      val t = StreamSource.runToTable(s, out, "stream_retract_agg", "append")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy(col("ver").desc)
+      t.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select(col("event_type"), col("cnt"),
+          round(col("sum_value"), 2).as("sum_value"),
+          round(col("min_value"), 2).as("min_value"),
+          round(col("max_value"), 2).as("max_value"))
+        .orderBy("event_type")
+    } finally s.conf.set(
+      "spark.sql.streaming.statefulOperator.checkCorrectness.enabled", prev)
+  }
+
+  /** FULL outer: both sides thinned by value >= 90 so unmatched-left,
+    * unmatched-right and the retract-repair transition all occur (14
+    * purchase-only users, 22 click-only at sf0.01). Changelog folded
+    * net>0 per (user, l, r) = the batch FULL JOIN. */
+  def fullOuterJoin(s: SparkSession, dir: String): DataFrame = {
+    import StreamSource.Event
+    val out = StreamJoins.outerJoinChangelog(StreamSource.eventsTyped(s, dir),
+      e => e.event_type == "purchase" && e.value >= 90,
+      e => e.event_type == "click" && e.value >= 90,
+      padLeft = true, padRight = true).toDF()
+    StreamSource.runToTable(s, out, "stream_full_outer_join", "update")
+      .groupBy(col("user_id"), col("l_id"), col("r_id"))
+      .agg(sum(when(col("rowkind") === "+I", 1).otherwise(-1)).as("net"))
+      .where(col("net") > 0)
+      .select(col("user_id"), col("l_id").as("p_id"), col("r_id").as("c_id"))
+      .orderBy("user_id", "p_id", "c_id")
+  }
+
+  /** RIGHT outer over the same thinned sides: only right rows null-pad. */
+  def rightOuterJoin(s: SparkSession, dir: String): DataFrame = {
+    import StreamSource.Event
+    val out = StreamJoins.outerJoinChangelog(StreamSource.eventsTyped(s, dir),
+      e => e.event_type == "purchase" && e.value >= 90,
+      e => e.event_type == "click" && e.value >= 90,
+      padLeft = false, padRight = true).toDF()
+    StreamSource.runToTable(s, out, "stream_right_outer_join", "update")
+      .groupBy(col("user_id"), col("l_id"), col("r_id"))
+      .agg(sum(when(col("rowkind") === "+I", 1).otherwise(-1)).as("net"))
+      .where(col("net") > 0)
+      .select(col("user_id"), col("l_id").as("p_id"), col("r_id").as("c_id"))
+      .orderBy("user_id", "p_id", "c_id")
+  }
+
   /** Temporal sort drained through the watermark: every (real) row is
     * released exactly once when the watermark passes it — the oracle pins
     * completeness/no-dupes; emission ORDER is pinned by the
@@ -266,6 +358,18 @@ object StreamQueries {
     val out = WindowExtras.tumbleTimeEvictor(StreamSource.eventsTypedWithSentinel(s, dir),
       86400L * 1000000, 6L * 3600 * 1000000).toDF()
     StreamSource.runToTable(s, out, "stream_evictor_time", "update")
+      .where(col("user_id") =!= -1L)
+      .select(col("w_start"), col("user_id"), col("cnt"),
+        round(col("sum_value"), 2).as("sum_value"))
+      .orderBy("user_id", "w_start")
+  }
+
+  /** Daily tumble per user with a delta evictor: rows whose value differs
+    * from the window's last value by >= 50 are evicted before the sum. */
+  def tumbleDeltaEvictor(s: SparkSession, dir: String): DataFrame = {
+    val out = WindowExtras.tumbleDeltaEvictor(StreamSource.eventsTypedWithSentinel(s, dir),
+      86400L * 1000000, 50.0).toDF()
+    StreamSource.runToTable(s, out, "stream_evictor_delta", "update")
       .where(col("user_id") =!= -1L)
       .select(col("w_start"), col("user_id"), col("cnt"),
         round(col("sum_value"), 2).as("sum_value"))
@@ -296,6 +400,72 @@ object StreamQueries {
         |LEFT JOIN (SELECT user_id, event_id FROM events WHERE event_type = 'view') v
         |  ON v.user_id = p.user_id
         |ORDER BY p.user_id, p_id, v_id NULLS FIRST""".stripMargin,
+    "q_stream_evictor_delta" ->
+      """WITH e AS (SELECT user_id, value, event_id, CAST(ts AS TIMESTAMP) AS t,
+        |  date_trunc('day', CAST(ts AS TIMESTAMP)) AS day FROM events),
+        |l AS (SELECT user_id, day, value AS lastv FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id, day
+        |    ORDER BY t DESC, event_id DESC) AS rn FROM e) WHERE rn = 1)
+        |SELECT e.day AS w_start, e.user_id, count(*) AS cnt,
+        | round(sum(e.value), 2) AS sum_value
+        |FROM e JOIN l ON l.user_id = e.user_id AND l.day = e.day
+        |WHERE abs(e.value - l.lastv) < 50
+        |GROUP BY e.day, e.user_id
+        |ORDER BY e.user_id, w_start""".stripMargin,
+    "q_proctime_dedup" ->
+      """SELECT user_id, event_id, event_type FROM (
+        | SELECT user_id, event_id, event_type,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+        | FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "q_proctime_over" ->
+      """SELECT user_id, event_id,
+        | count(*) OVER w AS run_cnt,
+        | round(sum(value) OVER w, 4) AS run_sum
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
+    "q_proctime_temporal" ->
+      """WITH p AS (SELECT user_id, event_id AS p_id, CAST(ts AS TIMESTAMP) AS p_t
+        |           FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, event_id AS v_id, CAST(ts AS TIMESTAMP) AS v_t
+        |      FROM events WHERE event_type = 'view')
+        |SELECT user_id, p_id, v_id FROM (
+        | SELECT p.user_id, p.p_id, v.v_id,
+        |  row_number() OVER (PARTITION BY p.p_id ORDER BY v.v_t DESC, v.v_id DESC) AS rn
+        | FROM p LEFT JOIN v ON v.user_id = p.user_id
+        |  AND (v.v_t < p.p_t OR (v.v_t = p.p_t AND v.v_id < p.p_id))
+        |) WHERE rn = 1 ORDER BY user_id, p_id""".stripMargin,
+    "q_stream_retract_agg" ->
+      """WITH last AS (
+        | SELECT user_id, event_type, value FROM (
+        |  SELECT user_id, event_type, value,
+        |   row_number() OVER (PARTITION BY user_id
+        |     ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1)
+        |SELECT event_type, count(*) AS cnt,
+        | round(sum(value), 2) AS sum_value,
+        | round(min(value), 2) AS min_value,
+        | round(max(value), 2) AS max_value
+        |FROM last GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_stream_full_outer_join" ->
+      """SELECT coalesce(p.user_id, c.user_id) AS user_id,
+        | p.event_id AS p_id, c.event_id AS c_id
+        |FROM (SELECT user_id, event_id FROM events
+        |      WHERE event_type = 'purchase' AND value >= 90) p
+        |FULL JOIN (SELECT user_id, event_id FROM events
+        |      WHERE event_type = 'click' AND value >= 90) c
+        |  ON c.user_id = p.user_id
+        |ORDER BY user_id, p_id NULLS FIRST, c_id NULLS FIRST""".stripMargin,
+    "q_stream_right_outer_join" ->
+      """SELECT c.user_id, p.event_id AS p_id, c.event_id AS c_id
+        |FROM (SELECT user_id, event_id FROM events
+        |      WHERE event_type = 'purchase' AND value >= 90) p
+        |RIGHT JOIN (SELECT user_id, event_id FROM events
+        |      WHERE event_type = 'click' AND value >= 90) c
+        |  ON c.user_id = p.user_id
+        |ORDER BY c.user_id, p_id NULLS FIRST, c_id""".stripMargin,
     "q_stream_count_slide" ->
       """WITH o AS (SELECT user_id, value,
         |  row_number() OVER (PARTITION BY user_id

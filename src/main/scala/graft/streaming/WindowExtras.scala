@@ -174,6 +174,51 @@ object WindowExtras {
       }
   }
 
+  /** Tumbling event-time window per user with a DELTA EVICTOR (ref
+    * windowing/evictors/DeltaEvictor.java + functions/DeltaFunction): at
+    * fire time, every buffered row whose delta against the window's LAST
+    * element reaches `threshold` is evicted before the aggregate runs —
+    * delta here = |value - lastValue|. Unlike the count/time evictors the
+    * reference point is the newest element, which keeps moving, so the
+    * window buffers all rows until it fires (the reference buffers the
+    * same; its DeltaTrigger pairs with this to fire early on a big jump). */
+  def tumbleDeltaEvictor(ds: Dataset[Event], sizeMicros: Long,
+                         threshold: Double): Dataset[EvictWinOut] = {
+    import ds.sparkSession.implicits._
+    def tsOf(m: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(m / 1000L)
+      t.setNanos(((m % 1000000L) * 1000L).toInt)
+      t
+    }
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[EvictState, EvictWinOut](
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: Long, rows: Iterator[Event], state: GroupState[EvictState]) =>
+          val wm = state.getCurrentWatermarkMs() * 1000L
+          var wins = state.getOption.map(_.wins).getOrElse(Map.empty[Long, Seq[Double]])
+          val out = scala.collection.mutable.ArrayBuffer.empty[EvictWinOut]
+          rows.toSeq.sortBy(e => (StatefulOps.micros(e.ts), e.event_id)).foreach { e =>
+            val m = StatefulOps.micros(e.ts)
+            val ws = Math.floorDiv(m, sizeMicros) * sizeMicros
+            if (ws + sizeMicros > wm)
+              wins += ws -> (wins.getOrElse(ws, Vector.empty) :+ e.value)
+          }
+          wins.toSeq.sortBy(_._1).foreach { case (ws, vals) =>
+            if (ws + sizeMicros <= wm) {
+              val last = vals.last
+              val kept = vals.filter(v => math.abs(v - last) < threshold)
+              out += EvictWinOut(tsOf(ws), key, kept.length.toLong, kept.sum)
+              wins -= ws
+            }
+          }
+          if (wins.nonEmpty) {
+            state.update(EvictState(wins))
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+          } else state.remove()
+          out.iterator
+      }
+  }
+
   /** Tumbling event-time window per user with a COUNT EVICTOR: only the
     * LAST `keep` rows (event-time order) of each window survive to the
     * aggregate, evicted incrementally on insert (O(keep) state per open
