@@ -127,6 +127,7 @@ object SparkEntry {
     "q_stream_evictor_delta" -> (streaming.StreamQueries.tumbleDeltaEvictor _),
     "q_stream_temporal_sort" -> (streaming.StreamQueries.temporalSortQuery _),
     "q_lookup_join"     -> (operators.AsyncMap.lookupJoin _),
+    "q_lookup_join_async" -> (operators.AsyncMap.lookupJoinAsync _),
     "q_stream_hop"      -> (streaming.StreamWindowAggs.hop _),
     "q_stream_cumulate" -> (streaming.StreamWindowAggs.cumulate _),
     "q_stream_upsert"   -> (streaming.StreamQueries.upsert _),
@@ -335,6 +336,10 @@ object SparkEntry {
     "q_values" ->
       """SELECT * FROM (VALUES (1,'a'),(2,'b'),(3,'c')) AS t(id, tag) ORDER BY id""",
     "q_lookup_join" ->
+      """SELECT event_id, user_id, coalesce(c_mktsegment, 'UNKNOWN') AS segment
+        |FROM events LEFT JOIN customer ON c_custkey = user_id
+        |ORDER BY event_id""".stripMargin,
+    "q_lookup_join_async" ->
       """SELECT event_id, user_id, coalesce(c_mktsegment, 'UNKNOWN') AS segment
         |FROM events LEFT JOIN customer ON c_custkey = user_id
         |ORDER BY event_id""".stripMargin,

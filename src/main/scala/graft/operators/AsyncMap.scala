@@ -3,7 +3,7 @@ package graft.operators
 import scala.concurrent.{Await, Future}
 import scala.concurrent.duration.Duration
 
-import org.apache.spark.sql.{Dataset, Encoder}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, SparkSession}
 
 /** Ordered async I/O (SURVEY.md §2.9: AsyncDataStream.orderedWait /
   * AsyncTableFunction — per-record calls to an external service with
@@ -36,24 +36,84 @@ object AsyncMap {
     }
   }
 
-  /** Async LOOKUP JOIN (ref LookupJoin / AsyncTableFunction with an async
-    * lookup cache): every probe row calls the lookup service through the
-    * ordered async window; the dimension here is a broadcast snapshot map
-    * (the production analog keeps an async client + LRU cache per
-    * executor — same operator shape, different `f`). Driver collects only
-    * the DIMENSION (small by the lookup-join contract), never the probe. */
-  def lookupJoin(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+  /** Sync LOOKUP JOIN (ref LookupJoin on a bounded dimension): a plain
+    * broadcast-hash join — Spark's torrent broadcast ships the dimension
+    * to executors (no driver-side collect into user code, and the
+    * broadcast-size guardrails stay in force), and the probe side streams
+    * through codegen. This is the plan a lookup join should compile to
+    * whenever the dimension is a table Spark can read. */
+  def lookupJoin(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, coalesce, col, lit}
+    val dim = graft.Tables(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val probes = graft.Tables(s, dir, "events")
+      .select(col("event_id"), col("user_id"))
+    probes.join(broadcast(dim), probes("user_id") === dim("c_custkey"), "left")
+      .select(col("event_id"), col("user_id"),
+        coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("segment"))
+      .orderBy("event_id")
+  }
+
+  /** Async LOOKUP JOIN (ref LookupJoin / AsyncTableFunction with a lookup
+    * cache, and the file-backed dimension cache of the reference's hive
+    * lookup join): every probe row calls the lookup service through the
+    * ordered async window; the service's cache is built EXECUTOR-SIDE on
+    * first probe by reading the dimension parquet directly from the shared
+    * filesystem (LookupCache) — the driver never collects the dimension,
+    * so dimension size is bounded per executor, not per driver, and a
+    * 1000-executor cluster warms caches in parallel. */
+  def lookupJoinAsync(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.functions.col
     import scala.concurrent.ExecutionContext.Implicits.global
-    val dim = graft.Tables(s, dir, "customer")
-      .select(col("c_custkey"), col("c_mktsegment")).as[(Long, String)]
-      .collect().toMap
-    val bc = s.sparkContext.broadcast(dim)
+    val dimPath = s"$dir/customer.parquet"
     val probes = graft.Tables(s, dir, "events")
       .select(col("event_id"), col("user_id")).as[(Long, Long)]
     ordered(probes, parallelism = 8) { case (eid, uid) =>
-      Future { (eid, uid, bc.value.getOrElse(uid, "UNKNOWN")) }
+      Future {
+        (eid, uid, LookupCache.segmentByCustkey(dimPath).getOrElse(uid, "UNKNOWN"))
+      }
     }.toDF("event_id", "user_id", "segment").orderBy("event_id")
+  }
+}
+
+/** Executor-side dimension cache for the async lookup join: one
+  * `Map[custkey, mktsegment]` per (JVM, dimension path), built lazily by
+  * reading the dimension's parquet files with parquet-mr — the same
+  * "each task loads the dimension files into an in-memory cache" shape as
+  * the reference's file-system lookup function. Never touches the driver;
+  * concurrent probes on one executor share a single load. */
+object LookupCache {
+  private val caches =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[Long, String]]()
+
+  def segmentByCustkey(path: String): Map[Long, String] =
+    caches.computeIfAbsent(path, load)
+
+  private val load = new java.util.function.Function[String, Map[Long, String]] {
+    override def apply(path: String): Map[Long, String] = {
+      import org.apache.parquet.hadoop.ParquetReader
+      import org.apache.parquet.hadoop.example.GroupReadSupport
+      val files = {
+        val f = new java.io.File(path)
+        if (f.isDirectory)
+          f.listFiles().filter(_.getName.endsWith(".parquet")).map(_.getPath).sorted
+        else Array(path)
+      }
+      val out = Map.newBuilder[Long, String]
+      files.foreach { file =>
+        val reader = ParquetReader
+          .builder(new GroupReadSupport(), new org.apache.hadoop.fs.Path(file))
+          .build()
+        try {
+          var g = reader.read()
+          while (g != null) {
+            out += g.getLong("c_custkey", 0) -> g.getString("c_mktsegment", 0)
+            g = reader.read()
+          }
+        } finally reader.close()
+      }
+      out.result()
+    }
   }
 }

@@ -180,6 +180,18 @@ class PlanSpec extends SparkSpec {
       v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
   }
 
+  test("lookup join broadcasts the dimension, no driver-side collect") {
+    val p = plan(operators.AsyncMap.lookupJoin(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"dimension not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+  }
+
+  test("async lookup join (executor-side cache) equals the broadcast join") {
+    val sync = operators.AsyncMap.lookupJoin(spark, sf).collect().map(_.toSeq)
+    val async = operators.AsyncMap.lookupJoinAsync(spark, sf).collect().map(_.toSeq)
+    assert(async === sync)
+  }
+
   test("vec_dot participates in whole-stage codegen") {
     import org.apache.spark.sql.functions.col
     val df = Tables(spark, sf, "embeddings")
