@@ -156,6 +156,8 @@ object SparkEntry {
     "q_tpch_q22"        -> (SqlSurface.tpchQuery("q_tpch_q22") _),
     "q_sql_topn_pattern" -> (SqlSurface.tpchQuery("q_sql_topn_pattern") _),
     "q_sql_asof_pattern" -> (SqlSurface.asofPattern _),
+    "q_sql_match"        -> (streaming.MatchRecognizeSql.matchPlus _),
+    "q_sql_match_strict" -> (streaming.MatchRecognizeSql.matchStrict _),
     "q_sql_dedup_pattern" -> (SqlSurface.tpchQuery("q_sql_dedup_pattern") _),
     "q_part_prune"      -> (ScaleOps.partitionedWrite _),
     "q_join_salted"     -> (ScaleOps.saltedJoin(_, _)),
@@ -463,5 +465,5 @@ object SparkEntry {
         |FROM part ORDER BY p_partkey""".stripMargin,
   ) ++ LlmOracles.sql ++ WindowOracles.sql ++ streaming.StreamQueries.sql ++
     Formats.sql ++ Udafs.sql ++ Graph.sql ++ SqlSurface.sql ++ ScaleOps.sql ++
-    Pipeline.sql ++ TpcDsSurface.sql
+    Pipeline.sql ++ TpcDsSurface.sql ++ streaming.MatchRecognizeSql.sql
 }

@@ -21,7 +21,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object Cep {
 
-  case class Match(user_id: Long, ids: Seq[Long])
+  /** One pattern match: the matched rows' event ids in order, plus how many
+    * of those rows each pattern step consumed (`counts.sum == ids.length`,
+    * one entry per step) — the per-variable segmentation that SQL
+    * MATCH_RECOGNIZE measures (FIRST/LAST/COUNT over a pattern variable)
+    * are computed from. */
+  case class Match(user_id: Long, ids: Seq[Long], counts: Seq[Int])
   case class Partial(ids: Seq[Long], startMicros: Long, next: Int,
                      lastMicros: Long)
   case class NfaState(partials: Seq[Partial])
@@ -41,7 +46,7 @@ object Cep {
           rows.toSeq.sortBy(e => (StatefulOps.micros(e.ts), e.event_id)).foreach { e =>
             val window = recent :+ e
             if (window.length == L && window.zip(steps).forall { case (ev, p) => p(ev) })
-              out += Match(key, window.map(_.event_id))
+              out += Match(key, window.map(_.event_id), Seq.fill(L)(1))
             recent = (window.takeRight(L - 1))
           }
           state.update(recent)
@@ -67,7 +72,7 @@ object Cep {
   case class CepBuffer(rows: Seq[Event])
 
   private sealed trait Res
-  private case class Found(end: Int, ids: List[Long]) extends Res
+  private case class Found(end: Int, ids: List[Long], counts: List[Int]) extends Res
   private case object NoMatch extends Res
   private case object NeedMore extends Res
 
@@ -114,8 +119,8 @@ object Cep {
     require(steps.nonEmpty)
 
     def tryMatch(buf: IndexedSeq[Event], start: Int, atEnd: Boolean): Res = {
-      def go(pos: Int, si: Int, acc: List[Long]): Res = {
-        if (si == steps.length) Found(pos, acc.reverse)
+      def go(pos: Int, si: Int, acc: List[Long], cacc: List[Int]): Res = {
+        if (si == steps.length) Found(pos, acc.reverse, cacc.reverse)
         else {
           val st = steps(si)
           var run = 0
@@ -132,7 +137,7 @@ object Cep {
               var acc2 = acc
               var k = 0
               while (k < c) { acc2 = buf(pos + k).event_id :: acc2; k += 1 }
-              go(pos + c, si + 1, acc2) match {
+              go(pos + c, si + 1, acc2, c :: cacc) match {
                 case f: Found => res = f
                 case NeedMore => res = NeedMore
                 case NoMatch  => ()
@@ -142,18 +147,18 @@ object Cep {
           }
         }
       }
-      go(start, 0, Nil)
+      go(start, 0, Nil, Nil)
     }
 
-    def drain(buf: IndexedSeq[Event], atEnd: Boolean): (List[List[Long]], IndexedSeq[Event]) = {
-      val out = scala.collection.mutable.ListBuffer.empty[List[Long]]
+    def drain(buf: IndexedSeq[Event], atEnd: Boolean): (List[(List[Long], List[Int])], IndexedSeq[Event]) = {
+      val out = scala.collection.mutable.ListBuffer.empty[(List[Long], List[Int])]
       var i = 0
       while (i < buf.length) {
         tryMatch(buf, i, atEnd) match {
           case NeedMore        => return (out.toList, buf.drop(i))
           case NoMatch         => i += 1
-          case Found(end, ids) =>
-            out += ids
+          case Found(end, ids, cnts) =>
+            out += ((ids, cnts))
             i = if (skipPastLastRow) math.max(end, i + 1) else i + 1
         }
       }
@@ -173,7 +178,7 @@ object Cep {
           if (state.hasTimedOut) {
             val (out, _) = drain(buf0, atEnd = true)
             state.remove()
-            out.iterator.map(ids => Match(key, ids))
+            out.iterator.map { case (ids, cnts) => Match(key, ids, cnts) }
           } else {
             val sorted = rows.toSeq.sortBy(e => (StatefulOps.micros(e.ts), e.event_id))
             val all = buf0 ++ sorted
@@ -188,7 +193,7 @@ object Cep {
                   math.max(lastMs + quiesceMs, state.getCurrentWatermarkMs() + 1))
               }
             } else state.remove()
-            out.iterator.map(ids => Match(key, ids))
+            out.iterator.map { case (ids, cnts) => Match(key, ids, cnts) }
           }
       }
   }
@@ -224,7 +229,7 @@ object Cep {
             partials = partials.flatMap { p =>
               if (m > p.lastMicros && steps(p.next)(e)) {
                 val adv = Partial(p.ids :+ e.event_id, p.startMicros, p.next + 1, m)
-                if (adv.next == L) { out += Match(key, adv.ids); Nil }
+                if (adv.next == L) { out += Match(key, adv.ids, Seq.fill(L)(1)); Nil }
                 else List(adv)
               } else List(p)
             }

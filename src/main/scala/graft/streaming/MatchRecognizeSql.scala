@@ -1,0 +1,297 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** SQL text surface for MATCH_RECOGNIZE, routed onto Cep.matchRecognize —
+  * the reference exposes CEP through SQL (StreamExecMatch translating the
+  * MATCH_RECOGNIZE relational node onto the CEP operator,
+  * flink-table-planner-blink/.../stream/StreamExecMatch.scala:68; grammar
+  * docs/dev/table/sql/queries.md:366). Spark's parser has no
+  * MATCH_RECOGNIZE production, so this module accepts the SQL text
+  * directly — the same position the reference's parser occupies — and
+  * compiles it onto the streaming matcher.
+  *
+  * Supported subset (documented contract, spec-pinned):
+  *   SELECT <partition col and/or measure aliases> FROM events
+  *   MATCH_RECOGNIZE (
+  *     PARTITION BY user_id
+  *     ORDER BY ts
+  *     MEASURES { FIRST(V.event_id) | LAST(V.event_id) | V.event_id
+  *              | COUNT(V.*) } AS alias, ...
+  *     [ONE ROW PER MATCH]
+  *     AFTER MATCH SKIP { TO NEXT ROW | PAST LAST ROW }
+  *     PATTERN (V[+|+?|*|*?|{n}] ...)
+  *     DEFINE V AS <pred> [, ...]
+  *   )
+  * where <pred> is AND/OR combinations (no parentheses) of comparisons
+  * `field op literal` over the event fields (event_type/value/user_id/
+  * event_id), or TRUE. A pattern variable without a DEFINE matches any
+  * row (SQL default). `V.event_id` in MEASURES means LAST(V.event_id)
+  * (the standard's ONE ROW PER MATCH semantics). */
+object MatchRecognizeSql {
+  import StreamSource.Event
+
+  sealed trait Measure { def variable: String; def alias: String }
+  case class FirstM(variable: String, alias: String) extends Measure
+  case class LastM(variable: String, alias: String) extends Measure
+  case class CountM(variable: String, alias: String) extends Measure
+
+  case class Spec(selectCols: Seq[String], table: String, partitionCol: String,
+                  orderCol: String, measures: Seq[Measure],
+                  skipPastLastRow: Boolean,
+                  pattern: Seq[(String, Cep.QStep)])
+
+  // ---------------------------------------------------------------- parsing
+
+  private val mrRe =
+    "(?is)^\\s*SELECT\\s+(.*?)\\s+FROM\\s+(\\w+)\\s+MATCH_RECOGNIZE\\s*\\((.*)\\)\\s*$".r
+  private val partRe = "(?is)PARTITION\\s+BY\\s+(\\w+)".r
+  private val orderRe = "(?is)ORDER\\s+BY\\s+(\\w+)".r
+  private val measuresRe =
+    "(?is)MEASURES\\s+(.*?)\\s+(?:ONE\\s+ROW\\s+PER\\s+MATCH|AFTER\\s+MATCH|PATTERN)".r
+  private val skipRe = "(?is)AFTER\\s+MATCH\\s+SKIP\\s+(TO\\s+NEXT\\s+ROW|PAST\\s+LAST\\s+ROW)".r
+  private val patternRe = "(?is)PATTERN\\s*\\(([^)]*)\\)".r
+  private val defineRe = "(?is)DEFINE\\s+(.*)$".r
+  private val measureRe =
+    "(?is)^(?:(FIRST|LAST|COUNT)\\s*\\(\\s*)?(\\w+)\\.(event_id|\\*)\\s*\\)?\\s+AS\\s+(\\w+)$".r
+  private val tokenRe = "([A-Za-z]\\w*)(\\+\\?|\\*\\?|\\+|\\*|\\{(\\d+)\\})?".r
+  private val cmpRe = "(?s)^(\\w+)\\s*(<>|!=|<=|>=|=|<|>)\\s*(?:'([^']*)'|([-0-9.eE]+))$".r
+
+  def parse(sqlText: String): Spec = {
+    val (selectList, table, body) = sqlText match {
+      case mrRe(sel, tbl, b) => (sel, tbl, b)
+      case _ => throw new IllegalArgumentException(
+        "not a SELECT ... FROM <t> MATCH_RECOGNIZE (...) statement")
+    }
+    val partitionCol = partRe.findFirstMatchIn(body).map(_.group(1))
+      .getOrElse(throw new IllegalArgumentException("missing PARTITION BY"))
+    val orderCol = orderRe.findFirstMatchIn(body).map(_.group(1))
+      .getOrElse(throw new IllegalArgumentException("missing ORDER BY"))
+    require(partitionCol.equalsIgnoreCase("user_id"),
+      s"unsupported PARTITION BY column: $partitionCol (events are keyed by user_id)")
+    require(orderCol.equalsIgnoreCase("ts"),
+      s"unsupported ORDER BY column: $orderCol (event time is ts)")
+
+    val measures = measuresRe.findFirstMatchIn(body)
+      .map(_.group(1)).toSeq
+      .flatMap(_.split(","))
+      .map(_.trim).filter(_.nonEmpty)
+      .map {
+        case measureRe(fn, v, field, alias) =>
+          val f = Option(fn).map(_.toUpperCase).getOrElse("LAST")
+          f match {
+            case "COUNT" => CountM(v, alias)
+            case "FIRST" =>
+              require(field == "event_id", s"unsupported measure field $field")
+              FirstM(v, alias)
+            case _ =>
+              require(field == "event_id", s"unsupported measure field $field")
+              LastM(v, alias)
+          }
+        case m => throw new IllegalArgumentException(s"unsupported measure: $m")
+      }
+
+    val skipPast = skipRe.findFirstMatchIn(body).map(_.group(1)) match {
+      case Some(s) => s.toUpperCase.startsWith("PAST") // SKIP PAST LAST ROW
+      case None    => true // SQL default: AFTER MATCH SKIP PAST LAST ROW
+    }
+
+    val defines: Map[String, Event => Boolean] =
+      defineRe.findFirstMatchIn(body).map(_.group(1)).toSeq
+        .flatMap(splitTopLevel)
+        .map { d =>
+          val kv = d.split("(?is)\\s+AS\\s+", 2)
+          require(kv.length == 2, s"bad DEFINE entry: $d")
+          kv(0).trim.toUpperCase -> compilePred(kv(1).trim)
+        }.toMap
+
+    val pattern = patternRe.findFirstMatchIn(body).map(_.group(1))
+      .getOrElse(throw new IllegalArgumentException("missing PATTERN"))
+      .trim.split("\\s+").toSeq.map {
+        case tokenRe(v, quant, times) =>
+          val pred = defines.getOrElse(v.toUpperCase, (_: Event) => true)
+          val step = Option(quant) match {
+            case None       => Cep.QStep.once(pred)
+            case Some("+")  => Cep.QStep.oneOrMore(pred)
+            case Some("+?") => Cep.QStep.oneOrMore(pred, greedy = false)
+            case Some("*")  => Cep.QStep.zeroOrMore(pred)
+            case Some("*?") => Cep.QStep.zeroOrMore(pred, greedy = false)
+            case Some(_)    => Cep.QStep.times(pred, times.toInt)
+          }
+          v.toUpperCase -> step
+        case t => throw new IllegalArgumentException(s"bad pattern token: $t")
+      }
+    require(pattern.nonEmpty, "empty PATTERN")
+    val patVars = pattern.map(_._1)
+    require(patVars.distinct == patVars,
+      "a pattern variable may appear only once in this subset")
+    measures.foreach(m => require(patVars.contains(m.variable.toUpperCase),
+      s"measure references undefined pattern variable ${m.variable}"))
+
+    val selectCols = selectList.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    Spec(selectCols, table, partitionCol.toLowerCase, orderCol.toLowerCase,
+      measures, skipPast, pattern)
+  }
+
+  /** Split a DEFINE body on commas that separate entries (`,` followed by
+    * `ident AS` later) — predicates themselves contain no commas in this
+    * subset, so a plain split suffices. */
+  private def splitTopLevel(s: String): Seq[String] =
+    s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+
+  /** Compile an AND/OR predicate over event fields. The engine-internal
+    * sentinel row never matches any compiled predicate. */
+  private[streaming] def compilePred(text: String): Event => Boolean = {
+    val orFns = text.split("(?i)\\s+OR\\s+").map { part =>
+      val andFns = part.split("(?i)\\s+AND\\s+").map(t => compileCmp(t.trim))
+      (e: Event) => andFns.forall(_(e))
+    }
+    e => e.event_type != "__sentinel" && orFns.exists(_(e))
+  }
+
+  private def compileCmp(t: String): Event => Boolean = {
+    if (t.equalsIgnoreCase("TRUE")) return _ => true
+    t match {
+      case cmpRe(field, op, strLit, numLit) =>
+        val fl = field.toLowerCase
+        if (strLit != null) {
+          require(fl == "event_type", s"string comparison on non-string field $field")
+          op match {
+            case "="         => e => e.event_type == strLit
+            case "<>" | "!=" => e => e.event_type != strLit
+            case _ => throw new IllegalArgumentException(s"unsupported string op $op")
+          }
+        } else {
+          val x = numLit.toDouble
+          val get: Event => Double = fl match {
+            case "value"    => _.value
+            case "user_id"  => _.user_id.toDouble
+            case "event_id" => _.event_id.toDouble
+            case _ => throw new IllegalArgumentException(s"unknown numeric field $field")
+          }
+          op match {
+            case "="         => e => get(e) == x
+            case "<>" | "!=" => e => get(e) != x
+            case "<"         => e => get(e) < x
+            case "<="        => e => get(e) <= x
+            case ">"         => e => get(e) > x
+            case ">="        => e => get(e) >= x
+          }
+        }
+      case _ => throw new IllegalArgumentException(s"unsupported predicate term: $t")
+    }
+  }
+
+  // ---------------------------------------------------------------- running
+
+  /** Parse and execute `sqlText` as a streaming query over the events
+    * table at `dir`: file-stream source → Cep.matchRecognize → measure
+    * projection → memory sink, drained (same harness as every other
+    * streaming Verify entry). */
+  def run(s: SparkSession, dir: String, sqlText: String): DataFrame = {
+    import s.implicits._
+    val spec = parse(sqlText)
+    require(spec.table.equalsIgnoreCase("events"),
+      s"unsupported table ${spec.table}")
+    val steps = spec.pattern.map(_._2)
+    val varIdx = spec.pattern.map(_._1).zipWithIndex.toMap
+    val measures = spec.measures
+    val out = Cep.matchRecognize(
+      StreamSource.eventsTypedWithSentinel(s, dir), steps, spec.skipPastLastRow)
+    // ONE ROW PER MATCH: evaluate each measure from the match's ids and the
+    // per-step segmentation (counts) — FIRST/LAST on an empty optional
+    // variable is NULL, per the standard
+    val rows = out.map { m =>
+      val offs = m.counts.scanLeft(0)(_ + _)
+      val vals: Seq[Option[Long]] = measures.map { meas =>
+        val i = varIdx(meas.variable.toUpperCase)
+        val cnt = m.counts(i)
+        meas match {
+          case _: CountM => Some(cnt.toLong)
+          case _: FirstM => if (cnt == 0) None else Some(m.ids(offs(i)))
+          case _: LastM  => if (cnt == 0) None else Some(m.ids(offs(i) + cnt - 1))
+        }
+      }
+      (m.user_id, vals)
+    }.toDF("__pk", "__m")
+    val name = "sql_match_" + Integer.toHexString(sqlText.hashCode).takeWhile(_ != '-')
+    val drained = StreamSource.runToTable(s, rows, name, "append")
+    val cols = spec.selectCols.map { c =>
+      if (c.equalsIgnoreCase(spec.partitionCol)) col("__pk").as(c)
+      else {
+        val mi = measures.indexWhere(_.alias.equalsIgnoreCase(c))
+        require(mi >= 0, s"SELECT column $c is neither the partition key nor a measure")
+        col("__m").getItem(mi).as(c)
+      }
+    }
+    drained.select(cols: _*).orderBy(spec.selectCols.map(col): _*)
+  }
+
+  // ------------------------------------------------------------- queries
+
+  /** PATTERN (A+ B) greedy with SKIP TO NEXT ROW — the SQL text form of
+    * the programmatic cepPlus query. */
+  val matchPlusSql: String =
+    """SELECT user_id, a_id, b_id, n_a FROM events
+      |MATCH_RECOGNIZE (
+      |  PARTITION BY user_id
+      |  ORDER BY ts
+      |  MEASURES FIRST(A.event_id) AS a_id, LAST(B.event_id) AS b_id,
+      |           COUNT(A.*) AS n_a
+      |  ONE ROW PER MATCH
+      |  AFTER MATCH SKIP TO NEXT ROW
+      |  PATTERN (A+ B)
+      |  DEFINE A AS event_type <> 'error', B AS event_type = 'purchase'
+      |)""".stripMargin
+
+  /** Strict PATTERN (A B C) funnel in SQL. */
+  val matchStrictSql: String =
+    """SELECT user_id, a_id, b_id, c_id FROM events
+      |MATCH_RECOGNIZE (
+      |  PARTITION BY user_id
+      |  ORDER BY ts
+      |  MEASURES A.event_id AS a_id, B.event_id AS b_id, C.event_id AS c_id
+      |  ONE ROW PER MATCH
+      |  AFTER MATCH SKIP TO NEXT ROW
+      |  PATTERN (A B C)
+      |  DEFINE A AS event_type = 'view', B AS event_type = 'click',
+      |         C AS event_type = 'purchase'
+      |)""".stripMargin
+
+  def matchPlus(s: SparkSession, dir: String): DataFrame = run(s, dir, matchPlusSql)
+  def matchStrict(s: SparkSession, dir: String): DataFrame = run(s, dir, matchStrictSql)
+
+  /** DuckDB oracles (no MATCH_RECOGNIZE there either — expressed with
+    * window functions, same derivations as the programmatic CEP oracles). */
+  val sql: Map[String, String] = Map(
+    "q_sql_match" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS t FROM events),
+        |o AS (SELECT user_id, event_id, event_type,
+        |        row_number() OVER (PARTITION BY user_id ORDER BY t, event_id) AS rn,
+        |        CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_err
+        |      FROM e),
+        |g AS (SELECT *, sum(is_err) OVER (PARTITION BY user_id ORDER BY rn) AS grp FROM o),
+        |a AS (SELECT * FROM g WHERE is_err = 0),
+        |s AS (SELECT user_id, grp, rn, event_id,
+        |        max(CASE WHEN event_type = 'purchase' THEN rn END) OVER
+        |          (PARTITION BY user_id, grp ORDER BY rn
+        |           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS j_rn
+        |      FROM a)
+        |SELECT s.user_id, s.event_id AS a_id, b.event_id AS b_id,
+        |       CAST(s.j_rn - s.rn AS BIGINT) AS n_a
+        |FROM s JOIN a b ON b.user_id = s.user_id AND b.rn = s.j_rn
+        |WHERE s.j_rn IS NOT NULL
+        |ORDER BY s.user_id, a_id""".stripMargin,
+    "q_sql_match_strict" ->
+      """WITH o AS (SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS t
+        |           FROM events),
+        |sq AS (SELECT user_id, event_id AS a_id, event_type AS et0,
+        |  lead(event_type, 1) OVER w AS et1, lead(event_id, 1) OVER w AS b_id,
+        |  lead(event_type, 2) OVER w AS et2, lead(event_id, 2) OVER w AS c_id
+        | FROM o WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id))
+        |SELECT user_id, a_id, b_id, c_id FROM sq
+        |WHERE et0 = 'view' AND et1 = 'click' AND et2 = 'purchase'
+        |ORDER BY user_id, a_id""".stripMargin,
+  )
+}

@@ -1,0 +1,90 @@
+package graft
+
+import graft.streaming.{Cep, MatchRecognizeSql, StreamSource}
+import MatchRecognizeSql.{CountM, FirstM, LastM}
+
+/** MATCH_RECOGNIZE SQL surface: grammar → Cep routing (parser units) and
+  * end-to-end equivalence of the SQL text against the same pattern
+  * expressed in relational SQL (the oracle derivation, run in Spark). */
+class MatchRecognizeSqlSpec extends SparkSpec {
+
+  test("parses partition/order/measures/skip/pattern/define") {
+    val spec = MatchRecognizeSql.parse(MatchRecognizeSql.matchPlusSql)
+    assert(spec.partitionCol === "user_id")
+    assert(spec.orderCol === "ts")
+    assert(spec.table === "events")
+    assert(spec.measures === Seq(
+      FirstM("A", "a_id"), LastM("B", "b_id"), CountM("A", "n_a")))
+    assert(!spec.skipPastLastRow) // SKIP TO NEXT ROW
+    assert(spec.pattern.map(_._1) === Seq("A", "B"))
+    val aStep = spec.pattern.head._2
+    assert(aStep.min === 1 && aStep.max === Int.MaxValue && aStep.greedy)
+    val bStep = spec.pattern(1)._2
+    assert(bStep.min === 1 && bStep.max === 1)
+  }
+
+  test("bare V.event_id measure means LAST; default skip is PAST LAST ROW") {
+    val spec = MatchRecognizeSql.parse(
+      """SELECT user_id, a_id FROM events
+        |MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES A.event_id AS a_id
+        |  PATTERN (A{2})
+        |  DEFINE A AS event_type = 'view'
+        |)""".stripMargin)
+    assert(spec.measures === Seq(LastM("A", "a_id")))
+    assert(spec.skipPastLastRow)
+    val s = spec.pattern.head._2
+    assert(s.min === 2 && s.max === 2)
+  }
+
+  test("reluctant quantifier and compound predicates parse") {
+    val spec = MatchRecognizeSql.parse(
+      """SELECT user_id FROM events
+        |MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES COUNT(A.*) AS n
+        |  PATTERN (A+? B)
+        |  DEFINE A AS event_type <> 'error' AND value >= 10, B AS value < 5 OR event_type = 'purchase'
+        |)""".stripMargin)
+    assert(!spec.pattern.head._2.greedy)
+    val ev = (t: String, v: Double) =>
+      StreamSource.Event(1L, new java.sql.Timestamp(0), 1L, t, v)
+    val aPred = spec.pattern.head._2.pred
+    assert(aPred(ev("view", 10.0)) && !aPred(ev("view", 9.0)) && !aPred(ev("error", 99.0)))
+    val bPred = spec.pattern(1)._2.pred
+    assert(bPred(ev("click", 4.0)) && bPred(ev("purchase", 50.0)) && !bPred(ev("click", 5.0)))
+    assert(!aPred(ev("__sentinel", 100.0)) && !bPred(ev("__sentinel", 0.0)))
+  }
+
+  test("rejects unsupported statements") {
+    intercept[IllegalArgumentException](MatchRecognizeSql.parse("SELECT 1"))
+    intercept[IllegalArgumentException](MatchRecognizeSql.parse(
+      """SELECT x FROM events MATCH_RECOGNIZE (
+        | ORDER BY ts MEASURES A.event_id AS x PATTERN (A) DEFINE A AS TRUE
+        |)""".stripMargin)) // no PARTITION BY
+  }
+
+  test("SQL strict funnel equals the window-function derivation") {
+    val viaSql = MatchRecognizeSql.matchStrict(spark, sf)
+      .collect().map(_.toSeq)
+    Tables.registerAll(spark, sf)
+    val expected = spark.sql(
+      """WITH sq AS (SELECT user_id, event_id AS a_id, event_type AS et0,
+        |  lead(event_type, 1) OVER w AS et1, lead(event_id, 1) OVER w AS b_id,
+        |  lead(event_type, 2) OVER w AS et2, lead(event_id, 2) OVER w AS c_id
+        | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, a_id, b_id, c_id FROM sq
+        |WHERE et0 = 'view' AND et1 = 'click' AND et2 = 'purchase'
+        |ORDER BY user_id, a_id""".stripMargin).collect().map(_.toSeq)
+    assert(viaSql === expected)
+    assert(viaSql.nonEmpty)
+  }
+
+  test("measure segmentation: FIRST/LAST/COUNT split ids by per-step counts") {
+    val m = Cep.Match(7L, Seq(10L, 11L, 12L, 13L), Seq(3, 1))
+    // evaluated through the public run path indirectly; here pin the
+    // Match contract the measures rely on
+    assert(m.counts.sum === m.ids.length)
+  }
+}
