@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{BatchRelational, Dedup, Formats, Graph, Multimodal, Pipeline, ScalarFuncs, ScaleOps, Similarity, SqlSurface, TextAnalysis, TpcDsSurface, Udafs, WindowAggs}
+import graft.operators.{BatchRelational, Dedup, Formats, Graph, GroupWindowSql, Multimodal, Pipeline, ScalarFuncs, ScaleOps, Similarity, SqlSurface, TextAnalysis, TpcDsSurface, Udafs, WindowAggs}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -158,6 +158,9 @@ object SparkEntry {
     "q_sql_asof_pattern" -> (SqlSurface.asofPattern _),
     "q_sql_match"        -> (streaming.MatchRecognizeSql.matchPlus _),
     "q_sql_match_strict" -> (streaming.MatchRecognizeSql.matchStrict _),
+    "q_sql_tumble"       -> (GroupWindowSql.tumble _),
+    "q_sql_hop"          -> (GroupWindowSql.hop _),
+    "q_sql_session"      -> (GroupWindowSql.session _),
     "q_sql_dedup_pattern" -> (SqlSurface.tpchQuery("q_sql_dedup_pattern") _),
     "q_part_prune"      -> (ScaleOps.partitionedWrite _),
     "q_join_salted"     -> (ScaleOps.saltedJoin(_, _)),
@@ -465,5 +468,6 @@ object SparkEntry {
         |FROM part ORDER BY p_partkey""".stripMargin,
   ) ++ LlmOracles.sql ++ WindowOracles.sql ++ streaming.StreamQueries.sql ++
     Formats.sql ++ Udafs.sql ++ Graph.sql ++ SqlSurface.sql ++ ScaleOps.sql ++
-    Pipeline.sql ++ TpcDsSurface.sql ++ streaming.MatchRecognizeSql.sql
+    Pipeline.sql ++ TpcDsSurface.sql ++ streaming.MatchRecognizeSql.sql ++
+    GroupWindowSql.sql
 }

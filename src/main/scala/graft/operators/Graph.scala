@@ -123,7 +123,7 @@ object Graph {
   }
 
   def docLabelProp(s: SparkSession, dir: String): DataFrame = {
-    val pairs = Dedup.ngramJaccardPairs(s, dir)
+    val pairs = Dedup.ngramJaccardPairsShared(s, dir)
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
     val verts = graft.Tables(s, dir, "documents").select(col("doc_id").as("id"))
     labelPropagation(verts, pairs, rounds = 3)
@@ -132,7 +132,7 @@ object Graph {
   }
 
   def docPageRank(s: SparkSession, dir: String): DataFrame = {
-    val pairs = Dedup.ngramJaccardPairs(s, dir)
+    val pairs = Dedup.ngramJaccardPairsShared(s, dir)
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
     val verts = graft.Tables(s, dir, "documents").select(col("doc_id").as("id"))
     pageRank(verts, pairs, iters = 3)
@@ -144,7 +144,7 @@ object Graph {
     * n-gram-Jaccard pair graph — upgrades pairwise dedup to transitive
     * clusters (A~B, B~C → {A,B,C} share one component). */
   def docComponents(s: SparkSession, dir: String): DataFrame = {
-    val pairs = Dedup.ngramJaccardPairs(s, dir)
+    val pairs = Dedup.ngramJaccardPairsShared(s, dir)
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
     val verts = graft.Tables(s, dir, "documents").select(col("doc_id").as("id"))
     connectedComponents(verts, pairs)

@@ -1,0 +1,120 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** SQL group-window syntax (SURVEY.md §2.5 / VERDICT r3 missing #3): the
+  * reference's SQL dialect exposes window assigners as GROUP BY table
+  * functions — `GROUP BY TUMBLE(ts, INTERVAL '1' DAY)` with auxiliary
+  * `TUMBLE_START`/`TUMBLE_END` selectors (FlinkSqlOperatorTable.java;
+  * docs/dev/table/sql/queries.md group windows). Spark spells the same
+  * assigners `window(ts, '1 day')` / `session_window(ts, '1 hour')` with
+  * `.start`/`.end` struct access.
+  *
+  * This module is the dialect adapter: a deterministic text rewrite of the
+  * group-window function family onto Spark's spelling, after which the
+  * statement is ordinary Spark SQL planned by Catalyst (two-phase hash
+  * aggregate keyed by (window, keys) — the scale story of WindowAggs
+  * applies unchanged). Argument order follows the reference:
+  * `HOP(time, slide, size)`, `SESSION(time, gap)`.
+  *
+  * CUMULATE has no Spark-native assigner; its SQL form is not accepted
+  * here — WindowAggs.cumulate is the engine path (sequence + explode). */
+object GroupWindowSql {
+
+  private val Interval = "INTERVAL\\s+'(\\d+)'\\s+(DAY|HOUR|MINUTE|SECOND)S?"
+
+  private def dur(n: String, unit: String): String = s"$n ${unit.toLowerCase}"
+
+  private val tumbleStartRe = s"(?i)TUMBLE_START\\s*\\(\\s*\\w+\\s*,\\s*$Interval\\s*\\)".r
+  private val tumbleEndRe = s"(?i)TUMBLE_END\\s*\\(\\s*\\w+\\s*,\\s*$Interval\\s*\\)".r
+  private val tumbleRe = s"(?i)TUMBLE\\s*\\(\\s*(\\w+)\\s*,\\s*$Interval\\s*\\)".r
+  private val hopStartRe = s"(?i)HOP_START\\s*\\(\\s*\\w+\\s*,\\s*$Interval\\s*,\\s*$Interval\\s*\\)".r
+  private val hopEndRe = s"(?i)HOP_END\\s*\\(\\s*\\w+\\s*,\\s*$Interval\\s*,\\s*$Interval\\s*\\)".r
+  private val hopRe = s"(?i)HOP\\s*\\(\\s*(\\w+)\\s*,\\s*$Interval\\s*,\\s*$Interval\\s*\\)".r
+  private val sessionStartRe = s"(?i)SESSION_START\\s*\\(\\s*\\w+\\s*,\\s*$Interval\\s*\\)".r
+  private val sessionEndRe = s"(?i)SESSION_END\\s*\\(\\s*\\w+\\s*,\\s*$Interval\\s*\\)".r
+  private val sessionRe = s"(?i)SESSION\\s*\\(\\s*(\\w+)\\s*,\\s*$Interval\\s*\\)".r
+  private val cumulateRe = "(?i)CUMULATE\\s*\\(".r
+
+  /** Rewrite the group-window function family onto Spark SQL. Pure text →
+    * text; unknown SQL passes through untouched. */
+  def rewrite(sql: String): String = {
+    require(cumulateRe.findFirstIn(sql).isEmpty,
+      "CUMULATE has no SQL rewrite; use WindowAggs.cumulate")
+    var out = sql
+    // auxiliary selectors first (their names contain the assigner names)
+    out = tumbleStartRe.replaceAllIn(out, "window.start")
+    out = tumbleEndRe.replaceAllIn(out, "window.end")
+    out = hopStartRe.replaceAllIn(out, "window.start")
+    out = hopEndRe.replaceAllIn(out, "window.end")
+    out = sessionStartRe.replaceAllIn(out, "session_window.start")
+    out = sessionEndRe.replaceAllIn(out, "session_window.end")
+    out = tumbleRe.replaceAllIn(out,
+      m => s"window(${m.group(1)}, '${dur(m.group(2), m.group(3))}')")
+    // reference arg order HOP(time, slide, size) → Spark window(time, size, slide)
+    out = hopRe.replaceAllIn(out,
+      m => s"window(${m.group(1)}, '${dur(m.group(4), m.group(5))}', '${dur(m.group(2), m.group(3))}')")
+    out = sessionRe.replaceAllIn(out,
+      m => s"session_window(${m.group(1)}, '${dur(m.group(2), m.group(3))}')")
+    out
+  }
+
+  def run(s: SparkSession, dir: String, sql: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(rewrite(sql))
+  }
+
+  // ------------------------------------------------------------- queries
+
+  val tumbleSql: String =
+    """SELECT TUMBLE_START(ts, INTERVAL '1' DAY) AS w_start, event_type,
+      | count(*) AS cnt, round(sum(value), 2) AS sum_value
+      |FROM events
+      |GROUP BY TUMBLE(ts, INTERVAL '1' DAY), event_type
+      |ORDER BY w_start, event_type""".stripMargin
+
+  val hopSql: String =
+    """SELECT HOP_START(ts, INTERVAL '12' HOUR, INTERVAL '1' DAY) AS w_start, event_type,
+      | count(*) AS cnt, round(sum(value), 2) AS sum_value
+      |FROM events
+      |GROUP BY HOP(ts, INTERVAL '12' HOUR, INTERVAL '1' DAY), event_type
+      |ORDER BY w_start, event_type""".stripMargin
+
+  val sessionSql: String =
+    """SELECT SESSION_START(ts, INTERVAL '1' HOUR) AS w_start,
+      | SESSION_END(ts, INTERVAL '1' HOUR) AS w_end, user_id,
+      | count(*) AS cnt, round(sum(value), 2) AS sum_value
+      |FROM events
+      |GROUP BY SESSION(ts, INTERVAL '1' HOUR), user_id
+      |ORDER BY user_id, w_start""".stripMargin
+
+  def tumble(s: SparkSession, dir: String): DataFrame = run(s, dir, tumbleSql)
+  def hop(s: SparkSession, dir: String): DataFrame = run(s, dir, hopSql)
+  def session(s: SparkSession, dir: String): DataFrame = run(s, dir, sessionSql)
+
+  /** DuckDB oracles — same derivations as the API-path window oracles. */
+  val sql: Map[String, String] = Map(
+    "q_sql_tumble" ->
+      """SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS w_start, event_type,
+        | count(*) AS cnt, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_sql_hop" ->
+      """WITH e AS (SELECT event_type, value,
+        |  make_timestamp((epoch_us(CAST(ts AS TIMESTAMP)) // 43200000000) * 43200000000) AS s0
+        | FROM events)
+        |SELECT ws AS w_start, event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
+        |FROM (SELECT unnest([s0, s0 - INTERVAL 12 HOUR]) AS ws, event_type, value FROM e)
+        |GROUP BY ws, event_type ORDER BY ws, event_type""".stripMargin,
+    "q_sql_session" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t, value FROM events),
+        |m AS (SELECT user_id, t, value,
+        |  CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t) <= INTERVAL 1 HOUR
+        |       THEN 0 ELSE 1 END AS brk FROM e),
+        |g AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY t
+        |       ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+        |SELECT min(t) AS w_start, max(t) + INTERVAL 1 HOUR AS w_end, user_id,
+        | count(*) AS cnt, round(sum(value), 2) AS sum_value
+        |FROM g GROUP BY user_id, sid ORDER BY user_id, w_start""".stripMargin,
+  )
+}

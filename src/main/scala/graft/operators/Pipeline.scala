@@ -39,7 +39,7 @@ object Pipeline {
       .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
     // near-dup removal: drop the doc_b side of exact-Jaccard pairs
-    val losers = Dedup.ngramJaccardPairs(s, dir)
+    val losers = Dedup.ngramJaccardPairsShared(s, dir)
       .select(col("doc_b").as("doc_id")).distinct()
     quality.select(col("doc_id"), col("n_tokens"))
       .join(keepExact, Seq("doc_id"), "left_semi")

@@ -1,0 +1,53 @@
+package graft
+
+import graft.operators.{GroupWindowSql, WindowAggs}
+
+/** Group-window SQL dialect: rewrite units plus equivalence of each SQL
+  * text against the API-path window aggregation. */
+class GroupWindowSqlSpec extends SparkSpec {
+
+  test("TUMBLE family rewrites onto window() with struct selectors") {
+    val r = GroupWindowSql.rewrite(
+      "SELECT TUMBLE_START(ts, INTERVAL '1' DAY) AS s, TUMBLE_END(ts, INTERVAL '1' DAY) AS e " +
+        "FROM t GROUP BY TUMBLE(ts, INTERVAL '1' DAY)")
+    assert(r === "SELECT window.start AS s, window.end AS e FROM t GROUP BY window(ts, '1 day')")
+  }
+
+  test("HOP takes (time, slide, size) and maps onto window(time, size, slide)") {
+    val r = GroupWindowSql.rewrite(
+      "GROUP BY HOP(ts, INTERVAL '12' HOUR, INTERVAL '1' DAY)")
+    assert(r === "GROUP BY window(ts, '1 day', '12 hour')")
+  }
+
+  test("SESSION maps onto session_window with its own struct name") {
+    val r = GroupWindowSql.rewrite(
+      "SELECT SESSION_START(ts, INTERVAL '30' MINUTE) AS s FROM t " +
+        "GROUP BY SESSION(ts, INTERVAL '30' MINUTE)")
+    assert(r === "SELECT session_window.start AS s FROM t GROUP BY session_window(ts, '30 minute')")
+  }
+
+  test("CUMULATE SQL is rejected with a pointer to the API path") {
+    intercept[IllegalArgumentException](
+      GroupWindowSql.rewrite("GROUP BY CUMULATE(ts, INTERVAL '6' HOUR, INTERVAL '1' DAY)"))
+  }
+
+  test("non-window SQL passes through untouched") {
+    val q = "SELECT count(*) FROM t WHERE x = 'TUMBLEWEED'"
+    assert(GroupWindowSql.rewrite(q) === q)
+  }
+
+  test("SQL tumble equals the API tumble") {
+    assert(GroupWindowSql.tumble(spark, sf).collect().map(_.toSeq) ===
+      WindowAggs.tumble(spark, sf).collect().map(_.toSeq))
+  }
+
+  test("SQL hop equals the API hop") {
+    assert(GroupWindowSql.hop(spark, sf).collect().map(_.toSeq) ===
+      WindowAggs.hop(spark, sf).collect().map(_.toSeq))
+  }
+
+  test("SQL session equals the API session") {
+    assert(GroupWindowSql.session(spark, sf).collect().map(_.toSeq) ===
+      WindowAggs.session(spark, sf).collect().map(_.toSeq))
+  }
+}
