@@ -214,6 +214,93 @@ object TpcDsSurface {
         |FROM part
         |WHERE p_partkey IN (SELECT l_partkey FROM both_channels)
         |GROUP BY p_type ORDER BY p_type""".stripMargin,
+    // q88 shape: one row assembled from independent scalar-subquery counts
+    // (time-band slices), planned as a chain of single-row cross joins
+    "q_tpcds_q88_multi" ->
+      """SELECT * FROM
+        | (SELECT count(*) AS q1_cnt FROM orders
+        |  WHERE CAST(year(o_orderdate) AS INT) = 1996 AND CAST(quarter(o_orderdate) AS INT) = 1) a,
+        | (SELECT count(*) AS q2_cnt FROM orders
+        |  WHERE CAST(year(o_orderdate) AS INT) = 1996 AND CAST(quarter(o_orderdate) AS INT) = 2) b,
+        | (SELECT count(*) AS q3_cnt FROM orders
+        |  WHERE CAST(year(o_orderdate) AS INT) = 1996 AND CAST(quarter(o_orderdate) AS INT) = 3) c,
+        | (SELECT count(*) AS q4_cnt FROM orders
+        |  WHERE CAST(year(o_orderdate) AS INT) = 1996 AND CAST(quarter(o_orderdate) AS INT) = 4) d""".stripMargin,
+    // q34/q73 shape: order-count frequency band per customer (HAVING
+    // BETWEEN), joined back to the customer dimension
+    "q_tpcds_q73_band" ->
+      """WITH oc AS (
+        | SELECT o_custkey, count(*) AS cnt FROM orders
+        | GROUP BY o_custkey HAVING count(*) BETWEEN 12 AND 15)
+        |SELECT c_custkey, c_name, cnt
+        |FROM oc JOIN customer ON c_custkey = o_custkey
+        |ORDER BY cnt DESC, c_custkey""".stripMargin,
+    // q4/q11 shape: year-over-year per-customer growth ratio from a
+    // self-joined yearly-spend CTE, ratio-gated
+    "q_tpcds_q11_growth" ->
+      """WITH y AS (
+        | SELECT o_custkey, CAST(year(o_orderdate) AS INT) AS y,
+        |  sum(o_totalprice) AS total
+        | FROM orders GROUP BY o_custkey, y)
+        |SELECT a.o_custkey AS custkey, round(a.total, 2) AS t96,
+        | round(b.total, 2) AS t97, round(b.total / a.total, 6) AS ratio
+        |FROM y a JOIN y b ON a.o_custkey = b.o_custkey
+        |WHERE a.y = 1996 AND b.y = 1997 AND round(b.total / a.total, 6) > 1.5
+        |ORDER BY custkey""".stripMargin,
+    // q93 shape: per-order net quantity after netting out returned lines
+    // (CASE inside the aggregate), top-N report
+    "q_tpcds_q93_returns" ->
+      """SELECT o_orderkey,
+        | round(sum(CASE WHEN l_returnflag = 'R' THEN -l_quantity
+        |               ELSE l_quantity END), 2) AS net_qty
+        |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |GROUP BY o_orderkey
+        |ORDER BY net_qty DESC, o_orderkey LIMIT 25""".stripMargin,
+    // q67 shape: ROLLUP hierarchy + rank within each nation, top slice kept
+    "q_tpcds_q67_toprollup" ->
+      """SELECT * FROM (
+        | SELECT n_name, c_mktsegment, round(sum(o_totalprice), 2) AS rev,
+        |  CAST(rank() OVER (PARTITION BY n_name
+        |    ORDER BY sum(o_totalprice) DESC, c_mktsegment NULLS FIRST) AS INT) AS rk
+        | FROM orders
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | GROUP BY ROLLUP (n_name, c_mktsegment)) t
+        |WHERE rk <= 3
+        |ORDER BY n_name NULLS FIRST, rk, c_mktsegment NULLS FIRST""".stripMargin,
+    // q95/TPC-H q21 shape: correlated EXISTS against sibling lines of the
+    // same order (multi-supplier orders with returned lines)
+    "q_tpcds_q95_exists" ->
+      """SELECT s_suppkey, s_name, count(DISTINCT l1.l_orderkey) AS n_orders
+        |FROM supplier JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        |WHERE l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |GROUP BY s_suppkey, s_name
+        |ORDER BY s_suppkey""".stripMargin,
+    // q49 shape: per-channel return-ratio ranking over a UNION ALL of
+    // channel aggregates, rank-gated in the outer block
+    "q_tpcds_q49_rank" ->
+      """WITH r AS (
+        | SELECT 'F' AS channel, l_partkey,
+        |  sum(CASE WHEN l_returnflag = 'R' THEN l_quantity ELSE 0 END) AS ret,
+        |  sum(l_quantity) AS qty
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | WHERE o_orderstatus = 'F' GROUP BY l_partkey
+        | UNION ALL
+        | SELECT 'O' AS channel, l_partkey,
+        |  sum(CASE WHEN l_returnflag = 'R' THEN l_quantity ELSE 0 END) AS ret,
+        |  sum(l_quantity) AS qty
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | WHERE o_orderstatus = 'O' GROUP BY l_partkey)
+        |SELECT channel, l_partkey, ratio, rnk FROM (
+        | SELECT channel, l_partkey, round(ret / qty, 6) AS ratio,
+        |  CAST(dense_rank() OVER (PARTITION BY channel
+        |    ORDER BY round(ret / qty, 6) DESC, l_partkey) AS INT) AS rnk
+        | FROM r WHERE qty > 0 AND ret > 0) t
+        |WHERE rnk <= 10
+        |ORDER BY channel, rnk, l_partkey""".stripMargin,
     // q27/q77 shape: GROUPING SETS report with per-column grouping flags
     // and a HAVING gate
     "q_tpcds_gsets" ->

@@ -1,0 +1,133 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** 10× scale rehearsal (VERDICT r3 #10): inflate the sf0.1 fact tables to
+  * ~sf1 by unioning key-shifted copies, then time the shuffle-heavy
+  * headline shapes and the two skew strategies side by side. This is the
+  * "would the plan survive a scale-up" experiment the per-round bench
+  * can't show at fixed SF: aggregate/join/window cost should grow ~linearly
+  * (2-phase agg, broadcast dims, windows partitioned by key), and the
+  * viral-key join should stay near the salted baseline because AQE splits
+  * the skewed partition at runtime (OptimizeSkewedJoin) — both asserted
+  * for plan shape in PlanSpec, measured here for wall time.
+  *
+  * Results land in NOTES.md; run with tools/run.sh graft.tools.ScaleBench
+  * [k] (default 10). Inflated data is built once under /tmp/graft-sf1. */
+object ScaleBench {
+
+  def inflate(s: SparkSession, src: String, out: String, k: Int): Unit = {
+    val done = new java.io.File(s"$out/_DONE_$k")
+    if (done.exists()) return
+    new java.io.File(out).mkdirs()
+    val li = graft.Tables(s, src, "lineitem")
+    val ord = graft.Tables(s, src, "orders")
+    val maxOrder = ord.agg(max("o_orderkey")).head.getLong(0) + 1
+    val copies = (0 until k)
+    copies.map { i =>
+      li.withColumn("l_orderkey", col("l_orderkey") + lit(i * maxOrder))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    copies.map { i =>
+      ord.withColumn("o_orderkey", col("o_orderkey") + lit(i * maxOrder))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$out/orders.parquet")
+    // dimensions keep their size — exactly how a real scale-up behaves
+    for (t <- Seq("customer", "supplier", "part", "nation", "region")) {
+      graft.Tables(s, src, t).write.mode("overwrite").parquet(s"$out/$t.parquet")
+    }
+    done.createNewFile()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val k = args.headOption.map(_.toInt).getOrElse(10)
+    val src = "/root/testdata/sf0.1"
+    val out = "/tmp/graft-sf1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    inflate(spark, src, out, k)
+
+    def time(name: String)(f: => Long): (String, Double, Long) = {
+      val t0 = System.nanoTime()
+      val n = f
+      val dt = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[scale-bench] $name%-22s $dt%7.2fs rows=$n")
+      (name, dt, n)
+    }
+
+    val li = spark.read.parquet(s"$out/lineitem.parquet")
+    val ord = spark.read.parquet(s"$out/orders.parquet")
+    val cust = spark.read.parquet(s"$out/customer.parquet")
+
+    val results = Seq(
+      // flagship aggregation: 2-phase hash agg, 6-group output
+      time("agg_pricing") {
+        li.where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(sum("l_quantity"), sum("l_extendedprice"), count(lit(1)))
+          .count()
+      },
+      // big-big shuffle join + agg (orders × lineitem at 10×)
+      time("join_fact_fact") {
+        ord.join(li, col("o_orderkey") === col("l_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(sum("l_quantity").as("q")).count()
+      },
+      // fact × dimension with broadcast
+      time("join_broadcast_dim") {
+        ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .groupBy("c_mktsegment").agg(sum("o_totalprice")).count()
+      },
+      // window over the inflated fact (partitioned by order)
+      time("window_rank") {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("l_orderkey").orderBy(col("l_extendedprice").desc)
+        li.withColumn("rn", row_number().over(w)).where(col("rn") === 1).count()
+      },
+    )
+
+    // Skew strategies on a synthetic viral key: 50% of the inflated fact
+    // collapses onto one key. (a) AQE skew-join split; (b) manual salting.
+    val skewed = li.select(
+      when(rand(7) < 0.5, lit(0L)).otherwise(col("l_orderkey")).as("k"),
+      col("l_quantity"))
+    val dim = ord.select(col("o_orderkey").as("k"), col("o_orderpriority")).limit(200000)
+    val skewResults = {
+      val prev = Seq("spark.sql.adaptive.enabled",
+        "spark.sql.adaptive.skewJoin.enabled",
+        "spark.sql.autoBroadcastJoinThreshold")
+        .map(c => c -> spark.conf.getOption(c))
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force shuffle join
+      val r = try {
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        val aqe = time("skew_join_aqe") {
+          skewed.join(dim, "k").groupBy("o_orderpriority").count().count()
+        }
+        val salted = time("skew_join_salted") {
+          val salt = 16
+          val saltedFact = skewed.withColumn("salt", (rand(11) * salt).cast("int"))
+          val saltedDim = dim.withColumn("salt", explode(sequence(lit(0), lit(salt - 1))))
+          saltedFact.join(saltedDim, Seq("k", "salt"))
+            .groupBy("o_orderpriority").count().count()
+        }
+        Seq(aqe, salted)
+      } finally prev.foreach { case (c, v) =>
+        v.fold(spark.conf.unset(c))(spark.conf.set(c, _)) }
+      r
+    }
+
+    val all = results ++ skewResults
+    val total = all.map(_._2).sum
+    println(f"""{"metric":"scale_bench_total","value":$total%.2f,"unit":"sec","k":$k,"queries":{${
+      all.map { case (n, t, _) => f""""$n":$t%.2f""" }.mkString(",")}}}""")
+    spark.stop()
+  }
+}
