@@ -10,9 +10,10 @@ import org.apache.spark.sql.functions._
   * Each query is a write→read round trip: the driver table is written to
   * the format under /tmp, read back through that format's source, and
   * aggregated; the DuckDB oracle aggregates the original parquet, so a
-  * fidelity bug in either direction breaks the hash match. Avro is omitted:
-  * the spark-avro datasource jar isn't in this deployment's /opt/spark/jars
-  * (the mapping is `spark.read.format("avro")`, same shape as ORC).
+  * fidelity bug in either direction breaks the hash match. Avro goes
+  * through graft.sources.AvroFiles (container-file API on avro-core; the
+  * spark-avro DataSource wrapper is absent from this deployment — with it
+  * the mapping would be `spark.read.format("avro")`, same shape as ORC).
   *
   * CSV/JSON round trips exclude timestamp columns (text formats default to
   * millisecond precision — micros would be silently truncated; production
@@ -61,6 +62,23 @@ object Formats {
       .orderBy("l_returnflag")
   }
 
+  /** Avro: supplier round trip through graft.sources.AvroFiles (container-
+    * file API on avro-core — the spark-avro DataSource jar is absent from
+    * this deployment, the format itself is not). Distributed on both
+    * sides: per-partition DataFileWriter sink, per-file DataFileStream
+    * source; a string column proves Utf8 → String fidelity. */
+  def avroRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val path = tmpDir("avro", dir)
+    val supplier = Tables(s, dir, "supplier")
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"), col("s_acctbal"))
+    graft.sources.AvroFiles.write(supplier, path)
+    graft.sources.AvroFiles.read(s, path, supplier.schema)
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("cnt"), min(col("s_name")).as("first_name"),
+        round(sum("s_acctbal"), 2).as("total"))
+      .orderBy("s_nationkey")
+  }
+
   /** JSON column functions over events.props (§2.8 STR_TO_MAP/JSON family):
     * extract a field from an embedded JSON string and aggregate it. */
   def jsonColumn(s: SparkSession, dir: String): DataFrame =
@@ -82,6 +100,10 @@ object Formats {
       """SELECT l_returnflag, count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_fmt_avro" ->
+      """SELECT s_nationkey, count(*) AS cnt, min(s_name) AS first_name,
+        | round(sum(s_acctbal), 2) AS total
+        |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
     "q_fn_json" ->
       """SELECT user_id, count(*) AS cnt,
         | CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
