@@ -18,13 +18,25 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * applies unchanged). Argument order follows the reference:
   * `HOP(time, slide, size)`, `SESSION(time, gap)`.
   *
-  * CUMULATE has no Spark-native assigner; its SQL form is not accepted
-  * here — WindowAggs.cumulate is the engine path (sequence + explode). */
+  * CUMULATE has no Spark-native assigner, so its SQL form is rewritten
+  * structurally (same expansion as WindowAggs.cumulate): the FROM table is
+  * wrapped in a derived table that aligns each row to its max-interval
+  * window start and LATERAL-VIEW-explodes the row into every growing
+  * window that contains it; CUMULATE(...) in GROUP BY becomes the
+  * (start, step-index) pair and CUMULATE_START/_END become expressions
+  * over it. Single-table FROM only (the assigner's own contract). */
 object GroupWindowSql {
 
   private val Interval = "INTERVAL\\s+'(\\d+)'\\s+(DAY|HOUR|MINUTE|SECOND)S?"
 
   private def dur(n: String, unit: String): String = s"$n ${unit.toLowerCase}"
+
+  private def micros(n: String, unit: String): Long = n.toLong * (unit.toUpperCase match {
+    case "DAY"    => 86400000000L
+    case "HOUR"   => 3600000000L
+    case "MINUTE" => 60000000L
+    case "SECOND" => 1000000L
+  })
 
   private val tumbleStartRe = s"(?i)TUMBLE_START\\s*\\(\\s*\\w+\\s*,\\s*$Interval\\s*\\)".r
   private val tumbleEndRe = s"(?i)TUMBLE_END\\s*\\(\\s*\\w+\\s*,\\s*$Interval\\s*\\)".r
@@ -35,14 +47,15 @@ object GroupWindowSql {
   private val sessionStartRe = s"(?i)SESSION_START\\s*\\(\\s*\\w+\\s*,\\s*$Interval\\s*\\)".r
   private val sessionEndRe = s"(?i)SESSION_END\\s*\\(\\s*\\w+\\s*,\\s*$Interval\\s*\\)".r
   private val sessionRe = s"(?i)SESSION\\s*\\(\\s*(\\w+)\\s*,\\s*$Interval\\s*\\)".r
-  private val cumulateRe = "(?i)CUMULATE\\s*\\(".r
+  private val cumulateStartRe = s"(?i)CUMULATE_START\\s*\\(\\s*\\w+\\s*,\\s*$Interval\\s*,\\s*$Interval\\s*\\)".r
+  private val cumulateEndRe = s"(?i)CUMULATE_END\\s*\\(\\s*\\w+\\s*,\\s*$Interval\\s*,\\s*$Interval\\s*\\)".r
+  private val cumulateRe = s"(?i)CUMULATE\\s*\\(\\s*(\\w+)\\s*,\\s*$Interval\\s*,\\s*$Interval\\s*\\)".r
+  private val fromRe = "(?i)FROM\\s+(\\w+)".r
 
   /** Rewrite the group-window function family onto Spark SQL. Pure text →
     * text; unknown SQL passes through untouched. */
   def rewrite(sql: String): String = {
-    require(cumulateRe.findFirstIn(sql).isEmpty,
-      "CUMULATE has no SQL rewrite; use WindowAggs.cumulate")
-    var out = sql
+    var out = rewriteCumulate(sql)
     // auxiliary selectors first (their names contain the assigner names)
     out = tumbleStartRe.replaceAllIn(out, "window.start")
     out = tumbleEndRe.replaceAllIn(out, "window.end")
@@ -57,6 +70,34 @@ object GroupWindowSql {
       m => s"window(${m.group(1)}, '${dur(m.group(4), m.group(5))}', '${dur(m.group(2), m.group(3))}')")
     out = sessionRe.replaceAllIn(out,
       m => s"session_window(${m.group(1)}, '${dur(m.group(2), m.group(3))}')")
+    out
+  }
+
+  /** Structural CUMULATE expansion: CUMULATE(time, step, max) with
+    * max = k·step. Window starts align to epoch multiples of max (for
+    * DAY that is UTC midnight, the reference's alignment). */
+  private def rewriteCumulate(sql: String): String = {
+    val m = cumulateRe.findFirstMatchIn(sql).getOrElse(return sql)
+    val (tsCol, step, max) =
+      (m.group(1), micros(m.group(2), m.group(3)), micros(m.group(4), m.group(5)))
+    require(max % step == 0, s"CUMULATE max must be a multiple of step ($max % $step)")
+    val n = max / step
+    val endExpr =
+      s"timestamp_micros(unix_micros(__cum_start) + __cum_k * ${step}L)"
+    var out = sql
+    out = cumulateStartRe.replaceAllIn(out, "__cum_start")
+    out = cumulateEndRe.replaceAllIn(out, java.util.regex.Matcher.quoteReplacement(endExpr))
+    out = cumulateRe.replaceAllIn(out, "__cum_start, __cum_k")
+    // wrap the single source table: align to the max boundary, explode one
+    // row per growing window that already contains the row's timestamp
+    val from = fromRe.findFirstMatchIn(out).getOrElse(
+      throw new IllegalArgumentException("CUMULATE rewrite needs a simple FROM <table>"))
+    val table = from.group(1)
+    val derived =
+      s"""FROM (SELECT *, timestamp_micros((unix_micros($tsCol) div ${max}L) * ${max}L) AS __cum_start
+         | FROM $table) __cum_base
+         | LATERAL VIEW explode(sequence(greatest(cast(ceil((unix_micros($tsCol) - unix_micros(__cum_start)) / $step.0) AS int), 1), $n)) __cum_e AS __cum_k """.stripMargin.replace("\n", "")
+    out = out.substring(0, from.start) + derived + out.substring(from.end)
     out
   }
 
@@ -89,9 +130,18 @@ object GroupWindowSql {
       |GROUP BY SESSION(ts, INTERVAL '1' HOUR), user_id
       |ORDER BY user_id, w_start""".stripMargin
 
+  val cumulateSql: String =
+    """SELECT CUMULATE_START(ts, INTERVAL '6' HOUR, INTERVAL '1' DAY) AS w_start,
+      | CUMULATE_END(ts, INTERVAL '6' HOUR, INTERVAL '1' DAY) AS w_end,
+      | event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
+      |FROM events
+      |GROUP BY CUMULATE(ts, INTERVAL '6' HOUR, INTERVAL '1' DAY), event_type
+      |ORDER BY w_start, w_end, event_type""".stripMargin
+
   def tumble(s: SparkSession, dir: String): DataFrame = run(s, dir, tumbleSql)
   def hop(s: SparkSession, dir: String): DataFrame = run(s, dir, hopSql)
   def session(s: SparkSession, dir: String): DataFrame = run(s, dir, sessionSql)
+  def cumulate(s: SparkSession, dir: String): DataFrame = run(s, dir, cumulateSql)
 
   /** DuckDB oracles — same derivations as the API-path window oracles. */
   val sql: Map[String, String] = Map(
@@ -106,6 +156,14 @@ object GroupWindowSql {
         |SELECT ws AS w_start, event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
         |FROM (SELECT unnest([s0, s0 - INTERVAL 12 HOUR]) AS ws, event_type, value FROM e)
         |GROUP BY ws, event_type ORDER BY ws, event_type""".stripMargin,
+    "q_sql_cumulate" ->
+      """WITH e AS (SELECT event_type, value, CAST(ts AS TIMESTAMP) AS t,
+        |  date_trunc('day', CAST(ts AS TIMESTAMP)) AS day FROM events),
+        |kk AS (SELECT *, greatest(CAST(ceil((epoch_us(t) - epoch_us(day)) / 21600000000.0) AS INT), 1) AS k0 FROM e),
+        |x AS (SELECT event_type, value, day, unnest(range(k0, 5)) AS k FROM kk)
+        |SELECT day AS w_start, make_timestamp(epoch_us(day) + k * 21600000000) AS w_end,
+        | event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
+        |FROM x GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     "q_sql_session" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t, value FROM events),
         |m AS (SELECT user_id, t, value,

@@ -26,9 +26,19 @@ class GroupWindowSqlSpec extends SparkSpec {
     assert(r === "SELECT session_window.start AS s FROM t GROUP BY session_window(ts, '30 minute')")
   }
 
-  test("CUMULATE SQL is rejected with a pointer to the API path") {
-    intercept[IllegalArgumentException](
-      GroupWindowSql.rewrite("GROUP BY CUMULATE(ts, INTERVAL '6' HOUR, INTERVAL '1' DAY)"))
+  test("CUMULATE expands structurally into the aligned explode form") {
+    val r = GroupWindowSql.rewrite(
+      "SELECT CUMULATE_START(ts, INTERVAL '6' HOUR, INTERVAL '1' DAY) AS s FROM events " +
+        "GROUP BY CUMULATE(ts, INTERVAL '6' HOUR, INTERVAL '1' DAY)")
+    assert(r.contains("__cum_start, __cum_k"), r)
+    assert(r.contains("LATERAL VIEW explode(sequence("), r)
+    assert(r.contains("div 86400000000L"), r)
+    assert(r.startsWith("SELECT __cum_start AS s FROM (SELECT *,"), r)
+  }
+
+  test("SQL cumulate equals the API cumulate") {
+    assert(GroupWindowSql.cumulate(spark, sf).collect().map(_.toSeq) ===
+      WindowAggs.cumulate(spark, sf).collect().map(_.toSeq))
   }
 
   test("non-window SQL passes through untouched") {
