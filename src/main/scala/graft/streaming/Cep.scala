@@ -21,14 +21,16 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object Cep {
 
-  /** One pattern match: the matched rows' event ids in order, plus how many
-    * of those rows each pattern step consumed (`counts.sum == ids.length`,
-    * one entry per step) — the per-variable segmentation that SQL
-    * MATCH_RECOGNIZE measures (FIRST/LAST/COUNT over a pattern variable)
-    * are computed from. */
-  case class Match(user_id: Long, ids: Seq[Long], counts: Seq[Int])
+  /** One pattern match: the matched rows' event ids and values in order,
+    * plus how many of those rows each pattern step consumed
+    * (`counts.sum == ids.length`, one entry per step) — the per-variable
+    * segmentation that SQL MATCH_RECOGNIZE measures (FIRST/LAST/COUNT and
+    * the value aggregates SUM/MIN/MAX/AVG over a pattern variable) are
+    * computed from. */
+  case class Match(user_id: Long, ids: Seq[Long], counts: Seq[Int],
+                   vals: Seq[Double])
   case class Partial(ids: Seq[Long], startMicros: Long, next: Int,
-                     lastMicros: Long)
+                     lastMicros: Long, vals: Seq[Double])
   case class NfaState(partials: Seq[Partial])
 
   /** All strict-contiguity matches of `steps` (one predicate per pattern
@@ -46,7 +48,8 @@ object Cep {
           rows.toSeq.sortBy(e => (StatefulOps.micros(e.ts), e.event_id)).foreach { e =>
             val window = recent :+ e
             if (window.length == L && window.zip(steps).forall { case (ev, p) => p(ev) })
-              out += Match(key, window.map(_.event_id), Seq.fill(L)(1))
+              out += Match(key, window.map(_.event_id), Seq.fill(L)(1),
+                window.map(_.value))
             recent = (window.takeRight(L - 1))
           }
           state.update(recent)
@@ -72,7 +75,7 @@ object Cep {
   case class CepBuffer(rows: Seq[Event])
 
   private sealed trait Res
-  private case class Found(end: Int, ids: List[Long], counts: List[Int]) extends Res
+  private case class Found(end: Int, rows: List[Event], counts: List[Int]) extends Res
   private case object NoMatch extends Res
   private case object NeedMore extends Res
 
@@ -119,7 +122,7 @@ object Cep {
     require(steps.nonEmpty)
 
     def tryMatch(buf: IndexedSeq[Event], start: Int, atEnd: Boolean): Res = {
-      def go(pos: Int, si: Int, acc: List[Long], cacc: List[Int]): Res = {
+      def go(pos: Int, si: Int, acc: List[Event], cacc: List[Int]): Res = {
         if (si == steps.length) Found(pos, acc.reverse, cacc.reverse)
         else {
           val st = steps(si)
@@ -136,7 +139,7 @@ object Cep {
               val c = it.next()
               var acc2 = acc
               var k = 0
-              while (k < c) { acc2 = buf(pos + k).event_id :: acc2; k += 1 }
+              while (k < c) { acc2 = buf(pos + k) :: acc2; k += 1 }
               go(pos + c, si + 1, acc2, c :: cacc) match {
                 case f: Found => res = f
                 case NeedMore => res = NeedMore
@@ -150,15 +153,15 @@ object Cep {
       go(start, 0, Nil, Nil)
     }
 
-    def drain(buf: IndexedSeq[Event], atEnd: Boolean): (List[(List[Long], List[Int])], IndexedSeq[Event]) = {
-      val out = scala.collection.mutable.ListBuffer.empty[(List[Long], List[Int])]
+    def drain(buf: IndexedSeq[Event], atEnd: Boolean): (List[(List[Event], List[Int])], IndexedSeq[Event]) = {
+      val out = scala.collection.mutable.ListBuffer.empty[(List[Event], List[Int])]
       var i = 0
       while (i < buf.length) {
         tryMatch(buf, i, atEnd) match {
           case NeedMore        => return (out.toList, buf.drop(i))
           case NoMatch         => i += 1
-          case Found(end, ids, cnts) =>
-            out += ((ids, cnts))
+          case Found(end, rows, cnts) =>
+            out += ((rows, cnts))
             i = if (skipPastLastRow) math.max(end, i + 1) else i + 1
         }
       }
@@ -178,7 +181,8 @@ object Cep {
           if (state.hasTimedOut) {
             val (out, _) = drain(buf0, atEnd = true)
             state.remove()
-            out.iterator.map { case (ids, cnts) => Match(key, ids, cnts) }
+            out.iterator.map { case (rows, cnts) =>
+              Match(key, rows.map(_.event_id), cnts, rows.map(_.value)) }
           } else {
             val sorted = rows.toSeq.sortBy(e => (StatefulOps.micros(e.ts), e.event_id))
             val all = buf0 ++ sorted
@@ -193,7 +197,8 @@ object Cep {
                   math.max(lastMs + quiesceMs, state.getCurrentWatermarkMs() + 1))
               }
             } else state.remove()
-            out.iterator.map { case (ids, cnts) => Match(key, ids, cnts) }
+            out.iterator.map { case (rows, cnts) =>
+              Match(key, rows.map(_.event_id), cnts, rows.map(_.value)) }
           }
       }
   }
@@ -228,13 +233,15 @@ object Cep {
             // the oracle's x.t > a.a_t and the reference's event-time order)
             partials = partials.flatMap { p =>
               if (m > p.lastMicros && steps(p.next)(e)) {
-                val adv = Partial(p.ids :+ e.event_id, p.startMicros, p.next + 1, m)
-                if (adv.next == L) { out += Match(key, adv.ids, Seq.fill(L)(1)); Nil }
-                else List(adv)
+                val adv = Partial(p.ids :+ e.event_id, p.startMicros, p.next + 1, m,
+                  p.vals :+ e.value)
+                if (adv.next == L) {
+                  out += Match(key, adv.ids, Seq.fill(L)(1), adv.vals); Nil
+                } else List(adv)
               } else List(p)
             }
             if (steps.head(e))
-              partials = partials :+ Partial(Seq(e.event_id), m, 1, m)
+              partials = partials :+ Partial(Seq(e.event_id), m, 1, m, Seq(e.value))
           }
           state.update(NfaState(partials))
           out.iterator

@@ -17,8 +17,10 @@ import org.apache.spark.sql.functions.col
   *   MATCH_RECOGNIZE (
   *     PARTITION BY user_id
   *     ORDER BY ts
-  *     MEASURES { FIRST(V.event_id) | LAST(V.event_id) | V.event_id
-  *              | COUNT(V.*) } AS alias, ...
+  *     MEASURES { FIRST(V.f) | LAST(V.f) | V.f | COUNT(V.*)
+  *              | SUM(V.value) | MIN(V.value) | MAX(V.value)
+  *              | AVG(V.value) } AS alias, ...   -- f ∈ event_id, value
+  *                                               -- doubles rounded to 6
   *     [ONE ROW PER MATCH]
   *     AFTER MATCH SKIP { TO NEXT ROW | PAST LAST ROW }
   *     PATTERN (V[+|+?|*|*?|{n}] ...)
@@ -33,9 +35,14 @@ object MatchRecognizeSql {
   import StreamSource.Event
 
   sealed trait Measure { def variable: String; def alias: String }
-  case class FirstM(variable: String, alias: String) extends Measure
-  case class LastM(variable: String, alias: String) extends Measure
+  case class FirstM(variable: String, alias: String,
+                    field: String = "event_id") extends Measure
+  case class LastM(variable: String, alias: String,
+                   field: String = "event_id") extends Measure
   case class CountM(variable: String, alias: String) extends Measure
+  /** SUM/MIN/MAX/AVG over a variable's `value` rows; emitted rounded to 6
+    * decimals (the repo-wide cross-engine convention). */
+  case class ValAggM(fn: String, variable: String, alias: String) extends Measure
 
   case class Spec(selectCols: Seq[String], table: String, partitionCol: String,
                   orderCol: String, measures: Seq[Measure],
@@ -54,7 +61,7 @@ object MatchRecognizeSql {
   private val patternRe = "(?is)PATTERN\\s*\\(([^)]*)\\)".r
   private val defineRe = "(?is)DEFINE\\s+(.*)$".r
   private val measureRe =
-    "(?is)^(?:(FIRST|LAST|COUNT)\\s*\\(\\s*)?(\\w+)\\.(event_id|\\*)\\s*\\)?\\s+AS\\s+(\\w+)$".r
+    "(?is)^(?:(FIRST|LAST|COUNT|SUM|MIN|MAX|AVG)\\s*\\(\\s*)?(\\w+)\\.(event_id|value|\\*)\\s*\\)?\\s+AS\\s+(\\w+)$".r
   private val tokenRe = "([A-Za-z]\\w*)(\\+\\?|\\*\\?|\\+|\\*|\\{(\\d+)\\})?".r
   private val cmpRe = "(?s)^(\\w+)\\s*(<>|!=|<=|>=|=|<|>)\\s*(?:'([^']*)'|([-0-9.eE]+))$".r
 
@@ -82,12 +89,15 @@ object MatchRecognizeSql {
           val f = Option(fn).map(_.toUpperCase).getOrElse("LAST")
           f match {
             case "COUNT" => CountM(v, alias)
+            case "SUM" | "MIN" | "MAX" | "AVG" =>
+              require(field == "value", s"$f expects a value field, got $field")
+              ValAggM(f, v, alias)
             case "FIRST" =>
-              require(field == "event_id", s"unsupported measure field $field")
-              FirstM(v, alias)
+              require(field != "*", "FIRST expects a field")
+              FirstM(v, alias, field)
             case _ =>
-              require(field == "event_id", s"unsupported measure field $field")
-              LastM(v, alias)
+              require(field != "*", "LAST expects a field")
+              LastM(v, alias, field)
           }
         case m => throw new IllegalArgumentException(s"unsupported measure: $m")
       }
@@ -199,22 +209,54 @@ object MatchRecognizeSql {
     val measures = spec.measures
     val out = Cep.matchRecognize(
       StreamSource.eventsTypedWithSentinel(s, dir), steps, spec.skipPastLastRow)
-    // ONE ROW PER MATCH: evaluate each measure from the match's ids and the
-    // per-step segmentation (counts) — FIRST/LAST on an empty optional
-    // variable is NULL, per the standard
+    // ONE ROW PER MATCH: evaluate each measure from the match's rows and
+    // the per-step segmentation (counts). FIRST/LAST/aggregates on an
+    // empty optional variable are NULL, per the standard. Long-valued and
+    // double-valued measures land in two parallel arrays; `slots` records
+    // each measure's (array, index).
+    val isDouble: Measure => Boolean = {
+      case _: ValAggM            => true
+      case FirstM(_, _, "value") => true
+      case LastM(_, _, "value")  => true
+      case _                     => false
+    }
+    val slots: Seq[(String, Int)] = {
+      var li = 0; var di = 0
+      measures.map { mm =>
+        if (isDouble(mm)) { val r = ("__d", di); di += 1; r }
+        else { val r = ("__m", li); li += 1; r }
+      }
+    }
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
     val rows = out.map { m =>
       val offs = m.counts.scanLeft(0)(_ + _)
-      val vals: Seq[Option[Long]] = measures.map { meas =>
+      val longs = Seq.newBuilder[Option[Long]]
+      val dbls = Seq.newBuilder[Option[Double]]
+      measures.foreach { meas =>
         val i = varIdx(meas.variable.toUpperCase)
         val cnt = m.counts(i)
+        def idSeg = m.ids.slice(offs(i), offs(i) + cnt)
+        def valSeg = m.vals.slice(offs(i), offs(i) + cnt)
         meas match {
-          case _: CountM => Some(cnt.toLong)
-          case _: FirstM => if (cnt == 0) None else Some(m.ids(offs(i)))
-          case _: LastM  => if (cnt == 0) None else Some(m.ids(offs(i) + cnt - 1))
+          case _: CountM => longs += Some(cnt.toLong)
+          case FirstM(_, _, "value") =>
+            dbls += (if (cnt == 0) None else Some(round6(valSeg.head)))
+          case LastM(_, _, "value") =>
+            dbls += (if (cnt == 0) None else Some(round6(valSeg.last)))
+          case _: FirstM => longs += (if (cnt == 0) None else Some(idSeg.head))
+          case _: LastM  => longs += (if (cnt == 0) None else Some(idSeg.last))
+          case ValAggM(fn, _, _) =>
+            dbls += (if (cnt == 0) None else Some(round6(fn match {
+              case "SUM" => valSeg.sum
+              case "MIN" => valSeg.min
+              case "MAX" => valSeg.max
+              case _     => valSeg.sum / valSeg.size // AVG
+            })))
         }
       }
-      (m.user_id, vals)
-    }.toDF("__pk", "__m")
+      (m.user_id, longs.result(), dbls.result())
+    }.toDF("__pk", "__m", "__d")
     val name = "sql_match_" + Integer.toHexString(sqlText.hashCode).takeWhile(_ != '-')
     val drained = StreamSource.runToTable(s, rows, name, "append")
     val cols = spec.selectCols.map { c =>
@@ -222,7 +264,8 @@ object MatchRecognizeSql {
       else {
         val mi = measures.indexWhere(_.alias.equalsIgnoreCase(c))
         require(mi >= 0, s"SELECT column $c is neither the partition key nor a measure")
-        col("__m").getItem(mi).as(c)
+        val (arr, idx) = slots(mi)
+        col(arr).getItem(idx).as(c)
       }
     }
     drained.select(cols: _*).orderBy(spec.selectCols.map(col): _*)
@@ -259,8 +302,24 @@ object MatchRecognizeSql {
       |         C AS event_type = 'purchase'
       |)""".stripMargin
 
+  /** PATTERN (A{2} B) with value-aggregate measures over the A pair. */
+  val matchSumSql: String =
+    """SELECT user_id, a_id, a_sum, a_avg, b_val, n_a FROM events
+      |MATCH_RECOGNIZE (
+      |  PARTITION BY user_id
+      |  ORDER BY ts
+      |  MEASURES FIRST(A.event_id) AS a_id, SUM(A.value) AS a_sum,
+      |           AVG(A.value) AS a_avg, LAST(B.value) AS b_val,
+      |           COUNT(A.*) AS n_a
+      |  ONE ROW PER MATCH
+      |  AFTER MATCH SKIP TO NEXT ROW
+      |  PATTERN (A{2} B)
+      |  DEFINE A AS event_type = 'view', B AS event_type = 'purchase'
+      |)""".stripMargin
+
   def matchPlus(s: SparkSession, dir: String): DataFrame = run(s, dir, matchPlusSql)
   def matchStrict(s: SparkSession, dir: String): DataFrame = run(s, dir, matchStrictSql)
+  def matchSum(s: SparkSession, dir: String): DataFrame = run(s, dir, matchSumSql)
 
   /** DuckDB oracles (no MATCH_RECOGNIZE there either — expressed with
     * window functions, same derivations as the programmatic CEP oracles). */
@@ -283,6 +342,18 @@ object MatchRecognizeSql {
         |FROM s JOIN a b ON b.user_id = s.user_id AND b.rn = s.j_rn
         |WHERE s.j_rn IS NOT NULL
         |ORDER BY s.user_id, a_id""".stripMargin,
+    "q_sql_match_sum" ->
+      """WITH o AS (SELECT user_id, event_id, event_type, value,
+        |            CAST(ts AS TIMESTAMP) AS t FROM events),
+        |sq AS (SELECT user_id, event_id AS a_id, value AS v0, event_type AS et0,
+        |  lead(event_type, 1) OVER w AS et1, lead(value, 1) OVER w AS v1,
+        |  lead(event_type, 2) OVER w AS et2, lead(value, 2) OVER w AS v2
+        | FROM o WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id))
+        |SELECT user_id, a_id, round(v0 + v1, 6) AS a_sum,
+        | round((v0 + v1) / 2, 6) AS a_avg, round(v2, 6) AS b_val,
+        | CAST(2 AS BIGINT) AS n_a
+        |FROM sq WHERE et0 = 'view' AND et1 = 'view' AND et2 = 'purchase'
+        |ORDER BY user_id, a_id""".stripMargin,
     "q_sql_match_strict" ->
       """WITH o AS (SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS t
         |           FROM events),

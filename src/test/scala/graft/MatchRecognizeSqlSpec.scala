@@ -82,9 +82,49 @@ class MatchRecognizeSqlSpec extends SparkSpec {
   }
 
   test("measure segmentation: FIRST/LAST/COUNT split ids by per-step counts") {
-    val m = Cep.Match(7L, Seq(10L, 11L, 12L, 13L), Seq(3, 1))
+    val m = Cep.Match(7L, Seq(10L, 11L, 12L, 13L), Seq(3, 1),
+      Seq(1.0, 2.0, 3.0, 4.0))
     // evaluated through the public run path indirectly; here pin the
     // Match contract the measures rely on
     assert(m.counts.sum === m.ids.length)
+    assert(m.vals.length === m.ids.length)
+  }
+
+  test("value-aggregate measures parse and route (SUM/AVG/MIN/MAX + field forms)") {
+    import MatchRecognizeSql.ValAggM
+    val spec = MatchRecognizeSql.parse(
+      """SELECT user_id, s, a, lo, hi, fv FROM events
+        |MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES SUM(A.value) AS s, AVG(A.value) AS a, MIN(A.value) AS lo,
+        |           MAX(A.value) AS hi, FIRST(A.value) AS fv
+        |  PATTERN (A+)
+        |  DEFINE A AS event_type = 'view'
+        |)""".stripMargin)
+    assert(spec.measures === Seq(ValAggM("SUM", "A", "s"), ValAggM("AVG", "A", "a"),
+      ValAggM("MIN", "A", "lo"), ValAggM("MAX", "A", "hi"),
+      FirstM("A", "fv", "value")))
+    intercept[IllegalArgumentException](MatchRecognizeSql.parse(
+      """SELECT x FROM events MATCH_RECOGNIZE (
+        | PARTITION BY user_id ORDER BY ts
+        | MEASURES SUM(A.event_id) AS x PATTERN (A) DEFINE A AS TRUE
+        |)""".stripMargin)) // SUM over a non-value field
+  }
+
+  test("SQL value measures equal the window-function derivation") {
+    val viaSql = MatchRecognizeSql.matchSum(spark, sf).collect().map(_.toSeq)
+    Tables.registerAll(spark, sf)
+    val expected = spark.sql(
+      """WITH sq AS (SELECT user_id, event_id AS a_id, value AS v0, event_type AS et0,
+        |  lead(event_type, 1) OVER w AS et1, lead(value, 1) OVER w AS v1,
+        |  lead(event_type, 2) OVER w AS et2, lead(value, 2) OVER w AS v2
+        | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, a_id, round(v0 + v1, 6) AS a_sum,
+        | round((v0 + v1) / 2, 6) AS a_avg, round(v2, 6) AS b_val,
+        | CAST(2 AS BIGINT) AS n_a
+        |FROM sq WHERE et0 = 'view' AND et1 = 'view' AND et2 = 'purchase'
+        |ORDER BY user_id, a_id""".stripMargin).collect().map(_.toSeq)
+    assert(viaSql === expected)
+    assert(viaSql.nonEmpty)
   }
 }
