@@ -47,7 +47,8 @@ object MatchRecognizeSql {
   case class Spec(selectCols: Seq[String], table: String, partitionCol: String,
                   orderCol: String, measures: Seq[Measure],
                   skipPastLastRow: Boolean,
-                  pattern: Seq[(String, Cep.QStep)])
+                  pattern: Seq[(String, Cep.QStep)],
+                  allRows: Boolean = false)
 
   // ---------------------------------------------------------------- parsing
 
@@ -56,7 +57,8 @@ object MatchRecognizeSql {
   private val partRe = "(?is)PARTITION\\s+BY\\s+(\\w+)".r
   private val orderRe = "(?is)ORDER\\s+BY\\s+(\\w+)".r
   private val measuresRe =
-    "(?is)MEASURES\\s+(.*?)\\s+(?:ONE\\s+ROW\\s+PER\\s+MATCH|AFTER\\s+MATCH|PATTERN)".r
+    "(?is)MEASURES\\s+(.*?)\\s+(?:ONE\\s+ROW\\s+PER\\s+MATCH|ALL\\s+ROWS\\s+PER\\s+MATCH|AFTER\\s+MATCH|PATTERN)".r
+  private val allRowsRe = "(?is)ALL\\s+ROWS\\s+PER\\s+MATCH".r
   private val skipRe = "(?is)AFTER\\s+MATCH\\s+SKIP\\s+(TO\\s+NEXT\\s+ROW|PAST\\s+LAST\\s+ROW)".r
   private val patternRe = "(?is)PATTERN\\s*\\(([^)]*)\\)".r
   private val defineRe = "(?is)DEFINE\\s+(.*)$".r
@@ -140,8 +142,11 @@ object MatchRecognizeSql {
       s"measure references undefined pattern variable ${m.variable}"))
 
     val selectCols = selectList.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val allRows = allRowsRe.findFirstIn(body).isDefined
+    if (allRows) require(measures.isEmpty,
+      "ALL ROWS PER MATCH exposes the row itself plus CLASSIFIER()/MATCH_NUMBER(); MEASURES unsupported in this subset")
     Spec(selectCols, table, partitionCol.toLowerCase, orderCol.toLowerCase,
-      measures, skipPast, pattern)
+      measures, skipPast, pattern, allRows)
   }
 
   /** Split a DEFINE body on commas that separate entries (`,` followed by
@@ -209,6 +214,7 @@ object MatchRecognizeSql {
     val measures = spec.measures
     val out = Cep.matchRecognize(
       StreamSource.eventsTypedWithSentinel(s, dir), steps, spec.skipPastLastRow)
+    if (spec.allRows) return runAllRows(s, spec, out, sqlText)
     // ONE ROW PER MATCH: evaluate each measure from the match's rows and
     // the per-step segmentation (counts). FIRST/LAST/aggregates on an
     // empty optional variable are NULL, per the standard. Long-valued and
@@ -271,6 +277,37 @@ object MatchRecognizeSql {
     drained.select(cols: _*).orderBy(spec.selectCols.map(col): _*)
   }
 
+  private val classifierRe = "(?i)^CLASSIFIER\\s*\\(\\s*\\)\\s+AS\\s+(\\w+)$".r
+
+  /** ALL ROWS PER MATCH: one output row per matched input row — the row's
+    * event_id/value plus CLASSIFIER() (the pattern variable that matched
+    * it). An event matched by several overlapping matches appears once per
+    * match, per the standard. MATCH_NUMBER() is not in this subset (a
+    * per-key sequential number would need its own ordered-emission state). */
+  private def runAllRows(s: SparkSession, spec: Spec,
+                         out: org.apache.spark.sql.Dataset[Cep.Match],
+                         sqlText: String): DataFrame = {
+    import s.implicits._
+    val varNames = spec.pattern.map(_._1)
+    val rows = out.flatMap { m =>
+      val classifiers = m.counts.zipWithIndex.flatMap { case (c, i) =>
+        Seq.fill(c)(varNames(i)) }
+      m.ids.lazyZip(m.vals).lazyZip(classifiers).map { (id, v, cls) =>
+        (m.user_id, id, v, cls) }
+    }.toDF("__pk", "__row_id", "__val", "__cls")
+    val name = "sql_matchr_" + Integer.toHexString(sqlText.hashCode).takeWhile(_ != '-')
+    val drained = StreamSource.runToTable(s, rows, name, "append")
+    val pairs = spec.selectCols.map {
+      case classifierRe(alias) => (col("__cls").as(alias), alias)
+      case c if c.equalsIgnoreCase(spec.partitionCol) => (col("__pk").as(c), c)
+      case c if c.equalsIgnoreCase("event_id") => (col("__row_id").as(c), c)
+      case c if c.equalsIgnoreCase("value") => (col("__val").as(c), c)
+      case c => throw new IllegalArgumentException(
+        s"ALL ROWS PER MATCH select supports the partition key, event_id, value, CLASSIFIER(); got $c")
+    }
+    drained.select(pairs.map(_._1): _*).orderBy(pairs.map(p => col(p._2)): _*)
+  }
+
   // ------------------------------------------------------------- queries
 
   /** PATTERN (A+ B) greedy with SKIP TO NEXT ROW — the SQL text form of
@@ -317,9 +354,23 @@ object MatchRecognizeSql {
       |  DEFINE A AS event_type = 'view', B AS event_type = 'purchase'
       |)""".stripMargin
 
+  /** Strict funnel in ALL ROWS PER MATCH mode with CLASSIFIER(). */
+  val matchAllRowsSql: String =
+    """SELECT user_id, event_id, CLASSIFIER() AS cls FROM events
+      |MATCH_RECOGNIZE (
+      |  PARTITION BY user_id
+      |  ORDER BY ts
+      |  ALL ROWS PER MATCH
+      |  AFTER MATCH SKIP TO NEXT ROW
+      |  PATTERN (A B C)
+      |  DEFINE A AS event_type = 'view', B AS event_type = 'click',
+      |         C AS event_type = 'purchase'
+      |)""".stripMargin
+
   def matchPlus(s: SparkSession, dir: String): DataFrame = run(s, dir, matchPlusSql)
   def matchStrict(s: SparkSession, dir: String): DataFrame = run(s, dir, matchStrictSql)
   def matchSum(s: SparkSession, dir: String): DataFrame = run(s, dir, matchSumSql)
+  def matchAllRows(s: SparkSession, dir: String): DataFrame = run(s, dir, matchAllRowsSql)
 
   /** DuckDB oracles (no MATCH_RECOGNIZE there either — expressed with
     * window functions, same derivations as the programmatic CEP oracles). */
@@ -354,6 +405,20 @@ object MatchRecognizeSql {
         | CAST(2 AS BIGINT) AS n_a
         |FROM sq WHERE et0 = 'view' AND et1 = 'view' AND et2 = 'purchase'
         |ORDER BY user_id, a_id""".stripMargin,
+    "q_sql_match_rows" ->
+      """WITH o AS (SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS t
+        |           FROM events),
+        |sq AS (SELECT user_id, event_id AS a_id, event_type AS et0,
+        |  lead(event_type, 1) OVER w AS et1, lead(event_id, 1) OVER w AS b_id,
+        |  lead(event_type, 2) OVER w AS et2, lead(event_id, 2) OVER w AS c_id
+        | FROM o WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+        |m AS (SELECT user_id, a_id, b_id, c_id FROM sq
+        |      WHERE et0 = 'view' AND et1 = 'click' AND et2 = 'purchase')
+        |SELECT user_id, event_id, cls FROM (
+        | SELECT user_id, a_id AS event_id, 'A' AS cls FROM m
+        | UNION ALL SELECT user_id, b_id, 'B' FROM m
+        | UNION ALL SELECT user_id, c_id, 'C' FROM m)
+        |ORDER BY user_id, event_id, cls""".stripMargin,
     "q_sql_match_strict" ->
       """WITH o AS (SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS t
         |           FROM events),

@@ -111,6 +111,17 @@ class MatchRecognizeSqlSpec extends SparkSpec {
         |)""".stripMargin)) // SUM over a non-value field
   }
 
+  test("ALL ROWS PER MATCH emits one classified row per matched row") {
+    val spec = MatchRecognizeSql.parse(MatchRecognizeSql.matchAllRowsSql)
+    assert(spec.allRows && spec.measures.isEmpty)
+    val rows = MatchRecognizeSql.matchAllRows(spark, sf).collect()
+    val strict = MatchRecognizeSql.matchStrict(spark, sf).collect()
+    // 3 classified rows per strict match, classifiers follow the pattern
+    assert(rows.length === strict.length * 3)
+    val byCls = rows.groupBy(_.getString(2)).view.mapValues(_.length).toMap
+    assert(byCls === Map("A" -> strict.length, "B" -> strict.length, "C" -> strict.length))
+  }
+
   test("SQL value measures equal the window-function derivation") {
     val viaSql = MatchRecognizeSql.matchSum(spark, sf).collect().map(_.toSeq)
     Tables.registerAll(spark, sf)
