@@ -197,10 +197,11 @@ object Similarity {
     * nPlanes ROWS per vector through two shuffling aggregations and was
     * ~20× slower. Dots accumulate in ascending dimension order, matching
     * the oracle's unnest order. */
-  private def signSignatures(emb: DataFrame, nTables: Int): DataFrame = {
+  private def signSignatures(emb: DataFrame, nTables: Int,
+                             bits: Int = 4): DataFrame = {
     val s = emb.sparkSession
     import s.implicits._
-    val bc = s.sparkContext.broadcast(planeMatrix(nTables * 4))
+    val bc = s.sparkContext.broadcast(planeMatrix(nTables * bits))
     emb.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
       .mapPartitions { it =>
         val pl = bc.value
@@ -208,8 +209,8 @@ object Similarity {
           (0 until nTables).iterator.map { t =>
             var sig = 0L
             var b = 0
-            while (b < 4) {
-              val plane = pl(t * 4 + b)
+            while (b < bits) {
+              val plane = pl(t * bits + b)
               var dot = 0.0
               var d = 0
               while (d < v.length) { dot += v(d).toDouble * plane(d); d += 1 }
@@ -222,11 +223,43 @@ object Similarity {
       }.toDF("vec_id", "tbl", "tsig")
   }
 
-  /** Banded candidate pairs + exact cosine verification at `minCos`. */
+  /** Scale configuration of the embedding dedup: bucket count sized to the
+    * corpus (bits ≈ log2(N / targetBucket)) plus the hot-bucket cap. Same
+    * candidates→exact-verify→anti-join shape as cosineDedupKeep. */
+  def cosineDedupKeepScaled(s: SparkSession, dir: String, bits: Int,
+                            maxBucket: Int, minCos: Double = 0.5): DataFrame = {
+    val losers = lshVerifiedPairs(s, dir, nTables = 32, minCos = minCos,
+        bits = bits, maxBucket = maxBucket)
+      .select(col("vb").as("vec_id")).distinct()
+    Tables(s, dir, "embeddings").select(col("vec_id"))
+      .join(losers, Seq("vec_id"), "left_anti")
+      .orderBy("vec_id")
+  }
+
+  /** Banded candidate pairs + exact cosine verification at `minCos`.
+    *
+    * Scale knobs (defaults reproduce the oracle-pinned configuration):
+    * `bits` per table fixes the bucket count at 2^bits — at N vectors a
+    * bucket averages N / 2^bits members and the candidate join is
+    * quadratic IN THE BUCKET, so bits must grow like log2(N / targetBucket)
+    * as the corpus grows (with exact verification, more bits only trades
+    * recall, never precision); `maxBucket` is the same hot-bucket cap the
+    * minhash path has — buckets larger than it are dropped before the
+    * self-join, bounding every bucket's cost (members of a dropped bucket
+    * still meet through their other tables). ScaleBench measures the 4-bit
+    * default vs the scaled configuration at 10× corpus size. */
   private[operators] def lshVerifiedPairs(s: SparkSession, dir: String,
-                                          nTables: Int, minCos: Double): DataFrame = {
+                                          nTables: Int, minCos: Double,
+                                          bits: Int = 4,
+                                          maxBucket: Int = Int.MaxValue): DataFrame = {
     val emb = withNorm(Tables(s, dir, "embeddings"))
-    val tables = signSignatures(emb, nTables)
+    val allTables = signSignatures(emb, nTables, bits)
+    val tables = if (maxBucket == Int.MaxValue) allTables else {
+      val small = allTables.groupBy(col("tbl"), col("tsig"))
+        .agg(count(lit(1)).as("bsz")).where(col("bsz") <= maxBucket)
+        .drop("bsz")
+      allTables.join(small, Seq("tbl", "tsig"))
+    }
     val cand = tables.as("a").join(tables.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.tsig") === col("b.tsig") &&
           col("a.vec_id") < col("b.vec_id"))

@@ -37,6 +37,32 @@ object ScaleBench {
     for (t <- Seq("customer", "supplier", "part", "nation", "region")) {
       graft.Tables(s, src, t).write.mode("overwrite").parquet(s"$out/$t.parquet")
     }
+    // documents: each copy's tokens get a copy suffix, so copies are NOT
+    // near-dups of each other — the inflated corpus models 10× DISTINCT
+    // documents with the original's statistical shape (per-copy shingle
+    // universes are disjoint; df distribution per universe is unchanged)
+    val docs = graft.Tables(s, src, "documents")
+    val maxDoc = docs.agg(max("doc_id")).head.getLong(0) + 1
+    copies.map { i =>
+      docs.withColumn("doc_id", col("doc_id") + lit(i * maxDoc))
+        .withColumn("text", array_join(
+          transform(split(col("text"), " "), w => concat(w, lit(s"_$i"))), " "))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    // embeddings: copy-specific ORTHOGONAL map (component shift by 7i plus
+    // a deterministic ±1 mask) — within-copy inner products are preserved
+    // exactly, so each copy's dedup structure mirrors the original corpus,
+    // while cross-copy vectors are decorrelated
+    val emb = graft.Tables(s, src, "embeddings")
+    val maxVec = emb.agg(max("vec_id")).head.getLong(0) + 1
+    copies.map { i =>
+      emb.withColumn("vec_id", col("vec_id") + lit(i * maxVec))
+        .withColumn("embedding", when(lit(i) === 0, col("embedding")).otherwise(
+          expr(s"transform(embedding, (x, j) -> " +
+            s"float(element_at(embedding, (j + 7 * $i) % size(embedding) + 1) " +
+            s"* (1 - 2 * ((j + $i) % 2))))")))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
     done.createNewFile()
   }
 
@@ -90,6 +116,31 @@ object ScaleBench {
         import org.apache.spark.sql.expressions.Window
         val w = Window.partitionBy("l_orderkey").orderBy(col("l_extendedprice").desc)
         li.withColumn("rn", row_number().over(w)).where(col("rn") === 1).count()
+      },
+      // LLM-pipeline flagships at 10×: inverted-index near-dup join,
+      // minhash LSH banding, sign-LSH embedding dedup — the operators the
+      // 100 TB story leans on hardest
+      time("ngram_pairs_10x") {
+        spark.catalog.clearCache()
+        graft.operators.Dedup.ngramJaccardPairs(spark, out).count()
+      },
+      time("minhash_lsh_10x") {
+        spark.catalog.clearCache()
+        graft.operators.Dedup.minhashLshPairs(spark, out).count()
+      },
+      // 4-bit default: 16 buckets per table regardless of corpus size →
+      // candidate join goes quadratic at scale (kept as the what-not-to-do
+      // measurement)
+      time("emb_dedup_10x") {
+        spark.catalog.clearCache()
+        graft.operators.Similarity.cosineDedupKeep(spark, out).count()
+      },
+      // scale configuration: bucket count sized to the corpus
+      // (2^9 = 512 buckets ≈ 40 vectors per bucket at 20k) + hot cap
+      time("emb_dedup_10x_scaled") {
+        spark.catalog.clearCache()
+        graft.operators.Similarity.cosineDedupKeepScaled(spark, out,
+          bits = 9, maxBucket = 256).count()
       },
     )
 
