@@ -66,6 +66,7 @@ object SparkEntry {
         .orderBy("user_id")
     }),
     "q_stream_drop_before" -> (streaming.StreamQueries.dropUpdateBefore _),
+    "q_ddl_dedup"       -> (graft.sources.DdlSql.ddlDedup _),
     "q_fn_string"       -> (ScalarFuncs.strings _),
     "q_fn_math"         -> (ScalarFuncs.math _),
     "q_fn_datetime"     -> (ScalarFuncs.datetime _),
@@ -473,5 +474,5 @@ object SparkEntry {
   ) ++ LlmOracles.sql ++ WindowOracles.sql ++ streaming.StreamQueries.sql ++
     Formats.sql ++ Udafs.sql ++ Graph.sql ++ SqlSurface.sql ++ ScaleOps.sql ++
     Pipeline.sql ++ TpcDsSurface.sql ++ streaming.MatchRecognizeSql.sql ++
-    GroupWindowSql.sql
+    GroupWindowSql.sql ++ graft.sources.DdlSql.sql
 }

@@ -1,0 +1,106 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** SQL DDL surface for table registration (SURVEY.md §2.11; ref
+  * flink-table-planner DDL grammar — `CREATE TABLE` carrying WATERMARK
+  * and PRIMARY KEY as schema metadata, `WITH (...)` carrying connector
+  * options; docs/dev/table/sql/create.md). Spark's parser accepts
+  * CREATE TABLE but has no WATERMARK/PRIMARY KEY productions, so this
+  * module parses the reference-shaped DDL text directly and lowers it
+  * onto [[TableDescriptor]] — the same position the reference's DDL
+  * parser occupies over its catalog.
+  *
+  * Supported subset:
+  *   CREATE TABLE <name> (
+  *     <col> <type>, ...,
+  *     [PRIMARY KEY (c [, c...]) NOT ENFORCED,]
+  *     [WATERMARK FOR <col> AS <col> - INTERVAL '<n>' <UNIT>]
+  *   ) WITH ('connector' = 'filesystem', 'path' = '<path>',
+  *           'format' = 'parquet' [, 'timestamp.nanos' = 'true'])
+  *
+  * Column types are declarative documentation here (the parquet schema is
+  * authoritative, as with Spark's own schema-on-read); PRIMARY KEY and
+  * WATERMARK become descriptor metadata that the dedup/stream operators
+  * derive their key and rowtime columns from. */
+object DdlSql {
+
+  private val createRe =
+    "(?is)^\\s*CREATE\\s+TABLE\\s+(\\w+)\\s*\\((.*)\\)\\s*WITH\\s*\\((.*)\\)\\s*$".r
+  private val pkRe = "(?is)PRIMARY\\s+KEY\\s*\\(([^)]*)\\)\\s*NOT\\s+ENFORCED".r
+  private val wmRe =
+    "(?is)WATERMARK\\s+FOR\\s+(\\w+)\\s+AS\\s+\\w+\\s*-\\s*INTERVAL\\s+'(\\d+)'\\s+(\\w+)".r
+  private val optRe = "'([^']*)'\\s*=\\s*'([^']*)'".r
+
+  def parse(ddl: String): TableDescriptor = {
+    val (name, schemaPart, withPart) = ddl match {
+      case createRe(n, sp, wp) => (n, sp, wp)
+      case _ => throw new IllegalArgumentException(
+        "not a CREATE TABLE (...) WITH (...) statement")
+    }
+    val opts = optRe.findAllMatchIn(withPart)
+      .map(m => m.group(1) -> m.group(2)).toMap
+    require(opts.get("connector").contains("filesystem"),
+      s"unsupported connector ${opts.get("connector")} (filesystem only in this deployment)")
+    require(opts.get("format").forall(_ == "parquet"),
+      s"unsupported format ${opts.get("format")}")
+    val path = opts.getOrElse("path",
+      throw new IllegalArgumentException("missing 'path' option"))
+    val pk = pkRe.findFirstMatchIn(schemaPart)
+      .map(_.group(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
+    val wm = wmRe.findFirstMatchIn(schemaPart)
+    TableDescriptor(
+      name = name,
+      path = path,
+      primaryKey = pk,
+      watermarkCol = wm.map(_.group(1)),
+      watermarkDelay = wm.map(m => s"${m.group(2)} ${m.group(3).toLowerCase}")
+        .getOrElse("1 hour"),
+      tsNanosAsLong = opts.get("timestamp.nanos").contains("true"))
+  }
+
+  /** Execute the DDL: parse and register the batch view; returns the
+    * descriptor for metadata-driven operators. */
+  def executeDdl(s: SparkSession, ddl: String): TableDescriptor = {
+    val d = parse(ddl)
+    Descriptors.table(s, d)
+    d
+  }
+
+  /** The events table declared through DDL text, then deduped by its
+    * declared PRIMARY KEY / rowtime — the DDL-text twin of
+    * q_descriptor_dedup (identical oracle). */
+  def ddlFor(dir: String): String =
+    s"""CREATE TABLE events_ddl (
+       |  event_id BIGINT,
+       |  ts TIMESTAMP(3),
+       |  user_id BIGINT,
+       |  event_type STRING,
+       |  value DOUBLE,
+       |  PRIMARY KEY (user_id) NOT ENFORCED,
+       |  WATERMARK FOR ts AS ts - INTERVAL '1' HOUR
+       |) WITH (
+       |  'connector' = 'filesystem',
+       |  'path' = '$dir/events.parquet',
+       |  'format' = 'parquet',
+       |  'timestamp.nanos' = 'true'
+       |)""".stripMargin
+
+  def ddlDedup(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val d = executeDdl(s, ddlFor(dir))
+    Descriptors.dedupByPk(s, d, tieBreak = Seq("event_id"))
+      .select(col("user_id"), col("event_id"), col("event_type"))
+      .orderBy("user_id")
+  }
+
+  val sql: Map[String, String] = Map(
+    "q_ddl_dedup" ->
+      """SELECT user_id, event_id, event_type FROM (
+        | SELECT user_id, event_id, event_type,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+        | FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin,
+  )
+}
