@@ -54,6 +54,40 @@ object StatefulOps {
       }
   }
 
+  /** Keep-last dedup with IDLE-STATE RETENTION (ref StateTtlConfig /
+    * table.exec.state.ttl, docs/dev/table/streaming/query_configuration.md):
+    * a key's state is dropped once event time passes its last row by
+    * `ttlMs`, so unbounded key spaces (session ids, request ids) don't
+    * grow state forever — the price is the documented TTL semantics: a
+    * row arriving after its key expired is treated as new, even if an
+    * older version preceded it. At 100 TB of keys this bound is what
+    * keeps the state store finite. */
+  def keepLastWithTtl(ds: Dataset[Event], ttlMs: Long): Dataset[Event] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Event, Event](
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: Long, rows: Iterator[Event], state: GroupState[Event]) =>
+          if (state.hasTimedOut) {
+            // idle horizon passed: forget the key entirely
+            state.remove()
+            Iterator.empty
+          } else {
+            val latestIn = rows.maxBy(ord)
+            val cur = state.getOption
+            val out =
+              if (cur.isEmpty || Ordering[(Long, Long)].gt(ord(latestIn), ord(cur.get))) {
+                state.update(latestIn)
+                Iterator.single(latestIn)
+              } else Iterator.empty
+            val lastMs = micros(state.get.ts) / 1000L
+            state.setTimeoutTimestamp(
+              math.max(lastMs + ttlMs, state.getCurrentWatermarkMs() + 1))
+            out
+          }
+      }
+  }
+
   case class Ranked(event_type: String, rank: Int, event_id: Long,
                     user_id: Long, value: Double)
 

@@ -289,6 +289,41 @@ class StreamingSpec extends SparkSpec {
     stop()
   }
 
+  test("keepLastWithTtl drops idle keys' state after the retention horizon") {
+    // The observable is STATE SIZE: once the watermark passes a key's
+    // idle horizon its state row is removed (numRowsTotal shrinks). For
+    // non-late input this never changes results — rows older than the
+    // horizon are engine-dropped anyway, which is exactly why idle-state
+    // retention is safe (ref StateTtlConfig semantics).
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = StatefulOps.keepLastWithTtl(
+        input.toDS().withWatermark("ts", "0 seconds"), ttlMs = 10L * 60000)
+      .writeStream.format("memory").queryName("t_ttl").outputMode("update")
+      .option("checkpointLocation", s"/tmp/graft-ckpt/test-ttl-${System.nanoTime()}")
+      .start()
+    def stateRows: Long = {
+      val p = q.lastProgress
+      if (p == null) 0L else p.stateOperators(0).numRowsTotal
+    }
+    input.addData(Seq(ev(1, 100, 5, "view", 1.0), ev(2, 100, 9, "view", 2.0)))
+    q.processAllAvailable()
+    assert(stateRows === 2L)
+    // within TTL: an older row for key 5 is suppressed, state intact
+    input.addData(Seq(ev(3, 95, 5, "view", 3.0)))
+    q.processAllAvailable()
+    assert(stateRows === 2L)
+    // key 9's far-future row pushes the watermark past key 5's idle
+    // horizon (100 + 10min): key 5's state must be dropped, key 9 stays
+    input.addData(Seq(ev(99, 1000, 9, "view", 0.0)))
+    q.processAllAvailable()
+    input.addData(Seq(ev(100, 1001, 9, "view", 0.0))) // nudge a batch for the timeout
+    q.processAllAvailable()
+    assert(stateRows === 1L, "idle key's state not dropped after TTL")
+    q.stop()
+  }
+
   test("temporalSort holds rows until watermark passes, then emits in order") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
