@@ -301,6 +301,62 @@ object TpcDsSurface {
         | FROM r WHERE qty > 0 AND ret > 0) t
         |WHERE rnk <= 10
         |ORDER BY channel, rnk, l_partkey""".stripMargin,
+    // q15 shape: per-nation return revenue above the all-nation average
+    // (aggregate CTE referenced both as rows and as a scalar subquery)
+    "q_tpcds_q15_top" ->
+      """WITH nr AS (
+        | SELECT n_name, sum(l_extendedprice * (1 - l_discount)) AS ret_rev
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | WHERE l_returnflag = 'R' GROUP BY n_name)
+        |SELECT n_name, round(ret_rev, 4) AS ret_rev FROM nr
+        |WHERE ret_rev > (SELECT avg(ret_rev) FROM nr)
+        |ORDER BY n_name""".stripMargin,
+    // q65 shape: the lowest-revenue brand within each type (min-per-group
+    // CTE joined back on the aggregate value)
+    "q_tpcds_q65_minbrand" ->
+      """WITH br AS (
+        | SELECT p_type, p_brand, sum(l_extendedprice) AS rev
+        | FROM lineitem JOIN part ON l_partkey = p_partkey
+        | GROUP BY p_type, p_brand),
+        |mn AS (SELECT p_type, min(rev) AS min_rev FROM br GROUP BY p_type)
+        |SELECT br.p_type, p_brand, round(rev, 4) AS rev
+        |FROM br JOIN mn ON br.p_type = mn.p_type AND br.rev = mn.min_rev
+        |ORDER BY br.p_type, p_brand""".stripMargin,
+    // q31 shape: consecutive-quarter growth per segment via offset self-join
+    "q_tpcds_q31_growth" ->
+      """WITH q AS (
+        | SELECT c_mktsegment AS seg, CAST(quarter(o_orderdate) AS INT) AS qq,
+        |  sum(o_totalprice) AS rev
+        | FROM orders JOIN customer ON o_custkey = c_custkey
+        | WHERE CAST(year(o_orderdate) AS INT) = 1996
+        | GROUP BY seg, qq)
+        |SELECT a.seg, a.qq AS q_from, round(b.rev / a.rev, 6) AS growth
+        |FROM q a JOIN q b ON a.seg = b.seg AND b.qq = a.qq + 1
+        |ORDER BY a.seg, q_from""".stripMargin,
+    // q41 shape: DISTINCT names under an OR-of-ANDs predicate nest
+    "q_tpcds_q41_or" ->
+      """SELECT DISTINCT p_name FROM part
+        |WHERE (p_brand = 'Brand#1' AND ((p_size BETWEEN 1 AND 10 AND p_type = 'PROMO')
+        |    OR (p_size BETWEEN 20 AND 30 AND p_type = 'STANDARD')))
+        |   OR (p_brand = 'Brand#2' AND ((p_size BETWEEN 5 AND 15 AND p_type = 'ECONOMY')
+        |    OR (p_size BETWEEN 25 AND 35 AND p_type = 'PROMO')))
+        |ORDER BY p_name""".stripMargin,
+    // q54 shape: customers clearing a spend threshold in consecutive months
+    // (lag window over a grouped CTE)
+    "q_tpcds_q54_consec" ->
+      """WITH m AS (
+        | SELECT o_custkey, CAST(month(o_orderdate) AS INT) AS mon,
+        |  sum(o_totalprice) AS rev
+        | FROM orders WHERE CAST(year(o_orderdate) AS INT) = 1996
+        | GROUP BY o_custkey, mon)
+        |SELECT o_custkey, mon, round(rev, 2) AS rev FROM (
+        | SELECT o_custkey, mon, rev,
+        |  lag(rev) OVER (PARTITION BY o_custkey ORDER BY mon) AS prev
+        | FROM m) t
+        |WHERE rev > 100000 AND prev > 100000
+        |ORDER BY o_custkey, mon""".stripMargin,
     // q27/q77 shape: GROUPING SETS report with per-column grouping flags
     // and a HAVING gate
     "q_tpcds_gsets" ->
