@@ -143,6 +143,7 @@ object SparkEntry {
     "q_agg_single_value" -> (Udafs.singleValue _),
     "q_tableagg_top2"   -> (Udafs.tableAggTop2 _),
     "q_graph_cc"        -> (Graph.docComponents _),
+    "q_graph_cc_star"   -> (Graph.docComponentsStar _),
     "q_graph_labelprop" -> (Graph.docLabelProp _),
     "q_graph_pagerank"  -> (Graph.docPageRank _),
     "q_sql_q3"          -> (SqlSurface.q3 _),
@@ -474,5 +475,5 @@ object SparkEntry {
   ) ++ LlmOracles.sql ++ WindowOracles.sql ++ streaming.StreamQueries.sql ++
     Formats.sql ++ Udafs.sql ++ Graph.sql ++ SqlSurface.sql ++ ScaleOps.sql ++
     Pipeline.sql ++ TpcDsSurface.sql ++ streaming.MatchRecognizeSql.sql ++
-    GroupWindowSql.sql ++ graft.sources.DdlSql.sql
+    GroupWindowSql.sql ++ graft.sources.DdlSql.sql ++ Graph.starSql
 }

@@ -61,6 +61,81 @@ object Graph {
     labels
   }
 
+  /** Connected components via alternating LARGE-STAR / SMALL-STAR
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond" —
+    * the hub-skew-resistant variant the min-label loop's scaladoc points
+    * to). Each operation computes every node's neighborhood minimum with
+    * an ordinary partial+final aggregate (no neighbor-list collection
+    * anywhere, so a 100M-degree hub costs a skewed JOIN at worst — which
+    * AQE splits — never a single-task reduce):
+    *
+    *  - large-star: every neighbor v > u re-attaches to m(u) = min(Γ(u) ∪ {u})
+    *  - small-star: every neighbor v <= u (and u itself) attaches to m⁻(u)
+    *    = min of the small neighborhood
+    *
+    * Both keep edges pointing from larger to smaller id; the edge set
+    * converges in O(log n) rounds to per-component stars rooted at the
+    * component minimum — the same labels the min-propagation loop yields,
+    * with round count independent of graph DIAMETER (a path graph needs
+    * diameter rounds of label propagation but only ~log n star rounds). */
+  def connectedComponentsStar(vertices: DataFrame, edges: DataFrame,
+                              maxIter: Int = 15): DataFrame = {
+    def canon(e: DataFrame): DataFrame =
+      e.where(col("src") =!= col("dst"))
+        .select(greatest(col("src"), col("dst")).as("src"),
+          least(col("src"), col("dst")).as("dst"))
+        .distinct()
+
+    // m(u) over the FULL neighborhood (both directions) including u
+    def minFull(adj: DataFrame): DataFrame =
+      adj.groupBy(col("src").as("u"))
+        .agg(least(min(col("dst")), first(col("src"))).as("m"))
+
+    var e = canon(edges).localCheckpoint(true)
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIter) {
+      // large-star over symmetrized adjacency
+      val adj = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      val mf = minFull(adj)
+      val large = canon(
+        adj.where(col("dst") > col("src"))
+          .join(mf, col("src") === col("u"))
+          .select(col("dst").as("src"), col("m").as("dst")))
+      // small-star: u and all its smaller neighbors attach to the
+      // small-neighborhood minimum (canonical edges already point
+      // larger → smaller, so group src=u IS the small neighborhood)
+      val ms = large.groupBy(col("src").as("u"))
+        .agg(min(col("dst")).as("m"))
+      val grouped = large.join(ms, col("src") === col("u"))
+      val next = canon(
+        grouped.select(col("dst").as("src"), col("m").as("dst"))
+          .union(grouped.select(col("src"), col("m").as("dst"))))
+        .localCheckpoint(true)
+      val delta = next.exceptAll(e).count() + e.exceptAll(next).count()
+      e = next
+      done = delta == 0
+      iter += 1
+    }
+    if (!done)
+      throw new IllegalStateException(
+        s"connectedComponentsStar did not converge in $maxIter rounds")
+    // converged: stars point every non-root member at its component root
+    vertices.join(e.select(col("src").as("id"), col("dst").as("root")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("root"), col("id")).as("label"))
+  }
+
+  /** Star-CC over the shared near-dup pair graph — same result contract
+    * (and oracle) as q_graph_cc's min-propagation. */
+  def docComponentsStar(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.ngramJaccardPairsShared(s, dir)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val verts = graft.Tables(s, dir, "documents").select(col("doc_id").as("id"))
+    connectedComponentsStar(verts, pairs)
+      .select(col("id").as("doc_id"), col("label").as("component"))
+      .orderBy("doc_id")
+  }
+
   /** Synchronous label propagation (ref Gelly library/LabelPropagation):
     * each round every vertex adopts the most frequent label among its
     * neighbors (ties → smallest label; no neighbors → keep own). Fixed
@@ -215,4 +290,9 @@ object Graph {
       |GROUP BY a ORDER BY doc_id""").stripMargin
       .replaceFirst("WITH toks", "WITH RECURSIVE toks"),
   )
+
+  /** Star-CC must produce the identical labeling (component = min id), so
+    * it shares q_graph_cc's oracle text. */
+  val starSql: Map[String, String] = Map(
+    "q_graph_cc_star" -> sql("q_graph_cc"))
 }

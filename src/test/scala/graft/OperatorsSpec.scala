@@ -197,6 +197,26 @@ class OperatorsSpec extends SparkSpec {
     assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L, 7L -> 7L))
   }
 
+  test("large-star/small-star CC matches min-propagation, in O(log n) rounds") {
+    import spark.implicits._
+    val verts = (1L to 7L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("src", "dst")
+    val star = operators.Graph.connectedComponentsStar(verts, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L, 7L -> 7L))
+    // a 40-node path has diameter 39: min-label needs 39 rounds, the star
+    // alternation stays within its default 15 (the hub/diameter-proof
+    // property that matters at 100 TB)
+    val pathVerts = (1L to 40L).toDF("id")
+    val pathEdges = (1L until 40L).map(i => (i, i + 1)).toDF("src", "dst")
+    val starPath = operators.Graph.connectedComponentsStar(pathVerts, pathEdges)
+      .collect().map(r => r.getLong(1)).distinct
+    assert(starPath === Array(1L), "path graph must collapse to component 1")
+    val propPath = operators.Graph.connectedComponents(pathVerts, pathEdges, maxIter = 50)
+      .collect().map(r => r.getLong(1)).distinct
+    assert(propPath === Array(1L))
+  }
+
   test("approx_count_distinct (HLL++) lands within 5% of exact") {
     import org.apache.spark.sql.functions.{approx_count_distinct, countDistinct, col}
     val r = Tables(spark, sf, "lineitem")
