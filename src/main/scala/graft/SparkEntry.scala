@@ -163,6 +163,7 @@ object SparkEntry {
     "q_sql_match_strict" -> (streaming.MatchRecognizeSql.matchStrict _),
     "q_sql_match_sum"    -> (streaming.MatchRecognizeSql.matchSum _),
     "q_sql_match_rows"   -> (streaming.MatchRecognizeSql.matchAllRows _),
+    "q_sql_match_within" -> (streaming.MatchRecognizeSql.matchWithin _),
     "q_sql_tumble"       -> (GroupWindowSql.tumble _),
     "q_sql_hop"          -> (GroupWindowSql.hop _),
     "q_sql_session"      -> (GroupWindowSql.session _),

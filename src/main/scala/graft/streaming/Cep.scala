@@ -101,8 +101,10 @@ object Cep {
     * State per key = rows from the first undecided start only. */
   def matchRecognize(ds: Dataset[Event], steps: Seq[QStep],
                      skipPastLastRow: Boolean,
-                     quiesceMs: Long = 24L * 3600 * 1000): Dataset[Match] =
-    matcher(ds, steps, skipPastLastRow, quiesceMs, eventTimeFlush = true)
+                     quiesceMs: Long = 24L * 3600 * 1000,
+                     withinMicros: Option[Long] = None): Dataset[Match] =
+    matcher(ds, steps, skipPastLastRow, quiesceMs, eventTimeFlush = true,
+      withinMicros)
 
   /** Variant for composing AFTER another stateful operator (sortedEvents):
     * downstream of a sorter there is no watermarked column left to hang an
@@ -113,24 +115,41 @@ object Cep {
     * per key, or use the timeout variant on in-order input). */
   def matchRecognizeOrdered(ds: Dataset[Event], steps: Seq[QStep],
                             skipPastLastRow: Boolean): Dataset[Match] =
-    matcher(ds, steps, skipPastLastRow, 0L, eventTimeFlush = false)
+    matcher(ds, steps, skipPastLastRow, 0L, eventTimeFlush = false, None)
 
   private def matcher(ds: Dataset[Event], steps: Seq[QStep],
                       skipPastLastRow: Boolean, quiesceMs: Long,
-                      eventTimeFlush: Boolean): Dataset[Match] = {
+                      eventTimeFlush: Boolean,
+                      withinMicros: Option[Long]): Dataset[Match] = {
     import ds.sparkSession.implicits._
     require(steps.nonEmpty)
+    // WITHIN bound (ref Pattern#within / SQL `PATTERN (...) WITHIN
+    // INTERVAL`): a match's first-to-last event-time span must not exceed
+    // the bound. Checked at Found (backtracking then tries shorter
+    // repetitions), and used to DECIDE otherwise-parked attempts — an
+    // attempt whose span already exceeds the bound can never match, so
+    // its start row is released instead of buffered (the reference's
+    // within-timer state pruning).
+    val within = withinMicros.getOrElse(Long.MaxValue)
+    def spanOk(buf: IndexedSeq[Event], start: Int, endExcl: Int): Boolean =
+      endExcl <= start + 1 ||
+        StatefulOps.micros(buf(endExcl - 1).ts) - StatefulOps.micros(buf(start).ts) <= within
 
     def tryMatch(buf: IndexedSeq[Event], start: Int, atEnd: Boolean): Res = {
       def go(pos: Int, si: Int, acc: List[Event], cacc: List[Int]): Res = {
-        if (si == steps.length) Found(pos, acc.reverse, cacc.reverse)
-        else {
+        if (si == steps.length) {
+          if (spanOk(buf, start, pos)) Found(pos, acc.reverse, cacc.reverse)
+          else NoMatch // over the WITHIN bound; backtracking tries shorter
+        } else {
           val st = steps(si)
           var run = 0
           while (pos + run < buf.length && run < st.max && st.pred(buf(pos + run))) run += 1
           // the repetition stopped at buffer end, not at max/pred — more
-          // input could lengthen it, so the attempt is undecidable now
-          if (pos + run >= buf.length && run < st.max && !atEnd) NeedMore
+          // input could lengthen it, so the attempt is undecidable now...
+          // unless the buffered span already exceeds WITHIN: later rows
+          // only widen it, so the attempt is decidable from the buffer
+          if (pos + run >= buf.length && run < st.max && !atEnd &&
+              spanOk(buf, start, buf.length)) NeedMore
           else {
             val counts = if (st.greedy) run to st.min by -1 else st.min to run
             var res: Res = NoMatch

@@ -48,7 +48,8 @@ object MatchRecognizeSql {
                   orderCol: String, measures: Seq[Measure],
                   skipPastLastRow: Boolean,
                   pattern: Seq[(String, Cep.QStep)],
-                  allRows: Boolean = false)
+                  allRows: Boolean = false,
+                  withinMicros: Option[Long] = None)
 
   // ---------------------------------------------------------------- parsing
 
@@ -61,6 +62,8 @@ object MatchRecognizeSql {
   private val allRowsRe = "(?is)ALL\\s+ROWS\\s+PER\\s+MATCH".r
   private val skipRe = "(?is)AFTER\\s+MATCH\\s+SKIP\\s+(TO\\s+NEXT\\s+ROW|PAST\\s+LAST\\s+ROW)".r
   private val patternRe = "(?is)PATTERN\\s*\\(([^)]*)\\)".r
+  private val withinRe =
+    "(?is)PATTERN\\s*\\([^)]*\\)\\s*WITHIN\\s+INTERVAL\\s+'(\\d+)'\\s+(DAY|HOUR|MINUTE|SECOND)S?".r
   private val defineRe = "(?is)DEFINE\\s+(.*)$".r
   private val measureRe =
     "(?is)^(?:(FIRST|LAST|COUNT|SUM|MIN|MAX|AVG)\\s*\\(\\s*)?(\\w+)\\.(event_id|value|\\*)\\s*\\)?\\s+AS\\s+(\\w+)$".r
@@ -145,8 +148,16 @@ object MatchRecognizeSql {
     val allRows = allRowsRe.findFirstIn(body).isDefined
     if (allRows) require(measures.isEmpty,
       "ALL ROWS PER MATCH exposes the row itself plus CLASSIFIER()/MATCH_NUMBER(); MEASURES unsupported in this subset")
+    val within = withinRe.findFirstMatchIn(body).map { m =>
+      m.group(1).toLong * (m.group(2).toUpperCase match {
+        case "DAY" => 86400000000L
+        case "HOUR" => 3600000000L
+        case "MINUTE" => 60000000L
+        case _ => 1000000L
+      })
+    }
     Spec(selectCols, table, partitionCol.toLowerCase, orderCol.toLowerCase,
-      measures, skipPast, pattern, allRows)
+      measures, skipPast, pattern, allRows, within)
   }
 
   /** Split a DEFINE body on commas that separate entries (`,` followed by
@@ -213,7 +224,8 @@ object MatchRecognizeSql {
     val varIdx = spec.pattern.map(_._1).zipWithIndex.toMap
     val measures = spec.measures
     val out = Cep.matchRecognize(
-      StreamSource.eventsTypedWithSentinel(s, dir), steps, spec.skipPastLastRow)
+      StreamSource.eventsTypedWithSentinel(s, dir), steps, spec.skipPastLastRow,
+      withinMicros = spec.withinMicros)
     if (spec.allRows) return runAllRows(s, spec, out, sqlText)
     // ONE ROW PER MATCH: evaluate each measure from the match's rows and
     // the per-step segmentation (counts). FIRST/LAST/aggregates on an
@@ -354,6 +366,22 @@ object MatchRecognizeSql {
       |  DEFINE A AS event_type = 'view', B AS event_type = 'purchase'
       |)""".stripMargin
 
+  /** Strict funnel bounded by WITHIN: the view→click→purchase triple must
+    * complete inside 1 day of event time (ref Pattern#within / the SQL
+    * WITHIN clause — also the matcher's state-pruning bound). */
+  val matchWithinSql: String =
+    """SELECT user_id, a_id, b_id, c_id FROM events
+      |MATCH_RECOGNIZE (
+      |  PARTITION BY user_id
+      |  ORDER BY ts
+      |  MEASURES A.event_id AS a_id, B.event_id AS b_id, C.event_id AS c_id
+      |  ONE ROW PER MATCH
+      |  AFTER MATCH SKIP TO NEXT ROW
+      |  PATTERN (A B C) WITHIN INTERVAL '1' DAY
+      |  DEFINE A AS event_type = 'view', B AS event_type = 'click',
+      |         C AS event_type = 'purchase'
+      |)""".stripMargin
+
   /** Strict funnel in ALL ROWS PER MATCH mode with CLASSIFIER(). */
   val matchAllRowsSql: String =
     """SELECT user_id, event_id, CLASSIFIER() AS cls FROM events
@@ -371,6 +399,7 @@ object MatchRecognizeSql {
   def matchStrict(s: SparkSession, dir: String): DataFrame = run(s, dir, matchStrictSql)
   def matchSum(s: SparkSession, dir: String): DataFrame = run(s, dir, matchSumSql)
   def matchAllRows(s: SparkSession, dir: String): DataFrame = run(s, dir, matchAllRowsSql)
+  def matchWithin(s: SparkSession, dir: String): DataFrame = run(s, dir, matchWithinSql)
 
   /** DuckDB oracles (no MATCH_RECOGNIZE there either — expressed with
     * window functions, same derivations as the programmatic CEP oracles). */
@@ -419,6 +448,18 @@ object MatchRecognizeSql {
         | UNION ALL SELECT user_id, b_id, 'B' FROM m
         | UNION ALL SELECT user_id, c_id, 'C' FROM m)
         |ORDER BY user_id, event_id, cls""".stripMargin,
+    "q_sql_match_within" ->
+      """WITH o AS (SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS t
+        |           FROM events),
+        |sq AS (SELECT user_id, event_id AS a_id, event_type AS et0, t AS t0,
+        |  lead(event_type, 1) OVER w AS et1, lead(event_id, 1) OVER w AS b_id,
+        |  lead(event_type, 2) OVER w AS et2, lead(event_id, 2) OVER w AS c_id,
+        |  lead(t, 2) OVER w AS t2
+        | FROM o WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id))
+        |SELECT user_id, a_id, b_id, c_id FROM sq
+        |WHERE et0 = 'view' AND et1 = 'click' AND et2 = 'purchase'
+        |  AND t2 - t0 <= INTERVAL 1 DAY
+        |ORDER BY user_id, a_id""".stripMargin,
     "q_sql_match_strict" ->
       """WITH o AS (SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS t
         |           FROM events),

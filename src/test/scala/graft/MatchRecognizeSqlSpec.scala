@@ -111,6 +111,16 @@ class MatchRecognizeSqlSpec extends SparkSpec {
         |)""".stripMargin)) // SUM over a non-value field
   }
 
+  test("WITHIN bounds the match span and is a strict subset of the unbounded result") {
+    val spec = MatchRecognizeSql.parse(MatchRecognizeSql.matchWithinSql)
+    assert(spec.withinMicros === Some(86400000000L))
+    val bounded = MatchRecognizeSql.matchWithin(spark, sf).collect().map(_.toSeq).toSet
+    val unbounded = MatchRecognizeSql.matchStrict(spark, sf).collect().map(_.toSeq).toSet
+    assert(bounded.subsetOf(unbounded))
+    assert(bounded.nonEmpty && bounded.size < unbounded.size,
+      s"bound had no effect: ${bounded.size} of ${unbounded.size}")
+  }
+
   test("ALL ROWS PER MATCH emits one classified row per matched row") {
     val spec = MatchRecognizeSql.parse(MatchRecognizeSql.matchAllRowsSql)
     assert(spec.allRows && spec.measures.isEmpty)
