@@ -168,6 +168,7 @@ object SparkEntry {
     "q_sql_hop"          -> (GroupWindowSql.hop _),
     "q_sql_session"      -> (GroupWindowSql.session _),
     "q_sql_cumulate"     -> (GroupWindowSql.cumulate _),
+    "q_sql_stream_tumble" -> (GroupWindowSql.streamTumble _),
     "q_sql_dedup_pattern" -> (SqlSurface.tpchQuery("q_sql_dedup_pattern") _),
     "q_part_prune"      -> (ScaleOps.partitionedWrite _),
     "q_join_salted"     -> (ScaleOps.saltedJoin(_, _)),

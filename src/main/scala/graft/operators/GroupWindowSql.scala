@@ -143,6 +143,33 @@ object GroupWindowSql {
   def session(s: SparkSession, dir: String): DataFrame = run(s, dir, sessionSql)
   def cumulate(s: SparkSession, dir: String): DataFrame = run(s, dir, cumulateSql)
 
+  /** Group-window SQL text executed as a STREAMING query — the reference's
+    * primary mode (SQL over an unbounded table). The rewritten statement is
+    * planned by spark.sql over a temp view of the watermarked file stream;
+    * append mode emits each closed window exactly once with
+    * watermark-evicted state (same plan as StreamWindowAggs.tumble — here
+    * driven from SQL text end to end). */
+  def streamTumble(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.streaming.StreamSource.eventsWithSentinel(s, dir)
+      .withWatermark("ts", "1 hour")
+      .createOrReplaceTempView("events_stream")
+    // NOTE: no sentinel WHERE inside the statement — the optimizer would
+    // push it below the EventTimeWatermark node into the scan, the
+    // sentinel would stop advancing the watermark, and the final real
+    // window would never close. The sentinel's own far-future window
+    // never closes either, so it simply never reaches the sink; the
+    // post-drain filter below is belt and braces.
+    val out = s.sql(rewrite(
+      """SELECT TUMBLE_START(ts, INTERVAL '1' DAY) AS w_start, event_type,
+        | count(*) AS cnt, round(sum(value), 2) AS sum_value
+        |FROM events_stream
+        |GROUP BY TUMBLE(ts, INTERVAL '1' DAY), event_type""".stripMargin))
+    graft.streaming.StreamSource.runToTable(s, out, "sql_stream_tumble", "append")
+      .where(col("event_type") =!= "__sentinel")
+      .orderBy("w_start", "event_type")
+  }
+
   /** DuckDB oracles — same derivations as the API-path window oracles. */
   val sql: Map[String, String] = Map(
     "q_sql_tumble" ->
@@ -156,6 +183,10 @@ object GroupWindowSql {
         |SELECT ws AS w_start, event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
         |FROM (SELECT unnest([s0, s0 - INTERVAL 12 HOUR]) AS ws, event_type, value FROM e)
         |GROUP BY ws, event_type ORDER BY ws, event_type""".stripMargin,
+    "q_sql_stream_tumble" ->
+      """SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS w_start, event_type,
+        | count(*) AS cnt, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_sql_cumulate" ->
       """WITH e AS (SELECT event_type, value, CAST(ts AS TIMESTAMP) AS t,
         |  date_trunc('day', CAST(ts AS TIMESTAMP)) AS day FROM events),

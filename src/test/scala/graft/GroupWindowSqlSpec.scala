@@ -56,6 +56,11 @@ class GroupWindowSqlSpec extends SparkSpec {
       WindowAggs.hop(spark, sf).collect().map(_.toSeq))
   }
 
+  test("streaming SQL tumble equals the batch SQL tumble") {
+    assert(GroupWindowSql.streamTumble(spark, sf).collect().map(_.toSeq) ===
+      GroupWindowSql.tumble(spark, sf).collect().map(_.toSeq))
+  }
+
   test("SQL session equals the API session") {
     assert(GroupWindowSql.session(spark, sf).collect().map(_.toSeq) ===
       WindowAggs.session(spark, sf).collect().map(_.toSeq))
