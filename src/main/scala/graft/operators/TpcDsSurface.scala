@@ -357,6 +357,60 @@ object TpcDsSurface {
         | FROM m) t
         |WHERE rev > 100000 AND prev > 100000
         |ORDER BY o_custkey, mon""".stripMargin,
+    // q90 shape: ratio of two time-band counts assembled from single-row
+    // subqueries (day-of-month bands; the fixture's dates carry no
+    // intraday time)
+    "q_tpcds_q90_ratio" ->
+      """SELECT round(CAST(early.cnt AS DOUBLE) / late.cnt, 6) AS band_ratio FROM
+        | (SELECT count(*) AS cnt FROM orders
+        |  WHERE CAST(day(o_orderdate) AS INT) BETWEEN 1 AND 10) early,
+        | (SELECT count(*) AS cnt FROM orders
+        |  WHERE CAST(day(o_orderdate) AS INT) BETWEEN 21 AND 28) late""".stripMargin,
+    // q98 shape: revenue share of each part within its type (window sum
+    // over a grouped CTE)
+    "q_tpcds_q98_share" ->
+      """SELECT p_type, p_partkey, round(rev, 4) AS rev,
+        | round(rev * 100.0 / sum(rev) OVER (PARTITION BY p_type), 6) AS revshare
+        |FROM (SELECT p_type, p_partkey,
+        |       sum(l_extendedprice * (1 - l_discount)) AS rev
+        |      FROM lineitem JOIN part ON l_partkey = p_partkey
+        |      GROUP BY p_type, p_partkey) t
+        |ORDER BY p_type, p_partkey""".stripMargin,
+    // q75 shape: year-over-year quantity decline per brand
+    "q_tpcds_q75_decline" ->
+      """WITH y AS (
+        | SELECT p_brand, CAST(year(o_orderdate) AS INT) AS y, sum(l_quantity) AS qty
+        | FROM lineitem
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN part ON l_partkey = p_partkey
+        | GROUP BY p_brand, y)
+        |SELECT a.p_brand, round(a.qty, 2) AS qty96, round(b.qty, 2) AS qty97
+        |FROM y a JOIN y b ON a.p_brand = b.p_brand
+        |WHERE a.y = 1996 AND b.y = 1997 AND b.qty < a.qty
+        |ORDER BY a.p_brand""".stripMargin,
+    // q39 shape: coefficient-of-variation gate over monthly quantities
+    "q_tpcds_q39_cov" ->
+      """WITH m AS (
+        | SELECT p_brand, CAST(month(o_orderdate) AS INT) AS mon, sum(l_quantity) AS qty
+        | FROM lineitem
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN part ON l_partkey = p_partkey
+        | GROUP BY p_brand, mon)
+        |SELECT p_brand, round(avg(qty), 6) AS mean_qty,
+        | round(stddev_samp(qty), 6) AS sd_qty,
+        | round(stddev_samp(qty) / avg(qty), 6) AS cov
+        |FROM m GROUP BY p_brand
+        |HAVING round(stddev_samp(qty) / avg(qty), 6) > 0.1
+        |ORDER BY p_brand""".stripMargin,
+    // q61 shape: promotional share of total revenue from two scalar
+    // aggregates
+    "q_tpcds_q61_promo" ->
+      """SELECT round(100.0 * promo.rev / total.rev, 6) AS promo_pct FROM
+        | (SELECT sum(l_extendedprice * (1 - l_discount)) AS rev
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_type = 'PROMO') promo,
+        | (SELECT sum(l_extendedprice * (1 - l_discount)) AS rev
+        |  FROM lineitem) total""".stripMargin,
     // q27/q77 shape: GROUPING SETS report with per-column grouping flags
     // and a HAVING gate
     "q_tpcds_gsets" ->
