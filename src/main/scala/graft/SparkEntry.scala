@@ -169,6 +169,8 @@ object SparkEntry {
     "q_sql_session"      -> (GroupWindowSql.session _),
     "q_sql_cumulate"     -> (GroupWindowSql.cumulate _),
     "q_sql_stream_tumble" -> (GroupWindowSql.streamTumble _),
+    "q_sql_stream_hop"    -> (GroupWindowSql.streamHop _),
+    "q_sql_stream_session" -> (GroupWindowSql.streamSession _),
     "q_sql_dedup_pattern" -> (SqlSurface.tpchQuery("q_sql_dedup_pattern") _),
     "q_part_prune"      -> (ScaleOps.partitionedWrite _),
     "q_join_salted"     -> (ScaleOps.saltedJoin(_, _)),

@@ -170,6 +170,40 @@ object GroupWindowSql {
       .orderBy("w_start", "event_type")
   }
 
+  /** HOP SQL text as a streaming query (same conventions as streamTumble). */
+  def streamHop(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.streaming.StreamSource.eventsWithSentinel(s, dir)
+      .withWatermark("ts", "1 hour")
+      .createOrReplaceTempView("events_stream")
+    val out = s.sql(rewrite(
+      """SELECT HOP_START(ts, INTERVAL '12' HOUR, INTERVAL '1' DAY) AS w_start, event_type,
+        | count(*) AS cnt, round(sum(value), 2) AS sum_value
+        |FROM events_stream
+        |GROUP BY HOP(ts, INTERVAL '12' HOUR, INTERVAL '1' DAY), event_type""".stripMargin))
+    graft.streaming.StreamSource.runToTable(s, out, "sql_stream_hop", "append")
+      .where(col("event_type") =!= "__sentinel")
+      .orderBy("w_start", "event_type")
+  }
+
+  /** SESSION SQL text as a streaming query (session_window + watermark;
+    * the sentinel key's session never closes, so it never reaches the sink). */
+  def streamSession(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.streaming.StreamSource.eventsWithSentinel(s, dir)
+      .withWatermark("ts", "1 hour")
+      .createOrReplaceTempView("events_stream")
+    val out = s.sql(rewrite(
+      """SELECT SESSION_START(ts, INTERVAL '1' HOUR) AS w_start,
+        | SESSION_END(ts, INTERVAL '1' HOUR) AS w_end, user_id,
+        | count(*) AS cnt, round(sum(value), 2) AS sum_value
+        |FROM events_stream
+        |GROUP BY SESSION(ts, INTERVAL '1' HOUR), user_id""".stripMargin))
+    graft.streaming.StreamSource.runToTable(s, out, "sql_stream_session", "append")
+      .where(col("user_id") =!= -1L)
+      .orderBy("user_id", "w_start")
+  }
+
   /** DuckDB oracles — same derivations as the API-path window oracles. */
   val sql: Map[String, String] = Map(
     "q_sql_tumble" ->
@@ -187,6 +221,23 @@ object GroupWindowSql {
       """SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS w_start, event_type,
         | count(*) AS cnt, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_sql_stream_hop" ->
+      """WITH e AS (SELECT event_type, value,
+        |  make_timestamp((epoch_us(CAST(ts AS TIMESTAMP)) // 43200000000) * 43200000000) AS s0
+        | FROM events)
+        |SELECT ws AS w_start, event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
+        |FROM (SELECT unnest([s0, s0 - INTERVAL 12 HOUR]) AS ws, event_type, value FROM e)
+        |GROUP BY ws, event_type ORDER BY ws, event_type""".stripMargin,
+    "q_sql_stream_session" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t, value FROM events),
+        |m AS (SELECT user_id, t, value,
+        |  CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t) <= INTERVAL 1 HOUR
+        |       THEN 0 ELSE 1 END AS brk FROM e),
+        |g AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY t
+        |       ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+        |SELECT min(t) AS w_start, max(t) + INTERVAL 1 HOUR AS w_end, user_id,
+        | count(*) AS cnt, round(sum(value), 2) AS sum_value
+        |FROM g GROUP BY user_id, sid ORDER BY user_id, w_start""".stripMargin,
     "q_sql_cumulate" ->
       """WITH e AS (SELECT event_type, value, CAST(ts AS TIMESTAMP) AS t,
         |  date_trunc('day', CAST(ts AS TIMESTAMP)) AS day FROM events),
