@@ -34,7 +34,7 @@ object WindowOracles {
     "q_win_cumulate" ->
       """WITH e AS (SELECT event_type, value, CAST(ts AS TIMESTAMP) AS t,
         |  date_trunc('day', CAST(ts AS TIMESTAMP)) AS day FROM events),
-        |kk AS (SELECT *, greatest(CAST(ceil((epoch_us(t) - epoch_us(day)) / 21600000000.0) AS INT), 1) AS k0 FROM e),
+        |kk AS (SELECT *, CAST(floor((epoch_us(t) - epoch_us(day)) / 21600000000.0) AS INT) + 1 AS k0 FROM e),
         |x AS (SELECT event_type, value, day, unnest(range(k0, 5)) AS k FROM kk)
         |SELECT day AS w_start, make_timestamp(epoch_us(day) + k * 21600000000) AS w_end,
         | event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value

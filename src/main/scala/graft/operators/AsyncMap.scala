@@ -1,36 +1,95 @@
 package graft.operators
 
 import scala.concurrent.{Await, Future}
-import scala.concurrent.duration.Duration
+import scala.concurrent.duration.{Duration, DurationInt}
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoder, SparkSession}
 
-/** Ordered async I/O (SURVEY.md §2.9: AsyncDataStream.orderedWait /
+/** Async I/O (SURVEY.md §2.9: AsyncDataStream.orderedWait/unorderedWait /
   * AsyncTableFunction — per-record calls to an external service with
-  * bounded in-flight parallelism, results emitted in input order).
+  * bounded in-flight parallelism).
   *
-  * Spark shape: mapPartitions with a sliding window of Futures — up to
-  * `parallelism` requests in flight per partition; completion is awaited
-  * in input order, so output order and per-partition memory (the window)
-  * are both bounded. Total in-flight across the cluster =
-  * parallelism × partitions, the same backpressure model as the
-  * reference's ordered async operator. The I/O function runs on the
-  * caller-supplied ExecutionContext (an async HTTP/DB client pool in
-  * production; a worker pool in tests). */
+  * Spark shape: mapPartitions with a window of Futures — up to
+  * `parallelism` requests in flight per partition. `ordered` awaits
+  * completion in input order (output order and per-partition memory both
+  * bounded); `unordered` emits in completion order (lower latency under
+  * variable service response times, same bound on in-flight requests).
+  * Total in-flight across the cluster = parallelism × partitions, the
+  * same backpressure model as the reference's async operators.
+  *
+  * Timeout policy (ref AsyncWaitOperator: a timer per element fires
+  * `AsyncFunction#timeout`, whose default implementation fails the job):
+  * an element that does not complete within `timeout` throws
+  * `TimeoutException`, failing the task (Spark then retries the task —
+  * the reference's restart-strategy analog). Callers can instead supply
+  * `onTimeout` to emit a fallback record, the reference's
+  * "override timeout() to side-step" policy. */
 object AsyncMap {
 
-  def ordered[T, U: Encoder](ds: Dataset[T], parallelism: Int)(
-      f: T => Future[U]): Dataset[U] = {
+  /** Default per-element wait bound — a hung external call must never
+    * stall a task forever (ref AsyncWaitOperator's mandatory timeout). */
+  val DefaultTimeout: Duration = 60.seconds
+
+  def ordered[T, U: Encoder](ds: Dataset[T], parallelism: Int,
+      timeout: Duration = DefaultTimeout,
+      onTimeout: Option[T => U] = None)(f: T => Future[U]): Dataset[U] = {
     require(parallelism >= 1)
     ds.mapPartitions { it =>
       new Iterator[U] {
-        private val window = scala.collection.mutable.Queue.empty[Future[U]]
+        private val window = scala.collection.mutable.Queue.empty[(T, Future[U])]
         private def fill(): Unit =
-          while (window.size < parallelism && it.hasNext) window.enqueue(f(it.next()))
+          while (window.size < parallelism && it.hasNext) {
+            val t = it.next()
+            window.enqueue((t, f(t)))
+          }
         override def hasNext: Boolean = { fill(); window.nonEmpty }
         override def next(): U = {
           fill()
-          Await.result(window.dequeue(), Duration.Inf)
+          val (t, fut) = window.dequeue()
+          try Await.result(fut, timeout)
+          catch {
+            case e: java.util.concurrent.TimeoutException =>
+              onTimeout.map(_(t)).getOrElse(throw e)
+          }
+        }
+      }
+    }
+  }
+
+  /** unorderedWait (ref AsyncDataStream.unorderedWait:103-148): results
+    * are emitted as they complete, not in input order — the window drains
+    * at the speed of the fastest outstanding call instead of the oldest.
+    * `timeout` bounds the wait for ANY completion once the window is full
+    * (with all in-flight calls bounded by it, a per-element overrun
+    * surfaces within one window drain). */
+  def unordered[T, U: Encoder](ds: Dataset[T], parallelism: Int,
+      timeout: Duration = DefaultTimeout)(f: T => Future[U]): Dataset[U] = {
+    require(parallelism >= 1)
+    ds.mapPartitions { it =>
+      new Iterator[U] {
+        private val done =
+          new java.util.concurrent.LinkedBlockingQueue[Either[Throwable, U]]()
+        private var inFlight = 0
+        private def fill(): Unit =
+          while (inFlight < parallelism && it.hasNext) {
+            inFlight += 1
+            f(it.next()).onComplete {
+              case scala.util.Success(u) => done.put(Right(u))
+              case scala.util.Failure(e) => done.put(Left(e))
+            }(scala.concurrent.ExecutionContext.parasitic)
+          }
+        override def hasNext: Boolean = { fill(); inFlight > 0 }
+        override def next(): U = {
+          fill()
+          val r =
+            if (timeout.isFinite)
+              Option(done.poll(timeout.toMillis,
+                java.util.concurrent.TimeUnit.MILLISECONDS)).getOrElse(
+                throw new java.util.concurrent.TimeoutException(
+                  s"async I/O: no completion within $timeout"))
+            else done.take()
+          inFlight -= 1
+          r.fold(e => throw e, identity)
         }
       }
     }
@@ -78,42 +137,53 @@ object AsyncMap {
 }
 
 /** Executor-side dimension cache for the async lookup join: one
-  * `Map[custkey, mktsegment]` per (JVM, dimension path), built lazily by
-  * reading the dimension's parquet files with parquet-mr — the same
-  * "each task loads the dimension files into an in-memory cache" shape as
-  * the reference's file-system lookup function. Never touches the driver;
-  * concurrent probes on one executor share a single load. */
+  * `Map[custkey, mktsegment]` per (JVM, dimension path, file fingerprint),
+  * built lazily by reading the dimension's parquet files with parquet-mr —
+  * the same "each task loads the dimension files into an in-memory cache"
+  * shape as the reference's file-system lookup function. Never touches the
+  * driver; concurrent probes on one executor share a single load. The
+  * fingerprint (file names + lengths + mtimes) keys out stale entries when
+  * the dimension is rewritten in place during the JVM's lifetime; replaced
+  * generations are dropped so the cache holds one live map per path. */
 object LookupCache {
   private val caches =
-    new java.util.concurrent.ConcurrentHashMap[String, Map[Long, String]]()
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Map[Long, String])]()
 
-  def segmentByCustkey(path: String): Map[Long, String] =
-    caches.computeIfAbsent(path, load)
+  def segmentByCustkey(path: String): Map[Long, String] = {
+    val files = listFiles(path)
+    val fp = files.map(f => {
+      val jf = new java.io.File(f)
+      s"$f:${jf.length}:${jf.lastModified}"
+    }).mkString("|")
+    val cached = caches.get(path)
+    if (cached != null && cached._1 == fp) cached._2
+    else caches.compute(path, (_, cur) =>
+      if (cur != null && cur._1 == fp) cur else (fp, load(files)))._2
+  }
 
-  private val load = new java.util.function.Function[String, Map[Long, String]] {
-    override def apply(path: String): Map[Long, String] = {
-      import org.apache.parquet.hadoop.ParquetReader
-      import org.apache.parquet.hadoop.example.GroupReadSupport
-      val files = {
-        val f = new java.io.File(path)
-        if (f.isDirectory)
-          f.listFiles().filter(_.getName.endsWith(".parquet")).map(_.getPath).sorted
-        else Array(path)
-      }
-      val out = Map.newBuilder[Long, String]
-      files.foreach { file =>
-        val reader = ParquetReader
-          .builder(new GroupReadSupport(), new org.apache.hadoop.fs.Path(file))
-          .build()
-        try {
-          var g = reader.read()
-          while (g != null) {
-            out += g.getLong("c_custkey", 0) -> g.getString("c_mktsegment", 0)
-            g = reader.read()
-          }
-        } finally reader.close()
-      }
-      out.result()
+  private def listFiles(path: String): Array[String] = {
+    val f = new java.io.File(path)
+    if (f.isDirectory)
+      f.listFiles().filter(_.getName.endsWith(".parquet")).map(_.getPath).sorted
+    else Array(path)
+  }
+
+  private def load(files: Array[String]): Map[Long, String] = {
+    import org.apache.parquet.hadoop.ParquetReader
+    import org.apache.parquet.hadoop.example.GroupReadSupport
+    val out = Map.newBuilder[Long, String]
+    files.foreach { file =>
+      val reader = ParquetReader
+        .builder(new GroupReadSupport(), new org.apache.hadoop.fs.Path(file))
+        .build()
+      try {
+        var g = reader.read()
+        while (g != null) {
+          out += g.getLong("c_custkey", 0) -> g.getString("c_mktsegment", 0)
+          g = reader.read()
+        }
+      } finally reader.close()
     }
+    out.result()
   }
 }

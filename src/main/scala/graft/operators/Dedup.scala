@@ -126,8 +126,11 @@ object Dedup {
   def ngramJaccardPairsShared(s: SparkSession, dir: String): DataFrame = {
     val key = s.sparkContext.applicationId + "|" + dir
     val path = sharedPairs.computeIfAbsent(key, _ => {
+      // hashCode suffix keeps distinct dirs collision-free after the
+      // readable-name sanitization (/a/b vs /a_b would otherwise collide)
       val p = "/tmp/graft-shared/ngram-pairs-" + s.sparkContext.applicationId +
-        "-" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+        "-" + dir.replaceAll("[^A-Za-z0-9.]", "_") +
+        "-" + java.lang.Integer.toHexString(dir.hashCode)
       ngramJaccardPairs(s, dir).write.mode("overwrite").parquet(p)
       p
     })

@@ -93,10 +93,14 @@ object GroupWindowSql {
     val from = fromRe.findFirstMatchIn(out).getOrElse(
       throw new IllegalArgumentException("CUMULATE rewrite needs a simple FROM <table>"))
     val table = from.group(1)
+    // pmod alignment floors for pre-1970 timestamps too (Spark's `div`
+    // truncates toward zero, which would diverge from DuckDB's `//`);
+    // floor+1 gives half-open [start, end) windows — a row exactly on a
+    // step boundary belongs only to windows ending strictly after it.
     val derived =
-      s"""FROM (SELECT *, timestamp_micros((unix_micros($tsCol) div ${max}L) * ${max}L) AS __cum_start
+      s"""FROM (SELECT *, timestamp_micros(unix_micros($tsCol) - pmod(unix_micros($tsCol), ${max}L)) AS __cum_start
          | FROM $table) __cum_base
-         | LATERAL VIEW explode(sequence(greatest(cast(ceil((unix_micros($tsCol) - unix_micros(__cum_start)) / $step.0) AS int), 1), $n)) __cum_e AS __cum_k """.stripMargin.replace("\n", "")
+         | LATERAL VIEW explode(sequence(cast(floor((unix_micros($tsCol) - unix_micros(__cum_start)) / $step.0) AS int) + 1, $n)) __cum_e AS __cum_k """.stripMargin.replace("\n", "")
     out = out.substring(0, from.start) + derived + out.substring(from.end)
     out
   }
@@ -241,7 +245,7 @@ object GroupWindowSql {
     "q_sql_cumulate" ->
       """WITH e AS (SELECT event_type, value, CAST(ts AS TIMESTAMP) AS t,
         |  date_trunc('day', CAST(ts AS TIMESTAMP)) AS day FROM events),
-        |kk AS (SELECT *, greatest(CAST(ceil((epoch_us(t) - epoch_us(day)) / 21600000000.0) AS INT), 1) AS k0 FROM e),
+        |kk AS (SELECT *, CAST(floor((epoch_us(t) - epoch_us(day)) / 21600000000.0) AS INT) + 1 AS k0 FROM e),
         |x AS (SELECT event_type, value, day, unnest(range(k0, 5)) AS k FROM kk)
         |SELECT day AS w_start, make_timestamp(epoch_us(day) + k * 21600000000) AS w_end,
         | event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value

@@ -57,11 +57,13 @@ object WindowAggs {
   def cumulate(s: SparkSession, dir: String): DataFrame =
     events(s, dir)
       .withColumn("day", date_trunc("day", col("ts")))
-      // k-th window end = day + k*6h for k in [ceil(offset/6h) .. 4];
-      // integer-microsecond arithmetic matches DuckDB's epoch_us exactly
+      // k-th window end = day + k*6h for k in [floor(offset/6h)+1 .. 4]:
+      // windows are half-open [start, end), so a row exactly on a step
+      // boundary belongs only to windows ending strictly after it.
+      // Integer-microsecond arithmetic matches DuckDB's epoch_us exactly.
       .withColumn("k0",
-        ceil((unix_micros(col("ts")) - unix_micros(col("day"))) / lit(21600000000.0)).cast("int"))
-      .withColumn("k", explode(expr("sequence(greatest(k0, 1), 4)")))
+        (floor((unix_micros(col("ts")) - unix_micros(col("day"))) / lit(21600000000.0)).cast("int") + lit(1)))
+      .withColumn("k", explode(expr("sequence(k0, 4)")))
       .groupBy(col("day").as("w_start"),
         (col("day").cast("long") + col("k") * lit(21600L)).cast("timestamp").as("w_end"),
         col("event_type"))

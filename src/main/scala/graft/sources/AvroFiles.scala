@@ -43,18 +43,30 @@ object AvroFiles {
     Schema.createRecord(name, null, "graft", false, fields)
   }
 
-  /** Distributed sink: each partition writes its own avro container file. */
+  /** Distributed sink: each partition writes its own avro container file.
+    *
+    * Commit protocol (the FileOutputCommitter shape): each task writes to a
+    * hidden attempt file `.part-NNNNN-<uuid>.avro.tmp` and atomically
+    * renames it into place only after a successful close — a failed or
+    * speculative attempt leaves only a `.tmp` orphan (ignored by the
+    * source's `*.avro` glob and swept by the next overwrite), never a
+    * truncated visible part file. Paths go through java.io, so the sink
+    * requires a filesystem shared by driver and executors (true in local
+    * mode and on NFS-style deployments; an HDFS/S3 deployment would swap
+    * in Hadoop FileSystem calls — same protocol, different handle). */
   def write(df: DataFrame, outDir: String): Unit = {
     val schemaJson = avroSchema(df.schema).toString
     val names = df.schema.fieldNames
     val d = new java.io.File(outDir)
-    if (d.exists()) d.listFiles().foreach(_.delete()) else d.mkdirs()
+    if (d.exists()) d.listFiles().foreach(f => if (f.isFile) f.delete()) else d.mkdirs()
     df.rdd.mapPartitionsWithIndex { (i, it) =>
       if (it.isEmpty) Iterator.empty
       else {
         val sch = new Schema.Parser().parse(schemaJson)
+        val attempt = new java.io.File(
+          f"$outDir/.part-$i%05d-${java.util.UUID.randomUUID}.avro.tmp")
         val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](sch))
-        w.create(sch, new java.io.File(f"$outDir/part-$i%05d.avro"))
+        w.create(sch, attempt)
         var n = 0L
         it.foreach { row =>
           val r = new GenericData.Record(sch)
@@ -63,6 +75,14 @@ object AvroFiles {
           w.append(r); n += 1
         }
         w.close()
+        val visible = new java.io.File(f"$outDir/part-$i%05d.avro")
+        if (!attempt.renameTo(visible)) {
+          // a concurrent (speculative) attempt already committed this
+          // partition — both attempts wrote identical content; drop ours
+          attempt.delete()
+          if (!visible.exists())
+            throw new java.io.IOException(s"commit failed for $visible")
+        }
         Iterator.single(n)
       }
     }.count() // action materializes the write

@@ -125,7 +125,11 @@ object MatchRecognizeSql {
       .getOrElse(throw new IllegalArgumentException("missing PATTERN"))
       .trim.split("\\s+").toSeq.map {
         case tokenRe(v, quant, times) =>
-          val pred = defines.getOrElse(v.toUpperCase, (_: Event) => true)
+          // SQL default for an un-DEFINEd variable is "matches any row" —
+          // any *user* row; the engine-internal sentinel must never match
+          // (compilePred guards identically for defined variables).
+          val pred = defines.getOrElse(v.toUpperCase,
+            (e: Event) => e.event_type != "__sentinel")
           val step = Option(quant) match {
             case None       => Cep.QStep.once(pred)
             case Some("+")  => Cep.QStep.oneOrMore(pred)

@@ -70,9 +70,11 @@ object StreamWindowAggs {
     val agg = StreamSource.eventsWithSentinel(s, dir)
       .withWatermark("ts", "1 hour")
       .withColumn("day", date_trunc("day", col("ts")))
+      // half-open [start, end): floor+1 so a boundary row only joins
+      // windows ending strictly after it (matches WindowAggs.cumulate)
       .withColumn("k0",
-        ceil((unix_micros(col("ts")) - unix_micros(col("day"))) / lit(21600000000.0)).cast("int"))
-      .withColumn("k", explode(expr("sequence(greatest(k0, 1), 4)")))
+        (floor((unix_micros(col("ts")) - unix_micros(col("day"))) / lit(21600000000.0)).cast("int") + lit(1)))
+      .withColumn("k", explode(expr("sequence(k0, 4)")))
       .groupBy(window(col("ts"), "1 day").as("w"), col("k"), col("event_type"))
       .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value"))
       .select(col("w.start").as("w_start"),

@@ -32,8 +32,29 @@ class GroupWindowSqlSpec extends SparkSpec {
         "GROUP BY CUMULATE(ts, INTERVAL '6' HOUR, INTERVAL '1' DAY)")
     assert(r.contains("__cum_start, __cum_k"), r)
     assert(r.contains("LATERAL VIEW explode(sequence("), r)
-    assert(r.contains("div 86400000000L"), r)
+    assert(r.contains("pmod(unix_micros(ts), 86400000000L)"), r)
     assert(r.startsWith("SELECT __cum_start AS s FROM (SELECT *,"), r)
+  }
+
+  test("CUMULATE windows are half-open: a step-boundary row joins only later windows") {
+    import spark.implicits._
+    // one row exactly on the 06:00 step boundary, one mid-window at 05:00
+    Seq(("2024-03-01 06:00:00", 1.0), ("2024-03-01 05:00:00", 2.0))
+      .toDF("s", "value").selectExpr("CAST(s AS TIMESTAMP) AS ts", "value")
+      .createOrReplaceTempView("cum_edge")
+    val r = spark.sql(GroupWindowSql.rewrite(
+      """SELECT CUMULATE_END(ts, INTERVAL '6' HOUR, INTERVAL '1' DAY) AS w_end,
+        | round(sum(value), 2) AS sv
+        |FROM cum_edge
+        |GROUP BY CUMULATE(ts, INTERVAL '6' HOUR, INTERVAL '1' DAY)
+        |ORDER BY w_end""".stripMargin))
+      .collect().map(row => (row.getTimestamp(0).toString, row.getDouble(1)))
+    // 06:00 row is NOT in the window ending 06:00 ([00:00,06:00) excludes it)
+    assert(r === Seq(
+      ("2024-03-01 06:00:00.0", 2.0),  // only the 05:00 row
+      ("2024-03-01 12:00:00.0", 3.0),
+      ("2024-03-01 18:00:00.0", 3.0),
+      ("2024-03-02 00:00:00.0", 3.0)), r.toSeq)
   }
 
   test("SQL cumulate equals the API cumulate") {

@@ -57,6 +57,23 @@ class MatchRecognizeSqlSpec extends SparkSpec {
     assert(!aPred(ev("__sentinel", 100.0)) && !bPred(ev("__sentinel", 0.0)))
   }
 
+  test("an un-DEFINEd pattern variable matches any user row but never the sentinel") {
+    val spec = MatchRecognizeSql.parse(
+      """SELECT user_id, a_id FROM events
+        |MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES A.event_id AS a_id
+        |  PATTERN (A B)
+        |  DEFINE A AS event_type = 'view'
+        |)""".stripMargin)
+    val bPred = spec.pattern(1)._2.pred
+    val t = new java.sql.Timestamp(0L)
+    assert(bPred(StreamSource.Event(1L, t, 7L, "click", 1.0)),
+      "un-DEFINEd variable must match an arbitrary user row")
+    assert(!bPred(StreamSource.Event(-1L, t, -1L, "__sentinel", 0.0)),
+      "un-DEFINEd variable must not match the engine-internal sentinel row")
+  }
+
   test("rejects unsupported statements") {
     intercept[IllegalArgumentException](MatchRecognizeSql.parse("SELECT 1"))
     intercept[IllegalArgumentException](MatchRecognizeSql.parse(

@@ -266,6 +266,47 @@ class OperatorsSpec extends SparkSpec {
     assert(out.toSeq === (1 to 50).map(_ * 10)) // order preserved despite jitter
   }
 
+  test("async unordered map emits every result with bounded parallelism") {
+    import scala.concurrent.Future
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import spark.implicits._
+    val ds = spark.createDataset(1 to 50).repartition(1)
+    val inFlight = new java.util.concurrent.atomic.AtomicInteger(0)
+    val maxSeen = new java.util.concurrent.atomic.AtomicInteger(0)
+    val out = operators.AsyncMap.unordered(ds, parallelism = 4) { i =>
+      Future {
+        val n = inFlight.incrementAndGet()
+        maxSeen.getAndUpdate(m => math.max(m, n))
+        Thread.sleep((5 - i % 5) * 2L) // inverse jitter → completion disorder
+        inFlight.decrementAndGet()
+        i * 10
+      }
+    }.collect()
+    assert(out.sorted.toSeq === (1 to 50).map(_ * 10)) // complete, any order
+    assert(maxSeen.get() <= 4, s"in-flight exceeded window: ${maxSeen.get()}")
+  }
+
+  test("async ordered timeout fails the task by default, or emits the fallback") {
+    import scala.concurrent.{Future, Promise}
+    import scala.concurrent.duration.DurationInt
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import spark.implicits._
+    val ds = spark.createDataset(Seq(1, 2, 3)).repartition(1)
+    def slow(i: Int): Future[Int] =
+      if (i == 2) Promise[Int]().future // never completes
+      else Future.successful(i * 10)
+    // default policy: TimeoutException propagates and fails the job
+    val e = intercept[org.apache.spark.SparkException] {
+      operators.AsyncMap.ordered(ds, 2, timeout = 200.millis)(slow).collect()
+    }
+    assert(e.getCause.isInstanceOf[java.util.concurrent.TimeoutException] ||
+      e.getMessage.contains("TimeoutException"), e.toString)
+    // fallback policy: the timed-out element is substituted, order kept
+    val out = operators.AsyncMap.ordered(ds, 2, timeout = 200.millis,
+      onTimeout = Some((i: Int) => -i))(slow).collect()
+    assert(out.toSeq === Seq(10, -2, 30))
+  }
+
   test("descriptor metadata drives the stream's watermark and the PK dedup") {
     import graft.sources.{Descriptors, TableDescriptor}
     val d = TableDescriptor("events_d", s"$sf/events.parquet",
