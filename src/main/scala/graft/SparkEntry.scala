@@ -19,7 +19,8 @@ object SparkEntry {
     BatchRelational.q1Agg(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    base ++ TpcDsSurface.sql.keys.map(n => n -> (TpcDsSurface.query(n) _)).toMap
+    base ++ TpcDsSurface.sql.keys.map(n => n -> (TpcDsSurface.query(n) _)).toMap ++
+      graft.tpcds.TpcdsReal.queries
 
   private def base: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"            -> (BatchRelational.q1Agg _),
@@ -479,5 +480,6 @@ object SparkEntry {
   ) ++ LlmOracles.sql ++ WindowOracles.sql ++ streaming.StreamQueries.sql ++
     Formats.sql ++ Udafs.sql ++ Graph.sql ++ SqlSurface.sql ++ ScaleOps.sql ++
     Pipeline.sql ++ TpcDsSurface.sql ++ streaming.MatchRecognizeSql.sql ++
-    GroupWindowSql.sql ++ graft.sources.DdlSql.sql ++ Graph.starSql
+    GroupWindowSql.sql ++ graft.sources.DdlSql.sql ++ Graph.starSql ++
+    graft.tpcds.TpcdsReal.oracles
 }
