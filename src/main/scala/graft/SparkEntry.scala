@@ -133,6 +133,8 @@ object SparkEntry {
     "q_stream_hop"      -> (streaming.StreamWindowAggs.hop _),
     "q_stream_cumulate" -> (streaming.StreamWindowAggs.cumulate _),
     "q_stream_upsert"   -> (streaming.StreamQueries.upsert _),
+    "q_topic_exactly_once" -> (streaming.TxFileSink.exactlyOnce _),
+    "q_stream_file_sink" -> (streaming.TxFileSink.rollingSink _),
     "q_stream_dyn_session" -> (streaming.StreamQueries.dynamicSession _),
     "q_fmt_csv"         -> (Formats.csvRoundtrip _),
     "q_fmt_json"        -> (Formats.jsonRoundtrip _),
@@ -481,5 +483,5 @@ object SparkEntry {
     Formats.sql ++ Udafs.sql ++ Graph.sql ++ SqlSurface.sql ++ ScaleOps.sql ++
     Pipeline.sql ++ TpcDsSurface.sql ++ streaming.MatchRecognizeSql.sql ++
     GroupWindowSql.sql ++ graft.sources.DdlSql.sql ++ Graph.starSql ++
-    graft.tpcds.TpcdsReal.oracles
+    graft.tpcds.TpcdsReal.oracles ++ streaming.TxFileSink.sql
 }

@@ -1,0 +1,117 @@
+package graft
+
+import graft.sources.FileTopic
+import graft.streaming.TxFileSink
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end exactly-once: replayable offset source (FileTopic DSv2
+  * micro-batch stream) + two-phase-commit sink, under injected crashes at
+  * every dangerous point of the epoch protocol — the contract of the
+  * reference's Kafka source/sink pair (offsets + 2PC) and the recovery
+  * behavior its checkpoint coordinator guarantees. */
+class TxFileSinkSpec extends SparkSpec {
+
+  private def freshDirs(tag: String): (String, String, String) = {
+    val base = s"/tmp/graft-txspec/$tag-${System.nanoTime()}"
+    (s"$base/topic", s"$base/out", s"$base/ckpt")
+  }
+
+  private def startSink(topic: String, out: String, ckpt: String) =
+    FileTopic.readStream(spark, topic)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: DataFrame, id: Long) => TxFileSink.commitEpoch(b, id, out) }
+      .start()
+
+  private def committedKeys(out: String): Seq[String] =
+    TxFileSink.readCommitted(spark, out)
+      .select("key").collect().map(_.getString(0)).sorted.toSeq
+
+  test("file topic source replays offset ranges deterministically") {
+    val (topic, _, _) = freshDirs("replay")
+    FileTopic.append(topic, (1 to 5).map(i => (s"k$i", s"v$i")))
+    FileTopic.append(topic, (6 to 9).map(i => (s"k$i", s"v$i")))
+    assert(FileTopic.totalRecords(topic) === 9)
+    // segment index answers range planning without opening files
+    val segs = FileTopic.segments(topic)
+    assert(segs.map(s => (s._2, s._3)) === Seq((0L, 5L), (5L, 4L)))
+    // a full read sees dense offsets 0..8 with the appended payloads
+    val (_, out, ckpt) = freshDirs("replay-run")
+    val q = startSink(topic, out, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    val rows = TxFileSink.readCommitted(spark, out)
+      .orderBy("offset").collect()
+    assert(rows.map(_.getLong(0)).toSeq === (0L to 8L))
+    assert(rows.map(_.getString(1)).toSeq === (1 to 9).map(i => s"k$i"))
+  }
+
+  test("crash between prepare and commit: epoch is replayed, output appears exactly once") {
+    val (topic, out, ckpt) = freshDirs("prep-crash")
+    FileTopic.append(topic, Seq(("a", "1"), ("b", "2")))
+    val q1 = startSink(topic, out, ckpt)
+    try q1.processAllAvailable() finally q1.stop()
+
+    FileTopic.append(topic, Seq(("c", "3"), ("d", "4")))
+    TxFileSink.failAfterStage = Some(1L) // epoch 1 dies after phase 1
+    val q2 = startSink(topic, out, ckpt)
+    intercept[Exception] { q2.processAllAvailable() }
+    q2.stop()
+    assert(committedKeys(out) === Seq("a", "b"), "uncommitted epoch must stay invisible")
+
+    // restart from the same checkpoint: epoch 1 replays the SAME offsets
+    val q3 = startSink(topic, out, ckpt)
+    try q3.processAllAvailable() finally q3.stop()
+    assert(committedKeys(out) === Seq("a", "b", "c", "d")) // no loss, no dupes
+  }
+
+  test("crash after commit but before the epoch is acknowledged: replay drops itself") {
+    val (topic, out, ckpt) = freshDirs("ack-crash")
+    FileTopic.append(topic, Seq(("a", "1"), ("b", "2")))
+    TxFileSink.failAfterCommit = Some(0L) // visible, but Spark never hears back
+    val q1 = startSink(topic, out, ckpt)
+    intercept[Exception] { q1.processAllAvailable() }
+    q1.stop()
+    assert(committedKeys(out) === Seq("a", "b"), "commit happened before the crash")
+
+    val q2 = startSink(topic, out, ckpt)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(committedKeys(out) === Seq("a", "b"), "replayed epoch must not duplicate")
+  }
+
+  test("rolling bucketed sink: date buckets, bounded part files, mid-publish crash repaired") {
+    val base = s"/tmp/graft-txspec/rolling-${System.nanoTime()}"
+    val (topic, out, ckpt) = (s"$base/topic", s"$base/out", s"$base/ckpt")
+    // two buckets, enough rows to force rolling at 3 rows/file
+    FileTopic.append(topic, (1 to 8).map(i => (s"k$i", s"$i|2024-01-01")) ++
+      (9 to 12).map(i => (s"k$i", s"$i|2024-01-02")))
+    def start() = FileTopic.readStream(spark, topic)
+      .select(col("key"), col("value"), split(col("value"), "\\|").getItem(1).as("day"))
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        TxFileSink.rollingEpoch(b, id, out, "day", "value", maxRowsPerFile = 3)
+      }.start()
+
+    TxFileSink.failMidPublish = Some((0L, 2)) // die after 2 of the renames
+    val q1 = start()
+    intercept[Exception] { q1.processAllAvailable() }
+    q1.stop()
+    assert(TxFileSink.readRolling(spark, out, "day").count() === 0,
+      "no marker → nothing is committed-visible")
+
+    val q2 = start() // replay repairs the partial publish
+    try q2.processAllAvailable() finally q2.stop()
+    val rows = TxFileSink.readRolling(spark, out, "day")
+    assert(rows.count() === 12)
+    assert(rows.groupBy("day").count().orderBy("day")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      Seq(("2024-01-01", 8L), ("2024-01-02", 4L)))
+    // every committed part file respects the roll bound
+    val sizes = for {
+      b <- new java.io.File(out).listFiles.toSeq
+      if b.isDirectory && !b.getName.startsWith("_")
+      f <- b.listFiles.toSeq if f.getName.endsWith(".parquet")
+    } yield spark.read.parquet(f.getPath).count()
+    assert(sizes.nonEmpty && sizes.forall(_ <= 3), sizes.toString)
+  }
+}
