@@ -135,6 +135,9 @@ object SparkEntry {
     "q_stream_upsert"   -> (streaming.StreamQueries.upsert _),
     "q_topic_exactly_once" -> (streaming.TxFileSink.exactlyOnce _),
     "q_stream_file_sink" -> (streaming.TxFileSink.rollingSink _),
+    "q_jdbc_scan"       -> (graft.sources.JdbcDemo.scan _),
+    "q_jdbc_lookup"     -> (graft.sources.JdbcDemo.lookup _),
+    "q_jdbc_upsert"     -> (graft.sources.JdbcDemo.upsert _),
     "q_stream_dyn_session" -> (streaming.StreamQueries.dynamicSession _),
     "q_fmt_csv"         -> (Formats.csvRoundtrip _),
     "q_fmt_json"        -> (Formats.jsonRoundtrip _),
@@ -483,5 +486,6 @@ object SparkEntry {
     Formats.sql ++ Udafs.sql ++ Graph.sql ++ SqlSurface.sql ++ ScaleOps.sql ++
     Pipeline.sql ++ TpcDsSurface.sql ++ streaming.MatchRecognizeSql.sql ++
     GroupWindowSql.sql ++ graft.sources.DdlSql.sql ++ Graph.starSql ++
-    graft.tpcds.TpcdsReal.oracles ++ streaming.TxFileSink.sql
+    graft.tpcds.TpcdsReal.oracles ++ streaming.TxFileSink.sql ++
+    graft.sources.JdbcDemo.sql
 }
