@@ -68,6 +68,7 @@ object SparkEntry {
     }),
     "q_stream_drop_before" -> (streaming.StreamQueries.dropUpdateBefore _),
     "q_ddl_dedup"       -> (graft.sources.DdlSql.ddlDedup _),
+    "q_ddl_view"        -> (graft.sources.DdlSql.ddlView _),
     "q_fn_string"       -> (ScalarFuncs.strings _),
     "q_fn_math"         -> (ScalarFuncs.math _),
     "q_fn_datetime"     -> (ScalarFuncs.datetime _),

@@ -95,6 +95,76 @@ object DdlSql {
       .orderBy("user_id")
   }
 
+  // ------------------------------------------------------- catalog verbs
+
+  /** Catalog entry: a DDL-declared table (with metadata) or a view. */
+  private case class CatalogEntry(kind: String, descriptor: Option[TableDescriptor],
+                                  viewText: Option[String])
+
+  private val catalog =
+    new java.util.concurrent.ConcurrentHashMap[String, CatalogEntry]()
+
+  private val createViewRe =
+    "(?is)^\\s*CREATE\\s+(?:OR\\s+REPLACE\\s+)?VIEW\\s+(\\w+)\\s+AS\\s+(.*)$".r
+  private val dropRe = "(?is)^\\s*DROP\\s+(?:TABLE|VIEW)\\s+(?:IF\\s+EXISTS\\s+)?(\\w+)\\s*$".r
+  private val showRe = "(?is)^\\s*SHOW\\s+TABLES\\s*$".r
+  private val descRe = "(?is)^\\s*DESC(?:RIBE)?\\s+(\\w+)\\s*$".r
+
+  /** Statement dispatcher over the catalog-verb subset (ref
+    * flink-sql-parser parserImpls.ftl:90-466 — CREATE TABLE / CREATE VIEW
+    * / DROP TABLE / SHOW TABLES / DESCRIBE route through the catalog;
+    * SELECTs fall through to the query planner). DDL verbs return the
+    * reference's result shapes: OK frame, table list, or schema rows
+    * (DESCRIBE includes the PRIMARY KEY / WATERMARK metadata that Spark
+    * schemas don't model — the reason this catalog wrapper exists). */
+  def execute(s: SparkSession, stmt: String): DataFrame = {
+    import s.implicits._
+    stmt match {
+      case createViewRe(name, query) =>
+        s.sql(query).createOrReplaceTempView(name)
+        catalog.put(name, CatalogEntry("VIEW", None, Some(query)))
+        Seq("OK").toDF("result")
+      case dropRe(name) =>
+        s.catalog.dropTempView(name)
+        catalog.remove(name)
+        Seq("OK").toDF("result")
+      case showRe() =>
+        import scala.jdk.CollectionConverters._
+        catalog.asScala.toSeq.map { case (n, e) => (n, e.kind) }
+          .sortBy(_._1).toDF("table_name", "table_kind")
+      case descRe(name) =>
+        val entry = Option(catalog.get(name)).getOrElse(
+          throw new IllegalArgumentException(s"table $name not found in catalog"))
+        val fields = s.table(name).schema.fields.toSeq
+        val pk = entry.descriptor.map(_.primaryKey).getOrElse(Nil)
+        val wm = entry.descriptor.flatMap(_.watermarkCol)
+        fields.map { f =>
+          (f.name, f.dataType.simpleString, f.nullable,
+            if (pk.contains(f.name)) "PRI" else "",
+            if (wm.contains(f.name))
+              s"WATERMARK ${entry.descriptor.map(_.watermarkDelay).getOrElse("")}"
+            else "")
+        }.toDF("col_name", "data_type", "nullable", "key", "watermark")
+      case _ if createRe.findFirstIn(stmt).isDefined =>
+        val d = executeDdl(s, stmt)
+        catalog.put(d.name, CatalogEntry("TABLE", Some(d), None))
+        Seq("OK").toDF("result")
+      case _ => s.sql(stmt) // plain query
+    }
+  }
+
+  /** CREATE TABLE → CREATE VIEW (aggregate over it) → query the view:
+    * the catalog-verb pipeline end to end. */
+  def ddlView(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    execute(s, ddlFor(dir))
+    execute(s,
+      """CREATE OR REPLACE VIEW events_by_type AS
+        |SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
+        |FROM events_ddl GROUP BY event_type""".stripMargin)
+    execute(s, "SELECT * FROM events_by_type").orderBy(col("event_type"))
+  }
+
   val sql: Map[String, String] = Map(
     "q_ddl_dedup" ->
       """SELECT user_id, event_id, event_type FROM (
@@ -102,5 +172,8 @@ object DdlSql {
         |  row_number() OVER (PARTITION BY user_id
         |    ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
         | FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "q_ddl_view" ->
+      """SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }

@@ -31,6 +31,27 @@ class DdlSqlSpec extends SparkSpec {
     assert(d.watermarkCol === None)
   }
 
+  test("catalog verbs: CREATE VIEW / SHOW TABLES / DESCRIBE / DROP") {
+    DdlSql.execute(spark, DdlSql.ddlFor(sf))
+    DdlSql.execute(spark,
+      "CREATE OR REPLACE VIEW v_types AS SELECT DISTINCT event_type FROM events_ddl")
+    val shown = DdlSql.execute(spark, "SHOW TABLES")
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(shown.get("events_ddl").contains("TABLE"))
+    assert(shown.get("v_types").contains("VIEW"))
+    // DESCRIBE surfaces the PK + WATERMARK metadata Spark schemas can't hold
+    val desc = DdlSql.execute(spark, "DESCRIBE events_ddl")
+      .collect().map(r => r.getString(0) -> (r.getString(3), r.getString(4))).toMap
+    assert(desc("user_id")._1 === "PRI")
+    assert(desc("ts")._2.startsWith("WATERMARK"))
+    // the view answers queries until dropped
+    assert(DdlSql.execute(spark, "SELECT count(*) AS c FROM v_types").head.getLong(0) > 0)
+    DdlSql.execute(spark, "DROP VIEW v_types")
+    assert(!DdlSql.execute(spark, "SHOW TABLES")
+      .collect().map(_.getString(0)).contains("v_types"))
+    intercept[Exception] { DdlSql.execute(spark, "DESCRIBE v_types") }
+  }
+
   test("DDL-registered table dedups by its declared PK and rowtime") {
     val viaDdl = DdlSql.ddlDedup(spark, sf).collect().map(_.toSeq)
     // twin of the programmatic descriptor query — must agree exactly
