@@ -59,10 +59,15 @@ object Cep {
 
   /** One quantified pattern step: `pred` must hold for `min`..`max`
     * consecutive rows; `greedy` tries the longest repetition first,
-    * reluctant (`greedy = false`) the shortest. Ref:
-    * flink-cep cep/pattern/Quantifier.java (times / oneOrMore /
-    * greedy / reluctant properties) compiled by NFACompiler. */
-  case class QStep(pred: Event => Boolean, min: Int, max: Int, greedy: Boolean)
+    * reluctant (`greedy = false`) the shortest. `agg` is an optional
+    * RUNNING-aggregate constraint over the variable's own rows (the SQL
+    * `DEFINE A AS ... AND SUM(A.value) <= x` form — ref NFA.java
+    * evaluates DEFINE against the partial match's shared buffer): it
+    * receives (rows already in this repetition, their value-sum, the
+    * candidate row) and must hold for the row to join the repetition.
+    * Ref: flink-cep cep/pattern/Quantifier.java compiled by NFACompiler. */
+  case class QStep(pred: Event => Boolean, min: Int, max: Int, greedy: Boolean,
+                   agg: Option[(Int, Double, Event) => Boolean] = None)
   object QStep {
     def once(p: Event => Boolean): QStep = QStep(p, 1, 1, greedy = true)
     def times(p: Event => Boolean, n: Int): QStep = QStep(p, n, n, greedy = true)
@@ -71,6 +76,22 @@ object Cep {
     def zeroOrMore(p: Event => Boolean, greedy: Boolean = true): QStep =
       QStep(p, 0, Int.MaxValue, greedy)
   }
+
+  /** AFTER MATCH SKIP strategy (ref flink-cep AfterMatchSkipStrategy and
+    * the SQL clause, docs/dev/table/sql/queries.md:366): where the scan
+    * resumes after a match at rows [start..end].
+    *  - PastLastRow: end + 1 (non-overlapping; the SQL default)
+    *  - ToNextRow:   start + 1 (every start position tested)
+    *  - ToFirst(k):  the row matched by FIRST(variable k)
+    *  - ToLast(k):   the row matched by LAST(variable k)
+    * ToFirst/ToLast of a variable that would resume AT the match's own
+    * start throws (the reference raises the same infinite-loop error),
+    * as does skipping to a variable that matched no rows. */
+  sealed trait SkipPolicy
+  case object SkipPastLastRow extends SkipPolicy
+  case object SkipToNextRow extends SkipPolicy
+  case class SkipToFirst(step: Int) extends SkipPolicy
+  case class SkipToLast(step: Int) extends SkipPolicy
 
   case class CepBuffer(rows: Seq[Event])
 
@@ -103,8 +124,16 @@ object Cep {
                      skipPastLastRow: Boolean,
                      quiesceMs: Long = 24L * 3600 * 1000,
                      withinMicros: Option[Long] = None): Dataset[Match] =
-    matcher(ds, steps, skipPastLastRow, quiesceMs, eventTimeFlush = true,
-      withinMicros)
+    matcher(ds, steps,
+      if (skipPastLastRow) SkipPastLastRow else SkipToNextRow,
+      quiesceMs, eventTimeFlush = true, withinMicros)
+
+  /** matchRecognize with the full AFTER MATCH SKIP strategy algebra. */
+  def matchRecognizeSkip(ds: Dataset[Event], steps: Seq[QStep],
+                         skip: SkipPolicy,
+                         quiesceMs: Long = 24L * 3600 * 1000,
+                         withinMicros: Option[Long] = None): Dataset[Match] =
+    matcher(ds, steps, skip, quiesceMs, eventTimeFlush = true, withinMicros)
 
   /** Variant for composing AFTER another stateful operator (sortedEvents):
     * downstream of a sorter there is no watermarked column left to hang an
@@ -115,10 +144,18 @@ object Cep {
     * per key, or use the timeout variant on in-order input). */
   def matchRecognizeOrdered(ds: Dataset[Event], steps: Seq[QStep],
                             skipPastLastRow: Boolean): Dataset[Match] =
-    matcher(ds, steps, skipPastLastRow, 0L, eventTimeFlush = false, None)
+    matcher(ds, steps,
+      if (skipPastLastRow) SkipPastLastRow else SkipToNextRow,
+      0L, eventTimeFlush = false, None)
+
+  /** Ordered variant with the full skip algebra (fixture-testable on
+    * batch Datasets — no event-time timeout involved). */
+  def matchRecognizeOrderedSkip(ds: Dataset[Event], steps: Seq[QStep],
+                                skip: SkipPolicy): Dataset[Match] =
+    matcher(ds, steps, skip, 0L, eventTimeFlush = false, None)
 
   private def matcher(ds: Dataset[Event], steps: Seq[QStep],
-                      skipPastLastRow: Boolean, quiesceMs: Long,
+                      skip: SkipPolicy, quiesceMs: Long,
                       eventTimeFlush: Boolean,
                       withinMicros: Option[Long]): Dataset[Match] = {
     import ds.sparkSession.implicits._
@@ -143,7 +180,13 @@ object Cep {
         } else {
           val st = steps(si)
           var run = 0
-          while (pos + run < buf.length && run < st.max && st.pred(buf(pos + run))) run += 1
+          var runSum = 0.0
+          def admits(e: Event): Boolean =
+            st.pred(e) && st.agg.forall(f => f(run, runSum, e))
+          while (pos + run < buf.length && run < st.max && admits(buf(pos + run))) {
+            runSum += buf(pos + run).value
+            run += 1
+          }
           // the repetition stopped at buffer end, not at max/pred — more
           // input could lengthen it, so the attempt is undecidable now...
           // unless the buffered span already exceeds WITHIN: later rows
@@ -181,7 +224,22 @@ object Cep {
           case NoMatch         => i += 1
           case Found(end, rows, cnts) =>
             out += ((rows, cnts))
-            i = if (skipPastLastRow) math.max(end, i + 1) else i + 1
+            i = skip match {
+              case SkipPastLastRow => math.max(end, i + 1)
+              case SkipToNextRow   => i + 1
+              case SkipToFirst(k)  =>
+                require(cnts(k) > 0, s"SKIP TO FIRST of variable $k which matched no rows")
+                val target = i + cnts.take(k).sum
+                require(target > i,
+                  s"SKIP TO FIRST of variable $k would loop on the match's own start row")
+                target
+              case SkipToLast(k)   =>
+                require(cnts(k) > 0, s"SKIP TO LAST of variable $k which matched no rows")
+                val target = i + cnts.take(k + 1).sum - 1
+                require(target > i,
+                  s"SKIP TO LAST of variable $k would loop on the match's own start row")
+                target
+            }
         }
       }
       (out.toList, IndexedSeq.empty)

@@ -22,16 +22,26 @@ import org.apache.spark.sql.functions.col
   *              | AVG(V.value) } AS alias, ...   -- f ∈ event_id, value
   *                                               -- doubles rounded to 6
   *     [ONE ROW PER MATCH]
-  *     AFTER MATCH SKIP { TO NEXT ROW | PAST LAST ROW }
+  *     AFTER MATCH SKIP { TO NEXT ROW | PAST LAST ROW
+  *                      | TO FIRST <var> | TO LAST <var> }
   *     PATTERN (V[+|+?|*|*?|{n}] ...)
   *     DEFINE V AS <pred> [, ...]
   *   )
-  * where <pred> is AND/OR combinations (no parentheses) of comparisons
-  * `field op literal` over the event fields (event_type/value/user_id/
-  * event_id), or TRUE. A pattern variable without a DEFINE matches any
-  * row (SQL default). `V.event_id` in MEASURES means LAST(V.event_id)
-  * (the standard's ONE ROW PER MATCH semantics). */
-object MatchRecognizeSql {
+  * where <pred> is a full boolean expression — AND/OR/NOT with
+  * parentheses — over comparisons `field op literal` (fields
+  * event_type/value/user_id/event_id), TRUE, and RUNNING aggregate
+  * conjuncts `SUM(V.value) op n` / `COUNT(V.*) op n` over the variable's
+  * own rows (top-level AND position only; the reference additionally
+  * allows cross-variable aggregates through the shared buffer). A pattern
+  * variable without a DEFINE matches any row (SQL default). `V.event_id`
+  * in MEASURES means LAST(V.event_id) (the standard's ONE ROW PER MATCH
+  * semantics). SKIP TO FIRST/LAST of a variable that matched no rows, or
+  * that would resume on the match's own start row, raises (the
+  * reference's infinite-loop guard). */
+// Serializable: compiled DEFINE predicates are closures that call the
+// object's helper methods from executor tasks; a Scala object serializes
+// as a marker and readResolves back to the singleton.
+object MatchRecognizeSql extends Serializable {
   import StreamSource.Event
 
   sealed trait Measure { def variable: String; def alias: String }
@@ -49,7 +59,8 @@ object MatchRecognizeSql {
                   skipPastLastRow: Boolean,
                   pattern: Seq[(String, Cep.QStep)],
                   allRows: Boolean = false,
-                  withinMicros: Option[Long] = None)
+                  withinMicros: Option[Long] = None,
+                  skipTo: Option[(String, String)] = None) // (FIRST|LAST, var)
 
   // ---------------------------------------------------------------- parsing
 
@@ -60,7 +71,8 @@ object MatchRecognizeSql {
   private val measuresRe =
     "(?is)MEASURES\\s+(.*?)\\s+(?:ONE\\s+ROW\\s+PER\\s+MATCH|ALL\\s+ROWS\\s+PER\\s+MATCH|AFTER\\s+MATCH|PATTERN)".r
   private val allRowsRe = "(?is)ALL\\s+ROWS\\s+PER\\s+MATCH".r
-  private val skipRe = "(?is)AFTER\\s+MATCH\\s+SKIP\\s+(TO\\s+NEXT\\s+ROW|PAST\\s+LAST\\s+ROW)".r
+  private val skipRe =
+    "(?is)AFTER\\s+MATCH\\s+SKIP\\s+(TO\\s+NEXT\\s+ROW|PAST\\s+LAST\\s+ROW|TO\\s+(FIRST|LAST)\\s+(\\w+))".r
   private val patternRe = "(?is)PATTERN\\s*\\(([^)]*)\\)".r
   private val withinRe =
     "(?is)PATTERN\\s*\\([^)]*\\)\\s*WITHIN\\s+INTERVAL\\s+'(\\d+)'\\s+(DAY|HOUR|MINUTE|SECOND)S?".r
@@ -107,18 +119,21 @@ object MatchRecognizeSql {
         case m => throw new IllegalArgumentException(s"unsupported measure: $m")
       }
 
-    val skipPast = skipRe.findFirstMatchIn(body).map(_.group(1)) match {
-      case Some(s) => s.toUpperCase.startsWith("PAST") // SKIP PAST LAST ROW
-      case None    => true // SQL default: AFTER MATCH SKIP PAST LAST ROW
+    val (skipPast, skipTo) = skipRe.findFirstMatchIn(body) match {
+      case Some(m) if m.group(2) != null =>
+        (false, Some((m.group(2).toUpperCase, m.group(3).toUpperCase)))
+      case Some(m) => (m.group(1).toUpperCase.startsWith("PAST"), None)
+      case None    => (true, None) // SQL default: SKIP PAST LAST ROW
     }
 
-    val defines: Map[String, Event => Boolean] =
+    val defines: Map[String, (Event => Boolean, Option[(Int, Double, Event) => Boolean])] =
       defineRe.findFirstMatchIn(body).map(_.group(1)).toSeq
         .flatMap(splitTopLevel)
         .map { d =>
           val kv = d.split("(?is)\\s+AS\\s+", 2)
           require(kv.length == 2, s"bad DEFINE entry: $d")
-          kv(0).trim.toUpperCase -> compilePred(kv(1).trim)
+          val varName = kv(0).trim.toUpperCase
+          varName -> compileDefine(varName, kv(1).trim)
         }.toMap
 
     val pattern = patternRe.findFirstMatchIn(body).map(_.group(1))
@@ -127,17 +142,17 @@ object MatchRecognizeSql {
         case tokenRe(v, quant, times) =>
           // SQL default for an un-DEFINEd variable is "matches any row" —
           // any *user* row; the engine-internal sentinel must never match
-          // (compilePred guards identically for defined variables).
-          val pred = defines.getOrElse(v.toUpperCase,
-            (e: Event) => e.event_type != "__sentinel")
-          val step = Option(quant) match {
+          // (compiled predicates guard identically for defined variables).
+          val (pred, agg) = defines.getOrElse(v.toUpperCase,
+            (((e: Event) => e.event_type != "__sentinel"), None))
+          val step = (Option(quant) match {
             case None       => Cep.QStep.once(pred)
             case Some("+")  => Cep.QStep.oneOrMore(pred)
             case Some("+?") => Cep.QStep.oneOrMore(pred, greedy = false)
             case Some("*")  => Cep.QStep.zeroOrMore(pred)
             case Some("*?") => Cep.QStep.zeroOrMore(pred, greedy = false)
             case Some(_)    => Cep.QStep.times(pred, times.toInt)
-          }
+          }).copy(agg = agg)
           v.toUpperCase -> step
         case t => throw new IllegalArgumentException(s"bad pattern token: $t")
       }
@@ -160,8 +175,10 @@ object MatchRecognizeSql {
         case _ => 1000000L
       })
     }
+    skipTo.foreach { case (_, v) => require(pattern.exists(_._1 == v),
+      s"SKIP TO references undefined pattern variable $v") }
     Spec(selectCols, table, partitionCol.toLowerCase, orderCol.toLowerCase,
-      measures, skipPast, pattern, allRows, within)
+      measures, skipPast, pattern, allRows, within, skipTo)
   }
 
   /** Split a DEFINE body on commas that separate entries (`,` followed by
@@ -170,18 +187,103 @@ object MatchRecognizeSql {
   private def splitTopLevel(s: String): Seq[String] =
     s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
 
-  /** Compile an AND/OR predicate over event fields. The engine-internal
-    * sentinel row never matches any compiled predicate. */
-  private[streaming] def compilePred(text: String): Event => Boolean = {
-    val orFns = text.split("(?i)\\s+OR\\s+").map { part =>
-      val andFns = part.split("(?i)\\s+AND\\s+").map(t => compileCmp(t.trim))
-      (e: Event) => andFns.forall(_(e))
+  // -------------------------------------------- DEFINE predicate language
+  //
+  // Recursive-descent boolean expressions (ref parser grammar,
+  // docs/dev/table/sql/queries.md:366 DEFINE):
+  //   expr  := and (OR and)*
+  //   and   := unary (AND unary)*
+  //   unary := NOT unary | '(' expr ')' | atom
+  //   atom  := TRUE | field op literal | SUM(V.value)|COUNT(V.*) op number
+  // Aggregate atoms are RUNNING aggregates over the variable's own rows
+  // and — documented subset — may only appear as top-level AND conjuncts
+  // of that same variable's DEFINE (the reference additionally allows
+  // cross-variable references through the shared buffer).
+
+  private sealed trait Px
+  private case class RowCmp(f: Event => Boolean) extends Px
+  private case class AggCmp(fn: String, variable: String, op: String, x: Double) extends Px
+  private case class PAnd(l: Px, r: Px) extends Px
+  private case class POr(l: Px, r: Px) extends Px
+  private case class PNot(p: Px) extends Px
+
+  private val aggAtomRe =
+    "(?is)^(SUM|COUNT)\\s*\\(\\s*(\\w+)\\.(value|\\*)\\s*\\)\\s*(<=|>=|<>|!=|<|>|=)\\s*([-0-9.eE]+)".r
+
+  private class PredParser(text: String) {
+    private var rest = text.trim
+    private def ws(): Unit = { rest = rest.dropWhile(_.isWhitespace) }
+    private def eat(kw: String): Boolean = {
+      ws()
+      if (rest.regionMatches(true, 0, kw, 0, kw.length) &&
+          (kw.length >= rest.length || !rest.charAt(kw.length).isLetterOrDigit ||
+            !kw.last.isLetterOrDigit)) {
+        rest = rest.substring(kw.length); true
+      } else false
     }
-    e => e.event_type != "__sentinel" && orFns.exists(_(e))
+    def parse(): Px = { val p = expr(); ws(); require(rest.isEmpty, s"trailing: $rest"); p }
+    private def expr(): Px = {
+      var l = and()
+      while (eat("OR")) l = POr(l, and())
+      l
+    }
+    private def and(): Px = {
+      var l = unary()
+      while (eat("AND")) l = PAnd(l, unary())
+      l
+    }
+    private def unary(): Px = {
+      ws()
+      if (eat("NOT")) PNot(unary())
+      else if (rest.startsWith("(")) {
+        rest = rest.substring(1)
+        val p = expr()
+        ws()
+        require(rest.startsWith(")"), s"expected ) at: $rest")
+        rest = rest.substring(1)
+        p
+      } else atom()
+    }
+    private def atom(): Px = {
+      ws()
+      aggAtomRe.findFirstMatchIn(rest) match {
+        case Some(m) =>
+          rest = rest.substring(m.end)
+          return AggCmp(m.group(1).toUpperCase, m.group(2).toUpperCase,
+            m.group(4), m.group(5).toDouble)
+        case None => ()
+      }
+      if (eat("TRUE")) return RowCmp(_ => true)
+      // a comparison runs to the next top-level AND/OR/closing paren
+      val endIdx = {
+        var i = 0; var depth = 0; var stop = -1
+        while (i < rest.length && stop < 0) {
+          val c = rest.charAt(i)
+          if (c == '(') depth += 1
+          else if (c == ')') { if (depth == 0) stop = i else depth -= 1 }
+          else if (depth == 0 &&
+            (rest.regionMatches(true, i, " AND ", 0, 5) ||
+             rest.regionMatches(true, i, " OR ", 0, 4))) stop = i
+          i += 1
+        }
+        if (stop < 0) rest.length else stop
+      }
+      val t = rest.substring(0, endIdx).trim
+      rest = rest.substring(endIdx)
+      RowCmp(compileCmp(t))
+    }
+  }
+
+  private def cmpNum(op: String): (Double, Double) => Boolean = op match {
+    case "="         => _ == _
+    case "<>" | "!=" => _ != _
+    case "<"         => _ < _
+    case "<="        => _ <= _
+    case ">"         => _ > _
+    case ">="        => _ >= _
   }
 
   private def compileCmp(t: String): Event => Boolean = {
-    if (t.equalsIgnoreCase("TRUE")) return _ => true
     t match {
       case cmpRe(field, op, strLit, numLit) =>
         val fl = field.toLowerCase
@@ -200,18 +302,67 @@ object MatchRecognizeSql {
             case "event_id" => _.event_id.toDouble
             case _ => throw new IllegalArgumentException(s"unknown numeric field $field")
           }
-          op match {
-            case "="         => e => get(e) == x
-            case "<>" | "!=" => e => get(e) != x
-            case "<"         => e => get(e) < x
-            case "<="        => e => get(e) <= x
-            case ">"         => e => get(e) > x
-            case ">="        => e => get(e) >= x
-          }
+          val c = cmpNum(op)
+          e => c(get(e), x)
         }
       case _ => throw new IllegalArgumentException(s"unsupported predicate term: $t")
     }
   }
+
+  /** Compile one DEFINE body into (row predicate, optional running-agg
+    * predicate). The engine-internal sentinel row never matches. */
+  def compileDefine(varName: String, text: String)
+      : (Event => Boolean, Option[(Int, Double, Event) => Boolean]) = {
+    val ast = new PredParser(text).parse()
+    // aggregates: only top-level AND conjuncts of this variable's DEFINE
+    def split(p: Px): (List[Px], List[AggCmp]) = p match {
+      case PAnd(l, r) =>
+        val (rl, al) = split(l); val (rr, ar) = split(r)
+        (rl ++ rr, al ++ ar)
+      case a: AggCmp => (Nil, List(a))
+      case other =>
+        require(!containsAgg(other),
+          "aggregate DEFINE terms are supported only as top-level AND conjuncts")
+        (List(other), Nil)
+    }
+    def containsAgg(p: Px): Boolean = p match {
+      case _: AggCmp => true
+      case PAnd(l, r) => containsAgg(l) || containsAgg(r)
+      case POr(l, r) => containsAgg(l) || containsAgg(r)
+      case PNot(x) => containsAgg(x)
+      case _ => false
+    }
+    def evalRow(p: Px, e: Event): Boolean = p match {
+      case RowCmp(f) => f(e)
+      case PAnd(l, r) => evalRow(l, e) && evalRow(r, e)
+      case POr(l, r) => evalRow(l, e) || evalRow(r, e)
+      case PNot(x) => !evalRow(x, e)
+      case _: AggCmp => true // stripped into the agg predicate
+    }
+    val (rowParts, aggParts) = split(ast)
+    aggParts.foreach(a => require(a.variable == varName,
+      s"aggregate over ${a.variable} inside DEFINE $varName: only the variable's own " +
+        "rows are aggregatable in this subset"))
+    val rowPred: Event => Boolean = { e =>
+      e.event_type != "__sentinel" && rowParts.forall(evalRow(_, e))
+    }
+    val agg: Option[(Int, Double, Event) => Boolean] =
+      if (aggParts.isEmpty) None
+      else Some { (cnt, sum, e) =>
+        aggParts.forall { a =>
+          val c = cmpNum(a.op)
+          a.fn match {
+            case "SUM" => c(sum + e.value, a.x)
+            case _     => c(cnt + 1.0, a.x) // COUNT including the candidate
+          }
+        }
+      }
+    (rowPred, agg)
+  }
+
+  /** Back-compat shim for row-only predicates (parser spec entry point). */
+  private[streaming] def compilePred(text: String): Event => Boolean =
+    compileDefine("_", text)._1
 
   // ---------------------------------------------------------------- running
 
@@ -227,8 +378,15 @@ object MatchRecognizeSql {
     val steps = spec.pattern.map(_._2)
     val varIdx = spec.pattern.map(_._1).zipWithIndex.toMap
     val measures = spec.measures
-    val out = Cep.matchRecognize(
-      StreamSource.eventsTypedWithSentinel(s, dir), steps, spec.skipPastLastRow,
+    val skipPolicy: Cep.SkipPolicy = spec.skipTo match {
+      case Some((which, v)) =>
+        val idx = spec.pattern.indexWhere(_._1 == v)
+        if (which == "FIRST") Cep.SkipToFirst(idx) else Cep.SkipToLast(idx)
+      case None =>
+        if (spec.skipPastLastRow) Cep.SkipPastLastRow else Cep.SkipToNextRow
+    }
+    val out = Cep.matchRecognizeSkip(
+      StreamSource.eventsTypedWithSentinel(s, dir), steps, skipPolicy,
       withinMicros = spec.withinMicros)
     if (spec.allRows) return runAllRows(s, spec, out, sqlText)
     // ONE ROW PER MATCH: evaluate each measure from the match's rows and
@@ -399,6 +557,59 @@ object MatchRecognizeSql {
       |         C AS event_type = 'purchase'
       |)""".stripMargin
 
+  /** Parenthesized + negated DEFINE predicates (grammar depth: the
+    * reference's DEFINE accepts full boolean expressions). */
+  val matchParenSql: String =
+    """SELECT user_id, a_id, b_id FROM events
+      |MATCH_RECOGNIZE (
+      |  PARTITION BY user_id
+      |  ORDER BY ts
+      |  MEASURES A.event_id AS a_id, B.event_id AS b_id
+      |  ONE ROW PER MATCH
+      |  AFTER MATCH SKIP TO NEXT ROW
+      |  PATTERN (A B)
+      |  DEFINE A AS (event_type = 'view' OR event_type = 'click') AND NOT (value < 1),
+      |         B AS event_type = 'purchase'
+      |)""".stripMargin
+
+  /** Running aggregate in DEFINE: each A row must keep SUM(A.value)
+    * within the bound (ref: DEFINE evaluated against the partial match's
+    * shared buffer — aggregates see the rows matched so far). */
+  val matchAggDefSql: String =
+    """SELECT user_id, a_id, a_sum, b_id FROM events
+      |MATCH_RECOGNIZE (
+      |  PARTITION BY user_id
+      |  ORDER BY ts
+      |  MEASURES FIRST(A.event_id) AS a_id, SUM(A.value) AS a_sum,
+      |           B.event_id AS b_id
+      |  ONE ROW PER MATCH
+      |  AFTER MATCH SKIP TO NEXT ROW
+      |  PATTERN (A{2} B)
+      |  DEFINE A AS event_type = 'view' AND SUM(A.value) <= 150,
+      |         B AS event_type = 'purchase'
+      |)""".stripMargin
+
+  /** AFTER MATCH SKIP TO LAST B: the scan resumes AT the last B row.
+    * With disjoint A/B predicates the emitted set equals per-start
+    * evaluation with maximal B runs (the overlap-sensitive cases are
+    * pinned by fixture in MatchRecognizeSqlSpec). */
+  val matchSkipLastSql: String =
+    """SELECT user_id, a_id, b_first, b_last, n_b FROM events
+      |MATCH_RECOGNIZE (
+      |  PARTITION BY user_id
+      |  ORDER BY ts
+      |  MEASURES A.event_id AS a_id, FIRST(B.event_id) AS b_first,
+      |           LAST(B.event_id) AS b_last, COUNT(B.*) AS n_b
+      |  ONE ROW PER MATCH
+      |  AFTER MATCH SKIP TO LAST B
+      |  PATTERN (A B+)
+      |  DEFINE A AS event_type = 'view', B AS event_type = 'click'
+      |)""".stripMargin
+
+  def matchParen(s: SparkSession, dir: String): DataFrame = run(s, dir, matchParenSql)
+  def matchAggDef(s: SparkSession, dir: String): DataFrame = run(s, dir, matchAggDefSql)
+  def matchSkipLast(s: SparkSession, dir: String): DataFrame = run(s, dir, matchSkipLastSql)
+
   def matchPlus(s: SparkSession, dir: String): DataFrame = run(s, dir, matchPlusSql)
   def matchStrict(s: SparkSession, dir: String): DataFrame = run(s, dir, matchStrictSql)
   def matchSum(s: SparkSession, dir: String): DataFrame = run(s, dir, matchSumSql)
@@ -408,6 +619,42 @@ object MatchRecognizeSql {
   /** DuckDB oracles (no MATCH_RECOGNIZE there either — expressed with
     * window functions, same derivations as the programmatic CEP oracles). */
   val sql: Map[String, String] = Map(
+    "q_sql_match_paren" ->
+      """WITH o AS (SELECT user_id, event_id, event_type, value,
+        |            CAST(ts AS TIMESTAMP) AS t FROM events),
+        |sq AS (SELECT user_id, event_id AS a_id, event_type AS et0, value AS v0,
+        |  lead(event_type, 1) OVER w AS et1, lead(event_id, 1) OVER w AS b_id
+        | FROM o WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id))
+        |SELECT user_id, a_id, b_id FROM sq
+        |WHERE et0 IN ('view', 'click') AND NOT (v0 < 1) AND et1 = 'purchase'
+        |ORDER BY user_id, a_id""".stripMargin,
+    "q_sql_match_agg_def" ->
+      """WITH o AS (SELECT user_id, event_id, event_type, value,
+        |            CAST(ts AS TIMESTAMP) AS t FROM events),
+        |sq AS (SELECT user_id, event_id AS a_id, value AS v0, event_type AS et0,
+        |  lead(event_type, 1) OVER w AS et1, lead(value, 1) OVER w AS v1,
+        |  lead(event_type, 2) OVER w AS et2, lead(event_id, 2) OVER w AS b_id
+        | FROM o WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id))
+        |SELECT user_id, a_id, round(v0 + v1, 6) AS a_sum, b_id
+        |FROM sq WHERE et0 = 'view' AND et1 = 'view' AND et2 = 'purchase'
+        |  AND v0 <= 150 AND v0 + v1 <= 150
+        |ORDER BY user_id, a_id""".stripMargin,
+    "q_sql_match_skip_last" ->
+      """WITH o AS (SELECT user_id, event_id, event_type,
+        |            row_number() OVER (PARTITION BY user_id
+        |              ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+        |           FROM events),
+        |g AS (SELECT *, sum(CASE WHEN event_type = 'click' THEN 0 ELSE 1 END)
+        |        OVER (PARTITION BY user_id ORDER BY rn) AS grp,
+        |        lead(event_type) OVER (PARTITION BY user_id ORDER BY rn) AS net
+        |      FROM o),
+        |isl AS (SELECT user_id, grp, arg_min(event_id, rn) AS b_first,
+        |         arg_max(event_id, rn) AS b_last, CAST(count(*) AS BIGINT) AS n_b
+        |        FROM g WHERE event_type = 'click' GROUP BY user_id, grp)
+        |SELECT v.user_id, v.event_id AS a_id, isl.b_first, isl.b_last, isl.n_b
+        |FROM g v JOIN isl ON v.user_id = isl.user_id AND v.grp = isl.grp
+        |WHERE v.event_type = 'view' AND v.net = 'click'
+        |ORDER BY v.user_id, a_id""".stripMargin,
     "q_sql_match" ->
       """WITH e AS (SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS t FROM events),
         |o AS (SELECT user_id, event_id, event_type,

@@ -74,6 +74,78 @@ class MatchRecognizeSqlSpec extends SparkSpec {
       "un-DEFINEd variable must not match the engine-internal sentinel row")
   }
 
+  test("parenthesized + negated DEFINE predicates compile correctly") {
+    val spec = MatchRecognizeSql.parse(MatchRecognizeSql.matchParenSql)
+    val aPred = spec.pattern.head._2.pred
+    val t = new java.sql.Timestamp(0L)
+    assert(aPred(StreamSource.Event(1L, t, 7L, "view", 5.0)))
+    assert(aPred(StreamSource.Event(1L, t, 7L, "click", 5.0)))
+    assert(!aPred(StreamSource.Event(1L, t, 7L, "view", 0.5)), "NOT (value < 1)")
+    assert(!aPred(StreamSource.Event(1L, t, 7L, "purchase", 5.0)))
+  }
+
+  test("running aggregate in DEFINE gates each repetition extension") {
+    val spec = MatchRecognizeSql.parse(MatchRecognizeSql.matchAggDefSql)
+    val a = spec.pattern.head._2
+    assert(a.agg.nonEmpty)
+    val t = new java.sql.Timestamp(0L)
+    val f = a.agg.get
+    assert(f(0, 0.0, StreamSource.Event(1L, t, 7L, "view", 100.0))) // sum 100 <= 150
+    assert(!f(1, 100.0, StreamSource.Event(2L, t, 7L, "view", 60.0))) // 160 > 150
+    assert(f(1, 100.0, StreamSource.Event(2L, t, 7L, "view", 50.0))) // 150 <= 150
+  }
+
+  test("aggregate placement rules: top-level AND only, own variable only") {
+    intercept[IllegalArgumentException] {
+      MatchRecognizeSql.compileDefine("A",
+        "event_type = 'view' OR SUM(A.value) < 10") // agg under OR
+    }
+    intercept[IllegalArgumentException] {
+      MatchRecognizeSql.compileDefine("A",
+        "event_type = 'view' AND SUM(B.value) < 10") // someone else's rows
+    }
+    // legal: conjunct of the variable's own define
+    val (p, agg) = MatchRecognizeSql.compileDefine("A",
+      "event_type = 'view' AND COUNT(A.*) <= 3")
+    assert(agg.nonEmpty)
+    assert(agg.get(2, 0.0, StreamSource.Event(1L, new java.sql.Timestamp(0), 1L, "view", 0)))
+    assert(!agg.get(3, 0.0, StreamSource.Event(1L, new java.sql.Timestamp(0), 1L, "view", 0)))
+  }
+
+  test("SKIP TO FIRST/LAST parses and resumes inside the match (fixture)") {
+    import spark.implicits._
+    val spec = MatchRecognizeSql.parse(MatchRecognizeSql.matchSkipLastSql)
+    assert(spec.skipTo === Some(("LAST", "B")))
+
+    // fixture: view click purchase click purchase — PATTERN (A B C) where
+    // A matches view|purchase, B click, C purchase
+    def ev(id: Long, sec: Int, et: String) =
+      StreamSource.Event(id, new java.sql.Timestamp(sec * 1000L), 1L, et, 1.0)
+    val events = spark.createDataset(Seq(
+      ev(1, 1, "view"), ev(2, 2, "click"), ev(3, 3, "purchase"),
+      ev(4, 4, "click"), ev(5, 5, "purchase")))
+    val steps = Seq(
+      Cep.QStep.once(e => e.event_type == "view" || e.event_type == "purchase"),
+      Cep.QStep.once(_.event_type == "click"),
+      Cep.QStep.once(_.event_type == "purchase"))
+    def ids(skip: Cep.SkipPolicy): Seq[Seq[Long]] =
+      Cep.matchRecognizeOrderedSkip(events, steps, skip)
+        .collect().map(_.ids).toSeq.sortBy(_.head)
+    // PAST LAST ROW: rows 1-3 consumed, row 3 can't be reused → 1 match
+    assert(ids(Cep.SkipPastLastRow) === Seq(Seq(1L, 2L, 3L)))
+    // TO FIRST C: resume AT row 3 → it starts the second, overlapping match
+    assert(ids(Cep.SkipToFirst(2)) === Seq(Seq(1L, 2L, 3L), Seq(3L, 4L, 5L)))
+    // TO LAST B: resume at row 2 → scan reaches row 3 → same overlap found
+    assert(ids(Cep.SkipToLast(1)) === Seq(Seq(1L, 2L, 3L), Seq(3L, 4L, 5L)))
+    // TO FIRST A would resume on the match's own start row: error (ref
+    // raises the same infinite-loop condition)
+    val e = intercept[org.apache.spark.SparkException] {
+      ids(Cep.SkipToFirst(0))
+    }
+    assert(e.getMessage.contains("own start row") ||
+      Option(e.getCause).exists(_.getMessage.contains("own start row")), e.toString)
+  }
+
   test("rejects unsupported statements") {
     intercept[IllegalArgumentException](MatchRecognizeSql.parse("SELECT 1"))
     intercept[IllegalArgumentException](MatchRecognizeSql.parse(
