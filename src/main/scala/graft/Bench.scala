@@ -30,7 +30,8 @@ object Bench {
     "q_pipeline_clean", "q_ann_brute", "q_ann_ivf", "q_emb_dedup_keep",
     "q_graph_cc", "q_graph_pagerank", "q_text_stats",
     "q_win_hop", "q_stream_tumble", "q_stream_hop", "q_stream_session",
-    "q_stream_topn", "q_stream_upsert", "q_stream_cep", "q_asof_join")
+    "q_stream_topn", "q_stream_upsert", "q_stream_cep", "q_asof_join",
+    "q_tpcdsr_q1", "q_tpcdsr_q25", "q_tpcdsr_q65", "q_tpcdsr_q98")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -71,32 +72,40 @@ object Bench {
     }
 
     val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
+    // name -> (min, median, attempts) — min is the intrinsic-cost claim,
+    // median exposes a regression that reproduces across retries
+    // (VERDICT r4 #10: min-of-3 alone can hide a 2-of-3-reproducible one).
     val results = sorted.map { case (name, fn) =>
       // Contention robustness (VERDICT r3 finding #3): the shared driver
       // machine shows 10-70x one-off spikes. Any run over the threshold is
       // retried up to 2 more times, unconditionally (no elapsed cutoff — the
       // old `elapsed < 900` guard disabled re-runs exactly when they were
-      // needed), and the min is reported as the query's intrinsic cost.
-      val t1 = run(name, fn)
-      val t =
-        if (t1.isNaN) { failed += name; t1 }
-        else if (t1 <= 3.0) t1
-        else {
-          val t2 = run(name, fn)
-          val best2 = if (t2.isNaN) t1 else math.min(t1, t2)
-          if (best2 <= 3.0) best2
-          else {
-            val t3 = run(name, fn)
-            if (t3.isNaN) best2 else math.min(best2, t3)
-          }
+      // needed); min is reported as the query's intrinsic cost, median
+      // alongside it for the retried ones.
+      val attempts = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val a1 = run(name, fn)
+      if (a1.isNaN) failed += name else attempts += a1
+      if (!a1.isNaN && a1 > 3.0) {
+        val a2 = run(name, fn)
+        if (!a2.isNaN) attempts += a2
+        if (attempts.min > 3.0) {
+          val a3 = run(name, fn)
+          if (!a3.isNaN) attempts += a3
         }
+      }
+      val t = if (attempts.isEmpty) Double.NaN else attempts.min
+      val med = if (attempts.isEmpty) Double.NaN else {
+        val s = attempts.sorted
+        if (s.length % 2 == 1) s(s.length / 2)
+        else (s(s.length / 2 - 1) + s(s.length / 2)) / 2
+      }
       val rt = Runtime.getRuntime
-      System.err.println(f"[bench] $name%-28s $t%8.2fs heapUsed=${(rt.totalMemory - rt.freeMemory) / (1 << 20)}%dMiB")
-      name -> t
+      System.err.println(f"[bench] $name%-28s $t%8.2fs med=$med%.2fs n=${attempts.length} heapUsed=${(rt.totalMemory - rt.freeMemory) / (1 << 20)}%dMiB")
+      name -> (t, med, attempts.length)
     }
 
     def entry(kv: (String, Double)): String = f""""${kv._1}":${kv._2}%.3f"""
-    val good = results.filterNot(_._2.isNaN)
+    val good = results.collect { case (n, (t, _, _)) if !t.isNaN => n -> t }
     val total = good.map(_._2).sum
     val resultMap = good.toMap
     // headline queries first, then the rest alphabetically; truncate the map
@@ -105,7 +114,15 @@ object Bench {
       good.filterNot { case (n, _) => headline.contains(n) }
     val failedJson =
       if (failed.isEmpty) "" else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
-    val prefix = f"""{"metric":"total","value":$total%.2f,"unit":"sec","n":${results.size},"ok":${good.size}$failedJson,"queries":{"""
+    // median alongside min for every RETRIED query (the only place the two
+    // can differ) — capped so the enriched schema can't crowd the line
+    val medEntries = results
+      .collect { case (n, (_, med, att)) if att > 1 && !med.isNaN => n -> med }
+      .take(20)
+    val medJson =
+      if (medEntries.isEmpty) ""
+      else medEntries.map(entry).mkString(""","med":{""", ",", "}")
+    val prefix = f"""{"metric":"total","value":$total%.2f,"unit":"sec","n":${results.size},"ok":${good.size}$failedJson$medJson,"queries":{"""
     val suffix = s"""},"sf":"$sfDir"}"""
     val sb = new StringBuilder(prefix)
     var first = true
@@ -117,7 +134,8 @@ object Bench {
       }
     }
     sb.append(suffix)
-    System.err.println("[bench-full] " + results.map(entry).mkString("{", ",", "}"))
+    System.err.println("[bench-full] " + results.map { case (n, (t, med, att)) =>
+      f""""$n":[$t%.3f,$med%.3f,$att]""" }.mkString("{", ",", "}"))
     System.out.flush(); System.err.flush()
     println(sb.toString)
     System.out.flush()

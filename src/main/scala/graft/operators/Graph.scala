@@ -21,6 +21,31 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Round-state durability (VERDICT r4 wrong-section #5). Default:
+    * `localCheckpoint(true)` — executor-local blocks, fastest, and fine
+    * whenever the job can simply be re-run on failure (benchmarks,
+    * interactive work, anything idempotent and shorter than the MTBF).
+    * Setting a directory switches every round snapshot to RELIABLE
+    * `checkpoint()` into that path (shared storage on a cluster): an
+    * executor loss after round k then recomputes from the persisted
+    * round state instead of killing the job — the durability contract of
+    * the reference's BSP iterations, whose superstep state lives in
+    * managed memory backed by the TaskManager recovery path. Long
+    * multi-hour 100-TB iterations should always set this. */
+  @volatile var reliableCheckpointDir: Option[String] = None
+
+  private implicit class RoundOps(private val df: DataFrame) {
+    /** Truncate lineage for the next round — local or reliable per config. */
+    def persistRound(eager: Boolean = true): DataFrame =
+      reliableCheckpointDir match {
+        case Some(dir) =>
+          val sc = df.sparkSession.sparkContext
+          if (!sc.getCheckpointDir.contains(dir)) sc.setCheckpointDir(dir)
+          df.checkpoint(eager)
+        case None => df.localCheckpoint(eager)
+      }
+  }
+
   /** Minimum-component-id connected components.
     * @param vertices single column `id`
     * @param edges columns `src`, `dst` (undirected; symmetrized here) */
@@ -29,9 +54,9 @@ object Graph {
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-      .localCheckpoint(true)
+      .persistRound()
     var labels = vertices.select(col("id"), col("id").as("label"))
-      .localCheckpoint(true)
+      .persistRound()
     var iter = 0
     var done = false
     while (!done && iter < maxIter) {
@@ -47,7 +72,7 @@ object Graph {
         .select(col("id"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
           (least(col("label"), coalesce(col("nbr_label"), col("label"))) =!= col("label")).as("chg"))
-        .localCheckpoint(true)
+        .persistRound()
       val changed = next.where(col("chg")).count()
       labels = next.select(col("id"), col("label"))
       done = changed == 0
@@ -91,7 +116,7 @@ object Graph {
       adj.groupBy(col("src").as("u"))
         .agg(least(min(col("dst")), first(col("src"))).as("m"))
 
-    var e = canon(edges).localCheckpoint(true)
+    var e = canon(edges).persistRound()
     var iter = 0
     var done = false
     while (!done && iter < maxIter) {
@@ -111,7 +136,7 @@ object Graph {
       val next = canon(
         grouped.select(col("dst").as("src"), col("m").as("dst"))
           .union(grouped.select(col("src"), col("m").as("dst"))))
-        .localCheckpoint(true)
+        .persistRound()
       val delta = next.exceptAll(e).count() + e.exceptAll(next).count()
       e = next
       done = delta == 0
@@ -146,9 +171,9 @@ object Graph {
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-      .localCheckpoint(true)
+      .persistRound()
     var labels = vertices.select(col("id"), col("id").as("label"))
-      .localCheckpoint(true)
+      .persistRound()
     for (_ <- 1 to rounds) {
       // most-frequent label, ties to the smallest: max_by over
       // (count, -label) — a two-phase aggregate with map-side combine
@@ -162,7 +187,7 @@ object Graph {
       labels = vertices.select(col("id"))
         .join(freq, Seq("id"), "left")
         .select(col("id"), coalesce(col("nl"), col("id")).as("label"))
-        .localCheckpoint(true)
+        .persistRound()
     }
     labels
   }
@@ -175,14 +200,14 @@ object Graph {
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-      .localCheckpoint(true)
+      .persistRound()
     // out-degree is static: bake it into the edge list once instead of a
     // per-round join (same per-edge rank/outdeg values)
     val outdeg = sym.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val symDeg = sym.join(outdeg, "src").localCheckpoint(true)
+    val symDeg = sym.join(outdeg, "src").persistRound()
     var ranks = vertices.select(col("id"),
         round(lit(1.0) / nv, 9).as("rank"))
-      .localCheckpoint(true)
+      .persistRound()
     for (_ <- 1 to iters) {
       val contrib = symDeg
         .join(ranks.withColumnRenamed("id", "src"), "src")
@@ -192,7 +217,7 @@ object Graph {
         .join(contrib, Seq("id"), "left")
         .select(col("id"),
           round(lit(0.15) / nv + lit(0.85) * coalesce(col("in_sum"), lit(0.0)), 9).as("rank"))
-        .localCheckpoint(true)
+        .persistRound()
     }
     ranks
   }

@@ -197,6 +197,24 @@ class OperatorsSpec extends SparkSpec {
     assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L, 7L -> 7L))
   }
 
+  test("reliable-checkpoint rounds: same labels, state persisted to the checkpoint dir") {
+    import spark.implicits._
+    val dir = s"/tmp/graft-graph-ckpt/${System.nanoTime()}"
+    operators.Graph.reliableCheckpointDir = Some(dir)
+    try {
+      val verts = (1L to 7L).toDF("id")
+      val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("src", "dst")
+      val cc = operators.Graph.connectedComponents(verts, edges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L, 7L -> 7L))
+      // round state actually lives in reliable storage (recomputable after
+      // executor loss), not executor-local blocks
+      def files(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(files) else Seq(f)
+      assert(files(new java.io.File(dir)).nonEmpty, s"no checkpoint files under $dir")
+    } finally operators.Graph.reliableCheckpointDir = None
+  }
+
   test("large-star/small-star CC matches min-propagation, in O(log n) rounds") {
     import spark.implicits._
     val verts = (1L to 7L).toDF("id")
