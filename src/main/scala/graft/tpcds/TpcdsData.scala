@@ -38,7 +38,7 @@ object TpcdsData {
 
   /** Bump when generator logic changes — keys the materialization path so
     * stale /tmp data from an older generator can never feed a new oracle. */
-  val GenVersion = 5
+  val GenVersion = 6
 
   /** Julian day number of 1900-01-01, the spec's date_dim origin
     * (2451545 = 2000-01-01 minus 36524 days). */
@@ -326,7 +326,7 @@ object TpcdsData {
         fk(s"${p}_refunded_hdemo_sk", "id", 4003, nHdemo),
         fk(s"${p}_refunded_addr_sk", "id", 4004, nAddress),
         s"ret_cust AS ${p}_returning_customer_sk",
-        fk(s"${p}_returning_cdemo_sk", "id", 4005, nCdemo),
+        fk(s"${p}_returning_cdemo_sk", "id", 4002, nCdemo), // == refunded cdemo
         fk(s"${p}_returning_hdemo_sk", "id", 4006, nHdemo),
         fk(s"${p}_returning_addr_sk", "id", 4009, nAddress),
         fk(s"${p}_reason_sk", "id", 4010, nReason),

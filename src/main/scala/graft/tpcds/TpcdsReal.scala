@@ -35,8 +35,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object TpcdsReal {
 
   /** queryN -> shared SQL text (run verbatim by Spark and, behind the
-    * parquet-CTE prelude, by DuckDB). */
-  val texts: Map[String, String] = Map(
+    * parquet-CTE prelude, by DuckDB). Batch 2 lives in TpcdsReal2. */
+  def texts: Map[String, String] = texts1 ++ TpcdsReal2.texts
+
+  private val texts1: Map[String, String] = Map(
 
     "q1" -> """
       |WITH customer_total_return AS (
