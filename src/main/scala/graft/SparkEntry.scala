@@ -134,6 +134,8 @@ object SparkEntry {
     "q_stream_hop"      -> (streaming.StreamWindowAggs.hop _),
     "q_stream_cumulate" -> (streaming.StreamWindowAggs.cumulate _),
     "q_stream_upsert"   -> (streaming.StreamQueries.upsert _),
+    "q_stream_trigger_cont" -> (streaming.StreamQueries.triggerContinuous _),
+    "q_stream_trigger_purge" -> (streaming.StreamQueries.triggerPurging _),
     "q_topic_exactly_once" -> (streaming.TxFileSink.exactlyOnce _),
     "q_stream_file_sink" -> (streaming.TxFileSink.rollingSink _),
     "q_jdbc_scan"       -> (graft.sources.JdbcDemo.scan _),

@@ -233,6 +233,32 @@ object StreamQueries {
       .orderBy("user_id", "w_start")
   }
 
+  /** Daily tumble with a 6-hour ContinuousEventTimeTrigger: early partial
+    * fires at each boundary plus the final fire at close. */
+  def triggerContinuous(s: SparkSession, dir: String): DataFrame = {
+    val out = WindowExtras.tumbleContinuousTrigger(
+      StreamSource.eventsTypedWithSentinel(s, dir),
+      86400L * 1000000, 21600L * 1000000, purging = false).toDF()
+    StreamSource.runToTable(s, out, "stream_trigger_cont", "update")
+      .where(col("user_id") =!= -1L)
+      .select(col("w_start"), col("user_id"), col("fire"), col("cnt"),
+        round(col("sum_value"), 2).as("sum_value"))
+      .orderBy("user_id", "w_start", "fire")
+  }
+
+  /** The same trigger wrapped in PurgingTrigger: each fire drains the
+    * pane, so fires carry per-interval deltas. */
+  def triggerPurging(s: SparkSession, dir: String): DataFrame = {
+    val out = WindowExtras.tumbleContinuousTrigger(
+      StreamSource.eventsTypedWithSentinel(s, dir),
+      86400L * 1000000, 21600L * 1000000, purging = true).toDF()
+    StreamSource.runToTable(s, out, "stream_trigger_purge", "update")
+      .where(col("user_id") =!= -1L)
+      .select(col("w_start"), col("user_id"), col("fire"), col("cnt"),
+        round(col("sum_value"), 2).as("sum_value"))
+      .orderBy("user_id", "w_start", "fire")
+  }
+
   /** Left outer join changelog folded to the final row set (net>0). */
   def outerJoin(s: SparkSession, dir: String): DataFrame = {
     val out = StreamJoins.leftOuterJoin(StreamSource.eventsTyped(s, dir),
@@ -500,6 +526,28 @@ object StreamQueries {
         |SELECT day AS w_start, user_id, count(*) AS cnt, round(sum(value), 2) AS sum_value
         |FROM r WHERE rk <= 3 GROUP BY day, user_id
         |ORDER BY user_id, w_start""".stripMargin,
+    "q_stream_trigger_cont" ->
+      """WITH e AS (SELECT user_id, value, CAST(ts AS TIMESTAMP) AS t,
+        |  date_trunc('day', CAST(ts AS TIMESTAMP)) AS day FROM events),
+        |k AS (SELECT unnest([1, 2, 3, 4]) AS k)
+        |SELECT day AS w_start, user_id,
+        |  CASE WHEN k = 4 THEN 'final' ELSE 'p' || CAST(k AS VARCHAR) END AS fire,
+        |  count(*) AS cnt, round(sum(value), 2) AS sum_value
+        |FROM e, k
+        |WHERE k = 4 OR t < day + k * (INTERVAL 6 HOUR)
+        |GROUP BY day, user_id, k
+        |ORDER BY user_id, w_start, fire""".stripMargin,
+    "q_stream_trigger_purge" ->
+      """WITH e AS (SELECT user_id, value, CAST(ts AS TIMESTAMP) AS t,
+        |  date_trunc('day', CAST(ts AS TIMESTAMP)) AS day FROM events),
+        |c AS (SELECT *, least(CAST(floor(epoch_us(t - day) / 21600000000) AS INT) + 1, 4) AS k
+        |      FROM e)
+        |SELECT day AS w_start, user_id,
+        |  CASE WHEN k = 4 THEN 'final' ELSE 'p' || CAST(k AS VARCHAR) END AS fire,
+        |  count(*) AS cnt, round(sum(value), 2) AS sum_value
+        |FROM c
+        |GROUP BY day, user_id, k
+        |ORDER BY user_id, w_start, fire""".stripMargin,
     "q_stream_over_rows_b" ->
       """SELECT user_id, event_id,
         | count(*) OVER w AS w_cnt,

@@ -223,6 +223,89 @@ object WindowExtras {
     * LAST `keep` rows (event-time order) of each window survive to the
     * aggregate, evicted incrementally on insert (O(keep) state per open
     * window, not the full window). Fires once at watermark passage. */
+  case class FireOut(w_start: java.sql.Timestamp, user_id: Long, fire: String,
+                     cnt: Long, sum_value: Double)
+  case class TriggerState(wins: Map[Long, Seq[(Long, Double)]],
+                          fired: Map[Long, Int])
+
+  /** ContinuousEventTimeTrigger (+ optional PurgingTrigger wrapper) on a
+    * tumbling event-time window — ref flink-streaming-java windowing/
+    * triggers/ContinuousEventTimeTrigger.java (a timer every `interval`
+    * of event time FIREs the window early; window content stays) and
+    * PurgingTrigger.java (FIRE_AND_PURGE: each fire drains the pane, so
+    * later fires see only newer rows). The third member of the
+    * reference's trigger family, ProcessingTimeTrigger, maps to Spark's
+    * own `Trigger.ProcessingTime` on the query (wall-clock micro-batch
+    * cadence — orthogonal to this event-time algebra).
+    *
+    * Emission contract (oracle-checked):
+    *  - partial fire k (kind `p<k>`) at boundary b_k = w_start + k·interval,
+    *    k in 1..(size/interval - 1), once the watermark passes b_k; content
+    *    = window rows with ts < b_k (half-open, like every window here) —
+    *    minus already-purged rows when `purging`;
+    *  - final fire (kind `final`) when the watermark passes window end,
+    *    with the full (or post-purge remaining) content;
+    *  - an empty pane never emits (the reference skips the window function
+    *    on empty contents).
+    * State per key: open windows' (ts, value) rows — the same bound as the
+    * evictors; purging additionally shrinks panes as they fire. */
+  def tumbleContinuousTrigger(ds: Dataset[Event], sizeMicros: Long,
+                              intervalMicros: Long,
+                              purging: Boolean): Dataset[FireOut] = {
+    import ds.sparkSession.implicits._
+    require(sizeMicros % intervalMicros == 0)
+    val nFires = (sizeMicros / intervalMicros).toInt // last one is `final`
+    def tsOf(m: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(m / 1000L)
+      t.setNanos(((m % 1000000L) * 1000L).toInt)
+      t
+    }
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[TriggerState, FireOut](
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: Long, rows: Iterator[Event], state: GroupState[TriggerState]) =>
+          val wm = state.getCurrentWatermarkMs() * 1000L
+          var st = state.getOption.getOrElse(TriggerState(Map.empty, Map.empty))
+          val out = scala.collection.mutable.ArrayBuffer.empty[FireOut]
+          rows.toSeq.sortBy(e => (StatefulOps.micros(e.ts), e.event_id)).foreach { e =>
+            val m = StatefulOps.micros(e.ts)
+            val ws = Math.floorDiv(m, sizeMicros) * sizeMicros
+            if (ws + sizeMicros > wm)
+              st = st.copy(wins =
+                st.wins + (ws -> (st.wins.getOrElse(ws, Vector.empty) :+ (m, e.value))))
+          }
+          st.wins.toSeq.sortBy(_._1).foreach { case (ws, rows0) =>
+            var pane = rows0
+            var k = st.fired.getOrElse(ws, 0) + 1
+            // fire every boundary the watermark has passed, in order
+            while (k <= nFires &&
+                   (if (k == nFires) ws + sizeMicros <= wm
+                    else ws + k * intervalMicros <= wm)) {
+              val isFinal = k == nFires
+              val content =
+                if (isFinal) pane
+                else pane.filter(_._1 < ws + k * intervalMicros)
+              if (content.nonEmpty)
+                out += FireOut(tsOf(ws), key,
+                  if (isFinal) "final" else s"p$k",
+                  content.length.toLong,
+                  BigDecimal(content.map(_._2).sum)
+                    .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
+              if (purging) pane = pane.filterNot(content.contains)
+              k += 1
+            }
+            if (k > nFires) st = st.copy(wins = st.wins - ws, fired = st.fired - ws)
+            else st = st.copy(wins = st.wins + (ws -> pane),
+              fired = st.fired + (ws -> (k - 1)))
+          }
+          if (st.wins.nonEmpty) {
+            state.update(st)
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+          } else state.remove()
+          out.iterator
+      }
+  }
+
   def tumbleCountEvictor(ds: Dataset[Event], sizeMicros: Long,
                          keep: Int): Dataset[EvictWinOut] = {
     import ds.sparkSession.implicits._
