@@ -38,7 +38,7 @@ object TpcdsData {
 
   /** Bump when generator logic changes — keys the materialization path so
     * stale /tmp data from an older generator can never feed a new oracle. */
-  val GenVersion = 6
+  val GenVersion = 7
 
   /** Julian day number of 1900-01-01, the spec's date_dim origin
     * (2451545 = 2000-01-01 minus 36524 days). */
@@ -108,6 +108,12 @@ object TpcdsData {
   private val streetNames = Seq("Main", "Oak", "Park", "First", "Second", "Maple",
     "Cedar", "Pine", "Elm", "Washington", "Lake", "Hill", "College", "Church",
     "Spring", "Mill", "River", "Sunset", "Highland", "Center")
+  /** Store zip pool = leading entries of q8's published zip list, cycled
+    * across stores; a fifth of customer addresses draw from the same pool
+    * so zip-equality joins (q8/q24) are live at lite scale. */
+  private val storeZips = Seq("24128", "76232", "65084", "87816", "83926",
+    "77556", "20548", "26231", "43848", "15126", "91137", "61265")
+
   /** dsdgen's number-word store/warehouse names — q88/q96 filter on 'ese'. */
   private val numberWords = Seq("ought", "able", "pri", "ese", "anti", "cally",
     "ation", "eing")
@@ -453,7 +459,8 @@ object TpcdsData {
         pick("ca_city", "id", 7005, cities),
         pick("ca_county", "id", 7006, counties),
         pick("ca_state", "id", 7007, states),
-        s"lpad(CAST(10000 + ${u("id", 7008, 89999)} AS STRING), 5, '0') AS ca_zip",
+        s"CASE WHEN ${u("id", 7011, 5)} = 0 THEN element_at(array(${storeZips.map(z => s"'$z'").mkString(",")}), CAST(${u("id", 7012, storeZips.length)} AS INT) + 1) " +
+          s"ELSE lpad(CAST(10000 + ${u("id", 7008, 89999)} AS STRING), 5, '0') END AS ca_zip",
         "'United States' AS ca_country",
         s"CAST(-8 + ${u("id", 7009, 4)} AS DECIMAL(5,2)) AS ca_gmt_offset",
         pick("ca_location_type", "id", 7010, Seq("apartment", "condo", "single family")))
@@ -539,7 +546,7 @@ object TpcdsData {
         intIn("s_floor_space", "id", 11002, 5000000, 9000000),
         "'8AM-10PM' AS s_hours",
         pick("s_manager", "id", 11003, firstNames),
-        s"CAST(1 + ${u("id", 11004, 10)} AS INT) AS s_market_id",
+        "CAST(1 + pmod(id, 10) AS INT) AS s_market_id",
         "'Unknown' AS s_geography_class",
         "'market description' AS s_market_desc",
         pick("s_market_manager", "id", 11005, lastNames),
@@ -556,7 +563,7 @@ object TpcdsData {
         s"element_at(array(${cities.map(c => s"'$c'").mkString(",")}), CAST(pmod(id, ${cities.length}) AS INT) + 1) AS s_city",
         s"element_at(array(${counties.map(c => s"'$c'").mkString(",")}), CAST(pmod(id, ${counties.length}) AS INT) + 1) AS s_county",
         s"element_at(array(${states.map(c => s"'$c'").mkString(",")}), CAST(pmod(id, ${states.length}) AS INT) + 1) AS s_state",
-        s"lpad(CAST(10000 + ${u("id", 11015, 89999)} AS STRING), 5, '0') AS s_zip",
+        s"element_at(array(${storeZips.map(z => s"'$z'").mkString(",")}), CAST(pmod(id, ${storeZips.length}) AS INT) + 1) AS s_zip",
         "'United States' AS s_country",
         "CAST(-8 + pmod(id, 4) AS DECIMAL(5,2)) AS s_gmt_offset",
         "CAST(0.03 AS DECIMAL(5,2)) AS s_tax_precentage")
@@ -676,14 +683,15 @@ object TpcdsData {
         "concat('page description ', CAST(cp_catalog_page_sk AS STRING)) AS cp_description",
         pick("cp_type", "id", 16004, Seq("bi-annual", "quarterly", "monthly")))
 
-  /** Monthly snapshots × all items × 2 warehouses (inventory is the
+  /** 15-day snapshots × all items × 2 warehouses (inventory is the
     * spec's largest table; held scale-invariant here like dsdgen's
-    * week-granularity snapshots are date- not sales-scaled). */
+    * week-granularity snapshots are date- not sales-scaled; two
+    * snapshots per month give q39's per-month stdev a defined value). */
   private def inventory(s: SparkSession): DataFrame = {
-    val months = 60L
-    s.range(months * nItem * 2)
+    val periods = 120L
+    s.range(periods * nItem * 2)
       .selectExpr(
-        s"$JD98 + (id div ${nItem * 2}) * 30 AS inv_date_sk",
+        s"$JD98 + (id div ${nItem * 2}) * 15 AS inv_date_sk",
         s"1 + pmod(id, $nItem) AS inv_item_sk",
         s"1 + pmod(id div $nItem, 2) AS inv_warehouse_sk",
         s"CASE WHEN ${u("id", 17001, 100)} = 0 THEN CAST(NULL AS INT) " +

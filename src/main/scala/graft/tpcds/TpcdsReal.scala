@@ -36,7 +36,7 @@ object TpcdsReal {
 
   /** queryN -> shared SQL text (run verbatim by Spark and, behind the
     * parquet-CTE prelude, by DuckDB). Batch 2 lives in TpcdsReal2. */
-  def texts: Map[String, String] = texts1 ++ TpcdsReal2.texts ++ TpcdsReal3.texts ++ TpcdsReal4.texts ++ TpcdsReal5.texts ++ TpcdsReal6.texts
+  def texts: Map[String, String] = texts1 ++ TpcdsReal2.texts ++ TpcdsReal3.texts ++ TpcdsReal4.texts ++ TpcdsReal5.texts ++ TpcdsReal6.texts ++ TpcdsReal7.texts
 
   private val texts1: Map[String, String] = Map(
 

@@ -1,12 +1,9 @@
 package graft.tpcds
 
-/** Real-TPC-DS batch 6 — the multi-CTE flagships (q14/q23 in their `a`
+/** Real-TPC-DS batch 6 — multi-CTE flagships (q14/q23 in their `a`
   * forms, q44 over exact cent averages, q54, q58). Conventions:
-  * TpcdsReal scaladoc. Not ported: q8/q24 (their zip-equality joins are
-  * vacuously empty against the lite generator's uniform 90k-zip space),
-  * q39 (stddev over one inventory snapshot per month is undefined), q64
-  * (the cross-sale monster — nothing in its plan shape isn't already
-  * covered by q4/q14/q23). */
+  * TpcdsReal scaladoc. Batch 7 (TpcdsReal7) closes the remaining four
+  * (q8/q24/q39/q64) on generator v7. */
 object TpcdsReal6 {
 
   val texts: Map[String, String] = Map(
