@@ -28,7 +28,7 @@ object Cep {
     * the value aggregates SUM/MIN/MAX/AVG over a pattern variable) are
     * computed from. */
   case class Match(user_id: Long, ids: Seq[Long], counts: Seq[Int],
-                   vals: Seq[Double])
+                   vals: Seq[Double], alt: Int = 0)
   case class Partial(ids: Seq[Long], startMicros: Long, next: Int,
                      lastMicros: Long, vals: Seq[Double])
   case class NfaState(partials: Seq[Partial])
@@ -96,7 +96,8 @@ object Cep {
   case class CepBuffer(rows: Seq[Event])
 
   private sealed trait Res
-  private case class Found(end: Int, rows: List[Event], counts: List[Int]) extends Res
+  private case class Found(end: Int, rows: List[Event], counts: List[Int],
+                           alt: Int = 0) extends Res
   private case object NoMatch extends Res
   private case object NeedMore extends Res
 
@@ -154,12 +155,36 @@ object Cep {
                                 skip: SkipPolicy): Dataset[Match] =
     matcher(ds, steps, skip, 0L, eventTimeFlush = false, None)
 
+  /** PERMUTE support (ref Pattern API / SQL `PATTERN (PERMUTE(A, B))`,
+    * docs/dev/table/sql/queries.md): the pattern matches in ANY of the
+    * given step orders; alternatives are tried in the listed order (the
+    * standard expands PERMUTE lexicographically) and the first that
+    * matches at a start position wins. `Match.alt` reports which
+    * alternative fired so measures can segment by the right variable
+    * order. Skip policies: PAST LAST ROW / TO NEXT ROW (TO FIRST/LAST
+    * would need a per-alternative variable resolution — out of subset). */
+  def matchRecognizeAlts(ds: Dataset[Event], alts: Seq[Seq[QStep]],
+                         skip: SkipPolicy,
+                         quiesceMs: Long = 24L * 3600 * 1000,
+                         withinMicros: Option[Long] = None): Dataset[Match] = {
+    require(alts.forall(_.nonEmpty))
+    require(!skip.isInstanceOf[SkipToFirst] && !skip.isInstanceOf[SkipToLast] ||
+      alts.size == 1, "SKIP TO FIRST/LAST with PERMUTE is out of subset")
+    matcherAlts(ds, alts, skip, quiesceMs, eventTimeFlush = true, withinMicros)
+  }
+
   private def matcher(ds: Dataset[Event], steps: Seq[QStep],
+                      skip: SkipPolicy, quiesceMs: Long,
+                      eventTimeFlush: Boolean,
+                      withinMicros: Option[Long]): Dataset[Match] =
+    matcherAlts(ds, Seq(steps), skip, quiesceMs, eventTimeFlush, withinMicros)
+
+  private def matcherAlts(ds: Dataset[Event], alts: Seq[Seq[QStep]],
                       skip: SkipPolicy, quiesceMs: Long,
                       eventTimeFlush: Boolean,
                       withinMicros: Option[Long]): Dataset[Match] = {
     import ds.sparkSession.implicits._
-    require(steps.nonEmpty)
+    require(alts.nonEmpty && alts.forall(_.nonEmpty))
     // WITHIN bound (ref Pattern#within / SQL `PATTERN (...) WITHIN
     // INTERVAL`): a match's first-to-last event-time span must not exceed
     // the bound. Checked at Found (backtracking then tries shorter
@@ -172,7 +197,8 @@ object Cep {
       endExcl <= start + 1 ||
         StatefulOps.micros(buf(endExcl - 1).ts) - StatefulOps.micros(buf(start).ts) <= within
 
-    def tryMatch(buf: IndexedSeq[Event], start: Int, atEnd: Boolean): Res = {
+    def tryMatch(steps: Seq[QStep], buf: IndexedSeq[Event], start: Int,
+                 atEnd: Boolean): Res = {
       def go(pos: Int, si: Int, acc: List[Event], cacc: List[Int]): Res = {
         if (si == steps.length) {
           if (spanOk(buf, start, pos)) Found(pos, acc.reverse, cacc.reverse)
@@ -215,15 +241,31 @@ object Cep {
       go(start, 0, Nil, Nil)
     }
 
-    def drain(buf: IndexedSeq[Event], atEnd: Boolean): (List[(List[Event], List[Int])], IndexedSeq[Event]) = {
-      val out = scala.collection.mutable.ListBuffer.empty[(List[Event], List[Int])]
+    // try the alternatives in declared order; the first Found wins. A
+    // NeedMore from an EARLIER alternative parks the start even if a
+    // later alternative would match now — more input could complete the
+    // earlier, higher-precedence one.
+    def tryAlts(buf: IndexedSeq[Event], start: Int, atEnd: Boolean): Res = {
+      var i = 0
+      while (i < alts.length) {
+        tryMatch(alts(i), buf, start, atEnd) match {
+          case f: Found => return f.copy(alt = i)
+          case NeedMore => return NeedMore
+          case NoMatch  => i += 1
+        }
+      }
+      NoMatch
+    }
+
+    def drain(buf: IndexedSeq[Event], atEnd: Boolean): (List[(List[Event], List[Int], Int)], IndexedSeq[Event]) = {
+      val out = scala.collection.mutable.ListBuffer.empty[(List[Event], List[Int], Int)]
       var i = 0
       while (i < buf.length) {
-        tryMatch(buf, i, atEnd) match {
+        tryAlts(buf, i, atEnd) match {
           case NeedMore        => return (out.toList, buf.drop(i))
           case NoMatch         => i += 1
-          case Found(end, rows, cnts) =>
-            out += ((rows, cnts))
+          case Found(end, rows, cnts, alt) =>
+            out += ((rows, cnts, alt))
             i = skip match {
               case SkipPastLastRow => math.max(end, i + 1)
               case SkipToNextRow   => i + 1
@@ -258,8 +300,8 @@ object Cep {
           if (state.hasTimedOut) {
             val (out, _) = drain(buf0, atEnd = true)
             state.remove()
-            out.iterator.map { case (rows, cnts) =>
-              Match(key, rows.map(_.event_id), cnts, rows.map(_.value)) }
+            out.iterator.map { case (rows, cnts, alt) =>
+              Match(key, rows.map(_.event_id), cnts, rows.map(_.value), alt) }
           } else {
             val sorted = rows.toSeq.sortBy(e => (StatefulOps.micros(e.ts), e.event_id))
             val all = buf0 ++ sorted
@@ -274,8 +316,8 @@ object Cep {
                   math.max(lastMs + quiesceMs, state.getCurrentWatermarkMs() + 1))
               }
             } else state.remove()
-            out.iterator.map { case (rows, cnts) =>
-              Match(key, rows.map(_.event_id), cnts, rows.map(_.value)) }
+            out.iterator.map { case (rows, cnts, alt) =>
+              Match(key, rows.map(_.event_id), cnts, rows.map(_.value), alt) }
           }
       }
   }

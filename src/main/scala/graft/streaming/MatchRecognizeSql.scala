@@ -24,7 +24,7 @@ import org.apache.spark.sql.functions.col
   *     [ONE ROW PER MATCH]
   *     AFTER MATCH SKIP { TO NEXT ROW | PAST LAST ROW
   *                      | TO FIRST <var> | TO LAST <var> }
-  *     PATTERN (V[+|+?|*|*?|{n}] ...)
+  *     PATTERN (V[+|+?|*|*?|{n}] ...) | PATTERN (PERMUTE(V1, V2[, V3]))
   *     DEFINE V AS <pred> [, ...]
   *   )
   * where <pred> is a full boolean expression — AND/OR/NOT with
@@ -60,7 +60,8 @@ object MatchRecognizeSql extends Serializable {
                   pattern: Seq[(String, Cep.QStep)],
                   allRows: Boolean = false,
                   withinMicros: Option[Long] = None,
-                  skipTo: Option[(String, String)] = None) // (FIRST|LAST, var)
+                  skipTo: Option[(String, String)] = None, // (FIRST|LAST, var)
+                  permute: Boolean = false)
 
   // ---------------------------------------------------------------- parsing
 
@@ -73,9 +74,10 @@ object MatchRecognizeSql extends Serializable {
   private val allRowsRe = "(?is)ALL\\s+ROWS\\s+PER\\s+MATCH".r
   private val skipRe =
     "(?is)AFTER\\s+MATCH\\s+SKIP\\s+(TO\\s+NEXT\\s+ROW|PAST\\s+LAST\\s+ROW|TO\\s+(FIRST|LAST)\\s+(\\w+))".r
-  private val patternRe = "(?is)PATTERN\\s*\\(([^)]*)\\)".r
+  private val patternRe =
+    "(?is)PATTERN\\s*\\(((?:[^()]|\\([^)]*\\))*)\\)".r
   private val withinRe =
-    "(?is)PATTERN\\s*\\([^)]*\\)\\s*WITHIN\\s+INTERVAL\\s+'(\\d+)'\\s+(DAY|HOUR|MINUTE|SECOND)S?".r
+    "(?is)PATTERN\\s*\\((?:[^()]|\\([^)]*\\))*\\)\\s*WITHIN\\s+INTERVAL\\s+'(\\d+)'\\s+(DAY|HOUR|MINUTE|SECOND)S?".r
   private val defineRe = "(?is)DEFINE\\s+(.*)$".r
   private val measureRe =
     "(?is)^(?:(FIRST|LAST|COUNT|SUM|MIN|MAX|AVG)\\s*\\(\\s*)?(\\w+)\\.(event_id|value|\\*)\\s*\\)?\\s+AS\\s+(\\w+)$".r
@@ -136,9 +138,19 @@ object MatchRecognizeSql extends Serializable {
           varName -> compileDefine(varName, kv(1).trim)
         }.toMap
 
-    val pattern = patternRe.findFirstMatchIn(body).map(_.group(1))
+    val patternBody = patternRe.findFirstMatchIn(body).map(_.group(1))
       .getOrElse(throw new IllegalArgumentException("missing PATTERN"))
-      .trim.split("\\s+").toSeq.map {
+      .trim
+    // PERMUTE(A, B[, C]): the listed variables match in any order (ref
+    // SQL PERMUTE; alternatives expand lexicographically). Subset: the
+    // whole pattern is one PERMUTE of unquantified variables.
+    val permuteRe = "(?is)^PERMUTE\\s*\\(([^)]*)\\)$".r
+    val (isPermute, patternTokens) = permuteRe.findFirstMatchIn(patternBody) match {
+      case Some(m) =>
+        (true, m.group(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      case None => (false, patternBody.split("\\s+").toSeq)
+    }
+    val pattern = patternTokens.map {
         case tokenRe(v, quant, times) =>
           // SQL default for an un-DEFINEd variable is "matches any row" —
           // any *user* row; the engine-internal sentinel must never match
@@ -157,6 +169,11 @@ object MatchRecognizeSql extends Serializable {
         case t => throw new IllegalArgumentException(s"bad pattern token: $t")
       }
     require(pattern.nonEmpty, "empty PATTERN")
+    if (isPermute) {
+      require(pattern.forall(_._2.max == 1),
+        "PERMUTE variables take no quantifiers in this subset")
+      require(skipTo.isEmpty, "SKIP TO FIRST/LAST with PERMUTE is out of subset")
+    }
     val patVars = pattern.map(_._1)
     require(patVars.distinct == patVars,
       "a pattern variable may appear only once in this subset")
@@ -178,7 +195,7 @@ object MatchRecognizeSql extends Serializable {
     skipTo.foreach { case (_, v) => require(pattern.exists(_._1 == v),
       s"SKIP TO references undefined pattern variable $v") }
     Spec(selectCols, table, partitionCol.toLowerCase, orderCol.toLowerCase,
-      measures, skipPast, pattern, allRows, within, skipTo)
+      measures, skipPast, pattern, allRows, within, skipTo, isPermute)
   }
 
   /** Split a DEFINE body on commas that separate entries (`,` followed by
@@ -385,9 +402,22 @@ object MatchRecognizeSql extends Serializable {
       case None =>
         if (spec.skipPastLastRow) Cep.SkipPastLastRow else Cep.SkipToNextRow
     }
-    val out = Cep.matchRecognizeSkip(
-      StreamSource.eventsTypedWithSentinel(s, dir), steps, skipPolicy,
-      withinMicros = spec.withinMicros)
+    // PERMUTE: one alternative per permutation of the listed variables,
+    // expanded lexicographically (the standard's order); Match.alt then
+    // tells the measure layer which variable order actually fired.
+    val altVarOrders: Seq[Seq[String]] =
+      if (spec.permute) spec.pattern.map(_._1).permutations.toSeq
+      else Seq(spec.pattern.map(_._1))
+    val stepByVar = spec.pattern.toMap
+    val out =
+      if (spec.permute)
+        Cep.matchRecognizeAlts(
+          StreamSource.eventsTypedWithSentinel(s, dir),
+          altVarOrders.map(_.map(stepByVar)), skipPolicy,
+          withinMicros = spec.withinMicros)
+      else Cep.matchRecognizeSkip(
+        StreamSource.eventsTypedWithSentinel(s, dir), steps, skipPolicy,
+        withinMicros = spec.withinMicros)
     if (spec.allRows) return runAllRows(s, spec, out, sqlText)
     // ONE ROW PER MATCH: evaluate each measure from the match's rows and
     // the per-step segmentation (counts). FIRST/LAST/aggregates on an
@@ -413,8 +443,10 @@ object MatchRecognizeSql extends Serializable {
       val offs = m.counts.scanLeft(0)(_ + _)
       val longs = Seq.newBuilder[Option[Long]]
       val dbls = Seq.newBuilder[Option[Double]]
+      // variable positions follow the alternative that actually matched
+      val altOrder = altVarOrders(m.alt)
       measures.foreach { meas =>
-        val i = varIdx(meas.variable.toUpperCase)
+        val i = altOrder.indexOf(meas.variable.toUpperCase)
         val cnt = m.counts(i)
         def idSeg = m.ids.slice(offs(i), offs(i) + cnt)
         def valSeg = m.vals.slice(offs(i), offs(i) + cnt)
@@ -606,6 +638,21 @@ object MatchRecognizeSql extends Serializable {
       |  DEFINE A AS event_type = 'view', B AS event_type = 'click'
       |)""".stripMargin
 
+  /** PATTERN (PERMUTE(A, B)): the two variables in either order. */
+  val matchPermuteSql: String =
+    """SELECT user_id, a_id, b_id FROM events
+      |MATCH_RECOGNIZE (
+      |  PARTITION BY user_id
+      |  ORDER BY ts
+      |  MEASURES A.event_id AS a_id, B.event_id AS b_id
+      |  ONE ROW PER MATCH
+      |  AFTER MATCH SKIP TO NEXT ROW
+      |  PATTERN (PERMUTE(A, B))
+      |  DEFINE A AS event_type = 'view', B AS event_type = 'click'
+      |)""".stripMargin
+
+  def matchPermute(s: SparkSession, dir: String): DataFrame = run(s, dir, matchPermuteSql)
+
   def matchParen(s: SparkSession, dir: String): DataFrame = run(s, dir, matchParenSql)
   def matchAggDef(s: SparkSession, dir: String): DataFrame = run(s, dir, matchAggDefSql)
   def matchSkipLast(s: SparkSession, dir: String): DataFrame = run(s, dir, matchSkipLastSql)
@@ -619,6 +666,19 @@ object MatchRecognizeSql extends Serializable {
   /** DuckDB oracles (no MATCH_RECOGNIZE there either — expressed with
     * window functions, same derivations as the programmatic CEP oracles). */
   val sql: Map[String, String] = Map(
+    "q_sql_match_permute" ->
+      """WITH o AS (SELECT user_id, event_id, event_type,
+      |            CAST(ts AS TIMESTAMP) AS t FROM events),
+      |sq AS (SELECT user_id, event_id AS id0, event_type AS et0,
+      |  lead(event_type, 1) OVER w AS et1, lead(event_id, 1) OVER w AS id1
+      | FROM o WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id))
+      |SELECT user_id,
+      |  CASE WHEN et0 = 'view' THEN id0 ELSE id1 END AS a_id,
+      |  CASE WHEN et0 = 'view' THEN id1 ELSE id0 END AS b_id
+      |FROM sq
+      |WHERE (et0 = 'view' AND et1 = 'click')
+      |   OR (et0 = 'click' AND et1 = 'view')
+      |ORDER BY user_id, a_id""".stripMargin,
     "q_sql_match_paren" ->
       """WITH o AS (SELECT user_id, event_id, event_type, value,
         |            CAST(ts AS TIMESTAMP) AS t FROM events),

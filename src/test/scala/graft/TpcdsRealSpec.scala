@@ -58,6 +58,20 @@ class TpcdsRealSpec extends SparkSpec {
     }
   }
 
+  test("plan quality: dimensions broadcast, facts shuffle — the star-join shape") {
+    TpcdsData.ensure(spark, sf)
+    // q3: fact store_sales joined to two small dims — Catalyst must pick
+    // broadcast-hash joins for both (no shuffle of the fact for a dim join)
+    val plan = spark.sql(TpcdsReal.texts("q3")).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in q3 plan:\n$plan")
+    assert(!plan.contains("CartesianProduct"), "cartesian product in a star join")
+    // q25 (triple-fact + 3 date_dim + 2 dims): every dim side broadcast,
+    // fact-fact joins are hash/sort-merge on their keys
+    val p25 = spark.sql(TpcdsReal.texts("q25")).queryExecution.executedPlan.toString
+    assert(p25.contains("BroadcastHashJoin"), "q25 lost its dim broadcasts")
+    assert(!p25.contains("CartesianProduct"), "cartesian product in q25")
+  }
+
   test("oracle texts bind every table to the versioned parquet path") {
     val d = TpcdsReal.duck("q1")
     assert(d.contains(TpcdsData.OraclePath))
