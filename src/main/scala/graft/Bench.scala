@@ -134,8 +134,10 @@ object Bench {
       }
     }
     sb.append(suffix)
+    // NaN (failed query / single attempt) is not valid JSON — emit null.
+    def num(x: Double): String = if (x.isNaN) "null" else f"$x%.3f"
     System.err.println("[bench-full] " + results.map { case (n, (t, med, att)) =>
-      f""""$n":[$t%.3f,$med%.3f,$att]""" }.mkString("{", ",", "}"))
+      s""""$n":[${num(t)},${num(med)},$att]""" }.mkString("{", ",", "}"))
     System.out.flush(); System.err.flush()
     println(sb.toString)
     System.out.flush()

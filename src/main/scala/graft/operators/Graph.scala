@@ -40,7 +40,10 @@ object Graph {
       reliableCheckpointDir match {
         case Some(dir) =>
           val sc = df.sparkSession.sparkContext
-          if (!sc.getCheckpointDir.contains(dir)) sc.setCheckpointDir(dir)
+          // setCheckpointDir stores '<dir>/<random-UUID>', so Option
+          // equality never matches — substring-check to configure once,
+          // not once per round (which would leak a UUID dir per snapshot).
+          if (!sc.getCheckpointDir.exists(_.contains(dir))) sc.setCheckpointDir(dir)
           df.checkpoint(eager)
         case None => df.localCheckpoint(eager)
       }

@@ -53,9 +53,17 @@ object FileTopic {
       w.println(s"${esc(k)}\t${esc(v)}")
     } finally w.close()
     val target = new java.io.File(d, f"segment-$start%016d-${records.size}%08d.jsonl")
-    if (!tmp.renameTo(target)) {
+    // POSIX rename over an existing target silently replaces it, so a
+    // cross-JVM producer race would lose a segment instead of failing.
+    // createNewFile is an atomic claim on the segment name: the loser
+    // sees `false` and aborts; the winner renames over its own claim.
+    if (!target.createNewFile()) {
       tmp.delete()
       throw new java.io.IOException(s"append lost the race for $target")
+    }
+    if (!tmp.renameTo(target)) {
+      target.delete(); tmp.delete()
+      throw new java.io.IOException(s"append failed to publish $target")
     }
   }
 

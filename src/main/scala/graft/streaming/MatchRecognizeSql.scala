@@ -418,7 +418,7 @@ object MatchRecognizeSql extends Serializable {
       else Cep.matchRecognizeSkip(
         StreamSource.eventsTypedWithSentinel(s, dir), steps, skipPolicy,
         withinMicros = spec.withinMicros)
-    if (spec.allRows) return runAllRows(s, spec, out, sqlText)
+    if (spec.allRows) return runAllRows(s, spec, out, sqlText, altVarOrders)
     // ONE ROW PER MATCH: evaluate each measure from the match's rows and
     // the per-step segmentation (counts). FIRST/LAST/aggregates on an
     // empty optional variable are NULL, per the standard. Long-valued and
@@ -492,10 +492,13 @@ object MatchRecognizeSql extends Serializable {
     * per-key sequential number would need its own ordered-emission state). */
   private def runAllRows(s: SparkSession, spec: Spec,
                          out: org.apache.spark.sql.Dataset[Cep.Match],
-                         sqlText: String): DataFrame = {
+                         sqlText: String,
+                         altVarOrders: Seq[Seq[String]]): DataFrame = {
     import s.implicits._
-    val varNames = spec.pattern.map(_._1)
     val rows = out.flatMap { m =>
+      // classifier names follow the alternative that actually matched —
+      // under PERMUTE a non-first permutation reorders the variables.
+      val varNames = altVarOrders(m.alt)
       val classifiers = m.counts.zipWithIndex.flatMap { case (c, i) =>
         Seq.fill(c)(varNames(i)) }
       m.ids.lazyZip(m.vals).lazyZip(classifiers).map { (id, v, cls) =>

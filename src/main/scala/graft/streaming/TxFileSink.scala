@@ -154,14 +154,22 @@ object TxFileSink {
   def ensureTopic(s: SparkSession, dir: String): String = synchronized {
     val topic = s"/tmp/graft-topic/${s.sparkContext.applicationId}-" +
       java.lang.Integer.toHexString(dir.hashCode)
-    if (graft.sources.FileTopic.totalRecords(topic) == 0) {
+    // Produce into a temp dir and rename on success: a totalRecords==0
+    // gate is not atomic with production, so a job that dies after some
+    // partitions appended would make later calls skip production and
+    // serve a truncated topic forever. The dir rename is the commit.
+    if (!new java.io.File(topic).isDirectory) {
+      val staging = topic + s".inprogress-${java.util.UUID.randomUUID}"
       graft.Tables(s, dir, "events")
         .select(col("user_id").cast("string").as("k"),
           concat_ws("|", col("event_id"), date_format(col("ts"), "yyyy-MM-dd")).as("v"))
         .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
-          graft.sources.FileTopic.append(topic,
+          graft.sources.FileTopic.append(staging,
             it.map(r => (r.getString(0), r.getString(1))).toSeq)
         }
+      if (!new java.io.File(staging).renameTo(new java.io.File(topic)) &&
+          !new java.io.File(topic).isDirectory)
+        throw new java.io.IOException(s"failed to publish topic $topic")
     }
     topic
   }
