@@ -102,6 +102,10 @@ object SparkEntry {
     "q_stream_session"  -> (streaming.StreamWindowAggs.session _),
     "q_stream_interval_join" -> (streaming.StreamWindowAggs.intervalJoin _),
     "q_stream_dedup_last" -> (streaming.StreamQueries.dedupLast _),
+    "q_stream_dedup_last_ooo" -> (streaming.StreamQueries.dedupLastOoo _),
+    "q_stream_topn_ooo" -> (streaming.StreamQueries.topNOoo _),
+    "q_stream_over_ooo" -> (streaming.StreamQueries.overOoo _),
+    "q_stream_cep_ooo"  -> (streaming.StreamQueries.cepOoo _),
     "q_stream_topn"     -> (streaming.StreamQueries.topN _),
     "q_stream_topn_retract" -> (streaming.StreamQueries.topNRetract _),
     "q_stream_over"     -> (streaming.StreamQueries.over _),

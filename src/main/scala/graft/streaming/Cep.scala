@@ -34,14 +34,16 @@ object Cep {
   case class NfaState(partials: Seq[Partial])
 
   /** All strict-contiguity matches of `steps` (one predicate per pattern
-    * position) in per-key event-time order. */
+    * position) in per-key event-time order. A found match is an immutable
+    * fact, never revised — APPEND mode, so the matcher chains after
+    * sortedEvents (Spark's all-append rule for stacked stateful ops). */
   def matchPattern(ds: Dataset[Event], steps: Seq[Event => Boolean]): Dataset[Match] = {
     import ds.sparkSession.implicits._
     val L = steps.length
     require(L >= 1)
     ds.groupByKey(_.user_id)
       .flatMapGroupsWithState[List[Event], Match](
-        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (key: Long, rows: Iterator[Event], state: GroupState[List[Event]]) =>
           var recent = state.getOption.getOrElse(Nil) // last L-1 events, oldest first
           val out = scala.collection.mutable.ArrayBuffer.empty[Match]

@@ -1,0 +1,148 @@
+package graft.streaming
+
+import graft.streaming.StreamSource.Event
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Out-of-order replay fixture: the events table re-cut as a multi-segment
+  * file stream with GENUINE cross-micro-batch event-time disorder.
+  *
+  * The ordered correctness harness replays `events.parquet` as one file →
+  * one micro-batch, so the in-order stateful operators never face a row
+  * arriving after a later-timestamped row was already processed. This
+  * fixture manufactures that adversity deterministically:
+  *
+  *  - rows are split into `blocks` contiguous event-time blocks;
+  *  - segment files are emitted with each adjacent PAIR SWAPPED
+  *    (1,0,3,2,...): every odd block arrives one whole micro-batch before
+  *    the earlier even block (maxFilesPerTrigger=1 → one segment per
+  *    batch, file-source order pinned by modification time);
+  *  - the final segment is a far-future sentinel row that drives the
+  *    watermark past end-of-data so watermark-buffered state flushes.
+  *
+  * The disorder bound (max lateness any row can exhibit vs the running
+  * event-time maximum) is computed from the data by simulating the
+  * emission order, and is returned as the watermark delay the consumer
+  * must use — exactly the reference's bounded-out-of-orderness watermark
+  * contract (BoundedOutOfOrdernessWatermarks.java): disorder ≤ delay ⇒
+  * no row is ever late, and the sorter releases in event-time order.
+  *
+  * Scale note: block assignment uses a global row_number (single-partition
+  * sort) — this is a TEST FIXTURE for the correctness gate, not a
+  * production operator; at 100 TB the disorder comes from the source for
+  * free.
+  */
+object OooReplay {
+
+  /** blocks must stay small enough that the pair-swap lateness (≈ two
+    * block spans) fits under the sentinel's flush horizon. */
+  val Blocks = 8
+
+  private case class Prepared(dir: String, delaySec: Long)
+  private val cache = scala.collection.concurrent.TrieMap.empty[String, Prepared]
+
+  /** Build (once per events dir, cross-process reusable) the segmented
+    * replay; returns (replayDir, watermarkDelaySeconds). */
+  def prepare(s: SparkSession, dir: String): (String, Long) = {
+    val p = cache.getOrElseUpdate(dir, doPrepare(s, dir))
+    (p.dir, p.delaySec)
+  }
+
+  private def doPrepare(s: SparkSession, dir: String): Prepared = synchronized {
+    val replayDir = "/tmp/graft-ooo/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val root = new java.io.File(replayDir)
+    val meta = new java.io.File(root, "_delay_sec")
+    if (meta.isFile) {
+      val d = new String(java.nio.file.Files.readAllBytes(meta.toPath)).trim.toLong
+      return Prepared(replayDir, d)
+    }
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = s.read.parquet(s"$dir/events.parquet") // ts = long nanos
+    val schema = raw.schema
+    val n = raw.count()
+    val per = math.max(1L, (n + Blocks - 1) / Blocks)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("ts"), col("event_id"))
+    val withBlk = raw
+      .withColumn("__blk", ((row_number().over(w) - 1) / per).cast("int"))
+      .localCheckpoint(true)
+    val stats = withBlk.groupBy("__blk")
+      .agg(min("ts").as("mn"), max("ts").as("mx"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val blockIds = stats.map(_._1)
+    // pair-swap emission order: 1,0,3,2,... (odd-length tail stays)
+    val emit = blockIds.grouped(2).flatMap {
+      case Array(a, b) => Array(b, a)
+      case one         => one
+    }.toArray
+    // disorder bound: lateness of each block vs the running max already
+    // emitted; the consumer's watermark delay must cover it (plus margin)
+    val mn = stats.map(t => t._1 -> t._2).toMap
+    val mx = stats.map(t => t._1 -> t._3).toMap
+    var runMax = Long.MinValue
+    var worstNanos = 0L
+    emit.foreach { b =>
+      if (runMax != Long.MinValue)
+        worstNanos = math.max(worstNanos, runMax - mn(b))
+      runMax = math.max(runMax, mx(b))
+    }
+    val delaySec = worstNanos / 1000000000L + 3600L
+    // sentinel far enough out that final watermark (sentinel - delay)
+    // passes every real row by a full day
+    val sentinelNanos = stats.map(_._3).max + (delaySec + 86400L) * 1000000000L
+
+    val staging = new java.io.File(replayDir + ".inprogress")
+    org.apache.commons.io.FileUtils.deleteQuietly(staging)
+    staging.mkdirs()
+    val t0 = System.currentTimeMillis() - 4 * 3600 * 1000L
+    def place(df: org.apache.spark.sql.DataFrame, idx: Int): Unit = {
+      val tmp = new java.io.File(staging, s"tmp-$idx")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
+      val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+      val tgt = new java.io.File(staging, f"seg-$idx%02d.parquet")
+      java.nio.file.Files.move(part.toPath, tgt.toPath)
+      org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+      // file-stream source picks oldest-modTime first: pin arrival order
+      tgt.setLastModified(t0 + idx * 60000L)
+    }
+    emit.zipWithIndex.foreach { case (b, i) =>
+      place(withBlk.where(col("__blk") === b).drop("__blk"), i)
+    }
+    val sentinelVals: Array[Any] = schema.fields.map(_.name).map {
+      case "event_id"   => -1L
+      case "ts"         => sentinelNanos
+      case "user_id"    => -1L
+      case "event_type" => "__sentinel"
+      case "value"      => 0.0
+      case _            => null
+    }
+    place(s.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(sentinelVals: _*)), schema),
+      emit.length)
+    java.nio.file.Files.write(new java.io.File(staging, "_delay_sec").toPath,
+      delaySec.toString.getBytes)
+    // atomic publish (concurrent Verify/test JVMs race to the same dir)
+    if (!staging.renameTo(root) && !meta.isFile)
+      throw new java.io.IOException(s"failed to publish OOO replay $replayDir")
+    org.apache.commons.io.FileUtils.deleteQuietly(staging)
+    val d = new String(java.nio.file.Files.readAllBytes(meta.toPath)).trim.toLong
+    Prepared(replayDir, d)
+  }
+
+  /** The replay as an unbounded typed stream, one segment per micro-batch;
+    * returns the watermark delay (seconds) covering the manufactured
+    * disorder. Callers hang `withWatermark`/sortedEvents on it. */
+  def stream(s: SparkSession, dir: String): (Dataset[Event], Long) = {
+    val (replayDir, delaySec) = prepare(s, dir)
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    import s.implicits._
+    val ds = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "seg-*.parquet")
+      .parquet(replayDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .select("event_id", "ts", "user_id", "event_type", "value").as[Event]
+    (ds, delaySec)
+  }
+}

@@ -37,13 +37,18 @@ object StatefulOps {
 
   private def ord(e: Event): (Long, Long) = (micros(e.ts), e.event_id)
 
-  /** Keep-last-row-per-key dedup (update semantics). Emits the new latest
-    * row for a key whenever it changes. */
+  /** Keep-last-row-per-key dedup. Emits the new latest row for a key
+    * whenever it changes — each emission is an immutable "the latest
+    * advanced to X" fact, monotone in (ts, event_id) per key, so the
+    * operator is declared APPEND (which also lets it chain after
+    * sortedEvents; Spark requires all-append for chained stateful ops).
+    * Single-batch replays emit once per key; multi-batch consumers fold
+    * argmax(ts, event_id) per key. */
   def keepLast(ds: Dataset[Event]): Dataset[Event] = {
     import ds.sparkSession.implicits._
     ds.groupByKey(_.user_id)
       .flatMapGroupsWithState[Event, Event](
-        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (_: Long, rows: Iterator[Event], state: GroupState[Event]) =>
           val latestIn = rows.maxBy(ord)
           val cur = state.getOption
@@ -107,6 +112,34 @@ object StatefulOps {
           state.update(merged)
           merged.iterator.zipWithIndex.map { case (e, i) =>
             Ranked(key, i + 1, e.event_id, e.user_id, e.value)
+          }
+      }
+  }
+
+  case class RankedVer(event_type: String, rank: Int, event_id: Long,
+                       user_id: Long, value: Double, ver: Long)
+  case class TopNVerState(rows: List[Event], ver: Long)
+
+  /** Top-N in APPEND mode: each batch with input for a key emits the key's
+    * refreshed full top-N tagged with a monotone generation number —
+    * a versioned changelog rather than in-place updates, so the operator
+    * can chain after sortedEvents (all-append rule). The consumer keeps
+    * each key's max-ver generation (the same upsert fold the update-mode
+    * topN delegates to the memory sink). */
+  def topNVersioned(ds: Dataset[Event], n: Int): Dataset[RankedVer] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.event_type)
+      .flatMapGroupsWithState[TopNVerState, RankedVer](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[Event], state: GroupState[TopNVerState]) =>
+          val st = state.getOption.getOrElse(TopNVerState(Nil, 0L))
+          val merged = (st.rows ++ rows)
+            .sortBy(e => (-e.value, e.event_id))
+            .take(n)
+          val ver = st.ver + 1
+          state.update(TopNVerState(merged, ver))
+          merged.iterator.zipWithIndex.map { case (e, i) =>
+            RankedVer(key, i + 1, e.event_id, e.user_id, e.value, ver)
           }
       }
   }

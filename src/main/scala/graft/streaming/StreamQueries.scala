@@ -13,7 +13,7 @@ object StreamQueries {
 
   def dedupLast(s: SparkSession, dir: String): DataFrame = {
     val out = StatefulOps.keepLast(StreamSource.eventsTyped(s, dir)).toDF()
-    StreamSource.runToTable(s, out, "stream_dedup_last", "update")
+    StreamSource.runToTable(s, out, "stream_dedup_last", "append")
       .select(col("user_id"), col("event_id"), col("event_type"))
       .orderBy("user_id")
   }
@@ -91,7 +91,7 @@ object StreamQueries {
     val pattern: Seq[Event => Boolean] = Seq(
       _.event_type == "view", _.event_type == "click", _.event_type == "purchase")
     val out = Cep.matchPattern(StreamSource.eventsTyped(s, dir), pattern).toDF()
-    StreamSource.runToTable(s, out, "stream_cep", "update")
+    StreamSource.runToTable(s, out, "stream_cep", "append")
       .select(col("user_id"),
         col("ids").getItem(0).as("a_id"),
         col("ids").getItem(1).as("b_id"),
@@ -377,6 +377,73 @@ object StreamQueries {
       .where(col("user_id") =!= -1L)
       .select(col("user_id"), col("event_id"))
       .orderBy("user_id", "event_id")
+  }
+
+  // ----------------------------------------------------- out-of-order
+
+  /** Out-of-order hardening (round-5 verdict #1): the same stateful
+    * operators, fed the OooReplay multi-segment stream whose micro-batches
+    * arrive OUT of event-time order, with the sortedEvents watermark
+    * buffer composed in FRONT — the temporalSort pattern upgrading the
+    * in-order operators to full out-of-order safety (ref
+    * RowTimeSortOperator.java buffering by watermark before
+    * order-sensitive operators). Both stages are keyed, chained
+    * stateful operators in ONE streaming query (all-append). The oracle
+    * is the SAME SQL as the ordered twin — a hash match proves
+    * order-independence of the final answer. */
+  def dedupLastOoo(s: SparkSession, dir: String): DataFrame = {
+    val (src, delaySec) = OooReplay.stream(s, dir)
+    val ordered = StatefulOps.sortedEvents(src, s"$delaySec seconds")
+    val out = StatefulOps.keepLast(ordered).toDF()
+    // multi-batch append emissions: fold to the final latest per key
+    StreamSource.runToTableChained(s, out, "stream_dedup_last_ooo", "append")
+      .where(col("user_id") >= 0)
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+          .orderBy(col("ts").desc, col("event_id").desc)))
+      .where(col("__rn") === 1)
+      .select(col("user_id"), col("event_id"), col("event_type"))
+      .orderBy("user_id")
+  }
+
+  def overOoo(s: SparkSession, dir: String): DataFrame = {
+    val (src, delaySec) = OooReplay.stream(s, dir)
+    val ordered = StatefulOps.sortedEvents(src, s"$delaySec seconds")
+    val out = StatefulOps.runningAgg(ordered).toDF()
+    StreamSource.runToTableChained(s, out, "stream_over_ooo", "append")
+      .where(col("user_id") >= 0)
+      .select(col("user_id"), col("event_id"), col("run_cnt"),
+        round(col("run_sum"), 4).as("run_sum"))
+      .orderBy("user_id", "event_id")
+  }
+
+  def topNOoo(s: SparkSession, dir: String): DataFrame = {
+    val (src, delaySec) = OooReplay.stream(s, dir)
+    val ordered = StatefulOps.sortedEvents(src, s"$delaySec seconds")
+    val out = StatefulOps.topNVersioned(ordered, 3).toDF()
+    val drained = StreamSource.runToTableChained(s, out, "stream_topn_ooo", "append")
+    // keep each key's newest generation (upsert fold of the versioned log)
+    drained.withColumn("__mx", max(col("ver")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("event_type")))
+      .where(col("ver") === col("__mx"))
+      .select(col("event_type"), col("rank"), col("event_id"),
+        col("user_id"), round(col("value"), 2).as("value"))
+      .orderBy("event_type", "rank")
+  }
+
+  def cepOoo(s: SparkSession, dir: String): DataFrame = {
+    import StreamSource.Event
+    val (src, delaySec) = OooReplay.stream(s, dir)
+    val ordered = StatefulOps.sortedEvents(src, s"$delaySec seconds")
+    val pattern: Seq[Event => Boolean] = Seq(
+      _.event_type == "view", _.event_type == "click", _.event_type == "purchase")
+    val out = Cep.matchPattern(ordered, pattern).toDF()
+    StreamSource.runToTableChained(s, out, "stream_cep_ooo", "append")
+      .select(col("user_id"),
+        col("ids").getItem(0).as("a_id"),
+        col("ids").getItem(1).as("b_id"),
+        col("ids").getItem(2).as("c_id"))
+      .orderBy("user_id", "a_id")
   }
 
   /** Daily tumble per user with a time evictor keeping the last 6 hours. */
@@ -712,6 +779,39 @@ object StreamQueries {
         |  row_number() OVER (PARTITION BY user_id
         |    ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
         | FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    // the _ooo twins run the shuffled multi-batch replay; same oracle as
+    // the ordered run — the hash match IS the order-independence proof
+    "q_stream_dedup_last_ooo" ->
+      """SELECT user_id, event_id, event_type FROM (
+        | SELECT user_id, event_id, event_type,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+        | FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "q_stream_topn_ooo" ->
+      """SELECT event_type, CAST(rn AS INT) AS rank, event_id, user_id,
+        | round(value, 2) AS value
+        |FROM (SELECT event_type, event_id, user_id, value,
+        |  row_number() OVER (PARTITION BY event_type
+        |    ORDER BY value DESC, event_id) AS rn FROM events)
+        |WHERE rn <= 3 ORDER BY event_type, rn""".stripMargin,
+    "q_stream_over_ooo" ->
+      """SELECT user_id, event_id,
+        | count(*) OVER w AS run_cnt,
+        | round(sum(value) OVER w, 4) AS run_sum
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
+    "q_stream_cep_ooo" ->
+      """WITH o AS (SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS t
+        |           FROM events),
+        |sq AS (SELECT user_id, event_id AS a_id, event_type AS et0,
+        |  lead(event_type, 1) OVER w AS et1, lead(event_id, 1) OVER w AS b_id,
+        |  lead(event_type, 2) OVER w AS et2, lead(event_id, 2) OVER w AS c_id
+        | FROM o WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id))
+        |SELECT user_id, a_id, b_id, c_id FROM sq
+        |WHERE et0 = 'view' AND et1 = 'click' AND et2 = 'purchase'
+        |ORDER BY user_id, a_id""".stripMargin,
     "q_stream_topn_retract" ->
       """SELECT event_type, CAST(rn AS INT) AS rank, event_id, user_id,
         | round(value, 2) AS value

@@ -85,6 +85,23 @@ object StreamSource {
       .select("event_id", "ts", "user_id", "event_type", "value").as[Event]
   }
 
+  /** runToTable for CHAINED stateful operators (sortedEvents → operator):
+    * Spark's global-watermark correctness check flags any stateful op
+    * downstream of one that emits rows older than the watermark, because
+    * a downstream op with watermark-based eviction COULD silently drop
+    * them as late. The downstream stages here are NoTimeout
+    * flatMapGroupsWithState over un-watermarked (operator-generated)
+    * columns — they have no late-row predicate, so nothing is dropped;
+    * the DuckDB oracle hash (exact row set) re-proves it per run. Scoped
+    * to this call; the check stays ON for every other query. */
+  def runToTableChained(s: SparkSession, df: DataFrame, name: String,
+                        mode: String): DataFrame = {
+    val key = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+    val prev = s.conf.get(key, "true")
+    s.conf.set(key, "false")
+    try runToTable(s, df, name, mode) finally s.conf.set(key, prev)
+  }
+
   /** Run `df` (a streaming DataFrame) to completion into a memory sink and
     * return the materialized result.
     *

@@ -70,7 +70,7 @@ class CheckpointRecoverySpec extends SparkSpec {
           ()
         }
         .option("checkpointLocation", ckpt)
-        .outputMode("update")
+        .outputMode("append")
         .start()
 
     CheckpointRecoverySpec.sink.synchronized { CheckpointRecoverySpec.sink.clear() }

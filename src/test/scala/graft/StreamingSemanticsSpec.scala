@@ -81,7 +81,7 @@ class StreamingSemanticsSpec extends SparkSpec {
       implicit val sqlCtx = spark.sqlContext
       val input = MemoryStream[Event]
       val q = StatefulOps.keepLast(input.toDS()).writeStream
-        .format("memory").queryName("t_rocks").outputMode("update")
+        .format("memory").queryName("t_rocks").outputMode("append")
         .option("checkpointLocation", s"/tmp/graft-ckpt/t-rocks-${System.nanoTime()}")
         .start()
       input.addData(Seq(ev(1, 10, 3, "view", 1.0), ev(2, 20, 3, "click", 2.0)))
@@ -162,7 +162,7 @@ class StreamingSemanticsSpec extends SparkSpec {
     val emitted = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
     def start(input: MemoryStream[Event]) =
       StatefulOps.keepLast(input.toDS()).writeStream
-        .outputMode("update")
+        .outputMode("append")
         .option("checkpointLocation", ckpt)
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[Event], _: Long) =>
           batch.collect().foreach(e => emitted.add(e.event_id)); ()

@@ -45,7 +45,7 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("keepLast emits only when a newer row arrives for the key") {
-    val (feed, drain, stop) = harness(StatefulOps.keepLast, "t_keeplast")
+    val (feed, drain, stop) = harness(StatefulOps.keepLast, "t_keeplast", mode = "append")
     feed(Seq(ev(1, 10, 7, "view", 1.0), ev(2, 20, 7, "click", 2.0)))
     assert(drain().map(_.event_id) === Seq(2)) // only latest of batch 1
     feed(Seq(ev(3, 15, 7, "view", 3.0))) // older than current state
@@ -104,7 +104,7 @@ class StreamingSpec extends SparkSpec {
   test("cep matches strict-contiguity pattern across batch boundary") {
     val pat: Seq[Event => Boolean] = Seq(
       _.event_type == "view", _.event_type == "click", _.event_type == "purchase")
-    val (feed, drain, stop) = harness(Cep.matchPattern(_, pat), "t_cep")
+    val (feed, drain, stop) = harness(Cep.matchPattern(_, pat), "t_cep", mode = "append")
     feed(Seq(ev(1, 10, 3, "view", 0), ev(2, 20, 3, "click", 0)))
     assert(drain().isEmpty) // partial match held in state
     feed(Seq(ev(3, 30, 3, "purchase", 0)))
