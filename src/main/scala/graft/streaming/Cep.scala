@@ -27,8 +27,11 @@ object Cep {
     * segmentation that SQL MATCH_RECOGNIZE measures (FIRST/LAST/COUNT and
     * the value aggregates SUM/MIN/MAX/AVG over a pattern variable) are
     * computed from. */
+  /** `seq` is the 1-based per-key MATCH_NUMBER (sequential in match-start
+    * order — the matcher emits matches in buffer order and persists the
+    * counter in keyed state); 0 from matchers that don't number. */
   case class Match(user_id: Long, ids: Seq[Long], counts: Seq[Int],
-                   vals: Seq[Double], alt: Int = 0)
+                   vals: Seq[Double], alt: Int = 0, seq: Long = 0L)
   case class Partial(ids: Seq[Long], startMicros: Long, next: Int,
                      lastMicros: Long, vals: Seq[Double])
   case class NfaState(partials: Seq[Partial])
@@ -95,7 +98,7 @@ object Cep {
   case class SkipToFirst(step: Int) extends SkipPolicy
   case class SkipToLast(step: Int) extends SkipPolicy
 
-  case class CepBuffer(rows: Seq[Event])
+  case class CepBuffer(rows: Seq[Event], matched: Long = 0L)
 
   private sealed trait Res
   private case class Found(end: Int, rows: List[Event], counts: List[Int],
@@ -299,27 +302,34 @@ object Cep {
         OutputMode.Append(), timeoutConf) {
         (key: Long, rows: Iterator[Event], state: GroupState[CepBuffer]) =>
           val buf0 = state.getOption.map(_.rows.toIndexedSeq).getOrElse(IndexedSeq.empty)
+          // MATCH_NUMBER base: matches already emitted for this key
+          val base = state.getOption.map(_.matched).getOrElse(0L)
+          def emit(out: List[(List[Event], List[Int], Int)]) =
+            out.iterator.zipWithIndex.map { case ((rows, cnts, alt), i) =>
+              Match(key, rows.map(_.event_id), cnts, rows.map(_.value), alt,
+                seq = base + i + 1) }
           if (state.hasTimedOut) {
             val (out, _) = drain(buf0, atEnd = true)
             state.remove()
-            out.iterator.map { case (rows, cnts, alt) =>
-              Match(key, rows.map(_.event_id), cnts, rows.map(_.value), alt) }
+            emit(out)
           } else {
             val sorted = rows.toSeq.sortBy(e => (StatefulOps.micros(e.ts), e.event_id))
             val all = buf0 ++ sorted
             val (out, rest) = drain(all, atEnd = false)
-            if (rest.nonEmpty) {
-              state.update(CepBuffer(rest))
+            if (rest.nonEmpty || base + out.length > 0) {
+              // counter survives even with an empty buffer so MATCH_NUMBER
+              // stays sequential; the event-time timer (or stream end)
+              // bounds the state's lifetime
+              state.update(CepBuffer(rest, base + out.length))
               // flush once the key has been event-time quiet for quiesceMs
               // (must stay ahead of the current watermark or Spark rejects it)
-              if (eventTimeFlush) {
+              if (eventTimeFlush && rest.nonEmpty) {
                 val lastMs = StatefulOps.micros(all.last.ts) / 1000L
                 state.setTimeoutTimestamp(
                   math.max(lastMs + quiesceMs, state.getCurrentWatermarkMs() + 1))
               }
             } else state.remove()
-            out.iterator.map { case (rows, cnts, alt) =>
-              Match(key, rows.map(_.event_id), cnts, rows.map(_.value), alt) }
+            emit(out)
           }
       }
   }

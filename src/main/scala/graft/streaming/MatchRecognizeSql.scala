@@ -19,12 +19,16 @@ import org.apache.spark.sql.functions.col
   *     ORDER BY ts
   *     MEASURES { FIRST(V.f) | LAST(V.f) | V.f | COUNT(V.*)
   *              | SUM(V.value) | MIN(V.value) | MAX(V.value)
-  *              | AVG(V.value) } AS alias, ...   -- f ∈ event_id, value
+  *              | AVG(V.value) | MATCH_NUMBER() } AS alias, ...
+  *                                               -- f ∈ event_id, value
   *                                               -- doubles rounded to 6
   *     [ONE ROW PER MATCH]
   *     AFTER MATCH SKIP { TO NEXT ROW | PAST LAST ROW
   *                      | TO FIRST <var> | TO LAST <var> }
   *     PATTERN (V[+|+?|*|*?|{n}] ...) | PATTERN (PERMUTE(V1, V2[, V3]))
+  *       | PATTERN ((V1 V2)[*|+] V3 ...)   -- grouped repetition; a var may
+  *                                         -- recur (multi-occurrence), e.g.
+  *                                         -- (A B)* A; ≤ GroupRepCap reps
   *     DEFINE V AS <pred> [, ...]
   *   )
   * where <pred> is a full boolean expression — AND/OR/NOT with
@@ -53,7 +57,14 @@ object MatchRecognizeSql extends Serializable {
   /** SUM/MIN/MAX/AVG over a variable's `value` rows; emitted rounded to 6
     * decimals (the repo-wide cross-engine convention). */
   case class ValAggM(fn: String, variable: String, alias: String) extends Measure
+  /** MATCH_NUMBER(): 1-based sequential number of the match within its
+    * partition, in match-start order (ref docs/dev/table/sql/queries.md:366;
+    * the matcher persists the counter in keyed state). */
+  case class MatchNumM(alias: String) extends Measure { val variable = "" }
 
+  /** `groupRep` carries a leading grouped repetition `(A B)* C...`:
+    * (group body vars, tail vars, min repetitions). Expanded into
+    * alternatives longest-first (greedy) up to [[GroupRepCap]]. */
   case class Spec(selectCols: Seq[String], table: String, partitionCol: String,
                   orderCol: String, measures: Seq[Measure],
                   skipPastLastRow: Boolean,
@@ -61,7 +72,13 @@ object MatchRecognizeSql extends Serializable {
                   allRows: Boolean = false,
                   withinMicros: Option[Long] = None,
                   skipTo: Option[(String, String)] = None, // (FIRST|LAST, var)
-                  permute: Boolean = false)
+                  permute: Boolean = false,
+                  groupRep: Option[(Seq[String], Seq[String], Int)] = None)
+
+  /** Bound on expanded repetitions of a pattern group — a documented
+    * subset limit (the reference's NFA loops states instead; a run of
+    * more than GroupRepCap group occurrences would match truncated). */
+  val GroupRepCap = 12
 
   // ---------------------------------------------------------------- parsing
 
@@ -81,6 +98,8 @@ object MatchRecognizeSql extends Serializable {
   private val defineRe = "(?is)DEFINE\\s+(.*)$".r
   private val measureRe =
     "(?is)^(?:(FIRST|LAST|COUNT|SUM|MIN|MAX|AVG)\\s*\\(\\s*)?(\\w+)\\.(event_id|value|\\*)\\s*\\)?\\s+AS\\s+(\\w+)$".r
+  private val matchNumRe =
+    "(?is)^MATCH_NUMBER\\s*\\(\\s*\\)\\s+AS\\s+(\\w+)$".r
   private val tokenRe = "([A-Za-z]\\w*)(\\+\\?|\\*\\?|\\+|\\*|\\{(\\d+)\\})?".r
   private val cmpRe = "(?s)^(\\w+)\\s*(<>|!=|<=|>=|=|<|>)\\s*(?:'([^']*)'|([-0-9.eE]+))$".r
 
@@ -104,6 +123,7 @@ object MatchRecognizeSql extends Serializable {
       .flatMap(_.split(","))
       .map(_.trim).filter(_.nonEmpty)
       .map {
+        case matchNumRe(alias) => MatchNumM(alias)
         case measureRe(fn, v, field, alias) =>
           val f = Option(fn).map(_.toUpperCase).getOrElse("LAST")
           f match {
@@ -145,10 +165,33 @@ object MatchRecognizeSql extends Serializable {
     // SQL PERMUTE; alternatives expand lexicographically). Subset: the
     // whole pattern is one PERMUTE of unquantified variables.
     val permuteRe = "(?is)^PERMUTE\\s*\\(([^)]*)\\)$".r
+    // Leading grouped repetition `(A B)* C...` / `(A B)+ C...` — the
+    // multi-occurrence pattern-variable form (a variable may appear in
+    // both the group body and the tail, e.g. (A B)* A). Expanded into
+    // alternatives longest-first in run().
+    val groupRe = "(?is)^\\(([^)]+)\\)\\s*(\\*|\\+)\\s*(.*)$".r
+    val groupRep: Option[(Seq[String], Seq[String], Int)] =
+      if (patternBody.toUpperCase.startsWith("PERMUTE")) None
+      else groupRe.findFirstMatchIn(patternBody).map { m =>
+        val body = m.group(1).trim.split("\\s+").toSeq
+        val tail = m.group(3).trim.split("\\s+").toSeq.filter(_.nonEmpty)
+        val minRep = if (m.group(2) == "+") 1 else 0
+        require(body.forall(_.matches("[A-Za-z]\\w*")) &&
+                tail.forall(_.matches("[A-Za-z]\\w*")),
+          "group body/tail variables take no quantifiers in this subset")
+        require(tail.nonEmpty || minRep >= 1,
+          "(...)* with no tail could match empty — use (...)+ or add a tail variable")
+        (body.map(_.toUpperCase), tail.map(_.toUpperCase), minRep)
+      }
     val (isPermute, patternTokens) = permuteRe.findFirstMatchIn(patternBody) match {
       case Some(m) =>
         (true, m.group(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-      case None => (false, patternBody.split("\\s+").toSeq)
+      case None => groupRep match {
+        // pattern list = each DISTINCT variable once, appearance order;
+        // the repetition structure lives in groupRep
+        case Some((body, tail, _)) => (false, (body ++ tail).distinct)
+        case None => (false, patternBody.split("\\s+").toSeq)
+      }
     }
     val pattern = patternTokens.map {
         case tokenRe(v, quant, times) =>
@@ -177,8 +220,14 @@ object MatchRecognizeSql extends Serializable {
     val patVars = pattern.map(_._1)
     require(patVars.distinct == patVars,
       "a pattern variable may appear only once in this subset")
-    measures.foreach(m => require(patVars.contains(m.variable.toUpperCase),
-      s"measure references undefined pattern variable ${m.variable}"))
+    if (groupRep.isDefined)
+      require(skipTo.isEmpty,
+        "SKIP TO FIRST/LAST with a grouped repetition is out of subset")
+    measures.foreach {
+      case _: MatchNumM => ()
+      case m => require(patVars.contains(m.variable.toUpperCase),
+        s"measure references undefined pattern variable ${m.variable}")
+    }
 
     val selectCols = selectList.split(",").map(_.trim).filter(_.nonEmpty).toSeq
     val allRows = allRowsRe.findFirstIn(body).isDefined
@@ -195,7 +244,7 @@ object MatchRecognizeSql extends Serializable {
     skipTo.foreach { case (_, v) => require(pattern.exists(_._1 == v),
       s"SKIP TO references undefined pattern variable $v") }
     Spec(selectCols, table, partitionCol.toLowerCase, orderCol.toLowerCase,
-      measures, skipPast, pattern, allRows, within, skipTo, isPermute)
+      measures, skipPast, pattern, allRows, within, skipTo, isPermute, groupRep)
   }
 
   /** Split a DEFINE body on commas that separate entries (`,` followed by
@@ -407,10 +456,18 @@ object MatchRecognizeSql extends Serializable {
     // tells the measure layer which variable order actually fired.
     val altVarOrders: Seq[Seq[String]] =
       if (spec.permute) spec.pattern.map(_._1).permutations.toSeq
-      else Seq(spec.pattern.map(_._1))
+      else spec.groupRep match {
+        // greedy grouped repetition: longest expansion first (the first
+        // alternative that matches wins; NeedMore on a longer one parks
+        // the start until more input can decide it)
+        case Some((body, tail, minRep)) =>
+          (GroupRepCap to minRep by -1).map(k =>
+            Seq.fill(k)(body).flatten ++ tail)
+        case None => Seq(spec.pattern.map(_._1))
+      }
     val stepByVar = spec.pattern.toMap
     val out =
-      if (spec.permute)
+      if (spec.permute || spec.groupRep.isDefined)
         Cep.matchRecognizeAlts(
           StreamSource.eventsTypedWithSentinel(s, dir),
           altVarOrders.map(_.map(stepByVar)), skipPolicy,
@@ -443,14 +500,18 @@ object MatchRecognizeSql extends Serializable {
       val offs = m.counts.scanLeft(0)(_ + _)
       val longs = Seq.newBuilder[Option[Long]]
       val dbls = Seq.newBuilder[Option[Double]]
-      // variable positions follow the alternative that actually matched
+      // variable positions follow the alternative that actually matched;
+      // under a grouped repetition a variable occupies SEVERAL positions —
+      // its measure segments are the concatenation across occurrences
       val altOrder = altVarOrders(m.alt)
       measures.foreach { meas =>
-        val i = altOrder.indexOf(meas.variable.toUpperCase)
-        val cnt = m.counts(i)
-        def idSeg = m.ids.slice(offs(i), offs(i) + cnt)
-        def valSeg = m.vals.slice(offs(i), offs(i) + cnt)
+        val poss = altOrder.zipWithIndex.collect {
+          case (v, i) if v == meas.variable.toUpperCase => i }
+        val cnt = poss.map(m.counts(_)).sum
+        def idSeg = poss.flatMap(i => m.ids.slice(offs(i), offs(i) + m.counts(i)))
+        def valSeg = poss.flatMap(i => m.vals.slice(offs(i), offs(i) + m.counts(i)))
         meas match {
+          case _: MatchNumM => longs += Some(m.seq)
           case _: CountM => longs += Some(cnt.toLong)
           case FirstM(_, _, "value") =>
             dbls += (if (cnt == 0) None else Some(round6(valSeg.head)))
@@ -484,12 +545,13 @@ object MatchRecognizeSql extends Serializable {
   }
 
   private val classifierRe = "(?i)^CLASSIFIER\\s*\\(\\s*\\)\\s+AS\\s+(\\w+)$".r
+  private val matchNumSelRe = "(?i)^MATCH_NUMBER\\s*\\(\\s*\\)\\s+AS\\s+(\\w+)$".r
 
   /** ALL ROWS PER MATCH: one output row per matched input row — the row's
     * event_id/value plus CLASSIFIER() (the pattern variable that matched
-    * it). An event matched by several overlapping matches appears once per
-    * match, per the standard. MATCH_NUMBER() is not in this subset (a
-    * per-key sequential number would need its own ordered-emission state). */
+    * it) and MATCH_NUMBER() (the match's per-partition sequence number).
+    * An event matched by several overlapping matches appears once per
+    * match, per the standard. */
   private def runAllRows(s: SparkSession, spec: Spec,
                          out: org.apache.spark.sql.Dataset[Cep.Match],
                          sqlText: String,
@@ -502,17 +564,18 @@ object MatchRecognizeSql extends Serializable {
       val classifiers = m.counts.zipWithIndex.flatMap { case (c, i) =>
         Seq.fill(c)(varNames(i)) }
       m.ids.lazyZip(m.vals).lazyZip(classifiers).map { (id, v, cls) =>
-        (m.user_id, id, v, cls) }
-    }.toDF("__pk", "__row_id", "__val", "__cls")
+        (m.user_id, id, v, cls, m.seq) }
+    }.toDF("__pk", "__row_id", "__val", "__cls", "__mn")
     val name = "sql_matchr_" + Integer.toHexString(sqlText.hashCode).takeWhile(_ != '-')
     val drained = StreamSource.runToTable(s, rows, name, "append")
     val pairs = spec.selectCols.map {
       case classifierRe(alias) => (col("__cls").as(alias), alias)
+      case matchNumSelRe(alias) => (col("__mn").as(alias), alias)
       case c if c.equalsIgnoreCase(spec.partitionCol) => (col("__pk").as(c), c)
       case c if c.equalsIgnoreCase("event_id") => (col("__row_id").as(c), c)
       case c if c.equalsIgnoreCase("value") => (col("__val").as(c), c)
       case c => throw new IllegalArgumentException(
-        s"ALL ROWS PER MATCH select supports the partition key, event_id, value, CLASSIFIER(); got $c")
+        s"ALL ROWS PER MATCH select supports the partition key, event_id, value, CLASSIFIER(), MATCH_NUMBER(); got $c")
     }
     drained.select(pairs.map(_._1): _*).orderBy(pairs.map(p => col(p._2)): _*)
   }
@@ -654,6 +717,40 @@ object MatchRecognizeSql extends Serializable {
       |  DEFINE A AS event_type = 'view', B AS event_type = 'click'
       |)""".stripMargin
 
+  /** MATCH_NUMBER() in MEASURES: each view→purchase pair numbered
+    * sequentially within its partition in match-start order. */
+  val matchNumberSql: String =
+    """SELECT user_id, a_id, b_id, mn FROM events
+      |MATCH_RECOGNIZE (
+      |  PARTITION BY user_id
+      |  ORDER BY ts
+      |  MEASURES A.event_id AS a_id, B.event_id AS b_id,
+      |           MATCH_NUMBER() AS mn
+      |  ONE ROW PER MATCH
+      |  AFTER MATCH SKIP TO NEXT ROW
+      |  PATTERN (A B)
+      |  DEFINE A AS event_type = 'view', B AS event_type = 'purchase'
+      |)""".stripMargin
+
+  /** Multi-occurrence pattern variables: PATTERN ((A B)* A) — A appears in
+    * both the group body and the tail; greedy maximal alternating
+    * view(click view)* run from each start row. */
+  val matchMultiSql: String =
+    """SELECT user_id, a_first, a_last, n_a, n_b FROM events
+      |MATCH_RECOGNIZE (
+      |  PARTITION BY user_id
+      |  ORDER BY ts
+      |  MEASURES FIRST(A.event_id) AS a_first, LAST(A.event_id) AS a_last,
+      |           COUNT(A.*) AS n_a, COUNT(B.*) AS n_b
+      |  ONE ROW PER MATCH
+      |  AFTER MATCH SKIP TO NEXT ROW
+      |  PATTERN ((A B)* A)
+      |  DEFINE A AS event_type = 'view', B AS event_type = 'click'
+      |)""".stripMargin
+
+  def matchNumber(s: SparkSession, dir: String): DataFrame = run(s, dir, matchNumberSql)
+  def matchMulti(s: SparkSession, dir: String): DataFrame = run(s, dir, matchMultiSql)
+
   def matchPermute(s: SparkSession, dir: String): DataFrame = run(s, dir, matchPermuteSql)
 
   def matchParen(s: SparkSession, dir: String): DataFrame = run(s, dir, matchParenSql)
@@ -669,6 +766,41 @@ object MatchRecognizeSql extends Serializable {
   /** DuckDB oracles (no MATCH_RECOGNIZE there either — expressed with
     * window functions, same derivations as the programmatic CEP oracles). */
   val sql: Map[String, String] = Map(
+    "q_sql_match_number" ->
+      """WITH o AS (SELECT user_id, event_id, event_type,
+        |            CAST(ts AS TIMESTAMP) AS t FROM events),
+        |sq AS (SELECT user_id, event_id AS a_id, event_type AS et0, t,
+        |  lead(event_type, 1) OVER w AS et1, lead(event_id, 1) OVER w AS b_id
+        | FROM o WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+        |m AS (SELECT user_id, a_id, b_id, t FROM sq
+        |      WHERE et0 = 'view' AND et1 = 'purchase')
+        |SELECT user_id, a_id, b_id,
+        |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY t, a_id) AS BIGINT) AS mn
+        |FROM m ORDER BY user_id, a_id, b_id, mn""".stripMargin,
+    "q_sql_match_multi" ->
+      """WITH RECURSIVE o AS (
+        | SELECT user_id, event_id, event_type,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+        | FROM events),
+        |walk(user_id, start_rn, cur_rn, n_a) AS (
+        | SELECT user_id, rn, rn, 1 FROM o WHERE event_type = 'view'
+        | UNION ALL
+        | SELECT w.user_id, w.start_rn, v.rn, w.n_a + 1
+        | FROM walk w
+        | JOIN o c ON c.user_id = w.user_id AND c.rn = w.cur_rn + 1
+        |         AND c.event_type = 'click'
+        | JOIN o v ON v.user_id = w.user_id AND v.rn = w.cur_rn + 2
+        |         AND v.event_type = 'view'),
+        |best AS (SELECT user_id, start_rn, max(n_a) AS n_a,
+        |                max(cur_rn) AS end_rn
+        |         FROM walk GROUP BY user_id, start_rn)
+        |SELECT b.user_id, fa.event_id AS a_first, la.event_id AS a_last,
+        |  CAST(b.n_a AS BIGINT) AS n_a, CAST(b.n_a - 1 AS BIGINT) AS n_b
+        |FROM best b
+        |JOIN o fa ON fa.user_id = b.user_id AND fa.rn = b.start_rn
+        |JOIN o la ON la.user_id = b.user_id AND la.rn = b.end_rn
+        |ORDER BY b.user_id, a_first, a_last, n_a, n_b""".stripMargin,
     "q_sql_match_permute" ->
       """WITH o AS (SELECT user_id, event_id, event_type,
       |            CAST(ts AS TIMESTAMP) AS t FROM events),

@@ -184,6 +184,58 @@ class MatchRecognizeSqlSpec extends SparkSpec {
     }
   }
 
+  test("MATCH_NUMBER() parses and numbers matches sequentially per key (fixture)") {
+    val spec = MatchRecognizeSql.parse(MatchRecognizeSql.matchNumberSql)
+    assert(spec.measures.exists {
+      case MatchRecognizeSql.MatchNumM("mn") => true; case _ => false })
+    // fixture: two view→purchase pairs for one user → mn 1, 2 in start order
+    import spark.implicits._
+    def ev(id: Long, sec: Int, et: String) =
+      StreamSource.Event(id, new java.sql.Timestamp(sec * 1000L), 1L, et, 1.0)
+    val events = spark.createDataset(Seq(
+      ev(1, 1, "view"), ev(2, 2, "purchase"), ev(3, 3, "error"),
+      ev(4, 4, "view"), ev(5, 5, "purchase")))
+    val steps = Seq(Cep.QStep.once(_.event_type == "view"),
+      Cep.QStep.once(_.event_type == "purchase"))
+    val ms = Cep.matchRecognizeOrderedSkip(events, steps, Cep.SkipToNextRow)
+      .collect().sortBy(_.ids.head)
+    assert(ms.map(m => (m.ids, m.seq)).toSeq ===
+      Seq((Seq(1L, 2L), 1L), (Seq(4L, 5L), 2L)))
+  }
+
+  test("grouped repetition (A B)* A parses and matches greedy maximal runs (fixture)") {
+    val spec = MatchRecognizeSql.parse(MatchRecognizeSql.matchMultiSql)
+    assert(spec.groupRep === Some((Seq("A", "B"), Seq("A"), 0)))
+    assert(spec.pattern.map(_._1) === Seq("A", "B"))
+    // alternating view click view click view → one greedy 5-row match from
+    // row 1 (n_a=3), plus the shorter SKIP TO NEXT ROW suffixes
+    import spark.implicits._
+    def ev(id: Long, sec: Int, et: String) =
+      StreamSource.Event(id, new java.sql.Timestamp(sec * 1000L), 1L, et, 1.0)
+    val events = spark.createDataset(Seq(
+      ev(1, 1, "view"), ev(2, 2, "click"), ev(3, 3, "view"),
+      ev(4, 4, "click"), ev(5, 5, "view"), ev(6, 6, "error")))
+    val stepByVar = Map(
+      "A" -> Cep.QStep.once((e: StreamSource.Event) => e.event_type == "view"),
+      "B" -> Cep.QStep.once((e: StreamSource.Event) => e.event_type == "click"))
+    val alts = (MatchRecognizeSql.GroupRepCap to 0 by -1).map(k =>
+      (Seq.fill(k)(Seq("A", "B")).flatten ++ Seq("A")).map(stepByVar))
+    val ms = Cep.matchRecognizeAlts(events, alts, Cep.SkipToNextRow, quiesceMs = 0L)
+    val got = ms.collect().sortBy(_.ids.head).map(_.ids).toSeq
+    assert(got === Seq(Seq(1L, 2L, 3L, 4L, 5L), Seq(3L, 4L, 5L), Seq(5L)))
+    // (...)* with no tail is rejected (could match empty)
+    intercept[IllegalArgumentException] {
+      MatchRecognizeSql.parse(
+        """SELECT user_id, a_id FROM events
+          |MATCH_RECOGNIZE (
+          |  PARTITION BY user_id ORDER BY ts
+          |  MEASURES FIRST(A.event_id) AS a_id
+          |  PATTERN ((A B)*)
+          |  DEFINE A AS TRUE
+          |)""".stripMargin)
+    }
+  }
+
   test("rejects unsupported statements") {
     intercept[IllegalArgumentException](MatchRecognizeSql.parse("SELECT 1"))
     intercept[IllegalArgumentException](MatchRecognizeSql.parse(
