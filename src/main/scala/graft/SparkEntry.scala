@@ -193,6 +193,7 @@ object SparkEntry {
     "q_sql_dedup_pattern" -> (SqlSurface.tpchQuery("q_sql_dedup_pattern") _),
     "q_part_prune"      -> (ScaleOps.partitionedWrite _),
     "q_join_salted"     -> (ScaleOps.saltedJoin(_, _)),
+    "q_join_skew"       -> (ScaleOps.skewJoin _),
     "q_stream_static_join" -> (ScaleOps.streamStaticJoin _),
     "q_agg_sum0_native" -> (ScaleOps.sum0Native _),
     "q_pipeline_clean"  -> (Pipeline.cleanCorpus _),

@@ -46,6 +46,53 @@ object ScaleOps {
       .orderBy("c_mktsegment")
   }
 
+  /** AQE skew-join rehearsal (ref SplitAggregateRule / skew handling,
+    * SURVEY §2.4): a deliberately skewed fact — ~30% of lineitem rows
+    * remapped onto ONE hot orderkey — shuffle-joined to orders with the
+    * runtime skew-split enabled and thresholds scaled to the test data.
+    * AQE detects the hot reducer partition and splits it across tasks
+    * (SortMergeJoin(skew=true), asserted in PlanSpec); at 100 TB the same
+    * plan splits a hot key's hundreds of GB instead. Result is identical
+    * to the plain join — the oracle proves it. */
+  def skewJoin(s: SparkSession, dir: String): DataFrame = {
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      // keep the hot path a genuine shuffle join: no broadcast, and no
+      // coalescing pass hiding the split
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val prev = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      val df = skewJoinPlan(s, dir)
+      df.localCheckpoint(true) // materialize under the scoped confs
+    } finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None)    => s.conf.unset(k)
+    }
+  }
+
+  /** The skewed plan itself (shared with the PlanSpec skew assert).
+    * AQE splits a skewed reduce partition into MAPPER-chunk ranges, so it
+    * needs >1 mapper to split across; a 100 TB fact has thousands of
+    * input splits, but the single-file fixture parquet has one — the
+    * round-robin repartition stands in for those splits. */
+  def skewJoinPlan(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem")
+      .repartition(16)
+      .withColumn("jk",
+        when(pmod(col("l_partkey"), lit(10)) < 3, lit(1L))
+          .otherwise(col("l_orderkey")))
+    li.join(Tables(s, dir, "orders"), col("jk") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("total"))
+      .orderBy("l_returnflag")
+  }
+
   /** Stream-static join (§2.9 broadcast-state pattern): the events stream
     * enriched against the static customer dimension, aggregated per
     * segment. The static side is broadcast into every micro-batch. */
@@ -79,6 +126,12 @@ object ScaleOps {
       """SELECT o_orderpriority, count(*) AS cnt, round(sum(o_totalprice), 2) AS total
         |FROM orders WHERE o_orderstatus = 'F'
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_join_skew" ->
+      """SELECT l_returnflag, count(*) AS cnt, round(sum(o_totalprice), 2) AS total
+        |FROM (SELECT CASE WHEN l_partkey % 10 < 3 THEN 1 ELSE l_orderkey END AS jk,
+        |             l_returnflag FROM lineitem) l
+        |JOIN orders ON jk = o_orderkey
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_join_salted" ->
       """SELECT c_mktsegment, count(*) AS cnt, round(sum(o_totalprice), 2) AS total
         |FROM orders JOIN customer ON o_custkey = c_custkey

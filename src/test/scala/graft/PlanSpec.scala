@@ -180,6 +180,41 @@ class PlanSpec extends SparkSpec {
       v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
   }
 
+  test("q_join_skew's real-table plan splits the hot-key partition (skew=true)") {
+    import org.apache.spark.sql.functions._
+    // the oracle-checked q_join_skew fact: ~30% of lineitem remapped to
+    // one hot orderkey; same conf scoping as ScaleOps.skewJoin but with
+    // thresholds shrunk for the sf0.001 fixture data
+    val keys = Seq("spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.shuffle.partitions")
+    val prev = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      // sf0.001 sizes: the hot partition is a few KB, so the byte floor
+      // drops to 1KB; with the production 32-way shuffle the hot reducer
+      // is ~15x the median, far over the 2x factor
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1KB")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.shuffle.partitions", "32")
+      val df = operators.ScaleOps.skewJoinPlan(spark, sf)
+      assert(df.collect().nonEmpty)
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("isFinalPlan=true"), s"AQE did not finalize:\n$p")
+      assert(p.contains("skew=true"), s"skew join not triggered:\n$p")
+    } finally prev.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
   test("lookup join broadcasts the dimension, no driver-side collect") {
     val p = plan(operators.AsyncMap.lookupJoin(spark, sf))
     assert(p.contains("BroadcastHashJoin"), s"dimension not broadcast:\n$p")
