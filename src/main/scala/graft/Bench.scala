@@ -41,6 +41,12 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // hive-backed catalog, per-process Derby metastore (q_hive_catalog)
+      .enableHiveSupport()
+      .config("spark.hadoop.javax.jdo.option.ConnectionURL",
+        s"jdbc:derby:;databaseName=/tmp/graft-metastore/bench-${System.nanoTime()};create=true")
+      .config("spark.sql.warehouse.dir",
+        s"/tmp/graft-warehouse/bench-${System.nanoTime()}")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val failed = scala.collection.mutable.ListBuffer.empty[String]

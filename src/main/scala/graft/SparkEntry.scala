@@ -69,6 +69,7 @@ object SparkEntry {
     "q_stream_drop_before" -> (streaming.StreamQueries.dropUpdateBefore _),
     "q_ddl_dedup"       -> (graft.sources.DdlSql.ddlDedup _),
     "q_ddl_view"        -> (graft.sources.DdlSql.ddlView _),
+    "q_hive_catalog"    -> (graft.sources.HiveCatalog.hiveCatalog _),
     "q_fn_string"       -> (ScalarFuncs.strings _),
     "q_fn_math"         -> (ScalarFuncs.math _),
     "q_fn_datetime"     -> (ScalarFuncs.datetime _),
@@ -499,7 +500,8 @@ object SparkEntry {
   ) ++ LlmOracles.sql ++ WindowOracles.sql ++ streaming.StreamQueries.sql ++
     Formats.sql ++ Udafs.sql ++ Graph.sql ++ SqlSurface.sql ++ ScaleOps.sql ++
     Pipeline.sql ++ TpcDsSurface.sql ++ streaming.MatchRecognizeSql.sql ++
-    GroupWindowSql.sql ++ graft.sources.DdlSql.sql ++ Graph.starSql ++
+    GroupWindowSql.sql ++ graft.sources.DdlSql.sql ++
+    graft.sources.HiveCatalog.sql ++ Graph.starSql ++
     graft.tpcds.TpcdsReal.oracles ++ streaming.TxFileSink.sql ++
     graft.sources.JdbcDemo.sql
 }

@@ -12,6 +12,15 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Hive-backed session catalog (q_hive_catalog): embedded Derby
+      // metastore at a per-process path so concurrent JVMs never hit a
+      // Derby lock; initialization is lazy — sessions that never touch
+      // the catalog pay nothing
+      .enableHiveSupport()
+      .config("spark.hadoop.javax.jdo.option.ConnectionURL",
+        s"jdbc:derby:;databaseName=/tmp/graft-metastore/verify-${System.nanoTime()};create=true")
+      .config("spark.sql.warehouse.dir",
+        s"/tmp/graft-warehouse/verify-${System.nanoTime()}")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

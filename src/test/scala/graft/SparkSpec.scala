@@ -13,8 +13,13 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     .appName(getClass.getSimpleName)
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
+    .config("spark.sql.warehouse.dir", SparkSpec.warehouseDir)
     .config("spark.ui.enabled", "false")
+    // hive-backed catalog (lazy Derby metastore, per-JVM path) so the
+    // HiveCatalogSpec and DDL suites exercise the production catalog
+    .enableHiveSupport()
+    .config("spark.hadoop.javax.jdo.option.ConnectionURL",
+      s"jdbc:derby:;databaseName=${SparkSpec.warehouseDir}-metastore;create=true")
     .getOrCreate()
 
   /** Smallest driver-generated scale factor — used for end-to-end shapes. */
@@ -24,4 +29,10 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     // keep the session for the next suite (getOrCreate reuses it)
     super.afterAll()
   }
+}
+
+object SparkSpec {
+  /** Per-JVM warehouse + metastore so a concurrent Verify never hits the
+    * same Derby database. */
+  val warehouseDir: String = s"/tmp/graft-warehouse/test-${System.nanoTime()}"
 }
