@@ -50,6 +50,16 @@ object DdlSql {
       .map(_.group(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Nil)
     val wm = wmRe.findFirstMatchIn(schemaPart)
+    // computed columns (`name AS expr` — ref parserImpls.ftl computed
+    // column production): top-level comma split so CAST(... AS T) inside
+    // the expression survives; WATERMARK/PRIMARY KEY entries excluded
+    val computedRe = "(?is)^(\\w+)\\s+AS\\s+(.+)$".r
+    val computed = splitTopLevel(schemaPart).flatMap {
+      case e if e.toUpperCase.startsWith("WATERMARK") => None
+      case e if e.toUpperCase.startsWith("PRIMARY") => None
+      case computedRe(n, ex) => Some(n -> ex.trim)
+      case _ => None
+    }
     TableDescriptor(
       name = name,
       path = path,
@@ -57,7 +67,24 @@ object DdlSql {
       watermarkCol = wm.map(_.group(1)),
       watermarkDelay = wm.map(m => s"${m.group(2)} ${m.group(3).toLowerCase}")
         .getOrElse("1 hour"),
-      tsNanosAsLong = opts.get("timestamp.nanos").contains("true"))
+      tsNanosAsLong = opts.get("timestamp.nanos").contains("true"),
+      computedCols = computed)
+  }
+
+  /** Split on commas outside parentheses. */
+  private def splitTopLevel(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0
+    s.foreach {
+      case '(' => depth += 1; cur += '('
+      case ')' => depth -= 1; cur += ')'
+      case ',' if depth == 0 => out += cur.toString.trim; cur.clear()
+      case c => cur += c
+    }
+    val last = cur.toString.trim
+    if (last.nonEmpty) out += last
+    out.result().filter(_.nonEmpty)
   }
 
   /** Execute the DDL: parse and register the batch view; returns the
@@ -138,13 +165,15 @@ object DdlSql {
         val fields = s.table(name).schema.fields.toSeq
         val pk = entry.descriptor.map(_.primaryKey).getOrElse(Nil)
         val wm = entry.descriptor.flatMap(_.watermarkCol)
+        val comp = entry.descriptor.map(_.computedCols.toMap).getOrElse(Map.empty)
         fields.map { f =>
           (f.name, f.dataType.simpleString, f.nullable,
             if (pk.contains(f.name)) "PRI" else "",
             if (wm.contains(f.name))
               s"WATERMARK ${entry.descriptor.map(_.watermarkDelay).getOrElse("")}"
-            else "")
-        }.toDF("col_name", "data_type", "nullable", "key", "watermark")
+            else "",
+            comp.getOrElse(f.name, ""))
+        }.toDF("col_name", "data_type", "nullable", "key", "watermark", "expression")
       case _ if createRe.findFirstIn(stmt).isDefined =>
         val d = executeDdl(s, stmt)
         catalog.put(d.name, CatalogEntry("TABLE", Some(d), None))
@@ -165,7 +194,50 @@ object DdlSql {
     execute(s, "SELECT * FROM events_by_type").orderBy(col("event_type"))
   }
 
+  /** WATERMARK + computed column declared in DDL TEXT driving a real
+    * streaming query: the declared 10-second watermark closes each daily
+    * window in append mode (the final, still-open windows past
+    * `max(ts) - delay` are exactly the rows the oracle excludes), and the
+    * computed `value_bucket` column exists only through the DDL. */
+  def ddlWatermark(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val ddl =
+      s"""CREATE TABLE events_wm (
+         |  event_id BIGINT,
+         |  ts TIMESTAMP(3),
+         |  user_id BIGINT,
+         |  event_type STRING,
+         |  value DOUBLE,
+         |  value_bucket AS CAST(FLOOR(value / 100) AS BIGINT),
+         |  WATERMARK FOR ts AS ts - INTERVAL '10' SECOND
+         |) WITH (
+         |  'connector' = 'filesystem',
+         |  'path' = '$dir/events.parquet',
+         |  'format' = 'parquet',
+         |  'timestamp.nanos' = 'true'
+         |)""".stripMargin
+    val d = executeDdl(s, ddl)
+    require(d.watermarkDelay == "10 second" && d.computedCols.nonEmpty)
+    val src = Descriptors.stream(s, d) // watermark + computed col from metadata
+    val agg = src
+      .groupBy(window(col("ts"), "1 day"), col("value_bucket"))
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value"))
+      .select(col("window.start").as("w_start"), col("value_bucket"),
+        col("cnt"), col("sum_value"))
+    graft.streaming.StreamSource.runToTable(s, agg, "ddl_watermark", "append")
+      .orderBy("w_start", "value_bucket")
+  }
+
   val sql: Map[String, String] = Map(
+    "q_ddl_watermark" ->
+      """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS t, value FROM events),
+        |mx AS (SELECT max(t) AS mt FROM e)
+        |SELECT CAST(date_trunc('day', t) AS TIMESTAMP) AS w_start,
+        |  CAST(FLOOR(value / 100) AS BIGINT) AS value_bucket,
+        |  count(*) AS cnt, round(sum(value), 2) AS sum_value
+        |FROM e, mx
+        |WHERE date_trunc('day', t) + INTERVAL 1 DAY <= mt - INTERVAL 10 SECOND
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_ddl_dedup" ->
       """SELECT user_id, event_id, event_type FROM (
         | SELECT user_id, event_id, event_type,

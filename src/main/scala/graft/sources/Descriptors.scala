@@ -22,17 +22,25 @@ case class TableDescriptor(name: String, path: String,
                            primaryKey: Seq[String] = Nil,
                            watermarkCol: Option[String] = None,
                            watermarkDelay: String = "1 hour",
-                           tsNanosAsLong: Boolean = false)
+                           tsNanosAsLong: Boolean = false,
+                           computedCols: Seq[(String, String)] = Nil)
 
 object Descriptors {
 
-  private def load(s: SparkSession, d: TableDescriptor): DataFrame =
-    if (d.tsNanosAsLong) {
+  private def load(s: SparkSession, d: TableDescriptor): DataFrame = {
+    val base = if (d.tsNanosAsLong) {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       s.read.parquet(d.path)
         .withColumn(d.watermarkCol.getOrElse("ts"),
           expr(s"timestamp_micros(${d.watermarkCol.getOrElse("ts")} div 1000)"))
     } else s.read.parquet(d.path)
+    withComputed(base, d)
+  }
+
+  /** Computed columns from the DDL (`name AS expr`), evaluated on read —
+    * the reference's generated/computed column contract. */
+  private def withComputed(df: DataFrame, d: TableDescriptor): DataFrame =
+    d.computedCols.foldLeft(df) { case (acc, (n, e)) => acc.withColumn(n, expr(e)) }
 
   /** Register the batch view and return the DataFrame. */
   def table(s: SparkSession, d: TableDescriptor): DataFrame = {
@@ -45,12 +53,18 @@ object Descriptors {
   def stream(s: SparkSession, d: TableDescriptor): DataFrame = {
     if (d.tsNanosAsLong) s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = s.read.parquet(d.path).schema
-    val raw = s.readStream.schema(schema).parquet(d.path)
+    // the file-stream source wants a DIRECTORY; a descriptor pointing at
+    // one file becomes parent dir + exact-name glob
+    val f = new java.io.File(d.path)
+    val reader = s.readStream.schema(schema)
+    val raw = if (f.isFile) reader.option("pathGlobFilter", f.getName).parquet(f.getParent)
+              else reader.parquet(d.path)
     val withTime = if (d.tsNanosAsLong)
       raw.withColumn(d.watermarkCol.getOrElse("ts"),
         expr(s"timestamp_micros(${d.watermarkCol.getOrElse("ts")} div 1000)"))
     else raw
-    d.watermarkCol.fold(withTime)(c => withTime.withWatermark(c, d.watermarkDelay))
+    val full = withComputed(withTime, d)
+    d.watermarkCol.fold(full)(c => full.withWatermark(c, d.watermarkDelay))
   }
 
   /** Keep-last-row per PRIMARY KEY, versioned by the watermark column —

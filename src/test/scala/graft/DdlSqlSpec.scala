@@ -52,6 +52,28 @@ class DdlSqlSpec extends SparkSpec {
     intercept[Exception] { DdlSql.execute(spark, "DESCRIBE v_types") }
   }
 
+  test("computed column + WATERMARK text parse; DESCRIBE shows the expression and delay") {
+    val ddl =
+      s"""CREATE TABLE events_cc (
+         |  event_id BIGINT, ts TIMESTAMP(3), value DOUBLE,
+         |  value_bucket AS CAST(FLOOR(value / 100) AS BIGINT),
+         |  WATERMARK FOR ts AS ts - INTERVAL '10' SECOND
+         |) WITH ('connector' = 'filesystem', 'path' = '$sf/events.parquet',
+         |        'format' = 'parquet', 'timestamp.nanos' = 'true')""".stripMargin
+    val d = DdlSql.parse(ddl)
+    assert(d.computedCols === Seq("value_bucket" -> "CAST(FLOOR(value / 100) AS BIGINT)"))
+    assert(d.watermarkCol === Some("ts") && d.watermarkDelay === "10 second")
+    DdlSql.execute(spark, ddl)
+    val desc = DdlSql.execute(spark, "DESCRIBE events_cc")
+      .collect().map(r => r.getString(0) -> (r.getString(4), r.getString(5))).toMap
+    assert(desc("ts")._1 === "WATERMARK 10 second")
+    assert(desc("value_bucket")._2 === "CAST(FLOOR(value / 100) AS BIGINT)")
+    // the computed column is real data on the registered view
+    val buckets = spark.table("events_cc").select("value_bucket").distinct().collect()
+    assert(buckets.nonEmpty)
+    DdlSql.execute(spark, "DROP TABLE events_cc")
+  }
+
   test("DDL-registered table dedups by its declared PK and rowtime") {
     val viaDdl = DdlSql.ddlDedup(spark, sf).collect().map(_.toSeq)
     // twin of the programmatic descriptor query — must agree exactly
