@@ -50,23 +50,23 @@ object AvroFiles {
     * renames it into place only after a successful close — a failed or
     * speculative attempt leaves only a `.tmp` orphan (ignored by the
     * source's `*.avro` glob and swept by the next overwrite), never a
-    * truncated visible part file. Paths go through java.io, so the sink
-    * requires a filesystem shared by driver and executors (true in local
-    * mode and on NFS-style deployments; an HDFS/S3 deployment would swap
-    * in Hadoop FileSystem calls — same protocol, different handle). */
+    * truncated visible part file. Paths go through Hadoop FileSystem
+    * (FsCommit) executor-side, so the same protocol runs in local mode
+    * and on HDFS; commit-if-absent is the FileContext rename contract. */
   def write(df: DataFrame, outDir: String): Unit = {
     val schemaJson = avroSchema(df.schema).toString
     val names = df.schema.fieldNames
-    val d = new java.io.File(outDir)
-    if (d.exists()) d.listFiles().foreach(f => if (f.isFile) f.delete()) else d.mkdirs()
+    FsCommit.mkdirs(outDir)
+    FsCommit.list(outDir).foreach { n =>
+      if (!FsCommit.listDirs(outDir).contains(n)) FsCommit.delete(s"$outDir/$n")
+    }
     df.rdd.mapPartitionsWithIndex { (i, it) =>
       if (it.isEmpty) Iterator.empty
       else {
         val sch = new Schema.Parser().parse(schemaJson)
-        val attempt = new java.io.File(
-          f"$outDir/.part-$i%05d-${java.util.UUID.randomUUID}.avro.tmp")
+        val attempt = f"$outDir/.part-$i%05d-${java.util.UUID.randomUUID}.avro.tmp"
         val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](sch))
-        w.create(sch, attempt)
+        w.create(sch, FsCommit.create(attempt))
         var n = 0L
         it.foreach { row =>
           val r = new GenericData.Record(sch)
@@ -75,12 +75,12 @@ object AvroFiles {
           w.append(r); n += 1
         }
         w.close()
-        val visible = new java.io.File(f"$outDir/part-$i%05d.avro")
-        if (!attempt.renameTo(visible)) {
+        val visible = f"$outDir/part-$i%05d.avro"
+        if (!FsCommit.renameIfAbsent(attempt, visible)) {
           // a concurrent (speculative) attempt already committed this
           // partition — both attempts wrote identical content; drop ours
-          attempt.delete()
-          if (!visible.exists())
+          FsCommit.delete(attempt)
+          if (!FsCommit.exists(visible))
             throw new java.io.IOException(s"commit failed for $visible")
         }
         Iterator.single(n)

@@ -41,30 +41,29 @@ object FileTopic {
     StructField("key", StringType, nullable = true),
     StructField("value", StringType, nullable = true)))
 
-  /** Producer: atomically append one segment of (key, value) records. */
+  /** Producer: atomically append one segment of (key, value) records.
+    * All IO through FsCommit (Hadoop FS) — local mode unchanged, HDFS
+    * deployment gets the same protocol with namenode-atomic claims. */
   def append(dir: String, records: Seq[(String, String)]): Unit = synchronized {
     if (records.isEmpty) return
-    val d = new java.io.File(dir)
-    d.mkdirs()
+    FsCommit.mkdirs(dir)
     val start = totalRecords(dir)
-    val tmp = new java.io.File(d, s".segment-inprogress-${java.util.UUID.randomUUID}")
-    val w = new java.io.PrintWriter(tmp, "UTF-8")
+    val tmp = s"$dir/.segment-inprogress-${java.util.UUID.randomUUID}"
+    val w = new java.io.PrintWriter(
+      new java.io.OutputStreamWriter(FsCommit.create(tmp), "UTF-8"))
     try records.foreach { case (k, v) =>
       w.println(s"${esc(k)}\t${esc(v)}")
     } finally w.close()
-    val target = new java.io.File(d, f"segment-$start%016d-${records.size}%08d.jsonl")
-    // POSIX rename over an existing target silently replaces it, so a
-    // cross-JVM producer race would lose a segment instead of failing.
-    // createNewFile is an atomic claim on the segment name: the loser
-    // sees `false` and aborts; the winner renames over its own claim.
-    if (!target.createNewFile()) {
-      tmp.delete()
+    val target = f"$dir/segment-$start%016d-${records.size}%08d.jsonl"
+    // a rename over an existing target silently replaces it on POSIX, so
+    // a cross-JVM producer race would lose a segment instead of failing.
+    // `claim` is an atomic create of the segment name: the loser sees
+    // `false` and aborts; the winner renames over its own claim.
+    if (!FsCommit.claim(target)) {
+      FsCommit.delete(tmp)
       throw new java.io.IOException(s"append lost the race for $target")
     }
-    if (!tmp.renameTo(target)) {
-      target.delete(); tmp.delete()
-      throw new java.io.IOException(s"append failed to publish $target")
-    }
+    FsCommit.renameOverwrite(tmp, target)
   }
 
   private def esc(s: String): String =
@@ -89,16 +88,12 @@ object FileTopic {
       b.toString
     }
 
-  /** (file, startOffset, count) for every committed segment, offset-ordered. */
-  def segments(dir: String): Seq[(java.io.File, Long, Long)] = {
-    val d = new java.io.File(dir)
-    if (!d.exists()) return Seq.empty
+  /** (path, startOffset, count) for every committed segment, offset-ordered. */
+  def segments(dir: String): Seq[(String, Long, Long)] = {
     val re = "segment-(\\d{16})-(\\d{8})\\.jsonl".r
-    d.listFiles().toSeq.flatMap { f =>
-      f.getName match {
-        case re(s, c) => Some((f, s.toLong, c.toLong))
-        case _ => None
-      }
+    FsCommit.list(dir).flatMap {
+      case n @ re(s, c) => Some((s"$dir/$n", s.toLong, c.toLong))
+      case _ => None
     }.sortBy(_._2)
   }
 
@@ -152,7 +147,7 @@ class FileTopicMicroBatchStream(dir: String) extends MicroBatchStream {
     FileTopic.segments(dir).flatMap { case (f, segStart, count) =>
       val lo = math.max(s, segStart)
       val hi = math.min(e, segStart + count)
-      if (lo < hi) Some(FileTopicPartition(f.getPath, segStart, lo, hi): InputPartition)
+      if (lo < hi) Some(FileTopicPartition(f, segStart, lo, hi): InputPartition)
       else None
     }.toArray
   }
@@ -172,8 +167,9 @@ case class FileTopicPartition(file: String, segStart: Long, lo: Long, hi: Long)
   extends InputPartition
 
 class FileTopicReader(p: FileTopicPartition) extends PartitionReader[InternalRow] {
+  // executor-side open through Hadoop FS: works for file://, hdfs://, s3a://
   private val reader = new java.io.BufferedReader(new java.io.InputStreamReader(
-    new java.io.FileInputStream(p.file), "UTF-8"))
+    FsCommit.open(p.file), "UTF-8"))
   private var pos = p.segStart - 1
   private var line: String = _
 

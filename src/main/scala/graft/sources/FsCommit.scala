@@ -1,0 +1,91 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
+
+/** Cluster-grade file commit primitives: every rename/list/claim the
+  * engine's commit protocols use (FileTopic segments, TxFileSink epochs,
+  * AvroFiles task commits), routed through Hadoop `FileSystem` /
+  * `FileContext` instead of `java.io.File` — so the same code runs on
+  * HDFS (atomic renames), on local mode (RawLocalFileSystem — behavior
+  * identical to the java.io version), and on any mounted Hadoop FS.
+  * Object stores without atomic rename (S3) keep correctness through the
+  * manifest pattern: part files are inert until a single small manifest
+  * file is atomically published, and readers resolve parts ONLY through
+  * manifests (ref StreamingFileSink.java:92 bucket/part lifecycle; same
+  * commit point as Delta/Iceberg).
+  *
+  * Plain local paths resolve against fs.defaultFS (file:/// here), so
+  * local behavior is unchanged; a cluster deployment passes fully
+  * qualified hdfs:// or s3a:// paths through the SAME call sites. */
+object FsCommit {
+
+  private def conf = new Configuration()
+
+  def fs(p: String): FileSystem = new Path(p).getFileSystem(conf)
+
+  def exists(p: String): Boolean = fs(p).exists(new Path(p))
+
+  def mkdirs(p: String): Unit = fs(p).mkdirs(new Path(p))
+
+  def delete(p: String): Unit = fs(p).delete(new Path(p), true)
+
+  /** Atomic claim on a path: true iff WE created it (HDFS: atomic
+    * namenode op; local: File.createNewFile — also atomic). */
+  def claim(p: String): Boolean = fs(p).createNewFile(new Path(p))
+
+  /** Rename that REPLACES an existing destination atomically
+    * (FileContext carries the POSIX-rename semantics HDFS implements;
+    * java.nio ATOMIC_MOVE+REPLACE_EXISTING equivalent locally). */
+  def renameOverwrite(src: String, dst: String): Unit =
+    FileContext.getFileContext(new Path(dst).toUri, conf)
+      .rename(new Path(src), new Path(dst), Options.Rename.OVERWRITE)
+
+  /** Rename that REFUSES an existing destination (commit-if-absent).
+    * Returns false if the destination already exists — the caller's
+    * "someone else committed first" branch. */
+  def renameIfAbsent(src: String, dst: String): Boolean =
+    try {
+      FileContext.getFileContext(new Path(dst).toUri, conf)
+        .rename(new Path(src), new Path(dst))
+      true
+    } catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+      case e: java.io.IOException if exists(dst) => false
+    }
+
+  /** List child names of a directory (empty if absent). */
+  def list(p: String): Seq[String] = {
+    val f = fs(p)
+    val path = new Path(p)
+    if (!f.exists(path)) Seq.empty
+    else f.listStatus(path).toSeq.map(_.getPath.getName)
+  }
+
+  /** Child names that are directories. */
+  def listDirs(p: String): Seq[String] = {
+    val f = fs(p)
+    val path = new Path(p)
+    if (!f.exists(path)) Seq.empty
+    else f.listStatus(path).toSeq.filter(_.isDirectory).map(_.getPath.getName)
+  }
+
+  def readString(p: String): String = {
+    val in = fs(p).open(new Path(p))
+    try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+    finally in.close()
+  }
+
+  /** Atomic small-file publish: write a temp sibling, then rename into
+    * place — the manifest commit point. */
+  def writeAtomic(p: String, content: String): Unit = {
+    val tmp = p + s".tmp-${java.util.UUID.randomUUID}"
+    val out = fs(tmp).create(new Path(tmp), true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+    renameOverwrite(tmp, p)
+  }
+
+  def open(p: String): java.io.InputStream = fs(p).open(new Path(p))
+
+  def create(p: String): java.io.OutputStream = fs(p).create(new Path(p), true)
+}

@@ -25,10 +25,10 @@ import org.apache.spark.sql.functions._
   * is neither lost nor duplicated — the restart-mid-epoch spec
   * (TxFileSinkSpec) proves both directions.
   *
-  * Like every file-rename protocol here, paths go through java.io on a
-  * filesystem shared by driver and executors; an object-store deployment
-  * swaps rename for a manifest/pointer swap (Delta/Iceberg commit), same
-  * two phases. */
+  * All paths go through Hadoop FileSystem/FileContext (FsCommit), so the
+  * same code runs in local mode (unchanged behavior), on HDFS (atomic
+  * renames), or — via the rolling sink's manifest commit point — on an
+  * object store without atomic rename, same two phases. */
 object TxFileSink {
 
   /** Test hooks: throw once after the named epoch's phase 1 / phase 2. */
@@ -42,15 +42,19 @@ object TxFileSink {
       throw new RuntimeException(s"injected failure $where epoch $batchId")
     }
 
-  /** foreachBatch body: stage the batch, then atomically publish it. */
+  /** foreachBatch body: stage the batch, then atomically publish it.
+    * IO through FsCommit (Hadoop FS): local mode unchanged; HDFS gets a
+    * namenode-atomic directory rename; an object store would point the
+    * same call sites at the manifest variant below. */
   def commitEpoch(batch: DataFrame, batchId: Long, outDir: String): Unit = {
-    val committed = new java.io.File(s"$outDir/epoch-$batchId")
-    if (committed.exists()) return // replayed, already-visible epoch: drop
+    import graft.sources.FsCommit
+    val committed = s"$outDir/epoch-$batchId"
+    if (FsCommit.exists(committed)) return // replayed, already-visible epoch: drop
     val staging = s"$outDir/_staging/epoch-$batchId"
     batch.write.mode("overwrite").parquet(staging) // phase 1
     maybeFail(() => failAfterStage, () => failAfterStage = None, batchId, "after staging")
-    committed.getParentFile.mkdirs()
-    if (!new java.io.File(staging).renameTo(committed))
+    FsCommit.mkdirs(outDir)
+    if (!FsCommit.renameIfAbsent(staging, committed) && !FsCommit.exists(committed))
       throw new java.io.IOException(s"commit rename failed for epoch $batchId")
     maybeFail(() => failAfterCommit, () => failAfterCommit = None, batchId, "after commit")
   }
@@ -77,8 +81,9 @@ object TxFileSink {
   def rollingEpoch(batch: DataFrame, batchId: Long, outDir: String,
                    bucketCol: String, orderCol: String,
                    maxRowsPerFile: Int): Unit = {
-    val marker = new java.io.File(s"$outDir/_epoch-$batchId.committed")
-    if (marker.exists()) return
+    import graft.sources.FsCommit
+    val marker = s"$outDir/_epoch-$batchId.committed"
+    if (FsCommit.exists(marker)) return
     val staging = s"$outDir/_staging/epoch-$batchId"
     // deterministic file assignment: rank within bucket → file index
     val w = org.apache.spark.sql.expressions.Window
@@ -88,25 +93,30 @@ object TxFileSink {
       .repartition(col(bucketCol), col("__file"))
       .write.mode("overwrite").partitionBy(bucketCol, "__file").parquet(staging)
     maybeFail(() => failAfterStage, () => failAfterStage = None, batchId, "after staging")
-    // phase 2: per-file renames into bucket-major layout; marker last
-    val stagedRoot = new java.io.File(staging)
+    // phase 2: per-file renames into bucket-major layout, then the
+    // MANIFEST publish — a single atomic small-file write listing the
+    // epoch's (bucket, file) pairs. Readers resolve parts only through
+    // manifests, so a mid-publish crash leaves the epoch invisible and
+    // the deterministic replay finishes the remaining renames (on an
+    // object store the renames become copies; the commit point — the
+    // manifest — is unchanged).
     val bucketRe = s"$bucketCol=(.*)".r
     val fileRe = "__file=(\\d+)".r
     var renamed = 0
+    val manifest = Seq.newBuilder[String]
     for {
-      bDir <- Option(stagedRoot.listFiles()).getOrElse(Array.empty).sortBy(_.getName)
-      bucket <- bDir.getName match { case bucketRe(v) => Some(v); case _ => None }
-      fDir <- bDir.listFiles().sortBy(_.getName)
-      fileIdx <- fDir.getName match { case fileRe(v) => Some(v.toInt); case _ => None }
-      (part, i) <- fDir.listFiles().filter(_.getName.endsWith(".parquet"))
-        .sortBy(_.getName).zipWithIndex
+      bName <- FsCommit.listDirs(staging).sorted
+      bucket <- bName match { case bucketRe(v) => Some(v); case _ => None }
+      fName <- FsCommit.listDirs(s"$staging/$bName").sorted
+      fileIdx <- fName match { case fileRe(v) => Some(v.toInt); case _ => None }
+      (part, i) <- FsCommit.list(s"$staging/$bName/$fName")
+        .filter(_.endsWith(".parquet")).sorted.zipWithIndex
     } {
-      val target = new java.io.File(s"$outDir/$bucket")
-      target.mkdirs()
-      val dest = new java.io.File(target, f"part-$batchId-$fileIdx%05d-$i.parquet")
-      java.nio.file.Files.move(part.toPath, dest.toPath,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      FsCommit.mkdirs(s"$outDir/$bucket")
+      val destName = f"part-$batchId-$fileIdx%05d-$i.parquet"
+      FsCommit.renameOverwrite(s"$staging/$bName/$fName/$part",
+        s"$outDir/$bucket/$destName")
+      manifest += s"$bucket\t$destName"
       renamed += 1
       failMidPublish match {
         case Some((b, n)) if b == batchId && renamed >= n =>
@@ -115,32 +125,25 @@ object TxFileSink {
         case _ => ()
       }
     }
-    java.nio.file.Files.writeString(marker.toPath, "ok")
+    FsCommit.writeAtomic(marker, manifest.result().mkString("\n"))
   }
 
-  /** Read a rolling sink's committed output back with its bucket column
-    * (bucket dirs are enumerated driver-side — pure metadata, no data
-    * moves through the driver). Uncommitted epochs' files are excluded
-    * via the marker set. */
+  /** Read a rolling sink's committed output back with its bucket column.
+    * Parts are resolved ONLY through epoch manifests (pure metadata,
+    * object-store safe — no directory listing of data paths); files from
+    * uncommitted epochs are invisible by construction. */
   def readRolling(s: SparkSession, outDir: String, bucketCol: String): DataFrame = {
-    val root = new java.io.File(outDir)
-    val committedEpochs = Option(root.listFiles()).getOrElse(Array.empty)
-      .flatMap(_.getName match {
-        case n if n.startsWith("_epoch-") && n.endsWith(".committed") =>
-          Some(n.stripPrefix("_epoch-").stripSuffix(".committed").toLong)
-        case _ => None
-      }).toSet
-    val buckets = Option(root.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && !f.getName.startsWith("_"))
-    val partRe = "part-(\\d+)-\\d+-\\d+\\.parquet".r
-    val frames = buckets.toSeq.flatMap { b =>
-      val files = b.listFiles().flatMap(f => f.getName match {
-        case partRe(epoch) if committedEpochs(epoch.toLong) => Some(f.getPath)
-        case _ => None
-      })
-      if (files.isEmpty) None
-      else Some(s.read.parquet(files.toIndexedSeq: _*)
-        .withColumn(bucketCol, lit(b.getName)))
+    import graft.sources.FsCommit
+    val markerRe = "_epoch-(\\d+)\\.committed".r
+    val entries = FsCommit.list(outDir).collect { case n @ markerRe(_) => n }
+      .flatMap(m => FsCommit.readString(s"$outDir/$m").split("\n").toSeq)
+      .filter(_.nonEmpty)
+      .map { line =>
+        val Array(bucket, file) = line.split("\t")
+        bucket -> s"$outDir/$bucket/$file"
+      }
+    val frames = entries.groupBy(_._1).toSeq.sortBy(_._1).map { case (bucket, fs) =>
+      s.read.parquet(fs.map(_._2): _*).withColumn(bucketCol, lit(bucket))
     }
     frames.reduceOption(_.unionByName(_))
       .getOrElse(s.emptyDataFrame)
@@ -158,7 +161,7 @@ object TxFileSink {
     // gate is not atomic with production, so a job that dies after some
     // partitions appended would make later calls skip production and
     // serve a truncated topic forever. The dir rename is the commit.
-    if (!new java.io.File(topic).isDirectory) {
+    if (!graft.sources.FsCommit.exists(topic)) {
       val staging = topic + s".inprogress-${java.util.UUID.randomUUID}"
       graft.Tables(s, dir, "events")
         .select(col("user_id").cast("string").as("k"),
@@ -167,8 +170,8 @@ object TxFileSink {
           graft.sources.FileTopic.append(staging,
             it.map(r => (r.getString(0), r.getString(1))).toSeq)
         }
-      if (!new java.io.File(staging).renameTo(new java.io.File(topic)) &&
-          !new java.io.File(topic).isDirectory)
+      if (!graft.sources.FsCommit.renameIfAbsent(staging, topic) &&
+          !graft.sources.FsCommit.exists(topic))
         throw new java.io.IOException(s"failed to publish topic $topic")
     }
     topic
