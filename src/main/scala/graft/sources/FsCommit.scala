@@ -20,7 +20,19 @@ import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
   * qualified hdfs:// or s3a:// paths through the SAME call sites. */
 object FsCommit {
 
-  private def conf = new Configuration()
+  // Configuration parse is milliseconds and FileContext is uncached by
+  // Hadoop — a per-call allocation turns a 200-file epoch publish into
+  // seconds of pure setup. One shared (read-only) Configuration and one
+  // FileContext per filesystem URI.
+  private lazy val conf = new Configuration()
+  private val fctxCache =
+    scala.collection.concurrent.TrieMap.empty[String, FileContext]
+
+  private def fctx(p: String): FileContext = {
+    val uri = new Path(p).toUri
+    val key = s"${uri.getScheme}://${Option(uri.getAuthority).getOrElse("")}"
+    fctxCache.getOrElseUpdate(key, FileContext.getFileContext(uri, conf))
+  }
 
   def fs(p: String): FileSystem = new Path(p).getFileSystem(conf)
 
@@ -38,16 +50,14 @@ object FsCommit {
     * (FileContext carries the POSIX-rename semantics HDFS implements;
     * java.nio ATOMIC_MOVE+REPLACE_EXISTING equivalent locally). */
   def renameOverwrite(src: String, dst: String): Unit =
-    FileContext.getFileContext(new Path(dst).toUri, conf)
-      .rename(new Path(src), new Path(dst), Options.Rename.OVERWRITE)
+    fctx(dst).rename(new Path(src), new Path(dst), Options.Rename.OVERWRITE)
 
   /** Rename that REFUSES an existing destination (commit-if-absent).
     * Returns false if the destination already exists — the caller's
     * "someone else committed first" branch. */
   def renameIfAbsent(src: String, dst: String): Boolean =
     try {
-      FileContext.getFileContext(new Path(dst).toUri, conf)
-        .rename(new Path(src), new Path(dst))
+      fctx(dst).rename(new Path(src), new Path(dst))
       true
     } catch {
       case _: org.apache.hadoop.fs.FileAlreadyExistsException => false

@@ -21,8 +21,9 @@ object HiveCatalog {
     * Table name is per-app so concurrent JVMs (tests + Verify) sharing a
     * warehouse root never collide. */
   def hiveCatalog(s: SparkSession, dir: String): DataFrame = {
-    require(s.conf.get("spark.sql.catalogImplementation", "in-memory") == "hive",
-      "session must be built with enableHiveSupport()")
+    // check the SharedState's actual catalog, not the conf string — the
+    // string is per-session and a sibling session built without
+    // enableHiveSupport can shadow it while the shared catalog stays Hive
     val catClass = s.sharedState.externalCatalog.unwrapped.getClass.getName
     require(catClass.contains("HiveExternalCatalog"),
       s"expected HiveExternalCatalog, got $catClass")

@@ -22,6 +22,13 @@ class ExtensionsSpec extends AnyFunSuite {
         .withExtensions(new GraftExtensions)
         .config("spark.sql.shuffle.partitions", "2")
         .config("spark.ui.enabled", "false")
+        // match SparkSpec's catalog: if this suite runs FIRST in the JVM
+        // it creates the SharedState every later suite inherits — a
+        // non-hive builder here would pin InMemoryCatalog for the run
+        .enableHiveSupport()
+        .config("spark.hadoop.javax.jdo.option.ConnectionURL",
+          s"jdbc:derby:;databaseName=${SparkSpec.warehouseDir}-metastore;create=true")
+        .config("spark.sql.warehouse.dir", SparkSpec.warehouseDir)
         .getOrCreate()
       val row = s.sql(
         """SELECT vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,

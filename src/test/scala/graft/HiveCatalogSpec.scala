@@ -7,7 +7,8 @@ package graft
 class HiveCatalogSpec extends SparkSpec {
 
   test("session catalog is Hive-backed (HiveExternalCatalog over Derby)") {
-    assert(spark.conf.get("spark.sql.catalogImplementation") === "hive")
+    // the SharedState catalog is the authority; the conf STRING is
+    // per-session and can be shadowed by a sibling non-hive builder
     assert(spark.sharedState.externalCatalog.unwrapped.getClass.getName
       .contains("HiveExternalCatalog"))
   }
