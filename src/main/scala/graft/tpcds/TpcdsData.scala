@@ -38,7 +38,7 @@ object TpcdsData {
 
   /** Bump when generator logic changes — keys the materialization path so
     * stale /tmp data from an older generator can never feed a new oracle. */
-  val GenVersion = 7
+  val GenVersion = 8
 
   /** Julian day number of 1900-01-01, the spec's date_dim origin
     * (2451545 = 2000-01-01 minus 36524 days). */
@@ -78,6 +78,35 @@ object TpcdsData {
 
   private def fkNN(name: String, idc: String, seed: Int, card: Long): String =
     s"1 + ${u(idc, seed, card)} AS $name"
+
+  /** dsdgen-shaped sold-date skew (round-6 fidelity pass): dsdgen's
+    * calendar distribution concentrates retail sales in the holiday
+    * quarter (Oct–Dec carries ~40% of volume, December the peak) and
+    * grows volume year over year; a UNIFORM date makes every
+    * (d_year, d_moy) predicate equally selective and skews plan-shape
+    * conclusions. Deterministic inverse-CDF over (row id, seed):
+    * year weights 16/18/20/22/24%, month weights
+    * 6/5/6/6/7/7/7/8/8/10/14/16% (Jan..Dec), day uniform in the month's
+    * first 28 days. Leap-day drift (365-day year arithmetic over a span
+    * containing 2000) shifts post-Feb-2000 picks by ≤1 day — every
+    * (year, month) slice the published predicates touch stays non-empty;
+    * remaining deltas vs dsdgen are documented in NOTES. Seed offsets
+    * +5/6/7×10^5 keep the three draws clear of every other column seed. */
+  private def soldJd(idc: String, seed: Int): String = {
+    val uy = u(idc, seed + 500000, 100)
+    val um = u(idc, seed + 600000, 100)
+    val ud = u(idc, seed + 700000, 28)
+    val year =
+      s"(CASE WHEN $uy < 16 THEN 0 WHEN $uy < 34 THEN 1 WHEN $uy < 54 THEN 2 " +
+        s"WHEN $uy < 76 THEN 3 ELSE 4 END)"
+    // cumulative month weights → first day-of-year of the chosen month
+    val monthStart =
+      s"(CASE WHEN $um < 6 THEN 0 WHEN $um < 11 THEN 31 WHEN $um < 17 THEN 59 " +
+        s"WHEN $um < 23 THEN 90 WHEN $um < 30 THEN 120 WHEN $um < 37 THEN 151 " +
+        s"WHEN $um < 44 THEN 181 WHEN $um < 52 THEN 212 WHEN $um < 60 THEN 243 " +
+        s"WHEN $um < 70 THEN 273 WHEN $um < 84 THEN 304 ELSE 334 END)"
+    s"($JD98 + $year * 365 + $monthStart + $ud)"
+  }
 
   /** Categorical pick from a fixed list. */
   private def pick(name: String, idc: String, seed: Int, vals: Seq[String]): String =
@@ -161,7 +190,7 @@ object TpcdsData {
   /** Ticket-level attributes are functions of the ticket id (a basket is
     * one visit: one date/time/customer/store per ticket, ~3 items). */
   private def ssTicketCols(tid: String): Seq[String] = Seq(
-    s"CASE WHEN ${u(tid, 1007, 50)} = 0 THEN CAST(NULL AS BIGINT) ELSE $JD98 + ${u(tid, 1001, Days5y)} END AS ss_sold_date_sk",
+    s"CASE WHEN ${u(tid, 1007, 50)} = 0 THEN CAST(NULL AS BIGINT) ELSE ${soldJd(tid, 1001)} END AS ss_sold_date_sk",
     s"CASE WHEN ${u(tid, 1008, 50)} = 0 THEN CAST(NULL AS BIGINT) ELSE ${u(tid, 1002, 86400)} END AS ss_sold_time_sk",
     fk("ss_customer_sk", tid, 1003, nCustomer),
     fk("ss_cdemo_sk", tid, 1004, nCdemo),
@@ -202,7 +231,7 @@ object TpcdsData {
     s.range(nSR(scale))
       .selectExpr("id", "id * 7 AS sid", "(id * 7) div 3 AS tid")
       .selectExpr("id", "sid", "tid",
-        s"$JD98 + ${u("tid", 1001, Days5y)} AS sold_date",
+        s"${soldJd("tid", 1001)} AS sold_date",
         s"1 + ${u("sid", 1101, nItem)} AS sold_item",
         // 90%: returned by the buying customer (fk formula w/o null branch)
         s"CASE WHEN ${u("id", 2001, 10)} < 9 THEN 1 + ${u("tid", 1003, nCustomer)} " +
@@ -254,7 +283,7 @@ object TpcdsData {
           s"ELSE 1 + ${u("oid", 3003, nCustomer)} END AS bill_cust",
         s"CASE WHEN pmod(id, 10) = 0 THEN 1 + ${u("j * 7", 1101, nItem)} " +
           s"ELSE 1 + ${u("id", 3101, nItem)} END AS item_sk",
-        s"$JD98 + ${u("oid", 3002, Days5y)} AS sold_date")
+        s"${soldJd("oid", 3002)} AS sold_date")
     val cols = Seq(
       s"CASE WHEN ${u("oid", 3007, 50)} = 0 THEN CAST(NULL AS BIGINT) ELSE sold_date END AS ${p}_sold_date_sk",
       s"${u("oid", 3008, 86400)} AS ${p}_sold_time_sk",
@@ -317,7 +346,7 @@ object TpcdsData {
     s.range(n)
       .selectExpr("id", "id * 7 AS sid", "(id * 7) div 2 AS oid")
       .selectExpr("id", "oid",
-        s"$JD98 + ${u("oid", 3002, Days5y)} AS sold_date",
+        s"${soldJd("oid", 3002)} AS sold_date",
         s"CASE WHEN pmod(sid, 10) = 0 THEN 1 + ${u(s"(pmod(xxhash64(sid, 3001), $rebuyCard) * 7) div 3", 1003, nCustomer)} " +
           s"ELSE 1 + ${u("oid", 3003, nCustomer)} END AS ret_cust",
         s"CASE WHEN pmod(sid, 10) = 0 THEN 1 + ${u(s"pmod(xxhash64(sid, 3001), $rebuyCard) * 7", 1101, nItem)} " +
