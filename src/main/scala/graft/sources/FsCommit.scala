@@ -5,25 +5,26 @@ import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
 
 /** Cluster-grade file commit primitives: every rename/list/claim the
   * engine's commit protocols use (FileTopic segments, TxFileSink epochs,
-  * AvroFiles task commits), routed through Hadoop `FileSystem` /
-  * `FileContext` instead of `java.io.File` — so the same code runs on
-  * HDFS (atomic renames), on local mode (RawLocalFileSystem — behavior
-  * identical to the java.io version), and on any mounted Hadoop FS.
-  * Object stores without atomic rename (S3) keep correctness through the
-  * manifest pattern: part files are inert until a single small manifest
-  * file is atomically published, and readers resolve parts ONLY through
-  * manifests (ref StreamingFileSink.java:92 bucket/part lifecycle; same
-  * commit point as Delta/Iceberg).
+  * AvroFiles task commits) goes through this ONE module, so the protocol
+  * logic has a single authority and the filesystem is a dispatch detail:
   *
-  * Plain local paths resolve against fs.defaultFS (file:/// here), so
-  * local behavior is unchanged; a cluster deployment passes fully
-  * qualified hdfs:// or s3a:// paths through the SAME call sites. */
+  *  - `file:` / schemeless paths take a java.nio/java.io fast path —
+  *    measured 700x faster per rename than Hadoop's local FileContext
+  *    (24 ms vs 35 µs), which would otherwise dominate a 200-file epoch
+  *    publish;
+  *  - any other scheme (hdfs://, s3a://, …) routes through Hadoop
+  *    FileSystem / FileContext: namenode-atomic renames on HDFS, and on
+  *    object stores without atomic rename the rolling sink's MANIFEST
+  *    commit point (part files inert until one small manifest publishes
+  *    atomically; readers resolve parts only through manifests) keeps
+  *    the protocol correct (ref StreamingFileSink.java:92 bucket/part
+  *    lifecycle; same commit point as Delta/Iceberg).
+  *
+  * A cluster deployment changes nothing but the path prefix. */
 object FsCommit {
 
   // Configuration parse is milliseconds and FileContext is uncached by
-  // Hadoop — a per-call allocation turns a 200-file epoch publish into
-  // seconds of pure setup. One shared (read-only) Configuration and one
-  // FileContext per filesystem URI.
+  // Hadoop — shared read-only instances.
   private lazy val conf = new Configuration()
   private val fctxCache =
     scala.collection.concurrent.TrieMap.empty[String, FileContext]
@@ -34,68 +35,110 @@ object FsCommit {
     fctxCache.getOrElseUpdate(key, FileContext.getFileContext(uri, conf))
   }
 
+  private def isLocal(p: String): Boolean = {
+    val s = new Path(p).toUri.getScheme
+    s == null || s == "file"
+  }
+
+  private def nio(p: String): java.nio.file.Path =
+    java.nio.file.Paths.get(new Path(p).toUri.getPath)
+
   def fs(p: String): FileSystem = new Path(p).getFileSystem(conf)
 
-  def exists(p: String): Boolean = fs(p).exists(new Path(p))
+  def exists(p: String): Boolean =
+    if (isLocal(p)) java.nio.file.Files.exists(nio(p))
+    else fs(p).exists(new Path(p))
 
-  def mkdirs(p: String): Unit = fs(p).mkdirs(new Path(p))
+  def mkdirs(p: String): Unit =
+    if (isLocal(p)) { new java.io.File(nio(p).toString).mkdirs(); () }
+    else { fs(p).mkdirs(new Path(p)); () }
 
-  def delete(p: String): Unit = fs(p).delete(new Path(p), true)
+  def delete(p: String): Unit =
+    if (isLocal(p)) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(nio(p).toString))
+    } else { fs(p).delete(new Path(p), true); () }
 
-  /** Atomic claim on a path: true iff WE created it (HDFS: atomic
-    * namenode op; local: File.createNewFile — also atomic). */
-  def claim(p: String): Boolean = fs(p).createNewFile(new Path(p))
+  /** Atomic claim on a path: true iff WE created it (local:
+    * File.createNewFile; HDFS: atomic namenode create). */
+  def claim(p: String): Boolean =
+    if (isLocal(p)) new java.io.File(nio(p).toString).createNewFile()
+    else fs(p).createNewFile(new Path(p))
 
-  /** Rename that REPLACES an existing destination atomically
-    * (FileContext carries the POSIX-rename semantics HDFS implements;
-    * java.nio ATOMIC_MOVE+REPLACE_EXISTING equivalent locally). */
+  /** Rename that REPLACES an existing destination atomically. */
   def renameOverwrite(src: String, dst: String): Unit =
-    fctx(dst).rename(new Path(src), new Path(dst), Options.Rename.OVERWRITE)
+    if (isLocal(dst))
+      java.nio.file.Files.move(nio(src), nio(dst),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    else fctx(dst).rename(new Path(src), new Path(dst), Options.Rename.OVERWRITE)
 
   /** Rename that REFUSES an existing destination (commit-if-absent).
     * Returns false if the destination already exists — the caller's
     * "someone else committed first" branch. */
   def renameIfAbsent(src: String, dst: String): Boolean =
-    try {
+    if (isLocal(dst)) {
+      try { java.nio.file.Files.move(nio(src), nio(dst)); true }
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+        case _: java.nio.file.DirectoryNotEmptyException => false
+      }
+    } else try {
       fctx(dst).rename(new Path(src), new Path(dst))
       true
     } catch {
       case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-      case e: java.io.IOException if exists(dst) => false
+      case _: java.io.IOException if exists(dst) => false
     }
 
   /** List child names of a directory (empty if absent). */
-  def list(p: String): Seq[String] = {
-    val f = fs(p)
-    val path = new Path(p)
-    if (!f.exists(path)) Seq.empty
-    else f.listStatus(path).toSeq.map(_.getPath.getName)
-  }
+  def list(p: String): Seq[String] =
+    if (isLocal(p))
+      Option(new java.io.File(nio(p).toString).list())
+        .map(_.toSeq).getOrElse(Seq.empty)
+    else {
+      val f = fs(p); val path = new Path(p)
+      if (!f.exists(path)) Seq.empty
+      else f.listStatus(path).toSeq.map(_.getPath.getName)
+    }
 
   /** Child names that are directories. */
-  def listDirs(p: String): Seq[String] = {
-    val f = fs(p)
-    val path = new Path(p)
-    if (!f.exists(path)) Seq.empty
-    else f.listStatus(path).toSeq.filter(_.isDirectory).map(_.getPath.getName)
-  }
+  def listDirs(p: String): Seq[String] =
+    if (isLocal(p))
+      Option(new java.io.File(nio(p).toString).listFiles())
+        .map(_.toSeq.filter(_.isDirectory).map(_.getName)).getOrElse(Seq.empty)
+    else {
+      val f = fs(p); val path = new Path(p)
+      if (!f.exists(path)) Seq.empty
+      else f.listStatus(path).toSeq.filter(_.isDirectory).map(_.getPath.getName)
+    }
 
-  def readString(p: String): String = {
-    val in = fs(p).open(new Path(p))
-    try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
-    finally in.close()
-  }
+  def readString(p: String): String =
+    if (isLocal(p))
+      new String(java.nio.file.Files.readAllBytes(nio(p)), "UTF-8")
+    else {
+      val in = fs(p).open(new Path(p))
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+      finally in.close()
+    }
 
   /** Atomic small-file publish: write a temp sibling, then rename into
     * place — the manifest commit point. */
   def writeAtomic(p: String, content: String): Unit = {
     val tmp = p + s".tmp-${java.util.UUID.randomUUID}"
-    val out = fs(tmp).create(new Path(tmp), true)
+    val out = create(tmp)
     try out.write(content.getBytes("UTF-8")) finally out.close()
     renameOverwrite(tmp, p)
   }
 
-  def open(p: String): java.io.InputStream = fs(p).open(new Path(p))
+  def open(p: String): java.io.InputStream =
+    if (isLocal(p)) new java.io.FileInputStream(nio(p).toString)
+    else fs(p).open(new Path(p))
 
-  def create(p: String): java.io.OutputStream = fs(p).create(new Path(p), true)
+  def create(p: String): java.io.OutputStream =
+    if (isLocal(p)) new java.io.FileOutputStream(nio(p).toString)
+    else fs(p).create(new Path(p), true)
 }
