@@ -133,6 +133,38 @@ class StreamingSemanticsSpec extends SparkSpec {
     spark.conf.set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "true")
   }
 
+  test("an idle source does not stall the watermark (no idleness markers needed)") {
+    // Flink's watermark is the MIN across source partitions, so one idle
+    // partition stalls every downstream timer unless WatermarksWithIdleness
+    // marks it idle (flink-core/.../eventtime/WatermarksWithIdleness.java).
+    // Spark's watermark is global max-event-time-seen minus delay, so an
+    // idle source in a union CANNOT hold the query back — the semantic
+    // difference SURVEY §1.4 accepts, pinned here: windows close on the
+    // active source's progress alone.
+    implicit val sqlCtx = spark.sqlContext
+    val active = MemoryStream[Event]
+    val idle = MemoryStream[Event] // never receives a row
+    val agg = active.toDS().union(idle.toDS()).toDF()
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").as("w_start"), col("cnt"))
+    val q = agg.writeStream.format("memory").queryName("t_idle")
+      .outputMode("append")
+      .option("checkpointLocation", s"/tmp/graft-ckpt/t-idle-${System.nanoTime()}")
+      .start()
+    active.addData(Seq(ev(1, 5, 1, "view", 0), ev(2, 25, 1, "view", 0)))
+    q.processAllAvailable()
+    active.addData(Seq(ev(3, 100, 1, "view", 0))) // watermark → min 90
+    q.processAllAvailable()
+    // the early windows closed and emitted despite the idle source (the
+    // two events straddle an epoch-aligned 30-min boundary → two windows)
+    val closed = spark.table("t_idle").collect().map(r => r.getLong(1)).toSeq
+    assert(closed.sum === 2L && closed.nonEmpty,
+      s"idle source stalled the watermark: $closed")
+    q.stop()
+  }
+
   test("side outputs: one pass fans out to main and error sinks via foreachBatch") {
     implicit val sqlCtx = spark.sqlContext
     val main = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
