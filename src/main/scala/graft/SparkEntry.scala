@@ -108,6 +108,7 @@ object SparkEntry {
     "q_stream_topn_ooo" -> (streaming.StreamQueries.topNOoo _),
     "q_stream_over_ooo" -> (streaming.StreamQueries.overOoo _),
     "q_stream_cep_ooo"  -> (streaming.StreamQueries.cepOoo _),
+    "q_stream_cep_plus_ooo" -> (streaming.StreamQueries.cepPlusOoo _),
     "q_stream_topn"     -> (streaming.StreamQueries.topN _),
     "q_stream_topn_retract" -> (streaming.StreamQueries.topNRetract _),
     "q_stream_over"     -> (streaming.StreamQueries.over _),

@@ -48,8 +48,17 @@ object OooReplay {
     (p.dir, p.delaySec)
   }
 
+  /** Bump when the replay layout/sentinel changes — keys the cache dir so
+    * stale fixtures from an older generator never feed a new run. */
+  val ReplayVersion = 3
+
+  /** Event type of the per-key end-of-data marker rows (released by the
+    * sorter after every real row; matches no operator predicate). */
+  val FlushType = "__flush"
+
   private def doPrepare(s: SparkSession, dir: String): Prepared = synchronized {
-    val replayDir = "/tmp/graft-ooo/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val replayDir =
+      s"/tmp/graft-ooo/v$ReplayVersion-" + dir.replaceAll("[^A-Za-z0-9.]", "_")
     val root = new java.io.File(replayDir)
     val meta = new java.io.File(root, "_delay_sec")
     if (meta.isFile) {
@@ -88,8 +97,12 @@ object OooReplay {
     }
     val delaySec = worstNanos / 1000000000L + 3600L
     // sentinel far enough out that final watermark (sentinel - delay)
-    // passes every real row by a full day
-    val sentinelNanos = stats.map(_._3).max + (delaySec + 86400L) * 1000000000L
+    // passes every real row by 40 DAYS: watermark-buffered operators
+    // flush, and a downstream CEP quiesce horizon larger than the data
+    // span (35d > 30d of events) still fires at end-of-stream without
+    // ever firing mid-stream (which would cut matches at event-time gaps
+    // the single-batch ordered run never cuts)
+    val sentinelNanos = stats.map(_._3).max + (delaySec + 40L * 86400L) * 1000000000L
 
     val staging = new java.io.File(replayDir + ".inprogress")
     org.apache.commons.io.FileUtils.deleteQuietly(staging)
@@ -108,6 +121,25 @@ object OooReplay {
     emit.zipWithIndex.foreach { case (b, i) =>
       place(withBlk.where(col("__blk") === b).drop("__blk"), i)
     }
+    // per-key FLUSH segment: one pattern-breaking row per user at +35d
+    // of event time — released by the sorter after every real row for
+    // its key, so a NoTimeout CEP matcher downstream resolves trailing
+    // parked attempts at true end-of-data (the matchRecognizeOrdered
+    // contract: "drive stream end with a pattern-breaking row per key").
+    // Non-CEP consumers filter FlushType out before the sorter.
+    val flushNanos = stats.map(_._3).max + 35L * 86400L * 1000000000L
+    val flushCols = schema.fields.map { f =>
+      f.name match {
+        case "event_id"   => "CAST(-(1000000 + user_id) AS BIGINT) AS event_id"
+        case "ts"         => s"CAST($flushNanos AS BIGINT) AS ts"
+        case "user_id"    => "user_id"
+        case "event_type" => s"'$FlushType' AS event_type"
+        case "value"      => "CAST(0.0 AS DOUBLE) AS value"
+        case other        => s"CAST(NULL AS ${f.dataType.sql}) AS $other"
+      }
+    }
+    place(raw.select(col("user_id")).distinct().selectExpr(flushCols.toIndexedSeq: _*),
+      emit.length)
     val sentinelVals: Array[Any] = schema.fields.map(_.name).map {
       case "event_id"   => -1L
       case "ts"         => sentinelNanos
@@ -118,7 +150,7 @@ object OooReplay {
     }
     place(s.createDataFrame(
       java.util.Arrays.asList(org.apache.spark.sql.Row(sentinelVals: _*)), schema),
-      emit.length)
+      emit.length + 1)
     java.nio.file.Files.write(new java.io.File(staging, "_delay_sec").toPath,
       delaySec.toString.getBytes)
     // atomic publish (concurrent Verify/test JVMs race to the same dir)

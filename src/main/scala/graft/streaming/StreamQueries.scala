@@ -392,7 +392,8 @@ object StreamQueries {
     * is the SAME SQL as the ordered twin — a hash match proves
     * order-independence of the final answer. */
   def dedupLastOoo(s: SparkSession, dir: String): DataFrame = {
-    val (src, delaySec) = OooReplay.stream(s, dir)
+    val (raw, delaySec) = OooReplay.stream(s, dir)
+    val src = raw.filter(_.event_type != OooReplay.FlushType)
     val ordered = StatefulOps.sortedEvents(src, s"$delaySec seconds")
     val out = StatefulOps.keepLast(ordered).toDF()
     // multi-batch append emissions: fold to the final latest per key
@@ -407,7 +408,8 @@ object StreamQueries {
   }
 
   def overOoo(s: SparkSession, dir: String): DataFrame = {
-    val (src, delaySec) = OooReplay.stream(s, dir)
+    val (raw, delaySec) = OooReplay.stream(s, dir)
+    val src = raw.filter(_.event_type != OooReplay.FlushType)
     val ordered = StatefulOps.sortedEvents(src, s"$delaySec seconds")
     val out = StatefulOps.runningAgg(ordered).toDF()
     StreamSource.runToTableChained(s, out, "stream_over_ooo", "append")
@@ -418,7 +420,8 @@ object StreamQueries {
   }
 
   def topNOoo(s: SparkSession, dir: String): DataFrame = {
-    val (src, delaySec) = OooReplay.stream(s, dir)
+    val (raw, delaySec) = OooReplay.stream(s, dir)
+    val src = raw.filter(_.event_type != OooReplay.FlushType)
     val ordered = StatefulOps.sortedEvents(src, s"$delaySec seconds")
     val out = StatefulOps.topNVersioned(ordered, 3).toDF()
     val drained = StreamSource.runToTableChained(s, out, "stream_topn_ooo", "append")
@@ -431,9 +434,39 @@ object StreamQueries {
       .orderBy("event_type", "rank")
   }
 
-  def cepOoo(s: SparkSession, dir: String): DataFrame = {
+  /** QUANTIFIED pattern (A+ B greedy) on the shuffled replay — the
+    * hardest order-independence case: partial matches PARK (NeedMore)
+    * when a scan reaches buffered-input end and must survive across
+    * micro-batches until later segments extend or resolve them. The
+    * replay's per-key flush row (a pattern breaker after the last real
+    * event, released once the far sentinel drives the watermark past it)
+    * resolves every park at true end-of-data — no event-time timer,
+    * which Spark disallows downstream of another stateful operator.
+    * Oracle: identical SQL to q_stream_cep_plus. */
+  def cepPlusOoo(s: SparkSession, dir: String): DataFrame = {
     import StreamSource.Event
     val (src, delaySec) = OooReplay.stream(s, dir)
+    val ordered = StatefulOps.sortedEvents(src, s"$delaySec seconds")
+    // the replay's per-key FLUSH row (kept here, filtered by the other
+    // adapters) breaks the pattern after the last real event, so the
+    // NoTimeout ordered matcher resolves every parked attempt without an
+    // event-time timer (unavailable downstream of the sorter)
+    val a: Event => Boolean = e =>
+      e.event_type != "error" && e.event_type != "__sentinel" &&
+        e.event_type != OooReplay.FlushType
+    val b: Event => Boolean = _.event_type == "purchase"
+    val out = Cep.matchRecognizeOrderedSkip(ordered,
+      Seq(Cep.QStep.oneOrMore(a), Cep.QStep.once(b)), Cep.SkipToNextRow).toDF()
+    StreamSource.runToTableChained(s, out, "stream_cep_plus_ooo", "append")
+      .select(col("user_id"), expr("ids[0]").as("a_id"),
+        expr("element_at(ids, -1)").as("b_id"), (size(col("ids")) - 1).as("n_a"))
+      .orderBy("user_id", "a_id")
+  }
+
+  def cepOoo(s: SparkSession, dir: String): DataFrame = {
+    import StreamSource.Event
+    val (raw, delaySec) = OooReplay.stream(s, dir)
+    val src = raw.filter(_.event_type != OooReplay.FlushType)
     val ordered = StatefulOps.sortedEvents(src, s"$delaySec seconds")
     val pattern: Seq[Event => Boolean] = Seq(
       _.event_type == "view", _.event_type == "click", _.event_type == "purchase")
@@ -632,6 +665,26 @@ object StreamQueries {
         |GROUP BY e.user_id, e.event_id
         |ORDER BY e.user_id, e.event_id""".stripMargin,
     "q_stream_cep_plus" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS t FROM events),
+        |o AS (SELECT user_id, event_id, event_type,
+        |        row_number() OVER (PARTITION BY user_id ORDER BY t, event_id) AS rn,
+        |        CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_err
+        |      FROM e),
+        |g AS (SELECT *, sum(is_err) OVER (PARTITION BY user_id ORDER BY rn) AS grp FROM o),
+        |a AS (SELECT * FROM g WHERE is_err = 0),
+        |s AS (SELECT user_id, grp, rn, event_id,
+        |        max(CASE WHEN event_type = 'purchase' THEN rn END) OVER
+        |          (PARTITION BY user_id, grp ORDER BY rn
+        |           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS j_rn
+        |      FROM a)
+        |SELECT s.user_id, s.event_id AS a_id, b.event_id AS b_id,
+        |       CAST(s.j_rn - s.rn AS INT) AS n_a
+        |FROM s JOIN a b ON b.user_id = s.user_id AND b.rn = s.j_rn
+        |WHERE s.j_rn IS NOT NULL
+        |ORDER BY s.user_id, a_id""".stripMargin,
+    // shuffled-replay twin of q_stream_cep_plus: same oracle — parked
+    // quantified matches must resolve identically across micro-batches
+    "q_stream_cep_plus_ooo" ->
       """WITH e AS (SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS t FROM events),
         |o AS (SELECT user_id, event_id, event_type,
         |        row_number() OVER (PARTITION BY user_id ORDER BY t, event_id) AS rn,

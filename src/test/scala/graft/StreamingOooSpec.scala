@@ -68,4 +68,10 @@ class StreamingOooSpec extends SparkSpec {
     val b = StreamQueries.cepOoo(spark, sf).collect().toSeq
     assert(a == b)
   }
+
+  test("CEP quantified pattern (parked partials across batches) is order-independent") {
+    val a = StreamQueries.cepPlus(spark, sf).collect().toSeq
+    val b = StreamQueries.cepPlusOoo(spark, sf).collect().toSeq
+    assert(a == b)
+  }
 }
