@@ -109,6 +109,10 @@ object SparkEntry {
     "q_stream_over_ooo" -> (streaming.StreamQueries.overOoo _),
     "q_stream_cep_ooo"  -> (streaming.StreamQueries.cepOoo _),
     "q_stream_cep_plus_ooo" -> (streaming.StreamQueries.cepPlusOoo _),
+    "q_stream_changelog_ooo" -> (streaming.StreamQueries.changelogOoo _),
+    "q_stream_dyn_session_ooo" -> (streaming.StreamQueries.dynSessionOoo _),
+    "q_stream_over_rows_b_ooo" -> (streaming.StreamQueries.overRowsBoundedOoo _),
+    "q_stream_over_range_b_ooo" -> (streaming.StreamQueries.overRangeBoundedOoo _),
     "q_stream_topn"     -> (streaming.StreamQueries.topN _),
     "q_stream_topn_retract" -> (streaming.StreamQueries.topNRetract _),
     "q_stream_over"     -> (streaming.StreamQueries.over _),

@@ -262,12 +262,14 @@ object StatefulOps {
 
   /** Changelog-normalize: interpret the keyed stream as upserts and emit a
     * +I / -U / +U changelog (the reference's RowKind flow made explicit as
-    * a column — the `__rowkind` convention from SURVEY.md §7.1). */
+    * a column — the `__rowkind` convention from SURVEY.md §7.1). Change
+    * facts are immutable once emitted — APPEND mode, so the operator
+    * chains after sortedEvents (all-append rule). */
   def changelogNormalize(ds: Dataset[Event]): Dataset[Change] = {
     import ds.sparkSession.implicits._
     ds.groupByKey(_.user_id)
       .flatMapGroupsWithState[LastRow, Change](
-        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (key: Long, rows: Iterator[Event], state: GroupState[LastRow]) =>
           val out = scala.collection.mutable.ArrayBuffer.empty[Change]
           var cur = state.getOption
@@ -451,9 +453,11 @@ object StatefulOps {
     * with the highest cnt per (key, w_start)). */
   def dynamicSession(ds: Dataset[Event], gapMicros: Event => Long): Dataset[SessOut] = {
     import ds.sparkSession.implicits._
+    // append-mode snapshot emissions (the sink fold keeps each session's
+    // max-cnt row) — lets the operator chain after sortedEvents
     ds.groupByKey(_.user_id)
       .flatMapGroupsWithState[SessState, SessOut](
-        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (key: Long, rows: Iterator[Event], state: GroupState[SessState]) =>
           var cur = state.getOption
           val out = scala.collection.mutable.ArrayBuffer.empty[SessOut]

@@ -70,7 +70,7 @@ object StreamQueries {
 
   def changelog(s: SparkSession, dir: String): DataFrame = {
     val out = StatefulOps.changelogNormalize(StreamSource.eventsTyped(s, dir)).toDF()
-    StreamSource.runToTable(s, out, "stream_changelog", "update")
+    StreamSource.runToTable(s, out, "stream_changelog", "append")
       .select(col("user_id"), col("event_id"), col("rowkind"))
       .orderBy("user_id", "event_id", "rowkind")
   }
@@ -81,7 +81,7 @@ object StreamQueries {
   def dropUpdateBefore(s: SparkSession, dir: String): DataFrame = {
     val out = StatefulOps.changelogNormalize(StreamSource.eventsTyped(s, dir)).toDF()
       .where(col("rowkind") =!= "-U")
-    StreamSource.runToTable(s, out, "stream_drop_before", "update")
+    StreamSource.runToTable(s, out, "stream_drop_before", "append")
       .select(col("user_id"), col("event_id"), col("rowkind"))
       .orderBy("user_id", "event_id", "rowkind")
   }
@@ -106,7 +106,7 @@ object StreamQueries {
     val gap: Event => Long =
       e => if (e.event_type == "error") 30L * 60 * 1000000 else 60L * 60 * 1000000
     val out = StatefulOps.dynamicSession(StreamSource.eventsTyped(s, dir), gap).toDF()
-    StreamSource.runToTable(s, out, "stream_dyn_session", "update")
+    StreamSource.runToTable(s, out, "stream_dyn_session", "append")
       .groupBy(col("user_id"), col("w_start"))
       .agg(max(struct(col("cnt"), col("sum_value"))).as("fin"))
       .select(col("user_id"), col("w_start"), col("fin.cnt").as("cnt"),
@@ -461,6 +461,60 @@ object StreamQueries {
       .select(col("user_id"), expr("ids[0]").as("a_id"),
         expr("element_at(ids, -1)").as("b_id"), (size(col("ids")) - 1).as("n_a"))
       .orderBy("user_id", "a_id")
+  }
+
+  /** Changelog family + session + bounded OVER on the shuffled replay —
+    * same sortedEvents composition, same oracles as the ordered twins. */
+  def changelogOoo(s: SparkSession, dir: String): DataFrame = {
+    val (raw, delaySec) = OooReplay.stream(s, dir)
+    val src = raw.filter(_.event_type != OooReplay.FlushType)
+    val ordered = StatefulOps.sortedEvents(src, s"$delaySec seconds")
+    val out = StatefulOps.changelogNormalize(ordered).toDF()
+    StreamSource.runToTableChained(s, out, "stream_changelog_ooo", "append")
+      .where(col("user_id") >= 0)
+      .select(col("user_id"), col("event_id"), col("rowkind"))
+      .orderBy("user_id", "event_id", "rowkind")
+  }
+
+  def dynSessionOoo(s: SparkSession, dir: String): DataFrame = {
+    import StreamSource.Event
+    val (raw, delaySec) = OooReplay.stream(s, dir)
+    val src = raw.filter(_.event_type != OooReplay.FlushType)
+    val ordered = StatefulOps.sortedEvents(src, s"$delaySec seconds")
+    val gap: Event => Long =
+      e => if (e.event_type == "error") 30L * 60 * 1000000 else 60L * 60 * 1000000
+    val out = StatefulOps.dynamicSession(ordered, gap).toDF()
+    StreamSource.runToTableChained(s, out, "stream_dyn_session_ooo", "append")
+      .where(col("user_id") >= 0)
+      .groupBy(col("user_id"), col("w_start"))
+      .agg(max(struct(col("cnt"), col("sum_value"))).as("fin"))
+      .select(col("user_id"), col("w_start"), col("fin.cnt").as("cnt"),
+        round(col("fin.sum_value"), 2).as("sum_value"))
+      .orderBy("user_id", "w_start")
+  }
+
+  def overRowsBoundedOoo(s: SparkSession, dir: String): DataFrame = {
+    val (raw, delaySec) = OooReplay.stream(s, dir)
+    val src = raw.filter(_.event_type != OooReplay.FlushType)
+    val ordered = StatefulOps.sortedEvents(src, s"$delaySec seconds")
+    val out = StatefulOps.boundedRowsAgg(ordered, 2).toDF()
+    StreamSource.runToTableChained(s, out, "stream_over_rows_b_ooo", "append")
+      .where(col("user_id") >= 0)
+      .select(col("user_id"), col("event_id"), col("w_cnt"),
+        round(col("w_sum"), 4).as("w_sum"))
+      .orderBy("user_id", "event_id")
+  }
+
+  def overRangeBoundedOoo(s: SparkSession, dir: String): DataFrame = {
+    val (raw, delaySec) = OooReplay.stream(s, dir)
+    val src = raw.filter(_.event_type != OooReplay.FlushType)
+    val ordered = StatefulOps.sortedEvents(src, s"$delaySec seconds")
+    val out = StatefulOps.boundedRangeAgg(ordered, 3600L * 1000000).toDF()
+    StreamSource.runToTableChained(s, out, "stream_over_range_b_ooo", "append")
+      .where(col("user_id") >= 0)
+      .select(col("user_id"), col("event_id"), col("w_cnt"),
+        round(col("w_sum"), 4).as("w_sum"))
+      .orderBy("user_id", "event_id")
   }
 
   def cepOoo(s: SparkSession, dir: String): DataFrame = {
@@ -834,6 +888,45 @@ object StreamQueries {
         | FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin,
     // the _ooo twins run the shuffled multi-batch replay; same oracle as
     // the ordered run — the hash match IS the order-independence proof
+    "q_stream_changelog_ooo" ->
+      """WITH o AS (SELECT user_id, event_id,
+        |  row_number() OVER w AS rn, count(*) OVER (PARTITION BY user_id) AS mx
+        | FROM events
+        | WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id))
+        |SELECT user_id, event_id, rowkind FROM (
+        | SELECT user_id, event_id, '+I' AS rowkind FROM o WHERE rn = 1
+        | UNION ALL SELECT user_id, event_id, '+U' FROM o WHERE rn > 1
+        | UNION ALL SELECT user_id, event_id, '-U' FROM o WHERE rn < mx)
+        |ORDER BY user_id, event_id, rowkind""".stripMargin,
+    "q_stream_dyn_session_ooo" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t, value,
+        |  CASE WHEN event_type = 'error' THEN INTERVAL 30 MINUTE
+        |       ELSE INTERVAL 60 MINUTE END AS gap FROM events),
+        |m AS (SELECT *, max(t + gap) OVER (PARTITION BY user_id ORDER BY t
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end FROM e),
+        |br AS (SELECT *, CASE WHEN prev_end IS NULL OR t > prev_end
+        |  THEN 1 ELSE 0 END AS brk FROM m),
+        |g AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY t
+        |  ROWS UNBOUNDED PRECEDING) AS sid FROM br)
+        |SELECT user_id, min(t) AS w_start, count(*) AS cnt,
+        | round(sum(value), 2) AS sum_value
+        |FROM g GROUP BY user_id, sid ORDER BY user_id, w_start""".stripMargin,
+    "q_stream_over_rows_b_ooo" ->
+      """SELECT user_id, event_id,
+        | count(*) OVER w AS w_cnt,
+        | round(sum(value) OVER w, 4) AS w_sum
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+        |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
+    "q_stream_over_range_b_ooo" ->
+      """WITH e AS (SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS t FROM events)
+        |SELECT e.user_id, e.event_id, count(*) AS w_cnt, round(sum(x.value), 4) AS w_sum
+        |FROM e JOIN e x ON x.user_id = e.user_id
+        |  AND x.t >= e.t - INTERVAL 1 HOUR
+        |  AND (x.t < e.t OR (x.t = e.t AND x.event_id <= e.event_id))
+        |GROUP BY e.user_id, e.event_id
+        |ORDER BY e.user_id, e.event_id""".stripMargin,
     "q_stream_dedup_last_ooo" ->
       """SELECT user_id, event_id, event_type FROM (
         | SELECT user_id, event_id, event_type,

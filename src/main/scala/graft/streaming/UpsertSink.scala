@@ -29,7 +29,7 @@ object UpsertSink {
     val root = s"/tmp/graft-upsert/$name-${System.nanoTime()}"
     @volatile var current: Option[String] = None
     val q = changelog.writeStream
-      .outputMode("update")
+      .outputMode("append")
       .option("checkpointLocation", s"/tmp/graft-ckpt/$name-${System.nanoTime()}")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val sess = batch.sparkSession

@@ -93,7 +93,8 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("changelogNormalize emits +I then -U/+U pairs") {
-    val (feed, drain, stop) = harness(StatefulOps.changelogNormalize, "t_chlog")
+    val (feed, drain, stop) =
+      harness(StatefulOps.changelogNormalize, "t_chlog", mode = "append")
     feed(Seq(ev(1, 10, 9, "view", 1.0)))
     assert(drain().map(c => (c.event_id, c.rowkind)) === Seq((1L, "+I")))
     feed(Seq(ev(2, 20, 9, "view", 2.0)))
