@@ -115,6 +115,7 @@ object SparkEntry {
     "q_stream_over_range_b_ooo" -> (streaming.StreamQueries.overRangeBoundedOoo _),
     "q_stream_topn"     -> (streaming.StreamQueries.topN _),
     "q_stream_topn_retract" -> (streaming.StreamQueries.topNRetract _),
+    "q_stream_topn_retract_ooo" -> (streaming.StreamQueries.topNRetractOoo _),
     "q_stream_over"     -> (streaming.StreamQueries.over _),
     "q_stream_over_rows_b" -> (streaming.StreamQueries.overRowsBounded _),
     "q_stream_over_range_b" -> (streaming.StreamQueries.overRangeBounded _),

@@ -155,9 +155,11 @@ object StatefulOps {
     * keyed on (key, rank) can apply it as upserts/deletes directly. */
   def topNChangelog(ds: Dataset[Event], n: Int): Dataset[RankedChange] = {
     import ds.sparkSession.implicits._
+    // -U/+U/-D/+I rows are immutable change facts (the consumer folds
+    // net>0) — APPEND mode, chainable after sortedEvents
     ds.groupByKey(_.event_type)
       .flatMapGroupsWithState[List[Event], RankedChange](
-        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (key: String, rows: Iterator[Event], state: GroupState[List[Event]]) =>
           val old = state.getOption.getOrElse(Nil)
           val cur = (old ++ rows).sortBy(e => (-e.value, e.event_id)).take(n)

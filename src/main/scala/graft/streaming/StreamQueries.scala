@@ -30,7 +30,26 @@ object StreamQueries {
     * ranking (net > 0 per (key, rank, event_id)). */
   def topNRetract(s: SparkSession, dir: String): DataFrame = {
     val out = StatefulOps.topNChangelog(StreamSource.eventsTyped(s, dir), 3).toDF()
-    StreamSource.runToTable(s, out, "stream_topn_retract", "update")
+    StreamSource.runToTable(s, out, "stream_topn_retract", "append")
+      .groupBy(col("event_type"), col("rank"), col("event_id"),
+        col("user_id"), col("value"))
+      .agg(sum(when(col("rowkind").isin("+I", "+U"), 1).otherwise(-1)).as("net"))
+      .where(col("net") > 0)
+      .select(col("event_type"), col("rank"), col("event_id"),
+        col("user_id"), round(col("value"), 2).as("value"))
+      .orderBy("event_type", "rank")
+  }
+
+  /** Retractable Top-N on the shuffled replay: the -U/+U/-D/+I diffs
+    * differ per micro-batch boundary, but the net>0 fold converges to
+    * the ordered run's final ranking — the changelog-consumer contract
+    * under disorder. Same oracle as q_stream_topn_retract. */
+  def topNRetractOoo(s: SparkSession, dir: String): DataFrame = {
+    val (raw, delaySec) = OooReplay.stream(s, dir)
+    val src = raw.filter(_.event_type != OooReplay.FlushType)
+    val ordered = StatefulOps.sortedEvents(src, s"$delaySec seconds")
+    val out = StatefulOps.topNChangelog(ordered, 3).toDF()
+    StreamSource.runToTableChained(s, out, "stream_topn_retract_ooo", "append")
       .groupBy(col("event_type"), col("rank"), col("event_id"),
         col("user_id"), col("value"))
       .agg(sum(when(col("rowkind").isin("+I", "+U"), 1).otherwise(-1)).as("net"))
@@ -927,6 +946,13 @@ object StreamQueries {
         |  AND (x.t < e.t OR (x.t = e.t AND x.event_id <= e.event_id))
         |GROUP BY e.user_id, e.event_id
         |ORDER BY e.user_id, e.event_id""".stripMargin,
+    "q_stream_topn_retract_ooo" ->
+      """SELECT event_type, CAST(rn AS INT) AS rank, event_id, user_id,
+        | round(value, 2) AS value
+        |FROM (SELECT event_type, event_id, user_id, value,
+        |  row_number() OVER (PARTITION BY event_type
+        |    ORDER BY value DESC, event_id) AS rn FROM events)
+        |WHERE rn <= 3 ORDER BY event_type, rn""".stripMargin,
     "q_stream_dedup_last_ooo" ->
       """SELECT user_id, event_id, event_type FROM (
         | SELECT user_id, event_id, event_type,

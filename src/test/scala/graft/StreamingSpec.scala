@@ -67,7 +67,7 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("retracting topN emits -U/+U only for changed ranks, -D for vacated") {
-    val (feed, drain, stop) = harness(StatefulOps.topNChangelog(_, 2), "t_topn_re")
+    val (feed, drain, stop) = harness(StatefulOps.topNChangelog(_, 2), "t_topn_re", mode = "append")
     feed(Seq(ev(1, 1, 1, "view", 10.0)))
     assert(drain().map(c => (c.rank, c.event_id, c.rowkind)) === Seq((1, 1L, "+I")))
     feed(Seq(ev(2, 2, 2, "view", 20.0))) // takes rank 1, pushes event 1 to rank 2
