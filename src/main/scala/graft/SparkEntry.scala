@@ -191,6 +191,7 @@ object SparkEntry {
     "q_sql_match_permute" -> (streaming.MatchRecognizeSql.matchPermute _),
     "q_sql_match_number"  -> (streaming.MatchRecognizeSql.matchNumber _),
     "q_sql_match_multi"   -> (streaming.MatchRecognizeSql.matchMulti _),
+    "q_sql_match_subset"  -> (streaming.MatchRecognizeSql.matchSubset _),
     "q_sql_tumble"       -> (GroupWindowSql.tumble _),
     "q_sql_hop"          -> (GroupWindowSql.hop _),
     "q_sql_session"      -> (GroupWindowSql.session _),

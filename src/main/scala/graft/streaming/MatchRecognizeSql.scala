@@ -29,6 +29,7 @@ import org.apache.spark.sql.functions.col
   *       | PATTERN ((V1 V2)[*|+] V3 ...)   -- grouped repetition; a var may
   *                                         -- recur (multi-occurrence), e.g.
   *                                         -- (A B)* A; ≤ GroupRepCap reps
+  *     [SUBSET U = (V1, V2[, ...]), ...]  -- union variables for MEASURES
   *     DEFINE V AS <pred> [, ...]
   *   )
   * where <pred> is a full boolean expression — AND/OR/NOT with
@@ -73,7 +74,8 @@ object MatchRecognizeSql extends Serializable {
                   withinMicros: Option[Long] = None,
                   skipTo: Option[(String, String)] = None, // (FIRST|LAST, var)
                   permute: Boolean = false,
-                  groupRep: Option[(Seq[String], Seq[String], Int)] = None)
+                  groupRep: Option[(Seq[String], Seq[String], Int)] = None,
+                  subsets: Map[String, Seq[String]] = Map.empty)
 
   /** Bound on expanded repetitions of a pattern group — a documented
     * subset limit (the reference's NFA loops states instead; a run of
@@ -140,6 +142,16 @@ object MatchRecognizeSql extends Serializable {
           }
         case m => throw new IllegalArgumentException(s"unsupported measure: $m")
       }
+
+    // SUBSET U = (A, B): union variables usable in MEASURES — the
+    // measure's segments concatenate across every member's occurrences
+    // (ref SQL MATCH_RECOGNIZE SUBSET; Flink grammar ibid.)
+    val subsetRe = "(?is)SUBSET\\s+(\\w+)\\s*=\\s*\\(([^)]*)\\)".r
+    val subsets: Map[String, Seq[String]] =
+      subsetRe.findAllMatchIn(body).map { m =>
+        m.group(1).toUpperCase ->
+          m.group(2).split(",").map(_.trim.toUpperCase).filter(_.nonEmpty).toSeq
+      }.toMap
 
     val (skipPast, skipTo) = skipRe.findFirstMatchIn(body) match {
       case Some(m) if m.group(2) != null =>
@@ -223,9 +235,16 @@ object MatchRecognizeSql extends Serializable {
     if (groupRep.isDefined)
       require(skipTo.isEmpty,
         "SKIP TO FIRST/LAST with a grouped repetition is out of subset")
+    subsets.foreach { case (name, members) =>
+      require(!patVars.contains(name), s"SUBSET $name shadows a pattern variable")
+      require(members.nonEmpty && members.forall(patVars.contains),
+        s"SUBSET $name references undefined pattern variables")
+    }
     measures.foreach {
       case _: MatchNumM => ()
-      case m => require(patVars.contains(m.variable.toUpperCase),
+      case m => require(
+        patVars.contains(m.variable.toUpperCase) ||
+          subsets.contains(m.variable.toUpperCase),
         s"measure references undefined pattern variable ${m.variable}")
     }
 
@@ -244,7 +263,8 @@ object MatchRecognizeSql extends Serializable {
     skipTo.foreach { case (_, v) => require(pattern.exists(_._1 == v),
       s"SKIP TO references undefined pattern variable $v") }
     Spec(selectCols, table, partitionCol.toLowerCase, orderCol.toLowerCase,
-      measures, skipPast, pattern, allRows, within, skipTo, isPermute, groupRep)
+      measures, skipPast, pattern, allRows, within, skipTo, isPermute, groupRep,
+      subsets)
   }
 
   /** Split a DEFINE body on commas that separate entries (`,` followed by
@@ -505,8 +525,11 @@ object MatchRecognizeSql extends Serializable {
       // its measure segments are the concatenation across occurrences
       val altOrder = altVarOrders(m.alt)
       measures.foreach { meas =>
+        // a measure variable may be a SUBSET name: match any member
+        val names: Set[String] = spec.subsets.getOrElse(
+          meas.variable.toUpperCase, Seq(meas.variable.toUpperCase)).toSet
         val poss = altOrder.zipWithIndex.collect {
-          case (v, i) if v == meas.variable.toUpperCase => i }
+          case (v, i) if names(v) => i }
         val cnt = poss.map(m.counts(_)).sum
         def idSeg = poss.flatMap(i => m.ids.slice(offs(i), offs(i) + m.counts(i)))
         def valSeg = poss.flatMap(i => m.vals.slice(offs(i), offs(i) + m.counts(i)))
@@ -748,6 +771,23 @@ object MatchRecognizeSql extends Serializable {
       |  DEFINE A AS event_type = 'view', B AS event_type = 'click'
       |)""".stripMargin
 
+  /** SUBSET union variable: U = (A, B) aggregated across both members. */
+  val matchSubsetSql: String =
+    """SELECT user_id, u_first, u_last, n_u, u_sum FROM events
+      |MATCH_RECOGNIZE (
+      |  PARTITION BY user_id
+      |  ORDER BY ts
+      |  MEASURES FIRST(U.event_id) AS u_first, LAST(U.event_id) AS u_last,
+      |           COUNT(U.*) AS n_u, SUM(U.value) AS u_sum
+      |  ONE ROW PER MATCH
+      |  AFTER MATCH SKIP TO NEXT ROW
+      |  PATTERN (A B)
+      |  SUBSET U = (A, B)
+      |  DEFINE A AS event_type = 'view', B AS event_type = 'click'
+      |)""".stripMargin
+
+  def matchSubset(s: SparkSession, dir: String): DataFrame = run(s, dir, matchSubsetSql)
+
   def matchNumber(s: SparkSession, dir: String): DataFrame = run(s, dir, matchNumberSql)
   def matchMulti(s: SparkSession, dir: String): DataFrame = run(s, dir, matchMultiSql)
 
@@ -766,6 +806,17 @@ object MatchRecognizeSql extends Serializable {
   /** DuckDB oracles (no MATCH_RECOGNIZE there either — expressed with
     * window functions, same derivations as the programmatic CEP oracles). */
   val sql: Map[String, String] = Map(
+    "q_sql_match_subset" ->
+      """WITH o AS (SELECT user_id, event_id, event_type, value,
+        |            CAST(ts AS TIMESTAMP) AS t FROM events),
+        |sq AS (SELECT user_id, event_id AS a_id, event_type AS et0, value AS v0,
+        |  lead(event_type, 1) OVER w AS et1, lead(event_id, 1) OVER w AS b_id,
+        |  lead(value, 1) OVER w AS v1
+        | FROM o WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id))
+        |SELECT user_id, a_id AS u_first, b_id AS u_last,
+        |  CAST(2 AS BIGINT) AS n_u, round(v0 + v1, 6) AS u_sum
+        |FROM sq WHERE et0 = 'view' AND et1 = 'click'
+        |ORDER BY user_id, u_first""".stripMargin,
     "q_sql_match_number" ->
       """WITH o AS (SELECT user_id, event_id, event_type,
         |            CAST(ts AS TIMESTAMP) AS t FROM events),

@@ -236,6 +236,34 @@ class MatchRecognizeSqlSpec extends SparkSpec {
     }
   }
 
+  test("SUBSET union variables parse and validate") {
+    val spec = MatchRecognizeSql.parse(MatchRecognizeSql.matchSubsetSql)
+    assert(spec.subsets === Map("U" -> Seq("A", "B")))
+    // undefined member / shadowing a pattern var both reject
+    intercept[IllegalArgumentException] {
+      MatchRecognizeSql.parse(
+        """SELECT user_id, x FROM events
+          |MATCH_RECOGNIZE (
+          |  PARTITION BY user_id ORDER BY ts
+          |  MEASURES COUNT(U.*) AS x
+          |  PATTERN (A B)
+          |  SUBSET U = (A, C)
+          |  DEFINE A AS TRUE
+          |)""".stripMargin)
+    }
+    intercept[IllegalArgumentException] {
+      MatchRecognizeSql.parse(
+        """SELECT user_id, x FROM events
+          |MATCH_RECOGNIZE (
+          |  PARTITION BY user_id ORDER BY ts
+          |  MEASURES COUNT(A.*) AS x
+          |  PATTERN (A B)
+          |  SUBSET A = (B)
+          |  DEFINE A AS TRUE
+          |)""".stripMargin)
+    }
+  }
+
   test("rejects unsupported statements") {
     intercept[IllegalArgumentException](MatchRecognizeSql.parse("SELECT 1"))
     intercept[IllegalArgumentException](MatchRecognizeSql.parse(
