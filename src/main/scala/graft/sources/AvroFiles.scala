@@ -57,8 +57,9 @@ object AvroFiles {
     val schemaJson = avroSchema(df.schema).toString
     val names = df.schema.fieldNames
     FsCommit.mkdirs(outDir)
+    val childDirs = FsCommit.listDirs(outDir).toSet // one listing, not O(n^2)
     FsCommit.list(outDir).foreach { n =>
-      if (!FsCommit.listDirs(outDir).contains(n)) FsCommit.delete(s"$outDir/$n")
+      if (!childDirs(n)) FsCommit.delete(s"$outDir/$n")
     }
     df.rdd.mapPartitionsWithIndex { (i, it) =>
       if (it.isEmpty) Iterator.empty

@@ -55,8 +55,10 @@ object DdlSql {
     // the expression survives; WATERMARK/PRIMARY KEY entries excluded
     val computedRe = "(?is)^(\\w+)\\s+AS\\s+(.+)$".r
     val computed = splitTopLevel(schemaPart).flatMap {
-      case e if e.toUpperCase.startsWith("WATERMARK") => None
-      case e if e.toUpperCase.startsWith("PRIMARY") => None
+      // match the real productions, not a name prefix — a computed column
+      // named watermark_bucket / primary_flag must not be discarded
+      case e if wmRe.findFirstIn(e).isDefined => None
+      case e if pkRe.findFirstIn(e).isDefined => None
       case computedRe(n, ex) => Some(n -> ex.trim)
       case _ => None
     }

@@ -55,15 +55,15 @@ object FileTopic {
       w.println(s"${esc(k)}\t${esc(v)}")
     } finally w.close()
     val target = f"$dir/segment-$start%016d-${records.size}%08d.jsonl"
-    // a rename over an existing target silently replaces it on POSIX, so
-    // a cross-JVM producer race would lose a segment instead of failing.
-    // `claim` is an atomic create of the segment name: the loser sees
-    // `false` and aborts; the winner renames over its own claim.
-    if (!FsCommit.claim(target)) {
+    // commit-if-absent rename: the COMPLETE tmp file becomes the segment
+    // in one operation, so no reader can ever observe a partial or empty
+    // segment (a claim-file approach would expose an empty visible
+    // segment between claim and fill — phantom records on crash). A
+    // racing producer's rename finds the target taken and aborts.
+    if (!FsCommit.renameIfAbsent(tmp, target)) {
       FsCommit.delete(tmp)
       throw new java.io.IOException(s"append lost the race for $target")
     }
-    FsCommit.renameOverwrite(tmp, target)
   }
 
   private def esc(s: String): String =

@@ -78,7 +78,13 @@ object FsCommit {
 
   /** Rename that REFUSES an existing destination (commit-if-absent).
     * Returns false if the destination already exists — the caller's
-    * "someone else committed first" branch. */
+    * "someone else committed first" branch. Caveat: the LOCAL fast path
+    * (java.nio Files.move) implements refuse-if-exists as an existence
+    * check followed by rename(2), so two committers racing in the same
+    * microsecond window can both "win" with the second silently
+    * replacing the first — callers must tolerate identical-content
+    * double-commit locally (all current callers write deterministic
+    * content); HDFS-class schemes get a truly atomic namenode check. */
   def renameIfAbsent(src: String, dst: String): Boolean =
     if (isLocal(dst)) {
       try { java.nio.file.Files.move(nio(src), nio(dst)); true }

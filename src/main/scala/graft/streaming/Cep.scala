@@ -309,6 +309,10 @@ object Cep {
               Match(key, rows.map(_.event_id), cnts, rows.map(_.value), alt,
                 seq = base + i + 1) }
           if (state.hasTimedOut) {
+            // quiesce flush prunes the key entirely, counter included —
+            // MATCH_NUMBER restarts if the key resumes after the quiet
+            // horizon (the idle-state-retention contract: pruned state is
+            // pruned; the reference's TTL drops NFA state the same way)
             val (out, _) = drain(buf0, atEnd = true)
             state.remove()
             emit(out)
@@ -316,18 +320,28 @@ object Cep {
             val sorted = rows.toSeq.sortBy(e => (StatefulOps.micros(e.ts), e.event_id))
             val all = buf0 ++ sorted
             val (out, rest) = drain(all, atEnd = false)
-            if (rest.nonEmpty || base + out.length > 0) {
-              // counter survives even with an empty buffer so MATCH_NUMBER
-              // stays sequential; the event-time timer (or stream end)
-              // bounds the state's lifetime
-              state.update(CepBuffer(rest, base + out.length))
-              // flush once the key has been event-time quiet for quiesceMs
-              // (must stay ahead of the current watermark or Spark rejects it)
-              if (eventTimeFlush && rest.nonEmpty) {
+            val cnt = base + out.length
+            // every retained state row carries a LIVE quiesce timer, so
+            // per-key state (buffer or bare MATCH_NUMBER counter) is
+            // always bounded by the quiet horizon — never retained
+            // forever. Without a timer facility (NoTimeout variants) a
+            // bare counter is dropped once the buffer drains.
+            def armTimer(): Unit =
+              try {
                 val lastMs = StatefulOps.micros(all.last.ts) / 1000L
                 state.setTimeoutTimestamp(
                   math.max(lastMs + quiesceMs, state.getCurrentWatermarkMs() + 1))
+              } catch {
+                // batch execution has no watermark and never fires timers —
+                // nothing to arm (state dies with the single batch anyway)
+                case _: UnsupportedOperationException => ()
               }
+            if (rest.nonEmpty) {
+              state.update(CepBuffer(rest, cnt))
+              if (eventTimeFlush) armTimer()
+            } else if (eventTimeFlush && cnt > 0) {
+              state.update(CepBuffer(Nil, cnt))
+              armTimer()
             } else state.remove()
             emit(out)
           }

@@ -139,8 +139,11 @@ object TxFileSink {
       .flatMap(m => FsCommit.readString(s"$outDir/$m").split("\n").toSeq)
       .filter(_.nonEmpty)
       .map { line =>
-        val Array(bucket, file) = line.split("\t")
-        bucket -> s"$outDir/$bucket/$file"
+        line.split("\t") match {
+          case Array(bucket, file) => bucket -> s"$outDir/$bucket/$file"
+          case _ => throw new java.io.IOException(
+            s"corrupt rolling-sink manifest line under $outDir: '$line'")
+        }
       }
     val frames = entries.groupBy(_._1).toSeq.sortBy(_._1).map { case (bucket, fs) =>
       s.read.parquet(fs.map(_._2): _*).withColumn(bucketCol, lit(bucket))
