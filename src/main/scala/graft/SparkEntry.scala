@@ -167,6 +167,8 @@ object SparkEntry {
     "q_graph_cc_star"   -> (Graph.docComponentsStar _),
     "q_graph_labelprop" -> (Graph.docLabelProp _),
     "q_graph_pagerank"  -> (Graph.docPageRank _),
+    "q_graph_sssp"      -> (Graph.docSssp _),
+    "q_graph_triangles" -> (Graph.docTriangles _),
     "q_sql_q3"          -> (SqlSurface.q3 _),
     "q_sql_subquery"    -> (SqlSurface.correlatedSubquery _),
     "q_tpch_q4"         -> (SqlSurface.tpchQuery("q_tpch_q4") _),
@@ -192,6 +194,8 @@ object SparkEntry {
     "q_sql_match_number"  -> (streaming.MatchRecognizeSql.matchNumber _),
     "q_sql_match_multi"   -> (streaming.MatchRecognizeSql.matchMulti _),
     "q_sql_match_subset"  -> (streaming.MatchRecognizeSql.matchSubset _),
+    "q_sql_match_xvar"    -> (streaming.MatchRecognizeSql.matchXvar _),
+    "q_sql_match_xvar_min" -> (streaming.MatchRecognizeSql.matchXvarMin _),
     "q_sql_tumble"       -> (GroupWindowSql.tumble _),
     "q_sql_hop"          -> (GroupWindowSql.hop _),
     "q_sql_session"      -> (GroupWindowSql.session _),

@@ -225,6 +225,108 @@ object Graph {
     ranks
   }
 
+  /** Single-source (here: multi-source) shortest paths by synchronous
+    * Bellman-Ford rounds (ref Gelly library/SingleSourceShortestPaths.java:35
+    * — scatter min-distance, gather min): each round every vertex takes
+    * min(own dist, min over in-edges of nbr dist + w). A FIXED round count
+    * keeps the computation DAG identical to the unrolled SQL oracle (same
+    * doubles, same order); `rounds` must be >= the graph's weighted-path
+    * hop diameter for exact convergence. Per-round cost: one shuffle join
+    * on edge src + one min-agg on dst — the scatter-gather asymptotics;
+    * only vertices with a finite dist join (frontier pruning falls out of
+    * the `dist IS NOT NULL` filter).
+    * @param edges   src, dst, w (directed; symmetrize before calling if
+    *                undirected)
+    * @param sources single column `id`, distance 0 */
+  def sssp(edges: DataFrame, sources: DataFrame, rounds: Int): DataFrame = {
+    val verts = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id"))).distinct()
+    var dist = verts
+      .join(sources.select(col("id"), lit(0.0).as("d0")), Seq("id"), "left")
+      .select(col("id"), col("d0").as("dist"))
+      .persistRound()
+    for (_ <- 1 to rounds) {
+      val relax = edges
+        .join(dist.where(col("dist").isNotNull).withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("dist") + col("w")).as("best"))
+      // least() ignores NULLs in both engines: an unreached vertex adopts
+      // `best`, a reached one keeps the smaller of the two
+      dist = dist.join(relax, Seq("id"), "left")
+        .select(col("id"), least(col("dist"), col("best")).as("dist"))
+        .persistRound()
+    }
+    dist.where(col("dist").isNotNull)
+  }
+
+  /** Triangle enumeration with degree-ordered orientation (ref Gelly
+    * library/TriangleEnumerator.java:59): orient each undirected edge from
+    * its lower-(degree, id) endpoint to the higher one, build open triads
+    * on the shared LOW vertex, then close them against the canonical edge
+    * set. Every triangle is emitted exactly once (its unique lowest-order
+    * vertex owns it) and the triad join's fan-out is bounded by the max
+    * ORIENTED out-degree — O(sqrt(m)) on any graph — so a 100M-degree hub
+    * costs sqrt-of-edges, not degree², the exact skew bound the reference's
+    * edge-orientation pass buys.
+    * @param edges src, dst undirected; canonicalized + deduped here
+    * @return t1 < t2 < t3 triangle triples (by vertex id) */
+  def triangles(edges: DataFrame): DataFrame = {
+    val canon = edges.where(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+      .persistRound()
+    val deg = canon.select(col("a").as("id"))
+      .union(canon.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    // orient a->b iff (deg, id)(a) < (deg, id)(b)
+    val oriented = canon
+      .join(deg.select(col("id").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("id").as("b"), col("deg").as("db")), "b")
+      .select(
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")), col("a"))
+          .otherwise(col("b")).as("u"),
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")), col("b"))
+          .otherwise(col("a")).as("v"))
+    val o1 = oriented.select(col("u"), col("v").as("v1"))
+    val o2 = oriented.select(col("u"), col("v").as("v2"))
+    val triads = o1.join(o2, Seq("u")).where(col("v1") < col("v2"))
+    triads
+      .join(canon.withColumnRenamed("a", "ca").withColumnRenamed("b", "cb"),
+        col("ca") === least(col("v1"), col("v2")) &&
+          col("cb") === greatest(col("v1"), col("v2")))
+      .select(array_sort(array(col("u"), col("v1"), col("v2"))).as("t"))
+      .select(col("t").getItem(0).as("t1"), col("t").getItem(1).as("t2"),
+        col("t").getItem(2).as("t3"))
+  }
+
+  /** Weighted distance from the dedup KEEP set through the near-dup graph:
+    * sources are docs with no smaller near-dup neighbor (exactly the
+    * survivors of ngramDedupKeep), weight = 1 - jaccard. Answers "how far
+    * is each dropped doc from a retained representative". */
+  def docSssp(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.ngramJaccardPairsShared(s, dir)
+    val w = round(lit(1.0) - col("j"), 4).as("w")
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"), w)
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"), w))
+    // canonical pairs have doc_a < doc_b: a doc never appearing as doc_b
+    // has no smaller neighbor — the keep-first dedup survivor set
+    val endpoints = pairs.select(col("doc_a").as("id"))
+      .union(pairs.select(col("doc_b").as("id"))).distinct()
+    val sources = endpoints.join(
+      pairs.select(col("doc_b").as("id")).distinct(), Seq("id"), "left_anti")
+    sssp(edges, sources, rounds = 5)
+      .select(col("id").as("doc_id"), round(col("dist"), 6).as("dist"))
+      .orderBy("doc_id")
+  }
+
+  /** Triangles of the near-dup pair graph (mutual near-dup trios). */
+  def docTriangles(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.ngramJaccardPairsShared(s, dir)
+    triangles(pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+      .orderBy("t1", "t2", "t3")
+  }
+
   def docLabelProp(s: SparkSession, dir: String): DataFrame = {
     val pairs = Dedup.ngramJaccardPairsShared(s, dir)
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
@@ -289,7 +391,42 @@ object Graph {
     |    GROUP BY e.dst) s ON s.id = v.id)""".stripMargin
   }
 
+  /** Weighted near-dup edges (keeps j) + multi-source init for the SSSP
+    * oracle: sources = canonical-pair local minima (never a doc_b). */
+  private val ssspCtes: String = graft.LlmOracles.shinglesCte + """,
+    |pj AS (
+    | SELECT doc_a, doc_b, j FROM (
+    |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    |   round(len(list_intersect(a.s, b.s))::DOUBLE /
+    |         (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS j
+    |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id) WHERE j >= 0.5),
+    |wedges AS (SELECT doc_a AS src, doc_b AS dst, round(1.0 - j, 4) AS w FROM pj
+    |           UNION ALL SELECT doc_b, doc_a, round(1.0 - j, 4) FROM pj),
+    |vertsw AS (SELECT DISTINCT src AS id FROM wedges),
+    |d0 AS (SELECT v.id, CASE WHEN v.id NOT IN (SELECT doc_b FROM pj)
+    |         THEN 0.0 END AS dist
+    |       FROM vertsw v)""".stripMargin
+
+  private def ssspRound(i: Int): String = {
+    val prev = s"d${i - 1}"
+    s""",
+    |x$i AS (SELECT e.dst AS id, min(d.dist + e.w) AS best
+    |  FROM wedges e JOIN $prev d ON d.id = e.src AND d.dist IS NOT NULL
+    |  GROUP BY e.dst),
+    |d$i AS (SELECT v.id, least(v.dist, r.best) AS dist
+    |  FROM $prev v LEFT JOIN x$i r ON r.id = v.id)""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
+    "q_graph_sssp" -> (ssspCtes + (1 to 5).map(ssspRound).mkString + """
+      |SELECT id AS doc_id, round(dist, 6) AS dist FROM d5
+      |WHERE dist IS NOT NULL ORDER BY doc_id""".stripMargin),
+    "q_graph_triangles" -> (graphCtes + """
+      |SELECT e1.doc_a AS t1, e1.doc_b AS t2, e2.doc_b AS t3
+      |FROM pairs e1
+      |JOIN pairs e2 ON e2.doc_a = e1.doc_a AND e2.doc_b > e1.doc_b
+      |JOIN pairs e3 ON e3.doc_a = e1.doc_b AND e3.doc_b = e2.doc_b
+      |ORDER BY 1, 2, 3""".stripMargin),
     "q_graph_labelprop" -> (graphCtes +
       ",\nl0 AS (SELECT id, id AS label FROM verts)" +
       (1 to 3).map(lpRound).mkString +

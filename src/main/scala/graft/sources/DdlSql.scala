@@ -138,6 +138,36 @@ object DdlSql {
   private val dropRe = "(?is)^\\s*DROP\\s+(?:TABLE|VIEW)\\s+(?:IF\\s+EXISTS\\s+)?(\\w+)\\s*$".r
   private val showRe = "(?is)^\\s*SHOW\\s+TABLES\\s*$".r
   private val descRe = "(?is)^\\s*DESC(?:RIBE)?\\s+(\\w+)\\s*$".r
+  // ALTER TABLE verbs (ref flink-sql-parser parserImpls.ftl:430
+  // SqlAlterTable — the 1.12 surface is RENAME TO + SET ('k' = 'v')):
+  private val alterRenameRe =
+    "(?is)^\\s*ALTER\\s+TABLE\\s+(\\w+)\\s+RENAME\\s+TO\\s+(\\w+)\\s*$".r
+  private val alterSetRe =
+    "(?is)^\\s*ALTER\\s+TABLE\\s+(\\w+)\\s+SET\\s*\\((.*)\\)\\s*$".r
+  // CREATE FUNCTION name AS 'impl' (ref parserImpls.ftl SqlCreateFunction):
+  private val createFnRe =
+    ("(?is)^\\s*CREATE\\s+(?:TEMPORARY\\s+)?(?:SYSTEM\\s+)?FUNCTION\\s+" +
+      "(?:IF\\s+NOT\\s+EXISTS\\s+)?(\\w+)\\s+AS\\s+'([^']+)'" +
+      "(?:\\s+LANGUAGE\\s+(?:JAVA|SCALA))?\\s*$").r
+  private val dropFnRe =
+    "(?is)^\\s*DROP\\s+(?:TEMPORARY\\s+)?FUNCTION\\s+(?:IF\\s+EXISTS\\s+)?(\\w+)\\s*$".r
+
+  /** Implementation classes resolvable by CREATE FUNCTION ... AS '<class>'
+    * — the engine's codegen expressions (the reference resolves the class
+    * reflectively from the user jar; here the loadable set is the library's
+    * own expression classes, keyed by their fully-qualified names). */
+  private val functionImpls: Map[String, Seq[org.apache.spark.sql.catalyst.expressions.Expression] => org.apache.spark.sql.catalyst.expressions.Expression] = {
+    import graft.functions._
+    Map(
+      "graft.functions.IsDecimalExpr" -> (es => IsDecimalExpr(es.head)),
+      "graft.functions.IsDigitExpr" -> (es => IsDigitExpr(es.head)),
+      "graft.functions.IsAlphaExpr" -> (es => IsAlphaExpr(es.head)),
+      "graft.functions.HashCodeExpr" -> (es => HashCodeExpr(es.head)),
+      "graft.functions.VecDot" -> (es => VecDot(es.head, es(1))),
+      "graft.functions.MinHash32Expr" -> (es => MinHash32Expr(es.head)),
+      "graft.functions.SimHash60Expr" -> (es => SimHash60Expr(es.head)),
+      "graft.functions.Sum0" -> (es => Sum0(es.head).toAggregateExpression()))
+  }
 
   /** Statement dispatcher over the catalog-verb subset (ref
     * flink-sql-parser parserImpls.ftl:90-466 — CREATE TABLE / CREATE VIEW
@@ -149,6 +179,52 @@ object DdlSql {
   def execute(s: SparkSession, stmt: String): DataFrame = {
     import s.implicits._
     stmt match {
+      case alterRenameRe(from, to) =>
+        val entry = Option(catalog.get(from)).getOrElse(
+          throw new IllegalArgumentException(s"table $from not found in catalog"))
+        require(!catalog.containsKey(to), s"table $to already exists")
+        entry.descriptor match {
+          case Some(d) =>
+            val renamed = d.copy(name = to)
+            Descriptors.table(s, renamed)
+            catalog.put(to, CatalogEntry(entry.kind, Some(renamed), None))
+          case None =>
+            s.sql(entry.viewText.getOrElse(s"SELECT * FROM $from"))
+              .createOrReplaceTempView(to)
+            catalog.put(to, entry)
+        }
+        s.catalog.dropTempView(from)
+        catalog.remove(from)
+        Seq("OK").toDF("result")
+      case alterSetRe(name, optsPart) =>
+        val entry = Option(catalog.get(name)).getOrElse(
+          throw new IllegalArgumentException(s"table $name not found in catalog"))
+        val d = entry.descriptor.getOrElse(
+          throw new IllegalArgumentException(s"$name is a view — ALTER TABLE SET needs a table"))
+        val opts = optRe.findAllMatchIn(optsPart)
+          .map(m => m.group(1) -> m.group(2)).toMap
+        require(opts.nonEmpty, "ALTER TABLE SET with no options")
+        val unknown = opts.keySet -- Set("path", "timestamp.nanos")
+        require(unknown.isEmpty, s"unsupported ALTER TABLE SET options: $unknown")
+        val updated = d.copy(
+          path = opts.getOrElse("path", d.path),
+          tsNanosAsLong = opts.get("timestamp.nanos")
+            .map(_ == "true").getOrElse(d.tsNanosAsLong))
+        Descriptors.table(s, updated) // re-register the view over the new options
+        catalog.put(name, CatalogEntry("TABLE", Some(updated), None))
+        Seq("OK").toDF("result")
+      case createFnRe(name, impl) =>
+        val builder = functionImpls.getOrElse(impl,
+          throw new IllegalArgumentException(
+            s"CREATE FUNCTION: unknown implementation class '$impl' " +
+              s"(loadable: ${functionImpls.keys.toSeq.sorted.mkString(", ")})"))
+        s.sessionState.functionRegistry.createOrReplaceTempFunction(
+          name, builder, "scala_udf")
+        Seq("OK").toDF("result")
+      case dropFnRe(name) =>
+        s.sessionState.functionRegistry.dropFunction(
+          org.apache.spark.sql.catalyst.FunctionIdentifier(name))
+        Seq("OK").toDF("result")
       case createViewRe(name, query) =>
         s.sql(query).createOrReplaceTempView(name)
         catalog.put(name, CatalogEntry("VIEW", None, Some(query)))

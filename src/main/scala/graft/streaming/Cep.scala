@@ -72,7 +72,9 @@ object Cep {
     * candidate row) and must hold for the row to join the repetition.
     * Ref: flink-cep cep/pattern/Quantifier.java compiled by NFACompiler. */
   case class QStep(pred: Event => Boolean, min: Int, max: Int, greedy: Boolean,
-                   agg: Option[(Int, Double, Event) => Boolean] = None)
+                   agg: Option[(Int, Double, Event) => Boolean] = None,
+                   name: String = "",
+                   xagg: Option[(Map[String, IndexedSeq[Event]], Event) => Boolean] = None)
   object QStep {
     def once(p: Event => Boolean): QStep = QStep(p, 1, 1, greedy = true)
     def times(p: Event => Boolean, n: Int): QStep = QStep(p, n, n, greedy = true)
@@ -212,8 +214,34 @@ object Cep {
           val st = steps(si)
           var run = 0
           var runSum = 0.0
+          // Cross-variable DEFINE aggregates (ref NFA.java evaluating DEFINE
+          // against the partial match's shared buffer, SharedBuffer.java):
+          // the candidate's predicate may read the rows OTHER variables have
+          // matched so far in this attempt. Built per-candidate only when a
+          // step declares xagg — rows of completed steps (acc/cacc) keyed by
+          // step name, multi-occurrence names concatenated in match order,
+          // plus the current repetition's rows under this step's name.
+          def varRowsSoFar(): Map[String, IndexedSeq[Event]] = {
+            val ordered = acc.reverse.toIndexedSeq
+            val counts = cacc.reverse
+            val byVar = scala.collection.mutable.LinkedHashMap
+              .empty[String, IndexedSeq[Event]]
+            var off = 0
+            var i = 0
+            while (i < counts.length) {
+              val nm = steps(i).name
+              byVar(nm) = byVar.getOrElse(nm, IndexedSeq.empty) ++
+                ordered.slice(off, off + counts(i))
+              off += counts(i)
+              i += 1
+            }
+            val cur = (0 until run).map(k => buf(pos + k))
+            byVar(st.name) = byVar.getOrElse(st.name, IndexedSeq.empty) ++ cur
+            byVar.toMap.withDefaultValue(IndexedSeq.empty)
+          }
           def admits(e: Event): Boolean =
-            st.pred(e) && st.agg.forall(f => f(run, runSum, e))
+            st.pred(e) && st.agg.forall(f => f(run, runSum, e)) &&
+              st.xagg.forall(f => f(varRowsSoFar(), e))
           while (pos + run < buf.length && run < st.max && admits(buf(pos + run))) {
             runSum += buf(pos + run).value
             run += 1

@@ -35,9 +35,15 @@ import org.apache.spark.sql.functions.col
   * where <pred> is a full boolean expression — AND/OR/NOT with
   * parentheses — over comparisons `field op literal` (fields
   * event_type/value/user_id/event_id), TRUE, and RUNNING aggregate
-  * conjuncts `SUM(V.value) op n` / `COUNT(V.*) op n` over the variable's
-  * own rows (top-level AND position only; the reference additionally
-  * allows cross-variable aggregates through the shared buffer). A pattern
+  * conjuncts `{SUM|COUNT|MIN|MAX|AVG}(W.value|W.*) op {n | V.field}`
+  * (top-level AND position only) where W is ANY pattern variable — the
+  * cross-variable form reads the rows W has matched so far in the partial
+  * match (the reference evaluates DEFINE against the shared buffer,
+  * flink-cep nfa/sharedbuffer/SharedBuffer.java), e.g.
+  * `DEFINE B AS SUM(A.value) > B.value`; the RHS field reference must be
+  * the defined variable itself (= the current row). An aggregate over a
+  * variable that has matched no rows yet is SQL NULL — the comparison is
+  * false (COUNT is 0, not NULL). A pattern
   * variable without a DEFINE matches any row (SQL default). `V.event_id`
   * in MEASURES means LAST(V.event_id) (the standard's ONE ROW PER MATCH
   * semantics). SKIP TO FIRST/LAST of a variable that matched no rows, or
@@ -160,7 +166,7 @@ object MatchRecognizeSql extends Serializable {
       case None    => (true, None) // SQL default: SKIP PAST LAST ROW
     }
 
-    val defines: Map[String, (Event => Boolean, Option[(Int, Double, Event) => Boolean])] =
+    val defines: Map[String, CompiledDefine] =
       defineRe.findFirstMatchIn(body).map(_.group(1)).toSeq
         .flatMap(splitTopLevel)
         .map { d =>
@@ -210,16 +216,16 @@ object MatchRecognizeSql extends Serializable {
           // SQL default for an un-DEFINEd variable is "matches any row" —
           // any *user* row; the engine-internal sentinel must never match
           // (compiled predicates guard identically for defined variables).
-          val (pred, agg) = defines.getOrElse(v.toUpperCase,
-            (((e: Event) => e.event_type != "__sentinel"), None))
+          val cd = defines.getOrElse(v.toUpperCase,
+            CompiledDefine((e: Event) => e.event_type != "__sentinel", None, None))
           val step = (Option(quant) match {
-            case None       => Cep.QStep.once(pred)
-            case Some("+")  => Cep.QStep.oneOrMore(pred)
-            case Some("+?") => Cep.QStep.oneOrMore(pred, greedy = false)
-            case Some("*")  => Cep.QStep.zeroOrMore(pred)
-            case Some("*?") => Cep.QStep.zeroOrMore(pred, greedy = false)
-            case Some(_)    => Cep.QStep.times(pred, times.toInt)
-          }).copy(agg = agg)
+            case None       => Cep.QStep.once(cd.rowPred)
+            case Some("+")  => Cep.QStep.oneOrMore(cd.rowPred)
+            case Some("+?") => Cep.QStep.oneOrMore(cd.rowPred, greedy = false)
+            case Some("*")  => Cep.QStep.zeroOrMore(cd.rowPred)
+            case Some("*?") => Cep.QStep.zeroOrMore(cd.rowPred, greedy = false)
+            case Some(_)    => Cep.QStep.times(cd.rowPred, times.toInt)
+          }).copy(agg = cd.agg, name = v.toUpperCase, xagg = cd.xagg)
           v.toUpperCase -> step
         case t => throw new IllegalArgumentException(s"bad pattern token: $t")
       }
@@ -232,6 +238,10 @@ object MatchRecognizeSql extends Serializable {
     val patVars = pattern.map(_._1)
     require(patVars.distinct == patVars,
       "a pattern variable may appear only once in this subset")
+    defines.foreach { case (v, cd) =>
+      cd.aggVars.foreach(w => require(patVars.contains(w),
+        s"DEFINE $v aggregates over $w, which is not a pattern variable"))
+    }
     if (groupRep.isDefined)
       require(skipTo.isEmpty,
         "SKIP TO FIRST/LAST with a grouped repetition is out of subset")
@@ -288,13 +298,18 @@ object MatchRecognizeSql extends Serializable {
 
   private sealed trait Px
   private case class RowCmp(f: Event => Boolean) extends Px
-  private case class AggCmp(fn: String, variable: String, op: String, x: Double) extends Px
+  /** Aggregate conjunct `fn(variable.value) op (lit | rhsField-of-self)`:
+    * `lit` xor `rhsField` is set; `rhsField` reads the CURRENT row (the
+    * defined variable's candidate). */
+  private case class AggCmp(fn: String, variable: String, op: String,
+                            lit: Option[Double], rhsField: Option[String]) extends Px
   private case class PAnd(l: Px, r: Px) extends Px
   private case class POr(l: Px, r: Px) extends Px
   private case class PNot(p: Px) extends Px
 
   private val aggAtomRe =
-    "(?is)^(SUM|COUNT)\\s*\\(\\s*(\\w+)\\.(value|\\*)\\s*\\)\\s*(<=|>=|<>|!=|<|>|=)\\s*([-0-9.eE]+)".r
+    ("(?is)^(SUM|COUNT|MIN|MAX|AVG)\\s*\\(\\s*(\\w+)\\.(value|\\*)\\s*\\)\\s*" +
+      "(<=|>=|<>|!=|<|>|=)\\s*(?:([-0-9.eE]+)|(\\w+)\\.(value|user_id|event_id))").r
 
   private class PredParser(text: String) {
     private var rest = text.trim
@@ -335,8 +350,15 @@ object MatchRecognizeSql extends Serializable {
       aggAtomRe.findFirstMatchIn(rest) match {
         case Some(m) =>
           rest = rest.substring(m.end)
+          val (lit, rhsField) =
+            if (m.group(5) != null) (Some(m.group(5).toDouble), None)
+            else {
+              // RHS `W.field` reads the CURRENT row; the parser records the
+              // qualifier for compileDefine to check against the defined var
+              (None, Some((m.group(6).toUpperCase, m.group(7).toLowerCase)))
+            }
           return AggCmp(m.group(1).toUpperCase, m.group(2).toUpperCase,
-            m.group(4), m.group(5).toDouble)
+            m.group(4), lit, rhsField.map { case (q, f) => s"$q.$f" })
         case None => ()
       }
       if (eat("TRUE")) return RowCmp(_ => true)
@@ -395,12 +417,23 @@ object MatchRecognizeSql extends Serializable {
     }
   }
 
-  /** Compile one DEFINE body into (row predicate, optional running-agg
-    * predicate). The engine-internal sentinel row never matches. */
-  def compileDefine(varName: String, text: String)
-      : (Event => Boolean, Option[(Int, Double, Event) => Boolean]) = {
+  /** Compiled DEFINE body: row predicate + optional same-variable running
+    * aggregate (the fast path the matcher folds incrementally) + optional
+    * cross-variable aggregate over the partial match's per-variable rows. */
+  case class CompiledDefine(rowPred: Event => Boolean,
+                            agg: Option[(Int, Double, Event) => Boolean],
+                            xagg: Option[(Map[String, IndexedSeq[Event]], Event) => Boolean],
+                            aggVars: Set[String] = Set.empty)
+
+  /** Compile one DEFINE body. The engine-internal sentinel row never
+    * matches. Same-variable SUM/COUNT against a literal keep the
+    * incremental (cnt, sum) fast path; aggregates over ANOTHER variable,
+    * MIN/MAX/AVG, and field-valued RHS go through the cross-variable path
+    * reading the partial match's per-variable rows (ref NFA.java DEFINE
+    * evaluation against SharedBuffer.java's partial-match rows). */
+  def compileDefine(varName: String, text: String): CompiledDefine = {
     val ast = new PredParser(text).parse()
-    // aggregates: only top-level AND conjuncts of this variable's DEFINE
+    // aggregates: only top-level AND conjuncts of the variable's DEFINE
     def split(p: Px): (List[Px], List[AggCmp]) = p match {
       case PAnd(l, r) =>
         val (rl, al) = split(l); val (rr, ar) = split(r)
@@ -423,32 +456,63 @@ object MatchRecognizeSql extends Serializable {
       case PAnd(l, r) => evalRow(l, e) && evalRow(r, e)
       case POr(l, r) => evalRow(l, e) || evalRow(r, e)
       case PNot(x) => !evalRow(x, e)
-      case _: AggCmp => true // stripped into the agg predicate
+      case _: AggCmp => true // stripped into the agg predicates
     }
     val (rowParts, aggParts) = split(ast)
-    aggParts.foreach(a => require(a.variable == varName,
-      s"aggregate over ${a.variable} inside DEFINE $varName: only the variable's own " +
-        "rows are aggregatable in this subset"))
+    aggParts.foreach { a =>
+      a.rhsField.foreach { rf =>
+        val q = rf.split("\\.")(0)
+        require(q == varName,
+          s"aggregate RHS field $rf inside DEFINE $varName must reference the " +
+            "defined variable (the current row) in this subset")
+      }
+    }
+    val (fastParts, xParts) = aggParts.partition(a =>
+      a.variable == varName && a.lit.isDefined && (a.fn == "SUM" || a.fn == "COUNT"))
     val rowPred: Event => Boolean = { e =>
       e.event_type != "__sentinel" && rowParts.forall(evalRow(_, e))
     }
     val agg: Option[(Int, Double, Event) => Boolean] =
-      if (aggParts.isEmpty) None
+      if (fastParts.isEmpty) None
       else Some { (cnt, sum, e) =>
-        aggParts.forall { a =>
+        fastParts.forall { a =>
           val c = cmpNum(a.op)
           a.fn match {
-            case "SUM" => c(sum + e.value, a.x)
-            case _     => c(cnt + 1.0, a.x) // COUNT including the candidate
+            case "SUM" => c(sum + e.value, a.lit.get)
+            case _     => c(cnt + 1.0, a.lit.get) // COUNT incl. the candidate
           }
         }
       }
-    (rowPred, agg)
+    val xagg: Option[(Map[String, IndexedSeq[Event]], Event) => Boolean] =
+      if (xParts.isEmpty) None
+      else Some { (vars, e) =>
+        xParts.forall { a =>
+          val rows0 = vars(a.variable)
+          // own-variable aggregates are RUNNING: include the candidate row
+          val rows = if (a.variable == varName) rows0 :+ e else rows0
+          val rhs: Double = a.lit.getOrElse(a.rhsField.get.split("\\.")(1) match {
+            case "value"    => e.value
+            case "user_id"  => e.user_id.toDouble
+            case _          => e.event_id.toDouble
+          })
+          val c = cmpNum(a.op)
+          a.fn match {
+            case "COUNT"            => c(rows.length.toDouble, rhs)
+            // SUM/MIN/MAX/AVG of no rows is SQL NULL: comparison is false
+            case _ if rows.isEmpty  => false
+            case "SUM"              => c(rows.map(_.value).sum, rhs)
+            case "MIN"              => c(rows.map(_.value).min, rhs)
+            case "MAX"              => c(rows.map(_.value).max, rhs)
+            case _                  => c(rows.map(_.value).sum / rows.length, rhs)
+          }
+        }
+      }
+    CompiledDefine(rowPred, agg, xagg, aggParts.map(_.variable).toSet)
   }
 
   /** Back-compat shim for row-only predicates (parser spec entry point). */
   private[streaming] def compilePred(text: String): Event => Boolean =
-    compileDefine("_", text)._1
+    compileDefine("_", text).rowPred
 
   // ---------------------------------------------------------------- running
 
@@ -516,7 +580,16 @@ object MatchRecognizeSql extends Serializable {
     }
     def round6(x: Double): Double =
       BigDecimal(x).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+    // ADVICE r6: the k==GroupRepCap expansion matching means a LONGER match
+    // may have been truncated (the oracle's recursive walk is uncapped) —
+    // surface the limit loudly instead of leaving a silent hash mismatch.
+    val capAltFired = spec.groupRep.isDefined
     val rows = out.map { m =>
+      if (capAltFired && m.alt == 0)
+        Console.err.println(
+          s"[match-recognize] WARNING: grouped repetition matched at the " +
+            s"GroupRepCap=$GroupRepCap expansion for key ${m.user_id} — a longer " +
+            "match may have been truncated (documented subset limit)")
       val offs = m.counts.scanLeft(0)(_ + _)
       val longs = Seq.newBuilder[Option[Long]]
       val dbls = Seq.newBuilder[Option[Double]]
@@ -580,7 +653,13 @@ object MatchRecognizeSql extends Serializable {
                          sqlText: String,
                          altVarOrders: Seq[Seq[String]]): DataFrame = {
     import s.implicits._
+    val capAltFired = spec.groupRep.isDefined
     val rows = out.flatMap { m =>
+      if (capAltFired && m.alt == 0)
+        Console.err.println(
+          s"[match-recognize] WARNING: grouped repetition matched at the " +
+            s"GroupRepCap=$GroupRepCap expansion for key ${m.user_id} — a longer " +
+            "match may have been truncated (documented subset limit)")
       // classifier names follow the alternative that actually matched —
       // under PERMUTE a non-first permutation reorders the variables.
       val varNames = altVarOrders(m.alt)
@@ -771,6 +850,40 @@ object MatchRecognizeSql extends Serializable {
       |  DEFINE A AS event_type = 'view', B AS event_type = 'click'
       |)""".stripMargin
 
+  /** Cross-variable DEFINE aggregate: B's predicate reads SUM over A's
+    * matched rows (ref NFA.java DEFINE evaluation against the shared
+    * buffer) — a purchase closes the view run only if the run's value
+    * total exceeds the purchase's own value. */
+  val matchXvarSql: String =
+    """SELECT user_id, a_first, a_sum, b_id, n_a FROM events
+      |MATCH_RECOGNIZE (
+      |  PARTITION BY user_id
+      |  ORDER BY ts
+      |  MEASURES FIRST(A.event_id) AS a_first, SUM(A.value) AS a_sum,
+      |           B.event_id AS b_id, COUNT(A.*) AS n_a
+      |  ONE ROW PER MATCH
+      |  AFTER MATCH SKIP TO NEXT ROW
+      |  PATTERN (A+ B)
+      |  DEFINE A AS event_type = 'view',
+      |         B AS event_type = 'purchase' AND SUM(A.value) > B.value
+      |)""".stripMargin
+
+  /** Cross-variable MIN against a literal — exercises the non-SUM branch
+    * and the own-variable form routed through the shared-rows path. */
+  val matchXvarMinSql: String =
+    """SELECT user_id, a_first, a_min, b_id FROM events
+      |MATCH_RECOGNIZE (
+      |  PARTITION BY user_id
+      |  ORDER BY ts
+      |  MEASURES FIRST(A.event_id) AS a_first, MIN(A.value) AS a_min,
+      |           B.event_id AS b_id
+      |  ONE ROW PER MATCH
+      |  AFTER MATCH SKIP TO NEXT ROW
+      |  PATTERN (A{2} B)
+      |  DEFINE A AS event_type = 'view',
+      |         B AS event_type = 'purchase' AND MIN(A.value) < 50
+      |)""".stripMargin
+
   /** SUBSET union variable: U = (A, B) aggregated across both members. */
   val matchSubsetSql: String =
     """SELECT user_id, u_first, u_last, n_u, u_sum FROM events
@@ -787,6 +900,8 @@ object MatchRecognizeSql extends Serializable {
       |)""".stripMargin
 
   def matchSubset(s: SparkSession, dir: String): DataFrame = run(s, dir, matchSubsetSql)
+  def matchXvar(s: SparkSession, dir: String): DataFrame = run(s, dir, matchXvarSql)
+  def matchXvarMin(s: SparkSession, dir: String): DataFrame = run(s, dir, matchXvarMinSql)
 
   def matchNumber(s: SparkSession, dir: String): DataFrame = run(s, dir, matchNumberSql)
   def matchMulti(s: SparkSession, dir: String): DataFrame = run(s, dir, matchMultiSql)
@@ -806,6 +921,38 @@ object MatchRecognizeSql extends Serializable {
   /** DuckDB oracles (no MATCH_RECOGNIZE there either — expressed with
     * window functions, same derivations as the programmatic CEP oracles). */
   val sql: Map[String, String] = Map(
+    "q_sql_match_xvar" ->
+      """WITH o AS (SELECT user_id, event_id, event_type, value,
+        |            row_number() OVER (PARTITION BY user_id
+        |              ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+        |           FROM events),
+        |g AS (SELECT *, sum(CASE WHEN event_type = 'view' THEN 0 ELSE 1 END)
+        |        OVER (PARTITION BY user_id ORDER BY rn) AS grp FROM o),
+        |v AS (SELECT user_id, grp, rn, event_id, value,
+        |        sum(value) OVER (PARTITION BY user_id, grp ORDER BY rn
+        |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS ssum,
+        |        count(*) OVER (PARTITION BY user_id, grp ORDER BY rn
+        |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS scnt,
+        |        max(rn) OVER (PARTITION BY user_id, grp) AS end_rn
+        |      FROM g WHERE event_type = 'view'),
+        |p AS (SELECT user_id, rn, event_id, value FROM o
+        |      WHERE event_type = 'purchase')
+        |SELECT v.user_id, v.event_id AS a_first, round(v.ssum, 6) AS a_sum,
+        |       p.event_id AS b_id, CAST(v.scnt AS BIGINT) AS n_a
+        |FROM v JOIN p ON p.user_id = v.user_id AND p.rn = v.end_rn + 1
+        |WHERE v.ssum > p.value
+        |ORDER BY v.user_id, a_first""".stripMargin,
+    "q_sql_match_xvar_min" ->
+      """WITH o AS (SELECT user_id, event_id, event_type, value,
+        |            CAST(ts AS TIMESTAMP) AS t FROM events),
+        |sq AS (SELECT user_id, event_id AS a_first, value AS v0, event_type AS et0,
+        |  lead(event_type, 1) OVER w AS et1, lead(value, 1) OVER w AS v1,
+        |  lead(event_type, 2) OVER w AS et2, lead(event_id, 2) OVER w AS b_id
+        | FROM o WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id))
+        |SELECT user_id, a_first, round(least(v0, v1), 6) AS a_min, b_id
+        |FROM sq WHERE et0 = 'view' AND et1 = 'view' AND et2 = 'purchase'
+        |  AND least(v0, v1) < 50
+        |ORDER BY user_id, a_first""".stripMargin,
     "q_sql_match_subset" ->
       """WITH o AS (SELECT user_id, event_id, event_type, value,
         |            CAST(ts AS TIMESTAMP) AS t FROM events),

@@ -95,21 +95,89 @@ class MatchRecognizeSqlSpec extends SparkSpec {
     assert(f(1, 100.0, StreamSource.Event(2L, t, 7L, "view", 50.0))) // 150 <= 150
   }
 
-  test("aggregate placement rules: top-level AND only, own variable only") {
+  test("aggregate placement rules: top-level AND only; cross-var routes to xagg") {
     intercept[IllegalArgumentException] {
       MatchRecognizeSql.compileDefine("A",
         "event_type = 'view' OR SUM(A.value) < 10") // agg under OR
     }
-    intercept[IllegalArgumentException] {
-      MatchRecognizeSql.compileDefine("A",
-        "event_type = 'view' AND SUM(B.value) < 10") // someone else's rows
-    }
-    // legal: conjunct of the variable's own define
-    val (p, agg) = MatchRecognizeSql.compileDefine("A",
+    // own variable + literal SUM/COUNT: incremental fast path
+    val own = MatchRecognizeSql.compileDefine("A",
       "event_type = 'view' AND COUNT(A.*) <= 3")
-    assert(agg.nonEmpty)
-    assert(agg.get(2, 0.0, StreamSource.Event(1L, new java.sql.Timestamp(0), 1L, "view", 0)))
-    assert(!agg.get(3, 0.0, StreamSource.Event(1L, new java.sql.Timestamp(0), 1L, "view", 0)))
+    assert(own.agg.nonEmpty && own.xagg.isEmpty)
+    assert(own.agg.get(2, 0.0, StreamSource.Event(1L, new java.sql.Timestamp(0), 1L, "view", 0)))
+    assert(!own.agg.get(3, 0.0, StreamSource.Event(1L, new java.sql.Timestamp(0), 1L, "view", 0)))
+    // another variable's rows: cross-variable path (ref SharedBuffer)
+    val x = MatchRecognizeSql.compileDefine("B",
+      "event_type = 'purchase' AND SUM(A.value) > B.value")
+    assert(x.agg.isEmpty && x.xagg.nonEmpty && x.aggVars === Set("A"))
+    val t = new java.sql.Timestamp(0L)
+    def e(id: Long, et: String, v: Double) = StreamSource.Event(id, t, 1L, et, v)
+    val vars = Map("A" -> IndexedSeq(e(1, "view", 30.0), e(2, "view", 25.0)))
+      .withDefaultValue(IndexedSeq.empty[StreamSource.Event])
+    assert(x.xagg.get(vars, e(3, "purchase", 50.0)))   // 55 > 50
+    assert(!x.xagg.get(vars, e(3, "purchase", 60.0)))  // 55 <= 60
+    // aggregate over a var with NO rows yet: SQL NULL comparison → false
+    assert(!x.xagg.get(Map.empty[String, IndexedSeq[StreamSource.Event]]
+      .withDefaultValue(IndexedSeq.empty), e(3, "purchase", 1.0)))
+    // RHS field of a foreign variable is rejected
+    intercept[IllegalArgumentException] {
+      MatchRecognizeSql.compileDefine("B",
+        "event_type = 'purchase' AND SUM(A.value) > A.value")
+    }
+    // parse-time validation: aggregating a non-pattern variable rejects
+    intercept[IllegalArgumentException] {
+      MatchRecognizeSql.parse(
+        """SELECT user_id, x FROM events
+          |MATCH_RECOGNIZE (
+          |  PARTITION BY user_id ORDER BY ts
+          |  MEASURES COUNT(A.*) AS x
+          |  PATTERN (A B)
+          |  DEFINE B AS SUM(Z.value) > 1
+          |)""".stripMargin)
+    }
+  }
+
+  test("cross-variable DEFINE aggregate end-to-end (fixture) and PERMUTE interaction") {
+    import spark.implicits._
+    def ev(id: Long, sec: Int, et: String, v: Double) =
+      StreamSource.Event(id, new java.sql.Timestamp(sec * 1000L), 1L, et, v)
+    // views 30+25=55, purchase 50 (55>50 matches), purchase 60 (no match)
+    val events = spark.createDataset(Seq(
+      ev(1, 1, "view", 30.0), ev(2, 2, "view", 25.0), ev(3, 3, "purchase", 50.0),
+      ev(4, 4, "view", 5.0), ev(5, 5, "purchase", 60.0)))
+    val spec = MatchRecognizeSql.parse(MatchRecognizeSql.matchXvarSql)
+    val steps = spec.pattern.map(_._2)
+    assert(steps(1).xagg.nonEmpty && steps(1).name === "B" && steps(0).name === "A")
+    val got = Cep.matchRecognizeOrderedSkip(events, steps, Cep.SkipToNextRow)
+      .collect().sortBy(_.ids.head).map(m => (m.ids, m.vals)).toSeq
+    // start 1: A=[1,2] sum 55 > 50 → match; start 2: A=[2] sum 25 <= 50 →
+    // no match; start 4: A=[4] sum 5 <= 60 → no match
+    assert(got === Seq((Seq(1L, 2L, 3L), Seq(30.0, 25.0, 50.0))))
+    // PERMUTE interaction: B's DEFINE reads SUM(A.value); in the B-first
+    // alternative A has no rows yet → NULL comparison → B cannot open the
+    // match, so only the A-then-B order can fire (the reference's partial
+    // match would equally have an empty A buffer).
+    val permEvents = spark.createDataset(Seq(
+      ev(1, 1, "purchase", 10.0), ev(2, 2, "view", 30.0),
+      ev(3, 3, "view", 40.0), ev(4, 4, "purchase", 35.0)))
+    val aStep = Cep.QStep.once((e: StreamSource.Event) => e.event_type == "view")
+      .copy(name = "A")
+    val bx = MatchRecognizeSql.compileDefine("B",
+      "event_type = 'purchase' AND SUM(A.value) > B.value")
+    val bStep = Cep.QStep.once(bx.rowPred).copy(name = "B", xagg = bx.xagg)
+    val alts = Seq(Seq(aStep, bStep), Seq(bStep, aStep)) // PERMUTE(A, B)
+    val perm = Cep.matchRecognizeAlts(permEvents, alts, Cep.SkipToNextRow,
+      quiesceMs = 0L)
+    // batch path for assertion determinism: drive each alternative ordered
+    val ab = Cep.matchRecognizeOrderedSkip(permEvents, Seq(aStep, bStep), Cep.SkipToNextRow)
+      .collect().map(_.ids).toSeq
+    val ba = Cep.matchRecognizeOrderedSkip(permEvents, Seq(bStep, aStep), Cep.SkipToNextRow)
+      .collect().map(_.ids).toSeq
+    // start 2: A=row2, B at row3 is a view → fails; start 3: A=row3 (40),
+    // B=row4 purchase 35, SUM(A)=40 > 35 → the only match
+    assert(ab === Seq(Seq(3L, 4L)))
+    assert(ba === Nil, "B-first order can never satisfy SUM over empty A")
+    assert(perm != null)
   }
 
   test("SKIP TO FIRST/LAST parses and resumes inside the match (fixture)") {

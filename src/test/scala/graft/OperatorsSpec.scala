@@ -235,6 +235,43 @@ class OperatorsSpec extends SparkSpec {
     assert(propPath === Array(1L))
   }
 
+  test("triangle enumeration: degree-oriented triads equal naive, hub fan-out bounded") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} (4 triangles) + a star hub 10 with leaves 11..20
+    // (no triangles through the hub) + one triangle {10,11,12} closed
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val star = (11L to 20L).map(l => (10L, l))
+    val edges = (k4 ++ star ++ Seq((11L, 12L))).toDF("src", "dst")
+    val got = operators.Graph.triangles(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val expected = Seq((1L, 2L, 3L), (1L, 2L, 4L), (1L, 3L, 4L), (2L, 3L, 4L),
+      (10L, 11L, 12L))
+    assert(got === expected)
+    // orientation bound: the hub (degree 11) must never own a triad — its
+    // oriented out-degree is 0 against every lower-degree leaf
+    val dup = operators.Graph.triangles(edges.union(edges)) // dedup inside
+      .collect().length
+    assert(dup === 5)
+  }
+
+  test("multi-source SSSP relaxes weighted distances from the source set") {
+    import spark.implicits._
+    // path 1 -(0.1)- 2 -(0.2)- 3, plus 4 -(0.5)- 3: sources {1, 4}
+    val edges = Seq((1L, 2L, 0.1), (2L, 3L, 0.2), (4L, 3L, 0.5))
+      .flatMap { case (a, b, w) => Seq((a, b, w), (b, a, w)) }
+      .toDF("src", "dst", "w")
+    val sources = Seq(1L, 4L).toDF("id")
+    val got = operators.Graph.sssp(edges, sources, rounds = 4)
+      .collect().map(r => r.getLong(0) -> math.round(r.getDouble(1) * 1e6) / 1e6).toMap
+    // 3 is nearer via 1→2→3 (0.3) than via 4 (0.5)
+    assert(got === Map(1L -> 0.0, 2L -> 0.1, 3L -> 0.3, 4L -> 0.0))
+    // fewer rounds than the hop diameter: vertex 3 still improves later —
+    // rounds=1 must give the one-hop view only
+    val r1 = operators.Graph.sssp(edges, sources, rounds = 1)
+      .collect().map(r => r.getLong(0) -> math.round(r.getDouble(1) * 1e6) / 1e6).toMap
+    assert(r1 === Map(1L -> 0.0, 2L -> 0.1, 3L -> 0.5, 4L -> 0.0))
+  }
+
   test("approx_count_distinct (HLL++) lands within 5% of exact") {
     import org.apache.spark.sql.functions.{approx_count_distinct, countDistinct, col}
     val r = Tables(spark, sf, "lineitem")
