@@ -71,6 +71,8 @@ object SparkEntry {
     "q_ddl_view"        -> (graft.sources.DdlSql.ddlView _),
     "q_hive_catalog"    -> (graft.sources.HiveCatalog.hiveCatalog _),
     "q_ddl_watermark"   -> (graft.sources.DdlSql.ddlWatermark _),
+    "q_ddl_alter"       -> (graft.sources.DdlSql.ddlAlter _),
+    "q_ddl_function"    -> (graft.sources.DdlSql.ddlFunction _),
     "q_fn_string"       -> (ScalarFuncs.strings _),
     "q_fn_math"         -> (ScalarFuncs.math _),
     "q_fn_datetime"     -> (ScalarFuncs.datetime _),

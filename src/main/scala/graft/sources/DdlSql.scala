@@ -306,7 +306,89 @@ object DdlSql {
       .orderBy("w_start", "value_bucket")
   }
 
+  /** ALTER TABLE SET / RENAME TO with an observable effect: the table is
+    * declared against the WRONG parquet on purpose, repointed by
+    * ALTER TABLE SET (load-bearing — without it the aggregate below reads
+    * nation's schema and fails), then renamed; PRIMARY KEY + WATERMARK
+    * metadata survive both verbs, asserted through DESCRIBE. Ref
+    * flink-sql-parser parserImpls.ftl:430 SqlAlterTable — the 1.12 surface
+    * is RENAME TO and SET ('k' = 'v'). */
+  def ddlAlter(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    // the object-level catalog persists across queries in one JVM
+    execute(s, "DROP TABLE IF EXISTS events_alter")
+    execute(s, "DROP TABLE IF EXISTS events_altered")
+    execute(s,
+      s"""CREATE TABLE events_alter (
+         |  event_id BIGINT,
+         |  ts TIMESTAMP(3),
+         |  user_id BIGINT,
+         |  event_type STRING,
+         |  value DOUBLE,
+         |  PRIMARY KEY (user_id) NOT ENFORCED,
+         |  WATERMARK FOR ts AS ts - INTERVAL '1' HOUR
+         |) WITH (
+         |  'connector' = 'filesystem',
+         |  'path' = '$dir/nation.parquet',
+         |  'format' = 'parquet'
+         |)""".stripMargin)
+    execute(s, s"ALTER TABLE events_alter SET " +
+      s"('path' = '$dir/events.parquet', 'timestamp.nanos' = 'true')")
+    execute(s, "ALTER TABLE events_alter RENAME TO events_altered")
+    // catalog verb on a handful of rows — not a data-path collect
+    val desc = execute(s, "DESCRIBE events_altered").collect()
+    require(desc.exists(r => r.getString(0) == "user_id" && r.getString(3) == "PRI"),
+      "PRIMARY KEY metadata lost across ALTER")
+    require(desc.exists(r => r.getString(0) == "ts" && r.getString(4).startsWith("WATERMARK")),
+      "WATERMARK metadata lost across ALTER")
+    execute(s,
+      """SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
+        |FROM events_altered GROUP BY event_type""".stripMargin)
+      .orderBy(col("event_type"))
+  }
+
+  /** CREATE FUNCTION ... AS '<class>' registering the engine's codegen
+    * expressions under SQL names, then one query running entirely through
+    * DDL-registered functions — scalar (is_digit / is_alpha / hash_code)
+    * and aggregate (SUM0: 0, not NULL, on the all-null sum0_dig groups).
+    * Ref parserImpls.ftl SqlCreateFunction; in the reference function
+    * resolution is catalog metadata (CatalogFunction → class name). */
+  def ddlFunction(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.Tables.registerAll(s, dir)
+    execute(s, "CREATE TEMPORARY FUNCTION ddl_is_digit AS 'graft.functions.IsDigitExpr'")
+    execute(s, "CREATE FUNCTION IF NOT EXISTS ddl_is_alpha AS " +
+      "'graft.functions.IsAlphaExpr' LANGUAGE SCALA")
+    execute(s, "CREATE FUNCTION ddl_hash AS 'graft.functions.HashCodeExpr'")
+    execute(s, "CREATE FUNCTION ddl_sum0 AS 'graft.functions.Sum0'")
+    execute(s,
+      """SELECT p_mfgr,
+        | ddl_sum0(CASE WHEN ddl_is_digit(p_type) THEN p_size END) AS sum0_dig,
+        | ddl_sum0(CASE WHEN p_size > 47 AND NOT ddl_is_alpha(p_brand)
+        |   THEN p_size END) AS sum0_large,
+        | CAST(ddl_sum0(ddl_hash(p_name) % 1000) AS BIGINT) AS sum0_hash,
+        | count(*) AS cnt
+        |FROM part GROUP BY p_mfgr""".stripMargin)
+      .orderBy(col("p_mfgr"))
+  }
+
   val sql: Map[String, String] = Map(
+    "q_ddl_alter" ->
+      """SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_ddl_function" ->
+      """SELECT p_mfgr,
+        | CAST(coalesce(sum(CASE WHEN regexp_full_match(p_type, '[0-9]+')
+        |   THEN p_size END), 0) AS DOUBLE) AS sum0_dig,
+        | CAST(coalesce(sum(CASE WHEN p_size > 47
+        |   AND NOT regexp_full_match(p_brand, '[A-Za-z]+')
+        |   THEN p_size END), 0) AS DOUBLE) AS sum0_large,
+        | CAST(coalesce(sum(
+        |   (CAST(((list_reduce(list_prepend(0::BIGINT,
+        |     list_transform(range(1, length(p_name)+1), i -> ascii(p_name[i])::BIGINT)),
+        |     (a, c) -> (a * 31 + c) % 4294967296) + 2147483648) % 4294967296) - 2147483648 AS INT)) % 1000), 0) AS BIGINT) AS sum0_hash,
+        | count(*) AS cnt
+        |FROM part GROUP BY p_mfgr ORDER BY p_mfgr""".stripMargin,
     "q_ddl_watermark" ->
       """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS t, value FROM events),
         |mx AS (SELECT max(t) AS mt FROM e)
