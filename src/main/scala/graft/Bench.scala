@@ -76,6 +76,19 @@ object Bench {
       try SparkEntry.queries(n)(spark, sfDir).count()
       catch { case _: Throwable => () }
     }
+    // materialize the shared near-dup pair table OUTSIDE the timed loop and
+    // report its one-time cost on its own line: otherwise whichever consumer
+    // (pairs/keep/graph/pipeline) happens to run first absorbs the corpus's
+    // most expensive stage into its own attribution (VERDICT r6 task 6)
+    locally {
+      val t0 = System.nanoTime()
+      try {
+        operators.Dedup.ngramJaccardPairsShared(spark, sfDir).count()
+        System.err.println(
+          f"[bench] shared-pairs-warmup ${(System.nanoTime() - t0) / 1e9}%8.2fs")
+      } catch { case _: Throwable => () }
+      spark.catalog.clearCache()
+    }
 
     val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
     // name -> (min, median, attempts) — min is the intrinsic-cost claim,
@@ -118,12 +131,20 @@ object Bench {
     // (never mid-entry) so the final line fits the driver's 2000-char tail
     val ordered = headline.filter(resultMap.contains).map(n => n -> resultMap(n)) ++
       good.filterNot { case (n, _) => headline.contains(n) }
+    // failures must never crowd the timings out of the driver's line budget:
+    // emit the count plus first few names; the full list goes to stderr
     val failedJson =
-      if (failed.isEmpty) "" else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
+      if (failed.isEmpty) ""
+      else s""","n_failed":${failed.size}""" +
+        failed.take(10).map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
+    if (failed.size > 10)
+      System.err.println("[bench-failed] " + failed.mkString(","))
     // median alongside min for every RETRIED query (the only place the two
-    // can differ) — capped so the enriched schema can't crowd the line
+    // can differ) — the SLOWEST 20, capped so the enriched schema can't
+    // crowd the line
     val medEntries = results
       .collect { case (n, (_, med, att)) if att > 1 && !med.isNaN => n -> med }
+      .sortBy(-_._2)
       .take(20)
     val medJson =
       if (medEntries.isEmpty) ""

@@ -81,7 +81,10 @@ object SparkEntry {
     "q_text_stats"      -> (TextAnalysis.stats _),
     "q_text_langid"     -> (TextAnalysis.langId _),
     "q_dedup_exact"     -> (Dedup.exact _),
-    "q_dedup_ngram_pairs" -> (Dedup.ngramJaccardPairs _),
+    // read through the shared materialization: keep/graph/pipeline consumers
+    // already do, so the corpus's most expensive join runs once per session
+    "q_dedup_ngram_pairs" -> ((s: SparkSession, dir: String) =>
+      Dedup.ngramJaccardPairsShared(s, dir).orderBy("doc_a", "doc_b")),
     "q_dedup_ngram_keep"  -> (Dedup.ngramDedupKeep _),
     "q_dedup_minhash_lsh" -> (Dedup.minhashLshPairs _),
     "q_dedup_simhash"   -> (Dedup.simhashPairs _),

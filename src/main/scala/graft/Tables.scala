@@ -15,16 +15,40 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Normalize an event-time column to session-zone TimestampType no matter
+    * how the parquet file declared it. The generator has shipped `events.ts`
+    * as TIMESTAMP(NANOS) in some data drops and plain `timestamp[us]`
+    * (read as TIMESTAMP_NTZ) in others; the reference derives the runtime
+    * type from the file footer rather than assuming one encoding
+    * (flink-formats/flink-parquet/.../ParquetVectorizedInputFormat.java), so
+    * we branch on the schema Spark actually read:
+    *  - LongType — nanos surfaced by `spark.sql.legacy.parquet.nanosAsLong`;
+    *    truncate to micros integrally (`div` avoids the double round-trip
+    *    that loses precision above 2^53 ns). DuckDB's CAST(ts AS TIMESTAMP)
+    *    applies the same truncation, so the oracle agrees.
+    *  - TimestampNTZType — micros without a zone; with the session pinned to
+    *    UTC (Verify/Bench builders) the cast to TimestampType is the identity
+    *    on the stored micros. Streaming watermarks require TimestampType.
+    *  - TimestampType — already what every operator expects.
+    */
+  def normalizeTs(df: DataFrame, c: String = "ts"): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema(c).dataType match {
+      case LongType         => df.withColumn(c, expr(s"timestamp_micros($c div 1000)"))
+      case TimestampNTZType => df.withColumn(c, col(c).cast(TimestampType))
+      case TimestampType    => df
+      case other => throw new IllegalStateException(
+        s"unsupported event-time type $other for column $c")
+    }
+  }
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-      // rejects (PARQUET_TYPE_ILLEGAL). Read nanos as long and truncate to
-      // microseconds — the DuckDB oracle applies CAST(ts AS TIMESTAMP), the
-      // same truncation. `div` keeps the arithmetic integral (a double round
-      // trip would lose precision above 2^53 ns).
+      // nanosAsLong only affects TIMESTAMP(NANOS) columns (micros files are
+      // untouched); setting it unconditionally keeps the nanos drop readable.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      normalizeTs(spark.read.parquet(s"$dir/$name.parquet"))
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
 

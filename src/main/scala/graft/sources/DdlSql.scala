@@ -362,14 +362,14 @@ object DdlSql {
     execute(s, "CREATE FUNCTION ddl_hash AS 'graft.functions.HashCodeExpr'")
     execute(s, "CREATE FUNCTION ddl_sum0 AS 'graft.functions.Sum0'")
     execute(s,
-      """SELECT p_mfgr,
+      """SELECT p_brand,
         | ddl_sum0(CASE WHEN ddl_is_digit(p_type) THEN p_size END) AS sum0_dig,
         | ddl_sum0(CASE WHEN p_size > 47 AND NOT ddl_is_alpha(p_brand)
         |   THEN p_size END) AS sum0_large,
         | CAST(ddl_sum0(ddl_hash(p_name) % 1000) AS BIGINT) AS sum0_hash,
         | count(*) AS cnt
-        |FROM part GROUP BY p_mfgr""".stripMargin)
-      .orderBy(col("p_mfgr"))
+        |FROM part GROUP BY p_brand""".stripMargin)
+      .orderBy(col("p_brand"))
   }
 
   val sql: Map[String, String] = Map(
@@ -377,7 +377,7 @@ object DdlSql {
       """SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_ddl_function" ->
-      """SELECT p_mfgr,
+      """SELECT p_brand,
         | CAST(coalesce(sum(CASE WHEN regexp_full_match(p_type, '[0-9]+')
         |   THEN p_size END), 0) AS DOUBLE) AS sum0_dig,
         | CAST(coalesce(sum(CASE WHEN p_size > 47
@@ -388,7 +388,7 @@ object DdlSql {
         |     list_transform(range(1, length(p_name)+1), i -> ascii(p_name[i])::BIGINT)),
         |     (a, c) -> (a * 31 + c) % 4294967296) + 2147483648) % 4294967296) - 2147483648 AS INT)) % 1000), 0) AS BIGINT) AS sum0_hash,
         | count(*) AS cnt
-        |FROM part GROUP BY p_mfgr ORDER BY p_mfgr""".stripMargin,
+        |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     "q_ddl_watermark" ->
       """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS t, value FROM events),
         |mx AS (SELECT max(t) AS mt FROM e)

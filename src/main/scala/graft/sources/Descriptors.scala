@@ -29,10 +29,10 @@ object Descriptors {
 
   private def load(s: SparkSession, d: TableDescriptor): DataFrame = {
     val base = if (d.tsNanosAsLong) {
+      // schema-adaptive: the option means "this column is event time —
+      // normalize it", covering both nanos-as-long and timestamp[us] drops
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      s.read.parquet(d.path)
-        .withColumn(d.watermarkCol.getOrElse("ts"),
-          expr(s"timestamp_micros(${d.watermarkCol.getOrElse("ts")} div 1000)"))
+      graft.Tables.normalizeTs(s.read.parquet(d.path), d.watermarkCol.getOrElse("ts"))
     } else s.read.parquet(d.path)
     withComputed(base, d)
   }
@@ -60,8 +60,7 @@ object Descriptors {
     val raw = if (f.isFile) reader.option("pathGlobFilter", f.getName).parquet(f.getParent)
               else reader.parquet(d.path)
     val withTime = if (d.tsNanosAsLong)
-      raw.withColumn(d.watermarkCol.getOrElse("ts"),
-        expr(s"timestamp_micros(${d.watermarkCol.getOrElse("ts")} div 1000)"))
+      graft.Tables.normalizeTs(raw, d.watermarkCol.getOrElse("ts"))
     else raw
     val full = withComputed(withTime, d)
     d.watermarkCol.fold(full)(c => full.withWatermark(c, d.watermarkDelay))

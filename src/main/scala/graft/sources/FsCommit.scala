@@ -78,19 +78,33 @@ object FsCommit {
 
   /** Rename that REFUSES an existing destination (commit-if-absent).
     * Returns false if the destination already exists — the caller's
-    * "someone else committed first" branch. Caveat: the LOCAL fast path
-    * (java.nio Files.move) implements refuse-if-exists as an existence
-    * check followed by rename(2), so two committers racing in the same
-    * microsecond window can both "win" with the second silently
-    * replacing the first — callers must tolerate identical-content
-    * double-commit locally (all current callers write deterministic
-    * content); HDFS-class schemes get a truly atomic namenode check. */
+    * "someone else committed first" branch. The LOCAL path is atomic at
+    * the kernel, with no userspace check-then-act window:
+    *  - directories: rename(2) itself refuses a non-empty destination
+    *    (ENOTEMPTY/EEXIST); published commit directories always contain
+    *    at least one file, so "dst exists" always means refusal. (An
+    *    EMPTY pre-existing dst would be silently replaced — no caller
+    *    publishes empty directories.)
+    *  - files: link(2) is O_EXCL-atomic; the winner then unlinks the
+    *    source name.
+    * HDFS-class schemes get the namenode's atomic rename check. */
   def renameIfAbsent(src: String, dst: String): Boolean =
     if (isLocal(dst)) {
-      try { java.nio.file.Files.move(nio(src), nio(dst)); true }
-      catch {
+      val s = nio(src); val d = nio(dst)
+      try {
+        if (java.nio.file.Files.isDirectory(s)) {
+          java.nio.file.Files.move(s, d,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        } else {
+          java.nio.file.Files.createLink(d, s)
+          java.nio.file.Files.deleteIfExists(s)
+        }
+        true
+      } catch {
         case _: java.nio.file.FileAlreadyExistsException => false
         case _: java.nio.file.DirectoryNotEmptyException => false
+        case _: java.nio.file.FileSystemException
+          if exists(dst) && exists(src) => false
       }
     } else try {
       fctx(dst).rename(new Path(src), new Path(dst))

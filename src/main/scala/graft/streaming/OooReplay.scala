@@ -49,8 +49,10 @@ object OooReplay {
   }
 
   /** Bump when the replay layout/sentinel changes — keys the cache dir so
-    * stale fixtures from an older generator never feed a new run. */
-  val ReplayVersion = 3
+    * stale fixtures from an older generator never feed a new run.
+    * v4: segment `ts` is long MICROS (was raw nanos), so the fixture is
+    * independent of how the source parquet declared the column. */
+  val ReplayVersion = 4
 
   /** Event type of the per-key end-of-data marker rows (released by the
     * sorter after every real row; matches no operator predicate). */
@@ -66,7 +68,14 @@ object OooReplay {
       return Prepared(replayDir, d)
     }
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = s.read.parquet(s"$dir/events.parquet") // ts = long nanos
+    // canonicalize ts to long MICROS whatever the file declared (nanos-as-long
+    // or timestamp[us]/_NTZ — the generator has shipped both): all block/
+    // lateness arithmetic below, and the segment files themselves, use micros
+    val raw0 = s.read.parquet(s"$dir/events.parquet")
+    val raw = raw0.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => raw0.withColumn("ts", expr("ts div 1000"))
+      case _ => raw0.withColumn("ts", expr("unix_micros(cast(ts as timestamp))"))
+    }
     val schema = raw.schema
     val n = raw.count()
     val per = math.max(1L, (n + Blocks - 1) / Blocks)
@@ -89,23 +98,27 @@ object OooReplay {
     val mn = stats.map(t => t._1 -> t._2).toMap
     val mx = stats.map(t => t._1 -> t._3).toMap
     var runMax = Long.MinValue
-    var worstNanos = 0L
+    var worstMicros = 0L
     emit.foreach { b =>
       if (runMax != Long.MinValue)
-        worstNanos = math.max(worstNanos, runMax - mn(b))
+        worstMicros = math.max(worstMicros, runMax - mn(b))
       runMax = math.max(runMax, mx(b))
     }
-    val delaySec = worstNanos / 1000000000L + 3600L
+    val delaySec = worstMicros / 1000000L + 3600L
     // sentinel far enough out that final watermark (sentinel - delay)
     // passes every real row by 40 DAYS: watermark-buffered operators
     // flush, and a downstream CEP quiesce horizon larger than the data
     // span (35d > 30d of events) still fires at end-of-stream without
     // ever firing mid-stream (which would cut matches at event-time gaps
     // the single-batch ordered run never cuts)
-    val sentinelNanos = stats.map(_._3).max + (delaySec + 40L * 86400L) * 1000000000L
+    val sentinelMicros = stats.map(_._3).max + (delaySec + 40L * 86400L) * 1000000L
 
-    val staging = new java.io.File(replayDir + ".inprogress")
-    org.apache.commons.io.FileUtils.deleteQuietly(staging)
+    // per-process staging: two JVMs racing to build the same fixture each
+    // write their own dir; the loser's atomic rename fails and it adopts
+    // the winner's published dir (a SHARED fixed staging dir would let the
+    // loser interleave half-written segments into the winner's build)
+    val staging = new java.io.File(
+      s"$replayDir.inprogress-${ProcessHandle.current().pid()}-${System.nanoTime()}")
     staging.mkdirs()
     val t0 = System.currentTimeMillis() - 4 * 3600 * 1000L
     def place(df: org.apache.spark.sql.DataFrame, idx: Int): Unit = {
@@ -127,11 +140,11 @@ object OooReplay {
     // parked attempts at true end-of-data (the matchRecognizeOrdered
     // contract: "drive stream end with a pattern-breaking row per key").
     // Non-CEP consumers filter FlushType out before the sorter.
-    val flushNanos = stats.map(_._3).max + 35L * 86400L * 1000000000L
+    val flushMicros = stats.map(_._3).max + 35L * 86400L * 1000000L
     val flushCols = schema.fields.map { f =>
       f.name match {
         case "event_id"   => "CAST(-(1000000 + user_id) AS BIGINT) AS event_id"
-        case "ts"         => s"CAST($flushNanos AS BIGINT) AS ts"
+        case "ts"         => s"CAST($flushMicros AS BIGINT) AS ts"
         case "user_id"    => "user_id"
         case "event_type" => s"'$FlushType' AS event_type"
         case "value"      => "CAST(0.0 AS DOUBLE) AS value"
@@ -142,7 +155,7 @@ object OooReplay {
       emit.length)
     val sentinelVals: Array[Any] = schema.fields.map(_.name).map {
       case "event_id"   => -1L
-      case "ts"         => sentinelNanos
+      case "ts"         => sentinelMicros
       case "user_id"    => -1L
       case "event_type" => "__sentinel"
       case "value"      => 0.0
@@ -166,14 +179,16 @@ object OooReplay {
     * disorder. Callers hang `withWatermark`/sortedEvents on it. */
   def stream(s: SparkSession, dir: String): (Dataset[Event], Long) = {
     val (replayDir, delaySec) = prepare(s, dir)
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    // segments carry ts as long MICROS (doPrepare canonicalizes whatever the
+    // source parquet declared), so take the schema from the segments
+    // themselves — `_delay_sec` is underscore-hidden to the reader
+    val schema = s.read.parquet(replayDir).schema
     import s.implicits._
     val ds = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .option("pathGlobFilter", "seg-*.parquet")
       .parquet(replayDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("ts", expr("timestamp_micros(ts)"))
       .select("event_id", "ts", "user_id", "event_type", "value").as[Event]
     (ds, delaySec)
   }

@@ -25,14 +25,15 @@ object StreamSource {
 
   /** events as an unbounded DataFrame via the parquet file-stream source. */
   def events(s: SparkSession, dir: String): DataFrame = {
-    // file source needs an explicit schema: take it from the batch reader
-    // (nanosAsLong conf is set there; ts arrives as long nanos)
+    // file source needs an explicit schema: take it from the batch reader,
+    // then normalize ts the same schema-adaptive way as graft.Tables
+    // (the generator has shipped both nanos-as-long and micros drops)
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = s.read.parquet(s"$dir/events.parquet").schema
-    s.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    graft.Tables.normalizeTs(
+      s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
   }
 
   def eventsTyped(s: SparkSession, dir: String): Dataset[Event] = {
@@ -53,9 +54,18 @@ object StreamSource {
     val raw = s.read.parquet(s"$dir/events.parquet")
     val schema = raw.schema
     import org.apache.spark.sql.functions.max
-    val maxNanos = raw.agg(max("ts")).head.getLong(0)
-    // ts is raw parquet TIMESTAMP(NANOS) read as long; +30 days of nanos
-    val sentinelTs = maxNanos + 30L * 24 * 3600 * 1000000000L
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    // sentinel ts = max(ts) + 30 days, expressed in the file's own ts type so
+    // the sentinel parquet unions cleanly with the raw stream before the
+    // shared normalizeTs pass
+    val maxRow = raw.agg(max("ts")).head
+    val sentinelTs: Any = schema("ts").dataType match {
+      case LongType         => maxRow.getLong(0) + 30L * 24 * 3600 * 1000000000L
+      case TimestampNTZType => maxRow.getAs[java.time.LocalDateTime](0).plusDays(30)
+      case TimestampType =>
+        java.sql.Timestamp.from(maxRow.getTimestamp(0).toInstant.plus(java.time.Duration.ofDays(30)))
+      case other => throw new IllegalStateException(s"unsupported events.ts type $other")
+    }
     val values: Array[Any] = schema.fields.map(_.name).map {
       case "event_id" => -1L
       case "ts" => sentinelTs
@@ -70,7 +80,7 @@ object StreamSource {
     val real = s.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
     val sentinel = s.readStream.schema(schema).parquet(sentinelDir)
-    real.union(sentinel).withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    graft.Tables.normalizeTs(real.union(sentinel))
   }
 
   /** Typed sentinel stream with a 1-hour watermark: stateful operators

@@ -82,4 +82,96 @@ class LargeStateSoakSpec extends SparkSpec {
       q2.stop()
     } finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
   }
+
+  test(s"OOO sorter soak: $N buffered keys on RocksDB, restart mid-stream, ordered drain into chained topN") {
+    // r6 verdict task 5: prove the watermark-buffered sorter carries to
+    // large state — 10^6 keys, each holding a full Event row, survive a
+    // checkpoint restart and drain (in event-time order) into the chained
+    // append-mode topN exactly once.
+    import graft.streaming.StatefulOps
+    import graft.streaming.StreamSource.Event
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val chainKey = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+    val prevProv = spark.conf.getOption(provKey)
+    val prevChain = spark.conf.get(chainKey, "true")
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(chainKey, "false") // sorter→topN: no late-row predicate downstream
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      val t0 = 1700000000000L // fixed epoch millis; ts arithmetic below in ms
+      def ev(id: Long, tsMs: Long, user: Long, tpe: String, v: Double) =
+        Event(id, new java.sql.Timestamp(tsMs), user, tpe, v)
+      val input = MemoryStream[Event]
+      val chained = StatefulOps.topNVersioned(
+        StatefulOps.sortedEvents(input.toDS(), delay = "10 minutes"), 3)
+      val ckpt = s"/tmp/graft-ckpt/ooo-soak-${System.nanoTime()}"
+      val emitted =
+        new java.util.concurrent.ConcurrentLinkedQueue[StatefulOps.RankedVer]()
+      def start() = chained.toDF().writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.persist()
+          try b.as[StatefulOps.RankedVer](org.apache.spark.sql.Encoders.product)
+            .collect().foreach(emitted.add) // ≤ types×3 rows per generation
+          finally b.unpersist()
+          ()
+        }
+        .start()
+
+      val types = 100
+      // batch 0: one row per key, all AHEAD of the watermark → every key
+      // buffers its row in sorter state
+      val q1 = start()
+      input.addData((0 until N).map { i =>
+        ev(i.toLong, t0 + (i % 600) * 1000L, i.toLong, s"t${i % types}", (i % 997).toDouble)
+      })
+      q1.processAllAvailable()
+      val sortOp = q1.lastProgress.stateOperators
+        .maxBy(_.numRowsTotal) // sorter holds the 10^6 rows; topN ≤ types
+      assert(sortOp.numRowsTotal === N.toLong,
+        s"every key must hold a buffered row: ${sortOp.numRowsTotal}")
+      info(s"sorter state rows=${sortOp.numRowsTotal} " +
+        s"memoryUsedBytes=${sortOp.memoryUsedBytes}")
+      assert(emitted.isEmpty, "nothing may drain before the watermark moves")
+      q1.stop()
+
+      // restart from the checkpoint: the million buffered rows must be
+      // restored, then drained by watermark passage — not recomputed
+      val q2 = start()
+      // advances max event time to t0+1h; watermark during THIS batch is
+      // still behind t0, so everything stays buffered
+      input.addData(Seq(ev(-2L, t0 + 3600 * 1000L, -2L, "__sent", -1.0)))
+      q2.processAllAvailable()
+      // during this batch the watermark is t0+50min → all N rows ripe
+      input.addData(Seq(ev(-3L, t0 + 7200 * 1000L, -3L, "__sent", -1.0)))
+      q2.processAllAvailable()
+      val drained = q2.lastProgress.stateOperators.maxBy(_.numRowsTotal)
+      assert(drained.numRowsTotal < N.toLong / 100,
+        s"sorter must have drained: ${drained.numRowsTotal} rows still held")
+      q2.stop()
+
+      // the chained topN saw the drain: per event_type keep the newest
+      // generation and check it equals the true top-3 by (value desc, id)
+      import scala.jdk.CollectionConverters._
+      val byType = emitted.asScala.filterNot(_.event_type == "__sent")
+        .groupBy(_.event_type)
+      assert(byType.size === types, s"expected $types types, got ${byType.size}")
+      (0 until types).foreach { t =>
+        val tpe = s"t$t"
+        val rows = byType(tpe)
+        val lastVer = rows.map(_.ver).max
+        val got = rows.filter(_.ver == lastVer).toSeq.sortBy(_.rank)
+          .map(r => (r.event_id, r.value))
+        val want = (0 until N).filter(_ % types == t)
+          .map(i => (i.toLong, (i % 997).toDouble))
+          .sortBy { case (id, v) => (-v, id) }.take(3)
+        assert(got === want, s"topN mismatch for $tpe")
+      }
+    } finally {
+      prevProv.fold(spark.conf.unset(provKey))(spark.conf.set(provKey, _))
+      spark.conf.set(chainKey, prevChain)
+    }
+  }
 }

@@ -114,4 +114,78 @@ class TxFileSinkSpec extends SparkSpec {
     } yield spark.read.parquet(f.getPath).count()
     assert(sizes.nonEmpty && sizes.forall(_ <= 3), sizes.toString)
   }
+
+  test("renameIfAbsent: racing directory committers — exactly one wins, content never mixed") {
+    import graft.sources.FsCommit
+    val base = s"/tmp/graft-txspec/race-${System.nanoTime()}"
+    val dst = s"$base/epoch-0"
+    new java.io.File(base).mkdirs()
+    val n = 16
+    // each committer stages a dir whose single file names the committer —
+    // a lost race that silently replaced the winner would change the name
+    val stagings = (0 until n).map { i =>
+      val d = new java.io.File(s"$base/_staging-$i"); d.mkdirs()
+      java.nio.file.Files.writeString(
+        new java.io.File(d, s"payload-$i.txt").toPath, s"committer-$i")
+      d.getPath
+    }
+    val barrier = new java.util.concurrent.CyclicBarrier(n)
+    val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(n)
+    try {
+      val futures = stagings.map { s =>
+        pool.submit(new Runnable {
+          def run(): Unit = {
+            barrier.await()
+            if (FsCommit.renameIfAbsent(s, dst)) wins.incrementAndGet()
+          }
+        })
+      }
+      futures.foreach(_.get())
+    } finally pool.shutdown()
+    assert(wins.get() === 1, "exactly one committer may win the publish")
+    val published = new java.io.File(dst).listFiles().map(_.getName).toSeq
+    assert(published.length === 1)
+    // the winner's payload file is intact and self-consistent
+    val content = java.nio.file.Files.readString(
+      new java.io.File(dst, published.head).toPath)
+    assert(s"payload-${content.stripPrefix("committer-")}.txt" === published.head,
+      s"published dir mixes committers: $published -> $content")
+    // losers' staging dirs are untouched (caller cleans them up)
+    assert(stagings.count(s => new java.io.File(s).exists()) === n - 1)
+  }
+
+  test("renameIfAbsent: racing file committers — link(2) O_EXCL picks one winner") {
+    import graft.sources.FsCommit
+    val base = s"/tmp/graft-txspec/frace-${System.nanoTime()}"
+    new java.io.File(base).mkdirs()
+    val dst = s"$base/marker.committed"
+    val n = 16
+    val srcs = (0 until n).map { i =>
+      val f = new java.io.File(base, s"attempt-$i")
+      java.nio.file.Files.writeString(f.toPath, s"writer-$i")
+      f.getPath
+    }
+    val barrier = new java.util.concurrent.CyclicBarrier(n)
+    val winners = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(n)
+    try {
+      val futures = srcs.zipWithIndex.map { case (s, i) =>
+        pool.submit(new Runnable {
+          def run(): Unit = {
+            barrier.await()
+            if (FsCommit.renameIfAbsent(s, dst)) { winners.add(i); () }
+          }
+        })
+      }
+      futures.foreach(_.get())
+    } finally pool.shutdown()
+    assert(winners.size === 1, s"exactly one writer may win: $winners")
+    val w = winners.iterator().next()
+    assert(java.nio.file.Files.readString(java.nio.file.Paths.get(dst)) === s"writer-$w",
+      "published content must be the winner's, never a later replacement")
+    // winner's source name is gone; losers keep theirs
+    assert(!new java.io.File(srcs(w)).exists())
+    assert(srcs.zipWithIndex.count { case (s, i) => i != w && new java.io.File(s).exists() } === n - 1)
+  }
 }
