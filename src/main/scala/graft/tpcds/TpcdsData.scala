@@ -38,7 +38,7 @@ object TpcdsData {
 
   /** Bump when generator logic changes — keys the materialization path so
     * stale /tmp data from an older generator can never feed a new oracle. */
-  val GenVersion = 8
+  val GenVersion = 9
 
   /** Julian day number of 1900-01-01, the spec's date_dim origin
     * (2451545 = 2000-01-01 minus 36524 days). */
@@ -86,16 +86,19 @@ object TpcdsData {
     * (d_year, d_moy) predicate equally selective and skews plan-shape
     * conclusions. Deterministic inverse-CDF over (row id, seed):
     * year weights 16/18/20/22/24%, month weights
-    * 6/5/6/6/7/7/7/8/8/10/14/16% (Jan..Dec), day uniform in the month's
-    * first 28 days. Leap-day drift (365-day year arithmetic over a span
-    * containing 2000) shifts post-Feb-2000 picks by ≤1 day — every
-    * (year, month) slice the published predicates touch stays non-empty;
-    * remaining deltas vs dsdgen are documented in NOTES. Seed offsets
-    * +5/6/7×10^5 keep the three draws clear of every other column seed. */
+    * 6/5/6/6/7/7/7/8/8/10/14/16% (Jan..Dec), day drawn in [0,31) and
+    * folded into the month's real length (v9: days 29–31 now occur; the
+    * fold gives the first (31−len) days of a short month weight 2/31
+    * instead of 1/31 — documented in NOTES). Leap-day drift (365-day year
+    * arithmetic over a span containing 2000) shifts post-Feb-2000 picks
+    * by ≤1 day — every (year, month) slice the published predicates touch
+    * stays non-empty; remaining deltas vs dsdgen are documented in NOTES.
+    * Seed offsets +5/6/7×10^5 keep the three draws clear of every other
+    * column seed. */
   private def soldJd(idc: String, seed: Int): String = {
     val uy = u(idc, seed + 500000, 100)
     val um = u(idc, seed + 600000, 100)
-    val ud = u(idc, seed + 700000, 28)
+    val ud = u(idc, seed + 700000, 31)
     val year =
       s"(CASE WHEN $uy < 16 THEN 0 WHEN $uy < 34 THEN 1 WHEN $uy < 54 THEN 2 " +
         s"WHEN $uy < 76 THEN 3 ELSE 4 END)"
@@ -105,7 +108,12 @@ object TpcdsData {
         s"WHEN $um < 23 THEN 90 WHEN $um < 30 THEN 120 WHEN $um < 37 THEN 151 " +
         s"WHEN $um < 44 THEN 181 WHEN $um < 52 THEN 212 WHEN $um < 60 THEN 243 " +
         s"WHEN $um < 70 THEN 273 WHEN $um < 84 THEN 304 ELSE 334 END)"
-    s"($JD98 + $year * 365 + $monthStart + $ud)"
+    val monthLen =
+      s"(CASE WHEN $um < 6 THEN 31 WHEN $um < 11 THEN 28 WHEN $um < 17 THEN 31 " +
+        s"WHEN $um < 23 THEN 30 WHEN $um < 30 THEN 31 WHEN $um < 37 THEN 30 " +
+        s"WHEN $um < 44 THEN 31 WHEN $um < 52 THEN 31 WHEN $um < 60 THEN 30 " +
+        s"WHEN $um < 70 THEN 31 WHEN $um < 84 THEN 30 ELSE 31 END)"
+    s"($JD98 + $year * 365 + $monthStart + ($ud % $monthLen))"
   }
 
   /** Categorical pick from a fixed list. */
