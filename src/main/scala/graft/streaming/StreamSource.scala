@@ -102,18 +102,23 @@ object StreamSource {
     * them as late. The downstream stages here are NoTimeout
     * flatMapGroupsWithState over un-watermarked (operator-generated)
     * columns — they have no late-row predicate, so nothing is dropped;
-    * the DuckDB oracle hash (exact row set) re-proves it per run. Scoped
-    * to this call; the check stays ON for every other query. */
+    * the DuckDB oracle hash (exact row set) re-proves it per run. The
+    * check is consulted only during query PLANNING (the unsupported-
+    * operation walk at start()), so the session flag is restored the
+    * moment start() returns — the window where a concurrently-planned
+    * query could observe the flipped flag is the planning call itself,
+    * not the whole run; the check stays ON for every other query. */
   def runToTableChained(s: SparkSession, df: DataFrame, name: String,
                         mode: String): DataFrame = {
     val key = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
     val prev = s.conf.get(key, "true")
     s.conf.set(key, "false")
-    try runToTable(s, df, name, mode) finally s.conf.set(key, prev)
+    runToTable(s, df, name, mode, afterStart = () => s.conf.set(key, prev))
   }
 
   /** Run `df` (a streaming DataFrame) to completion into a memory sink and
-    * return the materialized result.
+    * return the materialized result. `afterStart` runs as soon as the query
+    * has been planned and started — even when start() itself throws.
     *
     * State-store sizing: each shuffle partition materializes one state-store
     * instance per stateful operator per batch (snapshot + fsync under the
@@ -121,15 +126,17 @@ object StreamSource {
     * the actual work, so streaming queries run with a smaller shuffle
     * fan-out; production unbounded jobs size this to key cardinality. */
   def runToTable(s: SparkSession, df: DataFrame, name: String,
-                 mode: String): DataFrame = {
+                 mode: String, afterStart: () => Unit = () => ()): DataFrame = {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "8")
     try {
-      val q: StreamingQuery = df.writeStream
-        .format("memory").queryName(name).outputMode(mode)
-        .option("checkpointLocation",
-          s"/tmp/graft-ckpt/$name-${System.nanoTime()}")
-        .start()
+      val q: StreamingQuery =
+        try df.writeStream
+          .format("memory").queryName(name).outputMode(mode)
+          .option("checkpointLocation",
+            s"/tmp/graft-ckpt/$name-${System.nanoTime()}")
+          .start()
+        finally afterStart()
       q.processAllAvailable()
       q.stop()
     } finally s.conf.set("spark.sql.shuffle.partitions", prev)
