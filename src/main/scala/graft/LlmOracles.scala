@@ -54,6 +54,18 @@ object LlmOracles {
         | FROM (SELECT doc_id, text FROM documents
         |       UNION ALL SELECT doc_id + 1000000, text FROM documents)
         | GROUP BY fp) ORDER BY keep_id""".stripMargin,
+    "q_dedup_span" ->
+      """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+        |g AS (SELECT doc_id, array_to_string(ws[i:i+12], ' ') AS gram
+        |      FROM w, unnest(range(1, greatest(len(ws) - 11, 1))) t(i)),
+        |d AS (SELECT gram FROM (
+        |        SELECT gram, count(DISTINCT doc_id) AS dd FROM g GROUP BY gram)
+        |      WHERE dd >= 2)
+        |SELECT doc_id,
+        | CAST(count(*) AS BIGINT) AS total_ngrams,
+        | CAST(coalesce(sum(CASE WHEN gram IN (SELECT gram FROM d) THEN 1 ELSE 0 END), 0) AS BIGINT) AS dup_ngrams,
+        | round(coalesce(sum(CASE WHEN gram IN (SELECT gram FROM d) THEN 1 ELSE 0 END), 0)::DOUBLE / count(*), 4) AS dup_frac
+        |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_dedup_ngram_pairs" ->
       (shinglesCte + """
         |SELECT doc_a, doc_b, j FROM (

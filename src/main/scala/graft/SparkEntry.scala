@@ -87,6 +87,7 @@ object SparkEntry {
       Dedup.ngramJaccardPairsShared(s, dir).orderBy("doc_a", "doc_b")),
     "q_dedup_ngram_keep"  -> (Dedup.ngramDedupKeep _),
     "q_dedup_minhash_lsh" -> (Dedup.minhashLshPairs _),
+    "q_dedup_span"        -> (Dedup.spanDupCoverage _),
     "q_dedup_simhash"   -> (Dedup.simhashPairs _),
     "q_ann_brute"       -> (Similarity.annBruteForce _),
     "q_ann_ivf"         -> (Similarity.annIvf _),

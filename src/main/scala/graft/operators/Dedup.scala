@@ -110,6 +110,43 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Span-level duplicate-text coverage (13-token grams): per document, how
+    * many of its 13-gram positions occur verbatim in at least one OTHER
+    * document — the span dedup signal of Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better" (substring-level
+    * duplication that doc-level near-dup misses, e.g. shared boilerplate
+    * paragraphs inside otherwise-distinct pages).
+    *
+    * Scale shape (100 TB): two shuffles, both linear — (1) groupBy gram to
+    * find cross-doc duplicated grams (map-side partial countDistinct), (2)
+    * join positions against that set. Unlike the pair-join paths there is
+    * no quadratic candidate blowup to cap: a gram shared by m docs costs m
+    * rows here, not m². Production would hash grams to 64-bit before the
+    * shuffle and verify on collision; the exact string key keeps the
+    * DuckDB oracle byte-identical. */
+  def spanDupCoverage(s: SparkSession, dir: String): DataFrame = {
+    val span = 13
+    val docs = Tables(s, dir, "documents")
+      .withColumn("ws", split(lower(col("text")), " "))
+    val grams = docs.select(col("doc_id"),
+      explode(
+        when(size(col("ws")) < lit(span), array().cast("array<string>"))
+          .otherwise(expr(
+            s"transform(sequence(1, size(ws) - ${span - 1}), " +
+              s"i -> concat_ws(' ', slice(ws, i, $span)))"))).as("gram"))
+    val dup = grams.groupBy(col("gram"))
+      .agg(countDistinct(col("doc_id")).as("dd"))
+      .where(col("dd") >= 2)
+      .select(col("gram"), lit(1).as("isdup"))
+    grams.join(dup, Seq("gram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("total_ngrams"),
+        coalesce(sum(col("isdup")), lit(0)).cast("bigint").as("dup_ngrams"))
+      .withColumn("dup_frac",
+        round(col("dup_ngrams").cast("double") / col("total_ngrams"), 4))
+      .orderBy("doc_id")
+  }
+
   private val sharedPairs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 

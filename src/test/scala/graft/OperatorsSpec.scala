@@ -85,6 +85,26 @@ class OperatorsSpec extends SparkSpec {
     assert(rows.forall(_.getInt(2) <= 12))
   }
 
+  test("span dup coverage: bounded fractions, cross-doc only, near-dups carry spans") {
+    val rows = Dedup.spanDupCoverage(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // invariants: 0 <= dup <= total, frac consistent
+    assert(rows.forall { r =>
+      val (tot, dup, frac) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      dup >= 0 && dup <= tot && math.abs(frac - dup.toDouble / tot) < 1e-3
+    })
+    // most planted near-dup docs share a >=13-token run (a J>=0.5 pair CAN
+    // dodge every 13-run via scattered word substitutions — observed for
+    // one pair on sf0.001 — so require strong overlap, not containment)
+    val dupDocs = rows.filter(_.getLong(2) > 0).map(_.getLong(0)).toSet
+    val pairDocs = Dedup.ngramJaccardPairs(spark, sf).collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    assert(pairDocs.nonEmpty && dupDocs.nonEmpty)
+    val covered = (pairDocs & dupDocs).size.toDouble / pairDocs.size
+    assert(covered >= 0.8,
+      f"only $covered%.2f of near-dup docs carry a duplicated span")
+  }
+
   test("brute-force ANN returns top-10 per query, cosine-sorted") {
     val rows = Similarity.annBruteForce(spark, sf).collect()
     val byQ = rows.groupBy(_.getLong(0))
