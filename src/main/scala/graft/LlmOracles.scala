@@ -54,6 +54,48 @@ object LlmOracles {
         | FROM (SELECT doc_id, text FROM documents
         |       UNION ALL SELECT doc_id + 1000000, text FROM documents)
         | GROUP BY fp) ORDER BY keep_id""".stripMargin,
+    "q_text_repetition" ->
+      (toksCte + """,
+        |g AS (SELECT doc_id, len(t) AS n_tokens,
+        |  CASE WHEN len(t) < 2 THEN []::VARCHAR[]
+        |       ELSE list_transform(range(1, len(t)), i -> array_to_string(t[i:i+1], ' ')) END AS g2,
+        |  CASE WHEN len(t) < 3 THEN []::VARCHAR[]
+        |       ELSE list_transform(range(1, len(t)-1), i -> array_to_string(t[i:i+2], ' ')) END AS g3
+        |FROM toks)
+        |SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+        | CASE WHEN len(g2) = 0 THEN 0.0
+        |      ELSE round(1.0 - len(list_distinct(g2))::DOUBLE / len(g2), 6) END AS dup2_frac,
+        | CASE WHEN len(g3) = 0 THEN 0.0
+        |      ELSE round(1.0 - len(list_distinct(g3))::DOUBLE / len(g3), 6) END AS dup3_frac
+        |FROM g ORDER BY doc_id""").stripMargin,
+    "q_decontaminate" ->
+      """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+        |g AS (SELECT doc_id, array_to_string(ws[i:i+12], ' ') AS gram
+        |      FROM w, unnest(range(1, greatest(len(ws) - 11, 1))) t(i)),
+        |b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 5 = 0)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+        |FROM g WHERE doc_id % 5 <> 0 AND gram IN (SELECT gram FROM b)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_sample_stratified" ->
+      (toksCte + """,
+        |sc AS (SELECT doc_id,
+        | CAST(len(list_intersect(list_distinct(t), """ + stopEnSql + """)) AS INT) AS s_en,
+        | CAST(len(list_intersect(list_distinct(t), ['der','die','das','und','ist','nicht','mit','ein','zu','den'])) AS INT) AS s_de,
+        | CAST(len(list_intersect(list_distinct(t), ['le','la','les','et','est','un','une','dans','que','pour'])) AS INT) AS s_fr,
+        | CAST(len(list_intersect(list_distinct(t), ['el','los','y','es','en','una','lo','como','mas','por'])) AS INT) AS s_es
+        | FROM toks),
+        |lang AS (SELECT doc_id,
+        | CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+        |      WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+        |      WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS lang_pred
+        | FROM sc)
+        |SELECT doc_id, lang_pred, bucket FROM (
+        | SELECT doc_id, lang_pred,
+        |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100 AS BIGINT) AS bucket
+        | FROM lang)
+        |WHERE bucket < CASE lang_pred WHEN 'en' THEN 60 WHEN 'de' THEN 40
+        |                              WHEN 'fr' THEN 30 ELSE 20 END
+        |ORDER BY doc_id""").stripMargin,
     "q_dedup_span" ->
       """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
         |g AS (SELECT doc_id, array_to_string(ws[i:i+12], ' ') AS gram

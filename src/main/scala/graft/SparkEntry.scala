@@ -88,6 +88,9 @@ object SparkEntry {
     "q_dedup_ngram_keep"  -> (Dedup.ngramDedupKeep _),
     "q_dedup_minhash_lsh" -> (Dedup.minhashLshPairs _),
     "q_dedup_span"        -> (Dedup.spanDupCoverage _),
+    "q_text_repetition"   -> (TextAnalysis.repetition _),
+    "q_decontaminate"     -> (Pipeline.decontaminate _),
+    "q_sample_stratified" -> (Pipeline.stratifiedSample _),
     "q_dedup_simhash"   -> (Dedup.simhashPairs _),
     "q_ann_brute"       -> (Similarity.annBruteForce _),
     "q_ann_ivf"         -> (Similarity.annIvf _),

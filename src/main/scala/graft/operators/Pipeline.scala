@@ -47,6 +47,53 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Benchmark decontamination (the eval-overlap filter every serious
+    * training pipeline runs before the mix is frozen): the "benchmark" is
+    * the distinct 13-gram set of a deterministic held-out slice
+    * (doc_id % 5 == 0 — stands in for the real eval files; the modulus is picked so the planted near-dups straddle the split and the demo catches real hits), and every
+    * OTHER document is scored by how many of its gram positions appear in
+    * that set. Scale shape: the benchmark set is tiny relative to the
+    * corpus (real eval suites are MBs against TBs), so it broadcasts —
+    * the corpus side is one map-side pass over the scan, no shuffle of
+    * corpus grams; only the per-doc hit counts aggregate. */
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val span = 13
+    val docs = Tables(s, dir, "documents")
+      .withColumn("ws", tokens(col("text")))
+    def grams(df: DataFrame): DataFrame = df.select(col("doc_id"),
+      explode(
+        when(size(col("ws")) < lit(span), array().cast("array<string>"))
+          .otherwise(expr(
+            s"transform(sequence(1, size(ws) - ${span - 1}), " +
+              s"i -> concat_ws(' ', slice(ws, i, $span)))"))).as("gram"))
+    val benchmark = grams(docs.where(col("doc_id") % 5 === 0))
+      .select("gram").distinct()
+    grams(docs.where(col("doc_id") % 5 =!= 0))
+      .join(broadcast(benchmark), Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic stratified sampling by predicted language — the
+    * training-mix quota step (e.g. cap each language at a target share).
+    * The keep decision hashes ONLY doc_id through md5 (identical hex in
+    * every engine), so the sample is reproducible, join-free to audit,
+    * and at 100 TB is a map-side filter over the scan — no shuffle, no
+    * sampleBy() randomness that an oracle could not replay. Quotas:
+    * en 60%, de 40%, fr 30%, es 20%. */
+  def stratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val lang = TextAnalysis.langId(s, dir).select(col("doc_id"), col("lang_pred"))
+    val quota = typedLit(Map("en" -> 60L, "de" -> 40L, "fr" -> 30L, "es" -> 20L))
+    lang
+      .withColumn("bucket",
+        expr("conv(substring(md5(cast(doc_id AS STRING)), 1, 8), 16, 10)")
+          .cast("long") % 100)
+      .where(col("bucket") < quota(col("lang_pred")))
+      .select(col("doc_id"), col("lang_pred"), col("bucket"))
+      .orderBy("doc_id")
+  }
+
   /** Unit-normalized embeddings (first 4 components + norm, rounded).
     * Components emitted as scalar columns h1..h4 — numeric scalars avoid the
     * driver compare's array limitation and cross-engine float formatting. */

@@ -47,6 +47,32 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Intra-document repetition ratios (the Gopher/MassiveText quality
+    * filters): duplicate n-gram fraction = 1 − distinct/total over word
+    * 2-grams and 3-grams. A high ratio marks degenerate boilerplate /
+    * keyword-stuffed pages a training mix drops. Expression-only — one
+    * codegen pass per document, no shuffle, linear in document length
+    * (deliberately NO per-token frequency metric here: that is O(n²) as a
+    * row expression; the cross-doc path is spanDupCoverage's job). */
+  def repetition(s: SparkSession, dir: String): DataFrame = {
+    def grams(n: Int): Column =
+      when(size(col("toks")) < lit(n), array().cast("array<string>"))
+        .otherwise(expr(
+          s"transform(sequence(1, size(toks) - ${n - 1}), " +
+            s"i -> concat_ws(' ', slice(toks, i, $n)))"))
+    def dupFrac(g: Column): Column =
+      when(size(g) === 0, lit(0.0)).otherwise(
+        round(lit(1.0) - size(array_distinct(g)).cast("double") / size(g), 6))
+    Tables(s, dir, "documents")
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("g2", grams(2)).withColumn("g3", grams(3))
+      .select(col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        dupFrac(col("g2")).as("dup2_frac"),
+        dupFrac(col("g3")).as("dup3_frac"))
+      .orderBy("doc_id")
+  }
+
   /** Language ID by stopword-hit scoring over 4 language lists, ties broken
     * in fixed order en>de>fr>es. N-gram-heuristic class of the reference-era
     * langid tools; exact arithmetic so the oracle reproduces it. */

@@ -105,6 +105,31 @@ class OperatorsSpec extends SparkSpec {
       f"only $covered%.2f of near-dup docs carry a duplicated span")
   }
 
+  test("repetition ratios are bounded and defined for every document") {
+    val rows = TextAnalysis.repetition(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { r =>
+      val (d2, d3) = (r.getDouble(2), r.getDouble(3))
+      d2 >= 0.0 && d2 <= 1.0 && d3 >= 0.0 && d3 <= 1.0
+    })
+  }
+
+  test("decontamination only flags non-benchmark docs, with positive hits") {
+    val rows = Pipeline.decontaminate(spark, sf).collect()
+    assert(rows.nonEmpty, "planted near-dups must straddle the eval split")
+    assert(rows.forall(r => r.getLong(0) % 5 != 0), "benchmark docs must not self-flag")
+    assert(rows.forall(_.getLong(1) > 0))
+  }
+
+  test("stratified sample is deterministic and respects per-language quotas") {
+    val quotas = Map("en" -> 60L, "de" -> 40L, "fr" -> 30L, "es" -> 20L)
+    val a = Pipeline.stratifiedSample(spark, sf).collect()
+    assert(a.nonEmpty)
+    assert(a.forall(r => r.getLong(2) < quotas(r.getString(1))))
+    val b = Pipeline.stratifiedSample(spark, sf).collect()
+    assert(a.map(_.getLong(0)).toSeq === b.map(_.getLong(0)).toSeq)
+  }
+
   test("brute-force ANN returns top-10 per query, cosine-sorted") {
     val rows = Similarity.annBruteForce(spark, sf).collect()
     val byQ = rows.groupBy(_.getLong(0))
