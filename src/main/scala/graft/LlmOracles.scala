@@ -68,6 +68,20 @@ object LlmOracles {
         | CASE WHEN len(g3) = 0 THEN 0.0
         |      ELSE round(1.0 - len(list_distinct(g3))::DOUBLE / len(g3), 6) END AS dup3_frac
         |FROM g ORDER BY doc_id""").stripMargin,
+    "q_tfidf_top3" ->
+      (toksCte + """,
+        |tok AS (SELECT doc_id, unnest(t) AS token FROM toks),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+        |dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |sc AS (SELECT doc_id, token,
+        |  CAST(tf * round(ln(n.n / dfq.df::DOUBLE) * 1e6) AS BIGINT) AS skey
+        | FROM tf JOIN dfq USING(token) CROSS JOIN n),
+        |r AS (SELECT *, row_number() OVER
+        |  (PARTITION BY doc_id ORDER BY skey DESC, token) AS rnk FROM sc)
+        |SELECT doc_id, CAST(rnk AS INT) AS rnk, token,
+        | round(skey / 1000000.0, 4) AS score
+        |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""").stripMargin,
     "q_decontaminate" ->
       """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
         |g AS (SELECT doc_id, array_to_string(ws[i:i+12], ' ') AS gram

@@ -89,6 +89,7 @@ object SparkEntry {
     "q_dedup_minhash_lsh" -> (Dedup.minhashLshPairs _),
     "q_dedup_span"        -> (Dedup.spanDupCoverage _),
     "q_text_repetition"   -> (TextAnalysis.repetition _),
+    "q_tfidf_top3"        -> (TextAnalysis.tfidfTop3 _),
     "q_decontaminate"     -> (Pipeline.decontaminate _),
     "q_sample_stratified" -> (Pipeline.stratifiedSample _),
     "q_dedup_simhash"   -> (Dedup.simhashPairs _),

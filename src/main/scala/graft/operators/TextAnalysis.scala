@@ -73,6 +73,33 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Top-3 TF-IDF keywords per document — the classic corpus-analytics /
+    * feature-extraction step. Two linear shuffles: (doc, token) term
+    * counts, then token document frequencies derived from the FIRST
+    * aggregate (never re-shuffling raw tokens). Ranking compares the
+    * INTEGER key tf × round(ln(N/df)·10⁶) — cross-engine `ln` can differ
+    * in the last ulp, and a double-keyed sort could rank two tokens
+    * differently in Spark vs the oracle; the quantized key cannot
+    * (ln values are ~[0,12], an ulp is ~1e-15, the 1e-6 grid is 9 orders
+    * of magnitude coarser). Ties on the key break by token ascending. */
+  def tfidfTop3(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(s, dir, "documents")
+    val n = docs.count() // scalar corpus size (metadata-scale action)
+    val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(dfreq, Seq("token"))
+      .withColumn("skey",
+        col("tf") * expr(s"cast(round(ln($n / cast(df AS DOUBLE)) * 1e6) AS BIGINT)"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("skey").desc, col("token").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= 3)
+      .select(col("doc_id"), col("rnk"), col("token"),
+        round(col("skey").cast("double") / 1e6, 4).as("score"))
+      .orderBy("doc_id", "rnk")
+  }
+
   /** Language ID by stopword-hit scoring over 4 language lists, ties broken
     * in fixed order en>de>fr>es. N-gram-heuristic class of the reference-era
     * langid tools; exact arithmetic so the oracle reproduces it. */

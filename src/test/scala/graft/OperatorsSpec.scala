@@ -130,6 +130,19 @@ class OperatorsSpec extends SparkSpec {
     assert(a.map(_.getLong(0)).toSeq === b.map(_.getLong(0)).toSeq)
   }
 
+  test("tfidf top-3: dense ranks per doc, scores non-increasing") {
+    val rows = TextAnalysis.tfidfTop3(spark, sf).collect()
+    val byDoc = rows.groupBy(_.getLong(0))
+    assert(byDoc.nonEmpty)
+    byDoc.foreach { case (d, rs) =>
+      val sorted = rs.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq === (1 to sorted.length),
+        s"doc $d ranks not dense")
+      val scores = sorted.map(_.getDouble(3)).toSeq
+      assert(scores === scores.sorted.reverse, s"doc $d scores increase")
+    }
+  }
+
   test("brute-force ANN returns top-10 per query, cosine-sorted") {
     val rows = Similarity.annBruteForce(spark, sf).collect()
     val byQ = rows.groupBy(_.getLong(0))
