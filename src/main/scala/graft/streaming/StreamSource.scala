@@ -58,7 +58,7 @@ object StreamSource {
     // sentinel ts = max(ts) + 30 days, expressed in the file's own ts type so
     // the sentinel parquet unions cleanly with the raw stream before the
     // shared normalizeTs pass
-    val maxRow = raw.agg(max("ts")).head
+    val maxRow = raw.agg(max("ts")).head()
     val sentinelTs: Any = schema("ts").dataType match {
       case LongType         => maxRow.getLong(0) + 30L * 24 * 3600 * 1000000000L
       case TimestampNTZType => maxRow.getAs[java.time.LocalDateTime](0).plusDays(30)

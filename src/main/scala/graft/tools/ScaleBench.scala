@@ -23,7 +23,7 @@ object ScaleBench {
     new java.io.File(out).mkdirs()
     val li = graft.Tables(s, src, "lineitem")
     val ord = graft.Tables(s, src, "orders")
-    val maxOrder = ord.agg(max("o_orderkey")).head.getLong(0) + 1
+    val maxOrder = ord.agg(max("o_orderkey")).head().getLong(0) + 1
     val copies = (0 until k)
     copies.map { i =>
       li.withColumn("l_orderkey", col("l_orderkey") + lit(i * maxOrder))
@@ -42,7 +42,7 @@ object ScaleBench {
     // documents with the original's statistical shape (per-copy shingle
     // universes are disjoint; df distribution per universe is unchanged)
     val docs = graft.Tables(s, src, "documents")
-    val maxDoc = docs.agg(max("doc_id")).head.getLong(0) + 1
+    val maxDoc = docs.agg(max("doc_id")).head().getLong(0) + 1
     copies.map { i =>
       docs.withColumn("doc_id", col("doc_id") + lit(i * maxDoc))
         .withColumn("text", array_join(
@@ -54,7 +54,7 @@ object ScaleBench {
     // exactly, so each copy's dedup structure mirrors the original corpus,
     // while cross-copy vectors are decorrelated
     val emb = graft.Tables(s, src, "embeddings")
-    val maxVec = emb.agg(max("vec_id")).head.getLong(0) + 1
+    val maxVec = emb.agg(max("vec_id")).head().getLong(0) + 1
     copies.map { i =>
       emb.withColumn("vec_id", col("vec_id") + lit(i * maxVec))
         .withColumn("embedding", when(lit(i) === 0, col("embedding")).otherwise(
