@@ -128,7 +128,14 @@ object StreamSource {
   def runToTable(s: SparkSession, df: DataFrame, name: String,
                  mode: String, afterStart: () => Unit = () => ()): DataFrame = {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    // default 4 (was 8): measured at sf0.1, the replay-driven queries spend
+    // their time in per-partition state-store lifecycle (snapshot + fsync
+    // per stateful op per batch), so halving the fan-out cuts ~10-13% off
+    // every streaming query (q_stream_dyn_session_ooo 7.12->6.22 s warm,
+    // q_stream_tumble 2.21->2.01 s); 2 partitions re-serializes the work
+    // and loses the gain. GRAFT_STREAM_SHUFFLE overrides for experiments.
+    s.conf.set("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("GRAFT_STREAM_SHUFFLE", "4"))
     try {
       val q: StreamingQuery =
         try df.writeStream
