@@ -181,6 +181,14 @@ object SparkEntry {
     "q_graph_triangles" -> (Graph.docTriangles _),
     "q_sql_q3"          -> (SqlSurface.q3 _),
     "q_sql_subquery"    -> (SqlSurface.correlatedSubquery _),
+    "q_tpch_q1"         -> (SqlSurface.tpchQuery("q_tpch_q1") _),
+    "q_tpch_q7"         -> (SqlSurface.tpchQuery("q_tpch_q7") _),
+    "q_tpch_q8"         -> (SqlSurface.tpchQuery("q_tpch_q8") _),
+    "q_tpch_q9"         -> (SqlSurface.tpchQuery("q_tpch_q9") _),
+    "q_tpch_q13"        -> (SqlSurface.tpchQuery("q_tpch_q13") _),
+    "q_tpch_q15"        -> (SqlSurface.tpchQuery("q_tpch_q15") _),
+    "q_tpch_q17"        -> (SqlSurface.tpchQuery("q_tpch_q17") _),
+    "q_tpch_q21"        -> (SqlSurface.tpchQuery("q_tpch_q21") _),
     "q_tpch_q4"         -> (SqlSurface.tpchQuery("q_tpch_q4") _),
     "q_tpch_q5"         -> (SqlSurface.tpchQuery("q_tpch_q5") _),
     "q_tpch_q6"         -> (SqlSurface.tpchQuery("q_tpch_q6") _),

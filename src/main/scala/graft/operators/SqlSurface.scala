@@ -34,6 +34,129 @@ object SqlSurface {
     * (SURVEY.md §5.4), so these speak its test language. Dialect-shared
     * SQL: the identical text is the DuckDB oracle. */
   val tpch: Map[String, String] = Map(
+    // Q1: full pricing summary report (the flagship scan-agg; q1_agg is the
+    // DataFrame twin — this is the verbatim SQL-text path)
+    "q_tpch_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity), 2) AS sum_qty,
+        | round(sum(l_extendedprice), 2) AS sum_base_price,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        | round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+        | round(avg(l_quantity), 6) AS avg_qty,
+        | round(avg(l_extendedprice), 6) AS avg_price,
+        | round(avg(l_discount), 6) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    // Q7: volume shipping between two nations (double nation join + year
+    // bucketing; generator nations are NATION_0..24)
+    "q_tpch_q7" ->
+      """SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+        |FROM (
+        | SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS INT) AS l_year,
+        |  l_extendedprice * (1 - l_discount) AS volume
+        | FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+        | JOIN orders ON o_orderkey = l_orderkey
+        | JOIN customer ON c_custkey = o_custkey
+        | JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        | JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        | WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |   AND l_shipdate BETWEEN DATE '1995-01-01' AND DATE '1996-12-31'
+        |) shipping
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+    // Q8: national market share inside a region (8-table join, conditional
+    // share aggregation)
+    "q_tpch_q8" ->
+      """SELECT o_year,
+        | round(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
+        |   / sum(volume), 6) AS mkt_share
+        |FROM (
+        | SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+        |  l_extendedprice * (1 - l_discount) AS volume,
+        |  n2.n_name AS nation
+        | FROM part JOIN lineitem ON p_partkey = l_partkey
+        | JOIN supplier ON s_suppkey = l_suppkey
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        | JOIN region ON n1.n_regionkey = r_regionkey
+        | JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        | WHERE r_name = 'AMERICA'
+        |   AND o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1996-12-31'
+        |   AND p_type = 'PROMO'
+        |) all_nations GROUP BY o_year ORDER BY o_year""".stripMargin,
+    // Q9: product-type profit by nation and year. The schema has no
+    // partsupp, so ps_supplycost is proxied by a DETERMINISTIC per-part
+    // unit cost (p_partkey % 100 + 1) — the 6-table join + expression
+    // aggregation shape is the point, and both engines compute the same
+    // proxy exactly
+    "q_tpch_q9" ->
+      """SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+        |FROM (
+        | SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+        |  l_extendedprice * (1 - l_discount)
+        |    - (p_partkey % 100 + 1) * l_quantity AS amount
+        | FROM part JOIN lineitem ON p_partkey = l_partkey
+        | JOIN supplier ON s_suppkey = l_suppkey
+        | JOIN orders ON o_orderkey = l_orderkey
+        | JOIN nation ON s_nationkey = n_nationkey
+        | WHERE p_name LIKE '%red%'
+        |) profit GROUP BY nation, o_year
+        |ORDER BY nation, o_year DESC""".stripMargin,
+    // Q13: customer order-count distribution (outer join with an ON-clause
+    // filter, two-level aggregation); the spec's o_comment NOT LIKE filter
+    // maps to the available o_orderpriority column
+    "q_tpch_q13" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        | SELECT c_custkey, count(o_orderkey) AS c_count
+        | FROM customer LEFT JOIN orders
+        |   ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        | GROUP BY c_custkey) c_orders
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    // Q15: top supplier by quarterly revenue (CTE reused twice: join +
+    // scalar-max subquery — the view-based formulation of the spec)
+    "q_tpch_q15" ->
+      """WITH revenue AS (
+        | SELECT l_suppkey AS supplier_no,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+        | FROM lineitem
+        | WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+        | GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin,
+    // Q17: small-quantity-order revenue (correlated scalar avg subquery);
+    // the spec's p_container filter maps to the available p_size column
+    "q_tpch_q17" ->
+      """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#1' AND p_size <= 25
+        |  AND l_quantity < (SELECT 0.5 * avg(l_quantity) FROM lineitem
+        |                    WHERE l_partkey = p_partkey)""".stripMargin,
+    // Q21: suppliers who kept orders waiting (self-join EXISTS + NOT
+    // EXISTS on the same fact). No commit/receipt dates in the schema:
+    // "late" maps to l_returnflag = 'R' — the multi-correlated-subquery
+    // plan (semi + anti against two more lineitem scans) is preserved
+    "q_tpch_q21" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM supplier
+        |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        |JOIN orders ON o_orderkey = l1.l_orderkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin,
     // Q4: order-priority checking via EXISTS
     "q_tpch_q4" ->
       """SELECT o_orderpriority, count(*) AS order_count
