@@ -300,6 +300,76 @@ object Graph {
         col("t").getItem(2).as("t3"))
   }
 
+  /** Per-vertex local clustering coefficient: 2·tri(v) / (deg(v)·(deg(v)−1)),
+    * the triangle-family metric next to enumeration in the reference's graph
+    * library (Gelly LocalClusteringCoefficient.java builds on the same
+    * degree-oriented triangle listing). Reuses [[triangles]] (skew-bounded by
+    * the orientation trick), then one explode + groupBy for per-vertex
+    * triangle counts — cost is dominated by the listing itself. */
+  def clusteringCoefficient(edges: DataFrame): DataFrame = {
+    val canon = edges.where(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val deg = canon.select(col("a").as("id"))
+      .union(canon.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    val triPerV = triangles(edges)
+      .select(explode(array(col("t1"), col("t2"), col("t3"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("tri"))
+    deg.join(triPerV, Seq("id"), "left")
+      .withColumn("tri", coalesce(col("tri"), lit(0L)))
+      .select(col("id").as("doc_id"), col("deg"), col("tri"),
+        when(col("deg") < 2, lit(0.0))
+          .otherwise(round(lit(2.0) * col("tri") / (col("deg") * (col("deg") - 1)), 6))
+          .as("coeff"))
+      .orderBy("doc_id")
+  }
+
+  def docClustering(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.ngramJaccardPairsShared(s, dir)
+    clusteringCoefficient(
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+  }
+
+  /** HITS hubs & authorities (ref Gelly library HITS.java: scatter hub
+    * scores along out-edges, gather as authority, then the reverse) over a
+    * DIRECTED edge list. Scores start at 1.0, so every intermediate sum is
+    * an exact integer — the iteration is bit-identical in any engine; the
+    * single division happens once at the end, normalizing by the MAX score
+    * (order-independent, unlike a sum), rounded to 6. Per round: two
+    * shuffle joins on the edge endpoints — the scatter-gather shape. */
+  def hits(edges: DataFrame, iters: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct().persistRound()
+    val verts = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct().persistRound()
+    var hub = verts.select(col("id"), lit(1.0).as("hub")).persistRound()
+    var auth = verts.select(col("id"), lit(1.0).as("auth")).persistRound()
+    for (_ <- 1 to iters) {
+      val a = e.join(hub.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id")).agg(sum(col("hub")).as("a"))
+      auth = verts.join(a, Seq("id"), "left")
+        .select(col("id"), coalesce(col("a"), lit(0.0)).as("auth"))
+        .persistRound()
+      val h = e.join(auth.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src").as("id")).agg(sum(col("auth")).as("h"))
+      hub = verts.join(h, Seq("id"), "left")
+        .select(col("id"), coalesce(col("h"), lit(0.0)).as("hub"))
+        .persistRound()
+    }
+    val scores = hub.join(auth, "id")
+    val mx = scores.agg(max(col("hub")).as("mh"), max(col("auth")).as("ma")).head()
+    scores.select(col("id").as("doc_id"),
+        round(col("hub") / lit(math.max(mx.getDouble(0), 1.0)), 6).as("hub"),
+        round(col("auth") / lit(math.max(mx.getDouble(1), 1.0)), 6).as("auth"))
+      .orderBy("doc_id")
+  }
+
+  def docHits(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.ngramJaccardPairsShared(s, dir)
+    hits(pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")), iters = 3)
+  }
+
   /** Weighted distance from the dedup KEEP set through the near-dup graph:
     * sources are docs with no smaller near-dup neighbor (exactly the
     * survivors of ngramDedupKeep), weight = 1 - jaccard. Answers "how far
@@ -381,6 +451,19 @@ object Graph {
     |  FROM verts v LEFT JOIN p$i p ON p.id = v.id)""".stripMargin
   }
 
+  /** One HITS round: gather hubs into authorities along doc_a→doc_b, then
+    * the reverse. Integer-exact until the final normalization. */
+  private def hitsRound(i: Int): String = {
+    val prevHub = s"h${i - 1}"
+    s""",
+    |a$i AS (SELECT v.id, coalesce(s.a, 0.0) AS auth FROM hv v LEFT JOIN (
+    |  SELECT p.doc_b AS id, sum(h.hub) AS a FROM pairs p
+    |  JOIN $prevHub h ON h.id = p.doc_a GROUP BY p.doc_b) s ON s.id = v.id),
+    |h$i AS (SELECT v.id, coalesce(s.h, 0.0) AS hub FROM hv v LEFT JOIN (
+    |  SELECT p.doc_a AS id, sum(a.auth) AS h FROM pairs p
+    |  JOIN a$i a ON a.id = p.doc_b GROUP BY p.doc_a) s ON s.id = v.id)""".stripMargin
+  }
+
   private def prRound(i: Int): String = {
     val prev = s"r${i - 1}"
     s""",
@@ -427,6 +510,28 @@ object Graph {
       |JOIN pairs e2 ON e2.doc_a = e1.doc_a AND e2.doc_b > e1.doc_b
       |JOIN pairs e3 ON e3.doc_a = e1.doc_b AND e3.doc_b = e2.doc_b
       |ORDER BY 1, 2, 3""".stripMargin),
+    "q_graph_hits" -> (graphCtes +
+      """,
+      |hv AS (SELECT doc_a AS id FROM pairs UNION SELECT doc_b FROM pairs),
+      |h0 AS (SELECT id, 1.0 AS hub FROM hv)""".stripMargin +
+      (1 to 3).map(hitsRound).mkString + """
+      |SELECT h3.id AS doc_id,
+      | round(h3.hub / greatest((SELECT max(hub) FROM h3), 1.0), 6) AS hub,
+      | round(a3.auth / greatest((SELECT max(auth) FROM a3), 1.0), 6) AS auth
+      |FROM h3 JOIN a3 ON a3.id = h3.id ORDER BY doc_id""".stripMargin),
+    "q_graph_clustering" -> (graphCtes + """,
+      |tri AS (SELECT e1.doc_a AS t1, e1.doc_b AS t2, e2.doc_b AS t3
+      | FROM pairs e1
+      | JOIN pairs e2 ON e2.doc_a = e1.doc_a AND e2.doc_b > e1.doc_b
+      | JOIN pairs e3 ON e3.doc_a = e1.doc_b AND e3.doc_b = e2.doc_b),
+      |tv AS (SELECT id, count(*) AS tri FROM (
+      |  SELECT unnest([t1, t2, t3]) AS id FROM tri) GROUP BY id),
+      |dg AS (SELECT src AS id, count(*) AS deg FROM edges GROUP BY src)
+      |SELECT d.id AS doc_id, CAST(d.deg AS BIGINT) AS deg,
+      | CAST(coalesce(t.tri, 0) AS BIGINT) AS tri,
+      | CASE WHEN d.deg < 2 THEN 0.0
+      |      ELSE round(2.0 * coalesce(t.tri, 0) / (d.deg * (d.deg - 1)), 6) END AS coeff
+      |FROM dg d LEFT JOIN tv t ON t.id = d.id ORDER BY doc_id""".stripMargin),
     "q_graph_labelprop" -> (graphCtes +
       ",\nl0 AS (SELECT id, id AS label FROM verts)" +
       (1 to 3).map(lpRound).mkString +
