@@ -181,6 +181,7 @@ object SparkEntry {
     "q_graph_triangles" -> (Graph.docTriangles _),
     "q_graph_clustering" -> (Graph.docClustering _),
     "q_graph_hits"      -> (Graph.docHits _),
+    "q_graph_summarize" -> (Graph.docSummarize _),
     "q_sql_q3"          -> (SqlSurface.q3 _),
     "q_sql_subquery"    -> (SqlSurface.correlatedSubquery _),
     "q_tpch_q1"         -> (SqlSurface.tpchQuery("q_tpch_q1") _),

@@ -370,6 +370,32 @@ object Graph {
     hits(pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")), iters = 3)
   }
 
+  /** Graph summarization (ref Gelly library Summarization.java: contract
+    * vertices sharing a value into one super-vertex, edges into counted
+    * super-edges). The vertex value here is the 3-round label-propagation
+    * community, so the output is the community-level graph: one row per
+    * (community, community) super-edge with its multiplicity and both
+    * community sizes. Cost beyond labelProp: two label joins + one
+    * groupBy — all on the (small) canonical edge list. */
+  def docSummarize(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.ngramJaccardPairsShared(s, dir)
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val verts = graft.Tables(s, dir, "documents").select(col("doc_id").as("id"))
+    val labels = labelPropagation(verts, edges, rounds = 3)
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("n"))
+    edges
+      .join(labels.select(col("id").as("src"), col("label").as("ls")), "src")
+      .join(labels.select(col("id").as("dst"), col("label").as("ld")), "dst")
+      .select(least(col("ls"), col("ld")).as("label_a"),
+        greatest(col("ls"), col("ld")).as("label_b"))
+      .groupBy("label_a", "label_b").agg(count(lit(1)).as("n_edges"))
+      .join(sizes.select(col("label").as("label_a"), col("n").as("size_a")), "label_a")
+      .join(sizes.select(col("label").as("label_b"), col("n").as("size_b")), "label_b")
+      .select(col("label_a"), col("label_b"), col("n_edges"),
+        col("size_a"), col("size_b"))
+      .orderBy("label_a", "label_b")
+  }
+
   /** Weighted distance from the dedup KEEP set through the near-dup graph:
     * sources are docs with no smaller near-dup neighbor (exactly the
     * survivors of ngramDedupKeep), weight = 1 - jaccard. Answers "how far
@@ -536,6 +562,19 @@ object Graph {
       ",\nl0 AS (SELECT id, id AS label FROM verts)" +
       (1 to 3).map(lpRound).mkString +
       "\nSELECT id AS doc_id, label FROM l3 ORDER BY doc_id"),
+    "q_graph_summarize" -> (graphCtes +
+      ",\nl0 AS (SELECT id, id AS label FROM verts)" +
+      (1 to 3).map(lpRound).mkString + """,
+      |sizes AS (SELECT label, count(*) AS n FROM l3 GROUP BY label),
+      |es AS (SELECT least(s.label, d.label) AS label_a,
+      |        greatest(s.label, d.label) AS label_b, count(*) AS n_edges
+      | FROM pairs p JOIN l3 s ON s.id = p.doc_a JOIN l3 d ON d.id = p.doc_b
+      | GROUP BY 1, 2)
+      |SELECT label_a, label_b, CAST(n_edges AS BIGINT) AS n_edges,
+      | CAST(sa.n AS BIGINT) AS size_a, CAST(sb.n AS BIGINT) AS size_b
+      |FROM es JOIN sizes sa ON sa.label = es.label_a
+      |JOIN sizes sb ON sb.label = es.label_b
+      |ORDER BY label_a, label_b""".stripMargin),
     "q_graph_pagerank" -> (graphCtes + """,
       |nv AS (SELECT count(*)::DOUBLE AS n FROM verts),
       |deg AS (SELECT src AS id, count(*) AS outdeg FROM edges GROUP BY src),
