@@ -77,51 +77,68 @@ object Bench {
       catch { case _: Throwable => () }
     }
     // materialize the shared near-dup pair table OUTSIDE the timed loop and
-    // report its one-time cost on its own line: otherwise whichever consumer
-    // (pairs/keep/graph/pipeline) happens to run first absorbs the corpus's
-    // most expensive stage into its own attribution (VERDICT r6 task 6)
-    locally {
+    // report its one-time cost as a field of the JSON line: otherwise
+    // whichever consumer (pairs/keep/graph/pipeline) happens to run first
+    // absorbs the corpus's most expensive stage into its own attribution
+    // (VERDICT r6 task 6), and stderr-only reporting hides the cost from
+    // consumers of the timings (ADVICE r8).
+    val warmupSharedPairs: Double = {
       val t0 = System.nanoTime()
-      try {
+      val t = try {
         operators.Dedup.ngramJaccardPairsShared(spark, sfDir).count()
-        System.err.println(
-          f"[bench] shared-pairs-warmup ${(System.nanoTime() - t0) / 1e9}%8.2fs")
-      } catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      } catch { case _: Throwable => Double.NaN }
       spark.catalog.clearCache()
+      System.err.println(f"[bench] shared-pairs-warmup $t%8.2fs")
+      t
     }
 
     val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Contention robustness (VERDICT r3 finding #3, r8 "what's wrong" #1):
+    // the shared driver machine shows 10-70x spikes that can be SUSTAINED
+    // for minutes, so back-to-back retries all land inside the same
+    // contention window and min-of-3 still reports an inflated number
+    // (r8: q_asof_custom bench-min 8.90 s vs 0.70 s isolated). First pass
+    // runs each query ONCE; over-threshold queries are re-queued for a
+    // second pass at the END of the run — the full pass takes minutes, so
+    // the re-attempts are naturally spread far from the first.
+    val firstPass = sorted.map { case (name, fn) =>
+      val a1 = run(name, fn)
+      if (a1.isNaN) failed += name
+      val rt = Runtime.getRuntime
+      System.err.println(f"[bench] $name%-28s $a1%8.2fs heapUsed=${(rt.totalMemory - rt.freeMemory) / (1 << 20)}%dMiB")
+      name -> a1
+    }
+    val requeue = firstPass.collect { case (n, t) if !t.isNaN && t > 3.0 => n }
+    System.err.println(s"[bench] requeue pass: ${requeue.size} queries over 3.0s")
+    val retries: Map[String, Seq[Double]] = requeue.map { name =>
+      val fn = SparkEntry.queries(name)
+      val a2 = run(name, fn)
+      val a3 = if (a2.isNaN || a2 > 3.0) run(name, fn) else Double.NaN
+      val extra = Seq(a2, a3).filterNot(_.isNaN)
+      System.err.println(f"[bench] retry $name%-28s ${if (extra.isEmpty) "all-failed" else extra.map(x => f"$x%.2f").mkString(",")}s")
+      name -> extra
+    }.toMap
     // name -> (min, median, attempts) — min is the intrinsic-cost claim,
     // median exposes a regression that reproduces across retries
-    // (VERDICT r4 #10: min-of-3 alone can hide a 2-of-3-reproducible one).
-    val results = sorted.map { case (name, fn) =>
-      // Contention robustness (VERDICT r3 finding #3): the shared driver
-      // machine shows 10-70x one-off spikes. Any run over the threshold is
-      // retried up to 2 more times, unconditionally (no elapsed cutoff — the
-      // old `elapsed < 900` guard disabled re-runs exactly when they were
-      // needed); min is reported as the query's intrinsic cost, median
-      // alongside it for the retried ones.
-      val attempts = scala.collection.mutable.ArrayBuffer.empty[Double]
-      val a1 = run(name, fn)
-      if (a1.isNaN) failed += name else attempts += a1
-      if (!a1.isNaN && a1 > 3.0) {
-        val a2 = run(name, fn)
-        if (!a2.isNaN) attempts += a2
-        if (attempts.min > 3.0) {
-          val a3 = run(name, fn)
-          if (!a3.isNaN) attempts += a3
-        }
-      }
+    // (VERDICT r4 #10: min-of-N alone can hide a 2-of-3-reproducible one).
+    val results = firstPass.map { case (name, a1) =>
+      val attempts = (if (a1.isNaN) Seq.empty else Seq(a1)) ++
+        retries.getOrElse(name, Seq.empty)
       val t = if (attempts.isEmpty) Double.NaN else attempts.min
       val med = if (attempts.isEmpty) Double.NaN else {
         val s = attempts.sorted
         if (s.length % 2 == 1) s(s.length / 2)
         else (s(s.length / 2 - 1) + s(s.length / 2)) / 2
       }
-      val rt = Runtime.getRuntime
-      System.err.println(f"[bench] $name%-28s $t%8.2fs med=$med%.2fs n=${attempts.length} heapUsed=${(rt.totalMemory - rt.freeMemory) / (1 << 20)}%dMiB")
       name -> (t, med, attempts.length)
     }
+    // a query counts as CONTENDED when the spread-out re-run collapsed its
+    // first-pass time ≥3x — i.e. the first number was machine noise, not code
+    val firstByName = firstPass.toMap
+    val contended = results.count { case (name, (t, _, att)) =>
+      att > 1 && !t.isNaN && firstByName(name) >= 3 * t }
+
 
     def entry(kv: (String, Double)): String = f""""${kv._1}":${kv._2}%.3f"""
     val good = results.collect { case (n, (t, _, _)) if !t.isNaN => n -> t }
@@ -149,7 +166,10 @@ object Bench {
     val medJson =
       if (medEntries.isEmpty) ""
       else medEntries.map(entry).mkString(""","med":{""", ",", "}")
-    val prefix = f"""{"metric":"total","value":$total%.2f,"unit":"sec","n":${results.size},"ok":${good.size}$failedJson$medJson,"queries":{"""
+    val warmupJson =
+      if (warmupSharedPairs.isNaN) ""
+      else f""","warmup_shared_pairs":$warmupSharedPairs%.2f"""
+    val prefix = f"""{"metric":"total","value":$total%.2f,"unit":"sec","n":${results.size},"ok":${good.size},"contended":$contended$warmupJson$failedJson$medJson,"queries":{"""
     val suffix = s"""},"sf":"$sfDir"}"""
     val sb = new StringBuilder(prefix)
     var first = true

@@ -26,9 +26,11 @@ object Tables {
     *    truncate to micros integrally (`div` avoids the double round-trip
     *    that loses precision above 2^53 ns). DuckDB's CAST(ts AS TIMESTAMP)
     *    applies the same truncation, so the oracle agrees.
-    *  - TimestampNTZType — micros without a zone; with the session pinned to
-    *    UTC (Verify/Bench builders) the cast to TimestampType is the identity
-    *    on the stored micros. Streaming watermarks require TimestampType.
+    *  - TimestampNTZType — micros without a zone; the cast to TimestampType
+    *    is the identity on the stored micros ONLY when the session zone is
+    *    UTC, so that invariant is enforced here rather than assumed (an
+    *    unpinned session would silently shift event times relative to the
+    *    zone-free oracle). Streaming watermarks require TimestampType.
     *  - TimestampType — already what every operator expects.
     */
   def normalizeTs(df: DataFrame, c: String = "ts"): DataFrame = {
@@ -36,7 +38,17 @@ object Tables {
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     df.schema(c).dataType match {
       case LongType         => df.withColumn(c, expr(s"timestamp_micros($c div 1000)"))
-      case TimestampNTZType => df.withColumn(c, col(c).cast(TimestampType))
+      case TimestampNTZType =>
+        val tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+        val isUtc = try {
+          java.time.ZoneId.of(tz).getRules.isFixedOffset &&
+            java.time.ZoneId.of(tz).getRules.getOffset(java.time.Instant.EPOCH).getTotalSeconds == 0
+        } catch { case _: Exception => false }
+        if (!isUtc) throw new IllegalStateException(
+          s"normalizeTs requires spark.sql.session.timeZone=UTC to reinterpret " +
+          s"TIMESTAMP_NTZ micros zone-free (session zone is '$tz'); pin the " +
+          "session zone before reading event-time tables")
+        df.withColumn(c, col(c).cast(TimestampType))
       case TimestampType    => df
       case other => throw new IllegalStateException(
         s"unsupported event-time type $other for column $c")

@@ -358,7 +358,11 @@ object Graph {
         .persistRound()
     }
     val scores = hub.join(auth, "id")
-    val mx = scores.agg(max(col("hub")).as("mh"), max(col("auth")).as("ma")).head()
+    // coalesce: with an empty edge/vertex set max() aggregates to NULL and a
+    // bare getDouble would NPE — an empty graph must yield an empty result,
+    // matching the oracle (ADVICE r8).
+    val mx = scores.agg(coalesce(max(col("hub")), lit(1.0)).as("mh"),
+      coalesce(max(col("auth")), lit(1.0)).as("ma")).head()
     scores.select(col("id").as("doc_id"),
         round(col("hub") / lit(math.max(mx.getDouble(0), 1.0)), 6).as("hub"),
         round(col("auth") / lit(math.max(mx.getDouble(1), 1.0)), 6).as("auth"))

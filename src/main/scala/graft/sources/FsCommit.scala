@@ -96,7 +96,20 @@ object FsCommit {
           java.nio.file.Files.move(s, d,
             java.nio.file.StandardCopyOption.ATOMIC_MOVE)
         } else {
-          java.nio.file.Files.createLink(d, s)
+          try java.nio.file.Files.createLink(d, s)
+          catch {
+            // EXDEV (src and dst on different filesystems) or a filesystem
+            // without hard-link support: fall back to the plain move those
+            // filesystems do support (copy+delete across devices — the
+            // pre-link behavior). FileAlreadyExistsException is excluded so
+            // a lost race still reaches the outer `false` branch.
+            case _: UnsupportedOperationException =>
+              java.nio.file.Files.move(s, d)
+            case e: java.nio.file.FileSystemException
+                if !e.isInstanceOf[java.nio.file.FileAlreadyExistsException] &&
+                  !exists(dst) && exists(src) =>
+              java.nio.file.Files.move(s, d)
+          }
           java.nio.file.Files.deleteIfExists(s)
         }
         true
