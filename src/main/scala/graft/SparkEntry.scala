@@ -74,8 +74,10 @@ object SparkEntry {
     "q_ddl_alter"       -> (graft.sources.DdlSql.ddlAlter _),
     "q_ddl_function"    -> (graft.sources.DdlSql.ddlFunction _),
     "q_fn_string"       -> (ScalarFuncs.strings _),
+    "q_fn_string2"      -> (ScalarFuncs.strings2 _),
     "q_fn_math"         -> (ScalarFuncs.math _),
     "q_fn_datetime"     -> (ScalarFuncs.datetime _),
+    "q_fn_datetime2"    -> (ScalarFuncs.datetime2 _),
     "q_fn_conditional"  -> (ScalarFuncs.conditional _),
     "q_fn_complex"      -> (ScalarFuncs.complexTypes _),
     "q_text_stats"      -> (TextAnalysis.stats _),
@@ -214,6 +216,7 @@ object SparkEntry {
     "q_sql_match_permute" -> (streaming.MatchRecognizeSql.matchPermute _),
     "q_sql_match_number"  -> (streaming.MatchRecognizeSql.matchNumber _),
     "q_sql_match_multi"   -> (streaming.MatchRecognizeSql.matchMulti _),
+    "q_sql_match_multi_deep" -> (streaming.MatchRecognizeSql.matchMultiDeep _),
     "q_sql_match_subset"  -> (streaming.MatchRecognizeSql.matchSubset _),
     "q_sql_match_xvar"    -> (streaming.MatchRecognizeSql.matchXvar _),
     "q_sql_match_xvar_min" -> (streaming.MatchRecognizeSql.matchXvarMin _),
@@ -449,6 +452,45 @@ object SparkEntry {
         | p_name LIKE '%a%' AS has_a,
         | regexp_matches(p_name, '[0-9]') AS has_digit
         |FROM part ORDER BY p_partkey""".stripMargin,
+    "q_fn_string2" ->
+      """SELECT p_partkey,
+        | substr(p_name, 1, 2) || '###' || substr(p_name, 5) AS ovl,
+        | 'example.com' AS host,
+        | CAST(p_size AS VARCHAR) AS qk,
+        | CAST(p_size AS VARCHAR) AS m_a,
+        | p_brand AS m_b,
+        | string_split(p_name, ' ')[1] AS si0,
+        | CASE WHEN len(string_split(p_name, ' ')) > 1 THEN string_split(p_name, ' ')[2] END AS si1,
+        | CAST(NULL AS VARCHAR) AS si_oob,
+        | CAST(NULL AS VARCHAR) AS si_neg,
+        | array_to_string(list_transform(string_split(p_name, ' '), x -> upper(x[1:1]) || lower(x[2:])), ' ') AS ic,
+        | CAST(position('a' IN p_name) AS INT) AS pos,
+        | CAST(instr(p_name, 'an') AS INT) AS loc,
+        | p_name AS enc_rt,
+        | p_name AS b64_rt,
+        | hex(encode(p_name)) AS hx
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q_fn_datetime2" ->
+      """SELECT o_orderkey,
+        | strftime(o_orderdate + to_hours(9), '%Y-%m-%d %H:%M:%S') AS cvt,
+        | strftime(o_orderdate + to_hours(3), '%Y-%m-%d %H:%M:%S') AS ta_h,
+        | strftime(o_orderdate + INTERVAL 2 MONTH, '%Y-%m-%d %H:%M:%S') AS ta_mo,
+        | date_diff('day', date_trunc('day', o_orderdate), TIMESTAMP '2025-06-01') AS td_d,
+        | date_diff('hour', date_trunc('day', o_orderdate), TIMESTAMP '2025-06-01') AS td_h,
+        | date_diff('month', date_trunc('month', o_orderdate), TIMESTAMP '2025-06-01') AS td_mo,
+        | (greatest(o_orderdate, o_orderdate + to_hours(2))
+        |    >= least(o_orderdate + to_hours(CAST(o_orderkey % 4 AS INT)),
+        |             o_orderdate + to_hours(CAST(o_orderkey % 4 AS INT) + 1))
+        |  AND greatest(o_orderdate + to_hours(CAST(o_orderkey % 4 AS INT)),
+        |               o_orderdate + to_hours(CAST(o_orderkey % 4 AS INT) + 1))
+        |    >= least(o_orderdate, o_orderdate + to_hours(2))) AS ovl,
+        | (greatest(o_orderdate, o_orderdate + to_hours(2))
+        |    >= least(o_orderdate + to_hours(CAST(o_orderkey % 4 AS INT)),
+        |             o_orderdate + to_hours(CAST(o_orderkey % 4 AS INT) + 1))
+        |  AND greatest(o_orderdate + to_hours(CAST(o_orderkey % 4 AS INT)),
+        |               o_orderdate + to_hours(CAST(o_orderkey % 4 AS INT) + 1))
+        |    >= least(o_orderdate, o_orderdate + to_hours(2))) AS ovl_rev
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q_fn_math" ->
       """SELECT p_partkey,
         | round(abs(-p_retailprice), 2) AS v_abs,

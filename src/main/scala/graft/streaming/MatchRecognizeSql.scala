@@ -28,7 +28,8 @@ import org.apache.spark.sql.functions.col
   *     PATTERN (V[+|+?|*|*?|{n}] ...) | PATTERN (PERMUTE(V1, V2[, V3]))
   *       | PATTERN ((V1 V2)[*|+] V3 ...)   -- grouped repetition; a var may
   *                                         -- recur (multi-occurrence), e.g.
-  *                                         -- (A B)* A; ≤ GroupRepCap reps
+  *                                         -- (A B)* A; repetitions UNCAPPED
+  *                                         -- (Cep.matchRecognizeGroup loop)
   *     [SUBSET U = (V1, V2[, ...]), ...]  -- union variables for MEASURES
   *     DEFINE V AS <pred> [, ...]
   *   )
@@ -70,8 +71,9 @@ object MatchRecognizeSql extends Serializable {
   case class MatchNumM(alias: String) extends Measure { val variable = "" }
 
   /** `groupRep` carries a leading grouped repetition `(A B)* C...`:
-    * (group body vars, tail vars, min repetitions). Expanded into
-    * alternatives longest-first (greedy) up to [[GroupRepCap]]. */
+    * (group body vars, tail vars, min repetitions). Matched by the
+    * uncapped NFA-style loop in [[Cep.matchRecognizeGroup]] — the
+    * repetition count is decided by the data, greedy longest-first. */
   case class Spec(selectCols: Seq[String], table: String, partitionCol: String,
                   orderCol: String, measures: Seq[Measure],
                   skipPastLastRow: Boolean,
@@ -82,11 +84,6 @@ object MatchRecognizeSql extends Serializable {
                   permute: Boolean = false,
                   groupRep: Option[(Seq[String], Seq[String], Int)] = None,
                   subsets: Map[String, Seq[String]] = Map.empty)
-
-  /** Bound on expanded repetitions of a pattern group — a documented
-    * subset limit (the reference's NFA loops states instead; a run of
-    * more than GroupRepCap group occurrences would match truncated). */
-  val GroupRepCap = 12
 
   // ---------------------------------------------------------------- parsing
 
@@ -185,8 +182,8 @@ object MatchRecognizeSql extends Serializable {
     val permuteRe = "(?is)^PERMUTE\\s*\\(([^)]*)\\)$".r
     // Leading grouped repetition `(A B)* C...` / `(A B)+ C...` — the
     // multi-occurrence pattern-variable form (a variable may appear in
-    // both the group body and the tail, e.g. (A B)* A). Expanded into
-    // alternatives longest-first in run().
+    // both the group body and the tail, e.g. (A B)* A). Matched by the
+    // uncapped loop in Cep.matchRecognizeGroup (run() wires it).
     val groupRe = "(?is)^\\(([^)]+)\\)\\s*(\\*|\\+)\\s*(.*)$".r
     val groupRep: Option[(Seq[String], Seq[String], Int)] =
       if (patternBody.toUpperCase.startsWith("PERMUTE")) None
@@ -538,28 +535,37 @@ object MatchRecognizeSql extends Serializable {
     // PERMUTE: one alternative per permutation of the listed variables,
     // expanded lexicographically (the standard's order); Match.alt then
     // tells the measure layer which variable order actually fired.
-    val altVarOrders: Seq[Seq[String]] =
+    val fixedAltOrders: Seq[Seq[String]] =
       if (spec.permute) spec.pattern.map(_._1).permutations.toSeq
-      else spec.groupRep match {
-        // greedy grouped repetition: longest expansion first (the first
-        // alternative that matches wins; NeedMore on a longer one parks
-        // the start until more input can decide it)
-        case Some((body, tail, minRep)) =>
-          (GroupRepCap to minRep by -1).map(k =>
-            Seq.fill(k)(body).flatten ++ tail)
-        case None => Seq(spec.pattern.map(_._1))
-      }
+      else Seq(spec.pattern.map(_._1))
+    // Match.alt carries the REPETITION COUNT in group mode (uncapped — the
+    // variable order is reconstructed per match), an alternative INDEX
+    // otherwise.
+    val altOrderOf: Int => Seq[String] = spec.groupRep match {
+      case Some((body, tail, _)) => (k: Int) => Seq.fill(k)(body).flatten ++ tail
+      case None                  => (i: Int) => fixedAltOrders(i)
+    }
     val stepByVar = spec.pattern.toMap
-    val out =
-      if (spec.permute || spec.groupRep.isDefined)
+    val out = spec.groupRep match {
+      case Some((body, tail, minRep)) =>
+        // uncapped grouped repetition: the NFA-style loop decides the count
+        // from the data (greedy longest-first; NeedMore parks a start while
+        // a longer match is still possible)
+        Cep.matchRecognizeGroup(
+          StreamSource.eventsTypedWithSentinel(s, dir),
+          body.map(stepByVar), tail.map(stepByVar), minRep, skipPolicy,
+          withinMicros = spec.withinMicros)
+      case None if spec.permute =>
         Cep.matchRecognizeAlts(
           StreamSource.eventsTypedWithSentinel(s, dir),
-          altVarOrders.map(_.map(stepByVar)), skipPolicy,
+          fixedAltOrders.map(_.map(stepByVar)), skipPolicy,
           withinMicros = spec.withinMicros)
-      else Cep.matchRecognizeSkip(
-        StreamSource.eventsTypedWithSentinel(s, dir), steps, skipPolicy,
-        withinMicros = spec.withinMicros)
-    if (spec.allRows) return runAllRows(s, spec, out, sqlText, altVarOrders)
+      case None =>
+        Cep.matchRecognizeSkip(
+          StreamSource.eventsTypedWithSentinel(s, dir), steps, skipPolicy,
+          withinMicros = spec.withinMicros)
+    }
+    if (spec.allRows) return runAllRows(s, spec, out, sqlText, altOrderOf)
     // ONE ROW PER MATCH: evaluate each measure from the match's rows and
     // the per-step segmentation (counts). FIRST/LAST/aggregates on an
     // empty optional variable are NULL, per the standard. Long-valued and
@@ -580,23 +586,14 @@ object MatchRecognizeSql extends Serializable {
     }
     def round6(x: Double): Double =
       BigDecimal(x).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
-    // ADVICE r6: the k==GroupRepCap expansion matching means a LONGER match
-    // may have been truncated (the oracle's recursive walk is uncapped) —
-    // surface the limit loudly instead of leaving a silent hash mismatch.
-    val capAltFired = spec.groupRep.isDefined
     val rows = out.map { m =>
-      if (capAltFired && m.alt == 0)
-        Console.err.println(
-          s"[match-recognize] WARNING: grouped repetition matched at the " +
-            s"GroupRepCap=$GroupRepCap expansion for key ${m.user_id} — a longer " +
-            "match may have been truncated (documented subset limit)")
       val offs = m.counts.scanLeft(0)(_ + _)
       val longs = Seq.newBuilder[Option[Long]]
       val dbls = Seq.newBuilder[Option[Double]]
       // variable positions follow the alternative that actually matched;
       // under a grouped repetition a variable occupies SEVERAL positions —
       // its measure segments are the concatenation across occurrences
-      val altOrder = altVarOrders(m.alt)
+      val altOrder = altOrderOf(m.alt)
       measures.foreach { meas =>
         // a measure variable may be a SUBSET name: match any member
         val names: Set[String] = spec.subsets.getOrElse(
@@ -651,18 +648,12 @@ object MatchRecognizeSql extends Serializable {
   private def runAllRows(s: SparkSession, spec: Spec,
                          out: org.apache.spark.sql.Dataset[Cep.Match],
                          sqlText: String,
-                         altVarOrders: Seq[Seq[String]]): DataFrame = {
+                         altOrderOf: Int => Seq[String]): DataFrame = {
     import s.implicits._
-    val capAltFired = spec.groupRep.isDefined
     val rows = out.flatMap { m =>
-      if (capAltFired && m.alt == 0)
-        Console.err.println(
-          s"[match-recognize] WARNING: grouped repetition matched at the " +
-            s"GroupRepCap=$GroupRepCap expansion for key ${m.user_id} — a longer " +
-            "match may have been truncated (documented subset limit)")
       // classifier names follow the alternative that actually matched —
       // under PERMUTE a non-first permutation reorders the variables.
-      val varNames = altVarOrders(m.alt)
+      val varNames = altOrderOf(m.alt)
       val classifiers = m.counts.zipWithIndex.flatMap { case (c, i) =>
         Seq.fill(c)(varNames(i)) }
       m.ids.lazyZip(m.vals).lazyZip(classifiers).map { (id, v, cls) =>
@@ -850,6 +841,25 @@ object MatchRecognizeSql extends Serializable {
       |  DEFINE A AS event_type = 'view', B AS event_type = 'click'
       |)""".stripMargin
 
+  /** Grouped repetition DEEP: always-true DEFINEs make the greedy loop
+    * consume a whole partition — the largest sf0.01 key has 86 events, so
+    * the first match runs 42 group repetitions, far past any fixed cap
+    * (VERDICT r8 task 2's planted >12-repetition witness; the r8 engine
+    * would have truncated this at 12). SKIP PAST LAST ROW then matches the
+    * single leftover row on even-sized partitions. */
+  val matchMultiDeepSql: String =
+    """SELECT user_id, a_first, a_last, n_a, n_b FROM events
+      |MATCH_RECOGNIZE (
+      |  PARTITION BY user_id
+      |  ORDER BY ts
+      |  MEASURES FIRST(A.event_id) AS a_first, LAST(A.event_id) AS a_last,
+      |           COUNT(A.*) AS n_a, COUNT(B.*) AS n_b
+      |  ONE ROW PER MATCH
+      |  AFTER MATCH SKIP PAST LAST ROW
+      |  PATTERN ((A B)* A)
+      |  DEFINE A AS value >= 0, B AS value >= 0
+      |)""".stripMargin
+
   /** Cross-variable DEFINE aggregate: B's predicate reads SUM over A's
     * matched rows (ref NFA.java DEFINE evaluation against the shared
     * buffer) — a purchase closes the view run only if the run's value
@@ -905,6 +915,7 @@ object MatchRecognizeSql extends Serializable {
 
   def matchNumber(s: SparkSession, dir: String): DataFrame = run(s, dir, matchNumberSql)
   def matchMulti(s: SparkSession, dir: String): DataFrame = run(s, dir, matchMultiSql)
+  def matchMultiDeep(s: SparkSession, dir: String): DataFrame = run(s, dir, matchMultiDeepSql)
 
   def matchPermute(s: SparkSession, dir: String): DataFrame = run(s, dir, matchPermuteSql)
 
@@ -999,6 +1010,32 @@ object MatchRecognizeSql extends Serializable {
         |JOIN o fa ON fa.user_id = b.user_id AND fa.rn = b.start_rn
         |JOIN o la ON la.user_id = b.user_id AND la.rn = b.end_rn
         |ORDER BY b.user_id, a_first, a_last, n_a, n_b""".stripMargin,
+    "q_sql_match_multi_deep" ->
+      // always-true DEFINEs: the greedy loop eats each partition whole —
+      // first match = the longest odd prefix (pattern length 2k+1), and on
+      // even-sized partitions SKIP PAST LAST ROW leaves exactly one row,
+      // matched as a bare tail A (k=0). Closed form per partition.
+      """WITH o AS (
+        | SELECT user_id, event_id,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn,
+        |  count(*) OVER (PARTITION BY user_id) AS n
+        | FROM events),
+        |L AS (SELECT DISTINCT user_id, n,
+        |        CASE WHEN n % 2 = 1 THEN n ELSE n - 1 END AS len FROM o),
+        |m1 AS (SELECT l.user_id, fa.event_id AS a_first, la.event_id AS a_last,
+        |        CAST((l.len + 1) // 2 AS BIGINT) AS n_a,
+        |        CAST((l.len - 1) // 2 AS BIGINT) AS n_b
+        |       FROM L l
+        |       JOIN o fa ON fa.user_id = l.user_id AND fa.rn = 1
+        |       JOIN o la ON la.user_id = l.user_id AND la.rn = l.len),
+        |m2 AS (SELECT l.user_id, e.event_id AS a_first, e.event_id AS a_last,
+        |        CAST(1 AS BIGINT) AS n_a, CAST(0 AS BIGINT) AS n_b
+        |       FROM L l
+        |       JOIN o e ON e.user_id = l.user_id AND e.rn = l.n
+        |       WHERE l.n % 2 = 0)
+        |SELECT * FROM (SELECT * FROM m1 UNION ALL SELECT * FROM m2)
+        |ORDER BY user_id, a_first""".stripMargin,
     "q_sql_match_permute" ->
       """WITH o AS (SELECT user_id, event_id, event_type,
       |            CAST(ts AS TIMESTAMP) AS t FROM events),

@@ -286,11 +286,13 @@ class MatchRecognizeSqlSpec extends SparkSpec {
     val stepByVar = Map(
       "A" -> Cep.QStep.once((e: StreamSource.Event) => e.event_type == "view"),
       "B" -> Cep.QStep.once((e: StreamSource.Event) => e.event_type == "click"))
-    val alts = (MatchRecognizeSql.GroupRepCap to 0 by -1).map(k =>
-      (Seq.fill(k)(Seq("A", "B")).flatten ++ Seq("A")).map(stepByVar))
-    val ms = Cep.matchRecognizeAlts(events, alts, Cep.SkipToNextRow, quiesceMs = 0L)
-    val got = ms.collect().sortBy(_.ids.head).map(_.ids).toSeq
-    assert(got === Seq(Seq(1L, 2L, 3L, 4L, 5L), Seq(3L, 4L, 5L), Seq(5L)))
+    val ms = Cep.matchRecognizeGroup(events,
+      Seq("A", "B").map(stepByVar), Seq("A").map(stepByVar), minRep = 0,
+      Cep.SkipToNextRow, quiesceMs = 0L)
+    val got = ms.collect().sortBy(_.ids.head).map(m => (m.ids, m.alt)).toSeq
+    // alt carries the repetition count the loop decided on
+    assert(got === Seq((Seq(1L, 2L, 3L, 4L, 5L), 2), (Seq(3L, 4L, 5L), 1),
+      (Seq(5L), 0)))
     // (...)* with no tail is rejected (could match empty)
     intercept[IllegalArgumentException] {
       MatchRecognizeSql.parse(
@@ -302,6 +304,28 @@ class MatchRecognizeSqlSpec extends SparkSpec {
           |  DEFINE A AS TRUE
           |)""".stripMargin)
     }
+  }
+
+  test("grouped repetition loop is uncapped: 20-repetition match found whole") {
+    // 41 alternating view/click rows = 20 (A B) occurrences + tail A; the
+    // pre-r9 GroupRepCap=12 expansion would have truncated this to 12
+    import spark.implicits._
+    def ev(id: Long, sec: Int, et: String) =
+      StreamSource.Event(id, new java.sql.Timestamp(sec * 1000L), 1L, et, 1.0)
+    // trailing 'error' decides the greedy attempt (in the SQL pipeline the
+    // stream sentinel plays this role; a batch fixture has no timers)
+    val events = spark.createDataset((1 to 41).map(i =>
+      ev(i.toLong, i, if (i % 2 == 1) "view" else "click")) :+ ev(42, 42, "error"))
+    val stepByVar = Map(
+      "A" -> Cep.QStep.once((e: StreamSource.Event) => e.event_type == "view"),
+      "B" -> Cep.QStep.once((e: StreamSource.Event) => e.event_type == "click"))
+    val ms = Cep.matchRecognizeGroup(events,
+      Seq("A", "B").map(stepByVar), Seq("A").map(stepByVar), minRep = 0,
+      Cep.SkipPastLastRow, quiesceMs = 0L).collect()
+    assert(ms.length === 1)
+    assert(ms.head.alt === 20)
+    assert(ms.head.ids === (1L to 41L))
+    assert(ms.head.counts.length === 41)
   }
 
   test("SUBSET union variables parse and validate") {
