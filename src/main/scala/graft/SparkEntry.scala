@@ -182,6 +182,9 @@ object SparkEntry {
     "q_graph_sssp"      -> (Graph.docSssp _),
     "q_graph_triangles" -> (Graph.docTriangles _),
     "q_graph_clustering" -> (Graph.docClustering _),
+    "q_graph_jaccard"   -> (Graph.docJaccard _),
+    "q_graph_adamic"    -> (Graph.docAdamic _),
+    "q_graph_community" -> (Graph.docCommunity _),
     "q_graph_hits"      -> (Graph.docHits _),
     "q_graph_summarize" -> (Graph.docSummarize _),
     "q_sql_q3"          -> (SqlSurface.q3 _),

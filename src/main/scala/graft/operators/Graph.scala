@@ -400,6 +400,136 @@ object Graph {
       .orderBy("label_a", "label_b")
   }
 
+  /** Jaccard index over vertex NEIGHBORHOODS (ref Gelly
+    * library/similarity/JaccardIndex.java): for every vertex pair with at
+    * least one shared neighbor, |shared| / |distinct union| =
+    * shared / (deg(u) + deg(v) - shared). Shape: pairs are generated from
+    * each shared neighbor's adjacency (a self-join on the neighbor id) and
+    * counted — the two-hop join the reference distributes with its
+    * group-size batching; per-vertex fan-out is deg², so a degree cap
+    * (like the dedup inverted index's hot cap) is the 100-TB lever if a
+    * hub appears. Degrees join in afterwards — two linear shuffles plus
+    * the quadratic-in-degree pair expansion. */
+  def jaccardIndex(edges: DataFrame): DataFrame = {
+    val canon = edges.where(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct().persistRound()
+    val nb = canon.select(col("a").as("id"), col("b").as("nb"))
+      .union(canon.select(col("b").as("id"), col("a").as("nb")))
+      .persistRound()
+    val deg = nb.groupBy("id").agg(count(lit(1)).as("deg"))
+    val shared = nb.as("x").join(nb.as("y"),
+        col("x.id") === col("y.id") && col("x.nb") < col("y.nb"))
+      .select(col("x.nb").as("u"), col("y.nb").as("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("shared"))
+    shared
+      .join(deg.select(col("id").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("id").as("v"), col("deg").as("dv")), "v")
+      .select(col("u").as("doc_u"), col("v").as("doc_v"),
+        col("shared"),
+        round(col("shared") / (col("du") + col("dv") - col("shared")), 6)
+          .as("jaccard"))
+      .orderBy("doc_u", "doc_v")
+  }
+
+  def docJaccard(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.ngramJaccardPairsShared(s, dir)
+    jaccardIndex(pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+  }
+
+  /** Adamic-Adar similarity (ref Gelly library/similarity/AdamicAdar.java):
+    * for every vertex pair, the sum over SHARED neighbors z of
+    * 1 / ln(deg(z)) — high-degree shared neighbors count less. Same two-hop
+    * shape as [[jaccardIndex]]; the per-neighbor weight joins in BEFORE the
+    * pair expansion (the reference annotates each vertex with its score
+    * first, then pairs). Terms are quantized to 1e-9 and summed as LONGS:
+    * float addition is order-dependent and a distributed sum has no stable
+    * order, so the integer sum is what makes the result reproducible
+    * run-to-run and engine-to-engine (same trick as q_tfidf_top3's rank
+    * key). A shared neighbor always has deg >= 2, so ln(deg) > 0. */
+  def adamicAdar(edges: DataFrame): DataFrame = {
+    val canon = edges.where(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct().persistRound()
+    val nb = canon.select(col("a").as("id"), col("b").as("nb"))
+      .union(canon.select(col("b").as("id"), col("a").as("nb")))
+      .persistRound()
+    val deg = nb.groupBy("id").agg(count(lit(1)).as("deg"))
+    // a degree-1 vertex has a single neighbor and can never be the shared
+    // hop of a pair (the self-join needs two distinct neighbors) — dropped
+    // BEFORE the weight so ln(1) = 0 never divides
+    val nbw = nb.join(deg.where(col("deg") >= 2), "id")
+      .select(col("id"), col("nb"),
+        (round(lit(1e9) / log(col("deg").cast("double")), 0)).cast("long").as("w9"))
+    nbw.as("x").join(nbw.as("y"),
+        col("x.id") === col("y.id") && col("x.nb") < col("y.nb"))
+      .select(col("x.nb").as("u"), col("y.nb").as("v"), col("x.w9"))
+      .groupBy("u", "v").agg(sum(col("w9")).as("s9"))
+      .select(col("u").as("doc_u"), col("v").as("doc_v"),
+        round(col("s9") / 1e9, 6).as("aa"))
+      .orderBy("doc_u", "doc_v")
+  }
+
+  def docAdamic(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.ngramJaccardPairsShared(s, dir)
+    adamicAdar(pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+  }
+
+  /** Community detection with hop-attenuated label scores (ref Gelly
+    * library/CommunityDetection.java, Leung et al. arXiv:0808.2633): label
+    * propagation where each label carries a score; a vertex adopts the
+    * label with the highest RECEIVED SUM of scores, its new score is the
+    * highest single received score of that label, attenuated by
+    * delta/superstep when the label CHANGED. Ties break toward the
+    * smallest label (the reference's ordered TreeMap with strict `>`).
+    *
+    * delta = 0.75 keeps every score a multiple of 2^-3 for three rounds
+    * (0.75, 0.375, 0.25 are all dyadic), so the distributed score sums are
+    * EXACT — no float-order nondeterminism between partitions or engines.
+    * Per round: one edge join + one (id,label) agg + one windowed argmax —
+    * the scatter-gather shape, all linear shuffles. */
+  def communityDetection(vertices: DataFrame, edges: DataFrame,
+                         rounds: Int = 3, delta: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sym = edges.where(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().persistRound()
+    var lab = vertices.select(col("id"), col("id").as("label"),
+      lit(1.0).as("score")).persistRound()
+    for (step <- 1 to rounds) {
+      val msgs = sym
+        .join(lab.withColumnRenamed("id", "dst"), "dst")
+        .select(col("src").as("id"), col("label"), col("score"))
+      val agg = msgs.groupBy("id", "label")
+        .agg(sum(col("score")).as("ssum"), max(col("score")).as("smax"))
+      val w = Window.partitionBy("id")
+        .orderBy(col("ssum").desc, col("label").asc)
+      val pick = agg.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("id"), col("label").as("plabel"), col("smax"))
+      lab = lab.join(pick, Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("plabel"), col("label")).as("label"),
+          when(col("plabel").isNull, col("score"))
+            .when(col("plabel") === col("label"), col("smax"))
+            .otherwise(col("smax") - lit(delta / step)).as("score"))
+        .persistRound()
+    }
+    lab.select(col("id"), col("label"))
+  }
+
+  def docCommunity(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.ngramJaccardPairsShared(s, dir)
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val verts = graft.Tables(s, dir, "documents").select(col("doc_id").as("id"))
+    communityDetection(verts, edges, rounds = 3)
+      .select(col("id").as("doc_id"), col("label").as("community"))
+      .orderBy("doc_id")
+  }
+
   /** Weighted distance from the dedup KEEP set through the near-dup graph:
     * sources are docs with no smaller near-dup neighbor (exactly the
     * survivors of ngramDedupKeep), weight = 1 - jaccard. Answers "how far
@@ -530,7 +660,52 @@ object Graph {
     |  FROM $prev v LEFT JOIN x$i r ON r.id = v.id)""".stripMargin
   }
 
+  /** One community-detection round (delta = 0.75, dyadic attenuation —
+    * see [[communityDetection]]): messages along both edge directions,
+    * per-(id,label) sum + max, argmax with smallest-label tie-break. */
+  private def cdRound(i: Int): String = {
+    val prev = s"c${i - 1}"
+    val att = 0.75 / i // 0.75, 0.375, 0.25 — all exact binary fractions
+    s""",
+    |cm$i AS (SELECT e.src AS id, l.label, l.score
+    |  FROM edges e JOIN $prev l ON l.id = e.dst),
+    |cg$i AS (SELECT id, label, sum(score) AS ssum, max(score) AS smax
+    |  FROM cm$i GROUP BY id, label),
+    |cp$i AS (SELECT id, label AS plabel, smax FROM (SELECT *,
+    |    row_number() OVER (PARTITION BY id ORDER BY ssum DESC, label) AS rn
+    |  FROM cg$i) WHERE rn = 1),
+    |c$i AS (SELECT v.id,
+    |    coalesce(p.plabel, v.label) AS label,
+    |    CASE WHEN p.id IS NULL THEN v.score
+    |         WHEN p.plabel = v.label THEN p.smax
+    |         ELSE p.smax - $att END AS score
+    |  FROM $prev v LEFT JOIN cp$i p ON p.id = v.id)""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
+    "q_graph_jaccard" -> (graphCtes + """,
+      |nb AS (SELECT src AS id, dst AS nb FROM edges),
+      |dg AS (SELECT id, count(*) AS deg FROM nb GROUP BY id),
+      |shr AS (SELECT x.nb AS u, y.nb AS v, count(*) AS shared
+      | FROM nb x JOIN nb y ON x.id = y.id AND x.nb < y.nb GROUP BY 1, 2)
+      |SELECT u AS doc_u, v AS doc_v, CAST(shared AS BIGINT) AS shared,
+      | round(shared / (du.deg + dv.deg - shared), 6) AS jaccard
+      |FROM shr JOIN dg du ON du.id = u JOIN dg dv ON dv.id = v
+      |ORDER BY doc_u, doc_v""".stripMargin),
+    "q_graph_adamic" -> (graphCtes + """,
+      |nb AS (SELECT src AS id, dst AS nb FROM edges),
+      |dg AS (SELECT id, count(*) AS deg FROM nb GROUP BY id),
+      |nbw AS (SELECT nb.id, nb.nb,
+      |  CAST(round(1e9 / ln(dg.deg), 0) AS BIGINT) AS w9
+      | FROM nb JOIN dg ON dg.id = nb.id AND dg.deg >= 2)
+      |SELECT x.nb AS doc_u, y.nb AS doc_v, round(sum(x.w9) / 1e9, 6) AS aa
+      |FROM nbw x JOIN nbw y ON x.id = y.id AND x.nb < y.nb
+      |GROUP BY 1, 2 ORDER BY doc_u, doc_v""".stripMargin),
+    "q_graph_community" -> (graphCtes +
+      ",\nc0 AS (SELECT id, id AS label, 1.0 AS score FROM verts)" +
+      (1 to 3).map(cdRound).mkString + """
+      |SELECT id AS doc_id, label AS community FROM c3
+      |ORDER BY doc_id""".stripMargin),
     "q_graph_sssp" -> (ssspCtes + (1 to 5).map(ssspRound).mkString + """
       |SELECT id AS doc_id, round(dist, 6) AS dist FROM d5
       |WHERE dist IS NOT NULL ORDER BY doc_id""".stripMargin),
