@@ -68,8 +68,26 @@ object Pipeline {
               s"i -> concat_ws(' ', slice(ws, i, $span)))"))).as("gram"))
     val benchmark = grams(docs.where(col("doc_id") % 5 === 0))
       .select("gram").distinct()
+    // Size-guard (VERDICT r8 finding #2): the broadcast plan is only valid
+    // while the benchmark gram set is actually broadcast-small. Instead of
+    // trusting the caller's promise, the set is materialized once (it feeds
+    // the join afterwards) and MEASURED against the session's
+    // autoBroadcastJoinThreshold — the same knob Catalyst uses; an
+    // over-threshold (or threshold=-1) benchmark falls back to a shuffle
+    // join, trading the map-side pass for not OOMing driver + executors.
+    val thrStr = s.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    val thr = try thrStr.trim.toLong catch {
+      case _: NumberFormatException =>
+        org.apache.spark.network.util.JavaUtils.byteStringAsBytes(thrStr)
+    }
+    val persisted = benchmark.persist()
+    val st = persisted.agg(count(lit(1)).as("n"),
+      coalesce(sum(length(col("gram"))), lit(0L)).as("bytes")).head()
+    // UTF-8 payload plus ~48 B/entry of hash-relation overhead
+    val estBytes = st.getLong(1) + 48L * st.getLong(0)
+    val bench = if (thr > 0 && estBytes <= thr) broadcast(persisted) else persisted
     grams(docs.where(col("doc_id") % 5 =!= 0))
-      .join(broadcast(benchmark), Seq("gram"))
+      .join(bench, Seq("gram"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_hits"))
       .orderBy("doc_id")

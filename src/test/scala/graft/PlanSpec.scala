@@ -215,6 +215,34 @@ class PlanSpec extends SparkSpec {
       v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
   }
 
+  test("decontaminate size-guard: large benchmark side flips broadcast to shuffle join") {
+    // default threshold: the MB-scale eval gram set broadcasts
+    val pBroadcast = plan(operators.Pipeline.decontaminate(spark, sf))
+    assert(pBroadcast.contains("BroadcastHashJoin"),
+      s"benchmark side not broadcast under default threshold:\n$pBroadcast")
+    val expected = operators.Pipeline.decontaminate(spark, sf).collect().map(_.toSeq)
+    // a benchmark bigger than the threshold must NOT be broadcast — the
+    // guard measures the materialized gram set, it does not trust the
+    // caller (VERDICT r8 finding #2)
+    val prev = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1KB")
+      spark.catalog.clearCache() // drop the cached benchmark from the first run
+      val df = operators.Pipeline.decontaminate(spark, sf)
+      val got = df.collect().map(_.toSeq)
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastHashJoin"),
+        s"over-threshold benchmark still broadcast:\n$p")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"expected a shuffle join fallback:\n$p")
+      assert(got === expected, "shuffle-join fallback changed the result")
+    } finally {
+      prev.fold(spark.conf.unset("spark.sql.autoBroadcastJoinThreshold"))(
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", _))
+      spark.catalog.clearCache()
+    }
+  }
+
   test("lookup join broadcasts the dimension, no driver-side collect") {
     val p = plan(operators.AsyncMap.lookupJoin(spark, sf))
     assert(p.contains("BroadcastHashJoin"), s"dimension not broadcast:\n$p")
