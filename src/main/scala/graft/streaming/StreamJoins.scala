@@ -95,17 +95,35 @@ object StreamJoins {
     * JOIN. State = all build+probe ids per key, the same unbounded bound
     * as Spark's own un-watermarked stream-stream join (production bounds
     * it with the event-time interval variant, q_stream_interval_join). */
+  /** `stateTtlMs`: state retention mirroring the reference's
+    * StreamingJoinOperator minRetentionTime (table.exec.state.ttl) — a
+    * key idle past the TTL (event time, measured from the watermark) has
+    * BOTH side buffers dropped. As in the reference, results after an
+    * expiry are approximate: a late row re-joins against an empty buffer
+    * and may null-pad again. None (default) = keep state forever, the
+    * un-watermarked stream-join bound. */
   def leftOuterJoin(ds: Dataset[Event], probeType: String,
-                    buildType: String): Dataset[OuterOut] = {
+                    buildType: String,
+                    stateTtlMs: Option[Long] = None): Dataset[OuterOut] = {
     import ds.sparkSession.implicits._
+    val timeoutConf = if (stateTtlMs.isDefined) GroupStateTimeout.EventTimeTimeout()
+                      else GroupStateTimeout.NoTimeout()
     ds.filter(e => e.event_type == probeType || e.event_type == buildType)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[OuterState, OuterOut](
-        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Update(), timeoutConf) {
         (key: Long, rows: Iterator[Event], state: GroupState[OuterState]) =>
+          if (state.hasTimedOut) {
+            // retention cleanup drops the key silently (the reference's
+            // onTimer state.clear() — no retractions are emitted)
+            state.remove()
+            Iterator.empty
+          } else {
           var st = state.getOption.getOrElse(OuterState(Nil, Nil))
           val out = scala.collection.mutable.ArrayBuffer.empty[OuterOut]
+          var lastMs = 0L // key's last activity in event time — the TTL anchor
           rows.foreach { e =>
+            lastMs = math.max(lastMs, StatefulOps.micros(e.ts) / 1000L)
             if (e.event_type == buildType) {
               if (st.builds.isEmpty)
                 st.probes.foreach(p => out += OuterOut(key, p, None, "-D"))
@@ -118,7 +136,15 @@ object StreamJoins {
             }
           }
           state.update(st)
+          stateTtlMs.foreach { ttl =>
+            // expire TTL past the key's last event-time activity; the
+            // max() keeps the timer legal (strictly ahead of the watermark)
+            try state.setTimeoutTimestamp(
+              math.max(lastMs, state.getCurrentWatermarkMs() + 1) + ttl)
+            catch { case _: UnsupportedOperationException => () } // batch: no timers
+          }
           out.iterator
+          }
       }
   }
 
@@ -140,16 +166,22 @@ object StreamJoins {
     * it with the interval variant). */
   def outerJoinChangelog(ds: Dataset[Event],
                          leftPred: Event => Boolean, rightPred: Event => Boolean,
-                         padLeft: Boolean, padRight: Boolean): Dataset[FullOuterOut] = {
+                         padLeft: Boolean, padRight: Boolean,
+                         stateTtlMs: Option[Long] = None): Dataset[FullOuterOut] = {
     import ds.sparkSession.implicits._
+    val timeoutConf = if (stateTtlMs.isDefined) GroupStateTimeout.EventTimeTimeout()
+                      else GroupStateTimeout.NoTimeout()
     ds.filter(e => leftPred(e) || rightPred(e))
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[TwoSideState, FullOuterOut](
-        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Update(), timeoutConf) {
         (key: Long, rows: Iterator[Event], state: GroupState[TwoSideState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty } else {
           var st = state.getOption.getOrElse(TwoSideState(Nil, Nil))
           val out = scala.collection.mutable.ArrayBuffer.empty[FullOuterOut]
+          var lastMs = 0L
           rows.foreach { e =>
+            lastMs = math.max(lastMs, StatefulOps.micros(e.ts) / 1000L)
             if (leftPred(e)) {
               if (st.rights.isEmpty) {
                 if (padLeft) out += FullOuterOut(key, Some(e.event_id), None, "+I")
@@ -171,7 +203,13 @@ object StreamJoins {
             }
           }
           state.update(st)
+          stateTtlMs.foreach { ttl =>
+            try state.setTimeoutTimestamp(
+              math.max(lastMs, state.getCurrentWatermarkMs() + 1) + ttl)
+            catch { case _: UnsupportedOperationException => () } // batch: no timers
+          }
           out.iterator
+          }
       }
   }
 

@@ -83,6 +83,81 @@ class LargeStateSoakSpec extends SparkSpec {
     } finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
   }
 
+  test(s"outer-join TTL soak: $N keys on RocksDB, restart, watermark-driven state cleanup") {
+    // r8 verdict task 7: leftOuterJoin kept both sides in state forever;
+    // the stateTtlMs knob (mirroring the reference StreamingJoinOperator's
+    // state retention) must bound state once the watermark passes the TTL,
+    // and the bound must hold across a checkpoint restart at soak scale.
+    import graft.streaming.{StreamJoins, StreamSource}
+    import graft.streaming.StreamSource.Event
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      val t0 = 1700000000000L
+      def ev(id: Long, tsMs: Long, user: Long, tpe: String) =
+        Event(id, new java.sql.Timestamp(tsMs), user, tpe, 1.0)
+      val input = MemoryStream[Event]
+      val joined = StreamJoins.leftOuterJoin(
+        input.toDS().withWatermark("ts", "10 minutes"),
+        probeType = "probe", buildType = "build",
+        stateTtlMs = Some(60L * 1000)) // 1 minute of event time
+      val ckpt = s"/tmp/graft-ckpt/ttl-soak-${System.nanoTime()}"
+      val emitted =
+        new java.util.concurrent.ConcurrentLinkedQueue[(Long, Option[Long], String)]()
+      def start() = joined.toDF().writeStream
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.persist()
+          try {
+            if (b.count() <= N / 100)
+              b.collect().foreach(r => emitted.add((r.getLong(1), // p_id
+                if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getString(3))))
+          } finally b.unpersist()
+          ()
+        }
+        .start()
+
+      // batch 0: a million distinct probe keys, no build side → every key
+      // holds a null-padded probe in state
+      val q1 = start()
+      input.addData((0 until N).map(i => ev(i.toLong, t0, i.toLong, "probe")))
+      q1.processAllAvailable()
+      assert(q1.lastProgress.stateOperators(0).numRowsTotal === N.toLong,
+        "every probe key must hold state")
+      q1.stop()
+
+      // restart: the million-key state is restored from the checkpoint.
+      // The first event stays INSIDE the TTL horizon (watermark after it is
+      // still below t0) so restoration is observable before any cleanup.
+      val q2 = start()
+      input.addData(Seq(ev(-1L, t0 + 30 * 1000L, -1L, "probe")))
+      q2.processAllAvailable()
+      assert(q2.lastProgress.stateOperators(0).numRowsTotal === N.toLong + 1,
+        "state must be restored across restart")
+      // jump event time 2h ahead: the watermark passes every key's
+      // t0+1min timeout and the timer batches drop the expired buffers
+      input.addData(Seq(ev(-2L, t0 + 7200 * 1000L, -2L, "probe")))
+      q2.processAllAvailable()
+      val after = q2.lastProgress.stateOperators(0).numRowsTotal
+      assert(after <= 2L,
+        s"TTL must bound post-watermark state: $after rows still held")
+
+      // approximate-rejoin semantics after expiry (the reference's
+      // documented TTL trade-off): an expired key's probe null-pads again
+      emitted.clear()
+      input.addData(Seq(ev(9999123L, t0 + 7200 * 1000L + 1, 123L, "probe")))
+      q2.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      assert(emitted.asScala.toSet.contains((9999123L, None, "+I")),
+        s"expired key must rejoin fresh: ${emitted.asScala.toSet}")
+      q2.stop()
+    } finally prevProv.fold(spark.conf.unset(provKey))(spark.conf.set(provKey, _))
+  }
+
   test(s"OOO sorter soak: $N buffered keys on RocksDB, restart mid-stream, ordered drain into chained topN") {
     // r6 verdict task 5: prove the watermark-buffered sorter carries to
     // large state — 10^6 keys, each holding a full Event row, survive a
