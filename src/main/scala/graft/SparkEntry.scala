@@ -94,6 +94,11 @@ object SparkEntry {
     "q_tfidf_top3"        -> (TextAnalysis.tfidfTop3 _),
     "q_decontaminate"     -> (Pipeline.decontaminate _),
     "q_sample_stratified" -> (Pipeline.stratifiedSample _),
+    "q_pack_sequences"    -> (Pipeline.packSequences _),
+    "q_dsir_weight"       -> (Pipeline.dsirWeights _),
+    "q_pii_redact"        -> (Pipeline.piiRedact _),
+    "q_mix_budget"        -> (Pipeline.mixBudget _),
+    "q_semdedup"          -> (Similarity.semDedup _),
     "q_dedup_simhash"   -> (Dedup.simhashPairs _),
     "q_ann_brute"       -> (Similarity.annBruteForce _),
     "q_ann_ivf"         -> (Similarity.annIvf _),
@@ -182,6 +187,8 @@ object SparkEntry {
     "q_graph_sssp"      -> (Graph.docSssp _),
     "q_graph_triangles" -> (Graph.docTriangles _),
     "q_graph_clustering" -> (Graph.docClustering _),
+    "q_graph_clustering_global" -> (Graph.docClusteringGlobal _),
+    "q_graph_triadic"   -> (Graph.docTriadic _),
     "q_graph_jaccard"   -> (Graph.docJaccard _),
     "q_graph_adamic"    -> (Graph.docAdamic _),
     "q_graph_community" -> (Graph.docCommunity _),

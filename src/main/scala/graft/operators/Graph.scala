@@ -550,6 +550,77 @@ object Graph {
       .orderBy("doc_id")
   }
 
+  /** Undirected triadic census (ref Gelly
+    * flink-gelly/.../library/clustering/undirected/TriadicCensus.java:52):
+    * counts of all C(n,3) vertex triples by how many of their three
+    * possible edges exist — t0 (empty), t1 (one edge), t2 (open wedge),
+    * t3 (triangle). Like the reference, the census never enumerates
+    * triples: it derives every class from four scalar aggregates via the
+    * inclusion identities
+    *   t3 = triangles
+    *   t2 = wedges − 3·t3              (a triangle holds 3 wedges)
+    *   t1 = m·(n−2) − 2·t2 − 3·t3      (edge–triad incidences)
+    *   t0 = C(n,3) − t1 − t2 − t3
+    * so the only data-scale work is the degree agg and the skew-bounded
+    * [[triangles]] listing — one row out regardless of graph size. All
+    * arithmetic is integral (`div`) to stay exact past 2^53 edges. */
+  def triadicCensus(vertices: DataFrame, edges: DataFrame): DataFrame = {
+    val canon = edges.where(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+      .persistRound()
+    val nDf = vertices.agg(count(lit(1)).as("n"))
+    val mDf = canon.agg(count(lit(1)).as("m"))
+    val wDf = canon.select(col("a").as("id"))
+      .union(canon.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+      .agg(coalesce(expr("sum(deg * (deg - 1)) div 2"), lit(0L)).as("w"))
+    val tDf = triangles(canon.select(col("a").as("src"), col("b").as("dst")))
+      .agg(count(lit(1)).as("t"))
+    nDf.crossJoin(mDf).crossJoin(wDf).crossJoin(tDf)
+      .select(
+        col("n").as("n_vertices"), col("m").as("n_edges"), col("w").as("wedges"),
+        (expr("n * (n - 1) * (n - 2) div 6")
+          - (col("m") * (col("n") - 2) - lit(2) * col("w") + lit(3) * col("t"))
+          - (col("w") - lit(3) * col("t")) - col("t")).as("t0"),
+        (col("m") * (col("n") - 2) - lit(2) * col("w") + lit(3) * col("t")).as("t1"),
+        (col("w") - lit(3) * col("t")).as("t2"),
+        col("t").as("t3"))
+  }
+
+  def docTriadic(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.ngramJaccardPairsShared(s, dir)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val verts = graft.Tables(s, dir, "documents").select(col("doc_id").as("id"))
+    triadicCensus(verts, pairs)
+  }
+
+  /** Global + average clustering coefficient (ref Gelly
+    * library/clustering/undirected/GlobalClusteringCoefficient.java and
+    * AverageClusteringCoefficient.java): gcc = 3·triangles / wedges over
+    * the whole graph, acc = mean of per-vertex local coefficients over
+    * vertices with at least one edge (deg < 2 contributes 0, matching the
+    * reference's zero-triplet convention). Reuses [[clusteringCoefficient]]
+    * — the scalar reduction adds nothing to its cost. */
+  def clusteringGlobal(edges: DataFrame): DataFrame =
+    clusteringCoefficient(edges).agg(
+      count(lit(1)).as("n_vertices"),
+      coalesce(sum(col("tri")), lit(0L)).as("tri3"),
+      coalesce(expr("sum(deg * (deg - 1)) div 2"), lit(0L)).as("wedges"),
+      coalesce(round(avg(col("coeff")), 6), lit(0.0)).as("acc"))
+    .select(col("n_vertices"),
+      (col("tri3") / lit(3)).cast("long").as("triangles"), col("wedges"),
+      when(col("wedges") === 0, lit(0.0))
+        .otherwise(round(col("tri3") / col("wedges"), 6)).as("gcc"),
+      col("acc"))
+
+  def docClusteringGlobal(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.ngramJaccardPairsShared(s, dir)
+    clusteringGlobal(
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+  }
+
   /** Triangles of the near-dup pair graph (mutual near-dup trios). */
   def docTriangles(s: SparkSession, dir: String): DataFrame = {
     val pairs = Dedup.ngramJaccardPairsShared(s, dir)
@@ -715,6 +786,41 @@ object Graph {
       |JOIN pairs e2 ON e2.doc_a = e1.doc_a AND e2.doc_b > e1.doc_b
       |JOIN pairs e3 ON e3.doc_a = e1.doc_b AND e3.doc_b = e2.doc_b
       |ORDER BY 1, 2, 3""".stripMargin),
+    "q_graph_triadic" -> (graphCtes + """,
+      |dg AS (SELECT src AS id, count(*) AS deg FROM edges GROUP BY src),
+      |tri AS (SELECT e1.doc_a AS t1, e1.doc_b AS t2, e2.doc_b AS t3
+      | FROM pairs e1
+      | JOIN pairs e2 ON e2.doc_a = e1.doc_a AND e2.doc_b > e1.doc_b
+      | JOIN pairs e3 ON e3.doc_a = e1.doc_b AND e3.doc_b = e2.doc_b),
+      |sc AS (SELECT (SELECT count(*) FROM verts) AS n,
+      |  (SELECT count(*) FROM pairs) AS m,
+      |  (SELECT coalesce(sum(deg * (deg - 1)) // 2, 0) FROM dg) AS w,
+      |  (SELECT count(*) FROM tri) AS t)
+      |SELECT CAST(n AS BIGINT) AS n_vertices, CAST(m AS BIGINT) AS n_edges,
+      | CAST(w AS BIGINT) AS wedges,
+      | CAST(n*(n-1)*(n-2)//6 - (m*(n-2) - 2*w + 3*t) - (w - 3*t) - t AS BIGINT) AS t0,
+      | CAST(m*(n-2) - 2*w + 3*t AS BIGINT) AS t1,
+      | CAST(w - 3*t AS BIGINT) AS t2, CAST(t AS BIGINT) AS t3
+      |FROM sc""".stripMargin),
+    "q_graph_clustering_global" -> (graphCtes + """,
+      |tri AS (SELECT e1.doc_a AS t1, e1.doc_b AS t2, e2.doc_b AS t3
+      | FROM pairs e1
+      | JOIN pairs e2 ON e2.doc_a = e1.doc_a AND e2.doc_b > e1.doc_b
+      | JOIN pairs e3 ON e3.doc_a = e1.doc_b AND e3.doc_b = e2.doc_b),
+      |tv AS (SELECT id, count(*) AS tri FROM (
+      |  SELECT unnest([t1, t2, t3]) AS id FROM tri) GROUP BY id),
+      |dg AS (SELECT src AS id, count(*) AS deg FROM edges GROUP BY src),
+      |lc AS (SELECT d.id, d.deg, coalesce(t.tri, 0) AS tri,
+      |  CASE WHEN d.deg < 2 THEN 0.0
+      |   ELSE round(2.0 * coalesce(t.tri, 0) / (d.deg * (d.deg - 1)), 6) END AS coeff
+      | FROM dg d LEFT JOIN tv t ON t.id = d.id)
+      |SELECT CAST(count(*) AS BIGINT) AS n_vertices,
+      | CAST(coalesce(sum(tri), 0) // 3 AS BIGINT) AS triangles,
+      | CAST(coalesce(sum(deg * (deg - 1)) // 2, 0) AS BIGINT) AS wedges,
+      | CASE WHEN coalesce(sum(deg * (deg - 1)) // 2, 0) = 0 THEN 0.0
+      |  ELSE round(coalesce(sum(tri), 0) / (sum(deg * (deg - 1)) // 2), 6) END AS gcc,
+      | round(coalesce(avg(coeff), 0.0), 6) AS acc
+      |FROM lc""".stripMargin),
     "q_graph_hits" -> (graphCtes +
       """,
       |hv AS (SELECT doc_a AS id FROM pairs UNION SELECT doc_b FROM pairs),

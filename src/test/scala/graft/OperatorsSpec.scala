@@ -312,6 +312,115 @@ class OperatorsSpec extends SparkSpec {
     assert(dup === 5)
   }
 
+  test("sequence packing: per-source contiguous layout, exact token accounting") {
+    val rows = Pipeline.packSequences(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(1)).values.foreach { g =>
+      val inOrder = g.sortBy(_.getLong(0))
+      // first doc of every source starts at pack 0, offset 0
+      assert(inOrder.head.getLong(3) === 0L && inOrder.head.getLong(4) === 0L)
+      // contiguity: start of doc i+1 == start of doc i + its tokens
+      val starts = inOrder.map(r => r.getLong(3) * 256 + r.getLong(4))
+      inOrder.zip(starts).sliding(2).foreach {
+        case Array((r, s0), (_, s1)) => assert(s1 === s0 + r.getLong(2))
+        case _ =>
+      }
+      // n_packs covers the doc's span
+      inOrder.foreach { r =>
+        val (start, n) = (r.getLong(3) * 256 + r.getLong(4), r.getLong(2))
+        assert(r.getLong(5) === (start + n - 1) / 256 - start / 256 + 1)
+      }
+    }
+  }
+
+  test("DSIR weights: raw-pool docs only, src0-heavy tokens score positive") {
+    val df = Pipeline.dsirWeights(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val srcs = Tables(spark, sf, "documents")
+      .where(col("source") === "src0").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(rows.forall(r => !srcs.contains(r.getLong(0))))
+    // weights are finite and not all identical (the ratio actually varies)
+    val ws = rows.map(_.getDouble(2))
+    assert(ws.forall(w => !w.isNaN && !w.isInfinite))
+    assert(ws.distinct.length > 1)
+  }
+
+  test("PII redaction scrubs exactly the planted email/IP/digit-run per doc") {
+    val rows = Pipeline.piiRedact(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) === 1L, s"email count off for doc ${r.getLong(0)}")
+      assert(r.getLong(2) === 1L, s"ip count off for doc ${r.getLong(0)}")
+      assert(r.getLong(3) === 1L, s"num count off for doc ${r.getLong(0)}")
+      assert(r.getString(4).contains("<NUM>"))
+      // nothing that looks like the planted PII survives
+      assert(!r.getString(4).contains("@crawl"))
+    }
+  }
+
+  test("token-budget mixing: rates capped at 10000bp, over-budget sources downsampled") {
+    val docs = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("source")).collect()
+    val kept = Pipeline.mixBudget(spark, sf).collect()
+    assert(kept.nonEmpty && kept.length < docs.length)
+    assert(kept.forall(_.getLong(3) <= 10000L))
+    // equal-share budget of 40% over >2 sources: every source is downsampled
+    val perSrcKept = kept.groupBy(_.getString(1)).view.mapValues(_.length)
+    val perSrcAll = docs.groupBy(_.getString(1)).view.mapValues(_.length)
+    assert(perSrcKept.keys.forall(s => perSrcKept(s) <= perSrcAll(s)))
+  }
+
+  test("SemDeDup: no two survivors in one cluster remain near-duplicates") {
+    val kept = Similarity.semDedup(spark, sf)
+    val emb = Tables(spark, sf, "embeddings")
+    val e = kept.join(emb, "vec_id")
+    val a = e.select(col("cluster"), col("vec_id").as("va"), col("embedding").as("ea"))
+    val b = e.select(col("cluster"), col("vec_id").as("vb"), col("embedding").as("eb"))
+    val residual = a.join(b, Seq("cluster")).where(col("va") < col("vb"))
+      .where(round(Similarity.cosine(col("ea"), col("eb")), 6) >= 0.5)
+      .count()
+    assert(residual === 0L)
+    assert(kept.count() > 0)
+  }
+
+  test("triadic census identities on K4 + star + closing edge") {
+    import spark.implicits._
+    // same fixture as the triangle test: n=15 vertices, m=17 edges,
+    // 5 triangles (4 in K4, one {10,11,12})
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val star = (11L to 20L).map(l => (10L, l))
+    val edges = (k4 ++ star ++ Seq((11L, 12L))).toDF("src", "dst")
+    val verts = ((1L to 4L) ++ (10L to 20L)).toDF("id")
+    val r = operators.Graph.triadicCensus(verts, edges).head()
+    val (n, m, w) = (r.getAs[Long]("n_vertices"), r.getAs[Long]("n_edges"),
+      r.getAs[Long]("wedges"))
+    assert(n === 15L && m === 17L)
+    // wedges: K4 vertices C(3,2)*4=12, hub C(11,2)=55, leaves 11/12 C(2,2)...
+    // trust the identity instead: all four classes sum to C(n,3)
+    val (t0, t1, t2, t3) = (r.getAs[Long]("t0"), r.getAs[Long]("t1"),
+      r.getAs[Long]("t2"), r.getAs[Long]("t3"))
+    assert(t3 === 5L)
+    assert(t2 === w - 3 * 5)
+    assert(t0 + t1 + t2 + t3 === n * (n - 1) * (n - 2) / 6)
+    assert(t0 >= 0 && t1 >= 0 && t2 >= 0)
+  }
+
+  test("global/average clustering coefficient on a triangle plus pendant") {
+    import spark.implicits._
+    // triangle {1,2,3} + pendant 4-1: wedges = C(3,2) at v1 + 1 each at
+    // v2,v3 + 0 at v4 = 5; triangles = 1 → gcc = 3/5; local coeffs
+    // 1: 2*1/(3*2)=1/3, 2: 1, 3: 1, 4: 0 → acc = (1/3+1+1+0)/4
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L)).toDF("src", "dst")
+    val r = operators.Graph.clusteringGlobal(edges).head()
+    assert(r.getAs[Long]("n_vertices") === 4L)
+    assert(r.getAs[Long]("triangles") === 1L)
+    assert(r.getAs[Long]("wedges") === 5L)
+    assert(math.abs(r.getAs[Double]("gcc") - 0.6) < 1e-9)
+    assert(math.abs(r.getAs[Double]("acc") - (1.0 / 3 + 2.0) / 4) < 1e-6)
+  }
+
   test("multi-source SSSP relaxes weighted distances from the source set") {
     import spark.implicits._
     // path 1 -(0.1)- 2 -(0.2)- 3, plus 4 -(0.5)- 3: sources {1, 4}
