@@ -19,6 +19,37 @@ object LlmOracles {
       |  list_distinct([t[i]||' '||t[i+1]||' '||t[i+2] FOR i IN range(1, len(t)-1)]) END AS s
       |  FROM toks)""".stripMargin
 
+  /** The deterministic 2-round Lloyd fit (k=8, init = vec_id<8, centroids
+    * rounded to 6 per dim) ending in the final assignment CTE `asg` —
+    * shared by q_ann_kmeans and q_semdedup. */
+  private val kmeansCtes: String =
+    """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |c0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM emb WHERE vec_id < 8),
+      |a1 AS (SELECT vec_id, cid FROM (
+      |  SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |    round(list_dot_product(e.v, c.cv) /
+      |      (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
+      |    c.cid) AS rk
+      |  FROM emb e, c0 c) WHERE rk = 1),
+      |c1d AS (SELECT a1.cid, i.i AS d, round(avg(e.v[i.i]), 6) AS m
+      |  FROM a1 JOIN emb e USING (vec_id), range(1, 65) i(i) GROUP BY a1.cid, i.i),
+      |c1 AS (SELECT cid, list(m ORDER BY d) AS cv FROM c1d GROUP BY cid),
+      |a2 AS (SELECT vec_id, cid FROM (
+      |  SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |    round(list_dot_product(e.v, c.cv) /
+      |      (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
+      |    c.cid) AS rk
+      |  FROM emb e, c1 c) WHERE rk = 1),
+      |c2d AS (SELECT a2.cid, i.i AS d, round(avg(e.v[i.i]), 6) AS m
+      |  FROM a2 JOIN emb e USING (vec_id), range(1, 65) i(i) GROUP BY a2.cid, i.i),
+      |c2 AS (SELECT cid, list(m ORDER BY d) AS cv FROM c2d GROUP BY cid),
+      |asg AS (SELECT vec_id, cid FROM (
+      |  SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |    round(list_dot_product(e.v, c.cv) /
+      |      (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
+      |    c.cid) AS rk
+      |  FROM emb e, c2 c) WHERE rk = 1)""".stripMargin
+
   val sql: Map[String, String] = Map(
     "q_text_stats" ->
       (toksCte + """
@@ -229,32 +260,20 @@ object LlmOracles {
         | FROM scored)
         |SELECT qid, rank, vec_id, cos FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
     "q_ann_kmeans" ->
-      """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |c0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM emb WHERE vec_id < 8),
-        |a1 AS (SELECT vec_id, cid FROM (
-        |  SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id ORDER BY
-        |    round(list_dot_product(e.v, c.cv) /
-        |      (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
-        |    c.cid) AS rk
-        |  FROM emb e, c0 c) WHERE rk = 1),
-        |c1d AS (SELECT a1.cid, i.i AS d, round(avg(e.v[i.i]), 6) AS m
-        |  FROM a1 JOIN emb e USING (vec_id), range(1, 65) i(i) GROUP BY a1.cid, i.i),
-        |c1 AS (SELECT cid, list(m ORDER BY d) AS cv FROM c1d GROUP BY cid),
-        |a2 AS (SELECT vec_id, cid FROM (
-        |  SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id ORDER BY
-        |    round(list_dot_product(e.v, c.cv) /
-        |      (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
-        |    c.cid) AS rk
-        |  FROM emb e, c1 c) WHERE rk = 1),
-        |c2d AS (SELECT a2.cid, i.i AS d, round(avg(e.v[i.i]), 6) AS m
-        |  FROM a2 JOIN emb e USING (vec_id), range(1, 65) i(i) GROUP BY a2.cid, i.i),
-        |c2 AS (SELECT cid, list(m ORDER BY d) AS cv FROM c2d GROUP BY cid)
-        |SELECT vec_id, cid AS cluster FROM (
-        |  SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id ORDER BY
-        |    round(list_dot_product(e.v, c.cv) /
-        |      (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
-        |    c.cid) AS rk
-        |  FROM emb e, c2 c) WHERE rk = 1 ORDER BY vec_id""".stripMargin,
+      (kmeansCtes + """
+        |SELECT vec_id, cid AS cluster FROM asg ORDER BY vec_id""".stripMargin),
+    "q_semdedup" ->
+      (kmeansCtes + """,
+        |sd_pairs AS (SELECT a.vec_id AS va, b.vec_id AS vb
+        | FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+        | JOIN emb ea ON ea.vec_id = a.vec_id
+        | JOIN emb eb ON eb.vec_id = b.vec_id
+        | WHERE round(list_dot_product(ea.v, eb.v) /
+        |   (sqrt(list_dot_product(ea.v, ea.v)) *
+        |    sqrt(list_dot_product(eb.v, eb.v))), 6) >= 0.5)
+        |SELECT vec_id, cid AS cluster FROM asg
+        |WHERE vec_id NOT IN (SELECT vb FROM sd_pairs)
+        |ORDER BY vec_id""".stripMargin),
     "q_emb_dedup_keep" ->
       """WITH pairs AS (
         | SELECT a.vec_id AS va, b.vec_id AS vb,

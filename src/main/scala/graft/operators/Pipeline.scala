@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.LlmOracles
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** End-to-end LLM training-data preparation pipeline — the composition the
@@ -127,6 +127,129 @@ object Pipeline {
         expr("round(cast(try_element_at(embedding, 4) AS DOUBLE) / nrm, 6)").as("h4"))
       .orderBy("vec_id")
 
+  /** Sequence-packing planner — the batching step that turns a cleaned
+    * corpus into fixed-length training rows: documents are concatenated in
+    * deterministic (source, doc_id) order and chunked into 256-token
+    * sequences; each document reports the sequence it starts in, its token
+    * offset there, and how many sequences it spans (the boundary-crossing
+    * split every concat-and-chunk loader performs). Packing is PER SOURCE:
+    * the window never crosses the partition key, so at 100 TB every source
+    * packs in parallel after one hash shuffle — a single global pack order
+    * would serialize the whole corpus through one sort. All arithmetic is
+    * integral (`div`/`%`), so both engines derive the identical layout. */
+  def packSequences(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ctx = 256
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("start_tok", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        expr(s"start_tok div $ctx").as("pack_id"),
+        (col("start_tok") % ctx).as("tok_offset"),
+        (expr(s"(start_tok + n_tokens - 1) div $ctx")
+          - expr(s"start_tok div $ctx") + 1).as("n_packs"))
+      .orderBy("doc_id")
+  }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): a hashed bag-of-words
+    * log-likelihood ratio between a target distribution (the src0 slice
+    * stands in for the high-quality target corpus) and the raw pool. Per
+    * token: llr = ln p_target − ln p_raw with add-1 smoothing over the
+    * joint vocabulary; per raw document: Σ llr over token OCCURRENCES —
+    * resampling then keeps documents ∝ exp(weight). Scale shape: the two
+    * token-count aggs are the only corpus-scale shuffles; the llr table is
+    * vocab-sized (Heaps'-law sublinear — MBs against TBs) and broadcasts
+    * to the exploded token scan. llr is quantized to integer micro-nats
+    * BEFORE the per-doc sum (same trick as tfidfTop3) so float summation
+    * order cannot leak ulps into the hash compare. */
+  def dsirWeights(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        explode(TextAnalysis.tokens(col("text"))).as("token"))
+    val isTgt = col("source") === "src0"
+    val cnt = toks.groupBy("token")
+      .agg(sum(when(isTgt, 1L).otherwise(0L)).as("tc"),
+        sum(when(isTgt, 0L).otherwise(1L)).as("rc"))
+      .persist()
+    val tot = cnt.agg(count(lit(1)).as("v"), sum("tc").as("nt"), sum("rc").as("nr")).head()
+    val (v, nt, nr) = (tot.getLong(0), tot.getLong(1), tot.getLong(2))
+    // 1.0D / .0D: plain `1.0` literals parse as DECIMAL in Spark SQL and a
+    // DECIMAL division truncates to 6 fractional digits BEFORE ln — enough
+    // to shift llr by whole micro-nats vs the oracle's double arithmetic.
+    val llr = cnt.select(col("token"),
+      expr(s"cast(round((ln((tc + 1.0D) / ${nt + v}.0D) - ln((rc + 1.0D) / ${nr + v}.0D)) * 1e6) AS BIGINT)")
+        .as("llr_q"))
+    toks.where(!isTgt)
+      .join(broadcast(llr), Seq("token"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("llr_q").as("q"))
+      .select(col("doc_id"), col("n_tokens"), round(col("q") / 1e6, 6).as("weight"))
+      .orderBy("doc_id")
+  }
+
+  /** PII redaction — the scrubbing pass over raw crawl text before a
+    * corpus is frozen: emails → <EMAIL>, IPv4 → <IP>, ≥8-digit runs →
+    * <NUM>. The synthetic corpus carries no PII, so the fixture PLANTS
+    * deterministic contact strings derived from doc_id inside the query;
+    * both engines redact the identical planted text, which keeps the
+    * check meaningful (every row has one of each hit) without touching
+    * testdata. Patterns stay inside the RE2-compatible subset (no
+    * lookaround) so Java regex and the oracle's RE2 agree. Expression-only
+    * — the whole scrub fuses into the scan's codegen span. */
+  def piiRedact(s: SparkSession, dir: String): DataFrame = {
+    def occurrences(c: Column, marker: String): Column =
+      ((length(c) - length(expr(s"replace(red, '$marker', '')")))
+        / marker.length).cast("long")
+    Tables(s, dir, "documents")
+      .withColumn("planted", concat(col("text"),
+        lit(" contact user"), col("doc_id"), lit("@crawl.example.com"),
+        lit(" from 10."), col("doc_id") % 256, lit(".0.7 ref 4111111"),
+        col("doc_id") % 100, lit("99")))
+      .withColumn("red", regexp_replace(regexp_replace(regexp_replace(
+        col("planted"),
+        "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}", "<EMAIL>"),
+        "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+        "\\d{8,}", "<NUM>"))
+      .select(col("doc_id"),
+        occurrences(col("red"), "<EMAIL>").as("n_email"),
+        occurrences(col("red"), "<IP>").as("n_ip"),
+        occurrences(col("red"), "<NUM>").as("n_num"),
+        substring(col("red"), -60, 60).as("tail"))
+      .orderBy("doc_id")
+  }
+
+  /** Token-budget domain mixing: turns per-source token counts into a
+    * deterministic downsampling so the final corpus hits a global token
+    * budget (40% of the pool) with equal per-source shares — the static
+    * analogue of DoReMi-style domain reweighting, and the step that
+    * actually freezes a training mix. Rates are derived FROM the data via
+    * two tiny aggregates and expressed in integer basis points (floor
+    * division end-to-end), so both engines compute the identical keep
+    * set; the keep decision is the same md5(doc_id) bucket as
+    * [[stratifiedSample]] — map-side, shuffle-free, replayable. */
+  def mixBudget(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+      .persist()
+    val per = docs.groupBy("source").agg(sum("n_tokens").as("src_toks"))
+    val tot = per.agg(sum("src_toks").as("t"), count(lit(1)).as("ns")).head()
+    val budgetPerSource = tot.getLong(0) * 40 / 100 / tot.getLong(1)
+    val rates = per.select(col("source"),
+      least(lit(10000L), expr(s"(${budgetPerSource}L * 10000) div src_toks")).as("rate_bp"))
+    docs.join(broadcast(rates), Seq("source"))
+      .withColumn("bucket",
+        expr("conv(substring(md5(cast(doc_id AS STRING)), 1, 8), 16, 10)")
+          .cast("long") % 10000)
+      .where(col("bucket") < col("rate_bp"))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("rate_bp"))
+      .orderBy("doc_id")
+  }
+
   /** Int8 quantization summary per vector. */
   def quantize(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "embeddings")
@@ -156,6 +279,61 @@ object Pipeline {
       |WHERE q.doc_id IN (SELECT doc_id FROM keep_exact)
       |  AND q.doc_id NOT IN (SELECT doc_b FROM pairs)
       |ORDER BY q.doc_id""").stripMargin,
+    "q_pack_sequences" ->
+      """WITH t AS (SELECT doc_id, source,
+        |  len(string_split(lower(text), ' '))::BIGINT AS n_tokens FROM documents),
+        |c AS (SELECT doc_id, source, n_tokens,
+        |  coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+        | FROM t)
+        |SELECT doc_id, source, n_tokens,
+        | CAST(start_tok // 256 AS BIGINT) AS pack_id,
+        | CAST(start_tok % 256 AS BIGINT) AS tok_offset,
+        | CAST((start_tok + n_tokens - 1) // 256 - start_tok // 256 + 1 AS BIGINT) AS n_packs
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "q_dsir_weight" ->
+      """WITH tk AS (SELECT doc_id, source, unnest(string_split(lower(text), ' ')) AS token
+        |  FROM documents),
+        |cnt AS (SELECT token,
+        |  sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS tc,
+        |  sum(CASE WHEN source = 'src0' THEN 0 ELSE 1 END) AS rc
+        | FROM tk GROUP BY token),
+        |tot AS (SELECT count(*) AS v, sum(tc) AS nt, sum(rc) AS nr FROM cnt),
+        |llr AS (SELECT token,
+        |  CAST(round((ln((tc + 1.0) / (nt + v)) - ln((rc + 1.0) / (nr + v))) * 1e6) AS BIGINT) AS llr_q
+        | FROM cnt, tot)
+        |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        | round(CAST(sum(llr_q) AS BIGINT) / 1e6, 6) AS weight
+        |FROM tk t JOIN llr USING (token) WHERE t.source <> 'src0'
+        |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin,
+    "q_pii_redact" ->
+      """WITH p AS (SELECT doc_id,
+        |  text || ' contact user' || doc_id || '@crawl.example.com from 10.' ||
+        |  (doc_id % 256) || '.0.7 ref 4111111' || (doc_id % 100) || '99' AS planted
+        | FROM documents),
+        |r AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(planted,
+        |  '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |  '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |  '\d{8,}', '<NUM>', 'g') AS red
+        | FROM p)
+        |SELECT doc_id,
+        | CAST((length(red) - length(replace(red, '<EMAIL>', ''))) // 7 AS BIGINT) AS n_email,
+        | CAST((length(red) - length(replace(red, '<IP>', ''))) // 4 AS BIGINT) AS n_ip,
+        | CAST((length(red) - length(replace(red, '<NUM>', ''))) // 5 AS BIGINT) AS n_num,
+        | substring(red, length(red) - 59, 60) AS tail
+        |FROM r ORDER BY doc_id""".stripMargin,
+    "q_mix_budget" ->
+      """WITH d AS (SELECT doc_id, source,
+        |  len(string_split(lower(text), ' '))::BIGINT AS n_tokens FROM documents),
+        |per AS (SELECT source, sum(n_tokens) AS src_toks FROM d GROUP BY source),
+        |tot AS (SELECT sum(src_toks) AS t, count(*) AS ns FROM per),
+        |rates AS (SELECT source,
+        |  least(10000, ((t * 40 // 100 // ns) * 10000) // src_toks) AS rate_bp
+        | FROM per, tot)
+        |SELECT d.doc_id, d.source, d.n_tokens, CAST(r.rate_bp AS BIGINT) AS rate_bp
+        |FROM d JOIN rates r USING (source)
+        |WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT % 10000 < r.rate_bp
+        |ORDER BY doc_id""".stripMargin,
     "q_emb_normalize" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
         |  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm

@@ -122,7 +122,14 @@ object Similarity {
     * Centroids are rounded to 6 per dimension so float summation order
     * cannot leak into the next iteration — that is what makes a 2-round
     * iterative ML fit bit-reproducible in the DuckDB oracle. */
-  def annKmeans(s: SparkSession, dir: String): DataFrame = {
+  def annKmeans(s: SparkSession, dir: String): DataFrame =
+    kmeansFitAssign(s, dir)
+      .select(col("vec_id"), col("cid").as("cluster"))
+      .orderBy("vec_id")
+
+  /** The deterministic 2-round Lloyd fit + final assignment (vec_id, cid),
+    * shared by [[annKmeans]] and [[semDedup]]. */
+  private def kmeansFitAssign(s: SparkSession, dir: String): DataFrame = {
     val k = 8
     val emb = withNorm(Tables(s, dir, "embeddings"))
       .select(col("vec_id"), col("embedding"), col("nrm"))
@@ -143,6 +150,33 @@ object Similarity {
         .sortBy(_._1)
     }
     kmeansAssign(emb, cents)
+  }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — "Semantic
+    * deduplication"): semantic near-dup removal scoped to k-means
+    * clusters. Cluster the embedding space, then compare pairs ONLY
+    * within a cluster — cosine ≥ 0.5 drops the higher vec_id; survivors
+    * keep their cluster id. The clustering bounds the quadratic verify
+    * term to Σ|cluster|² instead of n² (the published method's central
+    * trick; with k ∝ √n each cluster is O(√n) and the whole pass is
+    * ~O(n^1.5) worst-case, near-linear on real data where clusters are
+    * balanced). Complements [[cosineDedupKeep]]: LSH buckets by random
+    * sign patterns, SemDeDup by learned cluster structure — the two keep
+    * sets genuinely differ wherever a near-dup pair straddles a cluster
+    * boundary. Reuses the deterministic rounded-centroid Lloyd fit so the
+    * oracle replays the clustering bit-for-bit. */
+  def semDedup(s: SparkSession, dir: String): DataFrame = {
+    val assigned = kmeansFitAssign(s, dir)
+    val e = assigned.join(withNorm(Tables(s, dir, "embeddings")), "vec_id")
+      .select(col("cid"), col("vec_id"), col("embedding"), col("nrm"))
+    val a = e.select(col("cid"), col("vec_id").as("va"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    val b = e.select(col("cid"), col("vec_id").as("vb"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
+    val losers = a.join(b, Seq("cid")).where(col("va") < col("vb"))
+      .where(cosPre(col("ea"), col("eb"), col("na"), col("nb")) >= 0.5)
+      .select(col("vb").as("vec_id")).distinct()
+    e.join(losers, Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("cid").as("cluster"))
       .orderBy("vec_id")
   }
