@@ -38,7 +38,7 @@ object TpcdsData {
 
   /** Bump when generator logic changes — keys the materialization path so
     * stale /tmp data from an older generator can never feed a new oracle. */
-  val GenVersion = 9
+  val GenVersion = 10
 
   /** Julian day number of 1900-01-01, the spec's date_dim origin
     * (2451545 = 2000-01-01 minus 36524 days). */
@@ -70,10 +70,19 @@ object TpcdsData {
   private def u(idc: String, seed: Int, n: Long): String =
     s"pmod(xxhash64($idc, $seed), ${n}L)"
 
-  /** Surrogate FK in [1, card], NULL on ~2% of rows (dsdgen's fks are
-    * nullable; queries must survive it). */
-  private def fk(name: String, idc: String, seed: Int, card: Long): String =
-    s"CASE WHEN ${u(idc, seed + 7919, 50)} = 0 THEN CAST(NULL AS BIGINT) " +
+  /** Surrogate FK in [1, card], NULL on `nullPm` per-mille of rows.
+    * dsdgen drives per-column null percentages from tpcds.idx; those exact
+    * weights aren't reproducible offline, so the generator encodes the
+    * spec's SHAPE instead (v10 fidelity pass): demographic/address FKs on
+    * facts null more often than operational FKs, returns null their
+    * demographics most (anonymous returns), ship-side columns null more
+    * than bill-side (gift orders), and core item/ticket keys never null —
+    * so per-column `IS NULL` selectivity and null-aware join planning
+    * differentiate the way they do on dsdgen output rather than being one
+    * uniform 2%. */
+  private def fk(name: String, idc: String, seed: Int, card: Long,
+                 nullPm: Int = 20): String =
+    s"CASE WHEN ${u(idc, seed + 7919, 1000)} < $nullPm THEN CAST(NULL AS BIGINT) " +
       s"ELSE 1 + ${u(idc, seed, card)} END AS $name"
 
   private def fkNN(name: String, idc: String, seed: Int, card: Long): String =
@@ -200,16 +209,16 @@ object TpcdsData {
   private def ssTicketCols(tid: String): Seq[String] = Seq(
     s"CASE WHEN ${u(tid, 1007, 50)} = 0 THEN CAST(NULL AS BIGINT) ELSE ${soldJd(tid, 1001)} END AS ss_sold_date_sk",
     s"CASE WHEN ${u(tid, 1008, 50)} = 0 THEN CAST(NULL AS BIGINT) ELSE ${u(tid, 1002, 86400)} END AS ss_sold_time_sk",
-    fk("ss_customer_sk", tid, 1003, nCustomer),
-    fk("ss_cdemo_sk", tid, 1004, nCdemo),
-    fk("ss_hdemo_sk", tid, 1005, nHdemo),
-    fk("ss_addr_sk", tid, 1006, nAddress),
-    fk("ss_store_sk", tid, 1009, nStore),
+    fk("ss_customer_sk", tid, 1003, nCustomer, nullPm = 35),
+    fk("ss_cdemo_sk", tid, 1004, nCdemo, nullPm = 35),
+    fk("ss_hdemo_sk", tid, 1005, nHdemo, nullPm = 35),
+    fk("ss_addr_sk", tid, 1006, nAddress, nullPm = 35),
+    fk("ss_store_sk", tid, 1009, nStore, nullPm = 10),
     s"$tid AS ss_ticket_number")
 
   private def ssItemCols(idc: String): Seq[String] = Seq(
     fkNN("ss_item_sk", idc, 1101, nItem),
-    fk("ss_promo_sk", idc, 1102, nPromo),
+    fk("ss_promo_sk", idc, 1102, nPromo, nullPm = 20),
     intIn("ss_quantity", idc, 1103, 1, 100),
     dec("ss_wholesale_cost", idc, 1104, 1, 80),
     dec("ss_list_price", idc, 1105, 10, 200),
@@ -251,11 +260,11 @@ object TpcdsData {
         s"${u("id", 2005, 86400)} AS sr_return_time_sk",
         "sold_item AS sr_item_sk",
         "ret_cust AS sr_customer_sk",
-        fk("sr_cdemo_sk", "id", 2006, nCdemo),
-        fk("sr_hdemo_sk", "id", 2007, nHdemo),
-        fk("sr_addr_sk", "id", 2008, nAddress),
+        fk("sr_cdemo_sk", "id", 2006, nCdemo, nullPm = 50),
+        fk("sr_hdemo_sk", "id", 2007, nHdemo, nullPm = 50),
+        fk("sr_addr_sk", "id", 2008, nAddress, nullPm = 50),
         s"1 + ${u("tid", 1009, nStore)} AS sr_store_sk",
-        fk("sr_reason_sk", "id", 2009, nReason),
+        fk("sr_reason_sk", "id", 2009, nReason, nullPm = 20),
         "tid AS sr_ticket_number",
         s"CAST(1 + ${u("id", 2010, 4)} AS INT) AS sr_return_quantity",
         "CAST(round((1 + pmod(xxhash64(id, 2010), 4)) * sold_price, 2) AS DECIMAL(7,2)) AS sr_return_amt")
@@ -297,17 +306,17 @@ object TpcdsData {
       s"${u("oid", 3008, 86400)} AS ${p}_sold_time_sk",
       s"sold_date + 1 + ${u("oid", 3009, 120)} AS ${p}_ship_date_sk",
       s"bill_cust AS $custCol",
-      fk(s"${p}_bill_cdemo_sk", "oid", 3010, nCdemo),
-      fk(s"${p}_bill_hdemo_sk", "oid", 3011, nHdemo),
-      fk(s"${p}_bill_addr_sk", "oid", 3012, nAddress),
+      fk(s"${p}_bill_cdemo_sk", "oid", 3010, nCdemo, nullPm = 25),
+      fk(s"${p}_bill_hdemo_sk", "oid", 3011, nHdemo, nullPm = 25),
+      fk(s"${p}_bill_addr_sk", "oid", 3012, nAddress, nullPm = 25),
       s"CASE WHEN ${u("oid", 3013, 5)} = 0 THEN 1 + ${u("oid", 3014, nCustomer)} ELSE bill_cust END AS ${p}_ship_customer_sk",
-      fk(s"${p}_ship_cdemo_sk", "oid", 3015, nCdemo),
-      fk(s"${p}_ship_hdemo_sk", "oid", 3016, nHdemo),
-      fk(s"${p}_ship_addr_sk", "oid", 3017, nAddress),
+      fk(s"${p}_ship_cdemo_sk", "oid", 3015, nCdemo, nullPm = 40),
+      fk(s"${p}_ship_hdemo_sk", "oid", 3016, nHdemo, nullPm = 40),
+      fk(s"${p}_ship_addr_sk", "oid", 3017, nAddress, nullPm = 40),
       fkNN(s"${p}_ship_mode_sk", "oid", 3018, nShipMode),
       fkNN(s"${p}_warehouse_sk", "id", 3019, nWarehouse),
       s"item_sk AS $itemCol",
-      fk(s"${p}_promo_sk", "id", 3020, nPromo),
+      fk(s"${p}_promo_sk", "id", 3020, nPromo, nullPm = 20),
       s"oid AS ${p}_order_number",
       intIn(s"${p}_quantity", "id", 3021, 1, 100),
       dec(s"${p}_wholesale_cost", "id", 3022, 1, 80),
@@ -365,14 +374,14 @@ object TpcdsData {
         s"sold_date + 1 + ${u("id", 4001, 90)} AS ${p}_returned_date_sk",
         "ret_item AS " + (if (p == "cr") "cr_item_sk" else "wr_item_sk"),
         s"ret_cust AS ${p}_refunded_customer_sk",
-        fk(s"${p}_refunded_cdemo_sk", "id", 4002, nCdemo),
-        fk(s"${p}_refunded_hdemo_sk", "id", 4003, nHdemo),
-        fk(s"${p}_refunded_addr_sk", "id", 4004, nAddress),
+        fk(s"${p}_refunded_cdemo_sk", "id", 4002, nCdemo, nullPm = 50),
+        fk(s"${p}_refunded_hdemo_sk", "id", 4003, nHdemo, nullPm = 50),
+        fk(s"${p}_refunded_addr_sk", "id", 4004, nAddress, nullPm = 50),
         s"ret_cust AS ${p}_returning_customer_sk",
-        fk(s"${p}_returning_cdemo_sk", "id", 4002, nCdemo), // == refunded cdemo
-        fk(s"${p}_returning_hdemo_sk", "id", 4006, nHdemo),
-        fk(s"${p}_returning_addr_sk", "id", 4009, nAddress),
-        fk(s"${p}_reason_sk", "id", 4010, nReason),
+        fk(s"${p}_returning_cdemo_sk", "id", 4002, nCdemo, nullPm = 50), // == refunded cdemo
+        fk(s"${p}_returning_hdemo_sk", "id", 4006, nHdemo, nullPm = 50),
+        fk(s"${p}_returning_addr_sk", "id", 4009, nAddress, nullPm = 50),
+        fk(s"${p}_reason_sk", "id", 4010, nReason, nullPm = 20),
         s"oid AS $orderCol",
         s"CAST(1 + ${u("id", 4011, 4)} AS INT) AS ${p}_return_quantity",
         s"CAST(round((1 + pmod(xxhash64(id, 4011), 4)) * sold_price, 2) AS DECIMAL(7,2)) AS $amtName")
@@ -466,8 +475,8 @@ object TpcdsData {
       .selectExpr("id + 1 AS c_customer_sk", "id")
       .selectExpr("c_customer_sk",
         "concat('C', lpad(CAST(c_customer_sk AS STRING), 15, '0')) AS c_customer_id",
-        fk("c_current_cdemo_sk", "id", 6001, nCdemo),
-        fk("c_current_hdemo_sk", "id", 6002, nHdemo),
+        fk("c_current_cdemo_sk", "id", 6001, nCdemo, nullPm = 15),
+        fk("c_current_hdemo_sk", "id", 6002, nHdemo, nullPm = 15),
         fkNN("c_current_addr_sk", "id", 6003, nAddress),
         s"$JD98 - 1000 + ${u("id", 6004, 1000)} AS c_first_shipto_date_sk",
         s"$JD98 - 2000 + ${u("id", 6005, 1000)} AS c_first_sales_date_sk",
@@ -537,7 +546,7 @@ object TpcdsData {
         "concat('P', lpad(CAST(p_promo_sk AS STRING), 15, '0')) AS p_promo_id",
         s"$JD98 + ${u("id", 9001, Days5y - 100)} AS p_start_date_sk",
         s"$JD98 + 100 + ${u("id", 9002, Days5y - 100)} AS p_end_date_sk",
-        fk("p_item_sk", "id", 9003, nItem),
+        fk("p_item_sk", "id", 9003, nItem, nullPm = 10),
         dec("p_cost", "id", 9004, 500, 2000),
         "CAST(1 AS INT) AS p_response_target",
         s"concat('promo#', CAST(p_promo_sk AS STRING)) AS p_promo_name",
@@ -633,7 +642,7 @@ object TpcdsData {
         s"$JD98 - 500 + ${u("id", 13001, 500)} AS wp_creation_date_sk",
         s"$JD98 + ${u("id", 13002, Days5y)} AS wp_access_date_sk",
         s"CASE WHEN ${u("id", 13003, 2)} = 0 THEN 'Y' ELSE 'N' END AS wp_autogen_flag",
-        fk("wp_customer_sk", "id", 13004, nCustomer),
+        fk("wp_customer_sk", "id", 13004, nCustomer, nullPm = 50),
         "concat('http://www.example.com/page', CAST(wp_web_page_sk AS STRING)) AS wp_url",
         pick("wp_type", "id", 13005, Seq("welcome", "order", "dynamic", "general",
           "feedback", "ad", "protected")),
