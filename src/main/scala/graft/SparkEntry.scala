@@ -185,6 +185,7 @@ object SparkEntry {
     "q_graph_labelprop" -> (Graph.docLabelProp _),
     "q_graph_pagerank"  -> (Graph.docPageRank _),
     "q_graph_sssp"      -> (Graph.docSssp _),
+    "q_graph_sssp_sg"   -> (Graph.docSsspSG _),
     "q_graph_triangles" -> (Graph.docTriangles _),
     "q_graph_clustering" -> (Graph.docClustering _),
     "q_graph_clustering_global" -> (Graph.docClusteringGlobal _),

@@ -259,6 +259,57 @@ object Graph {
     dist.where(col("dist").isNotNull)
   }
 
+  /** Gelly's scatter-gather iteration model as a generic operator (ref
+    * flink-gelly spargel/ScatterGatherIteration.java — ScatterFunction
+    * sends messages along edges, GatherFunction folds the inbox into new
+    * vertex state). One superstep = one shuffle join (edge src × vertex
+    * state) + one per-vertex aggregation + one state merge — exactly the
+    * shuffle shape Gelly's delta-iteration runtime executes, re-expressed
+    * as a driver loop over DataFrames with per-round lineage truncation.
+    * The concrete algorithms in this file are hand-fused instances of this
+    * loop; the generic operator is the API-surface counterpart for user
+    * algorithms (the reference exposes it as a first-class programming
+    * model, not just a library).
+    *
+    * @param vertices (id, state)
+    * @param edges    (src, dst [, payload…]); scatter sees edges joined
+    *                 with the source vertex's `state`
+    * @param scatter  edge+src-state frame => messages keyed `id`
+    * @param gather   messages => per-id combined `inbox`
+    * @param update   (id, state, inbox[left]) => new (id, state)
+    */
+  def scatterGather(vertices: DataFrame, edges: DataFrame, rounds: Int)(
+      scatter: DataFrame => DataFrame,
+      gather: DataFrame => DataFrame,
+      update: DataFrame => DataFrame): DataFrame = {
+    var vs = vertices.persistRound()
+    for (_ <- 1 to rounds) {
+      val msgs = scatter(edges.join(
+        vs.withColumnRenamed("id", "src"), "src"))
+      val inbox = gather(msgs)
+      vs = update(vs.join(inbox, Seq("id"), "left")).persistRound()
+    }
+    vs
+  }
+
+  /** [[sssp]] expressed through the generic [[scatterGather]] API —
+    * value-identical to the fused loop (the oracle is shared), proving the
+    * abstraction carries a real algorithm, not just a signature. */
+  def ssspScatterGather(edges: DataFrame, sources: DataFrame,
+                        rounds: Int): DataFrame = {
+    val verts = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id"))).distinct()
+      .join(sources.select(col("id"), lit(0.0).as("d0")), Seq("id"), "left")
+      .select(col("id"), col("d0").as("state"))
+    scatterGather(verts, edges.select(col("src"), col("dst"), col("w")), rounds)(
+      scatter = j => j.where(col("state").isNotNull)
+        .select(col("dst").as("id"), (col("state") + col("w")).as("msg")),
+      gather = m => m.groupBy("id").agg(min(col("msg")).as("inbox")),
+      update = j => j.select(col("id"), least(col("state"), col("inbox")).as("state")))
+      .where(col("state").isNotNull)
+      .select(col("id"), col("state").as("dist"))
+  }
+
   /** Triangle enumeration with degree-ordered orientation (ref Gelly
     * library/TriangleEnumerator.java:59): orient each undirected edge from
     * its lower-(degree, id) endpoint to the higher one, build open triads
@@ -546,6 +597,22 @@ object Graph {
     val sources = endpoints.join(
       pairs.select(col("doc_b").as("id")).distinct(), Seq("id"), "left_anti")
     sssp(edges, sources, rounds = 5)
+      .select(col("id").as("doc_id"), round(col("dist"), 6).as("dist"))
+      .orderBy("doc_id")
+  }
+
+  /** docSssp through the generic scatter-gather API; shares q_graph_sssp's
+    * oracle text (value-identical by construction). */
+  def docSsspSG(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.ngramJaccardPairsShared(s, dir)
+    val w = round(lit(1.0) - col("j"), 4).as("w")
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"), w)
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"), w))
+    val endpoints = pairs.select(col("doc_a").as("id"))
+      .union(pairs.select(col("doc_b").as("id"))).distinct()
+    val sources = endpoints.join(
+      pairs.select(col("doc_b").as("id")).distinct(), Seq("id"), "left_anti")
+    ssspScatterGather(edges, sources, rounds = 5)
       .select(col("id").as("doc_id"), round(col("dist"), 6).as("dist"))
       .orderBy("doc_id")
   }
@@ -886,7 +953,9 @@ object Graph {
   )
 
   /** Star-CC must produce the identical labeling (component = min id), so
-    * it shares q_graph_cc's oracle text. */
+    * it shares q_graph_cc's oracle text; likewise the scatter-gather SSSP
+    * must reproduce the fused loop's distances exactly. */
   val starSql: Map[String, String] = Map(
-    "q_graph_cc_star" -> sql("q_graph_cc"))
+    "q_graph_cc_star" -> sql("q_graph_cc"),
+    "q_graph_sssp_sg" -> sql("q_graph_sssp"))
 }

@@ -129,8 +129,8 @@ object Similarity {
 
   /** The deterministic 2-round Lloyd fit + final assignment (vec_id, cid),
     * shared by [[annKmeans]] and [[semDedup]]. */
-  private def kmeansFitAssign(s: SparkSession, dir: String): DataFrame = {
-    val k = 8
+  private def kmeansFitAssign(s: SparkSession, dir: String,
+                              k: Int = 8): DataFrame = {
     val emb = withNorm(Tables(s, dir, "embeddings"))
       .select(col("vec_id"), col("embedding"), col("nrm"))
       .cache()
@@ -165,8 +165,15 @@ object Similarity {
     * sets genuinely differ wherever a near-dup pair straddles a cluster
     * boundary. Reuses the deterministic rounded-centroid Lloyd fit so the
     * oracle replays the clustering bit-for-bit. */
-  def semDedup(s: SparkSession, dir: String): DataFrame = {
-    val assigned = kmeansFitAssign(s, dir)
+  def semDedup(s: SparkSession, dir: String): DataFrame =
+    semDedupK(s, dir, kClusters = 8)
+
+  /** [[semDedup]] with the cluster count exposed — the method's own scale
+    * knob: SemDeDup prescribes k ∝ corpus size so per-cluster population
+    * (and the quadratic within-cluster term) stays bounded as n grows;
+    * ScaleBench drives this at 64/256 clusters for the 10×/100× runs. */
+  def semDedupK(s: SparkSession, dir: String, kClusters: Int): DataFrame = {
+    val assigned = kmeansFitAssign(s, dir, kClusters)
     val e = assigned.join(withNorm(Tables(s, dir, "embeddings")), "vec_id")
       .select(col("cid"), col("vec_id"), col("embedding"), col("nrm"))
     val a = e.select(col("cid"), col("vec_id").as("va"),

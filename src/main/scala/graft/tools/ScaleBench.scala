@@ -128,6 +128,15 @@ object ScaleBench {
           graft.operators.Similarity.cosineDedupKeepScaled(spark, out,
             bits = 14, maxBucket = 256).count()
         },
+        // SemDeDup's scale knob is the cluster count (k ∝ n keeps the
+        // within-cluster quadratic term bounded — the paper's own
+        // prescription); 64/256 clusters at 10×/100× hold per-cluster
+        // population ≈ the base run's, so cost should track n, not n².
+        time(s"semdedup_${k}x") {
+          spark.catalog.clearCache()
+          graft.operators.Similarity.semDedupK(spark, out,
+            kClusters = if (k >= 100) 256 else if (k >= 10) 64 else 8).count()
+        },
       )
       val total = results.map(_._2).sum
       println(f"""{"metric":"scale_bench_llm","value":$total%.2f,"unit":"sec","k":$k,"queries":{${

@@ -439,6 +439,20 @@ class OperatorsSpec extends SparkSpec {
     assert(r1 === Map(1L -> 0.0, 2L -> 0.1, 3L -> 0.5, 4L -> 0.0))
   }
 
+  test("generic scatter-gather API reproduces the fused SSSP exactly") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L, 0.1), (2L, 3L, 0.2), (4L, 3L, 0.5), (3L, 5L, 0.3))
+      .flatMap { case (a, b, w) => Seq((a, b, w), (b, a, w)) }
+      .toDF("src", "dst", "w")
+    val sources = Seq(1L, 4L).toDF("id")
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> math.round(r.getDouble(1) * 1e6) / 1e6).toMap
+    val fused = toMap(operators.Graph.sssp(edges, sources, rounds = 4))
+    val generic = toMap(operators.Graph.ssspScatterGather(edges, sources, rounds = 4))
+    assert(generic === fused)
+    assert(fused(5L) === 0.6) // 1 -> 2 -> 3 -> 5
+  }
+
   test("approx_count_distinct (HLL++) lands within 5% of exact") {
     import org.apache.spark.sql.functions.{approx_count_distinct, countDistinct, col}
     val r = Tables(spark, sf, "lineitem")

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{BatchRelational, Dedup, Similarity}
+import graft.operators.{BatchRelational, Dedup, Pipeline, Similarity}
 
 /** Physical-plan assertions for OUR layout choices (SURVEY.md §5.1: golden
   * plan tests only for decisions we own, not Catalyst's behavior): filter/
@@ -58,6 +58,36 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"cartesian in ngram plan:\n$p")
     // df-cap aggregation (count per shingle) must appear upstream of the join
     assert(p.contains("partial_count"), s"no df aggregation in:\n$p")
+  }
+
+  test("SemDeDup intra-cluster compare is an equi-join on cluster id, not all-pairs") {
+    val p = plan(Similarity.semDedup(spark, sf))
+    assert(!p.contains("CartesianProduct"), s"cartesian in semdedup plan:\n$p")
+    // the corpus-corpus pair compare must hash-join on the cluster id (the
+    // k-row centroid broadcast cross inside the assignment is the same
+    // intentional BNL annBruteForce pins — only corpus×corpus is banned)
+    assert("(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \\[cid#".r
+      .findFirstIn(p).isDefined, s"pair compare not an equi-join on cid:\n$p")
+  }
+
+  test("DSIR weights broadcast the vocab-sized llr table to the token scan") {
+    val p = plan(Pipeline.dsirWeights(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"llr join not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+  }
+
+  test("token-budget mixing joins rates map-side and keeps the filter pre-shuffle") {
+    val p = plan(Pipeline.mixBudget(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"rates join not broadcast:\n$p")
+  }
+
+  test("sequence packing shuffles once on the source key") {
+    val p = plan(Pipeline.packSequences(spark, sf))
+    // one hashpartitioning(source) for the window; the final orderBy adds a
+    // range exchange — but no second hash shuffle may appear
+    val hashShuffles = "hashpartitioning\\(source".r.findAllIn(p).length
+    assert(hashShuffles >= 1, s"window not partitioned by source:\n$p")
+    assert(!p.contains("CartesianProduct"), s"plan:\n$p")
   }
 
   test("raw SQL as-of idiom plans as AsOfJoin exec, not window-over-versions") {
