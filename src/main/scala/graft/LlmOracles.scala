@@ -99,6 +99,41 @@ object LlmOracles {
         | CASE WHEN len(g3) = 0 THEN 0.0
         |      ELSE round(1.0 - len(list_distinct(g3))::DOUBLE / len(g3), 6) END AS dup3_frac
         |FROM g ORDER BY doc_id""").stripMargin,
+    "q_quality_perplexity" ->
+      (toksCte + """,
+        |tok AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+        |cnt AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+        |mdl AS (SELECT (SELECT CAST(sum(c) AS BIGINT) FROM cnt)
+        |             + (SELECT count(*) FROM cnt) AS nv),
+        |cost AS (SELECT tok,
+        |  CAST(round(-ln((c + 1) / (SELECT nv FROM mdl)::DOUBLE) * 1e6) AS BIGINT) AS u
+        | FROM cnt),
+        |d AS (SELECT t.doc_id, count(*) AS n_tok, sum(u) AS su
+        |  FROM tok t JOIN cost USING (tok) GROUP BY t.doc_id)
+        |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+        | CAST(su // n_tok AS BIGINT) AS nats_u,
+        | (su // n_tok) <= 3405000 AS keep
+        |FROM d ORDER BY doc_id""").stripMargin,
+    "q_fingerprint_winnow" ->
+      (toksCte + """,
+        |g AS (SELECT doc_id,
+        |  CASE WHEN len(t) < 5 THEN []::VARCHAR[]
+        |       ELSE list_transform(range(1, len(t) - 3), i -> array_to_string(t[i:i+4], ' ')) END AS g5
+        | FROM toks),
+        |h AS (SELECT doc_id, g5, list_transform(g5, gr ->
+        |   list_reduce(list_prepend(0::BIGINT,
+        |     list_transform(range(1, length(gr) + 1), i -> ascii(gr[i])::BIGINT)),
+        |     (acc, c) -> (acc * 31 + c) % 1000000007)) AS hs
+        | FROM g),
+        |sel AS (SELECT doc_id, g5,
+        |  CASE WHEN len(hs) = 0 THEN []::BIGINT[]
+        |       ELSE list_transform(range(1, greatest(len(hs) - 3, 1) + 1),
+        |              j -> list_min(hs[j:j+3])) END AS s
+        | FROM h)
+        |SELECT doc_id, CAST(len(g5) AS INT) AS n_grams,
+        | CAST(len(list_distinct(s)) AS INT) AS n_fp,
+        | array_to_string(list_sort(list_distinct(s)), ',') AS fp
+        |FROM sel ORDER BY doc_id""").stripMargin,
     "q_tfidf_top3" ->
       (toksCte + """,
         |tok AS (SELECT doc_id, unnest(t) AS token FROM toks),

@@ -92,6 +92,8 @@ object SparkEntry {
     "q_dedup_span"        -> (Dedup.spanDupCoverage _),
     "q_text_repetition"   -> (TextAnalysis.repetition _),
     "q_tfidf_top3"        -> (TextAnalysis.tfidfTop3 _),
+    "q_quality_perplexity" -> (TextAnalysis.perplexity _),
+    "q_fingerprint_winnow" -> (TextAnalysis.winnowFingerprint _),
     "q_decontaminate"     -> (Pipeline.decontaminate _),
     "q_sample_stratified" -> (Pipeline.stratifiedSample _),
     "q_pack_sequences"    -> (Pipeline.packSequences _),
@@ -184,8 +186,13 @@ object SparkEntry {
     "q_graph_cc_star"   -> (Graph.docComponentsStar _),
     "q_graph_labelprop" -> (Graph.docLabelProp _),
     "q_graph_pagerank"  -> (Graph.docPageRank _),
+    "q_graph_pagerank_sink" -> (Graph.docPageRankSink _),
     "q_graph_sssp"      -> (Graph.docSssp _),
     "q_graph_sssp_sg"   -> (Graph.docSsspSG _),
+    "q_graph_sssp_gsa"  -> (Graph.docSsspGSA _),
+    "q_graph_cc_vc"     -> (Graph.docComponentsVC _),
+    "q_graph_vertex_metrics" -> (Graph.docVertexMetrics _),
+    "q_graph_edge_metrics"   -> (Graph.docEdgeMetrics _),
     "q_graph_triangles" -> (Graph.docTriangles _),
     "q_graph_clustering" -> (Graph.docClustering _),
     "q_graph_clustering_global" -> (Graph.docClusteringGlobal _),

@@ -310,6 +310,281 @@ object Graph {
       .select(col("id"), col("state").as("dist"))
   }
 
+  /** Vertex-centric (Pregel) iteration — the third of the reference's
+    * graph programming models (ref flink-gelly
+    * pregel/VertexCentricIteration.java + ComputeFunction.java;
+    * scatter-gather and GSA are the other two). Distinguishing semantics
+    * vs [[scatterGather]]: vertices VOTE TO HALT — `compute` returns an
+    * `active` flag and only ACTIVE vertices send messages in the next
+    * superstep (the reference implements this as a Flink delta iteration
+    * whose workset is the changed-vertex set). The iteration ends when no
+    * vertex is active, so on a 100-TB graph late supersteps touch only the
+    * frontier, not all n vertices — message volume decays with convergence
+    * exactly as in the reference. Throws past maxIter: silently-partial
+    * labels are worse than a loud abort.
+    *
+    * @param vertices (id, state)
+    * @param edges    (src, dst[, payload…])
+    * @param send     active-vertex states joined on edges' `src` (columns:
+    *                 src, dst, payload…, state) => messages keyed `id`
+    * @param combine  messages => one combined `inbox` row per `id`
+    *                 (the reference's MessageCombiner — runs as a
+    *                 partial+final aggregate, map-side combined)
+    * @param compute  (id, state, inbox[left-joined]) => (id, state, active)
+    */
+  def vertexCentric(vertices: DataFrame, edges: DataFrame, maxIter: Int = 30)(
+      send: DataFrame => DataFrame,
+      combine: DataFrame => DataFrame,
+      compute: DataFrame => DataFrame): DataFrame = {
+    val e = edges.persistRound()
+    var vs = vertices.select(col("id"), col("state"), lit(true).as("active"))
+      .persistRound()
+    var iter = 0
+    var anyActive = vs.where(col("active")).limit(1).count() > 0
+    while (anyActive && iter < maxIter) {
+      val msgs = send(e.join(
+        vs.where(col("active"))
+          .select(col("id").as("src"), col("state")), "src"))
+      val inbox = combine(msgs)
+      vs = compute(vs.select(col("id"), col("state"))
+        .join(inbox, Seq("id"), "left")).persistRound()
+      anyActive = vs.where(col("active")).limit(1).count() > 0
+      iter += 1
+    }
+    if (anyActive)
+      throw new IllegalStateException(
+        s"vertexCentric did not converge in $maxIter supersteps — raise " +
+          s"maxIter (cost is one join+agg shuffle per superstep)")
+    vs.select(col("id"), col("state"))
+  }
+
+  /** Connected components expressed through the [[vertexCentric]] API
+    * (ref flink-gelly-examples PregelSSSP-style usage of
+    * VertexCentricIteration; the min-label algorithm itself is
+    * library/ConnectedComponents.java). Identical labels to the fused
+    * [[connectedComponents]] loop — it shares q_graph_cc's oracle — but
+    * driven by vote-to-halt: a vertex sends its label only in the round
+    * after the label improved, so per-round message volume shrinks to the
+    * active frontier. */
+  def ccVertexCentric(vertices: DataFrame, edges: DataFrame,
+                      maxIter: Int = 30): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    vertexCentric(vertices.select(col("id"), col("id").as("state")), sym, maxIter)(
+      send = j => j.select(col("dst").as("id"), col("state").as("msg")),
+      combine = m => m.groupBy("id").agg(min(col("msg")).as("inbox")),
+      compute = j => j.select(col("id"),
+        least(col("state"), coalesce(col("inbox"), col("state"))).as("state"),
+        (least(col("state"), coalesce(col("inbox"), col("state"))) =!= col("state"))
+          .as("active")))
+      .select(col("id"), col("state").as("label"))
+  }
+
+  def docComponentsVC(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.ngramJaccardPairsShared(s, dir)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val verts = graft.Tables(s, dir, "documents").select(col("doc_id").as("id"))
+    ccVertexCentric(verts, pairs)
+      .select(col("id").as("doc_id"), col("label").as("component"))
+      .orderBy("doc_id")
+  }
+
+  /** Gather-Sum-Apply iteration (ref flink-gelly
+    * gsa/GatherSumApplyIteration.java with GatherFunction / SumFunction /
+    * ApplyFunction): the PULL-form model — each vertex gathers one partial
+    * value per in-neighbor (the reference's Neighbor = source vertex +
+    * connecting edge), reduces them with an associative `sum`, and applies
+    * the reduced value to its own state. Relational mapping: `gather` runs
+    * over edges joined with the SOURCE endpoint's state (exposed as
+    * `nbr_state`), keyed by `dst`; `sum` is a partial+final aggregate (the
+    * map-side combine the reference gets from its ReduceFunction); `apply`
+    * left-joins onto the vertex set. Fixed round count — GSA in the
+    * reference runs a plain bulk iteration, so there is no vote-to-halt
+    * here; use [[vertexCentric]] when frontier decay matters.
+    *
+    * @param vertices (id, state)
+    * @param edges    (src, dst[, payload…])
+    * @param gather   (src, dst, payload…, nbr_state) => (id, partial)
+    * @param sum      partials => (id, summed), associative
+    * @param apply    (id, state, summed[left]) => (id, state)
+    */
+  def gatherSumApply(vertices: DataFrame, edges: DataFrame, rounds: Int)(
+      gather: DataFrame => DataFrame,
+      sum: DataFrame => DataFrame,
+      apply: DataFrame => DataFrame): DataFrame = {
+    val e = edges.persistRound()
+    var vs = vertices.persistRound()
+    for (_ <- 1 to rounds) {
+      val nbrs = e.join(
+        vs.select(col("id").as("src"), col("state").as("nbr_state")), "src")
+      vs = apply(vs.join(sum(gather(nbrs)), Seq("id"), "left")).persistRound()
+    }
+    vs
+  }
+
+  /** SSSP through the [[gatherSumApply]] API (ref
+    * library/GSASingleSourceShortestPaths.java: gather = neighbor distance
+    * + edge weight, sum = min, apply = keep the smaller). Value-identical
+    * to [[sssp]] and [[ssspScatterGather]] — all three share one oracle —
+    * proving the three programming models agree on a real algorithm. */
+  def ssspGSA(edges: DataFrame, sources: DataFrame, rounds: Int): DataFrame = {
+    val verts = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id"))).distinct()
+      .join(sources.select(col("id"), lit(0.0).as("d0")), Seq("id"), "left")
+      .select(col("id"), col("d0").as("state"))
+    gatherSumApply(verts, edges.select(col("src"), col("dst"), col("w")), rounds)(
+      gather = n => n.where(col("nbr_state").isNotNull)
+        .select(col("dst").as("id"), (col("nbr_state") + col("w")).as("partial")),
+      sum = p => p.groupBy("id").agg(min(col("partial")).as("summed")),
+      apply = j => j.select(col("id"),
+        least(col("state"), col("summed")).as("state")))
+      .where(col("state").isNotNull)
+      .select(col("id"), col("state").as("dist"))
+  }
+
+  def docSsspGSA(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.ngramJaccardPairsShared(s, dir)
+    val w = round(lit(1.0) - col("j"), 4).as("w")
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"), w)
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"), w))
+    val endpoints = pairs.select(col("doc_a").as("id"))
+      .union(pairs.select(col("doc_b").as("id"))).distinct()
+    val sources = endpoints.join(
+      pairs.select(col("doc_b").as("id")).distinct(), Seq("id"), "left_anti")
+    ssspGSA(edges, sources, rounds = 5)
+      .select(col("id").as("doc_id"), round(col("dist"), 6).as("dist"))
+      .orderBy("doc_id")
+  }
+
+  /** Sink-aware PageRank (ref flink-gelly
+    * library/linkanalysis/PageRank.java — distinct from the simple
+    * library/PageRank.java already ported as [[pageRank]]: the linkanalysis
+    * variant "properly handles both source and sink vertices"). Each round
+    * the score mass parked on SINKS (vertices with no out-edges, which the
+    * simple variant silently leaks) is measured as 1 − Σ raw scores — the
+    * reference's AdjustScores notes float error rides along — and
+    * redistributed uniformly:
+    *   raw(v)    = Σ_{u→v} rank(u)/outdeg(u)
+    *   rank'(v)  = ((1−d) + d·(1−Σraw)) / n + d·raw(v)
+    * Cross-engine determinism: per-vertex raw rounds to 9 decimals, and the
+    * GLOBAL sum rounds to 9 before use, so double summation order (~1e-16)
+    * can't leak through the 5e-10 rounding grid. The global sum is a scalar
+    * agg — one row to the driver per round, metadata-scale like the HITS
+    * normalization. */
+  def pageRankSink(vertices: DataFrame, edges: DataFrame, iters: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct().persistRound()
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")).persistRound()
+    val verts = vertices.select(col("id")).persistRound()
+    val n = verts.count()
+    var rank = verts.select(col("id"), round(lit(1.0) / n, 9).as("rank"))
+      .persistRound()
+    for (_ <- 1 to iters) {
+      val contrib = e.join(rank.select(col("id").as("src"), col("rank")), "src")
+        .join(outdeg, "src")
+        .groupBy(col("dst").as("id"))
+        .agg(sum(col("rank") / col("outdeg")).as("m"))
+      val raw = verts.join(contrib, Seq("id"), "left")
+        .select(col("id"), round(coalesce(col("m"), lit(0.0)), 9).as("raw"))
+        .persistRound()
+      val s = raw.agg(round(coalesce(sum(col("raw")), lit(0.0)), 9)).head().getDouble(0)
+      val uniform = (0.15 + 0.85 * (1 - s)) / n
+      rank = raw.select(col("id"),
+        round(lit(uniform) + lit(0.85) * col("raw"), 9).as("rank"))
+        .persistRound()
+    }
+    rank
+  }
+
+  /** Sink-aware PageRank over the DIRECTED near-dup pair graph
+    * (doc_a→doc_b, so keep-first survivors are sources and the most-dup'd
+    * docs are sinks whose mass redistributes). */
+  def docPageRankSink(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.ngramJaccardPairsShared(s, dir)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val verts = graft.Tables(s, dir, "documents").select(col("doc_id").as("id"))
+    pageRankSink(verts, pairs, iters = 3)
+      .select(col("id").as("doc_id"), col("rank"))
+      .orderBy("doc_id")
+  }
+
+  /** Undirected vertex metrics (ref flink-gelly
+    * library/metric/undirected/VertexMetrics.java): vertex count, edge
+    * count (= Σdeg / 2), triplet count (= Σ C(deg,2)), maximum degree,
+    * maximum per-vertex triplets. Like the reference with
+    * setIncludeZeroDegreeVertices(true): isolated vertices from the vertex
+    * set count toward vertexCount with degree 0. One degree aggregate +
+    * one scalar reduce — no enumeration anywhere, so cost is one shuffle
+    * on vertex id regardless of graph size. */
+  def vertexMetrics(vertices: DataFrame, edges: DataFrame): DataFrame = {
+    val canon = edges.where(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val deg = canon.select(col("a").as("id"))
+      .union(canon.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    vertices.join(deg, Seq("id"), "left")
+      .select(col("id"), coalesce(col("deg"), lit(0L)).as("deg"))
+      .agg(
+        count(lit(1)).as("vertex_count"),
+        coalesce(expr("sum(deg) div 2"), lit(0L)).as("edge_count"),
+        coalesce(expr("sum(deg * (deg - 1) div 2)"), lit(0L)).as("triplet_count"),
+        coalesce(max(col("deg")), lit(0L)).as("maximum_degree"),
+        coalesce(expr("max(deg * (deg - 1) div 2)"), lit(0L)).as("maximum_triplets"))
+  }
+
+  def docVertexMetrics(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.ngramJaccardPairsShared(s, dir)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val verts = graft.Tables(s, dir, "documents").select(col("doc_id").as("id"))
+    vertexMetrics(verts, pairs)
+  }
+
+  /** Undirected edge metrics (ref flink-gelly
+    * library/metric/undirected/EdgeMetrics.java): triangle/rectangle
+    * triplet counts and maxima. The reference orients each edge toward the
+    * higher-(degree, id) endpoint, then per vertex v with own(v) owned
+    * edges and deg(v) total: triangleTriplets = C(own,2) (exactly the
+    * triad candidates the degree-oriented [[triangles]] listing would
+    * probe) and rectangleTriplets = C(own,2) + own·(deg−own). Same
+    * skew-bound as the listing — a 100M-degree hub owns ~0 edges — and the
+    * whole metric is two joins + two aggregates, never enumerating
+    * triplets. */
+  def edgeMetrics(edges: DataFrame): DataFrame = {
+    val canon = edges.where(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct().persistRound()
+    val deg = canon.select(col("a").as("id"))
+      .union(canon.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    val own = canon
+      .join(deg.select(col("id").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("id").as("b"), col("deg").as("db")), "b")
+      .select(
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")), col("a"))
+          .otherwise(col("b")).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("own"))
+    deg.join(own, Seq("id"), "left")
+      .select(col("deg"), coalesce(col("own"), lit(0L)).as("own"))
+      .agg(
+        coalesce(expr("sum(own * (own - 1) div 2)"), lit(0L))
+          .as("triangle_triplet_count"),
+        coalesce(expr("sum(own * (own - 1) div 2 + own * (deg - own))"), lit(0L))
+          .as("rectangle_triplet_count"),
+        coalesce(expr("max(own * (own - 1) div 2)"), lit(0L))
+          .as("maximum_triangle_triplets"),
+        coalesce(expr("max(own * (own - 1) div 2 + own * (deg - own))"), lit(0L))
+          .as("maximum_rectangle_triplets"))
+  }
+
+  def docEdgeMetrics(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.ngramJaccardPairsShared(s, dir)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    edgeMetrics(pairs)
+  }
+
   /** Triangle enumeration with degree-ordered orientation (ref Gelly
     * library/TriangleEnumerator.java:59): orient each undirected edge from
     * its lower-(degree, id) endpoint to the higher one, build open triads
@@ -762,6 +1037,20 @@ object Graph {
     |  JOIN a$i a ON a.id = p.doc_b GROUP BY p.doc_a) s ON s.id = v.id)""".stripMargin
   }
 
+  /** One sink-aware PageRank round (see [[pageRankSink]]): raw in-score,
+    * 9-dec-rounded global sum, uniform redistribution of (1 − sum). */
+  private def prSinkRound(i: Int): String = {
+    val prev = s"p${i - 1}"
+    s""",
+    |w$i AS (SELECT v.id, round(coalesce(s.m, 0), 9) AS raw
+    |  FROM verts v LEFT JOIN (SELECT e.dst AS id, sum(r.rank / d.outdeg) AS m
+    |    FROM de e JOIN $prev r ON r.id = e.src JOIN odeg d ON d.id = e.src
+    |    GROUP BY e.dst) s ON s.id = v.id),
+    |s$i AS (SELECT round(coalesce(sum(raw), 0), 9) AS s FROM w$i),
+    |p$i AS (SELECT id, round((0.15 + 0.85 * (1 - (SELECT s FROM s$i)))
+    |    / (SELECT n FROM nv) + 0.85 * raw, 9) AS rank FROM w$i)""".stripMargin
+  }
+
   private def prRound(i: Int): String = {
     val prev = s"r${i - 1}"
     s""",
@@ -821,6 +1110,29 @@ object Graph {
   }
 
   val sql: Map[String, String] = Map(
+    "q_graph_vertex_metrics" -> (graphCtes + """,
+      |dg AS (SELECT src AS id, count(*) AS deg FROM edges GROUP BY src),
+      |dv AS (SELECT v.id, coalesce(dg.deg, 0) AS deg
+      |  FROM verts v LEFT JOIN dg ON dg.id = v.id)
+      |SELECT CAST(count(*) AS BIGINT) AS vertex_count,
+      | CAST(coalesce(sum(deg), 0) // 2 AS BIGINT) AS edge_count,
+      | CAST(coalesce(sum(deg * (deg - 1) // 2), 0) AS BIGINT) AS triplet_count,
+      | CAST(coalesce(max(deg), 0) AS BIGINT) AS maximum_degree,
+      | CAST(coalesce(max(deg * (deg - 1) // 2), 0) AS BIGINT) AS maximum_triplets
+      |FROM dv""".stripMargin),
+    "q_graph_edge_metrics" -> (graphCtes + """,
+      |dg AS (SELECT src AS id, count(*) AS deg FROM edges GROUP BY src),
+      |ow AS (SELECT CASE WHEN (da.deg, p.doc_a) < (db.deg, p.doc_b)
+      |    THEN p.doc_a ELSE p.doc_b END AS id
+      |  FROM pairs p JOIN dg da ON da.id = p.doc_a JOIN dg db ON db.id = p.doc_b),
+      |oc AS (SELECT dg.id, dg.deg, coalesce(o.c, 0) AS own FROM dg
+      |  LEFT JOIN (SELECT id, count(*) AS c FROM ow GROUP BY id) o ON o.id = dg.id)
+      |SELECT
+      | CAST(coalesce(sum(own * (own - 1) // 2), 0) AS BIGINT) AS triangle_triplet_count,
+      | CAST(coalesce(sum(own * (own - 1) // 2 + own * (deg - own)), 0) AS BIGINT) AS rectangle_triplet_count,
+      | CAST(coalesce(max(own * (own - 1) // 2), 0) AS BIGINT) AS maximum_triangle_triplets,
+      | CAST(coalesce(max(own * (own - 1) // 2 + own * (deg - own)), 0) AS BIGINT) AS maximum_rectangle_triplets
+      |FROM oc""".stripMargin),
     "q_graph_jaccard" -> (graphCtes + """,
       |nb AS (SELECT src AS id, dst AS nb FROM edges),
       |dg AS (SELECT id, count(*) AS deg FROM nb GROUP BY id),
@@ -927,6 +1239,13 @@ object Graph {
       |FROM es JOIN sizes sa ON sa.label = es.label_a
       |JOIN sizes sb ON sb.label = es.label_b
       |ORDER BY label_a, label_b""".stripMargin),
+    "q_graph_pagerank_sink" -> (graphCtes + """,
+      |de AS (SELECT doc_a AS src, doc_b AS dst FROM pairs),
+      |odeg AS (SELECT src AS id, count(*) AS outdeg FROM de GROUP BY src),
+      |nv AS (SELECT count(*)::DOUBLE AS n FROM verts),
+      |p0 AS (SELECT id, round(1.0 / (SELECT n FROM nv), 9) AS rank FROM verts)""".stripMargin +
+      (1 to 3).map(prSinkRound).mkString +
+      "\nSELECT id AS doc_id, rank FROM p3 ORDER BY doc_id"),
     "q_graph_pagerank" -> (graphCtes + """,
       |nv AS (SELECT count(*)::DOUBLE AS n FROM verts),
       |deg AS (SELECT src AS id, count(*) AS outdeg FROM edges GROUP BY src),
@@ -957,5 +1276,7 @@ object Graph {
     * must reproduce the fused loop's distances exactly. */
   val starSql: Map[String, String] = Map(
     "q_graph_cc_star" -> sql("q_graph_cc"),
-    "q_graph_sssp_sg" -> sql("q_graph_sssp"))
+    "q_graph_cc_vc" -> sql("q_graph_cc"),
+    "q_graph_sssp_sg" -> sql("q_graph_sssp"),
+    "q_graph_sssp_gsa" -> sql("q_graph_sssp"))
 }

@@ -100,6 +100,83 @@ object TextAnalysis {
       .orderBy("doc_id", "rnk")
   }
 
+  /** Corpus-unigram-LM perplexity quality score (the CCNet signal: train a
+    * cheap LM on the corpus, rank every document by per-token negative
+    * log-likelihood; high cost = far from the corpus distribution =
+    * boilerplate/garbled). The model is add-one-smoothed unigram counts
+    * over the same corpus. Per-token cost −ln((c+1)/(N+V)) is quantized to
+    * integer MICRO-NATS before the per-document sum, so the aggregate is
+    * order-independent and the oracle reproduces it exactly (the
+    * dsirWeights trick — a double sum is summation-order-dependent
+    * cross-engine); the per-doc mean is integer division, exact on both
+    * engines. `keep` is a fixed 3.405-nat threshold (≈ p75 of the synthetic
+    * fixture, whose unigram costs sit in a narrow 3.38–3.70 band) —
+    * production CCNet buckets head/middle/tail by corpus PERCENTILE, which
+    * is two more percentile scalars over this same nats_u column.
+    *
+    * Shape at 100 TB: explode → token agg (vocab-scale model) → join back
+    * on token → doc agg. Two linear shuffles plus one join that is
+    * deliberately NOT broadcast (a 100-TB corpus's vocab with counts can
+    * exceed executor memory); the token key is zipfian-skewed ('the'
+    * carries ~5% of rows) — exactly the AQE skew-split case, mirroring
+    * q_join_skew's rehearsal. */
+  def perplexity(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(s, dir, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val cnt = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+    // model normalizer: two scalars (total tokens N, vocab V) — metadata-
+    // scale driver action like tfidfTop3's corpus count
+    val m = cnt.agg(sum(col("c")).as("n"), count(lit(1)).as("v")).head()
+    val nv = m.getLong(0) + m.getLong(1)
+    val cost = cnt.select(col("tok"),
+      expr(s"cast(round(-ln((c + 1) / $nv.0D) * 1e6) AS BIGINT)").as("u"))
+    toks.join(cost, "tok")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"), sum(col("u")).as("su"))
+      .select(col("doc_id"), col("n_tok"),
+        expr("su div n_tok").as("nats_u"),
+        (expr("su div n_tok") <= lit(3405000L)).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** Winnowing document fingerprint (Schleimer/Wilkerson/Aiken 2003, the
+    * MOSS algorithm): hash every word 5-gram with the 31-polynomial the
+    * classify exprs use, slide a 4-gram window and select each window's
+    * MINIMUM hash; the distinct selected values are the fingerprint. Any
+    * run of ≥ w+k−1 shared tokens between two documents is guaranteed to
+    * contribute a shared selected hash — offset-robust, unlike the whole-
+    * document rolling hash in [[stats]] — at the published ~2/(w+1)
+    * density. Expression-only: zero shuffles, one codegen pass per
+    * document; a downstream join on exploded fingerprints is the
+    * cross-doc detector (same candidates→verify shape as the dedup
+    * family). */
+  def winnowFingerprint(s: SparkSession, dir: String): DataFrame = {
+    val k = 5
+    val w = 4
+    Tables(s, dir, "documents")
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("g",
+        when(size(col("toks")) < k, array().cast("array<string>"))
+          .otherwise(expr(
+            s"transform(sequence(1, size(toks) - ${k - 1}), " +
+              s"i -> concat_ws(' ', slice(toks, i, $k)))")))
+      .withColumn("h", expr(
+        "transform(g, gr -> aggregate(transform(sequence(1, length(gr)), " +
+          "i -> ascii(substring(gr, i, 1))), 0L, " +
+          "(acc, c) -> (acc * 31 + c) % 1000000007))"))
+      .withColumn("sel",
+        when(size(col("h")) === 0, array().cast("array<bigint>"))
+          .otherwise(expr(
+            s"transform(sequence(1, greatest(size(h) - ${w - 1}, 1)), " +
+              s"j -> array_min(slice(h, j, $w)))")))
+      .select(col("doc_id"),
+        size(col("g")).as("n_grams"),
+        size(array_distinct(col("sel"))).as("n_fp"),
+        expr("array_join(transform(array_sort(array_distinct(sel)), " +
+          "x -> cast(x AS STRING)), ',')").as("fp"))
+      .orderBy("doc_id")
+  }
+
   /** Language ID by stopword-hit scoring over 4 language lists, ties broken
     * in fixed order en>de>fr>es. N-gram-heuristic class of the reference-era
     * langid tools; exact arithmetic so the oracle reproduces it. */

@@ -143,6 +143,43 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("perplexity: repeated common tokens score cheaper than rare-token docs") {
+    val rows = TextAnalysis.perplexity(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // every doc gets a positive integral mean cost and a defined keep flag
+    assert(rows.forall(r => r.getLong(2) > 0))
+    // the corpus must split on the 9-nat threshold in BOTH directions,
+    // otherwise the keep flag is vacuous on this fixture
+    val kept = rows.count(_.getBoolean(3))
+    assert(kept > 0 && kept < rows.length,
+      s"keep flag vacuous: $kept of ${rows.length}")
+    // determinism: rerun produces identical nats
+    val again = TextAnalysis.perplexity(spark, sf).collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(2))).toSeq ===
+      again.map(r => (r.getLong(0), r.getLong(2))).toSeq)
+  }
+
+  test("winnowing fingerprint: shared runs guarantee shared hashes, offset-robust") {
+    import spark.implicits._
+    val rows = TextAnalysis.winnowFingerprint(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // density bound: selected distinct fingerprints never exceed gram count
+    assert(rows.forall(r => r.getInt(2) <= math.max(r.getInt(1), 1)))
+    // the winnowing guarantee on a synthetic pair: two docs sharing a run
+    // of >= w+k-1 = 8 tokens must share at least one selected fingerprint,
+    // even when the run sits at different offsets
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val tmp = java.nio.file.Files.createTempDirectory("winnow").toString
+    Seq((1L, s"$shared tail one two", "en", "t", 0L),
+        (2L, s"prefix words here then $shared", "en", "t", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val fp = TextAnalysis.winnowFingerprint(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r.getString(3).split(",").toSet).toMap
+    assert((fp(1L) & fp(2L)).nonEmpty,
+      s"offset-shifted shared run produced disjoint fingerprints: $fp")
+  }
+
   test("brute-force ANN returns top-10 per query, cosine-sorted") {
     val rows = Similarity.annBruteForce(spark, sf).collect()
     val byQ = rows.groupBy(_.getLong(0))
@@ -291,6 +328,83 @@ class OperatorsSpec extends SparkSpec {
     val propPath = operators.Graph.connectedComponents(pathVerts, pathEdges, maxIter = 50)
       .collect().map(r => r.getLong(1)).distinct
     assert(propPath === Array(1L))
+  }
+
+  test("vertex-centric (Pregel) CC: same labels as the fused loop, frontier goes quiet") {
+    import spark.implicits._
+    val verts = (1L to 7L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("src", "dst")
+    val cc = operators.Graph.ccVertexCentric(verts, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L, 7L -> 7L))
+    // a 40-node path exercises vote-to-halt across many supersteps
+    val pathVerts = (1L to 40L).toDF("id")
+    val pathEdges = (1L until 40L).map(i => (i, i + 1)).toDF("src", "dst")
+    val labels = operators.Graph.ccVertexCentric(pathVerts, pathEdges, maxIter = 50)
+      .collect().map(r => r.getLong(1)).distinct
+    assert(labels === Array(1L))
+    // non-convergence must abort loudly, not return partial labels
+    val e = intercept[IllegalStateException] {
+      operators.Graph.ccVertexCentric(pathVerts, pathEdges, maxIter = 3)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
+  test("GSA SSSP agrees with the fused relaxation loop") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L, 1.0), (2L, 3L, 2.0), (1L, 3L, 10.0), (3L, 4L, 1.0))
+      .toDF("src", "dst", "w")
+    val sym = edges.union(edges.select($"dst".as("src"), $"src".as("dst"), $"w"))
+    val sources = Seq(Tuple1(1L)).toDF("id")
+    val gsa = operators.Graph.ssspGSA(sym, sources, rounds = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val fused = operators.Graph.sssp(sym, sources, rounds = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(gsa === fused)
+    assert(gsa === Map(1L -> 0.0, 2L -> 1.0, 3L -> 3.0, 4L -> 4.0))
+  }
+
+  test("sink-aware PageRank conserves total mass; simple variant leaks it") {
+    import spark.implicits._
+    // 1→2→3 with 3 a sink, 4 isolated: half the graph's mass hits the sink
+    val verts = (1L to 4L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val sink = operators.Graph.pageRankSink(verts, edges, iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(sink.values.sum - 1.0) < 1e-6,
+      s"sink variant must conserve mass, got ${sink.values.sum}")
+    val simple = operators.Graph.pageRank(verts, edges, iters = 5)
+      .collect().map(_.getDouble(1)).sum
+    assert(simple < 0.9, s"simple variant leaks sink mass by design, got $simple")
+    // the sink (3) accumulates the longest chain, isolated 4 only uniform
+    assert(sink(3L) > sink(2L) && sink(2L) > sink(4L))
+  }
+
+  test("vertex/edge metrics: counts match hand-computed values on K4 + star") {
+    import spark.implicits._
+    // K4 on {1..4} + star 10->(11..13): 7 vertices w/ degree>0, plus
+    // isolated 99 from the vertex set
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val star = (11L to 13L).map(l => (10L, l))
+    val edges = (k4 ++ star).toDF("src", "dst")
+    val verts = ((1L to 4L) ++ (10L to 13L) ++ Seq(99L)).toDF("id")
+    val vm = operators.Graph.vertexMetrics(verts, edges).collect().head
+    // degrees: K4 all 3, hub 3, leaves 1; triplets: 4*C(3,2)=12 + C(3,2)=3
+    assert(vm.getLong(0) === 9)   // vertex_count (includes isolated 99)
+    assert(vm.getLong(1) === 9)   // edge_count = 6 + 3
+    assert(vm.getLong(2) === 15)  // triplet_count
+    assert(vm.getLong(3) === 3)   // maximum_degree
+    assert(vm.getLong(4) === 3)   // maximum_triplets
+    val em = operators.Graph.edgeMetrics(edges).collect().head
+    // orientation by (deg, id): K4 owns edges 1->{2,3,4}, 2->{3,4}, 3->{4};
+    // star leaves (deg 1) own their hub edge. own: 1:3, 2:2, 3:1,
+    // leaves 11,12,13: 1 each. triangleTriplets = C(3,2)+C(2,2... = 3+1+0
+    assert(em.getLong(0) === 4)   // triangle triplets: C(3,2)=3 + C(2,2)=1
+    // rectangle: v1: 3+3*0=3? deg(1)=3 own=3 -> C(3,2)+3*0=3; v2: C(2,2)=1+2*1=3;
+    // v3: 0+1*2=2; leaves: 0+1*0=0 each -> 3+3+2=8
+    assert(em.getLong(1) === 8)
+    assert(em.getLong(2) === 3)   // max triangle triplets (vertex 1)
+    assert(em.getLong(3) === 3)   // max rectangle triplets
   }
 
   test("triangle enumeration: degree-oriented triads equal naive, hub fan-out bounded") {

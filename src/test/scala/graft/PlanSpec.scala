@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{BatchRelational, Dedup, Pipeline, Similarity}
+import graft.operators.{BatchRelational, Dedup, Pipeline, Similarity, TextAnalysis}
 
 /** Physical-plan assertions for OUR layout choices (SURVEY.md §5.1: golden
   * plan tests only for decisions we own, not Catalyst's behavior): filter/
@@ -88,6 +88,21 @@ class PlanSpec extends SparkSpec {
     val hashShuffles = "hashpartitioning\\(source".r.findAllIn(p).length
     assert(hashShuffles >= 1, s"window not partitioned by source:\n$p")
     assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+  }
+
+  test("winnowing fingerprint is expression-only: no hash shuffle in the plan") {
+    val p = plan(TextAnalysis.winnowFingerprint(spark, sf))
+    // the single codegen pass over the scan; only the final orderBy's range
+    // exchange is allowed — a hash shuffle would mean the per-doc pipeline
+    // broke out of the row expression
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"winnow fingerprint shuffles:\n$p")
+  }
+
+  test("perplexity is two linear shuffles, never a cartesian") {
+    val p = plan(TextAnalysis.perplexity(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"perplexity plan degenerate:\n$p")
   }
 
   test("raw SQL as-of idiom plans as AsOfJoin exec, not window-over-versions") {
