@@ -938,6 +938,170 @@ object Graph {
     triadicCensus(verts, pairs)
   }
 
+  /** DIRECTED triadic census (ref Gelly
+    * flink-gelly/.../library/clustering/directed/TriadicCensus.java):
+    * counts of all C(n,3) vertex triples over the 16 Holland–Leinhardt
+    * triad classes (003 … 300). Mirrors the reference's two-sided plan:
+    *
+    *  1. per-PAIR dyad states (none / single / mutual) from one groupBy,
+    *  2. per-VERTEX open-triplet counts from uni-out/uni-in/mutual degrees
+    *     (exactly the reference's VertexDegreesHelper products),
+    *  3. the 7 closed (triangle) classes from the degree-oriented
+    *     [[triangles]] listing joined to its 3 dyad states and classified
+    *     by mutual-count and single-edge orientation (the reference maps a
+    *     6-bit mask through the Batagelj–Mrvar type table — same classes,
+    *     derived here from the dyad states directly),
+    *  4. the reference's subtraction identities (each triangle deducts its
+    *     open triplets; each dyad pairs with n−2 third vertices; 003 is the
+    *     complement) — one scalar row out.
+    *
+    * All arithmetic integral and LONG-ranged to n ~ 2M vertices (n³/6 <
+    * 2⁶³); past that the identity columns need DECIMAL(38,0), which is the
+    * reference's BigInteger. The data-scale work is one pair agg + the
+    * skew-bounded triangle listing — same cost shape as the undirected
+    * [[triadicCensus]]. */
+  def triadicCensusDirected(vertices: DataFrame, edges: DataFrame): DataFrame = {
+    val de = edges.where(col("src") =!= col("dst"))
+      .select(col("src"), col("dst")).distinct()
+    // dyad states: s = 1 (a→b only), 2 (b→a only), 3 (mutual), a < b
+    val st = de
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"),
+        when(col("src") < col("dst"), 1).otherwise(2).as("d"))
+      .groupBy("a", "b")
+      .agg(max(when(col("d") === 1, 1).otherwise(0)).as("ab"),
+        max(when(col("d") === 2, 1).otherwise(0)).as("ba"))
+      .select(col("a"), col("b"), (col("ab") + lit(2) * col("ba")).as("s"))
+      .persistRound()
+    // per-vertex uni-out / uni-in / mutual tallies → open-triplet counts
+    val roles = st.select(col("a").as("id"),
+        when(col("s") === 1, 1L).otherwise(0L).as("uo"),
+        when(col("s") === 2, 1L).otherwise(0L).as("ui"),
+        when(col("s") === 3, 1L).otherwise(0L).as("bi"))
+      .union(st.select(col("b").as("id"),
+        when(col("s") === 2, 1L).otherwise(0L).as("uo"),
+        when(col("s") === 1, 1L).otherwise(0L).as("ui"),
+        when(col("s") === 3, 1L).otherwise(0L).as("bi")))
+    val trip = roles.groupBy("id")
+      .agg(sum(col("uo")).as("uo"), sum(col("ui")).as("ui"), sum(col("bi")).as("bi"))
+      .agg(
+        coalesce(expr("sum(uo * (uo - 1) div 2)"), lit(0L)).as("p021d"),
+        coalesce(expr("sum(ui * (ui - 1) div 2)"), lit(0L)).as("p021u"),
+        coalesce(expr("sum(uo * ui)"), lit(0L)).as("p021c"),
+        coalesce(expr("sum(ui * bi)"), lit(0L)).as("p111d"),
+        coalesce(expr("sum(uo * bi)"), lit(0L)).as("p111u"),
+        coalesce(expr("sum(bi * (bi - 1) div 2)"), lit(0L)).as("p201"))
+    // scalar edge counts straight off the dyad states
+    val ec = st.agg(
+      coalesce(sum(when(col("s") =!= 3, 1L).otherwise(0L)), lit(0L)).as("uec"),
+      coalesce(sum(when(col("s") === 3, 1L).otherwise(0L)), lit(0L)).as("bec"))
+    // closed classes: undirected listing + 3 dyad-state joins + CASE
+    val tri = triangles(st.select(col("a").as("src"), col("b").as("dst")))
+      .join(st.select(col("a").as("t1"), col("b").as("t2"), col("s").as("s12")), Seq("t1", "t2"))
+      .join(st.select(col("a").as("t1"), col("b").as("t3"), col("s").as("s13")), Seq("t1", "t3"))
+      .join(st.select(col("a").as("t2"), col("b").as("t3"), col("s").as("s23")), Seq("t2", "t3"))
+      .withColumn("m",
+        (col("s12") === 3).cast("int") + (col("s13") === 3).cast("int")
+          + (col("s23") === 3).cast("int"))
+      .withColumn("cls", expr("""
+        CASE
+          WHEN m = 3 THEN '300'
+          WHEN m = 2 THEN '210'
+          WHEN m = 1 THEN
+            CASE
+              WHEN s12 = 3 THEN  -- w = t3; out-of-w: s13=2 (t3→t1), s23=2
+                CASE WHEN (CASE WHEN s13 = 2 THEN 1 ELSE 0 END)
+                        + (CASE WHEN s23 = 2 THEN 1 ELSE 0 END) = 2 THEN '120d'
+                     WHEN (CASE WHEN s13 = 1 THEN 1 ELSE 0 END)
+                        + (CASE WHEN s23 = 1 THEN 1 ELSE 0 END) = 2 THEN '120u'
+                     ELSE '120c' END
+              WHEN s13 = 3 THEN  -- w = t2; out-of-w: s12=2 (t2→t1), s23=1
+                CASE WHEN (CASE WHEN s12 = 2 THEN 1 ELSE 0 END)
+                        + (CASE WHEN s23 = 1 THEN 1 ELSE 0 END) = 2 THEN '120d'
+                     WHEN (CASE WHEN s12 = 1 THEN 1 ELSE 0 END)
+                        + (CASE WHEN s23 = 2 THEN 1 ELSE 0 END) = 2 THEN '120u'
+                     ELSE '120c' END
+              ELSE               -- w = t1; out-of-w: s12=1 (t1→t2), s13=1
+                CASE WHEN (CASE WHEN s12 = 1 THEN 1 ELSE 0 END)
+                        + (CASE WHEN s13 = 1 THEN 1 ELSE 0 END) = 2 THEN '120d'
+                     WHEN (CASE WHEN s12 = 2 THEN 1 ELSE 0 END)
+                        + (CASE WHEN s13 = 2 THEN 1 ELSE 0 END) = 2 THEN '120u'
+                     ELSE '120c' END
+            END
+          -- m = 0: cyclic iff every vertex exits the triad exactly once
+          WHEN (CASE WHEN s12 = 1 THEN 1 ELSE 0 END) + (CASE WHEN s13 = 1 THEN 1 ELSE 0 END) = 1
+           AND (CASE WHEN s12 = 2 THEN 1 ELSE 0 END) + (CASE WHEN s23 = 1 THEN 1 ELSE 0 END) = 1
+           AND (CASE WHEN s13 = 2 THEN 1 ELSE 0 END) + (CASE WHEN s23 = 2 THEN 1 ELSE 0 END) = 1
+          THEN '030c' ELSE '030t'
+        END"""))
+    val tc = tri.agg(
+      coalesce(sum(when(col("cls") === "030t", 1L).otherwise(0L)), lit(0L)).as("c030t"),
+      coalesce(sum(when(col("cls") === "030c", 1L).otherwise(0L)), lit(0L)).as("c030c"),
+      coalesce(sum(when(col("cls") === "120d", 1L).otherwise(0L)), lit(0L)).as("c120d"),
+      coalesce(sum(when(col("cls") === "120u", 1L).otherwise(0L)), lit(0L)).as("c120u"),
+      coalesce(sum(when(col("cls") === "120c", 1L).otherwise(0L)), lit(0L)).as("c120c"),
+      coalesce(sum(when(col("cls") === "210", 1L).otherwise(0L)), lit(0L)).as("c210"),
+      coalesce(sum(when(col("cls") === "300", 1L).otherwise(0L)), lit(0L)).as("c300"))
+    val nDf = vertices.agg(count(lit(1)).as("n"))
+    nDf.crossJoin(ec).crossJoin(trip).crossJoin(tc)
+      .selectExpr("n", "uec", "bec",
+        "p021d", "p021u", "p021c", "p111d", "p111u", "p201",
+        "c030t", "c030c", "c120d", "c120u", "c120c", "c210", "c300",
+        // open triplets: each triangle deducts its contained open triplets
+        "p201  - 3 * c300 - c210                     AS t201",
+        "p111d - c210 - c120c - 2 * c120d           AS t111d",
+        "p111u - c210 - c120c - 2 * c120u           AS t111u",
+        "p021c - c120c - 3 * c030c - c030t          AS t021c",
+        "p021u - c120u - c030t                      AS t021u",
+        "p021d - c120d - c030t                      AS t021d")
+      .selectExpr("n", "uec", "bec",
+        "t021d", "t021u", "t021c", "t111d", "t111u", "t201",
+        "c030t", "c030c", "c120d", "c120u", "c120c", "c210", "c300",
+        """bec * (n - 2) - t111d - t111u - 2 * t201
+           - c120d - c120u - c120c - 2 * c210 - 3 * c300 AS t102""",
+        """uec * (n - 2) - 2 * t021d - 2 * t021u - 2 * t021c
+           - t111d - t111u - 3 * c030t - 3 * c030c
+           - 2 * c120d - 2 * c120u - 2 * c120c - c210   AS t012""")
+      .selectExpr(
+        "CAST(n AS BIGINT) AS n_vertices",
+        """CAST(n * (n - 1) * (n - 2) div 6
+           - t012 - t102 - t021d - t021u - t021c - t111d - t111u
+           - c030t - c030c - t201 - c120d - c120u - c120c - c210 - c300
+           AS BIGINT) AS t003""",
+        "CAST(t012 AS BIGINT) AS t012", "CAST(t102 AS BIGINT) AS t102",
+        "CAST(t021d AS BIGINT) AS t021d", "CAST(t021u AS BIGINT) AS t021u",
+        "CAST(t021c AS BIGINT) AS t021c", "CAST(t111d AS BIGINT) AS t111d",
+        "CAST(t111u AS BIGINT) AS t111u", "CAST(c030t AS BIGINT) AS t030t",
+        "CAST(c030c AS BIGINT) AS t030c", "CAST(t201 AS BIGINT) AS t201",
+        "CAST(c120d AS BIGINT) AS t120d", "CAST(c120u AS BIGINT) AS t120u",
+        "CAST(c120c AS BIGINT) AS t120c", "CAST(c210 AS BIGINT) AS t210",
+        "CAST(c300 AS BIGINT) AS t300")
+  }
+
+  /** Directed census over a deterministic window digraph on the documents
+    * corpus (the near-dup graph has almost no mutual dyads, so it exercises
+    * 4 of the 16 classes): candidate pairs are ids within distance 3, and
+    * each pair's md5 picks a→b / b→a / mutual / absent — the same md5 hash
+    * bridge every LSH oracle uses, so DuckDB derives the identical graph.
+    * All 16 Holland–Leinhardt classes occur at sf0.01 (verified: 25 '300'
+    * … 49 '030c'). */
+  def docTriadicDirected(s: SparkSession, dir: String): DataFrame = {
+    val verts = graft.Tables(s, dir, "documents").select(col("doc_id").as("id"))
+    val cand = verts.select(col("id").as("a"))
+      .join(verts.select(col("id").as("b")),
+        col("b") > col("a") && col("b") - col("a") <= 3)
+      .withColumn("h", expr(
+        "CAST(conv(substr(md5(concat(CAST(a AS STRING), '_', CAST(b AS STRING))), 1, 15), 16, 10) AS BIGINT) % 4"))
+    val de = cand.where(col("h") === 0).select(col("a").as("src"), col("b").as("dst"))
+      .union(cand.where(col("h") === 1).select(col("b").as("src"), col("a").as("dst")))
+      .union(cand.where(col("h") === 2)
+        .select(explode(array(
+          struct(col("a").as("src"), col("b").as("dst")),
+          struct(col("b").as("src"), col("a").as("dst")))).as("e"))
+        .select(col("e.src"), col("e.dst")))
+    triadicCensusDirected(verts, de)
+  }
+
   /** Global + average clustering coefficient (ref Gelly
     * library/clustering/undirected/GlobalClusteringCoefficient.java and
     * AverageClusteringCoefficient.java): gcc = 3·triangles / wedges over
@@ -1133,6 +1297,70 @@ object Graph {
       | CAST(coalesce(max(own * (own - 1) // 2), 0) AS BIGINT) AS maximum_triangle_triplets,
       | CAST(coalesce(max(own * (own - 1) // 2 + own * (deg - own)), 0) AS BIGINT) AS maximum_rectangle_triplets
       |FROM oc""".stripMargin),
+    // brute-force oracle: classify ALL C(n,3) triples directly (20.7M at
+    // sf0.01) — definitionally correct, so it cannot share a bug with the
+    // engine's subtraction identities
+    "q_graph_triadic_directed" -> ("""WITH vv AS (SELECT doc_id AS id FROM documents),
+      |cand AS (SELECT a.id AS a, b.id AS b,
+      |   ('0x' || substr(md5(a.id::VARCHAR || '_' || b.id::VARCHAR), 1, 15))::UBIGINT % 4 AS h
+      |  FROM vv a JOIN vv b ON b.id > a.id AND b.id - a.id <= 3),
+      |st AS (SELECT a, b, CASE h WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 3 END AS s
+      |  FROM cand WHERE h <> 3),
+      |lab AS (SELECT
+      |   coalesce(pxy.s, 0) AS sxy, coalesce(pxz.s, 0) AS sxz, coalesce(pyz.s, 0) AS syz
+      | FROM vv v1 JOIN vv v2 ON v2.id > v1.id JOIN vv v3 ON v3.id > v2.id
+      | LEFT JOIN st pxy ON pxy.a = v1.id AND pxy.b = v2.id
+      | LEFT JOIN st pxz ON pxz.a = v1.id AND pxz.b = v3.id
+      | LEFT JOIN st pyz ON pyz.a = v2.id AND pyz.b = v3.id),
+      |cl AS (SELECT
+      |  (sxy = 3)::INT + (sxz = 3)::INT + (syz = 3)::INT AS m,
+      |  (sxy IN (1,2))::INT + (sxz IN (1,2))::INT + (syz IN (1,2))::INT AS a,
+      |  (sxy = 1)::INT + (sxz = 1)::INT AS ox,
+      |  (sxy = 2)::INT + (syz = 1)::INT AS oy,
+      |  (sxz = 2)::INT + (syz = 2)::INT AS oz,
+      |  (sxy = 2)::INT + (sxz = 2)::INT AS ix,
+      |  (sxy = 1)::INT + (syz = 2)::INT AS iy,
+      |  (sxz = 1)::INT + (syz = 1)::INT AS iz,
+      |  (sxy = 3)::INT + (sxz = 3)::INT AS bx,
+      |  (sxy = 3)::INT + (syz = 3)::INT AS by,
+      |  (sxz = 3)::INT + (syz = 3)::INT AS bz
+      | FROM lab),
+      |k AS (SELECT CASE
+      |  WHEN m = 3 THEN '300'
+      |  WHEN m = 2 AND a = 1 THEN '210'
+      |  WHEN m = 2 THEN '201'
+      |  WHEN m = 1 AND a = 2 THEN
+      |    CASE WHEN greatest(ox, oy, oz) = 2 THEN '120d'
+      |         WHEN greatest(ix, iy, iz) = 2 THEN '120u' ELSE '120c' END
+      |  WHEN m = 1 AND a = 1 THEN
+      |    CASE WHEN ix*bx + iy*by + iz*bz = 1 THEN '111d' ELSE '111u' END
+      |  WHEN m = 1 THEN '102'
+      |  WHEN a = 3 THEN
+      |    CASE WHEN ox = 1 AND oy = 1 AND oz = 1 THEN '030c' ELSE '030t' END
+      |  WHEN a = 2 THEN
+      |    CASE WHEN greatest(ox, oy, oz) = 2 THEN '021d'
+      |         WHEN greatest(ix, iy, iz) = 2 THEN '021u' ELSE '021c' END
+      |  WHEN a = 1 THEN '012'
+      |  ELSE '003' END AS c
+      | FROM cl)
+      |SELECT (SELECT CAST(count(*) AS BIGINT) FROM vv) AS n_vertices,
+      | CAST(coalesce(sum((c = '003')::INT), 0) AS BIGINT) AS t003,
+      | CAST(coalesce(sum((c = '012')::INT), 0) AS BIGINT) AS t012,
+      | CAST(coalesce(sum((c = '102')::INT), 0) AS BIGINT) AS t102,
+      | CAST(coalesce(sum((c = '021d')::INT), 0) AS BIGINT) AS t021d,
+      | CAST(coalesce(sum((c = '021u')::INT), 0) AS BIGINT) AS t021u,
+      | CAST(coalesce(sum((c = '021c')::INT), 0) AS BIGINT) AS t021c,
+      | CAST(coalesce(sum((c = '111d')::INT), 0) AS BIGINT) AS t111d,
+      | CAST(coalesce(sum((c = '111u')::INT), 0) AS BIGINT) AS t111u,
+      | CAST(coalesce(sum((c = '030t')::INT), 0) AS BIGINT) AS t030t,
+      | CAST(coalesce(sum((c = '030c')::INT), 0) AS BIGINT) AS t030c,
+      | CAST(coalesce(sum((c = '201')::INT), 0) AS BIGINT) AS t201,
+      | CAST(coalesce(sum((c = '120d')::INT), 0) AS BIGINT) AS t120d,
+      | CAST(coalesce(sum((c = '120u')::INT), 0) AS BIGINT) AS t120u,
+      | CAST(coalesce(sum((c = '120c')::INT), 0) AS BIGINT) AS t120c,
+      | CAST(coalesce(sum((c = '210')::INT), 0) AS BIGINT) AS t210,
+      | CAST(coalesce(sum((c = '300')::INT), 0) AS BIGINT) AS t300
+      |FROM k""".stripMargin),
     "q_graph_jaccard" -> (graphCtes + """,
       |nb AS (SELECT src AS id, dst AS nb FROM edges),
       |dg AS (SELECT id, count(*) AS deg FROM nb GROUP BY id),

@@ -364,6 +364,68 @@ class OperatorsSpec extends SparkSpec {
     assert(gsa === Map(1L -> 0.0, 2L -> 1.0, 3L -> 3.0, 4L -> 4.0))
   }
 
+  test("directed triadic census matches brute-force classification of all triples") {
+    import spark.implicits._
+    val n = 13
+    // deterministic digraph with every dyad flavor (none/single/mutual)
+    val dirEdges = (for {
+      a <- 0 until n; b <- 0 until n if a != b
+      h = math.abs((a * 2654435761L + b * 40503L + a * b * 97L).hashCode) % 5
+      if h < 2 || (h == 2 && a < b) // h==2 on a<b plants mutual dyads
+    } yield {
+      if (h == 2) Seq((a.toLong, b.toLong), (b.toLong, a.toLong))
+      else Seq((a.toLong, b.toLong))
+    }).flatten.distinct
+    val e = dirEdges.toSet
+    def st(x: Long, y: Long): Int = // x < y
+      (if (e((x, y))) 1 else 0) + (if (e((y, x))) 2 else 0)
+    def classify(x: Long, y: Long, z: Long): String = {
+      val (sxy, sxz, syz) = (st(x, y), st(x, z), st(y, z))
+      val m = Seq(sxy, sxz, syz).count(_ == 3)
+      val a = Seq(sxy, sxz, syz).count(s => s == 1 || s == 2)
+      val ox = (if (sxy == 1) 1 else 0) + (if (sxz == 1) 1 else 0)
+      val oy = (if (sxy == 2) 1 else 0) + (if (syz == 1) 1 else 0)
+      val oz = (if (sxz == 2) 1 else 0) + (if (syz == 2) 1 else 0)
+      val ix = (if (sxy == 2) 1 else 0) + (if (sxz == 2) 1 else 0)
+      val iy = (if (sxy == 1) 1 else 0) + (if (syz == 2) 1 else 0)
+      val iz = (if (sxz == 1) 1 else 0) + (if (syz == 1) 1 else 0)
+      val bx = (if (sxy == 3) 1 else 0) + (if (sxz == 3) 1 else 0)
+      val by = (if (sxy == 3) 1 else 0) + (if (syz == 3) 1 else 0)
+      val bz = (if (sxz == 3) 1 else 0) + (if (syz == 3) 1 else 0)
+      if (m == 3) "t300"
+      else if (m == 2 && a == 1) "t210"
+      else if (m == 2) "t201"
+      else if (m == 1 && a == 2) {
+        if (Seq(ox, oy, oz).max == 2) "t120d"
+        else if (Seq(ix, iy, iz).max == 2) "t120u" else "t120c"
+      } else if (m == 1 && a == 1) {
+        if (ix * bx + iy * by + iz * bz == 1) "t111d" else "t111u"
+      } else if (m == 1) "t102"
+      else if (a == 3) { if (ox == 1 && oy == 1 && oz == 1) "t030c" else "t030t" }
+      else if (a == 2) {
+        if (Seq(ox, oy, oz).max == 2) "t021d"
+        else if (Seq(ix, iy, iz).max == 2) "t021u" else "t021c"
+      } else if (a == 1) "t012"
+      else "t003"
+    }
+    val expected = (for {
+      x <- 0L until n; y <- (x + 1) until n; z <- (y + 1) until n
+    } yield classify(x, y, z)).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val verts = (0L until n.toLong).toDF("id")
+    val got = operators.Graph.triadicCensusDirected(verts, dirEdges.toDF("src", "dst"))
+      .collect().head
+    val schema = got.schema.fieldNames
+    val gotMap = schema.zipWithIndex.collect {
+      case (f, i) if f.startsWith("t") => f -> got.getLong(i)
+    }.toMap
+    // exercise breadth: at least 10 of the 16 classes must be non-zero
+    assert(expected.size >= 10, s"fixture too regular: $expected")
+    schema.filter(_.startsWith("t")).foreach { f =>
+      assert(gotMap(f) === expected.getOrElse(f, 0L),
+        s"$f: engine ${gotMap(f)} vs brute ${expected.getOrElse(f, 0L)}\n$expected")
+    }
+  }
+
   test("sink-aware PageRank conserves total mass; simple variant leaks it") {
     import spark.implicits._
     // 1→2→3 with 3 a sink, 4 isolated: half the graph's mass hits the sink
