@@ -198,6 +198,8 @@ object SparkEntry {
     "q_graph_clustering_global" -> (Graph.docClusteringGlobal _),
     "q_graph_triadic"   -> (Graph.docTriadic _),
     "q_graph_triadic_directed" -> (Graph.docTriadicDirected _),
+    "q_graph_clustering_directed" -> (Graph.docClusteringDirected _),
+    "q_graph_clustering_dir_global" -> (Graph.docClusteringDirGlobal _),
     "q_graph_jaccard"   -> (Graph.docJaccard _),
     "q_graph_adamic"    -> (Graph.docAdamic _),
     "q_graph_community" -> (Graph.docCommunity _),

@@ -1085,22 +1085,85 @@ object Graph {
     * bridge every LSH oracle uses, so DuckDB derives the identical graph.
     * All 16 Holland–Leinhardt classes occur at sf0.01 (verified: 25 '300'
     * … 49 '030c'). */
-  def docTriadicDirected(s: SparkSession, dir: String): DataFrame = {
+  /** Deterministic directed fixture graph shared by the directed analytics:
+    * candidate pairs are document ids within distance 3; each pair's md5
+    * (the same hash bridge the LSH oracles use, so DuckDB derives the
+    * identical graph) picks a→b / b→a / mutual / absent. */
+  private def windowDigraph(s: SparkSession, dir: String): DataFrame = {
     val verts = graft.Tables(s, dir, "documents").select(col("doc_id").as("id"))
     val cand = verts.select(col("id").as("a"))
       .join(verts.select(col("id").as("b")),
         col("b") > col("a") && col("b") - col("a") <= 3)
       .withColumn("h", expr(
         "CAST(conv(substr(md5(concat(CAST(a AS STRING), '_', CAST(b AS STRING))), 1, 15), 16, 10) AS BIGINT) % 4"))
-    val de = cand.where(col("h") === 0).select(col("a").as("src"), col("b").as("dst"))
+    cand.where(col("h") === 0).select(col("a").as("src"), col("b").as("dst"))
       .union(cand.where(col("h") === 1).select(col("b").as("src"), col("a").as("dst")))
       .union(cand.where(col("h") === 2)
         .select(explode(array(
           struct(col("a").as("src"), col("b").as("dst")),
           struct(col("b").as("src"), col("a").as("dst")))).as("e"))
         .select(col("e.src"), col("e.dst")))
-    triadicCensusDirected(verts, de)
   }
+
+  def docTriadicDirected(s: SparkSession, dir: String): DataFrame = {
+    val verts = graft.Tables(s, dir, "documents").select(col("doc_id").as("id"))
+    triadicCensusDirected(verts, windowDigraph(s, dir))
+  }
+
+  /** DIRECTED local clustering coefficient (ref Gelly
+    * library/clustering/directed/LocalClusteringCoefficient.java): per
+    * vertex, the count of connected neighbor-triples from the DIRECTED
+    * triangle listing (each underlying triangle once, whatever its edge
+    * bitmask) over deg·(deg−1) potential DIRECTED neighbor edges — the
+    * reference's exact Result.getLocalClusteringCoefficientScore, which
+    * divides by d(d−1), not the undirected d(d−1)/2. Degree = distinct
+    * neighbors; vertices with no edge are excluded
+    * (includeZeroDegreeVertices=false default), deg-1 vertices score NULL
+    * (the reference returns NaN). */
+  def clusteringCoefficientDirected(edges: DataFrame): DataFrame = {
+    val canon = edges.where(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct().persistRound()
+    val deg = canon.select(col("a").as("id"))
+      .union(canon.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    val triPerV = triangles(canon.select(col("a").as("src"), col("b").as("dst")))
+      .select(explode(array(col("t1"), col("t2"), col("t3"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("tri"))
+    deg.join(triPerV, Seq("id"), "left")
+      .select(col("id"), col("deg"),
+        coalesce(col("tri"), lit(0L)).as("tri"),
+        when(col("deg") < 2, lit(null).cast("double"))
+          .otherwise(round(coalesce(col("tri"), lit(0L)).cast("double")
+            / (col("deg") * (col("deg") - 1)), 6)).as("coeff"))
+  }
+
+  def docClusteringDirected(s: SparkSession, dir: String): DataFrame =
+    clusteringCoefficientDirected(windowDigraph(s, dir))
+      .select(col("id").as("doc_id"), col("deg"), col("tri"), col("coeff"))
+      .orderBy("doc_id")
+
+  /** DIRECTED global + average clustering coefficient (ref
+    * clustering/directed/GlobalClusteringCoefficient.java and
+    * AverageClusteringCoefficient.java): gcc = 3·triangles / Σ C(deg,2)
+    * (the directed VertexMetrics triplet count), acc = Σ coeff over deg>1
+    * vertices divided by ALL scored vertices — both faithfully odd corners
+    * of the reference (triplets use C(d,2) while each coeff divides by
+    * d(d−1)). */
+  def clusteringGlobalDirected(edges: DataFrame): DataFrame =
+    clusteringCoefficientDirected(edges).agg(
+      count(lit(1)).as("n_vertices"),
+      coalesce(expr("sum(tri)"), lit(0L)).as("tri3"),
+      coalesce(expr("sum(deg * (deg - 1) div 2)"), lit(0L)).as("triplets"),
+      coalesce(round(expr("sum(coalesce(coeff, 0.0)) / count(1)"), 6), lit(0.0)).as("acc"))
+    .select(col("n_vertices"), col("tri3").as("triangles3"), col("triplets"),
+      when(col("triplets") === 0, lit(0.0))
+        .otherwise(round(col("tri3") / col("triplets"), 6)).as("gcc"),
+      col("acc"))
+
+  def docClusteringDirGlobal(s: SparkSession, dir: String): DataFrame =
+    clusteringGlobalDirected(windowDigraph(s, dir))
 
   /** Global + average clustering coefficient (ref Gelly
     * library/clustering/undirected/GlobalClusteringCoefficient.java and
@@ -1273,6 +1336,17 @@ object Graph {
     |  FROM $prev v LEFT JOIN cp$i p ON p.id = v.id)""".stripMargin
   }
 
+  /** Shared oracle prefix: the md5-directed window digraph fixture
+    * ([[windowDigraph]]) as dyad states st(a, b, s), s = 1 a→b / 2 b→a /
+    * 3 mutual, a < b. */
+  private val windowCtes: String =
+    """WITH vv AS (SELECT doc_id AS id FROM documents),
+      |cand AS (SELECT a.id AS a, b.id AS b,
+      |   ('0x' || substr(md5(a.id::VARCHAR || '_' || b.id::VARCHAR), 1, 15))::UBIGINT % 4 AS h
+      |  FROM vv a JOIN vv b ON b.id > a.id AND b.id - a.id <= 3),
+      |st AS (SELECT a, b, CASE h WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 3 END AS s
+      |  FROM cand WHERE h <> 3)""".stripMargin
+
   val sql: Map[String, String] = Map(
     "q_graph_vertex_metrics" -> (graphCtes + """,
       |dg AS (SELECT src AS id, count(*) AS deg FROM edges GROUP BY src),
@@ -1297,15 +1371,46 @@ object Graph {
       | CAST(coalesce(max(own * (own - 1) // 2), 0) AS BIGINT) AS maximum_triangle_triplets,
       | CAST(coalesce(max(own * (own - 1) // 2 + own * (deg - own)), 0) AS BIGINT) AS maximum_rectangle_triplets
       |FROM oc""".stripMargin),
+    "q_graph_clustering_directed" -> (windowCtes + """,
+      |und AS (SELECT a, b FROM st),
+      |dg AS (SELECT id, count(*) AS deg FROM (
+      |  SELECT a AS id FROM und UNION ALL SELECT b FROM und) GROUP BY id),
+      |tri AS (SELECT e1.a AS t1, e1.b AS t2, e2.b AS t3
+      | FROM und e1
+      | JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
+      | JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b),
+      |tv AS (SELECT id, count(*) AS tri FROM (
+      |  SELECT unnest([t1, t2, t3]) AS id FROM tri) GROUP BY id)
+      |SELECT d.id AS doc_id, CAST(d.deg AS BIGINT) AS deg,
+      | CAST(coalesce(tv.tri, 0) AS BIGINT) AS tri,
+      | CASE WHEN d.deg < 2 THEN NULL
+      |      ELSE round(coalesce(tv.tri, 0) / (d.deg * (d.deg - 1)), 6) END AS coeff
+      |FROM dg d LEFT JOIN tv ON tv.id = d.id ORDER BY doc_id""".stripMargin),
+    "q_graph_clustering_dir_global" -> (windowCtes + """,
+      |und AS (SELECT a, b FROM st),
+      |dg AS (SELECT id, count(*) AS deg FROM (
+      |  SELECT a AS id FROM und UNION ALL SELECT b FROM und) GROUP BY id),
+      |tri AS (SELECT e1.a AS t1, e1.b AS t2, e2.b AS t3
+      | FROM und e1
+      | JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
+      | JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b),
+      |tv AS (SELECT id, count(*) AS tri FROM (
+      |  SELECT unnest([t1, t2, t3]) AS id FROM tri) GROUP BY id),
+      |lc AS (SELECT d.id, d.deg, coalesce(tv.tri, 0) AS tri,
+      |  CASE WHEN d.deg < 2 THEN NULL
+      |       ELSE round(coalesce(tv.tri, 0) / (d.deg * (d.deg - 1)), 6) END AS coeff
+      | FROM dg d LEFT JOIN tv ON tv.id = d.id)
+      |SELECT CAST(count(*) AS BIGINT) AS n_vertices,
+      | CAST(coalesce(sum(tri), 0) AS BIGINT) AS triangles3,
+      | CAST(coalesce(sum(deg * (deg - 1) // 2), 0) AS BIGINT) AS triplets,
+      | CASE WHEN coalesce(sum(deg * (deg - 1) // 2), 0) = 0 THEN 0.0
+      |  ELSE round(coalesce(sum(tri), 0) / (sum(deg * (deg - 1) // 2)), 6) END AS gcc,
+      | coalesce(round(sum(coalesce(coeff, 0)) / count(*), 6), 0.0) AS acc
+      |FROM lc""".stripMargin),
     // brute-force oracle: classify ALL C(n,3) triples directly (20.7M at
     // sf0.01) — definitionally correct, so it cannot share a bug with the
     // engine's subtraction identities
-    "q_graph_triadic_directed" -> ("""WITH vv AS (SELECT doc_id AS id FROM documents),
-      |cand AS (SELECT a.id AS a, b.id AS b,
-      |   ('0x' || substr(md5(a.id::VARCHAR || '_' || b.id::VARCHAR), 1, 15))::UBIGINT % 4 AS h
-      |  FROM vv a JOIN vv b ON b.id > a.id AND b.id - a.id <= 3),
-      |st AS (SELECT a, b, CASE h WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 3 END AS s
-      |  FROM cand WHERE h <> 3),
+    "q_graph_triadic_directed" -> (windowCtes + """,
       |lab AS (SELECT
       |   coalesce(pxy.s, 0) AS sxy, coalesce(pxz.s, 0) AS sxz, coalesce(pyz.s, 0) AS syz
       | FROM vv v1 JOIN vv v2 ON v2.id > v1.id JOIN vv v3 ON v3.id > v2.id
