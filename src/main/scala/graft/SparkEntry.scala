@@ -193,6 +193,8 @@ object SparkEntry {
     "q_graph_cc_vc"     -> (Graph.docComponentsVC _),
     "q_graph_vertex_metrics" -> (Graph.docVertexMetrics _),
     "q_graph_edge_metrics"   -> (Graph.docEdgeMetrics _),
+    "q_graph_vertex_metrics_dir" -> (Graph.docVertexMetricsDir _),
+    "q_graph_edge_metrics_dir"   -> (Graph.docEdgeMetricsDir _),
     "q_graph_triangles" -> (Graph.docTriangles _),
     "q_graph_clustering" -> (Graph.docClustering _),
     "q_graph_clustering_global" -> (Graph.docClusteringGlobal _),

@@ -960,11 +960,12 @@ object Graph {
     * reference's BigInteger. The data-scale work is one pair agg + the
     * skew-bounded triangle listing — same cost shape as the undirected
     * [[triadicCensus]]. */
-  def triadicCensusDirected(vertices: DataFrame, edges: DataFrame): DataFrame = {
-    val de = edges.where(col("src") =!= col("dst"))
+  /** Dyad states of a directed edge list: one row per connected unordered
+    * pair a < b with s = 1 (a→b only), 2 (b→a only), 3 (mutual) — the
+    * directed analytics' shared first shuffle. */
+  private def dyadStates(edges: DataFrame): DataFrame =
+    edges.where(col("src") =!= col("dst"))
       .select(col("src"), col("dst")).distinct()
-    // dyad states: s = 1 (a→b only), 2 (b→a only), 3 (mutual), a < b
-    val st = de
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"),
         when(col("src") < col("dst"), 1).otherwise(2).as("d"))
@@ -972,7 +973,9 @@ object Graph {
       .agg(max(when(col("d") === 1, 1).otherwise(0)).as("ab"),
         max(when(col("d") === 2, 1).otherwise(0)).as("ba"))
       .select(col("a"), col("b"), (col("ab") + lit(2) * col("ba")).as("s"))
-      .persistRound()
+
+  def triadicCensusDirected(vertices: DataFrame, edges: DataFrame): DataFrame = {
+    val st = dyadStates(edges).persistRound()
     // per-vertex uni-out / uni-in / mutual tallies → open-triplet counts
     val roles = st.select(col("a").as("id"),
         when(col("s") === 1, 1L).otherwise(0L).as("uo"),
@@ -1164,6 +1167,57 @@ object Graph {
 
   def docClusteringDirGlobal(s: SparkSession, dir: String): DataFrame =
     clusteringGlobalDirected(windowDigraph(s, dir))
+
+  /** DIRECTED vertex metrics (ref flink-gelly
+    * library/metric/directed/VertexMetrics.java): vertex count,
+    * unidirectional + bidirectional edge counts, triplet count (Σ C(deg,2)
+    * over distinct-neighbor degree), and maxima of degree / out-degree /
+    * in-degree / triplets. One dyad-state shuffle + one per-vertex agg +
+    * one scalar reduce; isolated vertices count with degree 0
+    * (setIncludeZeroDegreeVertices(true), as the undirected port). */
+  def vertexMetricsDirected(vertices: DataFrame, edges: DataFrame): DataFrame = {
+    val st = dyadStates(edges).persistRound()
+    val roles = st.select(col("a").as("id"),
+        when(col("s") === 1 || col("s") === 3, 1L).otherwise(0L).as("od"),
+        when(col("s") === 2 || col("s") === 3, 1L).otherwise(0L).as("idg"))
+      .union(st.select(col("b").as("id"),
+        when(col("s") === 2 || col("s") === 3, 1L).otherwise(0L).as("od"),
+        when(col("s") === 1 || col("s") === 3, 1L).otherwise(0L).as("idg")))
+    val dg = roles.groupBy("id").agg(
+      count(lit(1)).as("deg"), sum(col("od")).as("od"), sum(col("idg")).as("idg"))
+    val dv = vertices.join(dg, Seq("id"), "left")
+      .select(coalesce(col("deg"), lit(0L)).as("deg"),
+        coalesce(col("od"), lit(0L)).as("od"),
+        coalesce(col("idg"), lit(0L)).as("idg"))
+    val ec = st.agg(
+      coalesce(sum(when(col("s") =!= 3, 1L).otherwise(0L)), lit(0L)).as("uni_edge_count"),
+      coalesce(sum(when(col("s") === 3, 1L).otherwise(0L)), lit(0L)).as("bi_edge_count"))
+    dv.agg(
+        count(lit(1)).as("vertex_count"),
+        coalesce(expr("sum(deg * (deg - 1) div 2)"), lit(0L)).as("triplet_count"),
+        coalesce(max(col("deg")), lit(0L)).as("maximum_degree"),
+        coalesce(max(col("od")), lit(0L)).as("maximum_out_degree"),
+        coalesce(max(col("idg")), lit(0L)).as("maximum_in_degree"),
+        coalesce(expr("max(deg * (deg - 1) div 2)"), lit(0L)).as("maximum_triplets"))
+      .crossJoin(ec)
+      .select(col("vertex_count"), col("uni_edge_count"), col("bi_edge_count"),
+        col("triplet_count"), col("maximum_degree"), col("maximum_out_degree"),
+        col("maximum_in_degree"), col("maximum_triplets"))
+  }
+
+  def docVertexMetricsDir(s: SparkSession, dir: String): DataFrame = {
+    val verts = graft.Tables(s, dir, "documents").select(col("doc_id").as("id"))
+    vertexMetricsDirected(verts, windowDigraph(s, dir))
+  }
+
+  /** DIRECTED edge metrics (ref library/metric/directed/EdgeMetrics.java):
+    * the reference's directed triangle/rectangle triplet formulas coincide
+    * with the undirected ones over the projected neighbor structure
+    * (degree = distinct neighbors, orientation by (degree, id)), so this is
+    * [[edgeMetrics]] on the underlying undirected pair graph of the window
+    * digraph. */
+  def docEdgeMetricsDir(s: SparkSession, dir: String): DataFrame =
+    edgeMetrics(windowDigraph(s, dir))
 
   /** Global + average clustering coefficient (ref Gelly
     * library/clustering/undirected/GlobalClusteringCoefficient.java and
@@ -1363,6 +1417,39 @@ object Graph {
       |ow AS (SELECT CASE WHEN (da.deg, p.doc_a) < (db.deg, p.doc_b)
       |    THEN p.doc_a ELSE p.doc_b END AS id
       |  FROM pairs p JOIN dg da ON da.id = p.doc_a JOIN dg db ON db.id = p.doc_b),
+      |oc AS (SELECT dg.id, dg.deg, coalesce(o.c, 0) AS own FROM dg
+      |  LEFT JOIN (SELECT id, count(*) AS c FROM ow GROUP BY id) o ON o.id = dg.id)
+      |SELECT
+      | CAST(coalesce(sum(own * (own - 1) // 2), 0) AS BIGINT) AS triangle_triplet_count,
+      | CAST(coalesce(sum(own * (own - 1) // 2 + own * (deg - own)), 0) AS BIGINT) AS rectangle_triplet_count,
+      | CAST(coalesce(max(own * (own - 1) // 2), 0) AS BIGINT) AS maximum_triangle_triplets,
+      | CAST(coalesce(max(own * (own - 1) // 2 + own * (deg - own)), 0) AS BIGINT) AS maximum_rectangle_triplets
+      |FROM oc""".stripMargin),
+    "q_graph_vertex_metrics_dir" -> (windowCtes + """,
+      |roles AS (SELECT a AS id, (s IN (1,3))::INT AS od, (s IN (2,3))::INT AS idg FROM st
+      |  UNION ALL SELECT b, (s IN (2,3))::INT, (s IN (1,3))::INT FROM st),
+      |dg AS (SELECT id, count(*) AS deg, sum(od) AS od, sum(idg) AS idg
+      |  FROM roles GROUP BY id),
+      |dv AS (SELECT coalesce(dg.deg, 0) AS deg, coalesce(dg.od, 0) AS od,
+      |   coalesce(dg.idg, 0) AS idg
+      |  FROM vv v LEFT JOIN dg ON dg.id = v.id),
+      |ec AS (SELECT CAST(coalesce(sum((s IN (1,2))::INT), 0) AS BIGINT) AS uni,
+      |   CAST(coalesce(sum((s = 3)::INT), 0) AS BIGINT) AS bi FROM st)
+      |SELECT CAST(count(*) AS BIGINT) AS vertex_count,
+      | (SELECT uni FROM ec) AS uni_edge_count,
+      | (SELECT bi FROM ec) AS bi_edge_count,
+      | CAST(coalesce(sum(deg * (deg - 1) // 2), 0) AS BIGINT) AS triplet_count,
+      | CAST(coalesce(max(deg), 0) AS BIGINT) AS maximum_degree,
+      | CAST(coalesce(max(od), 0) AS BIGINT) AS maximum_out_degree,
+      | CAST(coalesce(max(idg), 0) AS BIGINT) AS maximum_in_degree,
+      | CAST(coalesce(max(deg * (deg - 1) // 2), 0) AS BIGINT) AS maximum_triplets
+      |FROM dv""".stripMargin),
+    "q_graph_edge_metrics_dir" -> (windowCtes + """,
+      |dg AS (SELECT id, count(*) AS deg FROM (
+      |  SELECT a AS id FROM st UNION ALL SELECT b FROM st) GROUP BY id),
+      |ow AS (SELECT CASE WHEN (da.deg, p.a) < (db.deg, p.b)
+      |    THEN p.a ELSE p.b END AS id
+      |  FROM st p JOIN dg da ON da.id = p.a JOIN dg db ON db.id = p.b),
       |oc AS (SELECT dg.id, dg.deg, coalesce(o.c, 0) AS own FROM dg
       |  LEFT JOIN (SELECT id, count(*) AS c FROM ow GROUP BY id) o ON o.id = dg.id)
       |SELECT
