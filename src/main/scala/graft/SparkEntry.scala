@@ -226,6 +226,10 @@ object SparkEntry {
     "q_tpch_q12"        -> (SqlSurface.tpchQuery("q_tpch_q12") _),
     "q_tpch_q19"        -> (SqlSurface.tpchQuery("q_tpch_q19") _),
     "q_tpch_q22"        -> (SqlSurface.tpchQuery("q_tpch_q22") _),
+    "q_tpch_q2"         -> (SqlSurface.tpchQuery("q_tpch_q2") _),
+    "q_tpch_q11"        -> (SqlSurface.tpchQuery("q_tpch_q11") _),
+    "q_tpch_q16"        -> (SqlSurface.tpchQuery("q_tpch_q16") _),
+    "q_tpch_q20"        -> (SqlSurface.tpchQuery("q_tpch_q20") _),
     "q_sql_topn_pattern" -> (SqlSurface.tpchQuery("q_sql_topn_pattern") _),
     "q_sql_asof_pattern" -> (SqlSurface.asofPattern _),
     "q_sql_match"        -> (streaming.MatchRecognizeSql.matchPlus _),

@@ -227,6 +227,66 @@ object SqlSurface {
         |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 1 AND l_quantity <= 30)
         |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity >= 10 AND l_quantity <= 40)
         |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity >= 20 AND l_quantity <= 50)""".stripMargin,
+    // Q2: min-cost supplier per part within a region (correlated scalar
+    // subquery over the DERIVED partsupp — see partsuppDerivation; columns
+    // reduced to the available schema, LIMIT keys made unique)
+    "q_tpch_q2" ->
+      """SELECT round(s_acctbal, 2) AS s_acctbal, s_name, n_name, p_partkey, p_type,
+        | round(ps_supplycost, 2) AS ps_supplycost
+        |FROM part, supplier, partsupp, nation, region
+        |WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+        | AND p_size = 15 AND p_type = 'ECONOMY'
+        | AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        | AND r_name = 'EUROPE'
+        | AND ps_supplycost = (
+        |  SELECT min(ps_supplycost) FROM partsupp, supplier, nation, region
+        |  WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+        |   AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |   AND r_name = 'EUROPE')
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin,
+    // Q11: important-stock identification (group HAVING vs a global scalar;
+    // fraction 0.003 splits the fixture ~132/300)
+    "q_tpch_q11" ->
+      """SELECT ps_partkey, round(sum(ps_supplycost * ps_availqty), 2) AS value
+        |FROM partsupp, supplier, nation
+        |WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        | AND n_name = 'NATION_7'
+        |GROUP BY ps_partkey
+        |HAVING sum(ps_supplycost * ps_availqty) > (
+        | SELECT sum(ps_supplycost * ps_availqty) * 0.003
+        | FROM partsupp, supplier, nation
+        | WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        |  AND n_name = 'NATION_7')
+        |ORDER BY value DESC, ps_partkey""".stripMargin,
+    // Q16: supplier count by brand/type/size with a NOT-IN exclusion
+    // (s_acctbal < 0 stands in for dbgen's complaints filter — the
+    // fixture has no s_comment)
+    "q_tpch_q16" ->
+      """SELECT p_brand, p_type, p_size, count(DISTINCT ps_suppkey) AS supplier_cnt
+        |FROM partsupp, part
+        |WHERE p_partkey = ps_partkey
+        | AND p_brand <> 'Brand#5'
+        | AND p_type NOT LIKE 'ECONOMY%'
+        | AND p_size IN (1, 4, 7, 10, 14, 19, 23, 36)
+        | AND ps_suppkey NOT IN (
+        |  SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    // Q20: excess-stock suppliers for promoted parts (nested IN + correlated
+    // scalar; coalesce keeps no-sales parts eligible — the derived partsupp
+    // pairs don't all align with lineitem's, unlike dbgen's)
+    "q_tpch_q20" ->
+      """SELECT s_name FROM supplier, nation
+        |WHERE s_suppkey IN (
+        | SELECT ps_suppkey FROM partsupp
+        | WHERE ps_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+        |  AND ps_availqty > coalesce((SELECT 0.5 * sum(l_quantity) FROM lineitem
+        |   WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+        |    AND l_shipdate >= DATE '1996-01-01'
+        |    AND l_shipdate < DATE '1997-01-01'), 0))
+        | AND s_nationkey = n_nationkey AND n_name = 'NATION_3'
+        |ORDER BY s_name""".stripMargin,
     // Q22 shape over the available data (every customer has orders, and
     // the name prefix is constant): above-average balance + anti join
     // against big-ticket orders, grouped by the name's last digit
@@ -246,8 +306,47 @@ object SqlSurface {
     s.sql(q3Sql)
   }
 
+  /** The testdata has no partsupp table; derive it deterministically from
+    * part × supplier so the four partsupp queries (Q2/Q11/Q16/Q20) run with
+    * full oracle parity. ps_suppkey follows dbgen's supplier-rotation
+    * formula (s = (p + i·(S/4 + p/S)) mod S, giving each part 4 distinct
+    * suppliers); availqty/supplycost are md5-derived — the same md5 hash
+    * bridge every LSH oracle uses, so DuckDB materializes the identical
+    * rows from the identical parquet inputs.
+    * @param hash dialect spelling of "md5('ps_'||ps_partkey||'_'||i) as a
+    *             positive 60-bit integer"
+    * @param idiv dialect integer-division operator */
+  private def partsuppDerivation(hash: String, idiv: String): String =
+    s"""SELECT ps_partkey, ps_suppkey,
+       | CAST($hash % 9999 + 1 AS INT) AS ps_availqty,
+       | CAST($hash % 100000 AS DOUBLE) / 100.0 + 1.0 AS ps_supplycost
+       |FROM (
+       | SELECT p_partkey AS ps_partkey, t.i AS i,
+       |  (p_partkey + t.i * (s1.sc $idiv 4 + p_partkey $idiv s1.sc)) % s1.sc AS ps_suppkey
+       | FROM part
+       | CROSS JOIN (SELECT count(*) AS sc FROM supplier) s1
+       | CROSS JOIN (VALUES (0), (1), (2), (3)) AS t(i)
+       |) x""".stripMargin
+
+  val partsuppSparkSql: String = partsuppDerivation(
+    "CAST(conv(substr(md5(concat('ps_', CAST(ps_partkey AS STRING), '_', CAST(i AS STRING))), 1, 15), 16, 10) AS BIGINT)",
+    "div")
+
+  private val partsuppDuckSql: String = partsuppDerivation(
+    "('0x' || substr(md5('ps_' || ps_partkey::VARCHAR || '_' || i::VARCHAR), 1, 15))::UBIGINT",
+    "//")
+
+  /** Oracle overrides for the partsupp queries: same query text, prefixed
+    * with the DuckDB-flavor derivation as a CTE (Spark gets it as a temp
+    * view in [[tpchQuery]]). */
+  private val partsuppQueryNames = Seq("q_tpch_q2", "q_tpch_q11", "q_tpch_q16", "q_tpch_q20")
+  val partsuppOracles: Map[String, String] = partsuppQueryNames.map(n =>
+    n -> s"WITH partsupp AS (\n$partsuppDuckSql\n)\n${tpch(n)}").toMap
+
   def tpchQuery(name: String)(s: SparkSession, dir: String): DataFrame = {
     Tables.registerAll(s, dir)
+    if (partsuppQueryNames.contains(name))
+      s.sql(s"CREATE OR REPLACE TEMP VIEW partsupp AS\n$partsuppSparkSql")
     s.sql((tpch ++ patterns)(name))
   }
 
@@ -313,5 +412,5 @@ object SqlSurface {
         |       WHERE event_type = 'view') v
         |  ON p.user_id = v.v_user AND v.t <= p.t
         |) WHERE rn = 1 ORDER BY user_id, p_id""".stripMargin,
-  ) ++ tpch ++ patterns
+  ) ++ tpch ++ patterns ++ partsuppOracles
 }

@@ -137,6 +137,15 @@ object ScaleBench {
           graft.operators.Similarity.semDedupK(spark, out,
             kClusters = if (k >= 100) 256 else if (k >= 10) 64 else 8).count()
         },
+        // perplexity's token-cost join is the zipfian skew case ('the'
+        // carries a constant fraction of ALL rows, so its partition grows
+        // linearly with k while others stay bounded) — the rehearsal must
+        // show wall-cost tracking n, i.e. AQE's skew split absorbing the
+        // hot key, not a straggler going superlinear
+        time(s"perplexity_${k}x") {
+          spark.catalog.clearCache()
+          graft.operators.TextAnalysis.perplexity(spark, out).count()
+        },
       )
       val total = results.map(_._2).sum
       println(f"""{"metric":"scale_bench_llm","value":$total%.2f,"unit":"sec","k":$k,"queries":{${
