@@ -19,6 +19,25 @@ object LlmOracles {
       |  list_distinct([t[i]||' '||t[i+1]||' '||t[i+2] FOR i IN range(1, len(t)-1)]) END AS s
       |  FROM toks)""".stripMargin
 
+  /** Winnowing fingerprint chain (k=5 grams, w=4 windows, 31-polynomial
+    * hash) shared by q_fingerprint_winnow and q_dedup_winnow_pairs. */
+  val winnowCtes: String =
+    toksCte + """,
+      |g AS (SELECT doc_id,
+      |  CASE WHEN len(t) < 5 THEN []::VARCHAR[]
+      |       ELSE list_transform(range(1, len(t) - 3), i -> array_to_string(t[i:i+4], ' ')) END AS g5
+      | FROM toks),
+      |h AS (SELECT doc_id, g5, list_transform(g5, gr ->
+      |   list_reduce(list_prepend(0::BIGINT,
+      |     list_transform(range(1, length(gr) + 1), i -> ascii(gr[i])::BIGINT)),
+      |     (acc, c) -> (acc * 31 + c) % 1000000007)) AS hs
+      | FROM g),
+      |sel AS (SELECT doc_id, g5,
+      |  CASE WHEN len(hs) = 0 THEN []::BIGINT[]
+      |       ELSE list_transform(range(1, greatest(len(hs) - 3, 1) + 1),
+      |              j -> list_min(hs[j:j+3])) END AS s
+      | FROM h)""".stripMargin
+
   /** The deterministic 2-round Lloyd fit (k=8, init = vec_id<8, centroids
     * rounded to 6 per dim) ending in the final assignment CTE `asg` —
     * shared by q_ann_kmeans and q_semdedup. */
@@ -115,25 +134,26 @@ object LlmOracles {
         | (su // n_tok) <= 3405000 AS keep
         |FROM d ORDER BY doc_id""").stripMargin,
     "q_fingerprint_winnow" ->
-      (toksCte + """,
-        |g AS (SELECT doc_id,
-        |  CASE WHEN len(t) < 5 THEN []::VARCHAR[]
-        |       ELSE list_transform(range(1, len(t) - 3), i -> array_to_string(t[i:i+4], ' ')) END AS g5
-        | FROM toks),
-        |h AS (SELECT doc_id, g5, list_transform(g5, gr ->
-        |   list_reduce(list_prepend(0::BIGINT,
-        |     list_transform(range(1, length(gr) + 1), i -> ascii(gr[i])::BIGINT)),
-        |     (acc, c) -> (acc * 31 + c) % 1000000007)) AS hs
-        | FROM g),
-        |sel AS (SELECT doc_id, g5,
-        |  CASE WHEN len(hs) = 0 THEN []::BIGINT[]
-        |       ELSE list_transform(range(1, greatest(len(hs) - 3, 1) + 1),
-        |              j -> list_min(hs[j:j+3])) END AS s
-        | FROM h)
+      (winnowCtes + """
         |SELECT doc_id, CAST(len(g5) AS INT) AS n_grams,
         | CAST(len(list_distinct(s)) AS INT) AS n_fp,
         | array_to_string(list_sort(list_distinct(s)), ',') AS fp
         |FROM sel ORDER BY doc_id""").stripMargin,
+    "q_dedup_winnow_pairs" ->
+      (winnowCtes + """,
+        |sets AS (SELECT doc_id, list_sort(list_distinct(s)) AS fps FROM sel),
+        |post AS (SELECT doc_id, unnest(fps) AS hsh FROM sets),
+        |freq AS (SELECT hsh, count(*) AS df FROM post GROUP BY hsh),
+        |cap AS (SELECT p.doc_id, p.hsh FROM post p
+        |  JOIN freq f ON f.hsh = p.hsh AND f.df <= 64),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM cap a JOIN cap b ON a.hsh = b.hsh AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, j FROM (
+        | SELECT doc_a, doc_b,
+        |  round(len(list_intersect(x.fps, y.fps))::DOUBLE /
+        |    (len(x.fps) + len(y.fps) - len(list_intersect(x.fps, y.fps))), 4) AS j
+        | FROM cand JOIN sets x ON x.doc_id = doc_a JOIN sets y ON y.doc_id = doc_b)
+        |WHERE j >= 0.5 ORDER BY doc_a, doc_b""").stripMargin,
     "q_tfidf_top3" ->
       (toksCte + """,
         |tok AS (SELECT doc_id, unnest(t) AS token FROM toks),

@@ -94,6 +94,7 @@ object SparkEntry {
     "q_tfidf_top3"        -> (TextAnalysis.tfidfTop3 _),
     "q_quality_perplexity" -> (TextAnalysis.perplexity _),
     "q_fingerprint_winnow" -> (TextAnalysis.winnowFingerprint _),
+    "q_dedup_winnow_pairs" -> (TextAnalysis.winnowDupPairs _),
     "q_decontaminate"     -> (Pipeline.decontaminate _),
     "q_sample_stratified" -> (Pipeline.stratifiedSample _),
     "q_pack_sequences"    -> (Pipeline.packSequences _),

@@ -150,7 +150,10 @@ object TextAnalysis {
     * document; a downstream join on exploded fingerprints is the
     * cross-doc detector (same candidates→verify shape as the dedup
     * family). */
-  def winnowFingerprint(s: SparkSession, dir: String): DataFrame = {
+  /** (doc_id, n_grams, fps) with fps the distinct selected winnowing
+    * hashes — the shared core of [[winnowFingerprint]] and
+    * [[winnowDupPairs]]. */
+  private def winnowSets(s: SparkSession, dir: String): DataFrame = {
     val k = 5
     val w = 4
     Tables(s, dir, "documents")
@@ -169,12 +172,47 @@ object TextAnalysis {
           .otherwise(expr(
             s"transform(sequence(1, greatest(size(h) - ${w - 1}, 1)), " +
               s"j -> array_min(slice(h, j, $w)))")))
-      .select(col("doc_id"),
-        size(col("g")).as("n_grams"),
-        size(array_distinct(col("sel"))).as("n_fp"),
-        expr("array_join(transform(array_sort(array_distinct(sel)), " +
-          "x -> cast(x AS STRING)), ',')").as("fp"))
+      .select(col("doc_id"), size(col("g")).as("n_grams"),
+        array_sort(array_distinct(col("sel"))).as("fps"))
+  }
+
+  def winnowFingerprint(s: SparkSession, dir: String): DataFrame =
+    winnowSets(s, dir)
+      .select(col("doc_id"), col("n_grams"),
+        size(col("fps")).as("n_fp"),
+        expr("array_join(transform(fps, x -> cast(x AS STRING)), ',')").as("fp"))
       .orderBy("doc_id")
+
+  /** Near-duplicate pairs over the winnowing fingerprints — the MOSS
+    * detector's cross-document stage, and the cheap counterpart to the
+    * exact n-gram Jaccard pairs (fingerprints are ~1/w of the grams, so
+    * index and verify cost shrink by the winnow density). Same
+    * candidates→verify shape as the rest of the dedup family: inverted
+    * index on fingerprint hash with a hot cap (a boilerplate hash shared
+    * by >64 docs is dropped from candidate GENERATION — at 100 TB that cap
+    * is what stops one viral template from emitting n² candidates; the cap
+    * is on the index side only, verification still sees full sets), then
+    * one equi-join back to the fingerprint sets for the exact
+    * Jaccard-over-sets verdict. */
+  def winnowDupPairs(s: SparkSession, dir: String): DataFrame = {
+    val sets = winnowSets(s, dir).select(col("doc_id"), col("fps"))
+      .localCheckpoint(true)
+    val posting = sets.select(col("doc_id"), explode(col("fps")).as("hsh"))
+    val freq = posting.groupBy("hsh").agg(count(lit(1)).as("df"))
+    val capped = posting.join(freq.where(col("df") <= 64).select("hsh"), "hsh")
+    val cands = capped.as("a").join(capped.as("b"),
+        col("a.hsh") === col("b.hsh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cands
+      .join(sets.select(col("doc_id").as("doc_a"), col("fps").as("fa")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("fps").as("fb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(size(array_intersect(col("fa"), col("fb"))).cast("double")
+          / (size(col("fa")) + size(col("fb"))
+            - size(array_intersect(col("fa"), col("fb")))), 4).as("j"))
+      .where(col("j") >= 0.5)
+      .orderBy("doc_a", "doc_b")
   }
 
   /** Language ID by stopword-hit scoring over 4 language lists, ties broken

@@ -99,6 +99,12 @@ class PlanSpec extends SparkSpec {
       s"winnow fingerprint shuffles:\n$p")
   }
 
+  test("winnow dup pairs: equi-join candidates, no cartesian or BNL") {
+    val p = plan(TextAnalysis.winnowDupPairs(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"winnow pairs plan degenerate:\n$p")
+  }
+
   test("perplexity is two linear shuffles, never a cartesian") {
     val p = plan(TextAnalysis.perplexity(spark, sf))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
