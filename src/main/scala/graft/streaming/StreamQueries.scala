@@ -881,6 +881,11 @@ object StreamQueries {
       """SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS w_start, event_type,
         | count(*) AS cnt, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_stream_tumble_all" ->
+      """SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS w_start,
+        | count(*) AS cnt, round(sum(value), 2) AS sum_value,
+        | round(min(value), 2) AS min_value, round(max(value), 2) AS max_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_stream_session" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t, value FROM events),
         |m AS (SELECT user_id, t, value,

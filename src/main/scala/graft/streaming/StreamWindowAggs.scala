@@ -32,6 +32,26 @@ object StreamWindowAggs {
       .orderBy("w_start", "event_type")
   }
 
+  /** Non-keyed tumbling window — the reference's windowAll /
+    * AllWindowedStream path (DataStream.windowAll →
+    * AllWindowedStream.aggregate, parallelism-1 in Flink): here the window
+    * itself is the grouping key, so Catalyst's partial aggregation combines
+    * map-side and only one row per window crosses the shuffle — the
+    * single-threaded bottleneck the reference documents for windowAll does
+    * not exist in this plan. Append mode: each day emits once the watermark
+    * passes it. */
+  def tumbleAll(s: SparkSession, dir: String): DataFrame = {
+    val agg = StreamSource.eventsWithSentinel(s, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day").as("w"))
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value"),
+        round(min("value"), 2).as("min_value"), round(max("value"), 2).as("max_value"))
+      .select(col("w.start").as("w_start"), col("cnt"), col("sum_value"),
+        col("min_value"), col("max_value"))
+    StreamSource.runToTable(s, agg, "stream_tumble_all", "append")
+      .orderBy("w_start")
+  }
+
   /** SESSION(gap 1 hour) per user as a streaming query (session_window +
     * watermark; state merges adjacent sessions like the reference's
     * session assigner + merge callback). Append mode: sessions emit once
