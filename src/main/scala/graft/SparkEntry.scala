@@ -262,6 +262,10 @@ object SparkEntry {
     "q_join_skew"       -> (ScaleOps.skewJoin _),
     "q_stream_static_join" -> (ScaleOps.streamStaticJoin _),
     "q_agg_sum0_native" -> (ScaleOps.sum0Native _),
+    "q_fmt_debezium"    -> (graft.sources.CdcFormats.debeziumKinds _),
+    "q_cdc_materialize" -> (graft.sources.CdcFormats.debeziumMaterialize _),
+    "q_fmt_canal"       -> (graft.sources.CdcFormats.canalKinds _),
+    "q_fmt_maxwell"     -> (graft.sources.CdcFormats.maxwellMaterialize _),
     "q_pipeline_clean"  -> (Pipeline.cleanCorpus _),
     "q_emb_normalize"   -> (Pipeline.normalize _),
     "q_emb_quantize"    -> (Pipeline.quantize _),
@@ -607,5 +611,5 @@ object SparkEntry {
     GroupWindowSql.sql ++ graft.sources.DdlSql.sql ++
     graft.sources.HiveCatalog.sql ++ Graph.starSql ++
     graft.tpcds.TpcdsReal.oracles ++ streaming.TxFileSink.sql ++
-    graft.sources.JdbcDemo.sql
+    graft.sources.JdbcDemo.sql ++ graft.sources.CdcFormats.sql
 }
