@@ -262,6 +262,8 @@ object SparkEntry {
     "q_join_skew"       -> (ScaleOps.skewJoin _),
     "q_stream_static_join" -> (ScaleOps.streamStaticJoin _),
     "q_agg_sum0_native" -> (ScaleOps.sum0Native _),
+    "q_state_agg_read"  -> (graft.sources.StateRead.aggStateRead _),
+    "q_state_dedup_read" -> (graft.sources.StateRead.dedupStateRead _),
     "q_fmt_debezium"    -> (graft.sources.CdcFormats.debeziumKinds _),
     "q_cdc_materialize" -> (graft.sources.CdcFormats.debeziumMaterialize _),
     "q_fmt_canal"       -> (graft.sources.CdcFormats.canalKinds _),
@@ -611,5 +613,6 @@ object SparkEntry {
     GroupWindowSql.sql ++ graft.sources.DdlSql.sql ++
     graft.sources.HiveCatalog.sql ++ Graph.starSql ++
     graft.tpcds.TpcdsReal.oracles ++ streaming.TxFileSink.sql ++
-    graft.sources.JdbcDemo.sql ++ graft.sources.CdcFormats.sql
+    graft.sources.JdbcDemo.sql ++ graft.sources.CdcFormats.sql ++
+    graft.sources.StateRead.sql
 }
