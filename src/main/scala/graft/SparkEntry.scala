@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{BatchRelational, Dedup, Formats, Graph, GroupWindowSql, Multimodal, Pipeline, ScalarFuncs, ScaleOps, Similarity, SqlSurface, TextAnalysis, TpcDsSurface, Udafs, WindowAggs}
+import graft.operators.{BatchRelational, Dedup, Formats, Graph, GroupWindowSql, Multimodal, Pipeline, ScalarFuncs, ScaleOps, Similarity, SqlSurface, StatementSets, TextAnalysis, TpcDsSurface, Udafs, WindowAggs}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -262,6 +262,9 @@ object SparkEntry {
     "q_join_skew"       -> (ScaleOps.skewJoin _),
     "q_stream_static_join" -> (ScaleOps.streamStaticJoin _),
     "q_agg_sum0_native" -> (ScaleOps.sum0Native _),
+    "q_fmt_gzip"        -> (Formats.gzipRoundtrip _),
+    "q_fmt_raw"         -> (Formats.rawRoundtrip _),
+    "q_stmt_multi_sink" -> (StatementSets.multiSink _),
     "q_state_agg_read"  -> (graft.sources.StateRead.aggStateRead _),
     "q_state_dedup_read" -> (graft.sources.StateRead.dedupStateRead _),
     "q_fmt_debezium"    -> (graft.sources.CdcFormats.debeziumKinds _),
@@ -614,5 +617,5 @@ object SparkEntry {
     graft.sources.HiveCatalog.sql ++ Graph.starSql ++
     graft.tpcds.TpcdsReal.oracles ++ streaming.TxFileSink.sql ++
     graft.sources.JdbcDemo.sql ++ graft.sources.CdcFormats.sql ++
-    graft.sources.StateRead.sql
+    graft.sources.StateRead.sql ++ StatementSets.sql
 }

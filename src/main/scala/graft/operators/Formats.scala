@@ -79,6 +79,56 @@ object Formats {
       .orderBy("s_nationkey")
   }
 
+  /** Compressed round trip (ref flink-formats/flink-compress
+    * CompressWriterFactory.java: hadoop-codec writers for the
+    * StreamingFileSink): gzip CSV out, transparent decompress on read.
+    * Codec files shard per partition exactly like plain files, so the write
+    * stays distributed; gzip's non-splittability is the documented trade-off
+    * on the READ side at 100 TB (one task per .gz file — acceptable because
+    * the sink already rolled per-partition files; bzip2/zstd are the
+    * splittable alternatives, same one-line option). */
+  def gzipRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val path = tmpDir("csv-gz", dir)
+    val customer = Tables(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+    customer.write.mode("overwrite").option("header", "true")
+      .option("compression", "gzip").csv(path)
+    val files = new java.io.File(path).listFiles()
+    require(files.exists(_.getName.endsWith(".csv.gz")),
+      s"expected gzip part files under $path")
+    s.read.schema(customer.schema).option("header", "true").csv(path)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("cnt"), round(sum("c_acctbal"), 2).as("total"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Raw format (ref flink-table-runtime-blink
+    * formats/raw/RawFormatDeserializationSchema.java): the whole message
+    * body is ONE column. Two reference conversion paths in one query: the
+    * charset-string path (each record's JSON body round-tripped through a
+    * text file into a single `raw` STRING column, decoded in SQL) and the
+    * big-endian numeric path (BIGINT ⇄ 8-byte binary via hex/unhex — the
+    * RawFormatSerializationSchema long converter's byte order). */
+  def rawRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val path = tmpDir("raw", dir)
+    val ev = Tables(s, dir, "events")
+    // message body = props JSON + the key encoded as 16 hex chars of the
+    // big-endian 8-byte representation, '|'-separated
+    ev.select(concat(
+      lpad(hex(col("user_id")), 16, "0"), lit("|"), col("props")).as("value"))
+      .write.mode("overwrite").text(path)
+    s.read.text(path)
+      .select(
+        // big-endian binary → BIGINT (unhex proves the byte round trip)
+        conv(hex(unhex(substring(col("value"), 1, 16))), 16, 10).cast("long")
+          .as("user_id"),
+        get_json_object(substring(col("value"), 18, 1000000), "$.k").cast("int")
+          .as("k"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("cnt"), sum("k").as("sum_k"))
+      .orderBy("user_id")
+  }
+
   /** JSON column functions over events.props (§2.8 STR_TO_MAP/JSON family):
     * extract a field from an embedded JSON string and aggregate it. */
   def jsonColumn(s: SparkSession, dir: String): DataFrame =
@@ -104,6 +154,13 @@ object Formats {
       """SELECT s_nationkey, count(*) AS cnt, min(s_name) AS first_name,
         | round(sum(s_acctbal), 2) AS total
         |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+    "q_fmt_gzip" ->
+      """SELECT c_mktsegment, count(*) AS cnt, round(sum(c_acctbal), 2) AS total
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_fmt_raw" ->
+      """SELECT user_id, count(*) AS cnt,
+        | CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_fn_json" ->
       """SELECT user_id, count(*) AS cnt,
         | CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,

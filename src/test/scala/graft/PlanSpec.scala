@@ -306,6 +306,18 @@ class PlanSpec extends SparkSpec {
     assert(async === sync)
   }
 
+  test("statement set: both sinks scan the cached shared subplan") {
+    val (shared, byFlag, topSupp) = operators.StatementSets.sinkPlans(spark, sf)
+    try {
+      val p1 = plan(byFlag)
+      val p2 = plan(topSupp)
+      assert(p1.contains("InMemoryTableScan"),
+        s"sink 1 recomputes the shared subplan:\n$p1")
+      assert(p2.contains("InMemoryTableScan"),
+        s"sink 2 recomputes the shared subplan:\n$p2")
+    } finally shared.unpersist()
+  }
+
   test("vec_dot participates in whole-stage codegen") {
     import org.apache.spark.sql.functions.col
     val df = Tables(spark, sf, "embeddings")
