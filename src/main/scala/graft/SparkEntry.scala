@@ -269,6 +269,7 @@ object SparkEntry {
     "q_state_dedup_read" -> (graft.sources.StateRead.dedupStateRead _),
     "q_fmt_debezium"    -> (graft.sources.CdcFormats.debeziumKinds _),
     "q_cdc_materialize" -> (graft.sources.CdcFormats.debeziumMaterialize _),
+    "q_cdc_stream"      -> (streaming.CdcStream.debeziumStream _),
     "q_fmt_canal"       -> (graft.sources.CdcFormats.canalKinds _),
     "q_fmt_maxwell"     -> (graft.sources.CdcFormats.maxwellMaterialize _),
     "q_pipeline_clean"  -> (Pipeline.cleanCorpus _),
@@ -617,5 +618,5 @@ object SparkEntry {
     graft.sources.HiveCatalog.sql ++ Graph.starSql ++
     graft.tpcds.TpcdsReal.oracles ++ streaming.TxFileSink.sql ++
     graft.sources.JdbcDemo.sql ++ graft.sources.CdcFormats.sql ++
-    graft.sources.StateRead.sql ++ StatementSets.sql
+    graft.sources.StateRead.sql ++ StatementSets.sql ++ streaming.CdcStream.sql
 }

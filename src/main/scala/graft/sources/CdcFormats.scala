@@ -42,7 +42,7 @@ import org.apache.spark.sql.types._
 object CdcFormats {
 
   /** Payload row type shared by the fixtures: an orders subset. */
-  private val payload = StructType(Seq(
+  val payload: StructType = StructType(Seq(
     StructField("o_orderkey", LongType),
     StructField("o_custkey", LongType),
     StructField("o_orderstatus", StringType),
@@ -258,6 +258,20 @@ object CdcFormats {
         max("ts_ms").as("max_ts"))
       .orderBy("kind")
   }
+
+  /** Write the full (unwrapped) Debezium fixture as JSON-lines text under a
+    * caller-keyed directory; returns the path. Used by the batch materialize
+    * query and the streaming CDC pipeline (streaming/CdcStream). */
+  def writeDebeziumFixture(s: SparkSession, dir: String, which: String): String = {
+    val path = tmpDir(which, dir)
+    debeziumEvents(ordersWithBucket(s, dir), wrapped = false)
+      .select("value").write.mode("overwrite").text(path)
+    path
+  }
+
+  /** DuckDB derivation of the fixture's final state (shared by the batch
+    * and streaming materialization oracles). */
+  def duckFinalStateSql: String = duckFinalState
 
   /** q_cdc_materialize: Debezium changelog → current table state (the
     * reference's CDC-source → ChangelogNormalize → upsert materialized view,
