@@ -269,6 +269,7 @@ object SparkEntry {
     "q_state_dedup_read" -> (graft.sources.StateRead.dedupStateRead _),
     "q_fmt_debezium"    -> (graft.sources.CdcFormats.debeziumKinds _),
     "q_cdc_materialize" -> (graft.sources.CdcFormats.debeziumMaterialize _),
+    "q_ddl_like"        -> (graft.sources.DdlSql.ddlLike _),
     "q_cdc_stream"      -> (streaming.CdcStream.debeziumStream _),
     "q_fmt_canal"       -> (graft.sources.CdcFormats.canalKinds _),
     "q_fmt_maxwell"     -> (graft.sources.CdcFormats.maxwellMaterialize _),

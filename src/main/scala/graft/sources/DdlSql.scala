@@ -32,24 +32,18 @@ object DdlSql {
     "(?is)WATERMARK\\s+FOR\\s+(\\w+)\\s+AS\\s+\\w+\\s*-\\s*INTERVAL\\s+'(\\d+)'\\s+(\\w+)".r
   private val optRe = "'([^']*)'\\s*=\\s*'([^']*)'".r
 
-  def parse(ddl: String): TableDescriptor = {
-    val (name, schemaPart, withPart) = ddl match {
-      case createRe(n, sp, wp) => (n, sp, wp)
-      case _ => throw new IllegalArgumentException(
-        "not a CREATE TABLE (...) WITH (...) statement")
-    }
-    val opts = optRe.findAllMatchIn(withPart)
-      .map(m => m.group(1) -> m.group(2)).toMap
-    require(opts.get("connector").contains("filesystem"),
-      s"unsupported connector ${opts.get("connector")} (filesystem only in this deployment)")
-    require(opts.get("format").forall(_ == "parquet"),
-      s"unsupported format ${opts.get("format")}")
-    val path = opts.getOrElse("path",
-      throw new IllegalArgumentException("missing 'path' option"))
+  /** Parsed pieces of a schema part: PK columns, watermark (col, delay),
+    * computed columns. */
+  private case class SchemaParts(pk: Seq[String],
+                                 wm: Option[(String, String)],
+                                 computed: Seq[(String, String)])
+
+  private def parseSchemaPart(schemaPart: String): SchemaParts = {
     val pk = pkRe.findFirstMatchIn(schemaPart)
       .map(_.group(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Nil)
     val wm = wmRe.findFirstMatchIn(schemaPart)
+      .map(m => m.group(1) -> s"${m.group(2)} ${m.group(3).toLowerCase}")
     // computed columns (`name AS expr` — ref parserImpls.ftl computed
     // column production): top-level comma split so CAST(... AS T) inside
     // the expression survives; WATERMARK/PRIMARY KEY entries excluded
@@ -62,15 +56,167 @@ object DdlSql {
       case computedRe(n, ex) => Some(n -> ex.trim)
       case _ => None
     }
+    SchemaParts(pk, wm, computed)
+  }
+
+  private def parseOpts(withPart: String): Map[String, String] =
+    optRe.findAllMatchIn(withPart).map(m => m.group(1) -> m.group(2)).toMap
+
+  private def descriptorFrom(name: String, schema: SchemaParts,
+                             opts: Map[String, String]): TableDescriptor = {
+    require(opts.get("connector").contains("filesystem"),
+      s"unsupported connector ${opts.get("connector")} (filesystem only in this deployment)")
+    require(opts.get("format").forall(_ == "parquet"),
+      s"unsupported format ${opts.get("format")}")
+    val path = opts.getOrElse("path",
+      throw new IllegalArgumentException("missing 'path' option"))
     TableDescriptor(
       name = name,
       path = path,
-      primaryKey = pk,
-      watermarkCol = wm.map(_.group(1)),
-      watermarkDelay = wm.map(m => s"${m.group(2)} ${m.group(3).toLowerCase}")
-        .getOrElse("1 hour"),
+      primaryKey = schema.pk,
+      watermarkCol = schema.wm.map(_._1),
+      watermarkDelay = schema.wm.map(_._2).getOrElse("1 hour"),
       tsNanosAsLong = opts.get("timestamp.nanos").contains("true"),
-      computedCols = computed)
+      computedCols = schema.computed)
+  }
+
+  def parse(ddl: String): TableDescriptor = {
+    val (name, schemaPart, withPart) = ddl match {
+      case createRe(n, sp, wp) => (n, sp, wp)
+      case _ => throw new IllegalArgumentException(
+        "not a CREATE TABLE (...) WITH (...) statement")
+    }
+    descriptorFrom(name, parseSchemaPart(schemaPart), parseOpts(withPart))
+  }
+
+  // ---------------------------------------------------- CREATE TABLE LIKE
+
+  /** `CREATE TABLE ... LIKE` (FLIP-110; ref flink-table-api-java
+    * `MergeTableLikeUtil.java`, parser production in
+    * flink-sql-parser `parserImpls.ftl` SqlTableLike): the derived table
+    * starts from the base descriptor and merges the new definition under
+    * per-feature strategies — INCLUDING (inherit; conflict = error),
+    * EXCLUDING (drop the inherited feature), OVERWRITING (new wins;
+    * valid for GENERATED / OPTIONS / WATERMARKS only). Default is
+    * INCLUDING ALL. */
+  /** Index of a keyword outside any parentheses, or -1. The keyword must be
+    * delimited by whitespace/')' on the left and whitespace/end on the
+    * right, so a table NAMED like_pk never splits the statement. */
+  private def topLevelIndexOf(s: String, kw: String): Int = {
+    val upper = s.toUpperCase
+    var depth = 0
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ if depth == 0 && upper.startsWith(kw, i) &&
+          (i == 0 || upper.charAt(i - 1).isWhitespace || upper.charAt(i - 1) == ')') &&
+          (i + kw.length >= s.length || upper.charAt(i + kw.length).isWhitespace ||
+            upper.charAt(i + kw.length) == '(') =>
+          return i
+        case _ =>
+      }
+      i += 1
+    }
+    -1
+  }
+
+  def parseLike(ddl: String, lookup: String => TableDescriptor): TableDescriptor = {
+    // split the statement at the top-level LIKE keyword (outside parens)
+    val likeAt = topLevelIndexOf(ddl, "LIKE")
+    require(likeAt >= 0, "not a CREATE TABLE ... LIKE statement")
+    val head = ddl.substring(0, likeAt)
+    val tail = ddl.substring(likeAt + 4)
+    // split the head at its top-level WITH — a greedy regex would swallow
+    // the WITH clause into the schema parens
+    val withAt = topLevelIndexOf(head, "WITH")
+    val (schemaSide, withSide) =
+      if (withAt >= 0) (head.substring(0, withAt), head.substring(withAt + 4))
+      else (head, "")
+    val schemaRe =
+      "(?is)^\\s*CREATE\\s+TABLE\\s+(\\w+)\\s*(?:\\((.*)\\))?\\s*$".r
+    val withRe = "(?is)^\\s*(?:\\((.*)\\))?\\s*$".r
+    val tailRe = "(?is)^\\s*(\\w+)\\s*(?:\\(([^)]*)\\))?\\s*$".r
+    val (name, schemaPart) = schemaSide match {
+      case schemaRe(n, sp) => (n, Option(sp).getOrElse(""))
+      case _ => throw new IllegalArgumentException(
+        s"malformed CREATE TABLE ... LIKE head: $head")
+    }
+    val withPart = withSide match {
+      case withRe(wp) => Option(wp).getOrElse("")
+      case _ => throw new IllegalArgumentException(
+        s"malformed WITH clause in CREATE TABLE ... LIKE: $withSide")
+    }
+    val (baseName, stratPart) = tail match {
+      case tailRe(b, sp) => (b, Option(sp).getOrElse(""))
+      case _ => throw new IllegalArgumentException(
+        s"malformed LIKE clause tail: $tail")
+    }
+    val base = lookup(baseName)
+
+    // strategy list: e.g. "EXCLUDING CONSTRAINTS, OVERWRITING OPTIONS"
+    val stratRe = "(?i)(INCLUDING|EXCLUDING|OVERWRITING)\\s+(ALL|CONSTRAINTS|GENERATED|OPTIONS|PARTITIONS|WATERMARKS)".r
+    val strategies = stratRe.findAllMatchIn(stratPart)
+      .map(m => m.group(2).toUpperCase -> m.group(1).toUpperCase).toMap
+    strategies.foreach { case (feature, strat) =>
+      require(strat != "OVERWRITING" ||
+        Set("GENERATED", "OPTIONS", "WATERMARKS").contains(feature),
+        s"OVERWRITING is not supported for $feature (ref MergeTableLikeUtil)")
+    }
+    def strat(feature: String): String =
+      strategies.getOrElse(feature, strategies.getOrElse("ALL", "INCLUDING"))
+
+    val nw = parseSchemaPart(schemaPart)
+    val newOpts = parseOpts(withPart)
+    // reconstruct the base's option set from its descriptor fields
+    val baseOpts = Map("connector" -> "filesystem", "path" -> base.path,
+      "format" -> "parquet") ++
+      (if (base.tsNanosAsLong) Map("timestamp.nanos" -> "true") else Map.empty)
+
+    val opts = strat("OPTIONS") match {
+      case "EXCLUDING" => newOpts
+      case "OVERWRITING" => baseOpts ++ newOpts
+      case _ => // INCLUDING: same key with a different value is an error
+        val conflicts = baseOpts.keySet.intersect(newOpts.keySet)
+          .filter(k => baseOpts(k) != newOpts(k))
+        require(conflicts.isEmpty,
+          s"There already exist options ${conflicts.mkString(", ")} in the " +
+            "base table; use OVERWRITING OPTIONS or EXCLUDING OPTIONS")
+        baseOpts ++ newOpts
+    }
+    val pk = strat("CONSTRAINTS") match {
+      case "EXCLUDING" => nw.pk
+      case _ =>
+        require(nw.pk.isEmpty || base.primaryKey.isEmpty,
+          "There already exists a PRIMARY KEY constraint in the base table; " +
+            "use EXCLUDING CONSTRAINTS")
+        if (nw.pk.nonEmpty) nw.pk else base.primaryKey
+    }
+    val baseWm = base.watermarkCol.map(c => c -> base.watermarkDelay)
+    val wm = strat("WATERMARKS") match {
+      case "EXCLUDING" => nw.wm
+      case "OVERWRITING" => nw.wm.orElse(baseWm)
+      case _ =>
+        require(nw.wm.isEmpty || baseWm.isEmpty ||
+          nw.wm.map(_._1) == baseWm.map(_._1),
+          "There already exists a WATERMARK on a different rowtime in the " +
+            "base table; use OVERWRITING WATERMARKS")
+        nw.wm.orElse(baseWm)
+    }
+    val computed = strat("GENERATED") match {
+      case "EXCLUDING" => nw.computed
+      case "OVERWRITING" =>
+        (base.computedCols.toMap ++ nw.computed.toMap).toSeq.sortBy(_._1)
+      case _ =>
+        val conflicts = base.computedCols.map(_._1).toSet
+          .intersect(nw.computed.map(_._1).toSet)
+        require(conflicts.isEmpty,
+          s"There already exist computed columns ${conflicts.mkString(", ")} " +
+            "in the base table; use OVERWRITING GENERATED")
+        base.computedCols ++ nw.computed
+    }
+    descriptorFrom(name, SchemaParts(pk, wm, computed), opts)
   }
 
   /** Split on commas outside parentheses. */
@@ -252,13 +398,31 @@ object DdlSql {
             else "",
             comp.getOrElse(f.name, ""))
         }.toDF("col_name", "data_type", "nullable", "key", "watermark", "expression")
+      case _ if likeGuardRe.findFirstIn(stmt).isDefined =>
+        val d = parseLike(stmt, baseName =>
+          Option(catalog.get(baseName)).flatMap(_.descriptor).getOrElse(
+            throw new IllegalArgumentException(
+              s"LIKE base table $baseName not found in catalog")))
+        Descriptors.table(s, d)
+        catalog.put(d.name, CatalogEntry("TABLE", Some(d), None))
+        Seq("OK").toDF("result")
       case _ if createRe.findFirstIn(stmt).isDefined =>
         val d = executeDdl(s, stmt)
         catalog.put(d.name, CatalogEntry("TABLE", Some(d), None))
         Seq("OK").toDF("result")
+      case explainRe(query) =>
+        // EXPLAIN [PLAN FOR] <query> (ref parserImpls.ftl SqlRichExplain):
+        // the optimized + physical plan as rows
+        val plan = s.sql(query).queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+        plan.split("\n").toSeq.toDF("plan")
       case _ => s.sql(stmt) // plain query
     }
   }
+
+  private val likeGuardRe =
+    "(?is)^\\s*CREATE\\s+TABLE\\s+\\w+[\\s\\S]*\\bLIKE\\s+\\w+\\s*(?:\\([^)]*\\))?\\s*$".r
+  private val explainRe = "(?is)^\\s*EXPLAIN\\s+(?:PLAN\\s+FOR\\s+)?(.+)$".r
 
   /** CREATE TABLE → CREATE VIEW (aggregate over it) → query the view:
     * the catalog-verb pipeline end to end. */
@@ -372,7 +536,41 @@ object DdlSql {
       .orderBy(col("p_brand"))
   }
 
+  /** q_ddl_like: CREATE TABLE ... LIKE end to end. The derived table drops
+    * the base's PK (EXCLUDING CONSTRAINTS) and declares a composite one,
+    * re-points the path under OVERWRITING OPTIONS, and inherits the
+    * base's WATERMARK (INCLUDING, the default) — whose rowtime then drives
+    * the PK-dedup, proving all three merge strategies in one pipeline. */
+  def ddlLike(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    executeDdl(s, ddlFor(dir)) match { case d =>
+      catalog.put(d.name, CatalogEntry("TABLE", Some(d), None)) }
+    execute(s,
+      s"""CREATE TABLE events_like (
+         |  PRIMARY KEY (user_id, event_type) NOT ENFORCED
+         |) WITH (
+         |  'path' = '$dir/events.parquet'
+         |) LIKE events_ddl (
+         |  EXCLUDING CONSTRAINTS,
+         |  OVERWRITING OPTIONS
+         |)""".stripMargin)
+    val d = Option(catalog.get("events_like")).flatMap(_.descriptor).get
+    require(d.primaryKey == Seq("user_id", "event_type") &&
+      d.watermarkCol.contains("ts") && d.tsNanosAsLong,
+      s"LIKE merge produced wrong descriptor: $d")
+    Descriptors.dedupByPk(s, d, tieBreak = Seq("event_id"))
+      .select(col("user_id"), col("event_type"), col("event_id"))
+      .orderBy("user_id", "event_type")
+  }
+
   val sql: Map[String, String] = Map(
+    "q_ddl_like" ->
+      """SELECT user_id, event_type, event_id FROM (
+        | SELECT user_id, event_type, event_id,
+        |   row_number() OVER (PARTITION BY user_id, event_type
+        |     ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+        | FROM events) t WHERE rn = 1
+        |ORDER BY user_id, event_type""".stripMargin,
     "q_ddl_alter" ->
       """SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,

@@ -74,6 +74,49 @@ class DdlSqlSpec extends SparkSpec {
     DdlSql.execute(spark, "DROP TABLE events_cc")
   }
 
+  test("CREATE TABLE LIKE: merge strategies and their conflict errors") {
+    DdlSql.execute(spark, DdlSql.ddlFor(sf))
+    // INCLUDING ALL (default): full inheritance, extra options merge
+    DdlSql.execute(spark, "CREATE TABLE like_all () WITH () LIKE events_ddl")
+    val all = DdlSql.execute(spark, "DESCRIBE like_all")
+      .collect().map(r => r.getString(0) -> r.getString(3)).toMap
+    assert(all("user_id") == "PRI")
+    // INCLUDING CONSTRAINTS + a second PK is an error
+    val e1 = intercept[IllegalArgumentException] {
+      DdlSql.execute(spark,
+        "CREATE TABLE like_pk (PRIMARY KEY (event_id) NOT ENFORCED) WITH () LIKE events_ddl")
+    }
+    assert(e1.getMessage.contains("PRIMARY KEY"))
+    // INCLUDING OPTIONS + conflicting path is an error
+    val e2 = intercept[IllegalArgumentException] {
+      DdlSql.execute(spark,
+        "CREATE TABLE like_opt () WITH ('path' = '/elsewhere') LIKE events_ddl")
+    }
+    assert(e2.getMessage.contains("OVERWRITING OPTIONS"))
+    // OVERWRITING is rejected for CONSTRAINTS
+    val e3 = intercept[IllegalArgumentException] {
+      DdlSql.execute(spark,
+        "CREATE TABLE like_bad () WITH () LIKE events_ddl (OVERWRITING CONSTRAINTS)")
+    }
+    assert(e3.getMessage.contains("OVERWRITING is not supported"))
+    // EXCLUDING ALL drops PK and watermark
+    val excl = DdlSql.parseLike(
+      s"CREATE TABLE like_none () WITH ('connector'='filesystem','format'='parquet'," +
+        s"'path'='$sf/events.parquet') LIKE events_ddl (EXCLUDING ALL)",
+      _ => DdlSql.parse(DdlSql.ddlFor(sf)))
+    assert(excl.primaryKey.isEmpty && excl.watermarkCol.isEmpty)
+    DdlSql.execute(spark, "DROP TABLE like_all")
+  }
+
+  test("EXPLAIN returns the physical plan rows") {
+    graft.Tables.registerAll(spark, sf)
+    val plan = DdlSql.execute(spark,
+      "EXPLAIN PLAN FOR SELECT o_orderstatus, count(*) FROM orders GROUP BY o_orderstatus")
+      .collect().map(_.getString(0)).mkString("\n")
+    assert(plan.contains("HashAggregate"))
+    assert(plan.contains("Scan parquet"))
+  }
+
   test("DDL-registered table dedups by its declared PK and rowtime") {
     val viaDdl = DdlSql.ddlDedup(spark, sf).collect().map(_.toSeq)
     // twin of the programmatic descriptor query — must agree exactly
