@@ -263,6 +263,7 @@ object SparkEntry {
     "q_stream_static_join" -> (ScaleOps.streamStaticJoin _),
     "q_agg_sum0_native" -> (ScaleOps.sum0Native _),
     "q_fmt_gzip"        -> (Formats.gzipRoundtrip _),
+    "q_fmt_seqfile"     -> (Formats.sequenceFileRoundtrip _),
     "q_fmt_raw"         -> (Formats.rawRoundtrip _),
     "q_stmt_multi_sink" -> (StatementSets.multiSink _),
     "q_state_agg_read"  -> (graft.sources.StateRead.aggStateRead _),
@@ -270,6 +271,7 @@ object SparkEntry {
     "q_fmt_debezium"    -> (graft.sources.CdcFormats.debeziumKinds _),
     "q_cdc_materialize" -> (graft.sources.CdcFormats.debeziumMaterialize _),
     "q_ddl_like"        -> (graft.sources.DdlSql.ddlLike _),
+    "q_graph_checksum"  -> (Graph.docChecksum _),
     "q_cdc_stream"      -> (streaming.CdcStream.debeziumStream _),
     "q_fmt_canal"       -> (graft.sources.CdcFormats.canalKinds _),
     "q_fmt_maxwell"     -> (graft.sources.CdcFormats.maxwellMaterialize _),

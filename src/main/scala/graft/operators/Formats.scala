@@ -129,6 +129,36 @@ object Formats {
       .orderBy("user_id")
   }
 
+  /** Hadoop SequenceFile round trip (ref flink-formats/flink-sequence-file
+    * SequenceFileWriterFactory.java + flink-hadoop-compatibility's
+    * SequenceFileInputFormat path): keyed binary records through the
+    * legacy container format. The RDD bridge is the designed API for
+    * Writable conversion (saveAsSequenceFile / sc.sequenceFile) — both
+    * sides stay per-partition distributed; the DataFrame boundary is one
+    * row-to-tuple map each way. */
+  def sequenceFileRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val path = tmpDir("seq", dir)
+    val supplier = Tables(s, dir, "supplier")
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"), col("s_acctbal"))
+    org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(path), true)
+    supplier.rdd
+      .map(r => (r.getAs[Number](0).longValue(),
+        s"${r.getString(1)}|${r.getAs[Number](2).longValue()}|${r.getAs[Number](3).doubleValue()}"))
+      .saveAsSequenceFile(path)
+    import s.implicits._
+    s.sparkContext.sequenceFile[Long, String](path)
+      .map { case (k, v) =>
+        val f = v.split('|')
+        (k, f(0), f(1).toLong, f(2).toDouble)
+      }
+      .toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("cnt"), min(col("s_name")).as("first_name"),
+        round(sum("s_acctbal"), 2).as("total"))
+      .orderBy("s_nationkey")
+  }
+
   /** JSON column functions over events.props (§2.8 STR_TO_MAP/JSON family):
     * extract a field from an embedded JSON string and aggregate it. */
   def jsonColumn(s: SparkSession, dir: String): DataFrame =
@@ -151,6 +181,10 @@ object Formats {
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_fmt_avro" ->
+      """SELECT s_nationkey, count(*) AS cnt, min(s_name) AS first_name,
+        | round(sum(s_acctbal), 2) AS total
+        |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+    "q_fmt_seqfile" ->
       """SELECT s_nationkey, count(*) AS cnt, min(s_name) AS first_name,
         | round(sum(s_acctbal), 2) AS total
         |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,

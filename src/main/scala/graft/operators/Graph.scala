@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Graph algorithms over vertex/edge DataFrames (SURVEY.md §1.1 Gelly row:
@@ -1281,6 +1281,37 @@ object Graph {
       .orderBy("doc_id")
   }
 
+  /** Gelly ChecksumHashCode (ref `flink-gelly/.../library/metric/
+    * ChecksumHashCode.java` + `graph/asm/dataset/ChecksumHashCode.java`):
+    * per data set, the element count and the sum of element hash codes —
+    * the cheap cross-run fingerprint Gelly's drivers print after a job.
+    * Hash semantics made explicit for our element shapes: a vertex hashes
+    * as Java Long.hashCode(id) = (int)(id ^ (id >>> 32)); a pair edge as
+    * the Tuple composition 31*h(src) + h(dst), int-wrapped. Two scalar
+    * aggregations — map-side combinable, no shuffle beyond the final
+    * single-row exchange, trivially 100-TB-safe. */
+  def checksumHashCode(vertices: DataFrame, edges: DataFrame): DataFrame = {
+    def i32(c: Column): Column =
+      pmod(c + lit(2147483648L), lit(4294967296L)) - lit(2147483648L)
+    def longHash(c: Column): Column =
+      i32(c.bitwiseXOR(shiftrightunsigned(c, 32)))
+    val vh = vertices.agg(count(lit(1)).as("cnt"),
+      sum(longHash(col("id"))).as("checksum"))
+      .select(lit("vertices").as("part"), col("cnt"), col("checksum"))
+    val eh = edges.agg(count(lit(1)).as("cnt"),
+      sum(i32(lit(31L) * longHash(col("src")) + longHash(col("dst"))))
+        .as("checksum"))
+      .select(lit("edges").as("part"), col("cnt"), col("checksum"))
+    eh.unionAll(vh).orderBy("part")
+  }
+
+  /** q_graph_checksum over the shared near-dup pair graph. */
+  def docChecksum(s: SparkSession, dir: String): DataFrame =
+    checksumHashCode(
+      graft.Tables(s, dir, "documents").select(col("doc_id").as("id")),
+      Dedup.ngramJaccardPairsShared(s, dir)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst")))
+
   /** Shared oracle fragment: near-dup pair edges (symmetrized) + vertices. */
   private val graphCtes: String = graft.LlmOracles.shinglesCte + """,
     |pairs AS (
@@ -1402,6 +1433,21 @@ object Graph {
       |  FROM cand WHERE h <> 3)""".stripMargin
 
   val sql: Map[String, String] = Map(
+    "q_graph_checksum" -> (graphCtes + """
+      |SELECT part, cnt, checksum FROM (
+      | SELECT 'vertices' AS part, CAST(count(*) AS BIGINT) AS cnt,
+      |  CAST(sum(((xor(id, id >> 32) + 2147483648) % 4294967296 + 4294967296)
+      |        % 4294967296 - 2147483648) AS BIGINT) AS checksum
+      | FROM verts
+      | UNION ALL
+      | SELECT 'edges', CAST(count(*) AS BIGINT),
+      |  CAST(sum(((31 * (((xor(doc_a, doc_a >> 32) + 2147483648) % 4294967296
+      |          + 4294967296) % 4294967296 - 2147483648)
+      |        + (((xor(doc_b, doc_b >> 32) + 2147483648) % 4294967296
+      |          + 4294967296) % 4294967296 - 2147483648)
+      |        + 2147483648) % 4294967296 + 4294967296) % 4294967296
+      |      - 2147483648) AS BIGINT)
+      | FROM pairs) ORDER BY part""".stripMargin),
     "q_graph_vertex_metrics" -> (graphCtes + """,
       |dg AS (SELECT src AS id, count(*) AS deg FROM edges GROUP BY src),
       |dv AS (SELECT v.id, coalesce(dg.deg, 0) AS deg
