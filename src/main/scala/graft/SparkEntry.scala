@@ -272,6 +272,7 @@ object SparkEntry {
     "q_cdc_materialize" -> (graft.sources.CdcFormats.debeziumMaterialize _),
     "q_ddl_like"        -> (graft.sources.DdlSql.ddlLike _),
     "q_graph_checksum"  -> (Graph.docChecksum _),
+    "q_ddl_insert_partition" -> (graft.sources.HiveCatalog.insertPartition _),
     "q_cdc_stream"      -> (streaming.CdcStream.debeziumStream _),
     "q_fmt_canal"       -> (graft.sources.CdcFormats.canalKinds _),
     "q_fmt_maxwell"     -> (graft.sources.CdcFormats.maxwellMaterialize _),

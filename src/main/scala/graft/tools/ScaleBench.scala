@@ -78,11 +78,27 @@ object ScaleBench {
     new java.io.File(s"$out/_DONE_LLM_$k").createNewFile()
   }
 
+  /** orders only — the input of the CDC rehearsal. */
+  def inflateOrders(s: SparkSession, src: String, out: String, k: Int): Unit = {
+    val done = new java.io.File(s"$out/_DONE_ORD_$k")
+    if (done.exists()) return
+    new java.io.File(out).mkdirs()
+    val ord = graft.Tables(s, src, "orders")
+    val maxOrder = ord.agg(max("o_orderkey")).head().getLong(0) + 1
+    (0 until k).map { i =>
+      ord.withColumn("o_orderkey", col("o_orderkey") + lit(i * maxOrder))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$out/orders.parquet")
+    done.createNewFile()
+  }
+
   def main(args: Array[String]): Unit = {
     val k = args.headOption.map(_.toInt).getOrElse(10)
     val llmOnly = args.lift(1).contains("llm")
+    val cdcOnly = args.lift(1).contains("cdc")
     val src = "/root/testdata/sf0.1"
-    val out = if (llmOnly) s"/tmp/graft-llm$k" else "/tmp/graft-sf1"
+    val out = if (llmOnly) s"/tmp/graft-llm$k"
+      else if (cdcOnly) s"/tmp/graft-cdc$k" else "/tmp/graft-sf1"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -149,6 +165,32 @@ object ScaleBench {
       )
       val total = results.map(_._2).sum
       println(f"""{"metric":"scale_bench_llm","value":$total%.2f,"unit":"sec","k":$k,"queries":{${
+        results.map { case (n, t, rows) => f""""$n":[$t%.2f,$rows]""" }.mkString(",")}}}""")
+      spark.stop()
+      return
+    }
+    // CDC rehearsal: the full pipeline per entry — fixture serialization
+    // (to_json + text write), expression-only parse, and the keyed
+    // materialization — all three stages are linear shapes (no join wider
+    // than the key shuffle), so wall cost must track k
+    if (cdcOnly) {
+      inflateOrders(spark, src, out, k)
+      val results = Seq(
+        time(s"cdc_parse_kinds_${k}x") {
+          spark.catalog.clearCache()
+          graft.sources.CdcFormats.debeziumKinds(spark, out).count()
+        },
+        time(s"cdc_materialize_${k}x") {
+          spark.catalog.clearCache()
+          graft.sources.CdcFormats.debeziumMaterialize(spark, out).count()
+        },
+        time(s"cdc_canal_${k}x") {
+          spark.catalog.clearCache()
+          graft.sources.CdcFormats.canalKinds(spark, out).count()
+        },
+      )
+      val total = results.map(_._2).sum
+      println(f"""{"metric":"scale_bench_cdc","value":$total%.2f,"unit":"sec","k":$k,"queries":{${
         results.map { case (n, t, rows) => f""""$n":[$t%.2f,$rows]""" }.mkString(",")}}}""")
       spark.stop()
       return
