@@ -273,6 +273,7 @@ object SparkEntry {
     "q_ddl_like"        -> (graft.sources.DdlSql.ddlLike _),
     "q_graph_checksum"  -> (Graph.docChecksum _),
     "q_ddl_insert_partition" -> (graft.sources.HiveCatalog.insertPartition _),
+    "q_sql_cascade"     -> (GroupWindowSql.cascade _),
     "q_cdc_stream"      -> (streaming.CdcStream.debeziumStream _),
     "q_fmt_canal"       -> (graft.sources.CdcFormats.canalKinds _),
     "q_fmt_maxwell"     -> (graft.sources.CdcFormats.maxwellMaterialize _),

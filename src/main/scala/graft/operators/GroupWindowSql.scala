@@ -38,6 +38,9 @@ object GroupWindowSql {
     case "SECOND" => 1000000L
   })
 
+  private val tumbleRowtimeRe = s"(?i)TUMBLE_ROWTIME\\s*\\(\\s*\\w+\\s*,\\s*$Interval\\s*\\)".r
+  private val hopRowtimeRe = s"(?i)HOP_ROWTIME\\s*\\(\\s*\\w+\\s*,\\s*$Interval\\s*,\\s*$Interval\\s*\\)".r
+  private val sessionRowtimeRe = s"(?i)SESSION_ROWTIME\\s*\\(\\s*\\w+\\s*,\\s*$Interval\\s*\\)".r
   private val tumbleStartRe = s"(?i)TUMBLE_START\\s*\\(\\s*\\w+\\s*,\\s*$Interval\\s*\\)".r
   private val tumbleEndRe = s"(?i)TUMBLE_END\\s*\\(\\s*\\w+\\s*,\\s*$Interval\\s*\\)".r
   private val tumbleRe = s"(?i)TUMBLE\\s*\\(\\s*(\\w+)\\s*,\\s*$Interval\\s*\\)".r
@@ -56,7 +59,14 @@ object GroupWindowSql {
     * text; unknown SQL passes through untouched. */
   def rewrite(sql: String): String = {
     var out = rewriteCumulate(sql)
-    // auxiliary selectors first (their names contain the assigner names)
+    // auxiliary selectors first (their names contain the assigner names);
+    // *_ROWTIME = the window's event-time attribute, end - 1ms (ref
+    // StreamExecGroupWindowAggregate rowtime emission) — the handle that
+    // lets an outer window consume an inner window's output (cascading
+    // windows, docs/dev/table/sql/queries.md group-window aggregation)
+    out = tumbleRowtimeRe.replaceAllIn(out, "window.end - INTERVAL 1 MILLISECOND")
+    out = hopRowtimeRe.replaceAllIn(out, "window.end - INTERVAL 1 MILLISECOND")
+    out = sessionRowtimeRe.replaceAllIn(out, "session_window.end - INTERVAL 1 MILLISECOND")
     out = tumbleStartRe.replaceAllIn(out, "window.start")
     out = tumbleEndRe.replaceAllIn(out, "window.end")
     out = hopStartRe.replaceAllIn(out, "window.start")
@@ -142,7 +152,24 @@ object GroupWindowSql {
       |GROUP BY CUMULATE(ts, INTERVAL '6' HOUR, INTERVAL '1' DAY), event_type
       |ORDER BY w_start, w_end, event_type""".stripMargin
 
+  /** Cascading windows: an hourly tumble whose TUMBLE_ROWTIME feeds a
+    * daily tumble — the reference's window-on-window composition. The
+    * inner agg collapses events to one row per hour BEFORE the outer
+    * shuffle, the same partial-reduction reason the pattern exists at
+    * scale. */
+  val cascadeSql: String =
+    """SELECT TUMBLE_START(rt, INTERVAL '1' DAY) AS d_start,
+      | CAST(sum(cnt) AS BIGINT) AS cnt, round(sum(sv), 2) AS sum_value
+      |FROM (
+      | SELECT TUMBLE_ROWTIME(ts, INTERVAL '1' HOUR) AS rt,
+      |  count(*) AS cnt, sum(value) AS sv
+      | FROM events GROUP BY TUMBLE(ts, INTERVAL '1' HOUR)
+      |) h
+      |GROUP BY TUMBLE(rt, INTERVAL '1' DAY)
+      |ORDER BY d_start""".stripMargin
+
   def tumble(s: SparkSession, dir: String): DataFrame = run(s, dir, tumbleSql)
+  def cascade(s: SparkSession, dir: String): DataFrame = run(s, dir, cascadeSql)
   def hop(s: SparkSession, dir: String): DataFrame = run(s, dir, hopSql)
   def session(s: SparkSession, dir: String): DataFrame = run(s, dir, sessionSql)
   def cumulate(s: SparkSession, dir: String): DataFrame = run(s, dir, cumulateSql)
@@ -210,6 +237,12 @@ object GroupWindowSql {
 
   /** DuckDB oracles — same derivations as the API-path window oracles. */
   val sql: Map[String, String] = Map(
+    "q_sql_cascade" ->
+      """WITH h AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hs,
+        |  count(*) AS cnt, sum(value) AS sv FROM events GROUP BY 1)
+        |SELECT date_trunc('day', hs + INTERVAL 1 HOUR - INTERVAL 1 MILLISECOND) AS d_start,
+        | CAST(sum(cnt) AS BIGINT) AS cnt, round(sum(sv), 2) AS sum_value
+        |FROM h GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_sql_tumble" ->
       """SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS w_start, event_type,
         | count(*) AS cnt, round(sum(value), 2) AS sum_value

@@ -283,6 +283,8 @@ object DdlSql {
     "(?is)^\\s*CREATE\\s+(?:OR\\s+REPLACE\\s+)?VIEW\\s+(\\w+)\\s+AS\\s+(.*)$".r
   private val dropRe = "(?is)^\\s*DROP\\s+(?:TABLE|VIEW)\\s+(?:IF\\s+EXISTS\\s+)?(\\w+)\\s*$".r
   private val showRe = "(?is)^\\s*SHOW\\s+TABLES\\s*$".r
+  private val showViewsRe = "(?is)^\\s*SHOW\\s+VIEWS\\s*$".r
+  private val showFnRe = "(?is)^\\s*SHOW\\s+(?:USER\\s+)?FUNCTIONS\\s*$".r
   private val descRe = "(?is)^\\s*DESC(?:RIBE)?\\s+(\\w+)\\s*$".r
   // ALTER TABLE verbs (ref flink-sql-parser parserImpls.ftl:430
   // SqlAlterTable — the 1.12 surface is RENAME TO + SET ('k' = 'v')):
@@ -379,6 +381,20 @@ object DdlSql {
         s.catalog.dropTempView(name)
         catalog.remove(name)
         Seq("OK").toDF("result")
+      case showViewsRe() =>
+        import scala.jdk.CollectionConverters._
+        catalog.asScala.toSeq.collect { case (n, e) if e.kind == "VIEW" => n }
+          .sorted.toDF("view_name")
+      case showFnRe() =>
+        // registered temp functions resolvable by name (ref SHOW FUNCTIONS
+        // listing catalog + system functions; here: the session registry's
+        // scala_udf entries — the CREATE FUNCTION surface of this layer)
+        s.sessionState.functionRegistry.listFunction()
+          .map(_.funcName).filter(n =>
+            s.sessionState.functionRegistry.lookupFunction(
+              org.apache.spark.sql.catalyst.FunctionIdentifier(n))
+              .exists(_.getSource == "scala_udf"))
+          .sorted.toDF("function_name")
       case showRe() =>
         import scala.jdk.CollectionConverters._
         catalog.asScala.toSeq.map { case (n, e) => (n, e.kind) }

@@ -108,6 +108,18 @@ class DdlSqlSpec extends SparkSpec {
     DdlSql.execute(spark, "DROP TABLE like_all")
   }
 
+  test("SHOW VIEWS and SHOW FUNCTIONS list this layer's registrations") {
+    DdlSql.execute(spark, "CREATE VIEW showviews_probe AS SELECT 1 AS one")
+    val views = DdlSql.execute(spark, "SHOW VIEWS").collect().map(_.getString(0))
+    assert(views.contains("showviews_probe"))
+    DdlSql.execute(spark,
+      "CREATE FUNCTION showfn_probe AS 'graft.functions.IsDigitExpr'")
+    val fns = DdlSql.execute(spark, "SHOW FUNCTIONS").collect().map(_.getString(0))
+    assert(fns.contains("showfn_probe"))
+    DdlSql.execute(spark, "DROP FUNCTION showfn_probe")
+    DdlSql.execute(spark, "DROP VIEW showviews_probe")
+  }
+
   test("EXPLAIN returns the physical plan rows") {
     graft.Tables.registerAll(spark, sf)
     val plan = DdlSql.execute(spark,
