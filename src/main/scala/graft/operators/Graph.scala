@@ -1092,11 +1092,17 @@ object Graph {
     * candidate pairs are document ids within distance 3; each pair's md5
     * (the same hash bridge the LSH oracles use, so DuckDB derives the
     * identical graph) picks a→b / b→a / mutual / absent. */
-  private def windowDigraph(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def windowDigraph(s: SparkSession, dir: String): DataFrame = {
     val verts = graft.Tables(s, dir, "documents").select(col("doc_id").as("id"))
+    // candidate dyads: ids within distance 3. Expressed as explode(+1..+3)
+    // + EQUI-join against the vertex set — the naive spelling
+    // (join on b > a && b - a <= 3) is a non-equi predicate that Catalyst
+    // can only plan as BroadcastNestedLoopJoin: O(n²) comparisons, which
+    // was ~30 s/query at sf0.1 and a scale-killer at 100×. The explode
+    // form is linear (3 rows per vertex) and hash-joins on b.
     val cand = verts.select(col("id").as("a"))
-      .join(verts.select(col("id").as("b")),
-        col("b") > col("a") && col("b") - col("a") <= 3)
+      .select(col("a"), explode(sequence(col("a") + 1, col("a") + 3)).as("b"))
+      .join(verts.select(col("id").as("b")), Seq("b"))
       .withColumn("h", expr(
         "CAST(conv(substr(md5(concat(CAST(a AS STRING), '_', CAST(b AS STRING))), 1, 15), 16, 10) AS BIGINT) % 4"))
     cand.where(col("h") === 0).select(col("a").as("src"), col("b").as("dst"))

@@ -306,6 +306,13 @@ class PlanSpec extends SparkSpec {
     assert(async === sync)
   }
 
+  test("directed-graph fixture joins hash, never nested-loop") {
+    val p = plan(operators.Graph.windowDigraph(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"windowDigraph degraded to BNLJ (O(n^2) at scale):\n$p")
+    assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+  }
+
   test("statement set: both sinks scan the cached shared subplan") {
     val (shared, byFlag, topSupp) = operators.StatementSets.sinkPlans(spark, sf)
     try {
