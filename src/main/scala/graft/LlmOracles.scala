@@ -41,8 +41,13 @@ object LlmOracles {
   /** The deterministic 2-round Lloyd fit (k=8, init = vec_id<8, centroids
     * rounded to 6 per dim) ending in the final assignment CTE `asg` —
     * shared by q_ann_kmeans and q_semdedup. */
-  private val kmeansCtes: String =
-    """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+  private val kmeansCtes: String = kmeansCtesOn(
+    "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings")
+
+  /** The same Lloyd unrolling over an arbitrary (vec_id, v) source — the
+    * ML-pipeline oracle plugs the int8-quantized vectors in here. */
+  def kmeansCtesOn(embSelect: String): String =
+    s"""WITH emb AS ($embSelect),""".stripMargin + """
       |c0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM emb WHERE vec_id < 8),
       |a1 AS (SELECT vec_id, cid FROM (
       |  SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id ORDER BY

@@ -274,6 +274,7 @@ object SparkEntry {
     "q_graph_checksum"  -> (Graph.docChecksum _),
     "q_ddl_insert_partition" -> (graft.sources.HiveCatalog.insertPartition _),
     "q_sql_cascade"     -> (GroupWindowSql.cascade _),
+    "q_ml_pipeline"     -> (graft.operators.MlPipeline.mlPipeline _),
     "q_cdc_stream"      -> (streaming.CdcStream.debeziumStream _),
     "q_fmt_canal"       -> (graft.sources.CdcFormats.canalKinds _),
     "q_fmt_maxwell"     -> (graft.sources.CdcFormats.maxwellMaterialize _),
@@ -623,5 +624,6 @@ object SparkEntry {
     graft.sources.HiveCatalog.sql ++ Graph.starSql ++
     graft.tpcds.TpcdsReal.oracles ++ streaming.TxFileSink.sql ++
     graft.sources.JdbcDemo.sql ++ graft.sources.CdcFormats.sql ++
-    graft.sources.StateRead.sql ++ StatementSets.sql ++ streaming.CdcStream.sql
+    graft.sources.StateRead.sql ++ StatementSets.sql ++
+    streaming.CdcStream.sql ++ graft.operators.MlPipeline.sql
 }

@@ -98,7 +98,7 @@ object Similarity {
     * (cosine rounded to 6 before ranking, cid breaks ties — deterministic
     * and oracle-reproducible). Centroids ride in as a broadcast literal
     * table: k×64 doubles, never a shuffle. */
-  private def kmeansAssign(emb: DataFrame, cents: Seq[(Int, Seq[Double])]): DataFrame = {
+  private[operators] def kmeansAssign(emb: DataFrame, cents: Seq[(Int, Seq[Double])]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val s = emb.sparkSession
     import s.implicits._
@@ -129,15 +129,16 @@ object Similarity {
 
   /** The deterministic 2-round Lloyd fit + final assignment (vec_id, cid),
     * shared by [[annKmeans]] and [[semDedup]]. */
-  private def kmeansFitAssign(s: SparkSession, dir: String,
-                              k: Int = 8): DataFrame = {
-    val emb = withNorm(Tables(s, dir, "embeddings"))
-      .select(col("vec_id"), col("embedding"), col("nrm"))
-      .cache()
+  /** The deterministic Lloyd fit alone: `emb` carries (vec_id, embedding,
+    * nrm); init = vectors 0..k-1; returns the k×dim centroid table (the
+    * only thing ever collected). Exposed for the ML Pipeline API's KMeans
+    * estimator (MlPipeline.scala). */
+  private[operators] def kmeansFit(emb: DataFrame, k: Int,
+                                   iters: Int = 2): Seq[(Int, Seq[Double])] = {
     var cents: Seq[(Int, Seq[Double])] = emb.where(col("vec_id") < k)
       .select(col("vec_id").cast("int"), col("embedding"))
       .collect().map(r => (r.getInt(0), r.getSeq[Float](1).map(_.toDouble))).toSeq
-    for (_ <- 1 to 2) {
+    for (_ <- 1 to iters) {
       val assigned = kmeansAssign(emb, cents)
       cents = assigned.join(emb, "vec_id")
         .select(col("cid"), posexplode(col("embedding")).as(Seq("d", "x")))
@@ -149,7 +150,15 @@ object Similarity {
         .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq
         .sortBy(_._1)
     }
-    kmeansAssign(emb, cents)
+    cents
+  }
+
+  private def kmeansFitAssign(s: SparkSession, dir: String,
+                              k: Int = 8): DataFrame = {
+    val emb = withNorm(Tables(s, dir, "embeddings"))
+      .select(col("vec_id"), col("embedding"), col("nrm"))
+      .cache()
+    kmeansAssign(emb, kmeansFit(emb, k))
   }
 
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — "Semantic

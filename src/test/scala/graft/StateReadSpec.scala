@@ -8,6 +8,38 @@ import org.apache.spark.sql.functions._
   * with what the job itself emitted. */
 class StateReadSpec extends SparkSpec {
 
+  test("custom flatMapGroupsWithState state decodes through the statestore reader") {
+    val ckpt = s"/tmp/graft-stateread/spec-fmgws-${System.nanoTime()}"
+    val ds = graft.streaming.StreamSource.eventsTypedWithSentinel(spark, sf)
+    val out = graft.streaming.StatefulOps.changelogNormalize(ds)
+    val q = out.writeStream.format("memory").queryName("state_spec_fmgws")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    q.processAllAvailable(); q.stop()
+
+    // the operator's LastRow(ts, event_id) state surfaces as a struct —
+    // the savepoint-reader contract for CUSTOM keyed state, not just
+    // built-in aggs
+    val state = spark.read.format("statestore").load(ckpt)
+    val fields = state.schema("value").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val names = flattenNames(fields)
+    assert(names.exists(_.contains("event_id")), s"state schema: $fields")
+    val n = state.selectExpr("key.*").where(col("value").isNotNull).count()
+    // one state row per real user + the sentinel key
+    val users = spark.table("state_spec_fmgws")
+      .select("user_id").distinct().count()
+    assert(n >= users, s"state rows $n < users $users")
+  }
+
+  private def flattenNames(t: org.apache.spark.sql.types.StructType): Seq[String] =
+    t.fields.toSeq.flatMap { f =>
+      f.dataType match {
+        case s: org.apache.spark.sql.types.StructType =>
+          f.name +: flattenNames(s).map(n => s"${f.name}.$n")
+        case _ => Seq(f.name)
+      }
+    }
+
   test("state-metadata lists the stateful operator; statestore agrees with the sink") {
     val ckpt = s"/tmp/graft-stateread/spec-${System.nanoTime()}"
     val agg = graft.streaming.StreamSource.eventsWithSentinel(spark, sf)
