@@ -275,6 +275,7 @@ object SparkEntry {
     "q_ddl_insert_partition" -> (graft.sources.HiveCatalog.insertPartition _),
     "q_sql_cascade"     -> (GroupWindowSql.cascade _),
     "q_ml_pipeline"     -> (graft.operators.MlPipeline.mlPipeline _),
+    "q_sql_system_time" -> (graft.operators.SystemTimeSql.systemTimeJoin _),
     "q_cdc_stream"      -> (streaming.CdcStream.debeziumStream _),
     "q_fmt_canal"       -> (graft.sources.CdcFormats.canalKinds _),
     "q_fmt_maxwell"     -> (graft.sources.CdcFormats.maxwellMaterialize _),
@@ -625,5 +626,6 @@ object SparkEntry {
     graft.tpcds.TpcdsReal.oracles ++ streaming.TxFileSink.sql ++
     graft.sources.JdbcDemo.sql ++ graft.sources.CdcFormats.sql ++
     graft.sources.StateRead.sql ++ StatementSets.sql ++
-    streaming.CdcStream.sql ++ graft.operators.MlPipeline.sql
+    streaming.CdcStream.sql ++ graft.operators.MlPipeline.sql ++
+    graft.operators.SystemTimeSql.sql
 }
