@@ -19,6 +19,17 @@ object LlmOracles {
       |  list_distinct([t[i]||' '||t[i+1]||' '||t[i+2] FOR i IN range(1, len(t)-1)]) END AS s
       |  FROM toks)""".stripMargin
 
+  /** The exact n-gram-Jaccard near-dup pair table (j ≥ 0.5 on 3-shingles)
+    * — the oracle twin of Dedup.ngramJaccardPairsShared, shared by the
+    * graph suite and the sparse-cosine query. */
+  val pairsCte: String = shinglesCte + """,
+    |pairs AS (
+    | SELECT doc_a, doc_b FROM (
+    |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    |   round(len(list_intersect(a.s, b.s))::DOUBLE /
+    |         (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS j
+    |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id) WHERE j >= 0.5)""".stripMargin
+
   /** Winnowing fingerprint chain (k=5 grams, w=4 windows, 31-polynomial
     * hash) shared by q_fingerprint_winnow and q_dedup_winnow_pairs. */
   val winnowCtes: String =

@@ -276,6 +276,7 @@ object SparkEntry {
     "q_sql_cascade"     -> (GroupWindowSql.cascade _),
     "q_ml_pipeline"     -> (graft.operators.MlPipeline.mlPipeline _),
     "q_sql_system_time" -> (graft.operators.SystemTimeSql.systemTimeJoin _),
+    "q_sparse_cosine"   -> (Similarity.sparseCosinePairs _),
     "q_cdc_stream"      -> (streaming.CdcStream.debeziumStream _),
     "q_fmt_canal"       -> (graft.sources.CdcFormats.canalKinds _),
     "q_fmt_maxwell"     -> (graft.sources.CdcFormats.maxwellMaterialize _),
@@ -627,5 +628,5 @@ object SparkEntry {
     graft.sources.JdbcDemo.sql ++ graft.sources.CdcFormats.sql ++
     graft.sources.StateRead.sql ++ StatementSets.sql ++
     streaming.CdcStream.sql ++ graft.operators.MlPipeline.sql ++
-    graft.operators.SystemTimeSql.sql
+    graft.operators.SystemTimeSql.sql ++ Similarity.sql
 }

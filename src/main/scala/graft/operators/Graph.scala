@@ -1319,13 +1319,7 @@ object Graph {
         .select(col("doc_a").as("src"), col("doc_b").as("dst")))
 
   /** Shared oracle fragment: near-dup pair edges (symmetrized) + vertices. */
-  private val graphCtes: String = graft.LlmOracles.shinglesCte + """,
-    |pairs AS (
-    | SELECT doc_a, doc_b FROM (
-    |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-    |   round(len(list_intersect(a.s, b.s))::DOUBLE /
-    |         (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS j
-    |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id) WHERE j >= 0.5),
+  private val graphCtes: String = graft.LlmOracles.pairsCte + """,
     |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
     |          UNION SELECT doc_b, doc_a FROM pairs),
     |verts AS (SELECT doc_id AS id FROM documents)""".stripMargin

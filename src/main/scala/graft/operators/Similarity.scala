@@ -161,6 +161,52 @@ object Similarity {
     kmeansAssign(emb, kmeansFit(emb, k))
   }
 
+  /** Sparse-vector cosine (ref flink-ml-parent
+    * `common/linalg/SparseVector.java` + `BLAS.java` dot): documents as
+    * sparse term-frequency vectors — (doc, token, count) triples, the
+    * relational spelling of SparseVector's (indices, values) pairs — with
+    * the dot product computed as a join on the shared index and the norms
+    * as per-doc aggregates. Candidates come from the shared near-dup pair
+    * table, so the quadratic all-pairs form never materializes; cost is
+    * linear in the pairs' shared tokens. All inputs are integer counts, so
+    * cosine = int / (sqrt(int)·sqrt(int)) is bit-identical across engines
+    * before the 6-decimal round. */
+  def sparseCosinePairs(s: SparkSession, dir: String): DataFrame = {
+    val tf = Tables(s, dir, "documents")
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+    val norms = tf.groupBy("doc_id").agg(sum(col("c") * col("c")).as("n2"))
+    val pairs = Dedup.ngramJaccardPairsShared(s, dir).select("doc_a", "doc_b")
+    val dot = pairs
+      .join(tf.select(col("doc_id").as("doc_a"), col("tok"), col("c").as("ca")),
+        Seq("doc_a"))
+      .join(tf.select(col("doc_id").as("doc_b"), col("tok"), col("c").as("cb")),
+        Seq("doc_b", "tok"))
+      .groupBy("doc_a", "doc_b").agg(sum(col("ca") * col("cb")).as("dot"))
+    dot
+      .join(norms.select(col("doc_id").as("doc_a"), col("n2").as("na")), Seq("doc_a"))
+      .join(norms.select(col("doc_id").as("doc_b"), col("n2").as("nb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("dot") / (sqrt(col("na")) * sqrt(col("nb"))), 6).as("cos"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val sql: Map[String, String] = Map(
+    "q_sparse_cosine" -> (graft.LlmOracles.pairsCte + """,
+      |tfu AS (SELECT doc_id, tok, count(*) AS c
+      |  FROM (SELECT doc_id, unnest(t) AS tok FROM toks) GROUP BY doc_id, tok),
+      |nn AS (SELECT doc_id, sum(c*c) AS n2 FROM tfu GROUP BY doc_id),
+      |dt AS (SELECT p.doc_a, p.doc_b, sum(a.c * b.c) AS dot FROM pairs p
+      |  JOIN tfu a ON a.doc_id = p.doc_a
+      |  JOIN tfu b ON b.doc_id = p.doc_b AND b.tok = a.tok
+      |  GROUP BY p.doc_a, p.doc_b)
+      |SELECT dt.doc_a, dt.doc_b,
+      |  round(dt.dot / (sqrt(na.n2) * sqrt(nb.n2)), 6) AS cos
+      |FROM dt JOIN nn na ON na.doc_id = dt.doc_a
+      |        JOIN nn nb ON nb.doc_id = dt.doc_b
+      |ORDER BY doc_a, doc_b""".stripMargin),
+  )
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — "Semantic
     * deduplication"): semantic near-dup removal scoped to k-means
     * clusters. Cluster the embedding space, then compare pairs ONLY
