@@ -306,6 +306,23 @@ class PlanSpec extends SparkSpec {
     assert(async === sync)
   }
 
+  test("CDC materialize keeps rank-1 via WindowGroupLimit, no nested-loop") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("w", DoubleType)))
+    val raw = spark.range(100).select(
+      concat(lit("""{"before":null,"after":{"id":"""), col("id"),
+        lit(""","w":1.5},"op":"c","ts_ms":1}""")).as("value"),
+      col("id").as("offset"))
+    val mat = graft.sources.CdcFormats.materialize(
+      graft.sources.CdcFormats.debeziumChangelog(raw, schema), Seq("id"))
+    val p = plan(mat)
+    assert(p.contains("WindowGroupLimit"),
+      s"keep-last rank filter not pushed below the sort:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
   test("directed-graph fixture joins hash, never nested-loop") {
     val p = plan(operators.Graph.windowDigraph(spark, sf))
     assert(!p.contains("BroadcastNestedLoopJoin"),
