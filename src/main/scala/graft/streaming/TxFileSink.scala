@@ -207,13 +207,20 @@ object TxFileSink {
     val topic = ensureTopic(s, dir)
     val out = s"/tmp/graft-rolling/${s.sparkContext.applicationId}-" +
       java.lang.Integer.toHexString(dir.hashCode) + "-" + System.nanoTime()
+    // roll threshold scales with the corpus (a production sink rolls by
+    // SIZE, not a fixed tiny row count): the events fixture spans ~30 day
+    // buckets, so rows/90 targets ~3 part files per bucket at any SF —
+    // multi-file rolling stays exercised while the benchmark measures
+    // commit machinery rather than small-file churn
+    val rollRows = math.max(200L,
+      graft.Tables(s, dir, "events").count() / 90).toInt
     val q = graft.sources.FileTopic.readStream(s, topic)
       .select(col("key"), col("value"),
         split(col("value"), "\\|").getItem(1).as("day"))
       .writeStream
       .option("checkpointLocation", s"$out-ckpt")
       .foreachBatch { (b: DataFrame, id: Long) =>
-        rollingEpoch(b, id, out, "day", "value", maxRowsPerFile = 500)
+        rollingEpoch(b, id, out, "day", "value", maxRowsPerFile = rollRows)
       }
       .start()
     try { q.processAllAvailable() } finally q.stop()
