@@ -122,6 +122,7 @@ object SparkEntry {
     "q_asof_custom"     -> (WindowAggs.asOfJoinCustom _),
     "q_stream_tumble"   -> (streaming.StreamWindowAggs.tumble _),
     "q_stream_tumble_all" -> (streaming.StreamWindowAggs.tumbleAll _),
+    "q_stream_cascade"  -> (streaming.StreamWindowAggs.cascade _),
     "q_stream_session"  -> (streaming.StreamWindowAggs.session _),
     "q_stream_interval_join" -> (streaming.StreamWindowAggs.intervalJoin _),
     "q_stream_dedup_last" -> (streaming.StreamQueries.dedupLast _),

@@ -881,6 +881,12 @@ object StreamQueries {
       """SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS w_start, event_type,
         | count(*) AS cnt, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_stream_cascade" ->
+      """WITH h AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hs,
+        |  count(*) AS cnt, sum(value) AS sv FROM events GROUP BY 1)
+        |SELECT date_trunc('day', hs) AS d_start, CAST(sum(cnt) AS BIGINT) AS cnt,
+        | round(sum(sv), 2) AS sum_value
+        |FROM h GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_stream_tumble_all" ->
       """SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS w_start,
         | count(*) AS cnt, round(sum(value), 2) AS sum_value,

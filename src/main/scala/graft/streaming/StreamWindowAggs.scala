@@ -52,6 +52,27 @@ object StreamWindowAggs {
       .orderBy("w_start")
   }
 
+  /** Cascading streaming windows — hourly tumble feeding a daily tumble in
+    * ONE streaming query (the reference's window-on-window composition,
+    * GroupWindowSql.cascade's streaming twin). Spark's chained stateful
+    * operators (SPARK-40925) accept the inner window struct as the outer
+    * window's time column, carrying the watermark through both stages;
+    * the inner aggregate collapses events to one row per hour BEFORE the
+    * outer shuffle — the partial-reduction reason cascades exist at
+    * scale. Append mode: each day emits once the watermark passes it. */
+  def cascade(s: SparkSession, dir: String): DataFrame = {
+    val hourly = StreamSource.eventsWithSentinel(s, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("sv"))
+    val daily = hourly
+      .groupBy(window(col("w"), "1 day").as("d"))
+      .agg(sum("cnt").as("cnt"), round(sum("sv"), 2).as("sum_value"))
+      .select(col("d.start").as("d_start"), col("cnt"), col("sum_value"))
+    StreamSource.runToTable(s, daily, "stream_cascade", "append")
+      .orderBy("d_start")
+  }
+
   /** SESSION(gap 1 hour) per user as a streaming query (session_window +
     * watermark; state merges adjacent sessions like the reference's
     * session assigner + merge callback). Append mode: sessions emit once
