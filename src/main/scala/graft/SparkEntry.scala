@@ -78,6 +78,7 @@ object SparkEntry {
     "q_fn_math"         -> (ScalarFuncs.math _),
     "q_fn_datetime"     -> (ScalarFuncs.datetime _),
     "q_fn_datetime2"    -> (ScalarFuncs.datetime2 _),
+    "q_fn_similar"      -> (ScalarFuncs.similar _),
     "q_fn_conditional"  -> (ScalarFuncs.conditional _),
     "q_fn_complex"      -> (ScalarFuncs.complexTypes _),
     "q_text_stats"      -> (TextAnalysis.stats _),
@@ -136,6 +137,8 @@ object SparkEntry {
     "q_stream_over_rows_b_ooo" -> (streaming.StreamQueries.overRowsBoundedOoo _),
     "q_stream_over_range_b_ooo" -> (streaming.StreamQueries.overRangeBoundedOoo _),
     "q_stream_topn"     -> (streaming.StreamQueries.topN _),
+    "q_stream_topn_range" -> (streaming.StreamQueries.topNRange _),
+    "q_stream_connect"  -> (streaming.StreamQueries.connect _),
     "q_stream_topn_retract" -> (streaming.StreamQueries.topNRetract _),
     "q_stream_topn_retract_ooo" -> (streaming.StreamQueries.topNRetractOoo _),
     "q_stream_over"     -> (streaming.StreamQueries.over _),
@@ -277,6 +280,7 @@ object SparkEntry {
     "q_sql_cascade"     -> (GroupWindowSql.cascade _),
     "q_ml_pipeline"     -> (graft.operators.MlPipeline.mlPipeline _),
     "q_sql_system_time" -> (graft.operators.SystemTimeSql.systemTimeJoin _),
+    "q_sql_temporal_func" -> (graft.operators.SystemTimeSql.temporalFuncJoin _),
     "q_sparse_cosine"   -> (Similarity.sparseCosinePairs _),
     "q_cdc_stream"      -> (streaming.CdcStream.debeziumStream _),
     "q_fmt_canal"       -> (graft.sources.CdcFormats.canalKinds _),
@@ -517,6 +521,18 @@ object SparkEntry {
         | p_name AS enc_rt,
         | p_name AS b64_rt,
         | hex(encode(p_name)) AS hx
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q_fn_similar" ->
+      """SELECT p_partkey,
+        | regexp_full_match(p_name, '.*(bolt|rod).*') AS sim_alt,
+        | regexp_full_match(p_name, '(cold|small)..*') AS sim_us,
+        | regexp_full_match(p_brand, 'Brand#[0-9]+') AS sim_cls,
+        | regexp_full_match(p_brand, 'Brand#1[0-9]?') AS sim_q,
+        | regexp_full_match(p_name, '[a-z]{4} .*') AS sim_rep,
+        | regexp_full_match(p_name, '.*_.*') AS sim_esc,
+        | regexp_full_match(p_name, 'c.*\.') AS sim_dot,
+        | p_name LIKE '%!_%' ESCAPE '!' AS like_esc,
+        | p_name LIKE 'c%t' AS like_ct
         |FROM part ORDER BY p_partkey""".stripMargin,
     "q_fn_datetime2" ->
       """SELECT o_orderkey,

@@ -46,6 +46,41 @@ object FlinkScalarsUtil {
     }
     if (tok == idx) UTF8String.fromString(s.substring(tokStart)) else null
   }
+
+  /** SQL `SIMILAR TO` pattern → anchored Java regex (ref flink-table-runtime
+    * SqlLikeUtils.similar / SqlSimilarToOperator — the SQL:2016 production):
+    * `%` → `.*`, `_` → `.`; the SIMILAR TO metacharacters `| * + ? ( ) { }`
+    * and bracket expressions `[...]` pass through (they mean the same in
+    * Java regex); regex-only specials `. \ ^ $` are escaped so they match
+    * literally; inside a bracket expression everything is verbatim (`%`/`_`
+    * are literal there, as in regex classes). An optional ESCAPE char makes
+    * its successor literal. The result is wrapped `^(?:…)$` — SIMILAR TO
+    * matches the WHOLE string, unlike a bare regex search. */
+  def similarToRegex(pat: String, escape: Option[Char]): String = {
+    val sb = new StringBuilder("^(?:")
+    var i = 0
+    var inClass = false
+    while (i < pat.length) {
+      val c = pat.charAt(i)
+      if (!inClass && escape.contains(c) && i + 1 < pat.length) {
+        sb.append(java.util.regex.Pattern.quote(pat.charAt(i + 1).toString))
+        i += 1
+      } else if (inClass) {
+        sb.append(c)
+        if (c == ']' && pat.charAt(i - 1) != '[' &&
+            !(i >= 2 && pat.charAt(i - 1) == '^' && pat.charAt(i - 2) == '['))
+          inClass = false
+      } else c match {
+        case '%' => sb.append(".*")
+        case '_' => sb.append('.')
+        case '[' => inClass = true; sb.append('[')
+        case '.' | '\\' | '^' | '$' => sb.append('\\').append(c)
+        case other => sb.append(other)
+      }
+      i += 1
+    }
+    sb.append(")$").toString
+  }
 }
 
 case class SplitIndexExpr(first: Expression, second: Expression, third: Expression)
@@ -115,5 +150,26 @@ object FlinkScalars {
       es => SplitIndexExpr(es(0), es(1), es(2)))
     add("temporal_overlaps", classOf[TemporalOverlapsExpr],
       es => TemporalOverlapsExpr(es(0), es(1), es(2), es(3)))
+    // SIMILAR TO lowers onto the codegen'd RLike with the pattern translated
+    // at plan time (the pattern must be a literal, as in the reference's
+    // parser production) — zero runtime translation cost, full WSCG fusion.
+    add("similar_to", classOf[org.apache.spark.sql.catalyst.expressions.RLike], {
+      es =>
+        def lit(e: Expression, role: String): String = {
+          require(e.foldable, s"similar_to $role must be a literal")
+          val v = e.eval(null)
+          require(v != null, s"similar_to $role must be non-null")
+          v.toString
+        }
+        val esc = if (es.length > 2) Some({
+          val s = lit(es(2), "escape"); require(s.length == 1,
+            s"similar_to escape must be a single character, got '$s'"); s.charAt(0)
+        }) else None
+        org.apache.spark.sql.catalyst.expressions.RLike(es(0),
+          org.apache.spark.sql.catalyst.expressions.Literal(
+            UTF8String.fromString(
+              FlinkScalarsUtil.similarToRegex(lit(es(1), "pattern"), esc)),
+            StringType))
+    })
   }
 }

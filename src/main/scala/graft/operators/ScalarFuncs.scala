@@ -158,6 +158,33 @@ object ScalarFuncs {
     ).orderBy("o_orderkey")
   }
 
+  /** SQL `SIMILAR TO` (ref FlinkSqlOperatorTable SIMILAR_TO →
+    * SqlLikeUtils.similar) and `LIKE ... ESCAPE`. The engine translates the
+    * SQL:2016 pattern language at plan time (FlinkScalarsUtil.similarToRegex)
+    * and lowers onto codegen'd RLike: `%`→`.*`, `_`→`.`, SIMILAR TO
+    * metacharacters `| * + ? ( ) { } [...]` kept, regex-only specials
+    * (`.` etc.) made literal, ESCAPE char honored, whole-string anchored.
+    * The oracle spells the EXPECTED translated regex via DuckDB's
+    * regexp_full_match (DuckDB's own SIMILAR TO skips the %/_ translation,
+    * so it can't serve as the oracle directly). sim_esc/sim_dot are the
+    * discriminating rows: an engine that forgot escape handling or dot
+    * literalization flips them to true. */
+  def similar(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.FlinkScalars.register(s)
+    Tables(s, dir, "part").selectExpr(
+      "p_partkey",
+      "similar_to(p_name, '%(bolt|rod)%') AS sim_alt",
+      "similar_to(p_name, '(cold|small)_%') AS sim_us",
+      "similar_to(p_brand, 'Brand#[0-9]+') AS sim_cls",
+      "similar_to(p_brand, 'Brand#1[0-9]?') AS sim_q",
+      "similar_to(p_name, '[a-z]{4} %') AS sim_rep",
+      "similar_to(p_name, '%!_%', '!') AS sim_esc",
+      "similar_to(p_name, 'c%.') AS sim_dot",
+      "p_name LIKE '%!_%' ESCAPE '!' AS like_esc",
+      "p_name LIKE 'c%t' AS like_ct"
+    ).orderBy("p_partkey")
+  }
+
   /** Conditional / comparison: CASE, NULLIF, COALESCE, IF, BETWEEN, IN,
     * IS [NOT] DISTINCT FROM (ref FlinkSqlOperatorTable comparison ops). */
   def conditional(s: SparkSession, dir: String): DataFrame =

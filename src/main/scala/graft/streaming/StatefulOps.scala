@@ -116,6 +116,31 @@ object StatefulOps {
       }
   }
 
+  /** Top-N with a rank RANGE — `WHERE rn BETWEEN rankStart AND rankEnd`
+    * (ref operators/rank/AbstractTopNFunction.java: the reference plans any
+    * constant RankRange(rankStart, rankEnd), not just 1..N; "page 2 of the
+    * leaderboard" queries). State keeps the key's top rankEnd rows — the
+    * prefix is required to know which rows occupy ranks < rankStart — but
+    * only ranks inside the range emit. Update semantics like [[topN]]. */
+  def topNRange(ds: Dataset[Event], rankStart: Int, rankEnd: Int): Dataset[Ranked] = {
+    import ds.sparkSession.implicits._
+    require(1 <= rankStart && rankStart <= rankEnd,
+      s"invalid rank range [$rankStart, $rankEnd]")
+    ds.groupByKey(_.event_type)
+      .flatMapGroupsWithState[List[Event], Ranked](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[Event], state: GroupState[List[Event]]) =>
+          val merged = (state.getOption.getOrElse(Nil) ++ rows)
+            .sortBy(e => (-e.value, e.event_id))
+            .take(rankEnd)
+          state.update(merged)
+          merged.iterator.zipWithIndex.collect {
+            case (e, i) if i + 1 >= rankStart =>
+              Ranked(key, i + 1, e.event_id, e.user_id, e.value)
+          }
+      }
+  }
+
   case class RankedVer(event_type: String, rank: Int, event_id: Long,
                        user_id: Long, value: Double, ver: Long)
   case class TopNVerState(rows: List[Event], ver: Long)

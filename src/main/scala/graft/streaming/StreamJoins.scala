@@ -83,6 +83,72 @@ object StreamJoins {
       }
   }
 
+  case class ConnOut(user_id: Long, p_id: Long, e_id: Option[Long], rowkind: String)
+  case class ConnState(pending: List[(Long, Long)])
+
+  /** connect / CoProcessFunction (SURVEY §2.9: `DataStream.connect` +
+    * `CoProcessFunction`, ref flink-streaming-java ConnectedStreams.java /
+    * CoProcessOperator.java): two typed streams keyed the same way flow
+    * into ONE stateful operator that holds per-key state across both —
+    * here the classic reconciliation shape (Flink training's "order +
+    * payment" CoProcess): match each `probeType` row to the FIRST
+    * `matchType` row of the same user strictly after it within
+    * `windowSec`, null-padding probes that never match.
+    *
+    * Spark mapping: union of tagged streams into one
+    * flatMapGroupsWithState (the two `processElement1/2` branches become a
+    * tag dispatch on event_type). Changelog output like [[antiJoin]]: a
+    * probe emits +I (p, NULL) immediately; the first qualifying match row
+    * retracts it (-D) and re-emits +I (p, e). Consumers fold net>0.
+    *
+    * State is BOUNDED without timers: rows are processed in event-time
+    * order (chain [[StatefulOps.sortedEvents]] under disorder, as the _ooo
+    * queries do), so an arriving match row's timestamp is a watermark —
+    * pending probes whose window it passes can never match and are
+    * dropped; already-seen match rows can never match a FUTURE probe
+    * (their time is in its past) so they are not retained at all. A
+    * production variant would add EventTimeTimeout GC for keys whose
+    * match stream goes silent — the reference arms the same cleanup timer
+    * (CoProcessOperator + state TTL). */
+  def connectMatch(ds: Dataset[Event], probeType: String, matchType: String,
+                   windowSec: Long = 3600): Dataset[ConnOut] = {
+    import ds.sparkSession.implicits._
+    val winUs = windowSec * 1000000L
+    ds.filter(e => e.event_type == probeType || e.event_type == matchType)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[ConnState, ConnOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[Event], state: GroupState[ConnState]) =>
+          var pending = state.getOption.map(_.pending).getOrElse(Nil)
+          val out = scala.collection.mutable.ArrayBuffer.empty[ConnOut]
+          // within a micro-batch the file replay preserves event order for a
+          // key; sort defensively on (ts, id) so ties are deterministic
+          // full microsecond precision: getTime alone truncates to millis,
+          // which would blur the strict `error after purchase` comparison
+          def us(e: Event): Long =
+            (e.ts.getTime / 1000L) * 1000000L + e.ts.getNanos / 1000L
+          rows.toSeq.sortBy(e => (us(e), e.event_id)).foreach { e =>
+            val tUs = us(e)
+            if (e.event_type == probeType) {
+              out += ConnOut(key, e.event_id, None, "+I")
+              pending = (e.event_id, tUs) :: pending
+            } else {
+              val (matched, rest) = pending.partition {
+                case (_, pUs) => pUs < tUs && tUs <= pUs + winUs
+              }
+              matched.sortBy(_._1).foreach { case (pId, _) =>
+                out += ConnOut(key, pId, None, "-D")
+                out += ConnOut(key, pId, Some(e.event_id), "+I")
+              }
+              // expired probes keep their null row; drop them from state
+              pending = rest.filterNot { case (_, pUs) => pUs + winUs < tUs }
+            }
+          }
+          state.update(ConnState(pending))
+          out.iterator
+      }
+  }
+
   case class OuterOut(user_id: Long, p_id: Long, v_id: Option[Long], rowkind: String)
   case class OuterState(builds: List[Long], probes: List[Long])
 

@@ -26,6 +26,30 @@ object StreamQueries {
       .orderBy("event_type", "rank")
   }
 
+  /** Rank-range Top-N: ranks 2..4 only (the reference's RankRange —
+    * "page 2 of the leaderboard"). */
+  def topNRange(s: SparkSession, dir: String): DataFrame = {
+    val out = StatefulOps.topNRange(StreamSource.eventsTyped(s, dir), 2, 4).toDF()
+    StreamSource.runToTable(s, out, "stream_topn_range", "update")
+      .select(col("event_type"), col("rank"), col("event_id"),
+        col("user_id"), round(col("value"), 2).as("value"))
+      .orderBy("event_type", "rank")
+  }
+
+  /** connect/CoProcess reconciliation: each purchase matched to the first
+    * error of the same user within 1h (null if none); fold net>0 over the
+    * +I/-D changelog. */
+  def connect(s: SparkSession, dir: String): DataFrame = {
+    val out = StreamJoins.connectMatch(
+      StreamSource.eventsTyped(s, dir), "purchase", "error", 3600).toDF()
+    StreamSource.runToTable(s, out, "stream_connect", "update")
+      .groupBy(col("user_id"), col("p_id"), col("e_id"))
+      .agg(sum(when(col("rowkind") === "+I", 1).otherwise(-1)).as("net"))
+      .where(col("net") > 0)
+      .select(col("user_id"), col("p_id"), col("e_id"))
+      .orderBy("user_id", "p_id")
+  }
+
   /** Retracting Top-N: fold the -U/+U/-D/+I changelog to the current
     * ranking (net > 0 per (key, rank, event_id)). */
   def topNRetract(s: SparkSession, dir: String): DataFrame = {
@@ -1009,6 +1033,26 @@ object StreamQueries {
         |  row_number() OVER (PARTITION BY event_type
         |    ORDER BY value DESC, event_id) AS rn FROM events)
         |WHERE rn <= 3 ORDER BY event_type, rn""".stripMargin,
+    "q_stream_topn_range" ->
+      """SELECT event_type, CAST(rn AS INT) AS rank, event_id, user_id,
+        | round(value, 2) AS value
+        |FROM (SELECT event_type, event_id, user_id, value,
+        |  row_number() OVER (PARTITION BY event_type
+        |    ORDER BY value DESC, event_id) AS rn FROM events)
+        |WHERE rn BETWEEN 2 AND 4 ORDER BY event_type, rn""".stripMargin,
+    "q_stream_connect" ->
+      """WITH p AS (SELECT user_id, event_id AS p_id, CAST(ts AS TIMESTAMP) AS pt
+        |           FROM events WHERE event_type = 'purchase'),
+        | e AS (SELECT user_id, event_id AS e_id, CAST(ts AS TIMESTAMP) AS et
+        |       FROM events WHERE event_type = 'error'),
+        | c AS (SELECT p.user_id, p.p_id, e.e_id,
+        |        row_number() OVER (PARTITION BY p.user_id, p.p_id
+        |          ORDER BY e.et, e.e_id) AS rn
+        |       FROM p JOIN e ON p.user_id = e.user_id
+        |        AND e.et > p.pt AND e.et <= p.pt + INTERVAL 1 HOUR)
+        |SELECT p.user_id, p.p_id, c.e_id
+        |FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.p_id = p.p_id AND c.rn = 1
+        |ORDER BY p.user_id, p.p_id""".stripMargin,
     "q_stream_over" ->
       """SELECT user_id, event_id,
         | count(*) OVER w AS run_cnt,
