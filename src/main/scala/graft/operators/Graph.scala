@@ -200,6 +200,9 @@ object Graph {
     * summation order cannot diverge between engines or executors. */
   def pageRank(vertices: DataFrame, edges: DataFrame, iters: Int): DataFrame = {
     val nv = vertices.count()
+    // empty graph: 1/nv below would raise ANSI DIVIDE_BY_ZERO; the correct
+    // result is simply an empty (id, rank) frame
+    if (nv == 0) return vertices.select(col("id"), lit(0.0).as("rank"))
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
@@ -477,6 +480,8 @@ object Graph {
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")).persistRound()
     val verts = vertices.select(col("id")).persistRound()
     val n = verts.count()
+    // empty graph: avoid 1/0 below — the result is an empty (id, rank) frame
+    if (n == 0) return verts.select(col("id"), lit(0.0).as("rank"))
     var rank = verts.select(col("id"), round(lit(1.0) / n, 9).as("rank"))
       .persistRound()
     for (_ <- 1 to iters) {

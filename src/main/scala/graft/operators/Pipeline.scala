@@ -175,8 +175,11 @@ object Pipeline {
       .agg(sum(when(isTgt, 1L).otherwise(0L)).as("tc"),
         sum(when(isTgt, 0L).otherwise(1L)).as("rc"))
       .persist()
-    val tot = cnt.agg(count(lit(1)).as("v"), sum("tc").as("nt"), sum("rc").as("nr")).head()
-    val (v, nt, nr) = (tot.getLong(0), tot.getLong(1), tot.getLong(2))
+    val tot = cnt.agg(count(lit(1)).as("v"),
+      coalesce(sum("tc"), lit(0L)).as("nt"),
+      coalesce(sum("rc"), lit(0L)).as("nr")).head()
+    val (v0, nt, nr) = (tot.getLong(0), tot.getLong(1), tot.getLong(2))
+    val v = math.max(v0, 1L) // empty corpus: keep the smoothed denominators > 0
     // 1.0D / .0D: plain `1.0` literals parse as DECIMAL in Spark SQL and a
     // DECIMAL division truncates to 6 fractional digits BEFORE ln — enough
     // to shift llr by whole micro-nats vs the oracle's double arithmetic.
@@ -237,7 +240,11 @@ object Pipeline {
         size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
       .persist()
     val per = docs.groupBy("source").agg(sum("n_tokens").as("src_toks"))
-    val tot = per.agg(sum("src_toks").as("t"), count(lit(1)).as("ns")).head()
+    val tot = per.agg(coalesce(sum("src_toks"), lit(0L)).as("t"),
+      count(lit(1)).as("ns")).head()
+    if (tot.getLong(1) == 0L) // empty corpus: no sources, nothing to budget
+      return docs.select(col("doc_id"), col("source"), col("n_tokens"),
+        lit(0L).as("rate_bp")).limit(0)
     val budgetPerSource = tot.getLong(0) * 40 / 100 / tot.getLong(1)
     val rates = per.select(col("source"),
       least(lit(10000L), expr(s"(${budgetPerSource}L * 10000) div src_toks")).as("rate_bp"))

@@ -20,9 +20,11 @@ object ScaleOps {
     * filters; asserted in PlanSpec). */
   def partitionedWrite(s: SparkSession, dir: String): DataFrame = {
     val path = s"/tmp/graft-fmt/part-orders-${dir.replaceAll("[^a-zA-Z0-9.]", "_")}"
-    Tables(s, dir, "orders")
-      .write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
-    s.read.parquet(path)
+    val orders = Tables(s, dir, "orders")
+    orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+    // explicit schema: an empty source writes zero part files and inference
+    // would fail; pruning is unaffected (PartitionFilters pinned in PlanSpec)
+    s.read.schema(orders.schema).parquet(path)
       .where(col("o_orderstatus") === "F")
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("total"))

@@ -126,8 +126,11 @@ object TextAnalysis {
     val cnt = toks.groupBy("tok").agg(count(lit(1)).as("c"))
     // model normalizer: two scalars (total tokens N, vocab V) — metadata-
     // scale driver action like tfidfTop3's corpus count
-    val m = cnt.agg(sum(col("c")).as("n"), count(lit(1)).as("v")).head()
-    val nv = m.getLong(0) + m.getLong(1)
+    val m = cnt.agg(coalesce(sum(col("c")), lit(0L)).as("n"),
+      count(lit(1)).as("v")).head()
+    // empty corpus: keep the normalizer positive so the (never-evaluated)
+    // ln stays well-formed and the query returns its empty result
+    val nv = math.max(m.getLong(0) + m.getLong(1), 1L)
     val cost = cnt.select(col("tok"),
       expr(s"cast(round(-ln((c + 1) / $nv.0D) * 1e6) AS BIGINT)").as("u"))
     toks.join(cost, "tok")

@@ -59,11 +59,19 @@ object StreamSource {
     // the sentinel parquet unions cleanly with the raw stream before the
     // shared normalizeTs pass
     val maxRow = raw.agg(max("ts")).head()
+    // empty events: max(ts) is NULL — anchor the sentinel at the epoch so
+    // the query still runs (and returns its empty result) instead of NPEing
+    val empty = maxRow.isNullAt(0)
     val sentinelTs: Any = schema("ts").dataType match {
-      case LongType         => maxRow.getLong(0) + 30L * 24 * 3600 * 1000000000L
-      case TimestampNTZType => maxRow.getAs[java.time.LocalDateTime](0).plusDays(30)
+      case LongType =>
+        (if (empty) 0L else maxRow.getLong(0)) + 30L * 24 * 3600 * 1000000000L
+      case TimestampNTZType =>
+        (if (empty) java.time.LocalDateTime.ofEpochSecond(0, 0, java.time.ZoneOffset.UTC)
+         else maxRow.getAs[java.time.LocalDateTime](0)).plusDays(30)
       case TimestampType =>
-        java.sql.Timestamp.from(maxRow.getTimestamp(0).toInstant.plus(java.time.Duration.ofDays(30)))
+        java.sql.Timestamp.from(
+          (if (empty) java.time.Instant.EPOCH else maxRow.getTimestamp(0).toInstant)
+            .plus(java.time.Duration.ofDays(30)))
       case other => throw new IllegalStateException(s"unsupported events.ts type $other")
     }
     val values: Array[Any] = schema.fields.map(_.name).map {
