@@ -51,7 +51,10 @@ class EmptyInputSpec extends SparkSpec {
     "q_fn_string2", "q_fn_similar", "q_fn_datetime2", "q_unnest_words",
     "q_sql_q3", "q_sql_subquery", "q_sql_system_time", "q_sql_temporal_func",
     "q_tpch_q1", "q_tpch_q21", "q_ml_pipeline", "q_lookup_join",
-    "q_interval_join", "q_mm_decode")
+    "q_interval_join", "q_mm_decode",
+    // streaming representatives (the full 12-query streaming sweep also
+    // passed; these keep suite runtime bounded)
+    "q_stream_tumble", "q_stream_topn", "q_stream_cep", "q_stream_connect")
 
   for (name <- queries)
     test(s"$name runs on an empty corpus") {
