@@ -139,6 +139,8 @@ object SparkEntry {
     "q_stream_topn"     -> (streaming.StreamQueries.topN _),
     "q_stream_topn_range" -> (streaming.StreamQueries.topNRange _),
     "q_stream_connect"  -> (streaming.StreamQueries.connect _),
+    "q_stream_cep_not"  -> (streaming.StreamQueries.cepNot _),
+    "q_stream_cep_any"  -> (streaming.StreamQueries.cepAny _),
     "q_stream_topn_retract" -> (streaming.StreamQueries.topNRetract _),
     "q_stream_topn_retract_ooo" -> (streaming.StreamQueries.topNRetractOoo _),
     "q_stream_over"     -> (streaming.StreamQueries.over _),

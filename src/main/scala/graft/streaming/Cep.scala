@@ -441,12 +441,32 @@ object Cep {
     * partial. Partials expire once event time passes start + within —
     * that bound is what keeps per-key state finite on an unbounded stream
     * (the reference prunes the shared buffer with the same within timer). */
+  /** `nots` adds the reference's NEGATIVE pattern — `notFollowedBy` (ref
+    * flink-cep Pattern.java#notFollowedBy, compiled to an NFA STOP state by
+    * NFACompiler): `nots(i)` is armed while a partial waits for step `i`;
+    * a strictly-later event matching it KILLS that partial (the stop
+    * state), so `A notFollowedBy B followedBy C` matches only when no B
+    * intervenes before the C that completes the match. An event matching
+    * both the step and the kill predicate advances (take over stop —
+    * disjoint predicates avoid the ambiguity in practice). Like the
+    * reference, a trailing notFollowedBy is only meaningful under `within`
+    * (the partial must expire for the absence to be decided). */
+  /** `any = true` switches every step to the reference's NON-DETERMINISTIC
+    * relaxed contiguity — `followedByAny` (ref Pattern.java#followedByAny;
+    * NFA ignore-edges that keep the pre-advance state alive): a partial
+    * advances on every later matching event instead of only the first, so
+    * ALL combinations with increasing event time inside the window match.
+    * The `within` expiry is what keeps the branch count finite. */
   def matchRelaxed(ds: Dataset[Event], steps: Seq[Event => Boolean],
-                   withinMs: Long): Dataset[Match] = {
+                   withinMs: Long,
+                   nots: Map[Int, Event => Boolean] = Map.empty,
+                   any: Boolean = false): Dataset[Match] = {
     import ds.sparkSession.implicits._
     val L = steps.length
     val withinMicros = withinMs * 1000L
     require(L >= 2)
+    require(nots.keys.forall(i => i >= 1 && i < L),
+      s"notFollowedBy positions must name a waiting step in [1, ${L - 1}]")
     ds.groupByKey(_.user_id)
       .flatMapGroupsWithState[NfaState, Match](
         OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
@@ -463,10 +483,13 @@ object Cep {
               if (m > p.lastMicros && steps(p.next)(e)) {
                 val adv = Partial(p.ids :+ e.event_id, p.startMicros, p.next + 1, m,
                   p.vals :+ e.value)
+                val kept = if (any) List(p) else Nil
                 if (adv.next == L) {
-                  out += Match(key, adv.ids, Seq.fill(L)(1), adv.vals); Nil
-                } else List(adv)
-              } else List(p)
+                  out += Match(key, adv.ids, Seq.fill(L)(1), adv.vals); kept
+                } else adv :: kept
+              } else if (m > p.lastMicros && nots.get(p.next).exists(_(e)))
+                Nil // notFollowedBy stop state: the negative event kills the partial
+              else List(p)
             }
             if (steps.head(e))
               partials = partials :+ Partial(Seq(e.event_id), m, 1, m, Seq(e.value))

@@ -222,6 +222,38 @@ object StreamQueries {
       .orderBy("user_id", "a_id")
   }
 
+  /** notFollowedBy: purchase followed by view with NO error in between
+    * (within 7 days). The error arm is the NFA stop state. */
+  def cepNot(s: SparkSession, dir: String): DataFrame = {
+    import StreamSource.Event
+    val pattern: Seq[Event => Boolean] = Seq(
+      _.event_type == "purchase", _.event_type == "view")
+    val out = Cep.matchRelaxed(StreamSource.eventsTyped(s, dir), pattern,
+      withinMs = 7L * 24 * 3600 * 1000,
+      nots = Map(1 -> ((e: Event) => e.event_type == "error"))).toDF()
+    StreamSource.runToTable(s, out, "stream_cep_not", "update")
+      .select(col("user_id"),
+        col("ids").getItem(0).as("p_id"),
+        col("ids").getItem(1).as("v_id"))
+      .orderBy("user_id", "p_id")
+  }
+
+  /** followedByAny: ALL view→click→purchase combinations (increasing event
+    * time) within 2 days, not just the earliest continuation. */
+  def cepAny(s: SparkSession, dir: String): DataFrame = {
+    import StreamSource.Event
+    val pattern: Seq[Event => Boolean] = Seq(
+      _.event_type == "view", _.event_type == "click", _.event_type == "purchase")
+    val out = Cep.matchRelaxed(StreamSource.eventsTyped(s, dir), pattern,
+      withinMs = 2L * 24 * 3600 * 1000, any = true).toDF()
+    StreamSource.runToTable(s, out, "stream_cep_any", "update")
+      .select(col("user_id"),
+        col("ids").getItem(0).as("a_id"),
+        col("ids").getItem(1).as("b_id"),
+        col("ids").getItem(2).as("c_id"))
+      .orderBy("user_id", "a_id", "b_id", "c_id")
+  }
+
   def semiJoin(s: SparkSession, dir: String): DataFrame = {
     val out = StreamJoins.semiJoin(StreamSource.eventsTyped(s, dir), "purchase", "view").toDF()
     StreamSource.runToTable(s, out, "stream_semi_join", "append")
@@ -865,6 +897,34 @@ object StreamQueries {
         |  row_number() OVER (PARTITION BY user_id
         |    ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
         | FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "q_stream_cep_any" ->
+      """WITH a AS (SELECT user_id, event_id AS a_id, CAST(ts AS TIMESTAMP) AS at
+        |           FROM events WHERE event_type = 'view'),
+        |b AS (SELECT user_id, event_id AS b_id, CAST(ts AS TIMESTAMP) AS bt
+        |      FROM events WHERE event_type = 'click'),
+        |c AS (SELECT user_id, event_id AS c_id, CAST(ts AS TIMESTAMP) AS ct
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT a.user_id, a.a_id, b.b_id, c.c_id
+        |FROM a
+        |JOIN b ON b.user_id = a.user_id AND b.bt > a.at
+        |      AND b.bt <= a.at + INTERVAL 2 DAY
+        |JOIN c ON c.user_id = a.user_id AND c.ct > b.bt
+        |      AND c.ct <= a.at + INTERVAL 2 DAY
+        |ORDER BY a.user_id, a.a_id, b.b_id, c.c_id""".stripMargin,
+    "q_stream_cep_not" ->
+      """WITH p AS (SELECT user_id, event_id AS p_id, CAST(ts AS TIMESTAMP) AS pt
+        |           FROM events WHERE event_type = 'purchase'),
+        |x AS (SELECT user_id, event_id AS x_id, event_type AS kind,
+        |             CAST(ts AS TIMESTAMP) AS t
+        |      FROM events WHERE event_type IN ('view', 'error')),
+        |c AS (SELECT p.user_id, p.p_id, x.kind, x.x_id,
+        |       row_number() OVER (PARTITION BY p.user_id, p.p_id
+        |         ORDER BY x.t, x.x_id) AS rn
+        |      FROM p JOIN x ON x.user_id = p.user_id
+        |       AND x.t > p.pt AND x.t <= p.pt + INTERVAL 7 DAY)
+        |SELECT user_id, p_id, x_id AS v_id
+        |FROM c WHERE rn = 1 AND kind = 'view'
+        |ORDER BY user_id, p_id""".stripMargin,
     "q_stream_cep_relaxed" ->
       """WITH e AS (SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS t
         |           FROM events),
