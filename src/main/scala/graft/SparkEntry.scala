@@ -185,6 +185,8 @@ object SparkEntry {
     "q_fmt_json"        -> (Formats.jsonRoundtrip _),
     "q_fmt_orc"         -> (Formats.orcRoundtrip _),
     "q_fmt_avro"        -> (Formats.avroRoundtrip _),
+    "q_fmt_avro_evolve" -> (Formats.avroEvolve _),
+    "q_fmt_csv_quirks"  -> (Formats.csvQuirks _),
     "q_fn_json"         -> (Formats.jsonColumn _),
     "q_fn_classify"     -> (ScalarFuncs.classify _),
     "q_agg_firstlast"   -> (Udafs.firstLast _),

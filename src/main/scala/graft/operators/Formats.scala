@@ -79,6 +79,56 @@ object Formats {
       .orderBy("s_nationkey")
   }
 
+  /** CSV quoting quirks (ref flink-formats/flink-csv RFC-4180 handling —
+    * CsvRowDataDeserializationSchema quote/escape/line-delimiter options):
+    * values containing the delimiter, the quote char itself, and embedded
+    * NEWLINES must survive a write→read round trip. Writer uses RFC-4180
+    * quote-doubling (escape = quote); reader needs multiLine=true (one
+    * record spanning lines — the non-splittable parse mode, per-file
+    * granularity at scale, same trade-off as gzip). The oracle builds the
+    * identical tricky string from the parquet, so any mis-quoting on
+    * either side breaks the hash. */
+  def csvQuirks(s: SparkSession, dir: String): DataFrame = {
+    val path = tmpDir("csvq", dir)
+    val tricky = Tables(s, dir, "nation")
+      .select(col("n_nationkey"), col("n_regionkey"),
+        concat(col("n_name"), lit(",\"q\"\nL2")).as("tricky"))
+    tricky.write.mode("overwrite").option("header", "true")
+      .option("escape", "\"").csv(path)
+    s.read.schema(tricky.schema).option("header", "true")
+      .option("multiLine", "true").option("escape", "\"").csv(path)
+      .groupBy(col("n_regionkey"))
+      .agg(count(lit(1)).as("cnt"), min(col("tricky")).as("first_tricky"),
+        sum(length(col("tricky"))).as("len_sum"))
+      .orderBy("n_regionkey")
+  }
+
+  /** Avro schema EVOLUTION (ref flink-avro reader-schema resolution; the
+    * upgrade path every long-lived corpus hits): files written with schema
+    * v1 (suppkey, name, nationkey, acctbal) read back under schema v2 that
+    * DROPS s_name, ADDS s_tier with default 'std', and REORDERS the
+    * remaining fields — name-based resolution handles all three. The
+    * oracle reads the original parquet and plants the same constant, so a
+    * resolution bug (wrong field matched positionally, default not
+    * applied) breaks the hash. */
+  def avroEvolve(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val path = tmpDir("avroevo", dir)
+    val v1 = Tables(s, dir, "supplier")
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"), col("s_acctbal"))
+    graft.sources.AvroFiles.write(v1, path)
+    val v2 = StructType(Seq(
+      StructField("s_acctbal", DoubleType),       // reordered
+      StructField("s_tier", StringType, nullable = false), // added, default
+      StructField("s_suppkey", LongType),
+      StructField("s_nationkey", LongType)))      // s_name dropped
+    graft.sources.AvroFiles.readEvolved(s, path, v2, Map("s_tier" -> "std"))
+      .groupBy(col("s_nationkey"), col("s_tier"))
+      .agg(count(lit(1)).as("cnt"), max(col("s_suppkey")).as("max_key"),
+        round(sum("s_acctbal"), 2).as("total"))
+      .orderBy("s_nationkey")
+  }
+
   /** Compressed round trip (ref flink-formats/flink-compress
     * CompressWriterFactory.java: hadoop-codec writers for the
     * StreamingFileSink): gzip CSV out, transparent decompress on read.
@@ -183,6 +233,15 @@ object Formats {
     "q_fmt_avro" ->
       """SELECT s_nationkey, count(*) AS cnt, min(s_name) AS first_name,
         | round(sum(s_acctbal), 2) AS total
+        |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+    "q_fmt_csv_quirks" ->
+      """SELECT n_regionkey, count(*) AS cnt,
+        | min(n_name || ',"q"' || chr(10) || 'L2') AS first_tricky,
+        | CAST(sum(length(n_name || ',"q"' || chr(10) || 'L2')) AS BIGINT) AS len_sum
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+    "q_fmt_avro_evolve" ->
+      """SELECT s_nationkey, 'std' AS s_tier, count(*) AS cnt,
+        | max(s_suppkey) AS max_key, round(sum(s_acctbal), 2) AS total
         |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
     "q_fmt_seqfile" ->
       """SELECT s_nationkey, count(*) AS cnt, min(s_name) AS first_name,

@@ -89,6 +89,68 @@ object AvroFiles {
     }.count() // action materializes the write
   }
 
+  /** Reader schema for EVOLVED reads: fields in `defaults` are declared
+    * non-null with that default (avro resolution fills them when the
+    * writer schema lacks the field); everything else is nullable as in
+    * [[avroSchema]]. */
+  def avroSchemaWithDefaults(schema: StructType,
+                             defaults: Map[String, AnyRef]): Schema = {
+    val fields = new java.util.ArrayList[Schema.Field]()
+    schema.fields.foreach { sf =>
+      val base = sf.dataType match {
+        case LongType    => Schema.create(Schema.Type.LONG)
+        case IntegerType => Schema.create(Schema.Type.INT)
+        case DoubleType  => Schema.create(Schema.Type.DOUBLE)
+        case StringType  => Schema.create(Schema.Type.STRING)
+        case t => throw new IllegalArgumentException(s"unsupported avro type $t")
+      }
+      fields.add(defaults.get(sf.name) match {
+        case Some(d) => new Schema.Field(sf.name, base, null, d)
+        case None =>
+          val t = if (sf.nullable)
+            Schema.createUnion(Schema.create(Schema.Type.NULL), base) else base
+          new Schema.Field(sf.name, t,
+            null, if (sf.nullable) Schema.Field.NULL_DEFAULT_VALUE else null)
+      })
+    }
+    Schema.createRecord("rec", null, "graft", false, fields)
+  }
+
+  /** Schema-evolution source (ref flink-avro AvroDeserializationSchema /
+    * RegistryAvroDeserializationSchema: reader-schema-driven resolution):
+    * each file is decoded against the READER schema — fields matched by
+    * name (reordering is free), writer-only fields skipped (drop), and
+    * reader-only fields filled from their declared default. This is the
+    * standard avro schema-resolution contract, so files written before a
+    * column was added remain readable forever. */
+  def readEvolved(s: SparkSession, inDir: String, schema: StructType,
+                  defaults: Map[String, AnyRef]): DataFrame = {
+    val names = schema.fieldNames
+    val strCols = schema.fields.zipWithIndex
+      .collect { case (f, i) if f.dataType == StringType => i }.toSet
+    val readerJson = avroSchemaWithDefaults(schema, defaults).toString
+    val rdd = s.sparkContext.binaryFiles(s"$inDir/*.avro").flatMap { case (_, pds) =>
+      val reader = new Schema.Parser().parse(readerJson)
+      val stream = new DataFileStream[GenericRecord](
+        pds.open(), new GenericDatumReader[GenericRecord](null, reader))
+      new Iterator[Row] {
+        override def hasNext: Boolean = {
+          val h = stream.hasNext
+          if (!h) stream.close()
+          h
+        }
+        override def next(): Row = {
+          val rec = stream.next()
+          Row.fromSeq(names.indices.map { j =>
+            val v = rec.get(names(j))
+            if (v != null && strCols(j)) v.toString else v
+          })
+        }
+      }
+    }
+    s.createDataFrame(rdd, schema)
+  }
+
   /** Distributed source: decode each container file where it lands. */
   def read(s: SparkSession, inDir: String, schema: StructType): DataFrame = {
     val names = schema.fieldNames
