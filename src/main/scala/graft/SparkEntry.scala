@@ -141,6 +141,8 @@ object SparkEntry {
     "q_stream_connect"  -> (streaming.StreamQueries.connect _),
     "q_stream_cep_not"  -> (streaming.StreamQueries.cepNot _),
     "q_stream_cep_any"  -> (streaming.StreamQueries.cepAny _),
+    "q_stream_cep_not_ooo" -> (streaming.StreamQueries.cepNotOoo _),
+    "q_stream_cep_any_ooo" -> (streaming.StreamQueries.cepAnyOoo _),
     "q_stream_topn_retract" -> (streaming.StreamQueries.topNRetract _),
     "q_stream_topn_retract_ooo" -> (streaming.StreamQueries.topNRetractOoo _),
     "q_stream_over"     -> (streaming.StreamQueries.over _),

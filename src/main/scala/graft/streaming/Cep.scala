@@ -460,16 +460,21 @@ object Cep {
   def matchRelaxed(ds: Dataset[Event], steps: Seq[Event => Boolean],
                    withinMs: Long,
                    nots: Map[Int, Event => Boolean] = Map.empty,
-                   any: Boolean = false): Dataset[Match] = {
+                   any: Boolean = false,
+                   append: Boolean = false): Dataset[Match] = {
     import ds.sparkSession.implicits._
     val L = steps.length
     val withinMicros = withinMs * 1000L
     require(L >= 2)
     require(nots.keys.forall(i => i >= 1 && i < L),
       s"notFollowedBy positions must name a waiting step in [1, ${L - 1}]")
+    // matches are final facts (never revised) so Append is always sound;
+    // it is REQUIRED when chaining after sortedEvents (the _ooo drivers —
+    // Spark only chains stateful operators in append mode)
+    val mode = if (append) OutputMode.Append() else OutputMode.Update()
     ds.groupByKey(_.user_id)
       .flatMapGroupsWithState[NfaState, Match](
-        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        mode, GroupStateTimeout.NoTimeout()) {
         (key: Long, rows: Iterator[Event], state: GroupState[NfaState]) =>
           var partials = state.getOption.map(_.partials.toList).getOrElse(Nil)
           val out = scala.collection.mutable.ArrayBuffer.empty[Match]

@@ -254,6 +254,45 @@ object StreamQueries {
       .orderBy("user_id", "a_id", "b_id", "c_id")
   }
 
+  /** notFollowedBy on the shuffled replay: watermark sorter in front, same
+    * oracle as q_stream_cep_not — negative patterns are only correct under
+    * disorder if the kill decision sees events in time order. */
+  def cepNotOoo(s: SparkSession, dir: String): DataFrame = {
+    import StreamSource.Event
+    val (raw, delaySec) = OooReplay.stream(s, dir)
+    val src = raw.filter(_.event_type != OooReplay.FlushType)
+    val ordered = StatefulOps.sortedEvents(src, s"$delaySec seconds")
+    val pattern: Seq[Event => Boolean] = Seq(
+      _.event_type == "purchase", _.event_type == "view")
+    val out = Cep.matchRelaxed(ordered, pattern,
+      withinMs = 7L * 24 * 3600 * 1000,
+      nots = Map(1 -> ((e: Event) => e.event_type == "error")),
+      append = true).toDF()
+    StreamSource.runToTableChained(s, out, "stream_cep_not_ooo", "append")
+      .select(col("user_id"),
+        col("ids").getItem(0).as("p_id"),
+        col("ids").getItem(1).as("v_id"))
+      .orderBy("user_id", "p_id")
+  }
+
+  /** followedByAny on the shuffled replay, same oracle as q_stream_cep_any. */
+  def cepAnyOoo(s: SparkSession, dir: String): DataFrame = {
+    import StreamSource.Event
+    val (raw, delaySec) = OooReplay.stream(s, dir)
+    val src = raw.filter(_.event_type != OooReplay.FlushType)
+    val ordered = StatefulOps.sortedEvents(src, s"$delaySec seconds")
+    val pattern: Seq[Event => Boolean] = Seq(
+      _.event_type == "view", _.event_type == "click", _.event_type == "purchase")
+    val out = Cep.matchRelaxed(ordered, pattern,
+      withinMs = 2L * 24 * 3600 * 1000, any = true, append = true).toDF()
+    StreamSource.runToTableChained(s, out, "stream_cep_any_ooo", "append")
+      .select(col("user_id"),
+        col("ids").getItem(0).as("a_id"),
+        col("ids").getItem(1).as("b_id"),
+        col("ids").getItem(2).as("c_id"))
+      .orderBy("user_id", "a_id", "b_id", "c_id")
+  }
+
   def semiJoin(s: SparkSession, dir: String): DataFrame = {
     val out = StreamJoins.semiJoin(StreamSource.eventsTyped(s, dir), "purchase", "view").toDF()
     StreamSource.runToTable(s, out, "stream_semi_join", "append")
@@ -641,7 +680,7 @@ object StreamQueries {
 
   /** DuckDB oracles — batch-SQL statements equivalent to each streaming
     * operator's final drained output. */
-  val sql: Map[String, String] = Map(
+  private val sqlBase: Map[String, String] = Map(
     "q_stream_drop_before" ->
       """WITH o AS (SELECT user_id, event_id, row_number() OVER w AS rn FROM events
         | WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id))
@@ -1142,4 +1181,9 @@ object StreamQueries {
         |WHERE et0 = 'view' AND et1 = 'click' AND et2 = 'purchase'
         |ORDER BY user_id, a_id""".stripMargin,
   )
+
+  /** ooo replays converge to the ordered run's answer — same oracles. */
+  val sql: Map[String, String] = sqlBase ++ Map(
+    "q_stream_cep_not_ooo" -> sqlBase("q_stream_cep_not"),
+    "q_stream_cep_any_ooo" -> sqlBase("q_stream_cep_any"))
 }
