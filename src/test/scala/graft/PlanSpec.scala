@@ -342,6 +342,20 @@ class PlanSpec extends SparkSpec {
     } finally shared.unpersist()
   }
 
+  test("similar_to lowers to plan-time RLike literals inside codegen, scan pruned") {
+    val df = operators.ScalarFuncs.similar(spark, sf)
+    df.collect() // finalize the AQE plan so codegen stages are visible
+    val p = df.queryExecution.executedPlan.toString
+    // translation happened at plan time: the literal TRANSLATED regex is in
+    // the plan (no runtime translation expression), projection codegen'd
+    assert(p.contains("^(?:.*(bolt|rod).*)$"), s"translated regex not in plan:\n${p.take(2000)}")
+    assert(p.contains("*(1) Project") || p.contains("*(2) Project"),
+      s"similar_to projection not codegen'd:\n${p.take(2000)}")
+    // column pruning reaches the scan: only the three referenced columns
+    assert(p.contains("ReadSchema: struct<p_partkey:bigint,p_name:string,p_brand:string>"),
+      s"scan not pruned to 3 columns:\n${p.take(2000)}")
+  }
+
   test("vec_dot participates in whole-stage codegen") {
     import org.apache.spark.sql.functions.col
     val df = Tables(spark, sf, "embeddings")
