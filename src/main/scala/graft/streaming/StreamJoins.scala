@@ -129,6 +129,11 @@ object StreamJoins {
             (e.ts.getTime / 1000L) * 1000000L + e.ts.getNanos / 1000L
           rows.toSeq.sortBy(e => (us(e), e.event_id)).foreach { e =>
             val tUs = us(e)
+            // every in-order event's time bounds the past: expired probes
+            // keep their null row and leave state — pruning on BOTH branches
+            // keeps state window-dense even for keys whose match stream is
+            // silent (a probe-only key would otherwise accumulate forever)
+            pending = pending.filterNot { case (_, pUs) => pUs + winUs < tUs }
             if (e.event_type == probeType) {
               out += ConnOut(key, e.event_id, None, "+I")
               pending = (e.event_id, tUs) :: pending
@@ -140,8 +145,7 @@ object StreamJoins {
                 out += ConnOut(key, pId, None, "-D")
                 out += ConnOut(key, pId, Some(e.event_id), "+I")
               }
-              // expired probes keep their null row; drop them from state
-              pending = rest.filterNot { case (_, pUs) => pUs + winUs < tUs }
+              pending = rest
             }
           }
           state.update(ConnState(pending))
