@@ -76,6 +76,7 @@ object SparkEntry {
     "q_fn_string"       -> (ScalarFuncs.strings _),
     "q_fn_string2"      -> (ScalarFuncs.strings2 _),
     "q_fn_math"         -> (ScalarFuncs.math _),
+    "q_fn_math2"        -> (ScalarFuncs.math2 _),
     "q_fn_datetime"     -> (ScalarFuncs.datetime _),
     "q_fn_datetime2"    -> (ScalarFuncs.datetime2 _),
     "q_fn_similar"      -> (ScalarFuncs.similar _),
@@ -143,6 +144,7 @@ object SparkEntry {
     "q_stream_cep_any"  -> (streaming.StreamQueries.cepAny _),
     "q_stream_cep_not_ooo" -> (streaming.StreamQueries.cepNotOoo _),
     "q_stream_cep_any_ooo" -> (streaming.StreamQueries.cepAnyOoo _),
+    "q_stream_connect_ooo" -> (streaming.StreamQueries.connectOoo _),
     "q_stream_topn_retract" -> (streaming.StreamQueries.topNRetract _),
     "q_stream_topn_retract_ooo" -> (streaming.StreamQueries.topNRetractOoo _),
     "q_stream_over"     -> (streaming.StreamQueries.over _),
@@ -527,6 +529,14 @@ object SparkEntry {
         | p_name AS enc_rt,
         | p_name AS b64_rt,
         | hex(encode(p_name)) AS hx
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q_fn_math2" ->
+      """SELECT p_partkey,
+        | trunc(p_retailprice * 100) / 100 AS t2,
+        | trunc(p_retailprice - 1000.0) AS t0,
+        | trunc(p_retailprice * 0.01) / 0.01 AS tm2,
+        | trunc(-p_retailprice * 100) / 100 AS tn2,
+        | trunc((1000.0 - p_retailprice) * 10) / 10 AS tmix
         |FROM part ORDER BY p_partkey""".stripMargin,
     "q_fn_similar" ->
       """SELECT p_partkey,

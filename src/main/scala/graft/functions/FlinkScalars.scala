@@ -47,6 +47,12 @@ object FlinkScalarsUtil {
     if (tok == idx) UTF8String.fromString(s.substring(tokStart)) else null
   }
 
+  /** Truncate toward zero at n decimal places (TRUNCATE semantics). */
+  def truncateNum(x: Double, n: Int): Double = {
+    val f = math.pow(10, n)
+    if (x >= 0) math.floor(x * f) / f else math.ceil(x * f) / f
+  }
+
   /** SQL `SIMILAR TO` pattern → anchored Java regex (ref flink-table-runtime
     * SqlLikeUtils.similar / SqlSimilarToOperator — the SQL:2016 production):
     * `%` → `.*`, `_` → `.`; the SIMILAR TO metacharacters `| * + ? ( ) { }`
@@ -107,6 +113,29 @@ case class SplitIndexExpr(first: Expression, second: Expression, third: Expressi
     copy(first = f, second = s, third = t)
 }
 
+/** TRUNCATE(x, n) — truncate TOWARD ZERO to n decimal places (ref
+  * SqlFunctionUtils.truncate / FlinkSqlOperatorTable TRUNCATE; contrast
+  * ROUND's HALF_UP). n may be negative (truncates left of the point).
+  * Pure double arithmetic (multiply, floor/ceil, divide) so any engine
+  * computing the same IEEE ops bit-agrees — the DuckDB oracle emulates
+  * with trunc(x*10^n)/10^n. */
+case class TruncateNumExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == DoubleType && right.dataType == IntegerType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure("truncate_num expects (double, int)")
+  override def nullSafeEval(x: Any, n: Any): Any =
+    FlinkScalarsUtil.truncateNum(x.asInstanceOf[Double], n.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, n) =>
+      s"${ev.value} = graft.functions.FlinkScalarsUtil.truncateNum($x, $n);")
+  override def prettyName: String = "truncate_num"
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): TruncateNumExpr = copy(left = l, right = r)
+}
+
 case class TemporalOverlapsExpr(
     first: Expression, second: Expression,
     third: Expression, fourth: Expression) extends QuaternaryExpression {
@@ -150,6 +179,8 @@ object FlinkScalars {
       es => SplitIndexExpr(es(0), es(1), es(2)))
     add("temporal_overlaps", classOf[TemporalOverlapsExpr],
       es => TemporalOverlapsExpr(es(0), es(1), es(2), es(3)))
+    add("truncate_num", classOf[TruncateNumExpr],
+      es => TruncateNumExpr(es(0), es(1)))
     // SIMILAR TO lowers onto the codegen'd RLike with the pattern translated
     // at plan time (the pattern must be a literal, as in the reference's
     // parser production) — zero runtime translation cost, full WSCG fusion.

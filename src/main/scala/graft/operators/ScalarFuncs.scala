@@ -106,6 +106,22 @@ object ScalarFuncs {
       "hex(p_size) AS v_hex"
     ).orderBy("p_partkey")
 
+  /** TRUNCATE (ref SqlFunctionUtils.truncate — toward ZERO, unlike ROUND's
+    * HALF_UP; negative n truncates left of the decimal point). Native
+    * codegen expr truncate_num; the oracle emulates with trunc(x*10^n)/10^n
+    * (identical IEEE multiply/floor/divide on both engines). */
+  def math2(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.FlinkScalars.register(s)
+    Tables(s, dir, "part").selectExpr(
+      "p_partkey",
+      "truncate_num(p_retailprice, 2) AS t2",
+      "truncate_num(p_retailprice - 1000.0D, 0) AS t0",
+      "truncate_num(p_retailprice, -2) AS tm2",
+      "truncate_num(-p_retailprice, 2) AS tn2",
+      "truncate_num(1000.0D - p_retailprice, 1) AS tmix"
+    ).orderBy("p_partkey")
+  }
+
   /** Temporal functions: ref SqlDateTimeUtils.java. dayofweek aligned to
     * Spark's Sunday=1 convention (oracle adds +1 to DuckDB's Sunday=0). */
   def datetime(s: SparkSession, dir: String): DataFrame =

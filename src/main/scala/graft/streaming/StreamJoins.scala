@@ -111,13 +111,18 @@ object StreamJoins {
     * match stream goes silent — the reference arms the same cleanup timer
     * (CoProcessOperator + state TTL). */
   def connectMatch(ds: Dataset[Event], probeType: String, matchType: String,
-                   windowSec: Long = 3600): Dataset[ConnOut] = {
+                   windowSec: Long = 3600,
+                   append: Boolean = false): Dataset[ConnOut] = {
     import ds.sparkSession.implicits._
     val winUs = windowSec * 1000000L
+    // the +I/-D rows are immutable change facts (consumers fold net>0), so
+    // Append is always sound and is required when chaining after the
+    // watermark sorter (the _ooo driver)
+    val mode = if (append) OutputMode.Append() else OutputMode.Update()
     ds.filter(e => e.event_type == probeType || e.event_type == matchType)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[ConnState, ConnOut](
-        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        mode, GroupStateTimeout.NoTimeout()) {
         (key: Long, rows: Iterator[Event], state: GroupState[ConnState]) =>
           var pending = state.getOption.map(_.pending).getOrElse(Nil)
           val out = scala.collection.mutable.ArrayBuffer.empty[ConnOut]

@@ -50,6 +50,22 @@ object StreamQueries {
       .orderBy("user_id", "p_id")
   }
 
+  /** connect/CoProcess on the shuffled replay: the sorter re-establishes
+    * the in-order kill/expire contract; same oracle as q_stream_connect. */
+  def connectOoo(s: SparkSession, dir: String): DataFrame = {
+    val (raw, delaySec) = OooReplay.stream(s, dir)
+    val src = raw.filter(_.event_type != OooReplay.FlushType)
+    val ordered = StatefulOps.sortedEvents(src, s"$delaySec seconds")
+    val out = StreamJoins.connectMatch(ordered, "purchase", "error", 3600,
+      append = true).toDF()
+    StreamSource.runToTableChained(s, out, "stream_connect_ooo", "append")
+      .groupBy(col("user_id"), col("p_id"), col("e_id"))
+      .agg(sum(when(col("rowkind") === "+I", 1).otherwise(-1)).as("net"))
+      .where(col("net") > 0)
+      .select(col("user_id"), col("p_id"), col("e_id"))
+      .orderBy("user_id", "p_id")
+  }
+
   /** Retracting Top-N: fold the -U/+U/-D/+I changelog to the current
     * ranking (net > 0 per (key, rank, event_id)). */
   def topNRetract(s: SparkSession, dir: String): DataFrame = {
@@ -1185,5 +1201,6 @@ object StreamQueries {
   /** ooo replays converge to the ordered run's answer — same oracles. */
   val sql: Map[String, String] = sqlBase ++ Map(
     "q_stream_cep_not_ooo" -> sqlBase("q_stream_cep_not"),
-    "q_stream_cep_any_ooo" -> sqlBase("q_stream_cep_any"))
+    "q_stream_cep_any_ooo" -> sqlBase("q_stream_cep_any"),
+    "q_stream_connect_ooo" -> sqlBase("q_stream_connect"))
 }
