@@ -23,6 +23,14 @@ object StreamSource {
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                    event_type: String, value: Double)
 
+  /** `$dir/events.parquet` is a single FILE in the driver testdata but a
+    * part-file DIRECTORY when written by Spark (the scale rehearsals);
+    * stream (path, glob) that matches either layout. */
+  private def eventsStreamPath(dir: String): (String, String) = {
+    val p = s"$dir/events.parquet"
+    if (new java.io.File(p).isDirectory) (p, "*.parquet") else (dir, "events.parquet")
+  }
+
   /** events as an unbounded DataFrame via the parquet file-stream source. */
   def events(s: SparkSession, dir: String): DataFrame = {
     // file source needs an explicit schema: take it from the batch reader,
@@ -30,10 +38,11 @@ object StreamSource {
     // (the generator has shipped both nanos-as-long and micros drops)
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = s.read.parquet(s"$dir/events.parquet").schema
+    val (path, glob) = eventsStreamPath(dir)
     graft.Tables.normalizeTs(
       s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir))
+        .option("pathGlobFilter", glob)
+        .parquet(path))
   }
 
   def eventsTyped(s: SparkSession, dir: String): Dataset[Event] = {
@@ -85,8 +94,9 @@ object StreamSource {
     val sentinelDir = s"/tmp/graft-sentinel/${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
     s.createDataFrame(java.util.Arrays.asList(org.apache.spark.sql.Row(values: _*)), schema)
       .coalesce(1).write.mode("overwrite").parquet(sentinelDir)
+    val (path, glob) = eventsStreamPath(dir)
     val real = s.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .option("pathGlobFilter", glob).parquet(path)
     val sentinel = s.readStream.schema(schema).parquet(sentinelDir)
     graft.Tables.normalizeTs(real.union(sentinel))
   }

@@ -92,13 +92,34 @@ object ScaleBench {
     done.createNewFile()
   }
 
+  /** events only, for the streaming rehearsal: k× more USERS (the scale
+    * dimension of keyed state — per-key density stays the base run's, so
+    * per-key state and match counts are invariant and wall cost must track
+    * the key count). */
+  def inflateEvents(s: SparkSession, src: String, out: String, k: Int): Unit = {
+    val done = new java.io.File(s"$out/_DONE_EV_$k")
+    if (done.exists()) return
+    new java.io.File(out).mkdirs()
+    val ev = graft.Tables(s, src, "events")
+    val maxUser = ev.agg(max("user_id")).head().getLong(0) + 1
+    val maxId = ev.agg(max("event_id")).head().getLong(0) + 1
+    (0 until k).map { i =>
+      ev.withColumn("user_id", col("user_id") + lit(i * maxUser))
+        .withColumn("event_id", col("event_id") + lit(i * maxId))
+    }.reduce(_ unionByName _)
+      .coalesce(8).write.mode("overwrite").parquet(s"$out/events.parquet")
+    done.createNewFile()
+  }
+
   def main(args: Array[String]): Unit = {
     val k = args.headOption.map(_.toInt).getOrElse(10)
     val llmOnly = args.lift(1).contains("llm")
     val cdcOnly = args.lift(1).contains("cdc")
+    val streamOnly = args.lift(1).contains("stream")
     val src = "/root/testdata/sf0.1"
     val out = if (llmOnly) s"/tmp/graft-llm$k"
-      else if (cdcOnly) s"/tmp/graft-cdc$k" else "/tmp/graft-sf1"
+      else if (cdcOnly) s"/tmp/graft-cdc$k"
+      else if (streamOnly) s"/tmp/graft-stream$k" else "/tmp/graft-sf1"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -165,6 +186,36 @@ object ScaleBench {
       )
       val total = results.map(_._2).sum
       println(f"""{"metric":"scale_bench_llm","value":$total%.2f,"unit":"sec","k":$k,"queries":{${
+        results.map { case (n, t, rows) => f""""$n":[$t%.2f,$rows]""" }.mkString(",")}}}""")
+      spark.stop()
+      return
+    }
+    // Streaming stateful-operator rehearsal (r9): the session's new keyed
+    // ops over k× more users. Per-key density is held constant, so state
+    // size per key, match counts per key, and per-event work are invariant;
+    // wall cost must track the key count (one state-store shuffle each).
+    if (streamOnly) {
+      inflateEvents(spark, src, out, k)
+      val results = Seq(
+        time(s"connect_${k}x") {
+          spark.catalog.clearCache()
+          graft.streaming.StreamQueries.connect(spark, out).count()
+        },
+        time(s"cep_not_${k}x") {
+          spark.catalog.clearCache()
+          graft.streaming.StreamQueries.cepNot(spark, out).count()
+        },
+        time(s"cep_any_${k}x") {
+          spark.catalog.clearCache()
+          graft.streaming.StreamQueries.cepAny(spark, out).count()
+        },
+        time(s"topn_range_${k}x") {
+          spark.catalog.clearCache()
+          graft.streaming.StreamQueries.topNRange(spark, out).count()
+        },
+      )
+      val total = results.map(_._2).sum
+      println(f"""{"metric":"scale_bench_stream","value":$total%.2f,"unit":"sec","k":$k,"queries":{${
         results.map { case (n, t, rows) => f""""$n":[$t%.2f,$rows]""" }.mkString(",")}}}""")
       spark.stop()
       return
