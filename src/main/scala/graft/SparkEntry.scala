@@ -141,6 +141,7 @@ object SparkEntry {
     "q_stream_topn_range" -> (streaming.StreamQueries.topNRange _),
     "q_stream_connect"  -> (streaming.StreamQueries.connect _),
     "q_stream_cep_not"  -> (streaming.StreamQueries.cepNot _),
+    "q_stream_cep_notnext" -> (streaming.StreamQueries.cepNotNext _),
     "q_stream_cep_any"  -> (streaming.StreamQueries.cepAny _),
     "q_stream_cep_not_ooo" -> (streaming.StreamQueries.cepNotOoo _),
     "q_stream_cep_any_ooo" -> (streaming.StreamQueries.cepAnyOoo _),

@@ -33,7 +33,8 @@ object Cep {
   case class Match(user_id: Long, ids: Seq[Long], counts: Seq[Int],
                    vals: Seq[Double], alt: Int = 0, seq: Long = 0L)
   case class Partial(ids: Seq[Long], startMicros: Long, next: Int,
-                     lastMicros: Long, vals: Seq[Double])
+                     lastMicros: Long, vals: Seq[Double],
+                     seenSince: Boolean = false)
   case class NfaState(partials: Seq[Partial])
 
   /** All strict-contiguity matches of `steps` (one predicate per pattern
@@ -461,13 +462,16 @@ object Cep {
                    withinMs: Long,
                    nots: Map[Int, Event => Boolean] = Map.empty,
                    any: Boolean = false,
-                   append: Boolean = false): Dataset[Match] = {
+                   append: Boolean = false,
+                   nexts: Map[Int, Event => Boolean] = Map.empty): Dataset[Match] = {
     import ds.sparkSession.implicits._
     val L = steps.length
     val withinMicros = withinMs * 1000L
     require(L >= 2)
     require(nots.keys.forall(i => i >= 1 && i < L),
       s"notFollowedBy positions must name a waiting step in [1, ${L - 1}]")
+    require(nexts.keys.forall(i => i >= 1 && i < L),
+      s"notNext positions must name a waiting step in [1, ${L - 1}]")
     // matches are final facts (never revised) so Append is always sound;
     // it is REQUIRED when chaining after sortedEvents (the _ooo drivers —
     // Spark only chains stateful operators in append mode)
@@ -494,6 +498,11 @@ object Cep {
                 } else adv :: kept
               } else if (m > p.lastMicros && nots.get(p.next).exists(_(e)))
                 Nil // notFollowedBy stop state: the negative event kills the partial
+              else if (m > p.lastMicros && !p.seenSince &&
+                  nexts.get(p.next).exists(_(e)))
+                Nil // notNext: the IMMEDIATELY-following event is negative
+              else if (m > p.lastMicros && !p.seenSince)
+                List(p.copy(seenSince = true)) // first later event seen, benign
               else List(p)
             }
             if (steps.head(e))

@@ -254,6 +254,23 @@ object StreamQueries {
       .orderBy("user_id", "p_id")
   }
 
+  /** notNext: purchase whose IMMEDIATELY-following event (any type) is not
+    * an error, then the first view within 7 days. Contrast cepNot: there
+    * ANY intervening error kills; here only the adjacent one does. */
+  def cepNotNext(s: SparkSession, dir: String): DataFrame = {
+    import StreamSource.Event
+    val pattern: Seq[Event => Boolean] = Seq(
+      _.event_type == "purchase", _.event_type == "view")
+    val out = Cep.matchRelaxed(StreamSource.eventsTyped(s, dir), pattern,
+      withinMs = 7L * 24 * 3600 * 1000,
+      nexts = Map(1 -> ((e: Event) => e.event_type == "error"))).toDF()
+    StreamSource.runToTable(s, out, "stream_cep_notnext", "update")
+      .select(col("user_id"),
+        col("ids").getItem(0).as("p_id"),
+        col("ids").getItem(1).as("v_id"))
+      .orderBy("user_id", "p_id")
+  }
+
   /** followedByAny: ALL view→click→purchase combinations (increasing event
     * time) within 2 days, not just the earliest continuation. */
   def cepAny(s: SparkSession, dir: String): DataFrame = {
@@ -966,6 +983,26 @@ object StreamQueries {
         |JOIN c ON c.user_id = a.user_id AND c.ct > b.bt
         |      AND c.ct <= a.at + INTERVAL 2 DAY
         |ORDER BY a.user_id, a.a_id, b.b_id, c.c_id""".stripMargin,
+    "q_stream_cep_notnext" ->
+      """WITH p AS (SELECT user_id, event_id AS p_id, CAST(ts AS TIMESTAMP) AS pt
+        |           FROM events WHERE event_type = 'purchase'),
+        |e AS (SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS t
+        |      FROM events),
+        |nxt AS (SELECT p.user_id, p.p_id, e.event_type AS kind,
+        |         row_number() OVER (PARTITION BY p.user_id, p.p_id
+        |           ORDER BY e.t, e.event_id) AS rn
+        |        FROM p JOIN e ON e.user_id = p.user_id
+        |         AND e.t > p.pt AND e.t <= p.pt + INTERVAL 7 DAY),
+        |c AS (SELECT p.user_id, p.p_id, e.event_id AS v_id,
+        |       row_number() OVER (PARTITION BY p.user_id, p.p_id
+        |         ORDER BY e.t, e.event_id) AS rn
+        |      FROM p JOIN e ON e.user_id = p.user_id AND e.event_type = 'view'
+        |       AND e.t > p.pt AND e.t <= p.pt + INTERVAL 7 DAY)
+        |SELECT c.user_id, c.p_id, c.v_id
+        |FROM c JOIN nxt ON nxt.user_id = c.user_id AND nxt.p_id = c.p_id
+        | AND nxt.rn = 1 AND nxt.kind <> 'error'
+        |WHERE c.rn = 1
+        |ORDER BY c.user_id, c.p_id""".stripMargin,
     "q_stream_cep_not" ->
       """WITH p AS (SELECT user_id, event_id AS p_id, CAST(ts AS TIMESTAMP) AS pt
         |           FROM events WHERE event_type = 'purchase'),
