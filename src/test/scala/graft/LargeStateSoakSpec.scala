@@ -83,6 +83,74 @@ class LargeStateSoakSpec extends SparkSpec {
     } finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
   }
 
+  test(s"connect/CoProcess soak: $N pending probes on RocksDB, cross-batch match, restart") {
+    // connectMatch buffers unmatched probes per key; at soak scale the
+    // buffer must live in the state store (not heap), survive a restart,
+    // and a match row arriving BATCHES later must still retract the null
+    // pad and emit the pair.
+    import graft.streaming.{StreamJoins, StreamSource}
+    import graft.streaming.StreamSource.Event
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      val t0 = 1700000000000L
+      def ev(id: Long, tsMs: Long, user: Long, tpe: String) =
+        Event(id, new java.sql.Timestamp(tsMs), user, tpe, 1.0)
+      val input = MemoryStream[Event]
+      val out = StreamJoins.connectMatch(input.toDS(),
+        probeType = "purchase", matchType = "error", windowSec = 3600)
+      val ckpt = s"/tmp/graft-ckpt/conn-soak-${System.nanoTime()}"
+      val emitted =
+        new java.util.concurrent.ConcurrentLinkedQueue[(Long, Option[Long], String)]()
+      def start() = out.toDF().writeStream
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.persist()
+          try {
+            if (b.count() <= N / 100)
+              b.collect().foreach(r => emitted.add((r.getLong(1), // p_id
+                if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getString(3))))
+          } finally b.unpersist()
+          ()
+        }
+        .start()
+
+      // batch 0: a million purchases, one per user — every key buffers one
+      // pending probe and emits its +I null pad
+      val q1 = start()
+      input.addData((0 until N).map(i => ev(i.toLong, t0, i.toLong, "purchase")))
+      q1.processAllAvailable()
+      assert(q1.lastProgress.stateOperators(0).numRowsTotal === N.toLong,
+        "every probe key must hold buffered state")
+      // batch 1: errors for every 1000th user inside the window → each
+      // retracts its null pad and emits the matched pair
+      input.addData((0 until N by 1000).map(i =>
+        ev(2000000L + i, t0 + 60 * 1000L, i.toLong, "error")))
+      q1.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      val matched = emitted.asScala.filter(_._3 == "+I").flatMap(_._2).toSet
+      assert(matched.size === N / 1000,
+        s"expected ${N / 1000} cross-batch matches, got ${matched.size}")
+      assert(emitted.asScala.count(e => e._3 == "-D" && e._2.isEmpty) === N / 1000,
+        "each match must retract its null pad")
+      q1.stop()
+
+      // restart: a late error for user 123 must match the probe buffered
+      // two batches and one restart ago
+      emitted.clear()
+      val q2 = start()
+      input.addData(Seq(ev(3000123L, t0 + 90 * 1000L, 123L, "error")))
+      q2.processAllAvailable()
+      assert(emitted.asScala.toSet.contains((123L, Some(3000123L), "+I")),
+        s"state not restored across restart: ${emitted.asScala.toSet}")
+      q2.stop()
+    } finally prevProv.fold(spark.conf.unset(provKey))(spark.conf.set(provKey, _))
+  }
+
   test(s"outer-join TTL soak: $N keys on RocksDB, restart, watermark-driven state cleanup") {
     // r8 verdict task 7: leftOuterJoin kept both sides in state forever;
     // the stateTtlMs knob (mirroring the reference StreamingJoinOperator's
