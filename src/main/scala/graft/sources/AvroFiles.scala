@@ -89,6 +89,12 @@ object AvroFiles {
     }.count() // action materializes the write
   }
 
+
+  /** binaryFiles raises on a glob matching ZERO files — the empty-corpus
+    * write produces exactly that; an empty frame is the correct read. */
+  private def hasAvroFiles(s: SparkSession, inDir: String): Boolean =
+    FsCommit.list(inDir).exists(_.endsWith(".avro"))
+
   /** Reader schema for EVOLVED reads: fields in `defaults` are declared
     * non-null with that default (avro resolution fills them when the
     * writer schema lacks the field); everything else is nullable as in
@@ -125,6 +131,8 @@ object AvroFiles {
     * column was added remain readable forever. */
   def readEvolved(s: SparkSession, inDir: String, schema: StructType,
                   defaults: Map[String, AnyRef]): DataFrame = {
+    if (!hasAvroFiles(s, inDir))
+      return s.createDataFrame(s.sparkContext.emptyRDD[Row], schema)
     val names = schema.fieldNames
     val strCols = schema.fields.zipWithIndex
       .collect { case (f, i) if f.dataType == StringType => i }.toSet
@@ -153,6 +161,8 @@ object AvroFiles {
 
   /** Distributed source: decode each container file where it lands. */
   def read(s: SparkSession, inDir: String, schema: StructType): DataFrame = {
+    if (!hasAvroFiles(s, inDir))
+      return s.createDataFrame(s.sparkContext.emptyRDD[Row], schema)
     val names = schema.fieldNames
     val strCols = schema.fields.zipWithIndex
       .collect { case (f, i) if f.dataType == StringType => i }.toSet

@@ -54,7 +54,9 @@ class EmptyInputSpec extends SparkSpec {
     "q_interval_join", "q_mm_decode",
     // streaming representatives (the full 12-query streaming sweep also
     // passed; these keep suite runtime bounded)
-    "q_stream_tumble", "q_stream_topn", "q_stream_cep", "q_stream_connect")
+    "q_stream_tumble", "q_stream_topn", "q_stream_cep", "q_stream_connect",
+    "q_stream_cep_not", "q_stream_cep_notnext", "q_stream_topn_range",
+    "q_fn_math2", "q_fmt_avro_evolve", "q_fmt_csv_quirks")
 
   for (name <- queries)
     test(s"$name runs on an empty corpus") {

@@ -25,6 +25,28 @@ class PropertySpec extends SparkSpec {
     }, n = 10)
   }
 
+  test("similar_to translation agrees with a LIKE-style interpreter on wildcard patterns") {
+    // restrict to the %/_/literal fragment where an independent oracle is
+    // easy: a direct recursive matcher over the UNtranslated pattern
+    def likeMatch(s: String, p: String): Boolean = (s, p) match {
+      case (_, "") => s.isEmpty
+      case (_, pp) if pp.head == '%' =>
+        (0 to s.length).exists(i => likeMatch(s.substring(i), pp.tail))
+      case ("", _) => false
+      case (ss, pp) if pp.head == '_' || pp.head == ss.head =>
+        likeMatch(ss.tail, pp.tail)
+      case _ => false
+    }
+    val genChar = Gen.oneOf('a', 'b', 'c')
+    val genStr = Gen.listOfN(6, genChar).map(_.mkString)
+    val genPat = Gen.listOfN(4, Gen.oneOf(Gen.const('%'), Gen.const('_'), genChar))
+      .map(_.mkString)
+    check(Prop.forAll(genStr, genPat) { (s: String, p: String) =>
+      val re = graft.functions.FlinkScalarsUtil.similarToRegex(p, None)
+      s.matches(re) == likeMatch(s, p)
+    }, n = 200)
+  }
+
   test("custom as-of join agrees with a per-row scan oracle on random data") {
     import spark.implicits._
     val genRow = for {
