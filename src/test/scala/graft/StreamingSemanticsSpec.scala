@@ -188,6 +188,39 @@ class StreamingSemanticsSpec extends SparkSpec {
     q.stop()
   }
 
+  test("broadcast state pattern: rule updates are visible to subsequent batches") {
+    // ref DataStream.broadcast(MapStateDescriptor) + BroadcastProcessFunction:
+    // a low-volume rules stream replicated to every task, matched against
+    // the event stream with the rules CURRENT at processing time. Spark
+    // mapping (SURVEY §2.9): re-read + broadcast the rules table inside
+    // foreachBatch — each micro-batch joins against the rules as of that
+    // batch, so a rule update between batches changes subsequent matches
+    // only (exactly the reference's processBroadcastElement ordering).
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.broadcast
+    @volatile var rules: Seq[(String, Double)] = Seq("click" -> 1.0)
+    val matched = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Double)]()
+    val input = MemoryStream[Event]
+    val q = input.toDS().writeStream
+      .option("checkpointLocation", s"/tmp/graft-ckpt/t-bcast-${System.nanoTime()}")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Event], _: Long) =>
+        val r = spark.createDataFrame(rules).toDF("event_type", "w")
+        batch.toDF().join(broadcast(r), "event_type")
+          .select("event_id", "w").collect()
+          .foreach(row => matched.add((row.getLong(0), row.getDouble(1))))
+        ()
+      }.start()
+    input.addData(Seq(ev(1, 1, 1, "click", 0), ev(2, 2, 1, "view", 0)))
+    q.processAllAvailable()
+    rules = Seq("click" -> 2.0, "view" -> 5.0) // broadcast-side update
+    input.addData(Seq(ev(3, 3, 1, "click", 0), ev(4, 4, 1, "view", 0)))
+    q.processAllAvailable()
+    q.stop()
+    val got = matched.toArray.map(_.asInstanceOf[(Long, Double)]).toSeq.sorted
+    assert(got === Seq((1L, 1.0), (3L, 2.0), (4L, 5.0)),
+      s"batch-1 must see old rules, batch-2 the update: $got")
+  }
+
   test("state survives query restart from the same checkpoint (exactly-once recovery)") {
     implicit val sqlCtx = spark.sqlContext
     val ckpt = s"/tmp/graft-ckpt/t-recover-${System.nanoTime()}"
