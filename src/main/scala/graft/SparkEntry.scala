@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{BatchRelational, Dedup, Formats, Graph, GroupWindowSql, Multimodal, Pipeline, ScalarFuncs, ScaleOps, Similarity, SqlSurface, StatementSets, TextAnalysis, TpcDsSurface, Udafs, WindowAggs}
+import graft.operators.{BatchRelational, Dedup, Formats, Graph, GraphGens, GroupWindowSql, Multimodal, Pipeline, ScalarFuncs, ScaleOps, Similarity, SqlSurface, StatementSets, TextAnalysis, TpcDsSurface, Udafs, WindowAggs}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -222,6 +222,14 @@ object SparkEntry {
     "q_graph_community" -> (Graph.docCommunity _),
     "q_graph_hits"      -> (Graph.docHits _),
     "q_graph_summarize" -> (Graph.docSummarize _),
+    "q_graph_gen_edges"   -> (GraphGens.genEdges _),
+    "q_graph_gen_rmat"    -> (GraphGens.genRmat _),
+    "q_graph_gen_summary" -> (GraphGens.genSummary _),
+    "q_graph_degrees"     -> (GraphGens.docDegrees _),
+    "q_graph_max_degree"  -> (GraphGens.docMaxDegree _),
+    "q_graph_bipartite_top"  -> (GraphGens.bipartiteTopSimple _),
+    "q_graph_bipartite_full" -> (GraphGens.bipartiteTopFull _),
+    "q_graph_ops"         -> (GraphGens.graphOps _),
     "q_sql_q3"          -> (SqlSurface.q3 _),
     "q_sql_subquery"    -> (SqlSurface.correlatedSubquery _),
     "q_tpch_q1"         -> (SqlSurface.tpchQuery("q_tpch_q1") _),
@@ -662,5 +670,5 @@ object SparkEntry {
     graft.sources.JdbcDemo.sql ++ graft.sources.CdcFormats.sql ++
     graft.sources.StateRead.sql ++ StatementSets.sql ++
     streaming.CdcStream.sql ++ graft.operators.MlPipeline.sql ++
-    graft.operators.SystemTimeSql.sql ++ Similarity.sql
+    graft.operators.SystemTimeSql.sql ++ Similarity.sql ++ GraphGens.sql
 }

@@ -1324,7 +1324,7 @@ object Graph {
         .select(col("doc_a").as("src"), col("doc_b").as("dst")))
 
   /** Shared oracle fragment: near-dup pair edges (symmetrized) + vertices. */
-  private val graphCtes: String = graft.LlmOracles.pairsCte + """,
+  private[graft] val graphCtes: String = graft.LlmOracles.pairsCte + """,
     |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
     |          UNION SELECT doc_b, doc_a FROM pairs),
     |verts AS (SELECT doc_id AS id FROM documents)""".stripMargin
@@ -1429,7 +1429,7 @@ object Graph {
   /** Shared oracle prefix: the md5-directed window digraph fixture
     * ([[windowDigraph]]) as dyad states st(a, b, s), s = 1 a→b / 2 b→a /
     * 3 mutual, a < b. */
-  private val windowCtes: String =
+  private[graft] val windowCtes: String =
     """WITH vv AS (SELECT doc_id AS id FROM documents),
       |cand AS (SELECT a.id AS a, b.id AS b,
       |   ('0x' || substr(md5(a.id::VARCHAR || '_' || b.id::VARCHAR), 1, 15))::UBIGINT % 4 AS h

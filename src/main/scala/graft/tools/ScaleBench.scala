@@ -116,6 +116,7 @@ object ScaleBench {
     val llmOnly = args.lift(1).contains("llm")
     val cdcOnly = args.lift(1).contains("cdc")
     val streamOnly = args.lift(1).contains("stream")
+    val graphOnly = args.lift(1).contains("graph")
     val src = "/root/testdata/sf0.1"
     val out = if (llmOnly) s"/tmp/graft-llm$k"
       else if (cdcOnly) s"/tmp/graft-cdc$k"
@@ -216,6 +217,44 @@ object ScaleBench {
       )
       val total = results.map(_._2).sum
       println(f"""{"metric":"scale_bench_stream","value":$total%.2f,"unit":"sec","k":$k,"queries":{${
+        results.map { case (n, t, rows) => f""""$n":[$t%.2f,$rows]""" }.mkString(",")}}}""")
+      spark.stop()
+      return
+    }
+    // Graph rehearsal (r9): algorithms over in-engine RMat graphs — the
+    // generator is shuffle-free codegen over range(m), so the measured cost
+    // is pure algorithm. k scales the EDGE count (vertex space scales with
+    // it, Graph500-style: m = 4·n keeps average degree constant while the
+    // power-law hubs grow), exercising exactly the skew the doc-pair graphs
+    // are too small to show: degrees is two linear shuffles; CC's min-label
+    // rounds must stay bounded by the (shrinking) diameter; PageRank is a
+    // fixed 3 rounds of join+agg.
+    if (graphOnly) {
+      // edges scale exactly with k (2^20·k); the vertex-id space grows with
+      // it so the average degree stays ~constant while hub mass grows
+      val scale = if (k >= 100) 24 else if (k >= 10) 20 else 17
+      val m = k.toLong << 20
+      val edges = graft.operators.GraphGens.rmat(spark, scale, m)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val verts = edges.select(col("src").as("id"))
+        .union(edges.select(col("dst").as("id"))).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      System.err.println(s"[scale-bench] rmat scale=$scale m=$m verts=${verts.count()} (gen warmed)")
+      edges.count()
+      val results = Seq(
+        time(s"graph_degrees_${k}x") {
+          graft.operators.GraphGens.vertexDegreesDirected(verts, edges).count()
+        },
+        time(s"graph_cc_${k}x") {
+          graft.operators.Graph.connectedComponents(verts, edges, maxIter = 30)
+            .select(max(col("label"))).count()
+        },
+        time(s"graph_pagerank_${k}x") {
+          graft.operators.Graph.pageRank(verts, edges.distinct(), iters = 3).count()
+        },
+      )
+      val total = results.map(_._2).sum
+      println(f"""{"metric":"scale_bench_graph","value":$total%.2f,"unit":"sec","k":$k,"scale":$scale,"m":$m,"queries":{${
         results.map { case (n, t, rows) => f""""$n":[$t%.2f,$rows]""" }.mkString(",")}}}""")
       spark.stop()
       return
