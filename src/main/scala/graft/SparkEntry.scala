@@ -296,6 +296,7 @@ object SparkEntry {
     "q_ddl_insert_partition" -> (graft.sources.HiveCatalog.insertPartition _),
     "q_sql_cascade"     -> (GroupWindowSql.cascade _),
     "q_ml_pipeline"     -> (graft.operators.MlPipeline.mlPipeline _),
+    "q_ml_gaussian"     -> (graft.operators.MlPipeline.gaussian _),
     "q_sql_system_time" -> (graft.operators.SystemTimeSql.systemTimeJoin _),
     "q_sql_temporal_func" -> (graft.operators.SystemTimeSql.temporalFuncJoin _),
     "q_sparse_cosine"   -> (Similarity.sparseCosinePairs _),

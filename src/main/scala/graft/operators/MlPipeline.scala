@@ -116,7 +116,76 @@ object MlPipeline {
       .orderBy("vec_id")
   }
 
+  /** MultivariateGaussian scoring (ref flink-ml-lib common/statistics/
+    * basicstatistic/MultivariateGaussian.java): logpdf(x) = u − ½·v·v with
+    * u = log((2π)^(−k/2)·det(Σ)^(−1/2)), expanded per dimension for a
+    * DIAGONAL Σ — the covariance family whose fit AND scoring replay
+    * exactly in a second engine. (The reference's full-Σ path runs LAPACK
+    * dsyevd on the driver — at scale that is a k×k metadata solve, but its
+    * eigenbasis is not oracle-reproducible bit-for-bit, so the engine ships
+    * the diagonal specialization: logpdf = −½·Σ_d[(x_d−μ_d)²/σ²_d +
+    * ln(2π·σ²_d)], identical when Σ is diagonal.)
+    *
+    * Determinism scheme (the repo's exact-integer bridge): vectors are
+    * int8-quantized first (exact integers in both engines), the fit is
+    * per-dimension exact BIGINT (n, Σx, Σx²) so μ and σ² fall out of ONE
+    * double expression over exact integers — IEEE-identical anywhere; each
+    * vector's per-dim term is micro-nat quantized (round(t·1e6) BIGINT)
+    * before the order-independent integer sum. Degenerate dimensions floor
+    * at σ²=1e-9 (the reference's pseudo-inverse tolerance role).
+    *
+    * Scale: the fit is one partial-aggregated shuffle of (dim) groups; the
+    * fitted (μ, σ²) table is dim-sized metadata collected like the k-means
+    * centroids and scored as a broadcast literal zip_with — scoring itself
+    * is shuffle-free codegen. */
+  def gaussian(s: SparkSession, dir: String): DataFrame = {
+    val q = Tables(s, dir, "embeddings").select(col("vec_id"), expr(
+      """transform(embedding, x -> cast(floor(cast(x AS DOUBLE) /
+        | (array_max(transform(embedding, y -> abs(cast(y AS DOUBLE)))) / 127.0D)
+        | + 0.5D) AS BIGINT))""".stripMargin.replace("\n", "")).as("q"))
+    val mv = q.select(posexplode(col("q")).as(Seq("d", "x")))
+      .groupBy("d")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("d"),
+        expr("cast(sx AS DOUBLE) / n").as("mu"),
+        expr("greatest((cast(sxx AS DOUBLE) - cast(sx AS DOUBLE) * sx / n) / n, 1.0E-9D)").as("v2"))
+      .orderBy("d").collect()
+    // empty corpus: nothing to fit — return the empty scored frame (an
+    // empty array() literal would not even analyze: array<string> vs the
+    // bigint zip_with side)
+    if (mv.isEmpty)
+      return q.select(col("vec_id"), lit(0.0d).as("logpdf")).where(lit(false))
+    // shortest round-trip literals: the oracle's own fit produces the same
+    // doubles, so the scoring expressions agree bit-for-bit
+    val mus = mv.map(r => java.lang.Double.toString(r.getDouble(1))).mkString(",")
+    val v2s = mv.map(r => java.lang.Double.toString(r.getDouble(2))).mkString(",")
+    q.select(col("vec_id"), expr(
+      s"""aggregate(
+         |  zip_with(zip_with(q, array($mus), (x, m) -> cast(x AS DOUBLE) - m),
+         |           array($v2s),
+         |    (dd, v) -> cast(round((-0.5D * (dd * dd / v + ln(2D * pi() * v))) * 1000000.0D) AS BIGINT)),
+         |  0L, (a, t) -> a + t)""".stripMargin).as("micro"))
+      .select(col("vec_id"),
+        round(col("micro") / lit(1000000.0), 5).as("logpdf"))
+      .orderBy("vec_id")
+  }
+
   val sql: Map[String, String] = Map(
+    "q_ml_gaussian" ->
+      """WITH q AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]), x ->
+        |    CAST(floor(x / (list_max(list_transform(CAST(embedding AS DOUBLE[]), y -> abs(y))) / 127.0)
+        |      + 0.5) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |t AS (SELECT vec_id, i.i AS d, q.q[i.i] AS x FROM q, range(1, 65) i(i)),
+        |st AS (SELECT d, count(*) AS n, sum(x) AS sx, sum(x * x) AS sxx FROM t GROUP BY d),
+        |mv AS (SELECT d, sx::DOUBLE / n AS mu,
+        |    greatest((sxx::DOUBLE - sx::DOUBLE * sx / n) / n, 1e-9) AS v2 FROM st),
+        |terms AS (SELECT t.vec_id,
+        |    CAST(round((-0.5 * ((t.x - mv.mu) * (t.x - mv.mu) / mv.v2 + ln(2 * pi() * mv.v2))) * 1000000.0) AS BIGINT) AS tm
+        |  FROM t JOIN mv USING (d))
+        |SELECT vec_id, round(sum(tm)::DOUBLE / 1000000.0, 5) AS logpdf
+        |FROM terms GROUP BY vec_id ORDER BY vec_id""".stripMargin,
     "q_ml_pipeline" -> (graft.LlmOracles.kmeansCtesOn(
       """SELECT vec_id, list_transform(v0, x -> floor(x / s + 0.5)) AS v FROM (
         | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0,

@@ -56,7 +56,11 @@ class EmptyInputSpec extends SparkSpec {
     // passed; these keep suite runtime bounded)
     "q_stream_tumble", "q_stream_topn", "q_stream_cep", "q_stream_connect",
     "q_stream_cep_not", "q_stream_cep_notnext", "q_stream_topn_range",
-    "q_fn_math2", "q_fmt_avro_evolve", "q_fmt_csv_quirks")
+    "q_fn_math2", "q_fmt_avro_evolve", "q_fmt_csv_quirks",
+    // r9 continuation-4 corpus-reading additions (the generator queries
+    // read no corpus table, like q_values, and are exempt by omission)
+    "q_graph_degrees", "q_graph_max_degree", "q_graph_bipartite_top",
+    "q_ml_gaussian")
 
   for (name <- queries)
     test(s"$name runs on an empty corpus") {
