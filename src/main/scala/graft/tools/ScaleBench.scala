@@ -242,8 +242,16 @@ object ScaleBench {
       System.err.println(s"[scale-bench] rmat scale=$scale m=$m verts=${verts.count()} (gen warmed)")
       edges.count()
       val results = Seq(
+        // NB: a bare count() here measures nothing — the left join's right
+        // side is an aggregate with distinct keys, so Catalyst's distinct-
+        // key propagation ELIMINATES the join (and with it both degree
+        // shuffles) when no degree column is consumed. Summing the degree
+        // columns forces the real plan.
         time(s"graph_degrees_${k}x") {
-          graft.operators.GraphGens.vertexDegreesDirected(verts, edges).count()
+          val d = graft.operators.GraphGens.vertexDegreesDirected(verts, edges)
+            .agg(sum(col("degree")), sum(col("out_degree")), count(lit(1)))
+            .head()
+          d.getLong(2)
         },
         time(s"graph_cc_${k}x") {
           graft.operators.Graph.connectedComponents(verts, edges, maxIter = 30)

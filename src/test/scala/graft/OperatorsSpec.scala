@@ -738,6 +738,30 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("accumulators: side metrics ride the job, no second pass (observe)") {
+    // Flink's user accumulators (flink-core api/common/accumulators/
+    // IntCounter.java, AverageAccumulator.java — registered on the
+    // RuntimeContext, merged at the JobManager) map to Dataset.observe:
+    // named aggregate metrics computed DURING the action and surfaced via
+    // the query listener, so counting malformed/filtered rows costs no
+    // extra scan. Unlike a Spark longAccumulator in a map(), observe
+    // metrics are exactly-once under task retries — the semantics Flink's
+    // accumulator merge gives.
+    import org.apache.spark.sql.functions._
+    val obs = org.apache.spark.sql.Observation(s"acc-${System.nanoTime()}")
+    val li = Tables(spark, sf, "lineitem")
+    val observed = li.observe(obs,
+      count(lit(1)).as("rows_seen"),                       // IntCounter
+      sum(when(col("l_quantity") > 30, 1L).otherwise(0L)).as("big_qty"), // filtered-row counter
+      avg(col("l_quantity")).as("avg_qty"))                // AverageAccumulator
+    val kept = observed.where(col("l_quantity") <= 30).count()
+    val m = obs.get
+    val total = li.count()
+    assert(m("rows_seen") === total)
+    assert(m("big_qty").asInstanceOf[Long] === total - kept)
+    assert(m("avg_qty").asInstanceOf[Double] > 0)
+  }
+
   test("entry smoke: flagship query returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

@@ -31,6 +31,42 @@ class StateReadSpec extends SparkSpec {
     assert(n >= users, s"state rows $n < users $users")
   }
 
+  test("queryable state: point lookups against a LIVE query's keyed state") {
+    // The reference's flink-queryable-state serves key lookups against a
+    // RUNNING job's keyed state (KeyedStream.java:1034 asQueryableState +
+    // QueryableStateClient). Spark-first analog: state-store versions are
+    // immutable per committed batch, so a batch statestore scan against the
+    // ACTIVE query's checkpoint is a consistent point-in-time read — no
+    // stop, no savepoint. The query stays running across both lookups and
+    // the second lookup observes exactly the extra batch.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val ckpt = s"/tmp/graft-stateread/spec-live-${System.nanoTime()}"
+    val in = MemoryStream[(Long, Double)]
+    val agg = in.toDF().toDF("user_id", "value")
+      .groupBy("user_id").agg(count(lit(1)).as("cnt"), sum("value").as("s"))
+    val q = agg.writeStream.format("memory").queryName("state_spec_live")
+      .outputMode("update").option("checkpointLocation", ckpt).start()
+    try {
+      in.addData((1L, 10.0), (1L, 5.0), (2L, 7.0))
+      q.processAllAvailable()
+      assert(q.isActive, "query must be live for the first lookup")
+      val lookup1 = spark.read.format("statestore").load(ckpt)
+        .select(col("key.user_id").as("u"), col("value.count").as("c"))
+        .where(col("u") === 1L).collect()
+      assert(lookup1.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((1L, 2L)))
+
+      in.addData((1L, 1.0), (3L, 2.0))
+      q.processAllAvailable()
+      assert(q.isActive, "query must still be live for the second lookup")
+      val lookup2 = spark.read.format("statestore").load(ckpt)
+        .select(col("key.user_id").as("u"), col("value.count").as("c"))
+        .orderBy("u").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(lookup2 === Seq((1L, 3L), (2L, 1L), (3L, 1L)))
+    } finally q.stop()
+  }
+
   private def flattenNames(t: org.apache.spark.sql.types.StructType): Seq[String] =
     t.fields.toSeq.flatMap { f =>
       f.dataType match {
