@@ -485,7 +485,24 @@ object GraphGens {
     val ir = sing.where(col("src") < 4)
       .unionByName(sing.where(col("src") < 2))
 
+    // asm/simple Simplify (directed + undirected): RMat is the honest
+    // input here — a multigraph WITH self-loops. val is a pure function of
+    // (src, dst), so distinct on all three equals the reference's
+    // distinct(0, 1) while staying deterministic.
+    val multi = withVal(rmat(s, scale = 5, m = 300))
+    val simpDir = multi.where(col("src") =!= col("dst")).distinct()
+    // the flipped copy KEEPS its edge value (SymmetrizeAndRemoveSelfLoops),
+    // so (a,b) can carry two values after symmetrizing; the reference's
+    // distinct(0,1) keeps an arbitrary one — min(val) is the deterministic
+    // tie-break both engines apply
+    val simpUndir = multi
+      .unionByName(multi.select(col("dst").as("src"), col("src").as("dst"), col("val")))
+      .where(col("src") =!= col("dst"))
+      .groupBy("src", "dst").agg(min(col("val")).as("val"))
+
     tag("union", g1.unionByName(g2))
+      .unionByName(tag("simplify_directed", simpDir))
+      .unionByName(tag("simplify_undirected", simpUndir))
       .unionByName(tag("difference", removeVertices(g1, g2verts)))
       .unionByName(tag("subgraph", subgraph(cyc12verts, g1,
         col("id") % 2 === 0, col("val") % 2 === 0)))
@@ -547,7 +564,9 @@ object GraphGens {
           |FROM rmat_edges, rmat_verts v GROUP BY v.vertices""".stripMargin
       ).mkString("\nUNION ALL\n") + "\nORDER BY gen"),
 
-    "q_graph_ops" -> (s"""WITH g1 AS (SELECT src, dst, (src * 31 + dst) % 7 AS val FROM (${cycleSql(12)})),
+    "q_graph_ops" -> (s"""WITH ${rmatCte(5, 300)},
+       |multi AS (SELECT src, dst, (src * 31 + dst) % 7 AS val FROM rmat_edges),
+       |g1 AS (SELECT src, dst, (src * 31 + dst) % 7 AS val FROM (${cycleSql(12)})),
        |g2 AS (SELECT src, dst, (src * 31 + dst) % 7 AS val FROM (${pathSql(9)})),
        |sing AS (SELECT src, dst, (src * 31 + dst) % 7 AS val FROM (${singletonSql(4)})),
        |il AS (SELECT * FROM sing UNION ALL SELECT * FROM sing),
@@ -561,6 +580,12 @@ object GraphGens {
        |  FROM cl JOIN cr USING (src, dst, val))
        |SELECT 'union' AS op, src, dst, val FROM g1
        |UNION ALL SELECT 'union', src, dst, val FROM g2
+       |UNION ALL SELECT 'simplify_directed', src, dst, val
+       |  FROM (SELECT DISTINCT src, dst, val FROM multi WHERE src <> dst)
+       |UNION ALL SELECT 'simplify_undirected', src, dst, min(val)
+       |  FROM (SELECT src, dst, val FROM multi
+       |        UNION ALL SELECT dst, src, val FROM multi)
+       |  WHERE src <> dst GROUP BY src, dst
        |UNION ALL SELECT 'difference', src, dst, val FROM g1
        |  WHERE src NOT IN (SELECT t.range FROM range(9) t)
        |    AND dst NOT IN (SELECT t.range FROM range(9) t)

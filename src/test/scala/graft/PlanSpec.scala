@@ -366,4 +366,31 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("*(1) Project"), s"vec_dot projection not codegen'd:\n$p")
     assert(df.head().getDouble(0) > 0.0)
   }
+
+  test("graph generators are shuffle-free codegen over range()") {
+    import graft.operators.GraphGens
+    // 10^12-edge generation must cost nothing but the per-edge expression:
+    // no Exchange of any kind in the raw generator plans
+    for (df <- Seq(GraphGens.rmat(spark, 8, 1000),
+                   GraphGens.complete(spark, 24),
+                   GraphGens.grid(spark, Seq((4L, true), (5L, false))))) {
+      val p = plan(df)
+      assert(!p.contains("Exchange"), s"shuffle in generator plan:\n$p")
+      assert(p.contains("Range"), s"no range scan in generator plan:\n$p")
+    }
+  }
+
+  test("bipartite projection hash-joins the banded index, never nested-loop") {
+    val p = plan(graft.operators.GraphGens.bipartiteTopSimple(spark, sf))
+    assert(!p.contains("CartesianProduct"), s"cartesian in projection plan:\n$p")
+    // the projection self-join itself must be an equi hash/merge join on
+    // the bottom key; the only nested-loop allowed is the 1-row degree-cap
+    // broadcast (a scalar crossJoin by construction — it appears once per
+    // self-join side)
+    val bnl = p.split("BroadcastNestedLoopJoin").length - 1
+    val capBnl = p.split("BroadcastNestedLoopJoin BuildRight, Cross, \\(df").length - 1
+    assert(bnl == capBnl, s"projection self-join went nested-loop:\n$p")
+    assert(p.contains("SortMergeJoin [btm") || p.contains("BroadcastHashJoin [btm"),
+      s"no equi join on the bottom key:\n$p")
+  }
 }
