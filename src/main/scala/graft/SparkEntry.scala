@@ -297,6 +297,7 @@ object SparkEntry {
     "q_sql_cascade"     -> (GroupWindowSql.cascade _),
     "q_ml_pipeline"     -> (graft.operators.MlPipeline.mlPipeline _),
     "q_ml_gaussian"     -> (graft.operators.MlPipeline.gaussian _),
+    "q_stream_iterate"  -> (streaming.StreamIterate.userCountdown _),
     "q_sql_system_time" -> (graft.operators.SystemTimeSql.systemTimeJoin _),
     "q_sql_temporal_func" -> (graft.operators.SystemTimeSql.temporalFuncJoin _),
     "q_sparse_cosine"   -> (Similarity.sparseCosinePairs _),
@@ -671,5 +672,6 @@ object SparkEntry {
     graft.sources.JdbcDemo.sql ++ graft.sources.CdcFormats.sql ++
     graft.sources.StateRead.sql ++ StatementSets.sql ++
     streaming.CdcStream.sql ++ graft.operators.MlPipeline.sql ++
-    graft.operators.SystemTimeSql.sql ++ Similarity.sql ++ GraphGens.sql
+    graft.operators.SystemTimeSql.sql ++ Similarity.sql ++ GraphGens.sql ++
+    streaming.StreamIterate.sql
 }

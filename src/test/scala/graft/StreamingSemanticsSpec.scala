@@ -251,4 +251,18 @@ class StreamingSemanticsSpec extends SparkSpec {
     assert(emitted.contains(3L))
     q2.stop()
   }
+
+  test("streaming iterate: feedback edge loops each element its own number of supersteps") {
+    // DataStream.iterate() semantics: element with n steps left re-enters
+    // the operator n times, then takes the exit branch; the loop ends when
+    // the feedback stream runs dry (StreamIterate scaladoc).
+    import spark.implicits._
+    val seed = Seq((10L, 1L), (11L, 4L), (12L, 7L)).toDF("id", "steps_left")
+    val out = graft.streaming.StreamIterate
+      .iterate(spark, seed, s"/tmp/graft-iterate/spec-${System.nanoTime()}")
+      .select("id", "steps_left", "steps_done")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    // every element exits exactly once, at zero, having done its own count
+    assert(out === Seq((10L, 0L, 1L), (11L, 0L, 4L), (12L, 0L, 7L)))
+  }
 }
