@@ -422,6 +422,17 @@ object GraphGens {
       .join(rm.select(col("id").as("src")), Seq("src"), "left_anti")
       .join(rm.select(col("id").as("dst")), Seq("dst"), "left_anti")
 
+  /** InvalidVertexIdsValidator (ref gelly validation/
+    * InvalidVertexIdsValidator.java): edge endpoints that do not exist in
+    * the vertex set — the reference's validate() is `returned set is
+    * empty`. Expressed as a union + left_anti join (coGroup in the
+    * reference), fully distributed. */
+  def invalidVertexIds(vertices: DataFrame, edges: DataFrame): DataFrame =
+    edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id")))
+      .distinct()
+      .join(vertices.select(col("id")), Seq("id"), "left_anti")
+
   /** subgraph (Graph.java:867): vertex predicate keeps edges whose BOTH
     * endpoints survive (two equi-joins against the filtered vertex set,
     * exactly the reference's double ProjectEdge join), then the edge
@@ -500,7 +511,13 @@ object GraphGens {
       .where(col("src") =!= col("dst"))
       .groupBy("src", "dst").agg(min(col("val")).as("val"))
 
+    // asm/translate (TranslateGraphIds + TranslateEdgeValues with the
+    // shipped LongValueAddOffset translator shape): pure column maps
+    val translated = g2.select((col("src") + 100).as("src"),
+      (col("dst") + 100).as("dst"), (col("val") * 2).as("val"))
+
     tag("union", g1.unionByName(g2))
+      .unionByName(tag("translate", translated))
       .unionByName(tag("simplify_directed", simpDir))
       .unionByName(tag("simplify_undirected", simpUndir))
       .unionByName(tag("difference", removeVertices(g1, g2verts)))
@@ -580,6 +597,7 @@ object GraphGens {
        |  FROM cl JOIN cr USING (src, dst, val))
        |SELECT 'union' AS op, src, dst, val FROM g1
        |UNION ALL SELECT 'union', src, dst, val FROM g2
+       |UNION ALL SELECT 'translate', src + 100, dst + 100, val * 2 FROM g2
        |UNION ALL SELECT 'simplify_directed', src, dst, val
        |  FROM (SELECT DISTINCT src, dst, val FROM multi WHERE src <> dst)
        |UNION ALL SELECT 'simplify_undirected', src, dst, min(val)

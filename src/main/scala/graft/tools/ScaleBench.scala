@@ -184,6 +184,18 @@ object ScaleBench {
           spark.catalog.clearCache()
           graft.operators.TextAnalysis.perplexity(spark, out).count()
         },
+        // r9 additions must prove their own linearity: the gaussian fit is
+        // one dim-keyed shuffle + zero-shuffle scoring; the bipartite
+        // projection is the banded inverted-index self-join (per-copy
+        // token universes are disjoint, so the band keeps fan-out flat)
+        time(s"gaussian_${k}x") {
+          spark.catalog.clearCache()
+          graft.operators.MlPipeline.gaussian(spark, out).count()
+        },
+        time(s"bipartite_${k}x") {
+          spark.catalog.clearCache()
+          graft.operators.GraphGens.bipartiteTopSimple(spark, out).count()
+        },
       )
       val total = results.map(_._2).sum
       println(f"""{"metric":"scale_bench_llm","value":$total%.2f,"unit":"sec","k":$k,"queries":{${

@@ -67,6 +67,17 @@ class GraphGensSpec extends SparkSpec {
       (4L, 0L, 0L, 0L)))
   }
 
+  test("invalidVertexIds: validate() finds dangling edge endpoints") {
+    import spark.implicits._
+    val verts = Seq(1L, 2L, 3L).toDF("id")
+    val okEdges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    assert(GraphGens.invalidVertexIds(verts, okEdges).count() === 0) // valid graph
+    val badEdges = okEdges.union(Seq((3L, 99L), (98L, 1L)).toDF("src", "dst"))
+    val bad = GraphGens.invalidVertexIds(verts, badEdges)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(bad === Seq(98L, 99L))
+  }
+
   test("maximumDegreeFilter drops the hub and every incident edge") {
     import spark.implicits._
     // star around 0 plus one far edge; cap 2 kills the hub, keeps the edge
