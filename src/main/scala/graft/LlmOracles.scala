@@ -49,6 +49,30 @@ object LlmOracles {
       |              j -> list_min(hs[j:j+3])) END AS s
       | FROM h)""".stripMargin
 
+  /** Planted web-line fixture (WebPipeline.linesDf's oracle twin): 8-token
+    * chunk lines decorated per (doc, line) md5 draw, page-level lorem-ipsum
+    * / curly-brace poison lines — shared by q_c4_filter and q_dedup_lines. */
+  val webLinesCtes: String =
+    """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS t,
+      |  greatest(CAST(ceil(len(string_split(lower(text), ' ')) / 8.0) AS INT), 1) AS nl
+      | FROM documents),
+      |l1 AS (SELECT doc_id,
+      |  list_transform(range(0, nl), i ->
+      |    CASE ('0x'||substr(md5('ln:'||doc_id||':'||i), 1, 15))::UBIGINT % 20
+      |      WHEN 0 THEN 'subscribe to our newsletter for the latest updates'
+      |      WHEN 1 THEN 'please enable javascript to view this site.'
+      |      WHEN 2 THEN array_to_string(t[i*8+1:i*8+8], ' ')
+      |      WHEN 3 THEN array_to_string(t[i*8+1:i*8+2], ' ') || '.'
+      |      ELSE array_to_string(t[i*8+1:i*8+8], ' ') || '.'
+      |    END) AS lines0,
+      |  ('0x'||substr(md5('doc:'||doc_id), 1, 15))::UBIGINT % 25 AS pg
+      | FROM d),
+      |lns AS (SELECT doc_id,
+      |  CASE WHEN pg = 0 THEN list_append(lines0, 'lorem ipsum dolor sit amet.')
+      |       WHEN pg = 1 THEN list_append(lines0, 'function() { return 0; }')
+      |       ELSE lines0 END AS lines
+      | FROM l1)""".stripMargin
+
   /** The deterministic 2-round Lloyd fit (k=8, init = vec_id<8, centroids
     * rounded to 6 per dim) ending in the final assignment CTE `asg` —
     * shared by q_ann_kmeans and q_semdedup. */
@@ -413,5 +437,62 @@ object LlmOracles {
         |FROM (SELECT doc_id, 1 + octet_length(encode(text)) % 7 AS n_frames FROM documents) d,
         |     range(7) f(f)
         |WHERE f.f < n_frames ORDER BY doc_id, frame_idx""".stripMargin,
+    "q_c4_filter" ->
+      (webLinesCtes + """,
+        |k AS (SELECT doc_id, lines,
+        |  list_filter(lines, l -> l LIKE '%.' AND len(string_split(l, ' ')) >= 3
+        |    AND NOT (l LIKE '%javascript%')) AS kept,
+        |  array_to_string(lines, ' ') AS page
+        | FROM lns)
+        |SELECT doc_id, CAST(len(lines) AS INT) AS n_lines,
+        | CAST(len(kept) AS INT) AS n_kept,
+        | (len(kept) >= 5 AND NOT page LIKE '%lorem ipsum%'
+        |   AND NOT page LIKE '%{%') AS keep_doc,
+        | coalesce(array_to_string(kept, ' '), '') AS cleaned
+        |FROM k ORDER BY doc_id""").stripMargin,
+    "q_dedup_lines" ->
+      (webLinesCtes + """,
+        |ex0 AS (SELECT doc_id, unnest(list_transform(range(1, len(lines) + 1),
+        |  i -> {'idx': i, 'line': lines[i]})) AS u FROM lns),
+        |ex AS (SELECT doc_id, u.idx AS idx, u.line AS line FROM ex0),
+        |f AS (SELECT line, count(distinct doc_id) AS nd, min(doc_id) AS first_doc
+        |  FROM ex GROUP BY line),
+        |j AS (SELECT ex.doc_id, ex.idx, ex.line,
+        |  (f.nd = 1 OR ex.doc_id = f.first_doc) AS kept
+        | FROM ex JOIN f USING (line))
+        |SELECT doc_id, count(*) AS n_lines,
+        | CAST(sum(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+        | coalesce(string_agg(CASE WHEN kept THEN line END, ' ' ORDER BY idx), '') AS cleaned
+        |FROM j GROUP BY doc_id ORDER BY doc_id""").stripMargin,
+    "q_dedup_url" ->
+      """WITH u AS (SELECT doc_id,
+        |  ['https://','HTTPS://','Https://'][CAST(('0x'||substr(md5('sc:'||doc_id),1,15))::UBIGINT % 3 AS INT) + 1] ||
+        |  ['','www.','WWW.'][CAST(('0x'||substr(md5('w:'||doc_id),1,15))::UBIGINT % 3 AS INT) + 1] ||
+        |  'site' || (doc_id % 7) || '.Example.COM' ||
+        |  CASE WHEN ('0x'||substr(md5('p:'||doc_id),1,15))::UBIGINT % 4 = 0 THEN ':443' ELSE '' END ||
+        |  '/Articles/item' || (doc_id % 53) ||
+        |  ['','/','?utm_source=feed','?utm_medium=email&utm_source=feed','?id=9&utm_campaign=x'][CAST(('0x'||substr(md5('q:'||doc_id),1,15))::UBIGINT % 5 AS INT) + 1] ||
+        |  CASE WHEN ('0x'||substr(md5('f:'||doc_id),1,15))::UBIGINT % 4 = 0 THEN '#Section-2' ELSE '' END AS url
+        | FROM documents),
+        |c1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '', 'g') AS u1 FROM u),
+        |c2 AS (SELECT doc_id, u1, regexp_extract(u1, '^[a-zA-Z]+://[^/?]*') AS pre FROM c1),
+        |c3 AS (SELECT doc_id,
+        |  replace(regexp_replace(lower(pre), ':443$', ''), 'https://www.', 'https://') AS pre2,
+        |  substr(u1, length(pre) + 1) AS rest FROM c2),
+        |c4 AS (SELECT doc_id, pre2,
+        |  replace(regexp_replace(regexp_replace(rest, 'utm_[a-z]+=[^&#]*', '', 'g'),
+        |    '[?&]+$', ''), '?&', '?') AS r3 FROM c3),
+        |c5 AS (SELECT doc_id, pre2 || regexp_replace(r3, '/$', '') AS canon FROM c4)
+        |SELECT canon, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM c5 GROUP BY canon ORDER BY canon""".stripMargin,
+    "q_quality_classifier" ->
+      (toksCte + """,
+        |w AS (SELECT doc_id, CAST(len(t) AS INT) AS n_tok,
+        |  coalesce(CAST(list_sum(list_transform(t, tk ->
+        |    CAST(('0x'||substr(md5('w:' || CAST(('0x'||substr(md5('b:'||tk),1,15))::UBIGINT % 4096 AS VARCHAR)),1,15))::UBIGINT % 2000001 AS BIGINT) - 1000000
+        |  )) AS BIGINT), 0) AS su
+        | FROM toks)
+        |SELECT doc_id, n_tok, su AS logit_u, su > 0 AS keep
+        |FROM w ORDER BY doc_id""").stripMargin,
   )
 }

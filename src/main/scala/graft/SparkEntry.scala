@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{BatchRelational, Dedup, Formats, Graph, GraphGens, GroupWindowSql, Multimodal, Pipeline, ScalarFuncs, ScaleOps, Similarity, SqlSurface, StatementSets, TextAnalysis, TpcDsSurface, Udafs, WindowAggs}
+import graft.operators.{BatchRelational, Dedup, Formats, Graph, GraphGens, GroupWindowSql, Multimodal, Pipeline, ScalarFuncs, ScaleOps, Similarity, SqlSurface, StatementSets, TextAnalysis, TpcDsSurface, Udafs, WebPipeline, WindowAggs}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -103,6 +103,10 @@ object SparkEntry {
     "q_dsir_weight"       -> (Pipeline.dsirWeights _),
     "q_pii_redact"        -> (Pipeline.piiRedact _),
     "q_mix_budget"        -> (Pipeline.mixBudget _),
+    "q_c4_filter"         -> (WebPipeline.c4Filter _),
+    "q_dedup_lines"       -> (WebPipeline.lineDedup _),
+    "q_dedup_url"         -> (WebPipeline.urlDedup _),
+    "q_quality_classifier" -> (WebPipeline.qualityClassifier _),
     "q_semdedup"          -> (Similarity.semDedup _),
     "q_dedup_simhash"   -> (Dedup.simhashPairs _),
     "q_ann_brute"       -> (Similarity.annBruteForce _),
