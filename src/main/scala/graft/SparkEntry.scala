@@ -192,6 +192,7 @@ object SparkEntry {
     "q_stream_dyn_session" -> (streaming.StreamQueries.dynamicSession _),
     "q_fmt_csv"         -> (Formats.csvRoundtrip _),
     "q_fmt_json"        -> (Formats.jsonRoundtrip _),
+    "q_meta_columns"    -> (Formats.metadataColumns _),
     "q_fmt_orc"         -> (Formats.orcRoundtrip _),
     "q_fmt_avro"        -> (Formats.avroRoundtrip _),
     "q_fmt_avro_evolve" -> (Formats.avroEvolve _),
@@ -236,6 +237,8 @@ object SparkEntry {
     "q_graph_ops"         -> (GraphGens.graphOps _),
     "q_sql_q3"          -> (SqlSurface.q3 _),
     "q_sql_subquery"    -> (SqlSurface.correlatedSubquery _),
+    "q_sql_hints"       -> (SqlSurface.sqlHints _),
+    "q_unified_pipeline" -> (streaming.Unified.batchRun _),
     "q_tpch_q1"         -> (SqlSurface.tpchQuery("q_tpch_q1") _),
     "q_tpch_q7"         -> (SqlSurface.tpchQuery("q_tpch_q7") _),
     "q_tpch_q8"         -> (SqlSurface.tpchQuery("q_tpch_q8") _),
@@ -314,6 +317,10 @@ object SparkEntry {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_unified_pipeline" ->
+      """SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS w_start, event_type,
+        | count(*) AS cnt, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity),2) AS sum_qty,

@@ -152,6 +152,26 @@ object Formats {
       .orderBy("c_mktsegment")
   }
 
+  /** q_meta_columns — metadata columns (ref FLIP-107, new in the
+    * reference's release: `CREATE TABLE t (... ts TIMESTAMP METADATA FROM
+    * 'timestamp')` surfaces connector-level metadata as per-row columns;
+    * flink-table-api-java .../Schema.java columnByMetadata). Spark-first:
+    * file sources expose the hidden `_metadata` struct (file_path,
+    * file_name, file_size, file_modification_time, row_index) on every
+    * file-backed scan — selected per row exactly like data columns and
+    * usable in filters (partition-pruning on file_name works). The oracle
+    * can't see paths, so the QUERY projects path invariants that hold for
+    * any layout of the fixture (single file or part-directory); the spec
+    * pins the exact per-file semantics (dense row_index, constant
+    * file_size). */
+  def metadataColumns(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        col("_metadata.file_name").endsWith(".parquet").as("fname_ok"),
+        (col("_metadata.file_size") > lit(0L)).as("nonempty"),
+        col("_metadata.file_path").contains("documents").as("in_path"))
+      .orderBy("doc_id")
+
   /** Raw format (ref flink-table-runtime-blink
     * formats/raw/RawFormatDeserializationSchema.java): the whole message
     * body is ONE column. Two reference conversion paths in one query: the
@@ -226,6 +246,9 @@ object Formats {
     "q_fmt_json" ->
       """SELECT o_orderstatus, count(*) AS cnt, round(sum(o_totalprice), 2) AS total
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_meta_columns" ->
+      """SELECT doc_id, true AS fname_ok, true AS nonempty, true AS in_path
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_fmt_orc" ->
       """SELECT l_returnflag, count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'

@@ -355,6 +355,30 @@ object SqlSurface {
     s.sql(subquerySql)
   }
 
+  /** q_sql_hints — per-query planner-override hints (ref FLIP-113 table
+    * hints, new in the reference's release:
+    * flink-table/flink-table-planner-blink/.../hint/FlinkHints.java; Flink's
+    * OPTIONS hint overrides connector props per query). The Spark-first
+    * counterpart surface is join-STRATEGY hints (MERGE / BROADCAST /
+    * SHUFFLE_HASH) and partitioning hints (REPARTITION / COALESCE): hints
+    * change the PHYSICAL plan only, never the result — the oracle is the
+    * byte-identical text (DuckDB parses the hint as a plain comment), and
+    * PlanSpec pins that MERGE really forced a SortMergeJoin where the
+    * size-based choice would broadcast, i.e. the hint reached the planner. */
+  val hintSql: String =
+    """SELECT /*+ MERGE(n), REPARTITION(8, n_name) */
+      | r_name, n_name, count(*) AS n_cust, round(sum(c_acctbal), 2) AS bal
+      |FROM customer c
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |JOIN region r ON n.n_regionkey = r.r_regionkey
+      |GROUP BY r_name, n_name
+      |ORDER BY r_name, n_name""".stripMargin
+
+  def sqlHints(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(hintSql)
+  }
+
   /** The reference's documented SQL patterns (docs/dev/table/sql/queries.md
     * :937-969): Top-N = ROW_NUMBER window + rownum filter, dedup =
     * ROW_NUMBER()=1 — run as raw SQL text so the planner path (window +
@@ -402,6 +426,7 @@ object SqlSurface {
   val sql: Map[String, String] = Map(
     "q_sql_q3" -> q3Sql,
     "q_sql_subquery" -> subquerySql,
+    "q_sql_hints" -> hintSql,
     "q_sql_asof_pattern" ->
       """SELECT user_id, p_id, p_ts, v_id FROM (
         | SELECT p.user_id, p.event_id AS p_id, p.t AS p_ts, v.event_id AS v_id,

@@ -60,7 +60,10 @@ class EmptyInputSpec extends SparkSpec {
     // r9 continuation-4 corpus-reading additions (the generator queries
     // read no corpus table, like q_values, and are exempt by omission)
     "q_graph_degrees", "q_graph_max_degree", "q_graph_bipartite_top",
-    "q_ml_gaussian")
+    "q_ml_gaussian",
+    // r9 continuation-5 additions
+    "q_c4_filter", "q_dedup_lines", "q_dedup_url", "q_quality_classifier",
+    "q_sql_hints", "q_meta_columns", "q_unified_pipeline")
 
   for (name <- queries)
     test(s"$name runs on an empty corpus") {
