@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{BatchRelational, Dedup, Formats, Graph, GraphGens, GroupWindowSql, Multimodal, Pipeline, ScalarFuncs, ScaleOps, Similarity, SqlSurface, StatementSets, TextAnalysis, TpcDsSurface, Udafs, WebPipeline, WindowAggs}
+import graft.operators.{BatchRelational, Bpe, Dedup, Formats, Graph, GraphGens, GroupWindowSql, Multimodal, Pipeline, ScalarFuncs, ScaleOps, Similarity, SqlSurface, StatementSets, TextAnalysis, TpcDsSurface, Udafs, WebPipeline, WindowAggs}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -107,6 +107,8 @@ object SparkEntry {
     "q_dedup_lines"       -> (WebPipeline.lineDedup _),
     "q_dedup_url"         -> (WebPipeline.urlDedup _),
     "q_quality_classifier" -> (WebPipeline.qualityClassifier _),
+    "q_bpe_merges"        -> (Bpe.mergeTable _),
+    "q_bpe_encode"        -> (Bpe.encode _),
     "q_semdedup"          -> (Similarity.semDedup _),
     "q_dedup_simhash"   -> (Dedup.simhashPairs _),
     "q_ann_brute"       -> (Similarity.annBruteForce _),
@@ -674,7 +676,7 @@ object SparkEntry {
         |    list_transform(range(1, length(p_name)+1), i -> ascii(p_name[i])::BIGINT)),
         |    (a, c) -> (a * 31 + c) % 4294967296) + 2147483648) % 4294967296) - 2147483648 AS INT) AS hc_name
         |FROM part ORDER BY p_partkey""".stripMargin,
-  ) ++ LlmOracles.sql ++ WindowOracles.sql ++ streaming.StreamQueries.sql ++
+  ) ++ LlmOracles.sql ++ Bpe.sql ++ WindowOracles.sql ++ streaming.StreamQueries.sql ++
     Formats.sql ++ Udafs.sql ++ Graph.sql ++ SqlSurface.sql ++ ScaleOps.sql ++
     Pipeline.sql ++ TpcDsSurface.sql ++ streaming.MatchRecognizeSql.sql ++
     GroupWindowSql.sql ++ graft.sources.DdlSql.sql ++

@@ -1,0 +1,158 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE tokenizer — train the merge table on the corpus, then
+  * encode every document with it (Sennrich et al. 2016, the
+  * subword-vocabulary construction every modern LLM tokenizer descends
+  * from; the reference-era toolchain runs exactly this loop over a
+  * word-frequency table).
+  *
+  * Training is the textbook loop, distributed the way production BPE
+  * trainers distribute it: the corpus collapses ONCE to a (word, freq)
+  * vocabulary (one shuffle, corpus-scale); every merge round then runs on
+  * the VOCAB — adjacent-pair counts weighted by word frequency (one
+  * vocab-scale shuffle per round), the argmax pair pulled to the driver (a
+  * single row per round, the kmeans-centroid precedent), and the merge
+  * applied map-side as a string replace. Encoding joins documents back to
+  * the trained vocab (broadcast — a subword vocab is MBs at any corpus
+  * size).
+  *
+  * Symbol sequences ride in a single space-delimited string with sentinel
+  * spaces (' c1 c2 ... '); a merge of pair (x, y) is
+  * `replace(seq, ' x y ', ' xy ')`. Both engines' `replace` scans
+  * left-to-right continuing AFTER each match, so in a run of the same
+  * pair ('a a a a') only every other occurrence merges per round — one
+  * round behind canonical BPE on degenerate runs, identically on both
+  * engines (BpeSpec pins the scan semantics; the canonical greedy
+  * left-to-right result differs only inside same-char runs, which later
+  * rounds then absorb).
+  *
+  * Ties in the pair argmax break by pair text ascending — fully
+  * deterministic, so the DuckDB oracle reproduces training bit-for-bit by
+  * unrolling the same 8 rounds as CTEs.
+  */
+object Bpe {
+
+  val Rounds = 8
+
+  /** (word, freq, seq) base vocabulary with char-split sentinel sequence. */
+  private def vocab(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(explode(TextAnalysis.tokens(col("text"))).as("word"))
+      .where(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .withColumn("seq", expr(
+        "concat(' ', concat_ws(' ', transform(sequence(1, length(word)), " +
+          "i -> substring(word, i, 1))), ' ')"))
+      .localCheckpoint(true) // reused by all 8 training rounds
+
+  /** Adjacent symbol pairs of `seq`, one row per pair occurrence. */
+  private def pairCol: Column = expr(
+    """CASE WHEN size(split(trim(seq), ' ')) < 2 THEN array()
+      |ELSE transform(sequence(1, size(split(trim(seq), ' ')) - 1),
+      |  i -> concat(element_at(split(trim(seq), ' '), i), ' ',
+      |              element_at(split(trim(seq), ' '), i + 1))) END""".stripMargin)
+
+  /** Train [[Rounds]] merges; returns (round, pair, merged, cnt) driver-side
+    * plus the vocab with all merges applied. */
+  private def train(s: SparkSession, dir: String): (Seq[(Int, String, String, Long)], DataFrame) = {
+    var v = vocab(s, dir)
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= Rounds && !exhausted) {
+      val top = v.select(col("freq"), explode(pairCol).as("pair"))
+        .groupBy("pair").agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair").asc)
+        .limit(1).collect() // ONE row per round crosses to the driver
+      if (top.isEmpty) exhausted = true
+      else {
+        val pair = top(0).getString(0)
+        val cnt = top(0).getLong(1)
+        // the pair is interpolated into SQL text below — corpus symbols are
+        // alphanumeric, but fail loudly rather than inject if that changes
+        require(pair.matches("[A-Za-z0-9 ]+"), s"unexpected BPE symbol: '$pair'")
+        val merged = pair.replace(" ", "")
+        merges += ((r, pair, merged, cnt))
+        v = v.withColumn("seq",
+          expr(s"replace(seq, concat(' ', '$pair', ' '), concat(' ', '$merged', ' '))"))
+        r += 1
+      }
+    }
+    (merges.result(), v)
+  }
+
+  /** q_bpe_merges: the learned merge table — the tokenizer artifact. */
+  def mergeTable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (merges, _) = train(s, dir)
+    merges.toDF("round", "pair", "merged", "cnt")
+      .select(col("round"), col("pair"), col("merged"), col("cnt"))
+      .orderBy("round")
+  }
+
+  /** q_bpe_encode: encode every document with the trained merges — per-doc
+    * BPE token count vs raw char count (the compression the vocab buys),
+    * plus the doc's most frequent BPE symbol (ties by symbol asc). */
+  def encode(s: SparkSession, dir: String): DataFrame = {
+    val (_, v) = train(s, dir)
+    val enc = v.select(col("word"),
+      expr("size(split(trim(seq), ' '))").as("n_sym"))
+    val docs = Tables(s, dir, "documents")
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("word"))
+      .where(length(col("word")) > 0)
+    docs.join(broadcast(enc), "word") // subword vocab broadcasts at any scale
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_sym")).as("n_bpe"),
+        sum(length(col("word"))).as("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  // ------------------------------------------------------------- oracle SQL
+
+  /** One unrolled training round: vocab v$prev → best pair p$r → vocab v$r. */
+  private def roundCte(r: Int): String = {
+    val prev = r - 1
+    s""",
+       |pr$r AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+       |  SELECT freq, unnest(CASE WHEN len(string_split(trim(seq), ' ')) < 2 THEN []
+       |    ELSE list_transform(range(1, len(string_split(trim(seq), ' '))),
+       |      i -> string_split(trim(seq), ' ')[i] || ' ' || string_split(trim(seq), ' ')[i+1]) END) AS pair
+       |  FROM v$prev) GROUP BY pair),
+       |p$r AS MATERIALIZED (SELECT pair, cnt FROM pr$r ORDER BY cnt DESC, pair ASC LIMIT 1),
+       |v$r AS MATERIALIZED (SELECT word, freq, replace(seq,
+       |   ' ' || (SELECT pair FROM p$r) || ' ',
+       |   ' ' || replace((SELECT pair FROM p$r), ' ', '') || ' ') AS seq FROM v$prev)""".stripMargin
+  }
+
+  private val baseCtes: String =
+    """WITH t AS (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents),
+      |w AS (SELECT word, count(*) AS freq FROM t WHERE length(word) > 0 GROUP BY word),
+      |v0 AS MATERIALIZED (SELECT word, freq,
+      |  ' ' || array_to_string(list_transform(range(1, length(word) + 1),
+      |        i -> word[i]), ' ') || ' ' AS seq
+      | FROM w)""".stripMargin
+
+  val sql: Map[String, String] = Map(
+    "q_bpe_merges" ->
+      (baseCtes + (1 to Rounds).map(roundCte).mkString + "\n" +
+        (1 to Rounds).map(r =>
+          s"""SELECT $r AS round, (SELECT pair FROM p$r) AS pair,
+             | replace((SELECT pair FROM p$r), ' ', '') AS merged,
+             | (SELECT cnt FROM p$r) AS cnt""".stripMargin)
+          .mkString("", "\nUNION ALL\n", "\nORDER BY round")),
+    "q_bpe_encode" ->
+      (baseCtes + (1 to Rounds).map(roundCte).mkString + s""",
+        |enc AS (SELECT word, len(string_split(trim(seq), ' ')) AS n_sym FROM v$Rounds),
+        |d AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents)
+        |SELECT doc_id, count(*) AS n_words,
+        | CAST(sum(n_sym) AS BIGINT) AS n_bpe,
+        | CAST(sum(length(word)) AS BIGINT) AS n_chars
+        |FROM d JOIN enc USING (word) WHERE length(word) > 0
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+  )
+}

@@ -196,6 +196,19 @@ object ScaleBench {
           spark.catalog.clearCache()
           graft.operators.GraphGens.bipartiteTopSimple(spark, out).count()
         },
+        // continuation-5 web family: c4_filter is expression-only (must
+        // track the scan, i.e. ~linear wall-cost in k); line_dedup's
+        // planted boilerplate line is shared by EVERY document, so its
+        // line-hash group and join-back key grow linearly with k — the
+        // partial-agg + AQE-skew case the operator's scale story claims
+        time(s"c4_filter_${k}x") {
+          spark.catalog.clearCache()
+          graft.operators.WebPipeline.c4Filter(spark, out).count()
+        },
+        time(s"line_dedup_${k}x") {
+          spark.catalog.clearCache()
+          graft.operators.WebPipeline.lineDedup(spark, out).count()
+        },
       )
       val total = results.map(_._2).sum
       println(f"""{"metric":"scale_bench_llm","value":$total%.2f,"unit":"sec","k":$k,"queries":{${
