@@ -196,6 +196,33 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("runtime bloom filter prunes the probe side of a selective shuffle join") {
+    import org.apache.spark.sql.functions.col
+    // at 100 TB the probe side of fact⋈filtered-dim dominates scan cost;
+    // Catalyst's InjectRuntimeFilter builds a bloom filter from the
+    // filtered build side and pushes might_contain() into the probe scan —
+    // rows that cannot join die before the shuffle. Thresholds lowered to
+    // fire at test scale (prod defaults: 10 MB build / 10 GB probe).
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = Tables(spark, sf, "lineitem")
+      val ord = Tables(spark, sf, "orders")
+        .where(col("o_orderpriority") === "1-URGENT")
+      val j = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      val plan = j.queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain"), s"no runtime filter injected:\n${plan.take(1200)}")
+      assert(j.count() > 0)
+    } finally prev.foreach { case (k, v) =>
+      v match { case Some(x) => spark.conf.set(k, x); case None => spark.conf.unset(k) }
+    }
+  }
+
   test("AQE splits a skewed shuffle-join partition at runtime (skew=true)") {
     import org.apache.spark.sql.functions._
     // 100TB-relevant: one viral key would otherwise pin a single reducer;
