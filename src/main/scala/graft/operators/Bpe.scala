@@ -72,13 +72,12 @@ object Bpe {
       else {
         val pair = top(0).getString(0)
         val cnt = top(0).getLong(1)
-        // the pair is interpolated into SQL text below — corpus symbols are
-        // alphanumeric, but fail loudly rather than inject if that changes
-        require(pair.matches("[A-Za-z0-9 ]+"), s"unexpected BPE symbol: '$pair'")
         val merged = pair.replace(" ", "")
         merges += ((r, pair, merged, cnt))
+        // Column-API replace with lit() — the learned pair is DATA, never
+        // SQL text, so arbitrary corpus symbols are safe
         v = v.withColumn("seq",
-          expr(s"replace(seq, concat(' ', '$pair', ' '), concat(' ', '$merged', ' '))"))
+          replace(col("seq"), lit(s" $pair "), lit(s" $merged ")))
         r += 1
       }
     }

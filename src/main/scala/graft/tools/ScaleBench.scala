@@ -209,6 +209,14 @@ object ScaleBench {
           spark.catalog.clearCache()
           graft.operators.WebPipeline.lineDedup(spark, out).count()
         },
+        // BPE training cost = one corpus-scale word collapse + 8 rounds of
+        // VOCAB-scale pair counting; with a shared word distribution the
+        // vocab barely grows with k, so wall-cost must track the collapse
+        // (linear), not the corpus × rounds product
+        time(s"bpe_train_${k}x") {
+          spark.catalog.clearCache()
+          graft.operators.Bpe.mergeTable(spark, out).count()
+        },
       )
       val total = results.map(_._2).sum
       println(f"""{"metric":"scale_bench_llm","value":$total%.2f,"unit":"sec","k":$k,"queries":{${
