@@ -72,6 +72,7 @@ object SparkEntry {
     "q_hive_catalog"    -> (graft.sources.HiveCatalog.hiveCatalog _),
     "q_ddl_watermark"   -> (graft.sources.DdlSql.ddlWatermark _),
     "q_ddl_alter"       -> (graft.sources.DdlSql.ddlAlter _),
+    "q_ddl_use"         -> (graft.sources.DdlSql.ddlUse _),
     "q_ddl_function"    -> (graft.sources.DdlSql.ddlFunction _),
     "q_fn_string"       -> (ScalarFuncs.strings _),
     "q_fn_string2"      -> (ScalarFuncs.strings2 _),

@@ -452,6 +452,26 @@ object DdlSql {
     execute(s, "SELECT * FROM events_by_type").orderBy(col("event_type"))
   }
 
+  /** USE database (ref docs/dev/table/sql/use.md — the 1.12 verbs are
+    * `USE CATALOG c` / `USE db`; resolution of unqualified names IS the
+    * observable). The verb is load-bearing here: the external table is
+    * created and read UNQUALIFIED inside the database made current by USE,
+    * and the session is returned to default afterwards. */
+  def ddlUse(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    execute(s, "CREATE DATABASE IF NOT EXISTS graft_use_db")
+    execute(s, "USE graft_use_db")
+    try {
+      execute(s, "DROP TABLE IF EXISTS nation_ext")
+      execute(s, s"CREATE TABLE nation_ext USING parquet LOCATION '$dir/nation.parquet'")
+      // analyzed now, against the current database — the point of USE
+      execute(s,
+        """SELECT n_regionkey, count(*) AS cnt, min(n_name) AS first_name
+          |FROM nation_ext GROUP BY n_regionkey""".stripMargin)
+        .orderBy(col("n_regionkey"))
+    } finally execute(s, "USE default")
+  }
+
   /** WATERMARK + computed column declared in DDL TEXT driving a real
     * streaming query: the declared 10-second watermark closes each daily
     * window in append mode (the final, still-open windows past
@@ -621,5 +641,8 @@ object DdlSql {
     "q_ddl_view" ->
       """SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_ddl_use" ->
+      """SELECT n_regionkey, count(*) AS cnt, min(n_name) AS first_name
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
   )
 }
