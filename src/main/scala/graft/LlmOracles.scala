@@ -437,6 +437,36 @@ object LlmOracles {
         |FROM (SELECT doc_id, 1 + octet_length(encode(text)) % 7 AS n_frames FROM documents) d,
         |     range(7) f(f)
         |WHERE f.f < n_frames ORDER BY doc_id, frame_idx""".stripMargin,
+    "q_dedup_incremental" ->
+      (toksCte + """,
+        |s0 AS (SELECT doc_id,
+        |  md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,
+        |  CASE WHEN len(t) < 3 THEN [] ELSE
+        |    list_distinct([t[i]||' '||t[i+1]||' '||t[i+2] FOR i IN range(1, len(t)-1)]) END AS s
+        | FROM toks),
+        |inc AS (SELECT doc_id, fp, s FROM s0 WHERE doc_id % 5 = 0
+        |  UNION ALL SELECT doc_id + 1000000, fp, s FROM s0 WHERE doc_id % 7 = 1),
+        |idx AS (SELECT doc_id, fp, s FROM s0 WHERE doc_id % 5 <> 0),
+        |ex AS (SELECT i.doc_id, min(x.doc_id) AS exact_m
+        |  FROM inc i JOIN idx x USING (fp) GROUP BY i.doc_id),
+        |post AS (SELECT doc_id AS m, unnest(s) AS shingle FROM idx),
+        |freq AS (SELECT shingle, count(*) AS df FROM post GROUP BY shingle),
+        |postc AS (SELECT m, shingle FROM post JOIN freq USING (shingle) WHERE df <= 128),
+        |cand AS (SELECT DISTINCT i.doc_id, p.m FROM
+        |  (SELECT doc_id, unnest(s) AS shingle FROM inc) i JOIN postc p USING (shingle)),
+        |nr AS (SELECT c.doc_id, min(c.m) AS near_m FROM cand c
+        |  JOIN inc a ON a.doc_id = c.doc_id
+        |  JOIN idx b ON b.doc_id = c.m
+        |  WHERE round(len(list_intersect(a.s, b.s))::DOUBLE /
+        |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) >= 0.5
+        |  GROUP BY c.doc_id)
+        |SELECT i.doc_id,
+        | CASE WHEN e.exact_m IS NOT NULL THEN 'exact_dup'
+        |      WHEN n.near_m IS NOT NULL THEN 'near_dup' ELSE 'new' END AS verdict,
+        | coalesce(e.exact_m, n.near_m) AS matched
+        |FROM inc i LEFT JOIN ex e ON e.doc_id = i.doc_id
+        |LEFT JOIN nr n ON n.doc_id = i.doc_id
+        |ORDER BY i.doc_id""").stripMargin,
     "q_c4_filter" ->
       (webLinesCtes + """,
         |k AS (SELECT doc_id, lines,

@@ -93,6 +93,7 @@ object SparkEntry {
     "q_dedup_ngram_keep"  -> (Dedup.ngramDedupKeep _),
     "q_dedup_minhash_lsh" -> (Dedup.minhashLshPairs _),
     "q_dedup_span"        -> (Dedup.spanDupCoverage _),
+    "q_dedup_incremental" -> (Dedup.incrementalDedup _),
     "q_text_repetition"   -> (TextAnalysis.repetition _),
     "q_tfidf_top3"        -> (TextAnalysis.tfidfTop3 _),
     "q_quality_perplexity" -> (TextAnalysis.perplexity _),

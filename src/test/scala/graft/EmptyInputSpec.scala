@@ -64,7 +64,7 @@ class EmptyInputSpec extends SparkSpec {
     // r9 continuation-5 additions
     "q_c4_filter", "q_dedup_lines", "q_dedup_url", "q_quality_classifier",
     "q_sql_hints", "q_meta_columns", "q_unified_pipeline",
-    "q_bpe_merges", "q_bpe_encode", "q_ddl_use")
+    "q_bpe_merges", "q_bpe_encode", "q_ddl_use", "q_dedup_incremental")
 
   for (name <- queries)
     test(s"$name runs on an empty corpus") {
