@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{BatchRelational, Bpe, Dedup, Formats, Graph, GraphGens, GroupWindowSql, Multimodal, Pipeline, ScalarFuncs, ScaleOps, Similarity, SqlSurface, StatementSets, TextAnalysis, TpcDsSurface, Udafs, WebPipeline, WindowAggs}
+import graft.operators.{BatchRelational, Bpe, Dedup, Formats, Graph, GraphGens, GroupWindowSql, Layout, Multimodal, Pipeline, ScalarFuncs, ScaleOps, Similarity, Sketches, SqlSurface, StatementSets, TextAnalysis, TpcDsSurface, Udafs, WebPipeline, WindowAggs}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -112,6 +112,13 @@ object SparkEntry {
     "q_bpe_merges"        -> (Bpe.mergeTable _),
     "q_bpe_encode"        -> (Bpe.encode _),
     "q_semdedup"          -> (Similarity.semDedup _),
+    "q_decontaminate_emb" -> (Similarity.decontaminateEmb _),
+    "q_sketch_hll"        -> (Sketches.hllDistinct _),
+    "q_sketch_kmv"        -> (Sketches.kmvDistinct _),
+    "q_sketch_cms"        -> (Sketches.cmsHeavyHitters _),
+    "q_sample_reservoir"  -> (Sketches.reservoirSample _),
+    "q_layout_zorder"     -> (Layout.zorderCells _),
+    "q_bucket_join"       -> (Layout.bucketJoin _),
     "q_dedup_simhash"   -> (Dedup.simhashPairs _),
     "q_ann_brute"       -> (Similarity.annBruteForce _),
     "q_ann_ivf"         -> (Similarity.annIvf _),
@@ -688,5 +695,5 @@ object SparkEntry {
     graft.sources.StateRead.sql ++ StatementSets.sql ++
     streaming.CdcStream.sql ++ graft.operators.MlPipeline.sql ++
     graft.operators.SystemTimeSql.sql ++ Similarity.sql ++ GraphGens.sql ++
-    streaming.StreamIterate.sql
+    streaming.StreamIterate.sql ++ Sketches.sql ++ Layout.sql
 }

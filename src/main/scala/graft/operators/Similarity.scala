@@ -205,7 +205,50 @@ object Similarity {
       |FROM dt JOIN nn na ON na.doc_id = dt.doc_a
       |        JOIN nn nb ON nb.doc_id = dt.doc_b
       |ORDER BY doc_a, doc_b""".stripMargin),
+    "q_decontaminate_emb" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |ev AS (SELECT vec_id AS evid, v AS evv FROM e WHERE vec_id % 37 = 0),
+        |co AS (SELECT vec_id, v FROM e WHERE vec_id % 37 <> 0),
+        |px AS (SELECT c.vec_id, ev.evid,
+        |   round(list_dot_product(c.v, ev.evv) /
+        |     (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(ev.evv, ev.evv))), 6) AS cos
+        |  FROM co c, ev),
+        |fl AS (SELECT vec_id, evid, cos,
+        |   row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, evid) AS rk
+        |  FROM px)
+        |SELECT vec_id, evid AS matched_eval, cos AS best_cos,
+        |  cos >= 0.5 AS flagged
+        |FROM fl WHERE rk = 1 ORDER BY vec_id""".stripMargin,
   )
+
+  /** Embedding-space benchmark decontamination — the semantic twin of the
+    * n-gram q_decontaminate (Pipeline.decontaminate): report every corpus
+    * vector's STRONGEST eval-set match and flag it when cosine clears 0.5.
+    * Catches paraphrased leakage that n-gram overlap misses; the
+    * best-match report (not just the flagged subset) is what a
+    * practitioner reviews to calibrate τ against their benchmark. Eval
+    * side (vec_id % 37 == 0 stands in for a benchmark's embedded eval set
+    * — MB-scale in practice) is broadcast; the corpus streams map-side
+    * through one codegen VecDot pass per eval vector and only the
+    * per-vector argmax aggregation shuffles, so the plan is linear in the
+    * corpus at any scale. At eval sets too large to broadcast, route
+    * through [[lshVerifiedPairs]]' signature join exactly as
+    * q_decontaminate's measured size-guard does. */
+  def decontaminateEmb(s: SparkSession, dir: String): DataFrame = {
+    val emb = withNorm(Tables(s, dir, "embeddings"))
+    val eval = emb.filter(col("vec_id") % 37 === 0)
+      .select(col("vec_id").as("evid"), col("embedding").as("ee"), col("nrm").as("en"))
+    val corpus = emb.filter(col("vec_id") % 37 =!= 0)
+    val best = corpus.crossJoin(broadcast(eval))
+      .select(col("vec_id"),
+        struct(cosPre(col("embedding"), col("ee"), col("nrm"), col("en")).as("cos"),
+          negate(col("evid")).as("nev")).as("m"))
+      .groupBy(col("vec_id")).agg(max(col("m")).as("b"))
+    best.select(col("vec_id"), negate(col("b.nev")).as("matched_eval"),
+        col("b.cos").as("best_cos"),
+        (col("b.cos") >= 0.5).as("flagged"))
+      .orderBy("vec_id")
+  }
 
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — "Semantic
     * deduplication"): semantic near-dup removal scoped to k-means

@@ -1,0 +1,245 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Probabilistic corpus-statistics sketches for 100 TB pipeline planning
+  * (driver-mandated LLM-pipeline extension family; the brief's "novel
+  * sketch" bullet). A training-data pipeline sizes its dedup / vocab /
+  * sampling stages from corpus cardinalities it cannot afford to compute
+  * exactly — these four operators answer those questions in one linear
+  * pass with FIXED-SIZE, MERGEABLE state:
+  *
+  *   - [[hllDistinct]]   distinct-count via HyperLogLog-style registers
+  *                       (Flajolet et al. 2007). Shuffle volume: ≤ m=256
+  *                       rows per (lang, partition) regardless of corpus
+  *                       size — Catalyst's partial max() IS the sketch
+  *                       merge, so 1000 executors each ship one register
+  *                       array, not their token stream.
+  *   - [[kmvDistinct]]   k-minimum-values estimator (Bar-Yossef et al.
+  *                       2002) over distinct 3-shingles. The rank-filter plan compiles to Spark's
+  *                       WindowGroupLimit, which takes per-partition
+  *                       top-k BEFORE the shuffle — k rows per partition
+  *                       on the wire.
+  *   - [[cmsHeavyHitters]] count-min sketch (Cormode & Muthukrishnan
+  *                       2005): a d×w counter matrix; per-token
+  *                       estimate = min over rows; never undercounts.
+  *                       The counter table is d·w rows → broadcast at
+  *                       any corpus size (w=64 here, sized to the
+  *                       fixture's vocabulary so collisions are actually
+  *                       exercised; production w≈1e6 is ~4 MB).
+  *   - [[reservoirSample]] fixed-size uniform sample via deterministic
+  *                       md5 rank (the distributed stand-in for Vitter's
+  *                       reservoir): TakeOrderedAndProject keeps k rows
+  *                       per partition, merges on the driver — no full
+  *                       sort, no shuffle.
+  *
+  * Every hash is md5-derived (TextHashes convention: Spark
+  * `conv(substring(md5(s),1,15),16,10)` == DuckDB
+  * `('0x'||substr(md5(s),1,15))::UBIGINT`), so the DuckDB oracle replays
+  * the sketch BIT-FOR-BIT: estimates are exact-integer register math (the
+  * harmonic sum is computed as Σ 2^(54−M_j), an exact BIGINT) followed by
+  * one double expression identical on both engines. ρ (trailing-zero rank)
+  * avoids engine-specific log2-of-non-power error by isolating the lowest
+  * set bit (v & −v, exactly 2^t) first — round(log2(2^t)) is exact even
+  * through JVM's ln-based log2.
+  *
+  * The reference has no sketch library; the nearest analog is its
+  * accumulator framework (flink-core/.../accumulators/Histogram.java),
+  * which is driver-merged and exact. These operators are what that
+  * framework cannot do at 100 TB.
+  */
+object Sketches {
+
+  /** 60-bit md5 hash as a SQL fragment (column expr over `tok`). */
+  private def h60(sqlExpr: String): String =
+    s"cast(conv(substring(md5($sqlExpr),1,15),16,10) as bigint)"
+
+  /** Per-language word 3-shingle stream (non-distinct — the sketch's max
+    * registers absorb duplicates by construction). Shingle cardinality is
+    * the number a dedup pipeline must estimate BEFORE building its
+    * inverted index / LSH band tables, which is exactly the sketches'
+    * production use. */
+  private def shinglesByLang(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .withColumn("toks", split(lower(col("text")), " "))
+      .select(col("lang"), explode(
+        when(size(col("toks")) < lit(3), array().cast("array<string>"))
+          .otherwise(expr(
+            "transform(sequence(1, size(toks) - 2), " +
+              "i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))")))
+        .as("tok"))
+
+  private def tokensByLang(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(col("lang"), explode(split(lower(col("text")), " ")).as("tok"))
+
+  /** HLL m=256 distinct-3-shingle estimate per language, reported against
+    * the exact count. Registers use the trailing-zero rank of the 52 bits
+    * above the bucket byte: ρ = t+1 where 2^t = v & −v (ρ = 53 when v = 0)
+    * — a Flajolet-Martin-style rank with identical uniformity to the
+    * leading-zero original, chosen because it is exactly reproducible in
+    * portable SQL. Small-range correction (linear counting m·ln(m/V))
+    * applies below E ≤ 2.5m exactly as in the paper. */
+  def hllDistinct(s: SparkSession, dir: String): DataFrame = {
+    val regs = shinglesByLang(s, dir)
+      .withColumn("h", expr(h60("tok")))
+      .withColumn("bucket", expr("h & 255"))
+      .withColumn("v", expr("shiftright(h, 8)"))
+      .withColumn("rho",
+        expr("CASE WHEN v = 0 THEN 53 ELSE cast(round(log2(v & -v)) as int) + 1 END"))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(max(col("rho")).as("r"))
+    val agg = regs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("c"),
+        sum(expr("shiftleft(cast(1 as bigint), 54 - r)")).as("s_present"))
+      .withColumn("zero_regs", expr("cast(256 - c as int)"))
+      // α_m·m²·2^54 / S with S = Σ_present 2^(54−M_j) + V·2^54 (exact BIGINT)
+      .withColumn("e_raw", expr(
+        "(0.7213/(1.0 + 1.079/256.0)) * 65536.0 * 18014398509481984.0 " +
+          "/ (s_present + cast(zero_regs as bigint) * shiftleft(cast(1 as bigint), 54))"))
+      .withColumn("e", expr(
+        "CASE WHEN zero_regs > 0 AND e_raw <= 640.0 " +
+          "THEN 256.0 * log(256.0 / zero_regs) ELSE e_raw END"))
+    val exact = shinglesByLang(s, dir).groupBy(col("lang"))
+      .agg(countDistinct(col("tok")).as("exact_distinct"))
+    agg.join(exact, Seq("lang"))
+      .select(col("lang"), col("zero_regs"),
+        expr("cast(round(e) as bigint)").as("est_distinct"),
+        col("exact_distinct"),
+        round(expr("abs(e - exact_distinct) / exact_distinct * 100"), 2).as("err_pct"))
+      .orderBy("lang")
+  }
+
+  /** KMV (k=64 minimum hash values) distinct-3-shingle estimate per language:
+    * est = (k−1)·2^60 / h_(k) over the distinct 60-bit hash space. The
+    * rank-≤-k filter is a WindowGroupLimit plan: each partition forwards
+    * only its k smallest hashes. Languages with fewer than k distinct
+    * shingles fall back to the exact count (the sketch IS exact there). */
+  def kmvDistinct(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dh = shinglesByLang(s, dir)
+      .select(col("lang"), expr(h60("concat('kmv:', tok)")).as("h"))
+      .distinct()
+    val w = Window.partitionBy(col("lang")).orderBy(col("h"))
+    val top = dh.withColumn("rn", row_number().over(w)).filter(col("rn") <= 64)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_mins"), max(col("h")).as("kth_hash"))
+    val exact = shinglesByLang(s, dir).groupBy(col("lang"))
+      .agg(countDistinct(col("tok")).as("exact_distinct"))
+    top.join(exact, Seq("lang"))
+      .withColumn("e", expr(
+        "CASE WHEN n_mins < 64 THEN cast(exact_distinct as double) " +
+          "ELSE 63.0 * 1152921504606846976.0 / kth_hash END"))
+      .select(col("lang"), col("n_mins"), col("kth_hash"),
+        expr("cast(round(e) as bigint)").as("est_distinct"),
+        col("exact_distinct"),
+        round(expr("abs(e - exact_distinct) / exact_distinct * 100"), 2).as("err_pct"))
+      .orderBy("lang")
+  }
+
+  /** Count-min-sketch heavy hitters over the whole corpus: d=4 rows,
+    * w=64 buckets, est(tok) = min_i counter[i][h_i(tok)], reported for
+    * tokens whose ESTIMATE clears total/150 (the sketch's own decision,
+    * as a real pipeline would gate on it), alongside the exact count.
+    * CMS never undercounts, so est_cnt ≥ exact_cnt on every row.
+    *
+    * Scale shape: the (tok → count) collapse is the one vocab-scale
+    * shuffle (shared with the exact column); the counter matrix is 2048
+    * rows — broadcast-joined back, so the estimate pass adds no shuffle. */
+  def cmsHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val tf = Tables(s, dir, "documents")
+      .select(explode(split(lower(col("text")), " ")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .withColumn("bs", expr(
+        s"transform(sequence(0, 3), i -> ${h60("concat(cast(i as string), ':', tok)")} & 63)"))
+    tf.persist()
+    val counters = tf.select(posexplode(col("bs")).as(Seq("i", "b")), col("cnt"))
+      .groupBy(col("i"), col("b")).agg(sum(col("cnt")).as("c"))
+    val thr = tf.agg(expr("cast(floor(sum(cnt) / 150.0) as bigint)").as("thr"))
+    val est = tf.select(col("tok"), col("cnt"), posexplode(col("bs")).as(Seq("i", "b")))
+      .join(broadcast(counters), Seq("i", "b"))
+      .groupBy(col("tok")).agg(min(col("c")).as("est_cnt"), min(col("cnt")).as("exact_cnt"))
+    val out = est.crossJoin(broadcast(thr))
+      .filter(col("est_cnt") >= col("thr"))
+      .select(col("tok"), col("est_cnt"), col("exact_cnt"))
+      .orderBy(col("est_cnt").desc, col("tok"))
+    out
+  }
+
+  /** Fixed-size uniform corpus sample (k=100) by deterministic md5 rank —
+    * the distributed reservoir: TakeOrderedAndProject keeps 100 rows per
+    * partition and merges on the driver, so the full corpus is scanned
+    * once and never sorted or shuffled. */
+  def reservoirSample(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"),
+        expr(h60("concat('rsv:', cast(doc_id as string))")).as("h"))
+      .orderBy(col("h"))
+      .limit(100)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+
+  val sql: Map[String, String] = Map(
+    "q_sketch_hll" ->
+      """WITH tks AS (SELECT lang, string_split(lower(text), ' ') AS t FROM documents),
+        |tk AS (SELECT lang, unnest(CASE WHEN len(t) < 3 THEN [] ELSE
+        |   [t[i]||' '||t[i+1]||' '||t[i+2] FOR i IN range(1, len(t)-1)] END) AS tok FROM tks),
+        |hh AS (SELECT lang, ('0x'||substr(md5(tok),1,15))::UBIGINT::BIGINT AS h FROM tk),
+        |rr AS (SELECT lang, h & 255 AS bucket,
+        |   CASE WHEN (h >> 8) = 0 THEN 53
+        |        ELSE CAST(round(log2((h >> 8) & (-(h >> 8)))) AS INT) + 1 END AS rho
+        |  FROM hh),
+        |regs AS (SELECT lang, bucket, max(rho) AS r FROM rr GROUP BY lang, bucket),
+        |agg AS (SELECT lang, CAST(256 - count(*) AS INT) AS zero_regs,
+        |   sum(1::BIGINT << (54 - r)) AS s_present FROM regs GROUP BY lang),
+        |ex AS (SELECT lang, count(DISTINCT tok) AS exact_distinct FROM tk GROUP BY lang),
+        |est AS (SELECT lang, zero_regs,
+        |   CASE WHEN zero_regs > 0 AND
+        |     (0.7213/(1.0 + 1.079/256.0)) * 65536.0 * 18014398509481984.0
+        |       / (s_present + zero_regs::BIGINT * (1::BIGINT << 54)) <= 640.0
+        |   THEN 256.0 * ln(256.0 / zero_regs)
+        |   ELSE (0.7213/(1.0 + 1.079/256.0)) * 65536.0 * 18014398509481984.0
+        |       / (s_present + zero_regs::BIGINT * (1::BIGINT << 54)) END AS e
+        |  FROM agg)
+        |SELECT lang, zero_regs, CAST(round(e) AS BIGINT) AS est_distinct, exact_distinct,
+        |  round(abs(e - exact_distinct) / exact_distinct * 100, 2) AS err_pct
+        |FROM est JOIN ex USING (lang) ORDER BY lang""".stripMargin,
+    "q_sketch_kmv" ->
+      """WITH tks AS (SELECT lang, string_split(lower(text), ' ') AS t FROM documents),
+        |tk AS (SELECT lang, unnest(CASE WHEN len(t) < 3 THEN [] ELSE
+        |   [t[i]||' '||t[i+1]||' '||t[i+2] FOR i IN range(1, len(t)-1)] END) AS tok FROM tks),
+        |dh AS (SELECT DISTINCT lang,
+        |   ('0x'||substr(md5('kmv:'||tok),1,15))::UBIGINT::BIGINT AS h FROM tk),
+        |rk AS (SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS rn FROM dh),
+        |top AS (SELECT lang, count(*) AS n_mins, max(h) AS kth_hash
+        |  FROM rk WHERE rn <= 64 GROUP BY lang),
+        |ex AS (SELECT lang, count(DISTINCT tok) AS exact_distinct FROM tk GROUP BY lang),
+        |est AS (SELECT lang, n_mins, kth_hash, exact_distinct,
+        |   CASE WHEN n_mins < 64 THEN exact_distinct::DOUBLE
+        |        ELSE 63.0 * 1152921504606846976.0 / kth_hash END AS e
+        |  FROM top JOIN ex USING (lang))
+        |SELECT lang, n_mins, kth_hash, CAST(round(e) AS BIGINT) AS est_distinct,
+        |  exact_distinct,
+        |  round(abs(e - exact_distinct) / exact_distinct * 100, 2) AS err_pct
+        |FROM est ORDER BY lang""".stripMargin,
+    "q_sketch_cms" ->
+      """WITH tk AS (SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+        |tf AS (SELECT tok, count(*) AS cnt FROM tk GROUP BY tok),
+        |tb AS (SELECT tok, cnt, i,
+        |   ('0x'||substr(md5(i::VARCHAR||':'||tok),1,15))::UBIGINT::BIGINT & 63 AS b
+        |  FROM tf, range(0, 4) t(i)),
+        |counters AS (SELECT i, b, sum(cnt) AS c FROM tb GROUP BY i, b),
+        |thr AS (SELECT CAST(floor(sum(cnt) / 150.0) AS BIGINT) AS thr FROM tf),
+        |est AS (SELECT tok, min(c) AS est_cnt, min(cnt) AS exact_cnt
+        |  FROM tb JOIN counters USING (i, b) GROUP BY tok)
+        |SELECT tok, est_cnt, exact_cnt FROM est, thr
+        |WHERE est_cnt >= thr ORDER BY est_cnt DESC, tok""".stripMargin,
+    "q_sample_reservoir" ->
+      """SELECT doc_id, lang, source FROM (
+        |  SELECT doc_id, lang, source, row_number() OVER (ORDER BY
+        |    ('0x'||substr(md5('rsv:'||doc_id::VARCHAR),1,15))::UBIGINT) AS rn
+        |  FROM documents) WHERE rn <= 100 ORDER BY doc_id""".stripMargin,
+  )
+}
