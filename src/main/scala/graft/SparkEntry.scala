@@ -117,6 +117,8 @@ object SparkEntry {
     "q_sketch_kmv"        -> (Sketches.kmvDistinct _),
     "q_sketch_cms"        -> (Sketches.cmsHeavyHitters _),
     "q_sample_reservoir"  -> (Sketches.reservoirSample _),
+    "q_sketch_quantile"   -> (Sketches.quantileSketch _),
+    "q_stream_hll"        -> (streaming.StreamQueries.streamHll _),
     "q_layout_zorder"     -> (Layout.zorderCells _),
     "q_bucket_join"       -> (Layout.bucketJoin _),
     "q_dedup_simhash"   -> (Dedup.simhashPairs _),

@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
   * (driver-mandated LLM-pipeline extension family; the brief's "novel
   * sketch" bullet). A training-data pipeline sizes its dedup / vocab /
   * sampling stages from corpus cardinalities it cannot afford to compute
-  * exactly — these four operators answer those questions in one linear
+  * exactly — these operators answer those questions in one linear
   * pass with FIXED-SIZE, MERGEABLE state:
   *
   *   - [[hllDistinct]]   distinct-count via HyperLogLog-style registers
@@ -34,6 +34,10 @@ import org.apache.spark.sql.functions._
   *                       reservoir): TakeOrderedAndProject keeps k rows
   *                       per partition, merges on the driver — no full
   *                       sort, no shuffle.
+  *   - [[quantileSketch]] HDR-histogram quantiles: a ≤16·64-cell log₂
+  *                       grid with a 1/16 relative-error guarantee,
+  *                       pure-integer bucket math (msb via bin()), no
+  *                       full sort.
   *
   * Every hash is md5-derived (TextHashes convention: Spark
   * `conv(substring(md5(s),1,15),16,10)` == DuckDB
@@ -75,14 +79,15 @@ object Sketches {
     Tables(s, dir, "documents")
       .select(col("lang"), explode(split(lower(col("text")), " ")).as("tok"))
 
-  /** HLL m=256 distinct-3-shingle estimate per language, reported against
-    * the exact count. Registers use the trailing-zero rank of the 52 bits
-    * above the bucket byte: ρ = t+1 where 2^t = v & −v (ρ = 53 when v = 0)
-    * — a Flajolet-Martin-style rank with identical uniformity to the
-    * leading-zero original, chosen because it is exactly reproducible in
-    * portable SQL. Small-range correction (linear counting m·ln(m/V))
-    * applies below E ≤ 2.5m exactly as in the paper. */
-  def hllDistinct(s: SparkSession, dir: String): DataFrame = {
+  /** The HLL m=256 sketch pass alone (no exact comparison column) — what
+    * production runs, and what ScaleBench times against the exact
+    * countDistinct it replaces. Registers use the trailing-zero rank of
+    * the 52 bits above the bucket byte: ρ = t+1 where 2^t = v & −v
+    * (ρ = 53 when v = 0) — a Flajolet-Martin-style rank with identical
+    * uniformity to the leading-zero original, chosen because it is exactly
+    * reproducible in portable SQL. Small-range correction (linear counting
+    * m·ln(m/V)) applies below E ≤ 2.5m exactly as in the paper. */
+  private[graft] def hllEstimateOnly(s: SparkSession, dir: String): DataFrame = {
     val regs = shinglesByLang(s, dir)
       .withColumn("h", expr(h60("tok")))
       .withColumn("bucket", expr("h & 255"))
@@ -91,7 +96,7 @@ object Sketches {
         expr("CASE WHEN v = 0 THEN 53 ELSE cast(round(log2(v & -v)) as int) + 1 END"))
       .groupBy(col("lang"), col("bucket"))
       .agg(max(col("rho")).as("r"))
-    val agg = regs.groupBy(col("lang"))
+    regs.groupBy(col("lang"))
       .agg(count(lit(1)).as("c"),
         sum(expr("shiftleft(cast(1 as bigint), 54 - r)")).as("s_present"))
       .withColumn("zero_regs", expr("cast(256 - c as int)"))
@@ -102,8 +107,48 @@ object Sketches {
       .withColumn("e", expr(
         "CASE WHEN zero_regs > 0 AND e_raw <= 640.0 " +
           "THEN 256.0 * log(256.0 / zero_regs) ELSE e_raw END"))
-    val exact = shinglesByLang(s, dir).groupBy(col("lang"))
+  }
+
+  /** Exact distinct-shingle count alone — ScaleBench's baseline for the
+    * sketch comparison (the full-width shuffle the sketch avoids). */
+  private[graft] def exactDistinctOnly(s: SparkSession, dir: String): DataFrame =
+    shinglesByLang(s, dir).groupBy(col("lang"))
       .agg(countDistinct(col("tok")).as("exact_distinct"))
+
+  /** The production HLL pass: same register algebra, but hashed with
+    * Spark's codegen xxhash64 instead of the md5-hex chain the
+    * oracle-checked [[hllEstimateOnly]] uses for cross-engine replay.
+    * md5's string round-trip (hex → substring → conv) costs ~10× the
+    * sketch's own aggregation at local scale — measured in ScaleBench,
+    * which times both variants so the hash cost and the register cost are
+    * visible separately. xxhash64 can go negative; the register math only
+    * needs the low 60 bits, so mask first. */
+  private[graft] def hllEstimateFast(s: SparkSession, dir: String): DataFrame = {
+    val regs = shinglesByLang(s, dir)
+      .withColumn("h", expr("xxhash64(tok) & 1152921504606846975"))
+      .withColumn("bucket", expr("h & 255"))
+      .withColumn("v", expr("shiftright(h, 8)"))
+      .withColumn("rho",
+        expr("CASE WHEN v = 0 THEN 53 ELSE cast(round(log2(v & -v)) as int) + 1 END"))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(max(col("rho")).as("r"))
+    regs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("c"),
+        sum(expr("shiftleft(cast(1 as bigint), 54 - r)")).as("s_present"))
+      .withColumn("zero_regs", expr("cast(256 - c as int)"))
+      .withColumn("e_raw", expr(
+        "(0.7213/(1.0 + 1.079/256.0)) * 65536.0 * 18014398509481984.0 " +
+          "/ (s_present + cast(zero_regs as bigint) * shiftleft(cast(1 as bigint), 54))"))
+      .withColumn("e", expr(
+        "CASE WHEN zero_regs > 0 AND e_raw <= 640.0 " +
+          "THEN 256.0 * log(256.0 / zero_regs) ELSE e_raw END"))
+  }
+
+  /** [[hllEstimateOnly]] joined with the exact distinct count per language
+    * — the oracle-checked report form (est, exact, err%). */
+  def hllDistinct(s: SparkSession, dir: String): DataFrame = {
+    val agg = hllEstimateOnly(s, dir)
+    val exact = exactDistinctOnly(s, dir)
     agg.join(exact, Seq("lang"))
       .select(col("lang"), col("zero_regs"),
         expr("cast(round(e) as bigint)").as("est_distinct"),
@@ -181,7 +226,69 @@ object Sketches {
       .select(col("doc_id"), col("lang"), col("source"))
       .orderBy(col("doc_id"))
 
+  /** HDR-histogram quantile sketch over l_extendedprice (in cents): bucket
+    * id = 16·msb(v) + next-4-mantissa-bits — a log₂ grid with 16 sub-cells
+    * per octave, giving a ≤ 1/16 relative-error guarantee by construction
+    * (the HdrHistogram / DDSketch idea on pure-integer math, so both
+    * engines replay it bit-for-bit; no ulp-sensitive log-of-arbitrary-value
+    * anywhere — msb comes from `length(bin(v))`). Estimates for
+    * q ∈ {0.5, 0.9, 0.99} are the qualifying bucket's LOWER bound,
+    * compared against the true order statistic.
+    *
+    * Scale shape: the histogram is ≤ 16·64 cells whatever the data volume
+    * (partial aggregation ships one cell array per partition — same
+    * mergeable-state story as the HLL registers); only the exact
+    * comparison column pays a full sort, which is exactly the cost the
+    * sketch exists to avoid at 100 TB. */
+  def quantileSketch(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = Tables(s, dir, "lineitem")
+      .select(expr("cast(round(l_extendedprice * 100) as bigint)").as("v"))
+    val hist = cents
+      .select(expr("length(bin(v)) - 1").as("e"), col("v"))
+      .select(expr("e * 16 + (shiftright(v, greatest(e - 4, 0)) & 15)").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+    val cum = hist.withColumn("cum", sum(col("cnt")).over(Window.orderBy("bucket")))
+    val n = cents.groupBy().agg(count(lit(1)).as("n"))
+    val qs = s.range(1).select(explode(array(lit(0.5), lit(0.9), lit(0.99))).as("q"))
+    val picked = qs.crossJoin(broadcast(n))
+      .withColumn("target", expr("cast(ceil(q * n) as bigint)"))
+      .join(broadcast(cum), col("cum") >= col("target"))
+      .groupBy(col("q"), col("target")).agg(min(col("bucket")).as("bucket"))
+      .withColumn("est_value", expr(
+        "shiftleft(cast(16 + (bucket & 15) as bigint), greatest(shiftright(bucket, 4) - 4, 0))"))
+    val exact = cents
+      .withColumn("rn", row_number().over(Window.orderBy("v")))
+      .join(picked.select(col("q").as("eq"), col("target")), col("rn") === col("target"))
+      .select(col("eq"), col("v").as("exact_value"))
+    picked.join(exact, col("q") === col("eq"))
+      .select(col("q"), col("est_value"), col("exact_value"),
+        round(expr("abs(est_value - exact_value) / exact_value * 100"), 2).as("rel_err_pct"))
+      .orderBy("q")
+  }
+
   val sql: Map[String, String] = Map(
+    "q_sketch_quantile" ->
+      """WITH cents AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v FROM lineitem),
+        |bk AS (SELECT (length(bin(v)) - 1) * 16 +
+        |   ((v >> greatest(length(bin(v)) - 1 - 4, 0)) & 15) AS bucket FROM cents),
+        |hist AS (SELECT bucket, count(*) AS cnt FROM bk GROUP BY bucket),
+        |cum AS (SELECT bucket, sum(cnt) OVER (ORDER BY bucket) AS cum FROM hist),
+        |nn AS (SELECT count(*) AS n FROM cents),
+        |qs AS (SELECT unnest([0.5, 0.9, 0.99]) AS q),
+        |picked AS (SELECT q, target, min(bucket) AS bucket FROM (
+        |   SELECT qs.q, CAST(ceil(qs.q * nn.n) AS BIGINT) AS target, c.bucket
+        |   FROM qs, nn, cum c WHERE c.cum >= CAST(ceil(qs.q * nn.n) AS BIGINT))
+        |  GROUP BY q, target),
+        |est AS (SELECT q, target,
+        |   (16 + (bucket & 15))::BIGINT << greatest((bucket >> 4) - 4, 0) AS est_value
+        |  FROM picked),
+        |sorted AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM cents),
+        |ex AS (SELECT e.q, e.est_value, s.v AS exact_value
+        |  FROM est e JOIN sorted s ON s.rn = e.target)
+        |SELECT q, est_value, exact_value,
+        |  round(abs(est_value - exact_value) / exact_value * 100, 2) AS rel_err_pct
+        |FROM ex ORDER BY q""".stripMargin,
     "q_sketch_hll" ->
       """WITH tks AS (SELECT lang, string_split(lower(text), ' ') AS t FROM documents),
         |tk AS (SELECT lang, unnest(CASE WHEN len(t) < 3 THEN [] ELSE

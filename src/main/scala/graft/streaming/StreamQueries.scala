@@ -711,6 +711,48 @@ object StreamQueries {
       .orderBy("user_id", "win_id")
   }
 
+  /** Streaming HLL: continuous distinct-user estimate per event type with
+    * O(m=256) state per key — the register table (group max of the
+    * trailing-zero rank, operators.Sketches' hashing) IS the streaming
+    * aggregation state, so an unbounded run never stores user ids, only
+    * 256 small ints per event type. Update mode emits refreshed registers
+    * each batch; the drained final registers are folded into the estimate
+    * batch-side and compared against the exact per-type distinct count
+    * (max is order- and batching-independent, which is what makes the
+    * streaming sketch replayable by a batch oracle). */
+  def streamHll(s: SparkSession, dir: String): DataFrame = {
+    val regs = StreamSource.events(s, dir)
+      .select(col("event_type"),
+        expr("cast(conv(substring(md5(concat('u:', cast(user_id as string))),1,15),16,10) as bigint)").as("h"))
+      .select(col("event_type"), expr("h & 255").as("bucket"),
+        expr("CASE WHEN shiftright(h, 8) = 0 THEN 53 " +
+          "ELSE cast(round(log2(shiftright(h, 8) & -shiftright(h, 8))) as int) + 1 END").as("rho"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(max(col("rho")).as("r"))
+    val drained = StreamSource.runToTable(s, regs, "stream_hll", "update")
+      // update mode re-emits a (event_type, bucket) row per batch that
+      // touched it — keep the last (= max, registers only grow)
+      .groupBy(col("event_type"), col("bucket")).agg(max(col("r")).as("r"))
+    val agg = drained.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("c"),
+        sum(expr("shiftleft(cast(1 as bigint), 54 - r)")).as("s_present"))
+      .withColumn("zero_regs", expr("cast(256 - c as int)"))
+      .withColumn("e_raw", expr(
+        "(0.7213/(1.0 + 1.079/256.0)) * 65536.0 * 18014398509481984.0 " +
+          "/ (s_present + cast(zero_regs as bigint) * shiftleft(cast(1 as bigint), 54))"))
+      .withColumn("e", expr(
+        "CASE WHEN zero_regs > 0 AND e_raw <= 640.0 " +
+          "THEN 256.0 * log(256.0 / zero_regs) ELSE e_raw END"))
+    val exact = graft.Tables(s, dir, "events").groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_distinct"))
+    agg.join(exact, Seq("event_type"))
+      .select(col("event_type"), col("zero_regs"),
+        expr("cast(round(e) as bigint)").as("est_distinct"),
+        col("exact_distinct"),
+        round(expr("abs(e - exact_distinct) / exact_distinct * 100"), 2).as("err_pct"))
+      .orderBy("event_type")
+  }
+
   /** DuckDB oracles — batch-SQL statements equivalent to each streaming
     * operator's final drained output. */
   private val sqlBase: Map[String, String] = Map(
@@ -1239,5 +1281,29 @@ object StreamQueries {
   val sql: Map[String, String] = sqlBase ++ Map(
     "q_stream_cep_not_ooo" -> sqlBase("q_stream_cep_not"),
     "q_stream_cep_any_ooo" -> sqlBase("q_stream_cep_any"),
-    "q_stream_connect_ooo" -> sqlBase("q_stream_connect"))
+    "q_stream_connect_ooo" -> sqlBase("q_stream_connect"),
+    "q_stream_hll" ->
+      """WITH hh AS (SELECT event_type,
+        |   ('0x'||substr(md5('u:'||user_id::VARCHAR),1,15))::UBIGINT::BIGINT AS h FROM events),
+        |rr AS (SELECT event_type, h & 255 AS bucket,
+        |   CASE WHEN (h >> 8) = 0 THEN 53
+        |        ELSE CAST(round(log2((h >> 8) & (-(h >> 8)))) AS INT) + 1 END AS rho
+        |  FROM hh),
+        |regs AS (SELECT event_type, bucket, max(rho) AS r FROM rr GROUP BY event_type, bucket),
+        |agg AS (SELECT event_type, CAST(256 - count(*) AS INT) AS zero_regs,
+        |   sum(1::BIGINT << (54 - r)) AS s_present FROM regs GROUP BY event_type),
+        |ex AS (SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+        |  FROM events GROUP BY event_type),
+        |est AS (SELECT event_type, zero_regs,
+        |   CASE WHEN zero_regs > 0 AND
+        |     (0.7213/(1.0 + 1.079/256.0)) * 65536.0 * 18014398509481984.0
+        |       / (s_present + zero_regs::BIGINT * (1::BIGINT << 54)) <= 640.0
+        |   THEN 256.0 * ln(256.0 / zero_regs)
+        |   ELSE (0.7213/(1.0 + 1.079/256.0)) * 65536.0 * 18014398509481984.0
+        |       / (s_present + zero_regs::BIGINT * (1::BIGINT << 54)) END AS e
+        |  FROM agg)
+        |SELECT event_type, zero_regs, CAST(round(e) AS BIGINT) AS est_distinct,
+        |  exact_distinct,
+        |  round(abs(e - exact_distinct) / exact_distinct * 100, 2) AS err_pct
+        |FROM est JOIN ex USING (event_type) ORDER BY event_type""".stripMargin)
 }

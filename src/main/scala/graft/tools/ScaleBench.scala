@@ -117,8 +117,9 @@ object ScaleBench {
     val cdcOnly = args.lift(1).contains("cdc")
     val streamOnly = args.lift(1).contains("stream")
     val graphOnly = args.lift(1).contains("graph")
+    val sketchOnly = args.lift(1).contains("sketch")
     val src = "/root/testdata/sf0.1"
-    val out = if (llmOnly) s"/tmp/graft-llm$k"
+    val out = if (llmOnly || sketchOnly) s"/tmp/graft-llm$k"
       else if (cdcOnly) s"/tmp/graft-cdc$k"
       else if (streamOnly) s"/tmp/graft-stream$k" else "/tmp/graft-sf1"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -144,6 +145,43 @@ object ScaleBench {
     // deliberately absent — at 200k vectors its 12.5k-per-bucket candidate
     // join is the quadratic blowup the scaled variant exists to avoid; the
     // k=10 full mode still measures both for the advantage ratio.
+    // sketch-vs-exact rehearsal alone (same documents inflation as llm
+    // mode, none of the expensive dedup entries): the register pass must
+    // stay near-flat in k while the exact distinct pays the growing
+    // full-width shuffle
+    if (sketchOnly) {
+      inflateLlm(spark, src, out, k)
+      // untimed scan so the first timed entry doesn't absorb file-listing
+      // + codegen warmup for everyone
+      spark.read.parquet(s"$out/documents.parquet").count()
+      val results = Seq(
+        time(s"sketch_hll_md5_${k}x") {
+          spark.catalog.clearCache()
+          graft.operators.Sketches.hllEstimateOnly(spark, out).count()
+        },
+        time(s"sketch_hll_xx_${k}x") {
+          spark.catalog.clearCache()
+          graft.operators.Sketches.hllEstimateFast(spark, out).count()
+        },
+        time(s"distinct_exact_${k}x") {
+          spark.catalog.clearCache()
+          graft.operators.Sketches.exactDistinctOnly(spark, out).count()
+        },
+        time(s"sketch_cms_${k}x") {
+          spark.catalog.clearCache()
+          graft.operators.Sketches.cmsHeavyHitters(spark, out).count()
+        },
+        time(s"sketch_quantile_${k}x") {
+          spark.catalog.clearCache()
+          graft.operators.Sketches.quantileSketch(spark, src).count()
+        },
+      )
+      val total = results.map(_._2).sum
+      println(f"""{"metric":"scale_bench_sketch","value":$total%.2f,"unit":"sec","k":$k,"queries":{${
+        results.map { case (n, t, rows) => f""""$n":[$t%.2f,$rows]""" }.mkString(",")}}}""")
+      spark.stop()
+      return
+    }
     if (llmOnly) {
       inflateLlm(spark, src, out, k)
       val results = Seq(
@@ -216,6 +254,24 @@ object ScaleBench {
         time(s"bpe_train_${k}x") {
           spark.catalog.clearCache()
           graft.operators.Bpe.mergeTable(spark, out).count()
+        },
+        // sketch-vs-exact headline: the HLL register pass ships ≤256 rows
+        // per (lang, partition) whatever the corpus size, while the exact
+        // countDistinct shuffles the full distinct-shingle universe — the
+        // gap between these two lines IS the sketch's reason to exist,
+        // and it must WIDEN with k
+        time(s"sketch_hll_est_${k}x") {
+          spark.catalog.clearCache()
+          graft.operators.Sketches.hllEstimateOnly(spark, out).count()
+        },
+        time(s"distinct_exact_${k}x") {
+          spark.catalog.clearCache()
+          graft.operators.Sketches.exactDistinctOnly(spark, out).count()
+        },
+        // CMS: one vocab-scale collapse + a 256-row broadcast — linear
+        time(s"sketch_cms_${k}x") {
+          spark.catalog.clearCache()
+          graft.operators.Sketches.cmsHeavyHitters(spark, out).count()
         },
       )
       val total = results.map(_._2).sum

@@ -64,7 +64,11 @@ class EmptyInputSpec extends SparkSpec {
     // r9 continuation-5 additions
     "q_c4_filter", "q_dedup_lines", "q_dedup_url", "q_quality_classifier",
     "q_sql_hints", "q_meta_columns", "q_unified_pipeline",
-    "q_bpe_merges", "q_bpe_encode", "q_ddl_use", "q_dedup_incremental")
+    "q_bpe_merges", "q_bpe_encode", "q_ddl_use", "q_dedup_incremental",
+    // sketch / layout / decontamination family
+    "q_sketch_hll", "q_sketch_kmv", "q_sketch_cms", "q_sketch_quantile",
+    "q_sample_reservoir", "q_layout_zorder", "q_bucket_join",
+    "q_decontaminate_emb", "q_stream_hll")
 
   for (name <- queries)
     test(s"$name runs on an empty corpus") {
