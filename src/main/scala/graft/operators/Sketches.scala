@@ -267,7 +267,103 @@ object Sketches {
       .orderBy("q")
   }
 
+  /** Pairwise source-overlap estimation from KMV signatures — the question
+    * asked before merging two crawls into one training mix: "how much of
+    * corpus B is already in corpus A?". Each source keeps its k=256
+    * smallest distinct-shingle hashes; for a pair, the k smallest of the
+    * signature union are a valid KMV of the set union (closure property),
+    * and the fraction of them present in BOTH signatures estimates the
+    * Jaccard (Bar-Yossef et al. 2002 / Beyer et al. 2007). Reported
+    * against the exact shingle Jaccard per pair.
+    *
+    * Scale shape: the corpus is touched ONCE to build the per-source
+    * signatures (k rows per source after the WindowGroupLimit rank
+    * filter); the |S|² pair matrix then works entirely on signature rows
+    * — 20 sources × 256 hashes here, metadata-scale at any corpus size.
+    * The exact column pays the full shingle self-join, which is the cost
+    * the sketch answer avoids. */
+  def sourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = Tables(s, dir, "documents")
+      .withColumn("toks", split(lower(col("text")), " "))
+      .select(col("source"), explode(
+        when(size(col("toks")) < lit(3), array().cast("array<string>"))
+          .otherwise(expr(
+            "transform(sequence(1, size(toks) - 2), " +
+              "i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))")))
+        .as("tok"))
+    val dh = sh.select(col("source"), expr(h60("concat('ovl:', tok)")).as("h")).distinct()
+    val sig = dh
+      .withColumn("rn", row_number().over(Window.partitionBy("source").orderBy("h")))
+      .filter(col("rn") <= 256).select(col("source"), col("h"))
+    sig.persist()
+    val srcs = sig.select(col("source")).distinct()
+    val pairs = srcs.select(col("source").as("sa"))
+      .crossJoin(srcs.select(col("source").as("sb")))
+      .filter(col("sa") < col("sb"))
+    // every signature row of either side, deduped per (pair, hash) with
+    // membership flags, re-ranked to the union's k smallest
+    val u = pairs.join(broadcast(sig),
+        col("source") === col("sa") || col("source") === col("sb"))
+      .groupBy(col("sa"), col("sb"), col("h"))
+      .agg(max(when(col("source") === col("sa"), 1).otherwise(0)).as("in_a"),
+        max(when(col("source") === col("sb"), 1).otherwise(0)).as("in_b"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("sa", "sb").orderBy("h")))
+      .filter(col("rn") <= 256)
+      .groupBy(col("sa"), col("sb"))
+      .agg(count(lit(1)).as("k_union"),
+        sum(expr("in_a * in_b")).as("matched"))
+      .withColumn("jac_est", round(expr("matched / cast(k_union as double)"), 4))
+    val exact = dh.select(col("source").as("ea"), col("h"))
+      .join(dh.select(col("source").as("eb"), col("h")), Seq("h"))
+      .filter(col("ea") < col("eb"))
+      .groupBy(col("ea"), col("eb")).agg(count(lit(1)).as("inter"))
+    val sizes = dh.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val exactJ = exact
+      .join(sizes.select(col("source").as("ea"), col("n").as("na")), Seq("ea"))
+      .join(sizes.select(col("source").as("eb"), col("n").as("nb")), Seq("eb"))
+      .select(col("ea"), col("eb"),
+        round(expr("inter / cast(na + nb - inter as double)"), 4).as("jac_exact"))
+    u.join(exactJ, col("sa") === col("ea") && col("sb") === col("eb"), "left")
+      .select(col("sa"), col("sb"), col("k_union"), col("matched"),
+        col("jac_est"), coalesce(col("jac_exact"), lit(0.0)).as("jac_exact"))
+      .orderBy("sa", "sb")
+  }
+
   val sql: Map[String, String] = Map(
+    "q_sketch_overlap" ->
+      """WITH tks AS (SELECT source, string_split(lower(text), ' ') AS t FROM documents),
+        |tk AS (SELECT source, unnest(CASE WHEN len(t) < 3 THEN [] ELSE
+        |   [t[i]||' '||t[i+1]||' '||t[i+2] FOR i IN range(1, len(t)-1)] END) AS tok FROM tks),
+        |dh AS (SELECT DISTINCT source,
+        |   ('0x'||substr(md5('ovl:'||tok),1,15))::UBIGINT::BIGINT AS h FROM tk),
+        |sig AS (SELECT source, h FROM (
+        |   SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+        |   FROM dh) WHERE rn <= 256),
+        |prs AS (SELECT a.source AS sa, b.source AS sb
+        |  FROM (SELECT DISTINCT source FROM sig) a, (SELECT DISTINCT source FROM sig) b
+        |  WHERE a.source < b.source),
+        |uh AS (SELECT p.sa, p.sb, g.h,
+        |   max(CASE WHEN g.source = p.sa THEN 1 ELSE 0 END) AS in_a,
+        |   max(CASE WHEN g.source = p.sb THEN 1 ELSE 0 END) AS in_b
+        |  FROM prs p JOIN sig g ON g.source = p.sa OR g.source = p.sb
+        |  GROUP BY p.sa, p.sb, g.h),
+        |uk AS (SELECT sa, sb, h, in_a, in_b,
+        |   row_number() OVER (PARTITION BY sa, sb ORDER BY h) AS rn FROM uh),
+        |est AS (SELECT sa, sb, CAST(count(*) AS BIGINT) AS k_union,
+        |   CAST(sum(in_a * in_b) AS BIGINT) AS matched
+        |  FROM uk WHERE rn <= 256 GROUP BY sa, sb),
+        |inter AS (SELECT a.source AS ea, b.source AS eb, count(*) AS i
+        |  FROM dh a JOIN dh b ON a.h = b.h AND a.source < b.source GROUP BY 1, 2),
+        |nn AS (SELECT source, count(*) AS n FROM dh GROUP BY source),
+        |exj AS (SELECT ea, eb, round(i / CAST(na.n + nb.n - i AS DOUBLE), 4) AS jac_exact
+        |  FROM inter JOIN nn na ON na.source = ea JOIN nn nb ON nb.source = eb)
+        |SELECT sa, sb, k_union, matched,
+        |  round(matched / CAST(k_union AS DOUBLE), 4) AS jac_est,
+        |  coalesce(jac_exact, 0.0) AS jac_exact
+        |FROM est LEFT JOIN exj ON ea = sa AND eb = sb
+        |ORDER BY sa, sb""".stripMargin,
     "q_sketch_quantile" ->
       """WITH cents AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v FROM lineitem),
         |bk AS (SELECT (length(bin(v)) - 1) * 16 +

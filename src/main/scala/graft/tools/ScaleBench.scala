@@ -175,6 +175,14 @@ object ScaleBench {
           spark.catalog.clearCache()
           graft.operators.Sketches.quantileSketch(spark, src).count()
         },
+        // overlap matrix: ONE corpus pass builds the signatures (linear in
+        // k); the 190-pair estimate works on 20×256 signature rows whatever
+        // the corpus size. The exact comparison column's shingle self-join
+        // is the part that grows — at a real 100 TB it would be dropped.
+        time(s"sketch_overlap_${k}x") {
+          spark.catalog.clearCache()
+          graft.operators.Sketches.sourceOverlap(spark, out).count()
+        },
       )
       val total = results.map(_._2).sum
       println(f"""{"metric":"scale_bench_sketch","value":$total%.2f,"unit":"sec","k":$k,"queries":{${
