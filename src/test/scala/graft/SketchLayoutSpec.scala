@@ -132,6 +132,68 @@ class SketchLayoutSpec extends SparkSpec {
     assert(zX < 600, s"z-order mean x-span $zX should stay bounded (grid is 0..1023)")
   }
 
+  test("z-order files MEASURABLY prune: reader row-group skipping on the non-sort dim") {
+    // written by the box test above (same suite order); re-write defensively
+    import spark.implicits._
+    val raw = spark.read.parquet("/root/testdata/sf0.01/part.parquet")
+      .select(col("p_size").cast("double").as("xs"), col("p_retailprice").as("ys"))
+    val Array(minX, maxX, minY, maxY) = raw
+      .agg(min("xs"), max("xs"), min("ys"), max("ys"))
+      .head().toSeq.map(_.toString.toDouble).toArray
+    val base = raw.select(
+      expr(s"cast(round((xs - $minX) / (${maxX - minX}) * 1023) as int)").as("x"),
+      expr(s"cast(round((ys - $minY) / (${maxY - minY}) * 1023) as int)").as("y"))
+    val zdir = s"${SparkSpec.warehouseDir}/zorder-prune"
+    val xdir = s"${SparkSpec.warehouseDir}/xsort-prune"
+    base.withColumn("z", ZValue.zValue(col("x"), col("y")))
+      .repartitionByRange(16, col("z")).sortWithinPartitions("z")
+      .write.mode("overwrite").parquet(zdir)
+    base.repartitionByRange(16, col("x")).sortWithinPartitions("x")
+      .write.mode("overwrite").parquet(xdir)
+    // rows the parquet reader actually surfaces for a selective filter on
+    // y — with one row group per small file, footer min/max row-group
+    // pruning is file pruning; the scan node's numOutputRows counts rows
+    // AFTER pushdown, i.e. rows read from unpruned groups
+    def rowsRead(dir: String): Long = {
+      val df = spark.read.parquet(dir).filter(col("y").between(100, 160))
+      df.collect()
+      val scan = df.queryExecution.executedPlan.collectLeaves().head
+      scan.metrics("numOutputRows").value
+    }
+    val zRead = rowsRead(zdir); val xRead = rowsRead(xdir)
+    assert(zRead < xRead / 2,
+      s"z-order scan read $zRead rows for the y-filter; x-sorted read $xRead — " +
+        "expected >2x row-group pruning from the z layout")
+  }
+
+  test("bucketed scan prunes buckets on an equality key filter") {
+    // tables created by bucketJoin (idempotent overwrite)
+    Layout.bucketJoin(spark, sf).collect()
+    // a filter-only query has no shuffle to avoid, so the planner's
+    // auto-bucketed-scan heuristic turns bucketing off; pin it on to
+    // observe the bucket PRUNING path the layout enables
+    val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = spark.conf.get(key, "true")
+    spark.conf.set(key, "false")
+    try {
+      val one = spark.table("graft_buckets.orders_b").filter(col("o_custkey") === 42L)
+      one.collect()
+      val p = one.queryExecution.executedPlan.toString
+      assert(p.contains("SelectedBucketsCount: 1 out of 16"),
+        s"equality filter on the bucket key should scan 1/16 buckets:\n$p")
+    } finally spark.conf.set(key, prev)
+  }
+
+  test("z_value is order-preserving per dimension (range-partition safety)") {
+    // monotone in x at fixed y and in y at fixed x — what makes
+    // repartitionByRange(z) a valid clustering of EACH dim's order
+    for (y <- Seq(0, 5, 999); x1 <- Seq(0, 3, 800); d <- Seq(1, 17)) {
+      val x2 = x1 + d
+      assert(ZValueUtil.interleave16(x1, y) < ZValueUtil.interleave16(x2, y))
+      assert(ZValueUtil.interleave16(y, x1) < ZValueUtil.interleave16(y, x2))
+    }
+  }
+
   test("bucketed join plan: no exchange below the join, SMJ on bucket layout") {
     val out = Layout.bucketJoin(spark, sf)
     val p = out.queryExecution.executedPlan.toString
