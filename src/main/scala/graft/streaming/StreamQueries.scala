@@ -711,6 +711,48 @@ object StreamQueries {
       .orderBy("user_id", "win_id")
   }
 
+  /** Windowed streaming HLL — "daily unique users per event type", the
+    * canonical production sketch query: event-time tumbling windows with a
+    * watermark, registers as the per-(window, type) aggregation state, so
+    * each closed day emits 256 small ints per type exactly once (append
+    * mode) and an unbounded run holds O(open windows × types × 256) state
+    * with NO user-id retention. Finalization to estimates happens
+    * batch-side on the drained registers; exact per-day distinct counts
+    * join in for the error report. */
+  def streamHllWindow(s: SparkSession, dir: String): DataFrame = {
+    val regs = StreamSource.eventsWithSentinel(s, dir)
+      .withWatermark("ts", "1 hour")
+      .select(col("ts"), col("event_type"),
+        expr("cast(conv(substring(md5(concat('u:', cast(user_id as string))),1,15),16,10) as bigint)").as("h"))
+      .select(col("ts"), col("event_type"), expr("h & 255").as("bucket"),
+        expr("CASE WHEN shiftright(h, 8) = 0 THEN 53 " +
+          "ELSE cast(round(log2(shiftright(h, 8) & -shiftright(h, 8))) as int) + 1 END").as("rho"))
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"), col("bucket"))
+      .agg(max(col("rho")).as("r"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("bucket"), col("r"))
+    val drained = StreamSource.runToTable(s, regs, "stream_hll_window", "append")
+      .where(col("event_type") =!= "__sentinel")
+    val agg = drained.groupBy(col("w_start"), col("event_type"))
+      .agg(count(lit(1)).as("c"),
+        sum(expr("shiftleft(cast(1 as bigint), 54 - r)")).as("s_present"))
+      .withColumn("zero_regs", expr("cast(256 - c as int)"))
+      .withColumn("e_raw", expr(
+        "(0.7213/(1.0 + 1.079/256.0)) * 65536.0 * 18014398509481984.0 " +
+          "/ (s_present + cast(zero_regs as bigint) * shiftleft(cast(1 as bigint), 54))"))
+      .withColumn("e", expr(
+        "CASE WHEN zero_regs > 0 AND e_raw <= 640.0 " +
+          "THEN 256.0 * log(256.0 / zero_regs) ELSE e_raw END"))
+    val exact = graft.Tables(s, dir, "events")
+      .groupBy(date_trunc("day", col("ts")).as("w_start"), col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_distinct"))
+    agg.join(exact, Seq("w_start", "event_type"))
+      .select(col("w_start"), col("event_type"), col("zero_regs"),
+        expr("cast(round(e) as bigint)").as("est_distinct"),
+        col("exact_distinct"),
+        round(expr("abs(e - exact_distinct) / exact_distinct * 100"), 2).as("err_pct"))
+      .orderBy("w_start", "event_type")
+  }
+
   /** Streaming HLL: continuous distinct-user estimate per event type with
     * O(m=256) state per key — the register table (group max of the
     * trailing-zero rank, operators.Sketches' hashing) IS the streaming
@@ -1305,5 +1347,31 @@ object StreamQueries {
         |SELECT event_type, zero_regs, CAST(round(e) AS BIGINT) AS est_distinct,
         |  exact_distinct,
         |  round(abs(e - exact_distinct) / exact_distinct * 100, 2) AS err_pct
-        |FROM est JOIN ex USING (event_type) ORDER BY event_type""".stripMargin)
+        |FROM est JOIN ex USING (event_type) ORDER BY event_type""".stripMargin,
+    "q_stream_hll_window" ->
+      """WITH hh AS (SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS w_start, event_type,
+        |   ('0x'||substr(md5('u:'||user_id::VARCHAR),1,15))::UBIGINT::BIGINT AS h FROM events),
+        |rr AS (SELECT w_start, event_type, h & 255 AS bucket,
+        |   CASE WHEN (h >> 8) = 0 THEN 53
+        |        ELSE CAST(round(log2((h >> 8) & (-(h >> 8)))) AS INT) + 1 END AS rho
+        |  FROM hh),
+        |regs AS (SELECT w_start, event_type, bucket, max(rho) AS r
+        |  FROM rr GROUP BY w_start, event_type, bucket),
+        |agg AS (SELECT w_start, event_type, CAST(256 - count(*) AS INT) AS zero_regs,
+        |   sum(1::BIGINT << (54 - r)) AS s_present FROM regs GROUP BY w_start, event_type),
+        |ex AS (SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS w_start, event_type,
+        |   count(DISTINCT user_id) AS exact_distinct FROM events GROUP BY 1, 2),
+        |est AS (SELECT w_start, event_type, zero_regs,
+        |   CASE WHEN zero_regs > 0 AND
+        |     (0.7213/(1.0 + 1.079/256.0)) * 65536.0 * 18014398509481984.0
+        |       / (s_present + zero_regs::BIGINT * (1::BIGINT << 54)) <= 640.0
+        |   THEN 256.0 * ln(256.0 / zero_regs)
+        |   ELSE (0.7213/(1.0 + 1.079/256.0)) * 65536.0 * 18014398509481984.0
+        |       / (s_present + zero_regs::BIGINT * (1::BIGINT << 54)) END AS e
+        |  FROM agg)
+        |SELECT w_start, event_type, zero_regs, CAST(round(e) AS BIGINT) AS est_distinct,
+        |  exact_distinct,
+        |  round(abs(e - exact_distinct) / exact_distinct * 100, 2) AS err_pct
+        |FROM est JOIN ex USING (w_start, event_type)
+        |ORDER BY w_start, event_type""".stripMargin)
 }

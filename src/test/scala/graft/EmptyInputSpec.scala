@@ -68,7 +68,7 @@ class EmptyInputSpec extends SparkSpec {
     // sketch / layout / decontamination family
     "q_sketch_hll", "q_sketch_kmv", "q_sketch_cms", "q_sketch_quantile",
     "q_sample_reservoir", "q_layout_zorder", "q_bucket_join",
-    "q_decontaminate_emb", "q_stream_hll")
+    "q_decontaminate_emb", "q_stream_hll", "q_stream_hll_window")
 
   for (name <- queries)
     test(s"$name runs on an empty corpus") {
