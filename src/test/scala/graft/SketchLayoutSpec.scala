@@ -176,7 +176,8 @@ class SketchLayoutSpec extends SparkSpec {
     val prev = spark.conf.get(key, "true")
     spark.conf.set(key, "false")
     try {
-      val one = spark.table("graft_buckets.orders_b").filter(col("o_custkey") === 42L)
+      val (ordersT, _) = Layout.bucketTableNames(sf)
+      val one = spark.table(ordersT).filter(col("o_custkey") === 42L)
       one.collect()
       val p = one.queryExecution.executedPlan.toString
       assert(p.contains("SelectedBucketsCount: 1 out of 16"),
