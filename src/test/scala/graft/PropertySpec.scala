@@ -99,4 +99,74 @@ class PropertySpec extends SparkSpec {
       got == expected
     }, n = 10)
   }
+
+  test("z_value round-trips: interleave is a bijection on 16-bit pairs") {
+    import graft.functions.ZValueUtil
+    def deinterleave(z: Long): (Int, Int) = {
+      var x = 0; var y = 0
+      for (i <- 0 until 16) {
+        x |= (((z >> (2 * i)) & 1L) << i).toInt
+        y |= (((z >> (2 * i + 1)) & 1L) << i).toInt
+      }
+      (x, y)
+    }
+    check(Prop.forAll(Gen.chooseNum(0, 65535), Gen.chooseNum(0, 65535)) { (x: Int, y: Int) =>
+      deinterleave(ZValueUtil.interleave16(x, y)) == (x, y)
+    }, n = 50)
+  }
+
+  test("CMS estimate never undercounts on random token streams") {
+    // pure register math over an in-test stream: d x w counters via the
+    // same md5-derived buckets the operator uses, min over rows >= truth
+    def h60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val genStream = Gen.listOfN(120, Gen.oneOf((0 until 12).map(i => s"t$i")))
+    check(Prop.forAll(genStream) { toks =>
+      val counters = Array.ofDim[Long](4, 64)
+      toks.foreach { t =>
+        for (i <- 0 until 4) counters(i)((h60(s"$i:$t") & 63).toInt) += 1
+      }
+      val truth = toks.groupBy(identity).map { case (t, xs) => t -> xs.length.toLong }
+      truth.forall { case (t, n) =>
+        (0 until 4).map(i => counters(i)((h60(s"$i:$t") & 63).toInt)).min >= n
+      }
+    }, n = 20)
+  }
+
+  test("HLL register merge equals the sketch of the concatenated stream") {
+    // merge-by-max on arbitrary splits: registers(A ++ B) == max-merge
+    def regs(items: List[Long]): Map[Long, Int] = {
+      def h60(s: String): Long = {
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+        java.lang.Long.parseLong(hex, 16)
+      }
+      items.map { it =>
+        val h = h60(it.toString)
+        val v = h >> 8
+        val rho = if (v == 0) 53 else java.lang.Long.numberOfTrailingZeros(v) + 1
+        (h & 255) -> rho
+      }.groupBy(_._1).map { case (b, vs) => b -> vs.map(_._2).max }
+    }
+    val genItems = Gen.listOfN(60, Gen.chooseNum(0L, 1000L))
+    check(Prop.forAll(genItems, genItems) { (a: List[Long], b: List[Long]) =>
+      val merged = (regs(a).toSeq ++ regs(b).toSeq)
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
+      merged == regs(a ++ b)
+    }, n = 20)
+  }
+
+  test("HDR quantile bucket bound: lower edge within 1/16 of any member value") {
+    // any v in bucket (e, m) satisfies lower <= v < lower * (1 + 1/16) for
+    // e >= 4 — the relative-error guarantee the sketch's estimate rests on
+    check(Prop.forAll(Gen.chooseNum(16L, 1L << 40)) { v =>
+      val e = 63 - java.lang.Long.numberOfLeadingZeros(v)
+      val m = (v >> math.max(e - 4, 0)) & 15
+      val lower = (16 + m) << math.max(e - 4, 0)
+      lower <= v && v < lower + (1L << math.max(e - 4, 0))
+    }, n = 50)
+  }
 }
