@@ -121,6 +121,7 @@ object SparkEntry {
     "q_stream_hll"        -> (streaming.StreamQueries.streamHll _),
     "q_stream_hll_window" -> (streaming.StreamQueries.streamHllWindow _),
     "q_sketch_overlap"    -> (Sketches.sourceOverlap _),
+    "q_dq_checks"         -> (graft.operators.DataQuality.checks _),
     "q_layout_zorder"     -> (Layout.zorderCells _),
     "q_bucket_join"       -> (Layout.bucketJoin _),
     "q_dedup_simhash"   -> (Dedup.simhashPairs _),
@@ -699,5 +700,6 @@ object SparkEntry {
     graft.sources.StateRead.sql ++ StatementSets.sql ++
     streaming.CdcStream.sql ++ graft.operators.MlPipeline.sql ++
     graft.operators.SystemTimeSql.sql ++ Similarity.sql ++ GraphGens.sql ++
-    streaming.StreamIterate.sql ++ Sketches.sql ++ Layout.sql
+    streaming.StreamIterate.sql ++ Sketches.sql ++ Layout.sql ++
+    graft.operators.DataQuality.sql
 }

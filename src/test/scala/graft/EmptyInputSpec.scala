@@ -68,7 +68,8 @@ class EmptyInputSpec extends SparkSpec {
     // sketch / layout / decontamination family
     "q_sketch_hll", "q_sketch_kmv", "q_sketch_cms", "q_sketch_quantile",
     "q_sample_reservoir", "q_layout_zorder", "q_bucket_join",
-    "q_decontaminate_emb", "q_stream_hll", "q_stream_hll_window")
+    "q_decontaminate_emb", "q_stream_hll", "q_stream_hll_window",
+    "q_dq_checks")
 
   for (name <- queries)
     test(s"$name runs on an empty corpus") {
@@ -81,7 +82,8 @@ class EmptyInputSpec extends SparkSpec {
       // global aggregates legitimately return their one summary row on an
       // empty corpus (the DuckDB oracle does the same); q_values reads no
       // corpus table at all
-      val oneRowGlobals = Set("q_values", "q_graph_triadic_directed")
+      val oneRowGlobals = Set("q_values", "q_graph_triadic_directed",
+        "q_dq_checks") // dq: a 9-row all-pass report over zero rows IS the answer
       if (!oneRowGlobals(name))
         assert(n == 0, s"$name returned $n rows on empty input")
       spark.catalog.clearCache()
