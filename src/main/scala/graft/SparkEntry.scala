@@ -202,6 +202,7 @@ object SparkEntry {
     "q_stream_trigger_purge" -> (streaming.StreamQueries.triggerPurging _),
     "q_topic_exactly_once" -> (streaming.TxFileSink.exactlyOnce _),
     "q_stream_file_sink" -> (streaming.TxFileSink.rollingSink _),
+    "q_stream_file_compact" -> (streaming.TxFileSink.compactedSink _),
     "q_jdbc_scan"       -> (graft.sources.JdbcDemo.scan _),
     "q_jdbc_lookup"     -> (graft.sources.JdbcDemo.lookup _),
     "q_jdbc_upsert"     -> (graft.sources.JdbcDemo.upsert _),

@@ -128,28 +128,149 @@ object TxFileSink {
     FsCommit.writeAtomic(marker, manifest.result().mkString("\n"))
   }
 
-  /** Read a rolling sink's committed output back with its bucket column.
-    * Parts are resolved ONLY through epoch manifests (pure metadata,
-    * object-store safe — no directory listing of data paths); files from
-    * uncommitted epochs are invisible by construction. */
-  def readRolling(s: SparkSession, outDir: String, bucketCol: String): DataFrame = {
-    import graft.sources.FsCommit
-    val markerRe = "_epoch-(\\d+)\\.committed".r
-    val entries = FsCommit.list(outDir).collect { case n @ markerRe(_) => n }
-      .flatMap(m => FsCommit.readString(s"$outDir/$m").split("\n").toSeq)
-      .filter(_.nonEmpty)
-      .map { line =>
-        line.split("\t") match {
-          case Array(bucket, file) => bucket -> s"$outDir/$bucket/$file"
-          case _ => throw new java.io.IOException(
-            s"corrupt rolling-sink manifest line under $outDir: '$line'")
-        }
-      }
-    val frames = entries.groupBy(_._1).toSeq.sortBy(_._1).map { case (bucket, fs) =>
-      s.read.parquet(fs.map(_._2): _*).withColumn(bucketCol, lit(bucket))
+  private val epochMarkerRe = "_epoch-(\\d+)\\.committed".r
+  private val compactMarkerRe = "_compact-(\\d+)\\.committed".r
+
+  private def parseEntry(outDir: String, line: String): (String, String) =
+    line.split("\t") match {
+      case Array(bucket, file) => bucket -> file
+      case _ => throw new java.io.IOException(
+        s"corrupt rolling-sink manifest line under $outDir: '$line'")
     }
+
+  /** The sink's committed state, resolved purely from manifests: the
+    * LATEST compaction generation's file list plus every epoch manifest it
+    * does not supersede. Returns ((bucket, fileName) entries, the
+    * supersede-set a NEXT compaction must record, and that next generation
+    * number). The supersede-set is CUMULATIVE — the previous generation's
+    * superseded markers plus everything currently live — because readers
+    * only ever consult the latest marker: a generation that forgot its
+    * ancestor's set would resurrect long-retired epochs. */
+  private def committedEntries(outDir: String): (Seq[(String, String)], Seq[String], Int) = {
+    import graft.sources.FsCommit
+    val names = FsCommit.list(outDir)
+    val compacts = names.collect { case n @ compactMarkerRe(g) => (g.toInt, n) }.sortBy(_._1)
+    val (nextGen, superseded, compactPart) = compacts.lastOption match {
+      case Some((g, marker)) =>
+        val lines = FsCommit.readString(s"$outDir/$marker")
+          .split("\n").toSeq.filter(_.nonEmpty)
+        val sup = lines.head.stripPrefix("supersedes:")
+          .split("\t").filter(_.nonEmpty).toSet
+        (g + 1, sup, lines.tail.map(parseEntry(outDir, _)).map((marker, _)))
+      case None => (1, Set.empty[String], Seq.empty)
+    }
+    val epochPart = for {
+      m <- names.collect { case n @ epochMarkerRe(_) => n }.filterNot(superseded)
+      line <- graft.sources.FsCommit.readString(s"$outDir/$m").split("\n").toSeq
+      if line.nonEmpty
+    } yield (m, parseEntry(outDir, line))
+    val live = compactPart ++ epochPart
+    ((live.map(_._2),
+      (superseded ++ live.map(_._1)).toSeq.distinct.sorted, nextGen))
+  }
+
+  /** Read a rolling sink's committed output back with its bucket column.
+    * Parts are resolved ONLY through epoch + compaction manifests (pure
+    * metadata, object-store safe — no directory listing of data paths);
+    * files from uncommitted epochs or unpublished compactions are
+    * invisible by construction. */
+  def readRolling(s: SparkSession, outDir: String, bucketCol: String): DataFrame = {
+    val (entries, _, _) = committedEntries(outDir)
+    val frames = entries.map { case (b, f) => b -> s"$outDir/$b/$f" }
+      .groupBy(_._1).toSeq.sortBy(_._1).map { case (bucket, fs) =>
+        s.read.parquet(fs.map(_._2): _*).withColumn(bucketCol, lit(bucket))
+      }
     frames.reduceOption(_.unionByName(_))
       .getOrElse(s.emptyDataFrame)
+  }
+
+  /** Test hook: throw once right before a compaction's marker publish. */
+  @volatile var failBeforeCompactPublish: Boolean = false
+
+  /** Transactional small-file compaction — the operational half the
+    * reference's StreamingFileSink lacks in this release (sink compaction
+    * arrived upstream only years later): a long-running rolling sink
+    * accretes one small file per (epoch, bucket), and at 100 TB the
+    * file-count — not the byte-count — is what kills scan planning.
+    *
+    * Same two-phase shape as the epoch commit it compacts: rewrite the
+    * committed state into ≤targetRowsPerFile files per bucket in staging,
+    * rename into place, then ONE atomic marker (`_compact-<gen>.committed`)
+    * whose header records every manifest it supersedes. Readers resolve
+    * the latest generation plus non-superseded epochs, so
+    *  - a crash before the marker leaves the old state exactly readable
+    *    (orphan compacted files are invisible — manifest-only resolution);
+    *  - epochs committed AFTER the compaction compose on top of it;
+    *  - superseded DATA files are deleted only post-publish, and the
+    *    delete is an idempotent janitor re-run by the next compaction, so
+    *    a crash between publish and cleanup loses nothing.
+    * Cost: one linear rewrite of live data (per-bucket rank assignment,
+    * one shuffle) — the standard nightly maintenance job. */
+  def compact(s: SparkSession, outDir: String, bucketCol: String,
+              orderCol: String, targetRowsPerFile: Int): Unit = {
+    import graft.sources.FsCommit
+    cleanupSuperseded(outDir) // finish any prior generation's retirement
+    val (entries, supersedeSet, gen) = committedEntries(outDir)
+    if (entries.isEmpty) return
+    if (entries.groupBy(_._1).values.forall(_.size <= 1)) return // already compact
+    val staging = s"$outDir/_staging/compact-$gen"
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(bucketCol)).orderBy(col(orderCol))
+    readRolling(s, outDir, bucketCol)
+      .withColumn("__file", ((row_number().over(w) - 1) / targetRowsPerFile).cast("int"))
+      .repartition(col(bucketCol), col("__file"))
+      .write.mode("overwrite").partitionBy(bucketCol, "__file").parquet(staging)
+    val bucketRe = s"$bucketCol=(.*)".r
+    val fileRe = "__file=(\\d+)".r
+    val manifest = Seq.newBuilder[String]
+    for {
+      bName <- FsCommit.listDirs(staging).sorted
+      bucket <- bName match { case bucketRe(v) => Some(v); case _ => None }
+      fName <- FsCommit.listDirs(s"$staging/$bName").sorted
+      fileIdx <- fName match { case fileRe(v) => Some(v.toInt); case _ => None }
+      (part, i) <- FsCommit.list(s"$staging/$bName/$fName")
+        .filter(_.endsWith(".parquet")).sorted.zipWithIndex
+    } {
+      FsCommit.mkdirs(s"$outDir/$bucket")
+      val destName = f"compact-$gen-$fileIdx%05d-$i.parquet"
+      FsCommit.renameOverwrite(s"$staging/$bName/$fName/$part",
+        s"$outDir/$bucket/$destName")
+      manifest += s"$bucket\t$destName"
+    }
+    if (failBeforeCompactPublish) {
+      failBeforeCompactPublish = false
+      throw new RuntimeException(s"injected failure before compact-$gen publish")
+    }
+    FsCommit.writeAtomic(s"$outDir/_compact-$gen.committed",
+      "supersedes:" + supersedeSet.mkString("\t") + "\n" +
+        manifest.result().mkString("\n"))
+    cleanupSuperseded(outDir)
+  }
+
+  /** Post-publish retirement: delete data files referenced by the latest
+    * compaction's superseded manifests but absent from the live state.
+    * Pure function of the (kept) markers — idempotent, crash-rerunnable. */
+  private def cleanupSuperseded(outDir: String): Unit = {
+    import graft.sources.FsCommit
+    val names = FsCommit.list(outDir)
+    val compacts = names.collect { case n @ compactMarkerRe(g) => (g.toInt, n) }.sortBy(_._1)
+    compacts.lastOption.foreach { case (_, marker) =>
+      val lines = FsCommit.readString(s"$outDir/$marker")
+        .split("\n").toSeq.filter(_.nonEmpty)
+      val superseded = lines.head.stripPrefix("supersedes:")
+        .split("\t").filter(_.nonEmpty).toSeq
+      val (liveEntries, _, _) = committedEntries(outDir)
+      val live = liveEntries.toSet
+      for {
+        m <- superseded if FsCommit.exists(s"$outDir/$m")
+        line <- FsCommit.readString(s"$outDir/$m").split("\n").toSeq
+        if line.nonEmpty && !line.startsWith("supersedes:")
+        entry = parseEntry(outDir, line)
+        if !live(entry)
+        path = s"$outDir/${entry._1}/${entry._2}"
+        if FsCommit.exists(path)
+      } FsCommit.delete(path)
+    }
   }
 
   // ------------------------------------------------------------- queries
@@ -203,7 +324,7 @@ object TxFileSink {
 
   /** Rolling bucketed sink pipeline: topic → stream → date-bucketed
     * rolling files (committed on epoch) → read back → per-bucket stats. */
-  def rollingSink(s: SparkSession, dir: String): DataFrame = {
+  private def runRollingSink(s: SparkSession, dir: String): String = {
     val topic = ensureTopic(s, dir)
     val out = s"/tmp/graft-rolling/${s.sparkContext.applicationId}-" +
       java.lang.Integer.toHexString(dir.hashCode) + "-" + System.nanoTime()
@@ -224,11 +345,27 @@ object TxFileSink {
       }
       .start()
     try { q.processAllAvailable() } finally q.stop()
+    out
+  }
+
+  private def rollingSummary(s: SparkSession, out: String): DataFrame =
     readRolling(s, out, "day")
       .groupBy(col("day"))
       .agg(count(lit(1)).as("cnt"),
         sum(split(col("value"), "\\|").getItem(0).cast("long")).as("sum_eid"))
       .orderBy(col("day"))
+
+  def rollingSink(s: SparkSession, dir: String): DataFrame =
+    rollingSummary(s, runRollingSink(s, dir))
+
+  /** The rolling sink followed by a compaction pass — byte-identical
+    * summary to q_stream_file_sink's oracle (content preservation IS the
+    * compaction contract), read back through the compaction manifest with
+    * every bucket collapsed to one file. */
+  def compactedSink(s: SparkSession, dir: String): DataFrame = {
+    val out = runRollingSink(s, dir)
+    compact(s, out, "day", "value", targetRowsPerFile = Int.MaxValue / 2)
+    rollingSummary(s, out)
   }
 
   val sql: Map[String, String] = Map(
@@ -237,6 +374,11 @@ object TxFileSink {
         | CAST(sum(event_id) AS BIGINT) AS sum_eid
         |FROM events GROUP BY user_id ORDER BY key""".stripMargin,
     "q_stream_file_sink" ->
+      """SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+        | count(*) AS cnt, CAST(sum(event_id) AS BIGINT) AS sum_eid
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // compaction preserves content exactly — same oracle as the sink
+    "q_stream_file_compact" ->
       """SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
         | count(*) AS cnt, CAST(sum(event_id) AS BIGINT) AS sum_eid
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)

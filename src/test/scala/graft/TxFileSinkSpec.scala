@@ -115,6 +115,63 @@ class TxFileSinkSpec extends SparkSpec {
     assert(sizes.nonEmpty && sizes.forall(_ <= 3), sizes.toString)
   }
 
+  test("compaction: merges small files transactionally, crash-safe, composes with later epochs") {
+    val base = s"/tmp/graft-txspec/compact-${System.nanoTime()}"
+    val (topic, out, ckpt) = (s"$base/topic", s"$base/out", s"$base/ckpt")
+    FileTopic.append(topic, (1 to 9).map(i => (s"k$i", s"$i|2024-01-01")) ++
+      (10 to 15).map(i => (s"k$i", s"$i|2024-01-02")))
+    def start(ck: String) = FileTopic.readStream(spark, topic)
+      .select(col("key"), col("value"), split(col("value"), "\\|").getItem(1).as("day"))
+      .writeStream.option("checkpointLocation", ck)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        TxFileSink.rollingEpoch(b, id, out, "day", "value", maxRowsPerFile = 3)
+      }.start()
+    val q = start(ckpt); try q.processAllAvailable() finally q.stop()
+
+    def partFiles(): Seq[String] = for {
+      b <- new java.io.File(out).listFiles.toSeq
+      if b.isDirectory && !b.getName.startsWith("_")
+      f <- b.listFiles.toSeq if f.getName.endsWith(".parquet")
+    } yield s"${b.getName}/${f.getName}"
+    val before = TxFileSink.readRolling(spark, out, "day")
+      .orderBy("value").collect().toSeq
+    val filesBefore = partFiles().size
+    assert(filesBefore >= 5, s"rolling should have produced small files: $filesBefore")
+
+    // crash BEFORE the compaction marker publishes: old state stays exactly
+    // readable, orphan compacted files are invisible (manifest resolution)
+    TxFileSink.failBeforeCompactPublish = true
+    intercept[Exception] {
+      TxFileSink.compact(spark, out, "day", "value", targetRowsPerFile = 1000)
+    }
+    assert(TxFileSink.readRolling(spark, out, "day")
+      .orderBy("value").collect().toSeq === before,
+      "crashed compaction must be invisible")
+
+    // the re-run publishes; content identical, each bucket one file
+    TxFileSink.compact(spark, out, "day", "value", targetRowsPerFile = 1000)
+    assert(TxFileSink.readRolling(spark, out, "day")
+      .orderBy("value").collect().toSeq === before,
+      "compaction must preserve content exactly")
+    val compacted = partFiles()
+    assert(compacted.size === 2 && compacted.forall(_.contains("compact-")),
+      s"each bucket should collapse to one compacted file: $compacted")
+
+    // epochs committed AFTER the compaction compose on top of it
+    FileTopic.append(topic, Seq(("k16", "16|2024-01-02"), ("k17", "17|2024-01-03")))
+    val q2 = start(ckpt); try q2.processAllAvailable() finally q2.stop()
+    val after = TxFileSink.readRolling(spark, out, "day")
+    assert(after.count() === 17)
+    assert(after.groupBy("day").count().orderBy("day")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      Seq(("2024-01-01", 9L), ("2024-01-02", 7L), ("2024-01-03", 1L)))
+
+    // a second generation supersedes the first AND the post-compact epoch
+    TxFileSink.compact(spark, out, "day", "value", targetRowsPerFile = 1000)
+    assert(TxFileSink.readRolling(spark, out, "day").count() === 17)
+    assert(partFiles().size === 3, partFiles().toString)
+  }
+
   test("renameIfAbsent: racing directory committers — exactly one wins, content never mixed") {
     import graft.sources.FsCommit
     val base = s"/tmp/graft-txspec/race-${System.nanoTime()}"
