@@ -200,17 +200,31 @@ object Sketches {
       .withColumn("bs", expr(
         s"transform(sequence(0, 3), i -> ${h60("concat(cast(i as string), ':', tok)")} & 63)"))
     tf.persist()
-    val counters = tf.select(posexplode(col("bs")).as(Seq("i", "b")), col("cnt"))
-      .groupBy(col("i"), col("b")).agg(sum(col("cnt")).as("c"))
-    val thr = tf.agg(expr("cast(floor(sum(cnt) / 150.0) as bigint)").as("thr"))
-    val est = tf.select(col("tok"), col("cnt"), posexplode(col("bs")).as(Seq("i", "b")))
-      .join(broadcast(counters), Seq("i", "b"))
-      .groupBy(col("tok")).agg(min(col("c")).as("est_cnt"), min(col("cnt")).as("exact_cnt"))
-    val out = est.crossJoin(broadcast(thr))
-      .filter(col("est_cnt") >= col("thr"))
-      .select(col("tok"), col("est_cnt"), col("exact_cnt"))
-      .orderBy(col("est_cnt").desc, col("tok"))
-    out
+    try {
+      val counters = tf.select(posexplode(col("bs")).as(Seq("i", "b")), col("cnt"))
+        .groupBy(col("i"), col("b")).agg(sum(col("cnt")).as("c"))
+      val thr = tf.agg(expr("cast(floor(sum(cnt) / 150.0) as bigint)").as("thr"))
+      val est = tf.select(col("tok"), col("cnt"), posexplode(col("bs")).as(Seq("i", "b")))
+        .join(broadcast(counters), Seq("i", "b"))
+        .groupBy(col("tok")).agg(min(col("c")).as("est_cnt"), min(col("cnt")).as("exact_cnt"))
+      val out = est.crossJoin(broadcast(thr))
+        .filter(col("est_cnt") >= col("thr"))
+        .select(col("tok"), col("est_cnt"), col("exact_cnt"))
+        .orderBy(col("est_cnt").desc, col("tok"))
+      // The heavy-hitter list is tiny (threshold = 1/150 of mass ⇒ ≤150
+      // rows); materialize it so the vocab-scale cache can be released
+      // here instead of leaking blocks into a long-lived session.
+      localized(s, out)
+    } finally tf.unpersist(blocking = false)
+  }
+
+  /** Collect a small final result into a LocalRelation so intermediate
+    * persist() blocks can be released before returning (callers only see
+    * the finished rows; the gate sorts rows, so order is preserved-enough). */
+  private def localized(s: SparkSession, df: DataFrame): DataFrame = {
+    val rows = df.collect().toSeq
+    s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](
+      scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), df.schema)
   }
 
   /** Fixed-size uniform corpus sample (k=100) by deterministic md5 rank —
@@ -297,6 +311,7 @@ object Sketches {
       .withColumn("rn", row_number().over(Window.partitionBy("source").orderBy("h")))
       .filter(col("rn") <= 256).select(col("source"), col("h"))
     sig.persist()
+    try {
     val srcs = sig.select(col("source")).distinct()
     val pairs = srcs.select(col("source").as("sa"))
       .crossJoin(srcs.select(col("source").as("sb")))
@@ -325,10 +340,13 @@ object Sketches {
       .join(sizes.select(col("source").as("eb"), col("n").as("nb")), Seq("eb"))
       .select(col("ea"), col("eb"),
         round(expr("inter / cast(na + nb - inter as double)"), 4).as("jac_exact"))
-    u.join(exactJ, col("sa") === col("ea") && col("sb") === col("eb"), "left")
-      .select(col("sa"), col("sb"), col("k_union"), col("matched"),
-        col("jac_est"), coalesce(col("jac_exact"), lit(0.0)).as("jac_exact"))
-      .orderBy("sa", "sb")
+    // 190 pair rows — materialize so the signature cache is released now
+    localized(s,
+      u.join(exactJ, col("sa") === col("ea") && col("sb") === col("eb"), "left")
+        .select(col("sa"), col("sb"), col("k_union"), col("matched"),
+          col("jac_est"), coalesce(col("jac_exact"), lit(0.0)).as("jac_exact"))
+        .orderBy("sa", "sb"))
+    } finally sig.unpersist(blocking = false)
   }
 
   val sql: Map[String, String] = Map(
@@ -435,7 +453,7 @@ object Sketches {
         |  FROM tf, range(0, 4) t(i)),
         |counters AS (SELECT i, b, sum(cnt) AS c FROM tb GROUP BY i, b),
         |thr AS (SELECT CAST(floor(sum(cnt) / 150.0) AS BIGINT) AS thr FROM tf),
-        |est AS (SELECT tok, min(c) AS est_cnt, min(cnt) AS exact_cnt
+        |est AS (SELECT tok, CAST(min(c) AS BIGINT) AS est_cnt, CAST(min(cnt) AS BIGINT) AS exact_cnt
         |  FROM tb JOIN counters USING (i, b) GROUP BY tok)
         |SELECT tok, est_cnt, exact_cnt FROM est, thr
         |WHERE est_cnt >= thr ORDER BY est_cnt DESC, tok""".stripMargin,

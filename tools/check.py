@@ -46,6 +46,21 @@ def main(sf_dir, out_dir):
         if list(a.columns) != list(b.columns):
             n_fail += 1
             print(f"FAIL {name}: columns {list(a.columns)} vs {list(b.columns)}"); continue
+        # the driver hashes RAW values, so int64 1786 vs float64 1786.0 is a
+        # hash mismatch even though %.9g strings compare equal — fail here on
+        # any int-vs-float dtype CLASS disagreement per column (r9's
+        # q_sketch_cms failure mode: DuckDB HUGEINT -> pandas float64)
+        def kind(dtype):
+            k = getattr(dtype, "kind", "O")
+            return "int" if k in "iu" else "float" if k == "f" else "other"
+        dt_bad = [c for c in spark_df.columns
+                  if {kind(spark_df[c].dtype), kind(duck_df[c].dtype)} == {"int", "float"}]
+        if dt_bad:
+            n_fail += 1
+            print(f"FAIL {name}: dtype class mismatch (int vs float) in {dt_bad}: "
+                  f"spark {[str(spark_df[c].dtype) for c in dt_bad]} vs "
+                  f"duck {[str(duck_df[c].dtype) for c in dt_bad]}")
+            continue
         if len(a) != len(b):
             n_fail += 1
             print(f"FAIL {name}: rows {len(a)} vs {len(b)}"); continue
