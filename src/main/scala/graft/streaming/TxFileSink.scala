@@ -165,8 +165,13 @@ object TxFileSink {
       if line.nonEmpty
     } yield (m, parseEntry(outDir, line))
     val live = compactPart ++ epochPart
+    // Next generation's supersede set: inherited markers that still exist
+    // on disk (cleanupSuperseded deletes fully-retired ones — a marker
+    // absent from disk can't resurrect files) plus everything live now.
+    val names0 = names.toSet
     ((live.map(_._2),
-      (superseded ++ live.map(_._1)).toSeq.distinct.sorted, nextGen))
+      (superseded.filter(names0) ++ live.map(_._1)).toSeq.distinct.sorted,
+        nextGen))
   }
 
   /** Read a rolling sink's committed output back with its bucket column.
@@ -261,15 +266,26 @@ object TxFileSink {
         .split("\t").filter(_.nonEmpty).toSeq
       val (liveEntries, _, _) = committedEntries(outDir)
       val live = liveEntries.toSet
-      for {
-        m <- superseded if FsCommit.exists(s"$outDir/$m")
-        line <- FsCommit.readString(s"$outDir/$m").split("\n").toSeq
-        if line.nonEmpty && !line.startsWith("supersedes:")
-        entry = parseEntry(outDir, line)
-        if !live(entry)
-        path = s"$outDir/${entry._1}/${entry._2}"
-        if FsCommit.exists(path)
-      } FsCommit.delete(path)
+      for (m <- superseded if FsCommit.exists(s"$outDir/$m")) {
+        val entries = FsCommit.readString(s"$outDir/$m").split("\n").toSeq
+          .filter(l => l.nonEmpty && !l.startsWith("supersedes:"))
+          .map(parseEntry(outDir, _))
+        for {
+          entry <- entries if !live(entry)
+          path = s"$outDir/${entry._1}/${entry._2}"
+          if FsCommit.exists(path)
+        } FsCommit.delete(path)
+        // Fully retired: every data file this marker referenced is gone
+        // from disk (or owned by the live state). Delete the marker file
+        // itself so the supersede set — and this janitor's re-reads —
+        // stay O(live markers) instead of growing with every epoch ever
+        // committed. A marker absent from disk can't resurrect anything,
+        // so the next generation safely drops it from its set.
+        val retired = entries.forall { e =>
+          live(e) || !FsCommit.exists(s"$outDir/${e._1}/${e._2}")
+        }
+        if (retired) FsCommit.delete(s"$outDir/$m")
+      }
     }
   }
 
@@ -278,27 +294,45 @@ object TxFileSink {
   /** One deterministic topic per (app, events dir), produced executor-side
     * (each partition appends one segment — the "partition leader writes
     * its segment" shape; FileTopic.append is atomic per segment). */
-  def ensureTopic(s: SparkSession, dir: String): String = synchronized {
+  private val topicReady =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.CompletableFuture[String]]()
+
+  def ensureTopic(s: SparkSession, dir: String): String = {
     val topic = s"/tmp/graft-topic/${s.sparkContext.applicationId}-" +
       java.lang.Integer.toHexString(dir.hashCode)
-    // Produce into a temp dir and rename on success: a totalRecords==0
-    // gate is not atomic with production, so a job that dies after some
-    // partitions appended would make later calls skip production and
-    // serve a truncated topic forever. The dir rename is the commit.
-    if (!graft.sources.FsCommit.exists(topic)) {
-      val staging = topic + s".inprogress-${java.util.UUID.randomUUID}"
-      graft.Tables(s, dir, "events")
-        .select(col("user_id").cast("string").as("k"),
-          concat_ws("|", col("event_id"), date_format(col("ts"), "yyyy-MM-dd")).as("v"))
-        .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
-          graft.sources.FileTopic.append(staging,
-            it.map(r => (r.getString(0), r.getString(1))).toSeq)
-        }
-      if (!graft.sources.FsCommit.renameIfAbsent(staging, topic) &&
-          !graft.sources.FsCommit.exists(topic))
-        throw new java.io.IOException(s"failed to publish topic $topic")
+    // Per-topic future instead of an object-wide lock: producing one
+    // topic must not block callers working on a different dir (or on
+    // already-published topics). The first caller per topic produces;
+    // everyone else awaits its future.
+    val fresh = new java.util.concurrent.CompletableFuture[String]()
+    val prior = topicReady.putIfAbsent(topic, fresh)
+    if (prior != null) return prior.get()
+    try {
+      // Produce into a temp dir and rename on success: a totalRecords==0
+      // gate is not atomic with production, so a job that dies after some
+      // partitions appended would make later calls skip production and
+      // serve a truncated topic forever. The dir rename is the commit.
+      if (!graft.sources.FsCommit.exists(topic)) {
+        val staging = topic + s".inprogress-${java.util.UUID.randomUUID}"
+        graft.Tables(s, dir, "events")
+          .select(col("user_id").cast("string").as("k"),
+            concat_ws("|", col("event_id"), date_format(col("ts"), "yyyy-MM-dd")).as("v"))
+          .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+            graft.sources.FileTopic.append(staging,
+              it.map(r => (r.getString(0), r.getString(1))).toSeq)
+          }
+        if (!graft.sources.FsCommit.renameIfAbsent(staging, topic) &&
+            !graft.sources.FsCommit.exists(topic))
+          throw new java.io.IOException(s"failed to publish topic $topic")
+      }
+      fresh.complete(topic)
+      topic
+    } catch {
+      case e: Throwable =>
+        fresh.completeExceptionally(e)
+        topicReady.remove(topic, fresh)
+        throw e
     }
-    topic
   }
 
   /** Exactly-once pipeline: file topic → micro-batch stream → 2PC sink →
@@ -358,7 +392,8 @@ object TxFileSink {
   def rollingSink(s: SparkSession, dir: String): DataFrame =
     rollingSummary(s, runRollingSink(s, dir))
 
-  private val compactedOut = scala.collection.mutable.Map.empty[String, String]
+  private val compactedOut =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.CompletableFuture[String]]()
 
   /** The rolling sink followed by a compaction pass — byte-identical
     * summary to q_stream_file_sink's oracle (content preservation IS the
@@ -369,13 +404,26 @@ object TxFileSink {
     * (q_stream_file_sink still re-runs the full sink machinery every
     * call). */
   def compactedSink(s: SparkSession, dir: String): DataFrame = {
-    val out = synchronized {
-      compactedOut.getOrElseUpdate(dir, {
+    // Per-dir future, not an object-wide lock: the first sink-run +
+    // compaction is a full streaming job, and holding the TxFileSink
+    // lock for its duration would stall unrelated queries (exactly-once,
+    // rolling sink) that only need ensureTopic. The first caller per dir
+    // runs the job; concurrent callers await its future.
+    val fresh = new java.util.concurrent.CompletableFuture[String]()
+    val prior = compactedOut.putIfAbsent(dir, fresh)
+    val out =
+      if (prior != null) prior.get()
+      else try {
         val o = runRollingSink(s, dir)
         compact(s, o, "day", "value", targetRowsPerFile = Int.MaxValue / 2)
+        fresh.complete(o)
         o
-      })
-    }
+      } catch {
+        case e: Throwable =>
+          fresh.completeExceptionally(e)
+          compactedOut.remove(dir, fresh)
+          throw e
+      }
     rollingSummary(s, out)
   }
 

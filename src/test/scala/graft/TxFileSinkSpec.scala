@@ -170,6 +170,25 @@ class TxFileSinkSpec extends SparkSpec {
     TxFileSink.compact(spark, out, "day", "value", targetRowsPerFile = 1000)
     assert(TxFileSink.readRolling(spark, out, "day").count() === 17)
     assert(partFiles().size === 3, partFiles().toString)
+
+    // marker retirement: once a superseded manifest's data files are gone,
+    // the janitor deletes the marker itself, so the supersede set — and
+    // every future cleanup's manifest re-reads — stay O(live markers)
+    // rather than growing with every epoch ever committed (no O(n²)
+    // lifetime cost for a nightly-compaction sink)
+    def markers(): Seq[String] = new java.io.File(out).listFiles.toSeq
+      .map(_.getName).filter(n => n.startsWith("_epoch-") || n.startsWith("_compact-"))
+      .filter(_.endsWith(".committed")).sorted
+    val gen2 = markers()
+    assert(gen2 === Seq("_compact-2.committed"),
+      s"retired epoch + gen-1 markers must be deleted after cleanup: $gen2")
+    // and the retirement didn't break resolution or a further generation
+    FileTopic.append(topic, Seq(("k18", "18|2024-01-03")))
+    val q3 = start(ckpt); try q3.processAllAvailable() finally q3.stop()
+    assert(TxFileSink.readRolling(spark, out, "day").count() === 18)
+    TxFileSink.compact(spark, out, "day", "value", targetRowsPerFile = 1000)
+    assert(TxFileSink.readRolling(spark, out, "day").count() === 18)
+    assert(markers() === Seq("_compact-3.committed"), markers().toString)
   }
 
   test("renameIfAbsent: racing directory committers — exactly one wins, content never mixed") {
