@@ -19,6 +19,41 @@ object LlmOracles {
       |  list_distinct([t[i]||' '||t[i+1]||' '||t[i+2] FOR i IN range(1, len(t)-1)]) END AS s
       |  FROM toks)""".stripMargin
 
+  /** MinHash(32 seeds) + 16×2 LSH banding + exact-Jaccard verification as a
+    * CTE chain ending in `vpairs(doc_a, doc_b, j)` — shared by the pair
+    * listing and the transitive-closure cluster keep. */
+  val minhashPairCtes =
+    (shinglesCte + """,
+      |seeds AS (
+      | SELECT r.range AS seed,
+      |  ('0x'||substr(md5('mh:a:'||r.range), 1, 15))::UBIGINT % 1073741823 + 1 AS ak,
+      |  ('0x'||substr(md5('mh:b:'||r.range), 1, 15))::UBIGINT % 1073741823 + 1 AS ck,
+      |  ('0x'||substr(md5('mh:c:'||r.range), 1, 15))::UBIGINT % 2305843009213693951 AS dk
+      | FROM range(32) r),
+      |tokh AS (
+      | SELECT doc_id, b >> 30 AS hi, b & 1073741823 AS lo FROM
+      |  (SELECT doc_id, ('0x'||substr(md5(sg), 1, 15))::UBIGINT AS b
+      |   FROM (SELECT doc_id, unnest(s) AS sg FROM sh))),
+      |mh AS (
+      | SELECT doc_id, seed,
+      |   min((ak * hi + ck * lo + dk) % 2305843009213693951) AS h
+      | FROM tokh, seeds GROUP BY doc_id, seed),
+      |bands AS (
+      | SELECT m1.doc_id, m1.seed // 2 AS band, m1.h AS h1, m2.h AS h2
+      | FROM mh m1 JOIN mh m2 ON m1.doc_id = m2.doc_id AND m2.seed = m1.seed + 1
+      | WHERE m1.seed % 2 = 0),
+      |cand AS (
+      | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      | FROM bands a JOIN bands b
+      |   ON a.band = b.band AND a.h1 = b.h1 AND a.h2 = b.h2 AND a.doc_id < b.doc_id),
+      |vpairs AS (
+      | SELECT doc_a, doc_b, j FROM (
+      |  SELECT doc_a, doc_b,
+      |   round(len(list_intersect(sa.s, sb.s))::DOUBLE /
+      |         (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))), 4) AS j
+      |  FROM cand JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b)
+      | WHERE j >= 0.5)""").stripMargin
+
   /** The exact n-gram-Jaccard near-dup pair table (j ≥ 0.5 on 3-shingles)
     * — the oracle twin of Dedup.ngramJaccardPairsShared, shared by the
     * graph suite and the sparse-cosine query. */
@@ -158,6 +193,31 @@ object LlmOracles {
         | CASE WHEN len(g3) = 0 THEN 0.0
         |      ELSE round(1.0 - len(list_distinct(g3))::DOUBLE / len(g3), 6) END AS dup3_frac
         |FROM g ORDER BY doc_id""").stripMargin,
+    "q_quality_gopher" ->
+      (toksCte + """,
+        |g AS (SELECT doc_id,
+        |  list_transform(range(1, len(t) + 1), j ->
+        |    CASE WHEN ('0x'||substr(md5('gs:'||doc_id||':'||j),1,15))::UBIGINT % 40 = 0
+        |         THEN '####' ELSE t[j] END) AS t2,
+        |  greatest(CAST(ceil(len(t) / 8.0) AS INT), 1) AS nl
+        | FROM toks),
+        |m AS (SELECT doc_id, len(t2) AS n_words,
+        |  round(list_sum(list_transform(t2, x -> len(x)))::DOUBLE / len(t2), 6) AS mean_word_len,
+        |  round(len(list_filter(t2, x -> regexp_matches(x, '[a-z]')))::DOUBLE / len(t2), 6) AS alpha_frac,
+        |  round(len(list_filter(t2, x -> x = '####'))::DOUBLE / len(t2), 6) AS sym_ratio,
+        |  round(len(list_filter(range(0, nl), i ->
+        |    ('0x'||substr(md5('gl:'||doc_id||':'||i),1,15))::UBIGINT % 10 = 0))::DOUBLE / nl, 6) AS frac_bullet,
+        |  round(len(list_filter(range(0, nl), i ->
+        |    ('0x'||substr(md5('gl:'||doc_id||':'||i),1,15))::UBIGINT % 10 = 1))::DOUBLE / nl, 6) AS frac_ellipsis,
+        |  len(list_intersect(list_distinct(t2),
+        |    ['the','a','of','to','and','in','is','it','that','as'])) AS n_stop
+        | FROM g)
+        |SELECT doc_id, CAST(n_words AS INT) AS n_words, mean_word_len, alpha_frac,
+        |  sym_ratio, frac_bullet, frac_ellipsis, CAST(n_stop AS INT) AS n_stop,
+        |  (n_words BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3.0 AND 10.0
+        |   AND sym_ratio <= 0.1 AND frac_bullet <= 0.9 AND frac_ellipsis <= 0.3
+        |   AND alpha_frac >= 0.8 AND n_stop >= 2) AS keep
+        |FROM m ORDER BY doc_id""").stripMargin,
     "q_quality_perplexity" ->
       (toksCte + """,
         |tok AS (SELECT doc_id, unnest(t) AS tok FROM toks),
@@ -268,35 +328,21 @@ object LlmOracles {
         |WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
         |ORDER BY doc_id""").stripMargin,
     "q_dedup_minhash_lsh" ->
-      (shinglesCte + """,
-        |seeds AS (
-        | SELECT r.range AS seed,
-        |  ('0x'||substr(md5('mh:a:'||r.range), 1, 15))::UBIGINT % 1073741823 + 1 AS ak,
-        |  ('0x'||substr(md5('mh:b:'||r.range), 1, 15))::UBIGINT % 1073741823 + 1 AS ck,
-        |  ('0x'||substr(md5('mh:c:'||r.range), 1, 15))::UBIGINT % 2305843009213693951 AS dk
-        | FROM range(32) r),
-        |tokh AS (
-        | SELECT doc_id, b >> 30 AS hi, b & 1073741823 AS lo FROM
-        |  (SELECT doc_id, ('0x'||substr(md5(sg), 1, 15))::UBIGINT AS b
-        |   FROM (SELECT doc_id, unnest(s) AS sg FROM sh))),
-        |mh AS (
-        | SELECT doc_id, seed,
-        |   min((ak * hi + ck * lo + dk) % 2305843009213693951) AS h
-        | FROM tokh, seeds GROUP BY doc_id, seed),
-        |bands AS (
-        | SELECT m1.doc_id, m1.seed // 2 AS band, m1.h AS h1, m2.h AS h2
-        | FROM mh m1 JOIN mh m2 ON m1.doc_id = m2.doc_id AND m2.seed = m1.seed + 1
-        | WHERE m1.seed % 2 = 0),
-        |cand AS (
-        | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        | FROM bands a JOIN bands b
-        |   ON a.band = b.band AND a.h1 = b.h1 AND a.h2 = b.h2 AND a.doc_id < b.doc_id)
-        |SELECT doc_a, doc_b, j FROM (
-        | SELECT doc_a, doc_b,
-        |  round(len(list_intersect(sa.s, sb.s))::DOUBLE /
-        |        (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))), 4) AS j
-        | FROM cand JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b)
-        |WHERE j >= 0.5 ORDER BY doc_a, doc_b""").stripMargin,
+      (minhashPairCtes + "\nSELECT doc_a, doc_b, j FROM vpairs ORDER BY doc_a, doc_b"),
+    // transitive closure over the SAME verified pair set: recursive
+    // reachability (the pair graph is tiny — closure cost is per-cluster
+    // quadratic in near-dup cluster size, not corpus size), then keep every
+    // doc that no smaller doc_id can reach
+    "q_dedup_cluster_keep" ->
+      (minhashPairCtes.replaceFirst("WITH ", "WITH RECURSIVE ") + """,
+        |edges AS (SELECT doc_a AS u, doc_b AS v FROM vpairs
+        |          UNION SELECT doc_b, doc_a FROM vpairs),
+        |reach AS (SELECT u, v FROM edges
+        |          UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+        |lbl AS (SELECT u, min(v) AS mv FROM reach GROUP BY u)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT u FROM lbl WHERE mv < u)
+        |ORDER BY doc_id""").stripMargin,
     "q_dedup_simhash" ->
       (toksCte + """,
         |th AS (SELECT doc_id, ('0x'||substr(md5(tok), 1, 15))::UBIGINT AS h

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{BatchRelational, Bpe, Dedup, Formats, Graph, GraphGens, GroupWindowSql, Layout, Multimodal, Pipeline, ScalarFuncs, ScaleOps, Similarity, Sketches, SqlSurface, StatementSets, TextAnalysis, TpcDsSurface, Udafs, WebPipeline, WindowAggs}
+import graft.operators.{BatchRelational, Bpe, Dedup, Formats, Graph, GraphGens, GroupWindowSql, Layout, Multimodal, MultisetOps, Pipeline, ScalarFuncs, ScaleOps, Similarity, Sketches, SqlSurface, StatementSets, TextAnalysis, TpcDsSurface, Udafs, WebPipeline, WindowAggs}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -92,9 +92,11 @@ object SparkEntry {
       Dedup.ngramJaccardPairsShared(s, dir).orderBy("doc_a", "doc_b")),
     "q_dedup_ngram_keep"  -> (Dedup.ngramDedupKeep _),
     "q_dedup_minhash_lsh" -> (Dedup.minhashLshPairs _),
+    "q_dedup_cluster_keep" -> (Dedup.minhashClusterKeep _),
     "q_dedup_span"        -> (Dedup.spanDupCoverage _),
     "q_dedup_incremental" -> (Dedup.incrementalDedup _),
     "q_text_repetition"   -> (TextAnalysis.repetition _),
+    "q_quality_gopher"    -> (TextAnalysis.gopherQuality _),
     "q_tfidf_top3"        -> (TextAnalysis.tfidfTop3 _),
     "q_quality_perplexity" -> (TextAnalysis.perplexity _),
     "q_fingerprint_winnow" -> (TextAnalysis.winnowFingerprint _),
@@ -313,9 +315,12 @@ object SparkEntry {
     "q_stmt_multi_sink" -> (StatementSets.multiSink _),
     "q_state_agg_read"  -> (graft.sources.StateRead.aggStateRead _),
     "q_state_dedup_read" -> (graft.sources.StateRead.dedupStateRead _),
+    "q_state_bootstrap" -> (streaming.StateBootstrap.bootstrapContinue _),
     "q_fmt_debezium"    -> (graft.sources.CdcFormats.debeziumKinds _),
     "q_cdc_materialize" -> (graft.sources.CdcFormats.debeziumMaterialize _),
     "q_ddl_like"        -> (graft.sources.DdlSql.ddlLike _),
+    "q_ddl_hive_udf"    -> (graft.sources.DdlSql.ddlHiveUdf _),
+    "q_type_multiset"   -> (MultisetOps.multisetLattice _),
     "q_graph_checksum"  -> (Graph.docChecksum _),
     "q_ddl_insert_partition" -> (graft.sources.HiveCatalog.insertPartition _),
     "q_sql_cascade"     -> (GroupWindowSql.cascade _),
@@ -702,5 +707,6 @@ object SparkEntry {
     streaming.CdcStream.sql ++ graft.operators.MlPipeline.sql ++
     graft.operators.SystemTimeSql.sql ++ Similarity.sql ++ GraphGens.sql ++
     streaming.StreamIterate.sql ++ Sketches.sql ++ Layout.sql ++
-    graft.operators.DataQuality.sql
+    graft.operators.DataQuality.sql ++ streaming.StateBootstrap.sql ++
+    MultisetOps.sql
 }

@@ -54,7 +54,7 @@ object DataQuality {
       sum(when(col("o_orderdate") < to_timestamp(lit("1992-01-01")) ||
         col("o_orderdate") >= to_timestamp(lit("2002-01-01")), 1).otherwise(0)).as("v_date"))
     ordExpr.persist()
-
+    try {
     val liPk = li.agg(count(lit(1)).as("total"),
       (count(lit(1)) - countDistinct(col("l_orderkey"), col("l_linenumber"))).as("violations"))
     val ordPk = ord.agg(count(lit(1)).as("total"),
@@ -68,7 +68,9 @@ object DataQuality {
       .agg(count(lit(1)).as("violations"))
       .crossJoin(ordExpr.select(col("total")))
 
-    report("lineitem_pk_unique", liPk)
+    // the report is 9 rows — materialize it so the two cached 1-row
+    // aggregates can be released instead of leaking into the session
+    val out = report("lineitem_pk_unique", liPk)
       .unionByName(report("orders_pk_unique", ordPk))
       .unionByName(report("lineitem_fk_orders", liFk))
       .unionByName(report("orders_fk_customer", ordFk))
@@ -83,6 +85,13 @@ object DataQuality {
       .unionByName(report("orders_date_bounds",
         ordExpr.select(col("v_date").as("violations"), col("total"))))
       .orderBy("check_name")
+    val rows = out.collect().toSeq
+    s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](
+      scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), out.schema)
+    } finally {
+      liExpr.unpersist(blocking = false)
+      ordExpr.unpersist(blocking = false)
+    }
   }
 
   val sql: Map[String, String] = Map(

@@ -184,6 +184,32 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Transitive-closure near-dup collapse: MinHash-LSH verified pairs →
+    * connected components → keep each cluster's minimum doc_id (plus every
+    * unpaired doc). [[ngramDedupKeep]]'s single-link one-step drop is the
+    * approximation; THIS is the production shape — a near-dup chain a–b–c
+    * where a~b and b~c but a̸~c must still collapse to ONE representative,
+    * or the corpus keeps two of the three copies (the MinHash dedup stage
+    * of GPT-3/MassiveText runs exactly this pairs→components→keep-one
+    * pipeline).
+    *
+    * Scale shape: CC iterates over the PAIR graph only — vertices are docs
+    * appearing in ≥1 verified pair, a small fraction of any real corpus,
+    * so the O(diameter) iterative part is priced by the near-dup rate, not
+    * corpus size (and near-dup cluster diameters are tiny). The final keep
+    * is one anti-join of the full id list against the dropped set. */
+  def minhashClusterKeep(s: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashLshPairs(s, dir).select(col("doc_a"), col("doc_b"))
+    val verts = pairs.select(col("doc_a").as("id"))
+      .union(pairs.select(col("doc_b").as("id"))).distinct()
+    val labels = Graph.connectedComponents(verts,
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+    val drop = labels.where(col("label") < col("id")).select(col("id").as("doc_id"))
+    Tables(s, dir, "documents").select(col("doc_id"))
+      .join(drop, Seq("doc_id"), "left_anti")
+      .orderBy("doc_id")
+  }
+
   /** MinHash (32 seeds) + LSH banding (16 bands x 2 rows): candidates share
     * at least one band bucket; verified with exact Jaccard >= 0.5.
     * Ref shape: MinHashLSH; hashes are md5-derived so the DuckDB oracle

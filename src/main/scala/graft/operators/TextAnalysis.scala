@@ -47,6 +47,68 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** md5-derived nonnegative BIGINT (< 2^60) from a SQL string expression —
+    * the cross-engine determinism bridge (DuckDB twin:
+    * `('0x'||substr(md5(s),1,15))::UBIGINT`). */
+  private def mdi(arg: String): String =
+    s"CAST(conv(substr(md5($arg), 1, 15), 16, 10) AS BIGINT)"
+
+  /** The full Gopher/MassiveText document-level rule set (Rae et al. 2021,
+    * Table A1) — the seven named heuristics a pretraining mix applies
+    * before any model-based scoring: word-count bounds, mean-word-length
+    * band, symbol-to-word ratio, bullet-line and ellipsis-line fractions,
+    * alphabetic-word fraction, and stop-word presence. Complements
+    * [[repetition]] (Gopher's duplicate-n-gram rules) so the family covers
+    * the whole table.
+    *
+    * The token-soup fixture has no symbols, bullets or line structure, so
+    * those defect classes are PLANTED deterministically through the md5
+    * bridge (same convention as WebPipeline's C4 fixture): each token is
+    * replaced by '####' on a 1/40 md5 draw, and each 8-token line draws
+    * bullet (1/10) or trailing-ellipsis (1/10) decorations. Both engines
+    * regenerate the identical fixture, so the oracle checks every rule's
+    * real arithmetic, thresholds included.
+    *
+    * Every per-document metric is a higher-order array expression — the
+    * operator is one WholeStageCodegen pass over the scan, zero shuffles,
+    * linear at 100 TB. Verdicts are computed on the ROUNDED metrics so
+    * boundary cases agree bit-for-bit across engines. */
+  def gopherQuality(s: SparkSession, dir: String): DataFrame = {
+    val stopArr = array(stopEn.map(lit): _*)
+    val planted = mdi("concat('gs:', CAST(doc_id AS STRING), ':', CAST(j + 1 AS STRING))")
+    val lineDraw = mdi("concat('gl:', CAST(doc_id AS STRING), ':', CAST(i AS STRING))")
+    Tables(s, dir, "documents")
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("toks2", expr(
+        s"transform(toks, (t, j) -> CASE WHEN $planted % 40 = 0 THEN '####' ELSE t END)"))
+      .withColumn("n", size(col("toks2")))
+      .withColumn("nl", expr("greatest(CAST(ceil(size(toks) / 8.0) AS INT), 1)"))
+      .withColumn("ldraws", expr(s"transform(sequence(0, nl - 1), i -> $lineDraw % 10)"))
+      .select(
+        col("doc_id"),
+        col("n").as("n_words"),
+        round(expr("aggregate(toks2, 0L, (a, t) -> a + length(t))").cast("double")
+          / col("n"), 6).as("mean_word_len"),
+        round(size(expr("filter(toks2, t -> t rlike '[a-z]')")).cast("double")
+          / col("n"), 6).as("alpha_frac"),
+        round(size(expr("filter(toks2, t -> t = '####')")).cast("double")
+          / col("n"), 6).as("sym_ratio"),
+        round(size(expr("filter(ldraws, d -> d = 0)")).cast("double")
+          / col("nl"), 6).as("frac_bullet"),
+        round(size(expr("filter(ldraws, d -> d = 1)")).cast("double")
+          / col("nl"), 6).as("frac_ellipsis"),
+        size(array_intersect(array_distinct(col("toks2")), stopArr)).as("n_stop"))
+      .withColumn("keep",
+        col("n_words").between(50, 100000) &&
+          col("mean_word_len").between(3.0, 10.0) &&
+          col("sym_ratio") <= 0.1 &&
+          col("frac_bullet") <= 0.9 &&
+          col("frac_ellipsis") <= 0.3 &&
+          col("alpha_frac") >= 0.8 &&
+          col("n_stop") >= 2)
+      .orderBy("doc_id")
+  }
+
   /** Intra-document repetition ratios (the Gopher/MassiveText quality
     * filters): duplicate n-gram fraction = 1 − distinct/total over word
     * 2-grams and 3-grams. A high ratio marks degenerate boilerplate /

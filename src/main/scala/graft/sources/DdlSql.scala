@@ -304,6 +304,20 @@ object DdlSql {
     * — the engine's codegen expressions (the reference resolves the class
     * reflectively from the user jar; here the loadable set is the library's
     * own expression classes, keyed by their fully-qualified names). */
+  /** True iff `impl` loads and subclasses one of Hive's UDF roots — the
+    * classes Spark's Hive session catalog knows how to wrap. */
+  private def isHiveUdfClass(impl: String): Boolean =
+    try {
+      val c = Class.forName(impl, false,
+        Thread.currentThread().getContextClassLoader)
+      Seq("org.apache.hadoop.hive.ql.exec.UDF",
+        "org.apache.hadoop.hive.ql.udf.generic.GenericUDF",
+        "org.apache.hadoop.hive.ql.udf.generic.GenericUDTF",
+        "org.apache.hadoop.hive.ql.exec.UDAF",
+        "org.apache.hadoop.hive.ql.udf.generic.GenericUDAFResolver2")
+        .exists(r => Class.forName(r, false, c.getClassLoader).isAssignableFrom(c))
+    } catch { case _: Throwable => false }
+
   private val functionImpls: Map[String, Seq[org.apache.spark.sql.catalyst.expressions.Expression] => org.apache.spark.sql.catalyst.expressions.Expression] = {
     import graft.functions._
     Map(
@@ -362,12 +376,26 @@ object DdlSql {
         catalog.put(name, CatalogEntry("TABLE", Some(updated), None))
         Seq("OK").toDF("result")
       case createFnRe(name, impl) =>
-        val builder = functionImpls.getOrElse(impl,
-          throw new IllegalArgumentException(
-            s"CREATE FUNCTION: unknown implementation class '$impl' " +
-              s"(loadable: ${functionImpls.keys.toSeq.sorted.mkString(", ")})"))
-        s.sessionState.functionRegistry.createOrReplaceTempFunction(
-          name, builder, "scala_udf")
+        functionImpls.get(impl) match {
+          case Some(builder) =>
+            s.sessionState.functionRegistry.createOrReplaceTempFunction(
+              name, builder, "scala_udf")
+          case None if isHiveUdfClass(impl) =>
+            // the Hive function bridge (ref HiveSimpleUDF.java /
+            // HiveGenericUDF.java): not one of ours — let the Hive-enabled
+            // session catalog wrap the class (HiveSimpleUDF for `UDF`
+            // subclasses, HiveGenericUDF for `GenericUDF`). Re-issued
+            // idempotently: OR REPLACE (temp) / IF NOT EXISTS (persistent).
+            if ("(?is).*\\bTEMPORARY\\b.*".r.matches(stmt))
+              s.sql(s"CREATE OR REPLACE TEMPORARY FUNCTION $name AS '$impl'")
+            else
+              s.sql(s"CREATE FUNCTION IF NOT EXISTS $name AS '$impl'")
+          case None =>
+            throw new IllegalArgumentException(
+              s"CREATE FUNCTION: unknown implementation class '$impl' " +
+                s"(loadable: ${functionImpls.keys.toSeq.sorted.mkString(", ")}, " +
+                "or any Hive UDF/GenericUDF class)")
+        }
         Seq("OK").toDF("result")
       case dropFnRe(name) =>
         s.sessionState.functionRegistry.dropFunction(
@@ -572,6 +600,33 @@ object DdlSql {
       .orderBy(col("p_brand"))
   }
 
+  /** q_ddl_hive_udf: a real Hive UDF registered through the catalog and
+    * resolved by class name — the reference's Hive function bridge
+    * (ref `flink-connectors/flink-connector-hive/src/main/java/org/apache/
+    * flink/table/functions/hive/HiveSimpleUDF.java` and
+    * `HiveGenericUDF.java`: two wrapper paths, one for `UDF` subclasses,
+    * one for `GenericUDF`). Spark's Hive-enabled session catalog is the
+    * same bridge: a CREATE FUNCTION whose class is not a Spark expression
+    * falls through to `HiveSimpleUDF`/`HiveGenericUDF` wrappers. Both
+    * paths are exercised: `UDFBin` (simple) and `GenericUDFAbs` (generic);
+    * one TEMPORARY (session registry) and one persistent (metastore-backed
+    * catalog entry), covering both registration routes. */
+  def ddlHiveUdf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.Tables.registerAll(s, dir)
+    execute(s, "CREATE TEMPORARY FUNCTION hive_bin AS " +
+      "'org.apache.hadoop.hive.ql.udf.UDFBin'")
+    execute(s, "CREATE FUNCTION IF NOT EXISTS hive_abs AS " +
+      "'org.apache.hadoop.hive.ql.udf.generic.GenericUDFAbs'")
+    execute(s,
+      """SELECT p_size,
+        | hive_bin(CAST(p_size AS BIGINT)) AS bin_size,
+        | CAST(hive_abs(p_size - 25) AS INT) AS abs_off,
+        | count(*) AS cnt
+        |FROM part GROUP BY p_size""".stripMargin)
+      .orderBy(col("p_size"))
+  }
+
   /** q_ddl_like: CREATE TABLE ... LIKE end to end. The derived table drops
     * the base's PK (EXCLUDING CONSTRAINTS) and declares a composite one,
     * re-points the path under OVERWRITING OPTIONS, and inherits the
@@ -600,6 +655,11 @@ object DdlSql {
   }
 
   val sql: Map[String, String] = Map(
+    "q_ddl_hive_udf" ->
+      """SELECT p_size, bin(CAST(p_size AS BIGINT)) AS bin_size,
+        | CAST(abs(p_size - 25) AS INT) AS abs_off,
+        | CAST(count(*) AS BIGINT) AS cnt
+        |FROM part GROUP BY p_size ORDER BY p_size""".stripMargin,
     "q_ddl_like" ->
       """SELECT user_id, event_type, event_id FROM (
         | SELECT user_id, event_type, event_id,

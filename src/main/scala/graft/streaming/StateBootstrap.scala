@@ -1,0 +1,109 @@
+package graft.streaming
+
+import graft.streaming.StreamSource.Event
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+
+/** State bootstrap — the State Processor API's WRITE direction (reference
+  * `flink-libraries/flink-state-processing-api/src/main/java/org/apache/
+  * flink/state/api/Savepoint.java:76` `Savepoint.create(...)` +
+  * `BootstrapTransformation.java`, `NewSavepoint.java`): compute a keyed
+  * operator's state from a BATCH dataset, then start the streaming job
+  * "from the savepoint" so it continues where the batch left off.
+  *
+  * Spark-first mapping: `KeyValueGroupedDataset.flatMapGroupsWithState`
+  * takes an `initialState` — a batch-computed keyed Dataset whose rows are
+  * loaded into each key's GroupState before the first micro-batch. That IS
+  * the bootstrap: the batch half runs as an ordinary distributed aggregate
+  * (shuffled on the same key the stream groups by, so state lands exactly
+  * where the stream will probe it — no driver materialization, 100 TB
+  * backfills are just a batch job), and the stream processes only the live
+  * tail.
+  *
+  * The q_state_bootstrap pipeline splits events at the midpoint of the
+  * event-time range: the older half is batch-folded into per-user
+  * (count, sum) state; the newer half replays as a real micro-batch stream
+  * that CONTINUES those accumulators. One `__flush` marker row per user
+  * (covering users with no live events) makes every user emit its final
+  * totals. The DuckDB oracle aggregates the WHOLE events table — it can
+  * only match if the handoff lost nothing and double-counted nothing, so
+  * the cutoff itself never appears in the oracle.
+  */
+object StateBootstrap {
+
+  case class BootState(cnt: Long, sum: Double)
+  case class UserTotal(user_id: Long, cnt: Long, total: Double)
+
+  private[graft] val FlushType = "__flush"
+
+  /** The keyed continuation fold: live rows (flush markers excluded) are
+    * folded onto whatever accumulator the state holds — the batch-seeded
+    * one on a fresh start, the checkpointed one on resume. Shared with
+    * StateBootstrapSpec, which drives it phase-by-phase against the raw
+    * checkpoint contents. */
+  private[graft] val foldFn: (Long, Iterator[Event],
+    org.apache.spark.sql.streaming.GroupState[BootState]) => Iterator[UserTotal] =
+    (key, rows, state) => {
+      var st = state.getOption.getOrElse(BootState(0L, 0.0))
+      // deterministic fold order so the float sum is replayable
+      rows.toSeq.filter(_.event_type != FlushType)
+        .sortBy(e => (StatefulOps.micros(e.ts), e.event_id))
+        .foreach(e => st = BootState(st.cnt + 1, st.sum + e.value))
+      state.update(st)
+      Iterator.single(UserTotal(key, st.cnt, st.sum))
+    }
+
+  def bootstrapContinue(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = graft.Tables(s, dir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+    val mm = ev.agg(expr("unix_micros(min(ts))"), expr("unix_micros(max(ts))")).head()
+    // midpoint cutoff; empty table degenerates to an empty result either way
+    val cutoff = if (mm.isNullAt(0)) 0L else mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 2
+    val cutCol = expr(s"unix_micros(ts) < ${cutoff}L")
+
+    // 1. the "savepoint write": batch-aggregate the historical half into
+    //    keyed state (one shuffle on user_id — the stream's own key)
+    val initial = ev.where(cutCol)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(r => BootState(r._2, r._3))
+
+    // 2. the live tail + one flush marker per user (ALL users, so
+    //    bootstrap-only keys still surface their state), replayed as a
+    //    real file-source micro-batch stream
+    val liveDir = s"/tmp/graft-bootstrap/${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+    val flush = ev.select(col("user_id")).distinct()
+      .select(lit(-1L).as("event_id"), lit(new java.sql.Timestamp(0L)).as("ts"),
+        col("user_id"), lit(FlushType).as("event_type"), lit(0.0).as("value"))
+    ev.where(!cutCol).unionByName(flush)
+      .coalesce(1).write.mode("overwrite").parquet(liveDir)
+    val live = s.readStream.schema(ev.schema).parquet(liveDir)
+      .select("event_id", "ts", "user_id", "event_type", "value").as[Event]
+
+    // 3. continuation: fold live rows onto the bootstrapped accumulators
+    val out = live.groupByKey(_.user_id)
+      .flatMapGroupsWithState[BootState, UserTotal](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout(), initial)(foldFn)
+    val drained = StreamSource.runToTable(s, out.toDF(), "state_bootstrap", "update")
+    // one emission per (key, batch); totals are monotone in cnt, so the
+    // final state is each key's max-cnt row (single-file source ⇒ normally
+    // exactly one batch, but this stays correct if the source ever splits)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("cnt").desc)
+    drained.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("user_id"), col("cnt"), round(col("total"), 4).as("total"))
+      .orderBy("user_id")
+  }
+
+  val sql: Map[String, String] = Map(
+    // the ENTIRE table, no cutoff: only a lossless batch→stream state
+    // handoff reproduces it
+    "q_state_bootstrap" ->
+      """SELECT user_id, count(*) AS cnt,
+        | round(sum(value), 4) AS total
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)
+}
