@@ -104,6 +104,21 @@ object Bench {
       System.err.println(f"[bench] bpe-train-warmup $t%8.2fs")
       t
     }
+    // and for the OOO replay fixture: the segmented disorder replay is
+    // write-once per (events dir, version) — build it OUTSIDE the timed
+    // loop so the alphabetically-first q_*_ooo query doesn't absorb the
+    // one-time segment-tree construction into its own attribution
+    // (VERDICT r9 task 4)
+    val warmupOoo: Double = {
+      val t0 = System.nanoTime()
+      val t = try {
+        streaming.OooReplay.prepare(spark, sfDir)
+        (System.nanoTime() - t0) / 1e9
+      } catch { case _: Throwable => Double.NaN }
+      spark.catalog.clearCache()
+      System.err.println(f"[bench] ooo-replay-warmup $t%8.2fs")
+      t
+    }
 
     val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
     // Contention robustness (VERDICT r3 finding #3, r8 "what's wrong" #1):
@@ -181,7 +196,8 @@ object Bench {
     val warmupJson =
       (if (warmupSharedPairs.isNaN) ""
        else f""","warmup_shared_pairs":$warmupSharedPairs%.2f""") +
-        (if (warmupBpe.isNaN) "" else f""","warmup_bpe":$warmupBpe%.2f""")
+        (if (warmupBpe.isNaN) "" else f""","warmup_bpe":$warmupBpe%.2f""") +
+        (if (warmupOoo.isNaN) "" else f""","warmup_ooo":$warmupOoo%.2f""")
     val prefix = f"""{"metric":"total","value":$total%.2f,"unit":"sec","n":${results.size},"ok":${good.size},"contended":$contended$warmupJson$failedJson$medJson,"queries":{"""
     val suffix = s"""},"sf":"$sfDir"}"""
     val sb = new StringBuilder(prefix)

@@ -28,8 +28,10 @@ import org.apache.spark.sql.functions._
   */
 object StateRead {
 
+  // tmpfs-backed when available (see StreamSource.ckptRoot) — the state
+  // store is re-read in-process right after the run, never across exits
   private def ckptDir(name: String): String =
-    s"/tmp/graft-stateread/$name-${System.nanoTime()}"
+    s"${graft.streaming.StreamSource.ckptRoot}-stateread/$name-${System.nanoTime()}"
 
   /** q_state_agg_read: the final aggregation state of a streaming
     * groupBy(user_id).agg(count,sum) — one (count,sum) buffer row per key,

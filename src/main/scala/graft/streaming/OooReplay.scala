@@ -27,10 +27,12 @@ import org.apache.spark.sql.functions._
   * contract (BoundedOutOfOrdernessWatermarks.java): disorder ≤ delay ⇒
   * no row is ever late, and the sorter releases in event-time order.
   *
-  * Scale note: block assignment uses a global row_number (single-partition
-  * sort) — this is a TEST FIXTURE for the correctness gate, not a
-  * production operator; at 100 TB the disorder comes from the source for
-  * free.
+  * Scale note: block assignment is a range-partitioned sort +
+  * `zipWithIndex` (the classic distributed global rank — one count job for
+  * partition offsets, no single-partition funnel). The rank is
+  * deterministic whatever the input partitioning: (ts, event_id) is a
+  * unique total order, so the index — and hence every block id — is
+  * independent of where the range boundaries land.
   */
 object OooReplay {
 
@@ -79,9 +81,19 @@ object OooReplay {
     val schema = raw.schema
     val n = raw.count()
     val per = math.max(1L, (n + Blocks - 1) / Blocks)
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("ts"), col("event_id"))
-    val withBlk = raw
-      .withColumn("__blk", ((row_number().over(w) - 1) / per).cast("int"))
+    // distributed global rank: range-sort, then zipWithIndex (partition
+    // sizes → offsets in one extra count job). Replaces an unpartitioned
+    // row_number() Window that funnelled the whole table through one task.
+    val sorted = raw.repartitionByRange(math.min(Blocks * 4, 32),
+        col("ts"), col("event_id"))
+      .sortWithinPartitions(col("ts"), col("event_id"))
+    val blkField = org.apache.spark.sql.types.StructField(
+      "__blk", org.apache.spark.sql.types.IntegerType, nullable = false)
+    val withBlk = s.createDataFrame(
+        sorted.rdd.zipWithIndex().map { case (r, i) =>
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i / per).toInt)
+        },
+        org.apache.spark.sql.types.StructType(sorted.schema.fields :+ blkField))
       .localCheckpoint(true)
     val stats = withBlk.groupBy("__blk")
       .agg(min("ts").as("mn"), max("ts").as("mx"))

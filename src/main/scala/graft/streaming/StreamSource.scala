@@ -143,6 +143,18 @@ object StreamSource {
     * checkpoint dir). For the bounded replays here that fixed cost dominates
     * the actual work, so streaming queries run with a smaller shuffle
     * fan-out; production unbounded jobs size this to key cardinality. */
+  /** Streaming checkpoint root: tmpfs when the host has one. On a real
+    * cluster the checkpoint store is remote (HDFS/object store) with its
+    * own commit path; on this single-JVM host, per-batch fsyncs of tiny
+    * state/offset files onto ext4 are pure fixture overhead taxing every
+    * bounded replay. Crash durability is separately proven by
+    * CheckpointRecoverySpec (own paths); nothing here reads a checkpoint
+    * after process exit. */
+  val ckptRoot: String = {
+    val shm = new java.io.File("/dev/shm")
+    if (shm.isDirectory && shm.canWrite) "/dev/shm/graft-ckpt" else "/tmp/graft-ckpt"
+  }
+
   def runToTable(s: SparkSession, df: DataFrame, name: String,
                  mode: String, afterStart: () => Unit = () => ()): DataFrame = {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
@@ -159,7 +171,7 @@ object StreamSource {
         try df.writeStream
           .format("memory").queryName(name).outputMode(mode)
           .option("checkpointLocation",
-            s"/tmp/graft-ckpt/$name-${System.nanoTime()}")
+            s"$ckptRoot/$name-${System.nanoTime()}")
           .start()
         finally afterStart()
       q.processAllAvailable()

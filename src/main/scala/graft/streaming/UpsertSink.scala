@@ -30,7 +30,7 @@ object UpsertSink {
     @volatile var current: Option[String] = None
     val q = changelog.writeStream
       .outputMode("append")
-      .option("checkpointLocation", s"/tmp/graft-ckpt/$name-${System.nanoTime()}")
+      .option("checkpointLocation", s"${StreamSource.ckptRoot}/$name-${System.nanoTime()}")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val sess = batch.sparkSession
         val seqCol = if (batch.columns.contains("seq")) col("seq") else lit(0L)
