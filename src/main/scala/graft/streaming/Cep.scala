@@ -109,6 +109,19 @@ object Cep {
   private case object NoMatch extends Res
   private case object NeedMore extends Res
 
+  /** Per-key, per-drain backtracking budget. The reference's NFA +
+    * SharedBuffer (ref flink-cep NFA.java, SharedBuffer.java) stays
+    * polynomial by SHARING partial-match state across attempts; this
+    * matcher backtracks instead, which is simpler and fast on real
+    * patterns but worst-case exponential on adversarially ambiguous ones
+    * (stacked overlapping quantifiers — the `(A+)+` family). The budget
+    * bounds that worst case: every candidate expansion ticks it, and
+    * exhaustion fails the query LOUDLY (task error naming the pattern
+    * shape) rather than hanging an executor on a key that would never
+    * finish. 5M steps ≈ well past anything a non-pathological pattern
+    * does on a bounded per-key buffer. */
+  val AttemptBudget: Long = 5000000L
+
   /** MATCH_RECOGNIZE-style quantified pattern matching over the per-key
     * event-time-ordered row sequence, with AFTER MATCH SKIP policies
     * (ref NFA.java shared-buffer traversal + AfterMatchSkipStrategy;
@@ -227,9 +240,25 @@ object Cep {
       endExcl <= start + 1 ||
         StatefulOps.micros(buf(endExcl - 1).ts) - StatefulOps.micros(buf(start).ts) <= within
 
+    // ambiguity guard — see [[AttemptBudget]]; reset per drain() pass.
+    // Local copy of the constant: referencing the object member from the
+    // closure would capture (non-serializable) Cep$ itself.
+    val attemptBudget = AttemptBudget
+    var ticksLeft: Long = attemptBudget
+    def tick(): Unit = {
+      ticksLeft -= 1
+      if (ticksLeft <= 0)
+        throw new IllegalStateException(
+          s"CEP attempt budget exceeded ($attemptBudget backtracking steps " +
+            "while matching one key's buffer): the pattern is adversarially " +
+            "ambiguous (stacked overlapping quantifiers — the (A+)+ family). " +
+            "Make step predicates disjoint or bound repetitions with times().")
+    }
+
     def tryMatch(steps: Seq[QStep], buf: IndexedSeq[Event], start: Int,
                  atEnd: Boolean): Res = {
       def go(pos: Int, si: Int, acc: List[Event], cacc: List[Int]): Res = {
+        tick()
         if (si == steps.length) {
           if (spanOk(buf, start, pos)) Found(pos, acc.reverse, cacc.reverse)
           else NoMatch // over the WITHIN bound; backtracking tries shorter
@@ -347,6 +376,7 @@ object Cep {
     }
 
     def drain(buf: IndexedSeq[Event], atEnd: Boolean): (List[(List[Event], List[Int], Int)], IndexedSeq[Event]) = {
+      ticksLeft = attemptBudget
       val out = scala.collection.mutable.ListBuffer.empty[(List[Event], List[Int], Int)]
       var i = 0
       while (i < buf.length) {
