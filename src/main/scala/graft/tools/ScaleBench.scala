@@ -118,10 +118,12 @@ object ScaleBench {
     val streamOnly = args.lift(1).contains("stream")
     val graphOnly = args.lift(1).contains("graph")
     val sketchOnly = args.lift(1).contains("sketch")
+    val layoutOnly = args.lift(1).contains("layout")
     val src = "/root/testdata/sf0.1"
     val out = if (llmOnly || sketchOnly) s"/tmp/graft-llm$k"
       else if (cdcOnly) s"/tmp/graft-cdc$k"
-      else if (streamOnly) s"/tmp/graft-stream$k" else "/tmp/graft-sf1"
+      else if (streamOnly) s"/tmp/graft-stream$k"
+      else if (layoutOnly) s"/tmp/graft-layout$k" else "/tmp/graft-sf1"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -171,7 +173,10 @@ object ScaleBench {
           spark.catalog.clearCache()
           graft.operators.Sketches.cmsHeavyHitters(spark, out).count()
         },
-        time(s"sketch_quantile_${k}x") {
+        // quantileSketch reads lineitem, which the documents-only llm
+        // inflation does not scale — measured at the FIXED base sf0.1 and
+        // labeled so (no _${k}x suffix: the k in this mode never applies)
+        time("sketch_quantile_base") {
           spark.catalog.clearCache()
           graft.operators.Sketches.quantileSketch(spark, src).count()
         },
@@ -284,6 +289,76 @@ object ScaleBench {
       )
       val total = results.map(_._2).sum
       println(f"""{"metric":"scale_bench_llm","value":$total%.2f,"unit":"sec","k":$k,"queries":{${
+        results.map { case (n, t, rows) => f""""$n":[$t%.2f,$rows]""" }.mkString(",")}}}""")
+      spark.stop()
+      return
+    }
+    // Layout rehearsal (VERDICT r9 task 7): the write-once layouts at k×
+    // the data and ~k× the FILE count — the two claims that must hold as
+    // scale grows are (a) the z-order's row-group pruning RATIO on the
+    // non-sort dimension, and (b) the bucketed join staying zero-exchange
+    // while per-bucket volume grows k×. Orders is the inflated fact (the
+    // bucket-join fact side and the 2-dim z-order subject); customer stays
+    // dimension-sized, exactly like a real scale-up.
+    if (layoutOnly) {
+      inflateOrders(spark, src, out, k)
+      if (!new java.io.File(s"$out/customer.parquet/_SUCCESS").exists())
+        graft.Tables(spark, src, "customer")
+          .write.mode("overwrite").parquet(s"$out/customer.parquet")
+      val ord = spark.read.parquet(s"$out/orders.parquet")
+      val st = ord.agg(
+        min(col("o_custkey")).cast("double"), max(col("o_custkey")).cast("double"),
+        min(col("o_totalprice")), max(col("o_totalprice"))).head()
+      val (c0, c1, p0, p1) =
+        (st.getDouble(0), st.getDouble(1), st.getDouble(2), st.getDouble(3))
+      val base = ord.select(
+        expr(s"cast(round((cast(o_custkey as double) - $c0) / (${c1 - c0}) * 1023) as int)").as("x"),
+        expr(s"cast(round((o_totalprice - $p0) / (${p1 - p0}) * 1023) as int)").as("y"))
+      // file count grows with k (4 files per inflation copy, capped): the
+      // pruning claim is about footer min/max over MANY files, not 16
+      val files = math.max(16, math.min(512, 4 * k))
+      val zdir = s"$out/zorder"; val xdir = s"$out/xsort"
+      def rowsRead(dir: String): Long = {
+        val df = spark.read.parquet(dir).filter(col("y").between(100, 160))
+        df.collect()
+        df.queryExecution.executedPlan.collectLeaves().head
+          .metrics("numOutputRows").value
+      }
+      var exchanges = -1
+      val results = Seq(
+        time(s"zorder_write_${k}x") {
+          base.withColumn("z", graft.functions.ZValue.zValue(col("x"), col("y")))
+            .repartitionByRange(files, col("z")).sortWithinPartitions("z")
+            .drop("z").write.mode("overwrite").parquet(zdir)
+          files.toLong
+        },
+        time(s"xsort_write_${k}x") {
+          base.repartitionByRange(files, col("x")).sortWithinPartitions("x")
+            .write.mode("overwrite").parquet(xdir)
+          files.toLong
+        },
+        // rows surfaced AFTER row-group pruning for a selective filter on
+        // the non-sort dim — the z/x ratio is the measured pruning gain
+        time(s"zorder_pruned_read_${k}x") { rowsRead(zdir) },
+        time(s"xsort_read_${k}x") { rowsRead(xdir) },
+        // one-time bucketed write (the write-once contract), then the
+        // steady-state co-located join
+        time(s"bucket_write_${k}x") {
+          graft.operators.Layout.bucketJoin(spark, out).count()
+        },
+        time(s"bucket_join_${k}x") {
+          val df = graft.operators.Layout.bucketJoin(spark, out)
+          val n = df.count()
+          exchanges = "Exchange".r
+            .findAllIn(df.queryExecution.executedPlan.toString).length
+          n
+        },
+      )
+      val zRows = results.find(_._1.startsWith("zorder_pruned")).map(_._3).getOrElse(-1L)
+      val xRows = results.find(_._1.startsWith("xsort_read")).map(_._3).getOrElse(-1L)
+      val ratio = if (zRows > 0) xRows.toDouble / zRows else -1.0
+      val total = results.map(_._2).sum
+      println(f"""{"metric":"scale_bench_layout","value":$total%.2f,"unit":"sec","k":$k,"files":$files,"z_rows":$zRows,"x_rows":$xRows,"prune_ratio":$ratio%.2f,"join_exchanges":$exchanges,"queries":{${
         results.map { case (n, t, rows) => f""""$n":[$t%.2f,$rows]""" }.mkString(",")}}}""")
       spark.stop()
       return
