@@ -145,6 +145,18 @@ object LlmOracles {
       |  FROM emb e, c2 c) WHERE rk = 1)""".stripMargin
 
   val sql: Map[String, String] = Map(
+    "q_corpus_datasheet" ->
+      """WITH d AS (SELECT source, lang, n_chars,
+        |  len(string_split(lower(text), ' ')) AS n_toks FROM documents)
+        |SELECT source, lang,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+        |  round(avg(n_toks), 2) AS avg_tokens,
+        |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+        |  CAST(sum(CASE WHEN n_toks < 60 THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+        |  CAST(GROUPING(source, lang) AS BIGINT) AS gid
+        |FROM d GROUP BY ROLLUP (source, lang)
+        |ORDER BY gid, source NULLS FIRST, lang NULLS FIRST""".stripMargin,
     "q_text_stats" ->
       (toksCte + """
         |SELECT doc_id,

@@ -97,6 +97,7 @@ object SparkEntry {
     "q_dedup_incremental" -> (Dedup.incrementalDedup _),
     "q_text_repetition"   -> (TextAnalysis.repetition _),
     "q_quality_gopher"    -> (TextAnalysis.gopherQuality _),
+    "q_corpus_datasheet"  -> (TextAnalysis.corpusDatasheet _),
     "q_tfidf_top3"        -> (TextAnalysis.tfidfTop3 _),
     "q_quality_perplexity" -> (TextAnalysis.perplexity _),
     "q_fingerprint_winnow" -> (TextAnalysis.winnowFingerprint _),

@@ -47,6 +47,28 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Corpus datasheet — the per-source "data card" a pretraining pipeline
+    * publishes (Datasheets for Datasets, Gebru et al. 2021; every public
+    * corpus release ships this table): ROLLUP over (source, lang) of
+    * document/token/char volumes and a short-doc fraction, subtotals and
+    * the grand total in ONE pass (Spark lowers rollup to a single Expand +
+    * partial-agg — no per-grouping re-scan, the 100 TB shape).
+    * grouping_id disambiguates subtotal rows from real NULL groups. */
+  def corpusDatasheet(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "documents")
+      .select(col("source"), col("lang"), col("n_chars"),
+        size(tokens(col("text"))).cast("long").as("n_toks"))
+      .rollup(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        round(avg(col("n_toks")), 2).as("avg_tokens"),
+        sum(col("n_chars")).as("n_chars"),
+        sum(when(col("n_toks") < 60, 1L).otherwise(0L)).as("n_short"),
+        grouping_id().cast("long").as("gid"))
+      .orderBy(col("gid"), col("source").asc_nulls_first,
+        col("lang").asc_nulls_first)
+  }
+
   /** md5-derived nonnegative BIGINT (< 2^60) from a SQL string expression —
     * the cross-engine determinism bridge (DuckDB twin:
     * `('0x'||substr(md5(s),1,15))::UBIGINT`). */

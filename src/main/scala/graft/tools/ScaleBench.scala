@@ -286,6 +286,22 @@ object ScaleBench {
           spark.catalog.clearCache()
           graft.operators.Sketches.cmsHeavyHitters(spark, out).count()
         },
+        // r10 additions: gopher is expression-only (must track the scan);
+        // cluster-keep layers CC over the verified pair graph — per-copy
+        // shingle universes are disjoint, so pairs stay within copies and
+        // the iterative part is priced by the near-dup rate, not k²
+        time(s"gopher_${k}x") {
+          spark.catalog.clearCache()
+          graft.operators.TextAnalysis.gopherQuality(spark, out).count()
+        },
+        time(s"cluster_keep_${k}x") {
+          spark.catalog.clearCache()
+          graft.operators.Dedup.minhashClusterKeep(spark, out).count()
+        },
+        time(s"datasheet_${k}x") {
+          spark.catalog.clearCache()
+          graft.operators.TextAnalysis.corpusDatasheet(spark, out).count()
+        },
       )
       val total = results.map(_._2).sum
       println(f"""{"metric":"scale_bench_llm","value":$total%.2f,"unit":"sec","k":$k,"queries":{${

@@ -69,7 +69,10 @@ class EmptyInputSpec extends SparkSpec {
     "q_sketch_hll", "q_sketch_kmv", "q_sketch_cms", "q_sketch_quantile",
     "q_sample_reservoir", "q_layout_zorder", "q_bucket_join",
     "q_decontaminate_emb", "q_stream_hll", "q_stream_hll_window",
-    "q_dq_checks")
+    "q_dq_checks",
+    // round-10 additions
+    "q_dedup_cluster_keep", "q_quality_gopher", "q_state_bootstrap",
+    "q_type_multiset", "q_ddl_hive_udf")
 
   for (name <- queries)
     test(s"$name runs on an empty corpus") {
