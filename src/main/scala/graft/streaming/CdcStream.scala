@@ -42,7 +42,8 @@ object CdcStream {
     try {
       val q = changelog.writeStream
         .outputMode("append")
-        .option("checkpointLocation", s"$root/ckpt")
+        .option("checkpointLocation",
+          s"${StreamSource.ckptRoot}/cdc-${System.nanoTime()}")
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           val sess = batch.sparkSession
           // net action per key within the batch: the max-offset event

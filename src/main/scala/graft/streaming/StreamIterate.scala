@@ -43,7 +43,8 @@ object StreamIterate {
       .select(col("id"), (col("steps_left") - 1).as("steps_left"),
         (col("steps_done") + 1).as("steps_done"))
     val q = stepped.writeStream
-      .option("checkpointLocation", s"$workDir/ckpt")
+      .option("checkpointLocation",
+        s"${StreamSource.ckptRoot}/iterate-${System.nanoTime()}")
       .foreachBatch { (b: DataFrame, _: Long) =>
         val batch = b.persist()
         try {

@@ -345,7 +345,10 @@ object TxFileSink {
       java.lang.Integer.toHexString(dir.hashCode) + "-" + System.nanoTime()
     val q = graft.sources.FileTopic.readStream(s, topic)
       .writeStream
-      .option("checkpointLocation", s"$out-ckpt")
+      // engine state on the tmpfs ckpt root; the sink's own 2PC manifests
+      // (the demonstrated contract) stay under `out`
+      .option("checkpointLocation",
+        s"${StreamSource.ckptRoot}/2pc-${System.nanoTime()}")
       .foreachBatch { (b: DataFrame, id: Long) => commitEpoch(b, id, out) }
       .start()
     try { q.processAllAvailable() } finally q.stop()
@@ -373,7 +376,8 @@ object TxFileSink {
       .select(col("key"), col("value"),
         split(col("value"), "\\|").getItem(1).as("day"))
       .writeStream
-      .option("checkpointLocation", s"$out-ckpt")
+      .option("checkpointLocation",
+        s"${StreamSource.ckptRoot}/rolling-${System.nanoTime()}")
       .foreachBatch { (b: DataFrame, id: Long) =>
         rollingEpoch(b, id, out, "day", "value", maxRowsPerFile = rollRows)
       }

@@ -317,4 +317,74 @@ class LargeStateSoakSpec extends SparkSpec {
       spark.conf.set(chainKey, prevChain)
     }
   }
+
+  test(s"bootstrap soak: $N batch-seeded initialState keys on RocksDB, live tail continues") {
+    // r10 (VERDICT r9 task 3 at scale): the State Processor WRITE path must
+    // seed a MILLION keys from a batch dataset without the driver in the
+    // data path — initialState is a keyed Dataset co-shuffled with the
+    // stream, so the savepoint write is just a batch job. Pins that every
+    // seeded key lands in the store (numRowsTotal), the live tail CONTINUES
+    // seeded accumulators (seed + live count, not live-only), and untouched
+    // seeded keys survive to a restarted query.
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      // seed value = k % 97, computed distributed (range → keyed mapValues)
+      val initial = spark.range(N.toLong).as[Long]
+        .groupByKey(identity).mapValues(_ % 97)
+      val input = MemoryStream[(Long, Long)]
+      val op = input.toDS().groupByKey(_._1)
+        .flatMapGroupsWithState[Long, (Long, Long)](
+          OutputMode.Update(), GroupStateTimeout.NoTimeout(), initial) {
+          (k: Long, rows: Iterator[(Long, Long)], st: GroupState[Long]) =>
+            val add = rows.size
+            if (add == 0) Iterator.empty // initial-state-only invocation
+            else {
+              val c = st.getOption.getOrElse(0L) + add
+              st.update(c)
+              Iterator.single((k, c))
+            }
+        }
+      val ckpt = s"${graft.streaming.StreamSource.ckptRoot}/bootsoak-${System.nanoTime()}"
+      val emitted = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+      def start() = op.toDF("k", "cnt").writeStream
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.collect().foreach(r => emitted.add((r.getLong(0), r.getLong(1))))
+          ()
+        }
+        .start()
+
+      // batch 0: touch 3 keys; the OTHER 999,997 seeds must also land
+      val touched = Seq(0L, 123456L, (N - 1).toLong)
+      val q1 = start()
+      input.addData(touched.map(k => (k, 1L)))
+      q1.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      val got = emitted.asScala.toMap
+      touched.foreach { k =>
+        assert(got.get(k).contains(k % 97 + 1),
+          s"key $k: expected seed ${k % 97} + 1, got ${got.get(k)}")
+      }
+      val sop = q1.lastProgress.stateOperators(0)
+      assert(sop.numRowsTotal === N.toLong,
+        s"all $N seeded keys must be in the store, got ${sop.numRowsTotal}")
+      info(s"seeded state rows=${sop.numRowsTotal} memoryUsedBytes=${sop.memoryUsedBytes}")
+      q1.stop()
+
+      // restart: an untouched seeded key continues from its SEED value
+      emitted.clear()
+      val q2 = start()
+      input.addData(Seq((777777L, 1L)))
+      q2.processAllAvailable()
+      val restored = emitted.asScala.toSet
+      assert(restored.contains((777777L, 777777L % 97 + 1)),
+        s"untouched seed not restored across restart: $restored")
+      q2.stop()
+    } finally prevProv.fold(spark.conf.unset(provKey))(spark.conf.set(provKey, _))
+  }
 }
