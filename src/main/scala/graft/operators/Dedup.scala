@@ -199,15 +199,51 @@ object Dedup {
     * corpus size (and near-dup cluster diameters are tiny). The final keep
     * is one anti-join of the full id list against the dropped set. */
   def minhashClusterKeep(s: SparkSession, dir: String): DataFrame = {
-    val pairs = minhashLshPairs(s, dir).select(col("doc_a"), col("doc_b"))
-    val verts = pairs.select(col("doc_a").as("id"))
-      .union(pairs.select(col("doc_b").as("id"))).distinct()
-    val labels = Graph.connectedComponents(verts,
-      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
-    val drop = labels.where(col("label") < col("id")).select(col("id").as("doc_id"))
-    Tables(s, dir, "documents").select(col("doc_id"))
-      .join(drop, Seq("doc_id"), "left_anti")
-      .orderBy("doc_id")
+    import s.implicits._
+    val pairs = minhashLshPairs(s, dir)
+      .select(col("doc_a"), col("doc_b")).persist()
+    try {
+      // Size-guarded plan flip (the decontaminate convention,
+      // Pipeline.scala): the verified pair list is priced by the near-dup
+      // RATE, not corpus size, so it is almost always tiny. Under the cap,
+      // driver union-find beats O(diameter) rounds of distributed joins
+      // whose per-round fixed cost dominates at this size (measured: ~10 s
+      // of round overhead on a 2.5k-pair graph); a pathological corpus
+      // over the cap flips to the distributed min-label CC — identical
+      // labels (component minimum) either way.
+      val nPairs = pairs.count()
+      val drop: DataFrame =
+        if (nPairs <= 2000000L) {
+          val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+          def find(x: Long): Long = {
+            var r = x
+            while (parent.getOrElse(r, r) != r) r = parent(r)
+            var c = x
+            while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+            r
+          }
+          pairs.collect().foreach { row =>
+            val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
+            if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+          }
+          // union-by-min above ⇒ every root IS its component's minimum id.
+          // Snapshot keys BEFORE filtering: find() path-compresses (mutates
+          // the map), and a lazy iterator over a mutating HashMap skips
+          // entries (shipped 489-vs-477 keeps on the first gate run).
+          val ks = parent.keys.toArray
+          val dropped = ks.filter(k => find(k) != k).toSeq.sorted
+          s.createDataset(dropped).toDF("doc_id")
+        } else {
+          val verts = pairs.select(col("doc_a").as("id"))
+            .union(pairs.select(col("doc_b").as("id"))).distinct()
+          Graph.connectedComponents(verts,
+              pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+            .where(col("label") < col("id")).select(col("id").as("doc_id"))
+        }
+      Tables(s, dir, "documents").select(col("doc_id"))
+        .join(drop, Seq("doc_id"), "left_anti")
+        .orderBy("doc_id")
+    } finally pairs.unpersist(blocking = false)
   }
 
   /** MinHash (32 seeds) + LSH banding (16 bands x 2 rows): candidates share

@@ -290,9 +290,15 @@ object ScaleBench {
         // cluster-keep layers CC over the verified pair graph — per-copy
         // shingle universes are disjoint, so pairs stay within copies and
         // the iterative part is priced by the near-dup rate, not k²
+        // NB: a bare count() would collapse this expression-only plan to
+        // parquet row-count metadata (same trap as graph_degrees above) —
+        // aggregate over computed columns to force the real pass
         time(s"gopher_${k}x") {
           spark.catalog.clearCache()
-          graft.operators.TextAnalysis.gopherQuality(spark, out).count()
+          val r = graft.operators.TextAnalysis.gopherQuality(spark, out)
+            .agg(sum(when(col("keep"), 1L).otherwise(0L)).as("kept"),
+              count(lit(1)).as("n")).head()
+          r.getLong(1)
         },
         time(s"cluster_keep_${k}x") {
           spark.catalog.clearCache()
