@@ -93,6 +93,7 @@ object SparkEntry {
     "q_dedup_ngram_keep"  -> (Dedup.ngramDedupKeep _),
     "q_dedup_minhash_lsh" -> (Dedup.minhashLshPairs _),
     "q_dedup_cluster_keep" -> (Dedup.minhashClusterKeep _),
+    "q_stream_dedup_minhash" -> (streaming.StreamDedup.minhashStreamKeep _),
     "q_dedup_span"        -> (Dedup.spanDupCoverage _),
     "q_dedup_incremental" -> (Dedup.incrementalDedup _),
     "q_text_repetition"   -> (TextAnalysis.repetition _),
@@ -709,5 +710,5 @@ object SparkEntry {
     graft.operators.SystemTimeSql.sql ++ Similarity.sql ++ GraphGens.sql ++
     streaming.StreamIterate.sql ++ Sketches.sql ++ Layout.sql ++
     graft.operators.DataQuality.sql ++ streaming.StateBootstrap.sql ++
-    MultisetOps.sql
+    MultisetOps.sql ++ streaming.StreamDedup.sql
 }

@@ -72,7 +72,8 @@ class EmptyInputSpec extends SparkSpec {
     "q_dq_checks",
     // round-10 additions
     "q_dedup_cluster_keep", "q_quality_gopher", "q_state_bootstrap",
-    "q_type_multiset", "q_ddl_hive_udf")
+    "q_type_multiset", "q_ddl_hive_udf", "q_corpus_datasheet",
+    "q_stream_dedup_minhash")
 
   for (name <- queries)
     test(s"$name runs on an empty corpus") {
