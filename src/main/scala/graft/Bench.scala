@@ -27,6 +27,7 @@ object Bench {
     "q1_agg", "q_tpch_q4", "q_tpch_q5", "q_tpch_q6", "q_tpch_q10",
     "q_tpch_q14", "q_tpch_q18", "q_sql_q3", "q_join_inner", "q_join_salted",
     "q_dedup_exact", "q_dedup_minhash_lsh", "q_dedup_simhash",
+    "q_dedup_cluster_keep", "q_quality_gopher", "q_corpus_datasheet",
     "q_pipeline_clean", "q_ann_brute", "q_ann_ivf", "q_emb_dedup_keep",
     "q_graph_cc", "q_graph_pagerank", "q_text_stats",
     "q_win_hop", "q_stream_tumble", "q_stream_hop", "q_stream_session",
