@@ -318,6 +318,7 @@ object SparkEntry {
     "q_state_agg_read"  -> (graft.sources.StateRead.aggStateRead _),
     "q_state_dedup_read" -> (graft.sources.StateRead.dedupStateRead _),
     "q_state_bootstrap" -> (streaming.StateBootstrap.bootstrapContinue _),
+    "q_state_surgery"   -> (streaming.StateBootstrap.stateSurgery _),
     "q_fmt_debezium"    -> (graft.sources.CdcFormats.debeziumKinds _),
     "q_cdc_materialize" -> (graft.sources.CdcFormats.debeziumMaterialize _),
     "q_ddl_like"        -> (graft.sources.DdlSql.ddlLike _),

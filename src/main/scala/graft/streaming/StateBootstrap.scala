@@ -99,11 +99,100 @@ object StateBootstrap {
       .orderBy("user_id")
   }
 
+  /** State surgery — the State Processor API's TRANSFORM direction
+    * (reference `flink-state-processing-api`: read an existing savepoint
+    * with `Savepoint.load`, drop/rewrite operator state, write a NEW
+    * savepoint the job resumes from). The canonical production use is
+    * GDPR deletion: a user demands erasure, so their ACCUMULATED state is
+    * surgically removed from the checkpoint while the stream keeps
+    * running for everyone else.
+    *
+    * Spark-first trilogy, all three directions now exercised:
+    * READ = `spark.read.format("statestore")` (StateRead), WRITE =
+    * `initialState` bootstrap (above), TRANSFORM = read → batch-edit →
+    * re-bootstrap. Phase 1 folds the historical half into a real
+    * checkpoint; phase 2 reads that store as a batch table; phase 3
+    * deletes every `user_id % 10 == 0` accumulator; phase 4 seeds a new
+    * query from the EDITED state and streams the live half. Deleted
+    * users therefore restart from zero (post-cutoff events only); all
+    * others continue seamlessly — exactly what the oracle recomputes with
+    * its `user_id % 10 != 0 OR ts >= cutoff` predicate. */
+  def stateSurgery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = graft.Tables(s, dir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+    val mm = ev.agg(expr("unix_micros(min(ts))"), expr("unix_micros(max(ts))")).head()
+    val cutoff = if (mm.isNullAt(0)) 0L else mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 2
+    val cutCol = expr(s"unix_micros(ts) < ${cutoff}L")
+    val base = s"/tmp/graft-surgery/${dir.replaceAll("[^A-Za-z0-9.]", "_")}-${System.nanoTime()}"
+
+    // phase 1: historical half through the SAME keyed fold into a real
+    // checkpoint — the savepoint being operated on
+    val histDir = s"$base/hist"
+    ev.where(cutCol).coalesce(1).write.mode("overwrite").parquet(histDir)
+    val ckptA = s"${StreamSource.ckptRoot}/surgery-${System.nanoTime()}"
+    val hist = s.readStream.schema(ev.schema).parquet(histDir)
+      .select("event_id", "ts", "user_id", "event_type", "value").as[Event]
+    val folded = hist.groupByKey(_.user_id)
+      .flatMapGroupsWithState[BootState, UserTotal](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout())(foldFn)
+    val q1 = folded.toDF().writeStream.format("memory")
+      .queryName(s"surgery_hist_${System.nanoTime()}")
+      .outputMode("update").option("checkpointLocation", ckptA).start()
+    try q1.processAllAvailable() finally q1.stop()
+
+    // phase 2+3: read the savepoint, drop the erased users' accumulators
+    val edited = s.read.format("statestore").load(ckptA)
+      .select(col("key.value").as("user_id"),
+        col("value.groupState.cnt").as("cnt"),
+        col("value.groupState.sum").as("sum"))
+      .where(col("user_id") % 10 =!= 0)
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(r => BootState(r._2, r._3))
+
+    // phase 4: new query bootstrapped from the EDITED state; live half +
+    // one flush marker per user so every surviving accumulator reports
+    val liveDir = s"$base/live"
+    val flush = ev.select(col("user_id")).distinct()
+      .select(lit(-1L).as("event_id"), lit(new java.sql.Timestamp(0L)).as("ts"),
+        col("user_id"), lit(FlushType).as("event_type"), lit(0.0).as("value"))
+    ev.where(!cutCol).unionByName(flush)
+      .coalesce(1).write.mode("overwrite").parquet(liveDir)
+    val live = s.readStream.schema(ev.schema).parquet(liveDir)
+      .select("event_id", "ts", "user_id", "event_type", "value").as[Event]
+    val out = live.groupByKey(_.user_id)
+      .flatMapGroupsWithState[BootState, UserTotal](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout(), edited)(foldFn)
+    val drained = StreamSource.runToTable(s, out.toDF(), "state_surgery", "update")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("cnt").desc)
+    drained.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      // erased users with no post-cutoff events hold an empty (0, 0.0)
+      // accumulator — the oracle's GROUP BY has no row for them
+      .where(col("cnt") > 0)
+      .select(col("user_id"), col("cnt"), round(col("total"), 4).as("total"))
+      .orderBy("user_id")
+  }
+
   val sql: Map[String, String] = Map(
     // the ENTIRE table, no cutoff: only a lossless batch→stream state
     // handoff reproduces it
     "q_state_bootstrap" ->
       """SELECT user_id, count(*) AS cnt,
         | round(sum(value), 4) AS total
-        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // the TRANSFORM contract: erased users (% 10 = 0) keep only their
+    // post-cutoff events (their accumulated history was deleted from the
+    // savepoint); everyone else aggregates the whole table. The cutoff is
+    // the same integer-micros midpoint both engines compute.
+    "q_state_surgery" ->
+      """WITH b AS (SELECT min(epoch_us(CAST(ts AS TIMESTAMP))) AS mn,
+        |                  max(epoch_us(CAST(ts AS TIMESTAMP))) AS mx FROM events),
+        |cut AS (SELECT mn + (mx - mn) // 2 AS c FROM b)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS cnt,
+        |  round(sum(value), 4) AS total
+        |FROM events, cut
+        |WHERE user_id % 10 != 0 OR epoch_us(CAST(ts AS TIMESTAMP)) >= c
+        |GROUP BY user_id ORDER BY user_id""".stripMargin)
 }
