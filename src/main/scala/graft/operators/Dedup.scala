@@ -198,6 +198,30 @@ object Dedup {
     * so the O(diameter) iterative part is priced by the near-dup rate, not
     * corpus size (and near-dup cluster diameters are tiny). The final keep
     * is one anti-join of the full id list against the dropped set. */
+  /** Union-find over an edge list, union-by-min so every root IS its
+    * component's minimum id; returns the sorted NON-root (dropped) ids —
+    * identical to the distributed CC's `label < id` set (PropertySpec
+    * cross-checks the equivalence on random graphs).
+    * Keys are snapshotted BEFORE the final filter: find() path-compresses
+    * (mutates the map), and a lazy iterator over a mutating HashMap skips
+    * entries (shipped 489-vs-477 keeps on the first gate run). */
+  private[graft] def unionFindDrop(edges: Seq[(Long, Long)]): Seq[Long] = {
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val ks = parent.keys.toArray
+    ks.filter(k => find(k) != k).toSeq.sorted
+  }
+
   def minhashClusterKeep(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val pairs = minhashLshPairs(s, dir)
@@ -214,24 +238,8 @@ object Dedup {
       val nPairs = pairs.count()
       val drop: DataFrame =
         if (nPairs <= 2000000L) {
-          val parent = scala.collection.mutable.HashMap.empty[Long, Long]
-          def find(x: Long): Long = {
-            var r = x
-            while (parent.getOrElse(r, r) != r) r = parent(r)
-            var c = x
-            while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
-            r
-          }
-          pairs.collect().foreach { row =>
-            val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
-            if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
-          }
-          // union-by-min above ⇒ every root IS its component's minimum id.
-          // Snapshot keys BEFORE filtering: find() path-compresses (mutates
-          // the map), and a lazy iterator over a mutating HashMap skips
-          // entries (shipped 489-vs-477 keeps on the first gate run).
-          val ks = parent.keys.toArray
-          val dropped = ks.filter(k => find(k) != k).toSeq.sorted
+          val dropped = unionFindDrop(
+            pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq)
           s.createDataset(dropped).toDF("doc_id")
         } else {
           val verts = pairs.select(col("doc_a").as("id"))

@@ -169,4 +169,52 @@ class PropertySpec extends SparkSpec {
       lower <= v && v < lower + (1L << math.max(e - 4, 0))
     }, n = 50)
   }
+
+  test("cluster-keep union-find drop set equals a transitive-closure oracle") {
+    // the small-side branch of minhashClusterKeep: non-min members of every
+    // connected component, against an independent BFS closure
+    val genEdges = Gen.listOfN(14,
+      Gen.zip(Gen.chooseNum(1L, 12L), Gen.chooseNum(1L, 12L)))
+    check(Prop.forAll(genEdges) { es: List[(Long, Long)] =>
+      val edges = es.filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      val got = operators.Dedup.unionFindDrop(edges)
+      val adj = scala.collection.mutable.Map.empty[Long, Set[Long]].withDefaultValue(Set.empty)
+      edges.foreach { case (a, b) => adj(a) += b; adj(b) += a }
+      var seen = Set.empty[Long]
+      val drops = scala.collection.mutable.ListBuffer.empty[Long]
+      adj.keys.toSeq.sorted.foreach { n =>
+        if (!seen(n)) {
+          var comp = Set.empty[Long]
+          var frontier = Set(n)
+          while (frontier.nonEmpty) {
+            comp ++= frontier
+            frontier = frontier.flatMap(adj) -- comp
+          }
+          seen ++= comp
+          drops ++= (comp - comp.min)
+        }
+      }
+      got == drops.toSeq.sorted
+    }, n = 40)
+  }
+
+  test("multiset encoding identities: |A ⊎ B| = |A| + |B| and element counts add") {
+    import spark.implicits._
+    val genBag = Gen.listOfN(12, Gen.oneOf("a", "b", "c", "d"))
+    check(Prop.forAll(genBag, genBag) { (xs: List[String], ys: List[String]) =>
+      val row = Seq((xs, ys)).toDF("xs", "ys")
+        .selectExpr(
+          "map_from_entries(array_sort(transform(array_distinct(xs), " +
+            "v -> struct(v, CAST(size(filter(xs, x -> x = v)) AS BIGINT))))) AS ma",
+          "map_from_entries(array_sort(transform(array_distinct(ys), " +
+            "v -> struct(v, CAST(size(filter(ys, y -> y = v)) AS BIGINT))))) AS mb")
+        .selectExpr(
+          "aggregate(map_values(map_zip_with(ma, mb, (k, x, y) -> coalesce(x, 0L) + coalesce(y, 0L))), 0L, (a, x) -> a + x) AS card_u",
+          "coalesce(element_at(map_zip_with(ma, mb, (k, x, y) -> coalesce(x, 0L) + coalesce(y, 0L)), 'a'), 0L) AS cnt_a")
+        .head()
+      row.getLong(0) == (xs.size + ys.size).toLong &&
+        row.getLong(1) == (xs.count(_ == "a") + ys.count(_ == "a")).toLong
+    }, n = 15)
+  }
 }
