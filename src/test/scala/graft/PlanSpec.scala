@@ -420,4 +420,34 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("SortMergeJoin [btm") || p.contains("BroadcastHashJoin [btm"),
       s"no equi join on the bottom key:\n$p")
   }
+
+  test("gopher quality is one codegen pass: no hash shuffle, rules stay in the scan pipeline") {
+    val p = plan(TextAnalysis.gopherQuality(spark, sf))
+    // all 7 document heuristics are higher-order array expressions over
+    // the scan; only the final orderBy's range exchange is allowed —
+    // linear at 100 TB means nothing leaves the row pipeline
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"gopher rules shuffle:\n$p")
+  }
+
+  test("corpus datasheet: ROLLUP is ONE Expand + partial agg, not per-grouping re-scans") {
+    val p = plan(TextAnalysis.corpusDatasheet(spark, sf))
+    assert(p.split("Expand").length - 1 >= 1, s"no Expand in rollup plan:\n$p")
+    // one scan feeds the whole data card: a per-grouping-set union of
+    // scans would read the corpus three times at 100 TB
+    val scans = p.split("Scan parquet").length - 1
+    assert(scans == 1, s"datasheet reads the corpus $scans times:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial"),
+      s"no partial aggregation below the rollup exchange:\n$p")
+  }
+
+  test("multiset lattice: COLLECT pre-aggregates per distinct value before the map fold") {
+    val p = plan(graft.operators.MultisetOps.multisetLattice(spark, sf))
+    // the inner groupBy(segment, early, pri).count is the map-side combine
+    // that keeps collect_list at one entry per DISTINCT value — its partial
+    // aggregate must exist below an exchange; and nothing goes cartesian
+    assert(p.contains("partial_count") || p.contains("partial"),
+      s"no partial agg before COLLECT's entry list:\n$p")
+    assert(!p.contains("CartesianProduct"), s"multiset plan went cartesian:\n$p")
+  }
 }
