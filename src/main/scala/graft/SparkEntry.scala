@@ -109,6 +109,7 @@ object SparkEntry {
     "q_dsir_weight"       -> (Pipeline.dsirWeights _),
     "q_pii_redact"        -> (Pipeline.piiRedact _),
     "q_mix_budget"        -> (Pipeline.mixBudget _),
+    "q_mix_temperature"   -> (Pipeline.mixTemperature _),
     "q_c4_filter"         -> (WebPipeline.c4Filter _),
     "q_dedup_lines"       -> (WebPipeline.lineDedup _),
     "q_dedup_url"         -> (WebPipeline.urlDedup _),

@@ -257,6 +257,42 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Temperature-based source sampling — the multilingual mixing rule
+    * (mT5 / XLM-R: sample source i with probability ∝ p_i^α, α≈0.3, where
+    * p_i is its natural token share): low-resource sources are upsampled,
+    * head sources damped, without ever flattening to uniform. The
+    * canonical knob a pretraining mix turns after the datasheet is read.
+    *
+    * One tiny per-source aggregate (broadcast-scale — sources number in
+    * the dozens at 100 TB) computes natural shares, temperature shares,
+    * the upsample factor, and the expected token draw from a 1M-token
+    * budget. All doubles rounded at 6 so both engines' pow/exp libms
+    * agree bit-for-bit after the round. */
+  def mixTemperature(s: SparkSession, dir: String): DataFrame = {
+    val per = Tables(s, dir, "documents")
+      .select(col("source"), size(TextAnalysis.tokens(col("text"))).cast("long").as("n"))
+      .groupBy("source").agg(sum("n").as("src_toks"))
+    val tot = per.agg(coalesce(sum("src_toks"), lit(0L)).as("t")).head().getLong(0)
+    if (tot == 0L)
+      return per.select(col("source"), col("src_toks"),
+        lit(0.0).as("p_nat"), lit(0.0).as("p_temp"),
+        lit(0.0).as("upsample"), lit(0L).as("budget_toks")).limit(0)
+    val alpha = 0.3
+    val pow = per.withColumn("p_nat", col("src_toks").cast("double") / lit(tot.toDouble))
+      .withColumn("pa", expr(s"power(p_nat, $alpha)"))
+    val z = pow.agg(sum("pa")).head().getDouble(0)
+    pow.withColumn("p_temp", col("pa") / lit(z))
+      .select(col("source"), col("src_toks"),
+        round(col("p_nat"), 6).as("p_nat"),
+        round(col("p_temp"), 6).as("p_temp"),
+        round(col("p_temp") / col("p_nat"), 6).as("upsample"),
+        // derive the integer budget from the ROUNDED share (round again
+        // after the multiply: floor on the raw double would sit on a pow
+        // libm ulp boundary between engines)
+        expr("CAST(round(round(p_temp, 6) * 1000000, 0) AS BIGINT)").as("budget_toks"))
+      .orderBy("source")
+  }
+
   /** Int8 quantization summary per vector. */
   def quantize(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "embeddings")
@@ -329,6 +365,21 @@ object Pipeline {
         | CAST((length(red) - length(replace(red, '<NUM>', ''))) // 5 AS BIGINT) AS n_num,
         | substring(red, length(red) - 59, 60) AS tail
         |FROM r ORDER BY doc_id""".stripMargin,
+    "q_mix_temperature" ->
+      """WITH per AS (
+        | SELECT source,
+        |   CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT) AS src_toks
+        | FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(sum(src_toks) AS DOUBLE) AS t FROM per),
+        |p AS (SELECT source, src_toks, src_toks / t AS p_nat,
+        |        pow(src_toks / t, 0.3) AS pa FROM per, tot),
+        |z AS (SELECT sum(pa) AS z FROM p)
+        |SELECT source, src_toks,
+        |  round(p_nat, 6) AS p_nat,
+        |  round(pa / z, 6) AS p_temp,
+        |  round((pa / z) / p_nat, 6) AS upsample,
+        |  CAST(round(round(pa / z, 6) * 1000000, 0) AS BIGINT) AS budget_toks
+        |FROM p, z ORDER BY source""".stripMargin,
     "q_mix_budget" ->
       """WITH d AS (SELECT doc_id, source,
         |  len(string_split(lower(text), ' '))::BIGINT AS n_tokens FROM documents),

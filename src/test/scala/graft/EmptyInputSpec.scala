@@ -73,7 +73,7 @@ class EmptyInputSpec extends SparkSpec {
     // round-10 additions
     "q_dedup_cluster_keep", "q_quality_gopher", "q_state_bootstrap",
     "q_type_multiset", "q_ddl_hive_udf", "q_corpus_datasheet",
-    "q_stream_dedup_minhash", "q_state_surgery")
+    "q_stream_dedup_minhash", "q_state_surgery", "q_mix_temperature")
 
   for (name <- queries)
     test(s"$name runs on an empty corpus") {
