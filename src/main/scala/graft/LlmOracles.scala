@@ -191,6 +191,27 @@ object LlmOracles {
         | FROM (SELECT doc_id, text FROM documents
         |       UNION ALL SELECT doc_id + 1000000, text FROM documents)
         | GROUP BY fp) ORDER BY keep_id""".stripMargin,
+    // Bloom probe replay: identical md5-derived Kirsch–Mitzenmacher
+    // positions; membership of all 4 probe positions in the lake's set-bit
+    // SET is exactly the bitmap test (false positives reproduce too)
+    "q_dedup_bloom" ->
+      """WITH fps AS (SELECT doc_id,
+        |  md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp FROM documents),
+        |lake AS (SELECT doc_id, fp FROM fps WHERE doc_id % 3 = 0),
+        |shard AS (SELECT doc_id, fp FROM fps WHERE doc_id % 3 <> 0
+        |  UNION ALL SELECT doc_id + 1000000, fp FROM lake WHERE doc_id % 2 = 0),
+        |lpos AS (SELECT DISTINCT
+        |    ((b & 1073741823) + i.range * (b >> 30)) % 262144 AS p
+        |  FROM (SELECT ('0x'||substr(fp, 1, 15))::UBIGINT AS b FROM lake), range(4) i),
+        |spos AS (SELECT doc_id,
+        |    ((b & 1073741823) + i.range * (b >> 30)) % 262144 AS p
+        |  FROM (SELECT doc_id, ('0x'||substr(fp, 1, 15))::UBIGINT AS b FROM shard),
+        |       range(4) i),
+        |flag AS (SELECT s.doc_id, count(l.p) = 4 AS bloom_dup
+        |  FROM spos s LEFT JOIN lpos l USING (p) GROUP BY s.doc_id)
+        |SELECT d.doc_id, f.bloom_dup,
+        |  (d.fp IN (SELECT fp FROM lake)) AS exact_dup
+        |FROM shard d JOIN flag f USING (doc_id) ORDER BY d.doc_id""".stripMargin,
     "q_text_repetition" ->
       (toksCte + """,
         |g AS (SELECT doc_id, len(t) AS n_tokens,
@@ -244,6 +265,28 @@ object LlmOracles {
         |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
         | CAST(su // n_tok AS BIGINT) AS nats_u,
         | (su // n_tok) <= 3405000 AS keep
+        |FROM d ORDER BY doc_id""").stripMargin,
+    // conditional bigram LM: same micro-nat quantization discipline, cost
+    // −ln((c(w1,w2)+1)/(c(w1)+V)) per bigram event
+    "q_quality_bigram_lm" ->
+      (toksCte + """,
+        |docs AS (SELECT doc_id, t FROM toks WHERE len(t) >= 2),
+        |bi AS (SELECT doc_id,
+        |  unnest([t[i] FOR i IN range(1, len(t))]) AS w1,
+        |  unnest([t[i+1] FOR i IN range(1, len(t))]) AS w2 FROM docs),
+        |uni AS (SELECT w1, count(*) AS cprev
+        |  FROM (SELECT unnest(t) AS w1 FROM docs) GROUP BY w1),
+        |vv AS (SELECT greatest(count(*), 1) AS v FROM uni),
+        |mdl AS (SELECT w1, w2,
+        |  CAST(round(-ln((cb + 1) / (cprev + (SELECT v FROM vv))::DOUBLE) * 1e6)
+        |       AS BIGINT) AS u
+        |  FROM (SELECT w1, w2, count(*) AS cb FROM bi GROUP BY w1, w2)
+        |  JOIN uni USING (w1)),
+        |d AS (SELECT b.doc_id, count(*) AS n_big, sum(u) AS su
+        |  FROM bi b JOIN mdl USING (w1, w2) GROUP BY b.doc_id)
+        |SELECT doc_id, CAST(n_big AS BIGINT) AS n_big,
+        | CAST(su // n_big AS BIGINT) AS nats_u,
+        | (su // n_big) <= 3422000 AS keep
         |FROM d ORDER BY doc_id""").stripMargin,
     "q_fingerprint_winnow" ->
       (winnowCtes + """
@@ -320,6 +363,28 @@ object LlmOracles {
         | CAST(coalesce(sum(CASE WHEN gram IN (SELECT gram FROM d) THEN 1 ELSE 0 END), 0) AS BIGINT) AS dup_ngrams,
         | round(coalesce(sum(CASE WHEN gram IN (SELECT gram FROM d) THEN 1 ELSE 0 END), 0)::DOUBLE / count(*), 4) AS dup_frac
         |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // exact-substring removal: same gram index; token j survives iff no
+    // duplicate 13-gram window [i, i+12] covers it; fingerprint of the
+    // kept sequence proves the EDIT matches, not just the counts
+    "q_dedup_span_strip" ->
+      """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+        |g AS (SELECT doc_id, i, array_to_string(ws[i:i+12], ' ') AS gram
+        |      FROM w, unnest(range(1, greatest(len(ws) - 11, 1))) t(i)),
+        |d AS (SELECT gram FROM (
+        |        SELECT gram, count(DISTINCT doc_id) AS dd FROM g GROUP BY gram)
+        |      WHERE dd >= 2),
+        |st AS (SELECT doc_id, i FROM g WHERE gram IN (SELECT gram FROM d)),
+        |pos AS (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS j FROM w),
+        |k AS (SELECT p.doc_id, p.j, p.ws[p.j] AS tok FROM pos p
+        |      WHERE NOT EXISTS (SELECT 1 FROM st
+        |        WHERE st.doc_id = p.doc_id
+        |          AND p.j BETWEEN st.i AND st.i + 12)),
+        |r AS (SELECT doc_id, count(*) AS n_kept,
+        |        md5(string_agg(tok, ' ' ORDER BY j)) AS fp FROM k GROUP BY doc_id)
+        |SELECT w.doc_id, CAST(len(w.ws) AS INT) AS n_tok,
+        | CAST(len(w.ws) - coalesce(r.n_kept, 0) AS INT) AS n_removed,
+        | r.fp AS fp_kept
+        |FROM w LEFT JOIN r USING (doc_id) ORDER BY w.doc_id""".stripMargin,
     "q_dedup_ngram_pairs" ->
       (shinglesCte + """
         |SELECT doc_a, doc_b, j FROM (

@@ -95,12 +95,15 @@ object SparkEntry {
     "q_dedup_cluster_keep" -> (Dedup.minhashClusterKeep _),
     "q_stream_dedup_minhash" -> (streaming.StreamDedup.minhashStreamKeep _),
     "q_dedup_span"        -> (Dedup.spanDupCoverage _),
+    "q_dedup_span_strip"  -> (Dedup.spanStrip _),
     "q_dedup_incremental" -> (Dedup.incrementalDedup _),
+    "q_dedup_bloom"     -> (Dedup.bloomDedup _),
     "q_text_repetition"   -> (TextAnalysis.repetition _),
     "q_quality_gopher"    -> (TextAnalysis.gopherQuality _),
     "q_corpus_datasheet"  -> (TextAnalysis.corpusDatasheet _),
     "q_tfidf_top3"        -> (TextAnalysis.tfidfTop3 _),
     "q_quality_perplexity" -> (TextAnalysis.perplexity _),
+    "q_quality_bigram_lm" -> (TextAnalysis.bigramPerplexity _),
     "q_fingerprint_winnow" -> (TextAnalysis.winnowFingerprint _),
     "q_dedup_winnow_pairs" -> (TextAnalysis.winnowDupPairs _),
     "q_decontaminate"     -> (Pipeline.decontaminate _),
@@ -262,6 +265,7 @@ object SparkEntry {
     "q_sql_hints"       -> (SqlSurface.sqlHints _),
     "q_unified_pipeline" -> (streaming.Unified.batchRun _),
     "q_tpch_q1"         -> (SqlSurface.tpchQuery("q_tpch_q1") _),
+    "q_tpch_q3"         -> (SqlSurface.tpchQuery("q_tpch_q3") _),
     "q_tpch_q7"         -> (SqlSurface.tpchQuery("q_tpch_q7") _),
     "q_tpch_q8"         -> (SqlSurface.tpchQuery("q_tpch_q8") _),
     "q_tpch_q9"         -> (SqlSurface.tpchQuery("q_tpch_q9") _),
@@ -320,6 +324,7 @@ object SparkEntry {
     "q_state_dedup_read" -> (graft.sources.StateRead.dedupStateRead _),
     "q_state_bootstrap" -> (streaming.StateBootstrap.bootstrapContinue _),
     "q_state_surgery"   -> (streaming.StateBootstrap.stateSurgery _),
+    "q_state_rescale"   -> (streaming.StateBootstrap.rescaleContinue _),
     "q_fmt_debezium"    -> (graft.sources.CdcFormats.debeziumKinds _),
     "q_cdc_materialize" -> (graft.sources.CdcFormats.debeziumMaterialize _),
     "q_ddl_like"        -> (graft.sources.DdlSql.ddlLike _),

@@ -147,6 +147,49 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Exact-substring REMOVAL (Lee et al. 2021, "Deduplicating Training
+    * Data Makes Language Models Better": their ExactSubstr variant drops
+    * the duplicated span and KEEPS the rest of the document — the
+    * production alternative to document-level dropping when boilerplate
+    * contaminates otherwise-unique pages). [[spanDupCoverage]] measures the
+    * damage; this operator performs the edit: any token covered by a
+    * cross-document duplicate 13-gram window is removed, and the rewritten
+    * document (kept-token fingerprint + removal counts) is emitted.
+    *
+    * Shape at 100 TB: gram index + dup-set join are the same two linear
+    * shuffles as spanDupCoverage (a gram shared by m docs costs m rows,
+    * never m²); the edit itself is expression-only — per-doc duplicate
+    * START positions come back as one array and the rewrite is a codegen
+    * `filter` with an `exists` over that array. The inner probe is
+    * O(n_tok × n_starts) per document — fine while dup spans are sparse
+    * (the web-corpus case); a boilerplate-saturated doc would want the
+    * starts sorted + two-pointer sweep, the same interval-merge Lee et
+    * al.'s suffix-array implementation does. */
+  def spanStrip(s: SparkSession, dir: String): DataFrame = {
+    val span = 13
+    val docs = Tables(s, dir, "documents")
+      .withColumn("ws", split(lower(col("text")), " "))
+    val grams = docs.select(col("doc_id"), explode(expr(
+        s"CASE WHEN size(ws) < $span THEN CAST(array() AS array<struct<i:int,gram:string>>) " +
+          s"ELSE transform(sequence(1, size(ws) - ${span - 1}), " +
+          s"i -> struct(i AS i, concat_ws(' ', slice(ws, i, $span)) AS gram)) END")).as("g"))
+      .select(col("doc_id"), col("g.i").as("i"), col("g.gram").as("gram"))
+    val dup = grams.groupBy("gram")
+      .agg(countDistinct(col("doc_id")).as("dd"))
+      .where(col("dd") >= 2).select("gram")
+    val starts = grams.join(dup, "gram")
+      .groupBy("doc_id").agg(collect_list(col("i")).as("starts"))
+    docs.join(starts, Seq("doc_id"), "left")
+      .withColumn("st", coalesce(col("starts"), expr("CAST(array() AS array<int>)")))
+      .withColumn("kept", expr(
+        s"filter(ws, (t, j) -> NOT exists(st, x -> j + 1 >= x AND j + 1 <= x + ${span - 1}))"))
+      .select(col("doc_id"), size(col("ws")).as("n_tok"),
+        (size(col("ws")) - size(col("kept"))).as("n_removed"),
+        when(size(col("kept")) === 0, lit(null).cast("string"))
+          .otherwise(md5(concat_ws(" ", col("kept")))).as("fp_kept"))
+      .orderBy("doc_id")
+  }
+
   private val sharedPairs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -381,6 +424,70 @@ object Dedup {
           .when(col("near_m").isNotNull, "near_dup")
           .otherwise("new").as("verdict"),
         coalesce(col("exact_m"), col("near_m")).as("matched"))
+      .orderBy("doc_id")
+  }
+
+  /** Bloom-filter incremental dedup — the Dolma-corpus curation shape
+    * (Soldaini et al. 2024 use a Bloom filter over document/paragraph
+    * hashes as the exact-dedup membership structure): a fixed-size bit
+    * array summarizes every fingerprint ever ingested into the lake, and
+    * tonight's shard is probed against it map-side.
+    *
+    * Why this exists next to [[incrementalDedup]]: the posting-index join
+    * there prices candidate generation by shard × overlap, but it still
+    * SHUFFLES the shard against a lake-sized index. The Bloom filter
+    * replaces that shuffle entirely — the lake is folded once into m bits
+    * (one linear pass that reduces to ≤ m/64 rows), the bitmap is
+    * broadcast as a plan literal, and the probe is a zero-shuffle
+    * WholeStageCodegen pass over the shard. At 100 TB the trade is
+    * explicit: O(lake) preprocessing into O(1) broadcast state, with a
+    * quantified false-positive rate ((set bits/m)^k — size m to the lake's
+    * distinct count; 2^18 bits here for the fixture, ~2^33 for a trillion
+    * docs is still only 1 GiB) instead of the index join's exactness.
+    *
+    * Everything is md5-derived integer math (probe positions are
+    * Kirsch–Mitzenmacher h1 + i·h2 over the two 30-bit halves of the
+    * 60-bit md5 prefix), so the DuckDB oracle replays the bit decisions —
+    * including any false positive — bit-for-bit. The output carries both
+    * the bloom verdict and the exact truth so the FP set is auditable. */
+  def bloomDedup(s: SparkSession, dir: String): DataFrame = {
+    val mBits = 1 << 18 // 32 KiB bitmap — fixed size however large the lake
+    val kProbes = 4
+    val base = Tables(s, dir, "documents")
+      .withColumn("fp", md5(regexp_replace(lower(col("text")), "\\s+", " ")))
+      .select(col("doc_id"), col("fp"))
+    // lake = previously-ingested corpus; shard = tonight's crawl: fresh
+    // docs plus re-crawls of half the lake (planted true duplicates)
+    val lake = base.where(col("doc_id") % 3 === 0)
+    val shard = base.where(col("doc_id") % 3 =!= 0)
+      .unionByName(lake.where(col("doc_id") % 2 === 0)
+        .select((col("doc_id") + lit(1000000)).as("doc_id"), col("fp")))
+    def withPos(df: DataFrame): DataFrame = df
+      .withColumn("b", conv(substring(col("fp"), 1, 15), 16, 10).cast("long"))
+      .withColumn("pos", expr(
+        s"transform(sequence(0, ${kProbes - 1}), " +
+          s"i -> ((b & 1073741823) + i * (b >> 30)) % $mBits)"))
+    // build: explode lake probe positions, OR them into 64-bit words —
+    // one linear shuffle that REDUCES to at most m/64 = 4096 rows
+    // (metadata scale, like the ANN centroid pulls)
+    val words = withPos(lake)
+      .select(explode(col("pos")).as("p"))
+      .select(expr("cast(p div 64 AS int)").as("w"),
+        expr("shiftleft(1L, cast(p % 64 AS int))").as("m"))
+      .groupBy("w").agg(expr("bit_or(m)").as("bits"))
+    val bm = Array.fill(mBits / 64)(0L)
+    words.collect().foreach(r => bm(r.getInt(0)) = r.getLong(1))
+    // probe: bitmap as a plan literal — zero shuffles, no join, the whole
+    // verdict stays inside the shard scan's codegen pipeline
+    val truth = lake.select(col("fp")).distinct()
+    withPos(shard)
+      .withColumn("bm", typedLit(bm.toSeq))
+      .withColumn("bloom_dup", expr(
+        "forall(pos, p -> (element_at(bm, cast(p div 64 AS int) + 1) " +
+          "& shiftleft(1L, cast(p % 64 AS int))) != 0)"))
+      .join(truth.withColumn("exact_dup", lit(true)), Seq("fp"), "left")
+      .select(col("doc_id"), col("bloom_dup"),
+        coalesce(col("exact_dup"), lit(false)).as("exact_dup"))
       .orderBy("doc_id")
   }
 }

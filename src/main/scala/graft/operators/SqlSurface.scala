@@ -157,6 +157,19 @@ object SqlSurface {
         |                    AND l3.l_suppkey <> l1.l_suppkey
         |                    AND l3.l_returnflag = 'R')
         |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin,
+    // Q3: shipping-priority top-10 (o_orderpriority stands in for the
+    // schema's absent o_shippriority; q_sql_q3 is the reduced DataFrame-era
+    // twin — this is the verbatim published shape, closing the suite at 22)
+    "q_tpch_q3" ->
+      """SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  o_orderdate, o_orderpriority
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < DATE '1997-06-01' AND l_shipdate > DATE '1997-06-01'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
     // Q4: order-priority checking via EXISTS
     "q_tpch_q4" ->
       """SELECT o_orderpriority, count(*) AS order_count

@@ -226,6 +226,52 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Interpolation-free conditional BIGRAM-LM perplexity — the KenLM-grade
+    * upgrade of [[perplexity]]'s unigram signal (CCNet's production filter
+    * is a 5-gram KenLM; the bigram is the smallest model that catches what
+    * unigram provably cannot: token-order damage. A shuffled document has
+    * EXACTLY the unigram cost of the original but a far higher bigram
+    * cost). Per-bigram cost is conditional add-one:
+    * −ln((c(w1,w2)+1)/(c(w1)+V)), quantized to integer micro-nats before
+    * the per-document sum so the aggregate is order-independent and the
+    * oracle replays it exactly (same discipline as [[perplexity]] and
+    * dsirWeights).
+    *
+    * Shape at 100 TB: the bigram model build is explode → groupBy(w1,w2)
+    * (one linear shuffle, output bounded by observed-bigram cardinality);
+    * the unigram conditioning counts join the MODEL (vocab-scale), not the
+    * corpus; then one corpus-scale join back on the bigram key — zipfian
+    * ('of the') → the AQE skew-split case. Docs need ≥ 2 tokens to own a
+    * bigram event; shorter docs have no conditional likelihood and are
+    * excluded by construction on both engines. `keep` is a fixed
+    * 3.422-nat threshold (≈ p75 of the fixture's 3.28–3.63 band — the
+    * near-random synthetic corpus keeps bigram costs near the smoothing
+    * floor); production CCNet buckets by corpus percentile. */
+  def bigramPerplexity(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+      .withColumn("toks", tokens(col("text")))
+      .where(size(col("toks")) >= 2)
+    val bi = docs.select(col("doc_id"), expr(
+        "explode(transform(sequence(2, size(toks)), " +
+          "i -> struct(element_at(toks, i - 1) AS w1, element_at(toks, i) AS w2)))")
+        .as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val uni = docs.select(explode(col("toks")).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("cprev"))
+    // vocab size: one scalar driver action (metadata scale)
+    val v = math.max(uni.count(), 1L)
+    val model = bi.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+      .join(uni, "w1") // vocab-scale join, never touches the corpus
+      .select(col("w1"), col("w2"),
+        expr(s"cast(round(-ln((cb + 1) / (cprev + $v.0D)) * 1e6) AS BIGINT)").as("u"))
+    bi.join(model, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_big"), sum(col("u")).as("su"))
+      .select(col("doc_id"), col("n_big"), expr("su div n_big").as("nats_u"),
+        (expr("su div n_big") <= lit(3422000L)).as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** Winnowing document fingerprint (Schleimer/Wilkerson/Aiken 2003, the
     * MOSS algorithm): hash every word 5-gram with the 31-polynomial the
     * classify exprs use, slide a 4-gram window and select each window's

@@ -175,10 +175,107 @@ object StateBootstrap {
       .orderBy("user_id")
   }
 
+  /** Savepoint RESCALING — the reference's key-group redistribution
+    * (`flink-runtime/.../state/KeyGroupRangeAssignment.java`: state is
+    * hashed into key groups so a savepoint taken at parallelism p can be
+    * restored at parallelism p'; `StateAssignmentOperation.java` reassigns
+    * the groups). Spark has NO native analog: a Structured Streaming
+    * checkpoint pins `spark.sql.shuffle.partitions` at first start and a
+    * restart with a different value fails. The State Processor trilogy is
+    * exactly the escape hatch: READ the p=8 store as a batch table, then
+    * WRITE it as the `initialState` of a fresh query started at p=32 —
+    * the new query's own hash partitioning IS the redistribution (state
+    * rows shuffle to whichever of the 32 stores now owns their key).
+    *
+    * Phase 1 folds the historical half at 8 shuffle partitions into a real
+    * checkpoint (the old job's savepoint); phase 2 reads it back
+    * unmodified; phase 3 seeds a NEW 32-partition query that streams the
+    * live half. The oracle aggregates the whole table — green only if the
+    * 8→32 move lost nothing and double-counted nothing. */
+  private[graft] def rescaleRun(s: SparkSession, dir: String,
+      pOld: Int = 8, pNew: Int = 32): (DataFrame, String, String) = {
+    import s.implicits._
+    val ev = graft.Tables(s, dir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+    val mm = ev.agg(expr("unix_micros(min(ts))"), expr("unix_micros(max(ts))")).head()
+    val cutoff = if (mm.isNullAt(0)) 0L else mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 2
+    val cutCol = expr(s"unix_micros(ts) < ${cutoff}L")
+    val base = s"/tmp/graft-rescale/${dir.replaceAll("[^A-Za-z0-9.]", "_")}-${System.nanoTime()}"
+    val partKey = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(partKey)
+
+    // phase 1: the old job — historical half folded at parallelism 8
+    val histDir = s"$base/hist"
+    ev.where(cutCol).coalesce(1).write.mode("overwrite").parquet(histDir)
+    val ckptA = s"${StreamSource.ckptRoot}/rescale$pOld-${System.nanoTime()}"
+    s.conf.set(partKey, pOld.toString)
+    try {
+      val hist = s.readStream.schema(ev.schema).parquet(histDir)
+        .select("event_id", "ts", "user_id", "event_type", "value").as[Event]
+      val folded = hist.groupByKey(_.user_id)
+        .flatMapGroupsWithState[BootState, UserTotal](
+          OutputMode.Update(), GroupStateTimeout.NoTimeout())(foldFn)
+      val q1 = folded.toDF().writeStream.format("memory")
+        .queryName(s"rescale_hist_${System.nanoTime()}")
+        .outputMode("update").option("checkpointLocation", ckptA).start()
+      try q1.processAllAvailable() finally q1.stop()
+    } finally s.conf.set(partKey, prev)
+
+    // phase 2: read the p=8 savepoint unmodified (a distributed scan —
+    // at 100 TB of state this is the same batch job any backfill is)
+    val seeded = s.read.format("statestore").load(ckptA)
+      .select(col("key.value").as("user_id"),
+        col("value.groupState.cnt").as("cnt"),
+        col("value.groupState.sum").as("sum"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(r => BootState(r._2, r._3))
+
+    // phase 3: the new job at parallelism 32, seeded; live half + flush
+    // markers so bootstrap-only keys still report
+    val liveDir = s"$base/live"
+    val flush = ev.select(col("user_id")).distinct()
+      .select(lit(-1L).as("event_id"), lit(new java.sql.Timestamp(0L)).as("ts"),
+        col("user_id"), lit(FlushType).as("event_type"), lit(0.0).as("value"))
+    ev.where(!cutCol).unionByName(flush)
+      .coalesce(1).write.mode("overwrite").parquet(liveDir)
+    val ckptB = s"${StreamSource.ckptRoot}/rescale$pNew-${System.nanoTime()}"
+    val name = s"state_rescale_${System.nanoTime()}"
+    s.conf.set(partKey, pNew.toString)
+    try {
+      val live = s.readStream.schema(ev.schema).parquet(liveDir)
+        .select("event_id", "ts", "user_id", "event_type", "value").as[Event]
+      val out = live.groupByKey(_.user_id)
+        .flatMapGroupsWithState[BootState, UserTotal](
+          OutputMode.Update(), GroupStateTimeout.NoTimeout(), seeded)(foldFn)
+      val q2 = out.toDF().writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update").option("checkpointLocation", ckptB).start()
+      try q2.processAllAvailable() finally q2.stop()
+    } finally s.conf.set(partKey, prev)
+
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("cnt").desc)
+    val res = s.table(name)
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("user_id"), col("cnt"), round(col("total"), 4).as("total"))
+      .orderBy("user_id")
+    (res, ckptA, ckptB)
+  }
+
+  def rescaleContinue(s: SparkSession, dir: String): DataFrame =
+    rescaleRun(s, dir)._1
+
   val sql: Map[String, String] = Map(
     // the ENTIRE table, no cutoff: only a lossless batch→stream state
     // handoff reproduces it
     "q_state_bootstrap" ->
+      """SELECT user_id, count(*) AS cnt,
+        | round(sum(value), 4) AS total
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // rescale invariant: identical whole-table totals — green only if the
+    // 8-partition savepoint redistributed losslessly into 32 stores
+    "q_state_rescale" ->
       """SELECT user_id, count(*) AS cnt,
         | round(sum(value), 4) AS total
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,

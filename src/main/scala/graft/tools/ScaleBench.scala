@@ -308,6 +308,19 @@ object ScaleBench {
           spark.catalog.clearCache()
           graft.operators.TextAnalysis.corpusDatasheet(spark, out).count()
         },
+        // r11 additions: the bloom build is one REDUCING shuffle (≤4096
+        // rows out whatever the lake size) + a map-side probe, so
+        // wall-cost must track the scan; the bigram model's key space is
+        // observed-bigram-bounded and near-saturates on a shared word
+        // distribution, so cost must track the corpus-scale join, ~linear
+        time(s"bloom_dedup_${k}x") {
+          spark.catalog.clearCache()
+          graft.operators.Dedup.bloomDedup(spark, out).count()
+        },
+        time(s"bigram_lm_${k}x") {
+          spark.catalog.clearCache()
+          graft.operators.TextAnalysis.bigramPerplexity(spark, out).count()
+        },
       )
       val total = results.map(_._2).sum
       println(f"""{"metric":"scale_bench_llm","value":$total%.2f,"unit":"sec","k":$k,"queries":{${

@@ -73,7 +73,10 @@ class EmptyInputSpec extends SparkSpec {
     // round-10 additions
     "q_dedup_cluster_keep", "q_quality_gopher", "q_state_bootstrap",
     "q_type_multiset", "q_ddl_hive_udf", "q_corpus_datasheet",
-    "q_stream_dedup_minhash", "q_state_surgery", "q_mix_temperature")
+    "q_stream_dedup_minhash", "q_state_surgery", "q_mix_temperature",
+    // round-11 additions
+    "q_dedup_bloom", "q_quality_bigram_lm", "q_state_rescale",
+    "q_dedup_span_strip", "q_tpch_q3")
 
   for (name <- queries)
     test(s"$name runs on an empty corpus") {
