@@ -11,6 +11,26 @@ package graft
 object LlmOracles {
 
   val stopEnSql = "['the','a','of','to','and','in','is','it','that','as']"
+
+  private val bloomSql: String =
+    """WITH fps AS (SELECT doc_id,
+        |  md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp FROM documents),
+        |lake AS (SELECT doc_id, fp FROM fps WHERE doc_id % 3 = 0),
+        |shard AS (SELECT doc_id, fp FROM fps WHERE doc_id % 3 <> 0
+        |  UNION ALL SELECT doc_id + 1000000, fp FROM lake WHERE doc_id % 2 = 0),
+        |lpos AS (SELECT DISTINCT
+        |    ((b & 1073741823) + i.range * (b >> 30)) % 262144 AS p
+        |  FROM (SELECT ('0x'||substr(fp, 1, 15))::UBIGINT AS b FROM lake), range(4) i),
+        |spos AS (SELECT doc_id,
+        |    ((b & 1073741823) + i.range * (b >> 30)) % 262144 AS p
+        |  FROM (SELECT doc_id, ('0x'||substr(fp, 1, 15))::UBIGINT AS b FROM shard),
+        |       range(4) i),
+        |flag AS (SELECT s.doc_id, count(l.p) = 4 AS bloom_dup
+        |  FROM spos s LEFT JOIN lpos l USING (p) GROUP BY s.doc_id)
+        |SELECT d.doc_id, f.bloom_dup,
+        |  (d.fp IN (SELECT fp FROM lake)) AS exact_dup
+        |FROM shard d JOIN flag f USING (doc_id) ORDER BY d.doc_id""".stripMargin
+
   val toksCte =
     "WITH toks AS (SELECT doc_id, text, string_split(lower(text), ' ') AS t FROM documents)"
   val shinglesCte =
@@ -193,25 +213,11 @@ object LlmOracles {
         | GROUP BY fp) ORDER BY keep_id""".stripMargin,
     // Bloom probe replay: identical md5-derived Kirsch–Mitzenmacher
     // positions; membership of all 4 probe positions in the lake's set-bit
-    // SET is exactly the bitmap test (false positives reproduce too)
-    "q_dedup_bloom" ->
-      """WITH fps AS (SELECT doc_id,
-        |  md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp FROM documents),
-        |lake AS (SELECT doc_id, fp FROM fps WHERE doc_id % 3 = 0),
-        |shard AS (SELECT doc_id, fp FROM fps WHERE doc_id % 3 <> 0
-        |  UNION ALL SELECT doc_id + 1000000, fp FROM lake WHERE doc_id % 2 = 0),
-        |lpos AS (SELECT DISTINCT
-        |    ((b & 1073741823) + i.range * (b >> 30)) % 262144 AS p
-        |  FROM (SELECT ('0x'||substr(fp, 1, 15))::UBIGINT AS b FROM lake), range(4) i),
-        |spos AS (SELECT doc_id,
-        |    ((b & 1073741823) + i.range * (b >> 30)) % 262144 AS p
-        |  FROM (SELECT doc_id, ('0x'||substr(fp, 1, 15))::UBIGINT AS b FROM shard),
-        |       range(4) i),
-        |flag AS (SELECT s.doc_id, count(l.p) = 4 AS bloom_dup
-        |  FROM spos s LEFT JOIN lpos l USING (p) GROUP BY s.doc_id)
-        |SELECT d.doc_id, f.bloom_dup,
-        |  (d.fp IN (SELECT fp FROM lake)) AS exact_dup
-        |FROM shard d JOIN flag f USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+    // SET is exactly the bitmap test (false positives reproduce too).
+    // q_stream_bloom shares the text verbatim: the streaming bit_or fold
+    // must produce the bit-identical bitmap (commutative/associative OR)
+    "q_dedup_bloom" -> bloomSql,
+    "q_stream_bloom" -> bloomSql,
     "q_text_repetition" ->
       (toksCte + """,
         |g AS (SELECT doc_id, len(t) AS n_tokens,
@@ -477,6 +483,45 @@ object LlmOracles {
         |  CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS INT) AS rank
         | FROM scored)
         |SELECT qid, rank, vec_id, cos FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+    // recall@10 of the IVF index vs brute-force ground truth: both CTE
+    // chains verbatim from their own oracles, intersected per query
+    "q_ann_recall" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 5),
+        |bscored AS (
+        | SELECT qid, e.vec_id,
+        |  round(list_dot_product(qv, CAST(e.embedding AS DOUBLE[])) /
+        |   (sqrt(list_dot_product(qv, qv)) *
+        |    sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))), 6) AS cos
+        | FROM embeddings e, q WHERE e.vec_id <> qid),
+        |br AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+        |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+        | FROM bscored) WHERE rank <= 10),
+        |cent AS (
+        | SELECT label, i.i AS d, round(avg(embedding[i.i]), 6) AS c
+        | FROM embeddings, range(1, 65) i(i) GROUP BY label, i.i),
+        |centv AS (SELECT label AS clabel, list(c ORDER BY d) AS cv FROM cent GROUP BY label),
+        |probes AS (
+        | SELECT qid, qv, clabel,
+        |  CAST(row_number() OVER (PARTITION BY qid ORDER BY ccos DESC, clabel) AS INT) AS crank
+        | FROM (SELECT qid, qv, clabel,
+        |   round(list_dot_product(qv, cv) /
+        |    (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS ccos
+        |  FROM q, centv)),
+        |sel AS (SELECT qid, qv, clabel FROM probes WHERE crank <= 3),
+        |iscored AS (
+        | SELECT qid, e.vec_id,
+        |  round(list_dot_product(qv, CAST(e.embedding AS DOUBLE[])) /
+        |   (sqrt(list_dot_product(qv, qv)) *
+        |    sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))), 6) AS cos
+        | FROM sel JOIN embeddings e ON e.label = sel.clabel AND e.vec_id <> sel.qid),
+        |ir AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+        |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+        | FROM iscored) WHERE rank <= 10)
+        |SELECT b.qid, CAST(count(i.vec_id) AS BIGINT) AS n_hits,
+        | round(count(i.vec_id) / CAST(count(*) AS DOUBLE), 2) AS recall_at_10
+        |FROM br b LEFT JOIN ir i USING (qid, vec_id)
+        |GROUP BY b.qid ORDER BY b.qid""".stripMargin,
     "q_ann_kmeans" ->
       (kmeansCtes + """
         |SELECT vec_id, cid AS cluster FROM asg ORDER BY vec_id""".stripMargin),

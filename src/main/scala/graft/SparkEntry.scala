@@ -98,6 +98,7 @@ object SparkEntry {
     "q_dedup_span_strip"  -> (Dedup.spanStrip _),
     "q_dedup_incremental" -> (Dedup.incrementalDedup _),
     "q_dedup_bloom"     -> (Dedup.bloomDedup _),
+    "q_stream_bloom"    -> (streaming.StreamBloom.bloomStreamDedup _),
     "q_text_repetition"   -> (TextAnalysis.repetition _),
     "q_quality_gopher"    -> (TextAnalysis.gopherQuality _),
     "q_corpus_datasheet"  -> (TextAnalysis.corpusDatasheet _),
@@ -135,6 +136,7 @@ object SparkEntry {
     "q_dedup_simhash"   -> (Dedup.simhashPairs _),
     "q_ann_brute"       -> (Similarity.annBruteForce _),
     "q_ann_ivf"         -> (Similarity.annIvf _),
+    "q_ann_recall"      -> (Similarity.annRecall _),
     "q_ann_kmeans"      -> (Similarity.annKmeans _),
     "q_ann_cos_pairs"   -> (Similarity.cosinePairs _),
     "q_emb_dedup_keep"  -> (Similarity.cosineDedupKeep _),

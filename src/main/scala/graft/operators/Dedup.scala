@@ -450,37 +450,50 @@ object Dedup {
     * 60-bit md5 prefix), so the DuckDB oracle replays the bit decisions —
     * including any false positive — bit-for-bit. The output carries both
     * the bloom verdict and the exact truth so the FP set is auditable. */
-  def bloomDedup(s: SparkSession, dir: String): DataFrame = {
-    val mBits = 1 << 18 // 32 KiB bitmap — fixed size however large the lake
-    val kProbes = 4
-    val base = Tables(s, dir, "documents")
+  private[graft] val BloomBits = 1 << 18 // 32 KiB — fixed however large the lake
+  private[graft] val BloomProbes = 4
+
+  /** (doc_id, fp) fingerprints of the whole corpus. */
+  private[graft] def bloomFps(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
       .withColumn("fp", md5(regexp_replace(lower(col("text")), "\\s+", " ")))
       .select(col("doc_id"), col("fp"))
-    // lake = previously-ingested corpus; shard = tonight's crawl: fresh
-    // docs plus re-crawls of half the lake (planted true duplicates)
-    val lake = base.where(col("doc_id") % 3 === 0)
-    val shard = base.where(col("doc_id") % 3 =!= 0)
+
+  /** lake = previously-ingested corpus; shard = tonight's crawl: fresh
+    * docs plus re-crawls of half the lake (planted true duplicates). */
+  private[graft] def bloomLake(base: DataFrame): DataFrame =
+    base.where(col("doc_id") % 3 === 0)
+
+  private[graft] def bloomShard(base: DataFrame): DataFrame = {
+    val lake = bloomLake(base)
+    base.where(col("doc_id") % 3 =!= 0)
       .unionByName(lake.where(col("doc_id") % 2 === 0)
         .select((col("doc_id") + lit(1000000)).as("doc_id"), col("fp")))
-    def withPos(df: DataFrame): DataFrame = df
-      .withColumn("b", conv(substring(col("fp"), 1, 15), 16, 10).cast("long"))
-      .withColumn("pos", expr(
-        s"transform(sequence(0, ${kProbes - 1}), " +
-          s"i -> ((b & 1073741823) + i * (b >> 30)) % $mBits)"))
-    // build: explode lake probe positions, OR them into 64-bit words —
-    // one linear shuffle that REDUCES to at most m/64 = 4096 rows
-    // (metadata scale, like the ANN centroid pulls)
-    val words = withPos(lake)
+  }
+
+  /** k Kirsch–Mitzenmacher probe positions from the md5 prefix halves. */
+  private[graft] def bloomWithPos(df: DataFrame): DataFrame = df
+    .withColumn("b", conv(substring(col("fp"), 1, 15), 16, 10).cast("long"))
+    .withColumn("pos", expr(
+      s"transform(sequence(0, ${BloomProbes - 1}), " +
+        s"i -> ((b & 1073741823) + i * (b >> 30)) % $BloomBits)"))
+
+  /** Probe positions exploded into (word-index, single-bit mask) rows —
+    * the pre-aggregation input of the bitmap build, shared by the batch
+    * groupBy and the streaming aggregation. */
+  private[graft] def bloomWordBits(lake: DataFrame): DataFrame =
+    bloomWithPos(lake)
       .select(explode(col("pos")).as("p"))
       .select(expr("cast(p div 64 AS int)").as("w"),
         expr("shiftleft(1L, cast(p % 64 AS int))").as("m"))
-      .groupBy("w").agg(expr("bit_or(m)").as("bits"))
-    val bm = Array.fill(mBits / 64)(0L)
-    words.collect().foreach(r => bm(r.getInt(0)) = r.getLong(1))
-    // probe: bitmap as a plan literal — zero shuffles, no join, the whole
-    // verdict stays inside the shard scan's codegen pipeline
-    val truth = lake.select(col("fp")).distinct()
-    withPos(shard)
+
+  /** Probe the shard against a built bitmap: the verdict is a plan-literal
+    * forall — zero shuffles, no join; the truth column back-checks FPs. */
+  private[graft] def bloomVerdict(s: SparkSession, dir: String,
+      bm: Array[Long]): DataFrame = {
+    val base = bloomFps(s, dir)
+    val truth = bloomLake(base).select(col("fp")).distinct()
+    bloomWithPos(bloomShard(base))
       .withColumn("bm", typedLit(bm.toSeq))
       .withColumn("bloom_dup", expr(
         "forall(pos, p -> (element_at(bm, cast(p div 64 AS int) + 1) " +
@@ -489,5 +502,16 @@ object Dedup {
       .select(col("doc_id"), col("bloom_dup"),
         coalesce(col("exact_dup"), lit(false)).as("exact_dup"))
       .orderBy("doc_id")
+  }
+
+  def bloomDedup(s: SparkSession, dir: String): DataFrame = {
+    // build: explode lake probe positions, OR them into 64-bit words —
+    // one linear shuffle that REDUCES to at most m/64 = 4096 rows
+    // (metadata scale, like the ANN centroid pulls)
+    val words = bloomWordBits(bloomLake(bloomFps(s, dir)))
+      .groupBy("w").agg(expr("bit_or(m)").as("bits"))
+    val bm = Array.fill(BloomBits / 64)(0L)
+    words.collect().foreach(r => bm(r.getInt(0)) = r.getLong(1))
+    bloomVerdict(s, dir, bm)
   }
 }

@@ -62,7 +62,11 @@ object Similarity {
   /** IVF-style ANN: cells = `label`, centroid = per-dimension mean (rounded
     * to 6 so fp summation order is irrelevant), query probes the 3 nearest
     * centroids by cosine and searches only those cells. */
-  def annIvf(s: SparkSession, dir: String): DataFrame = {
+  def annIvf(s: SparkSession, dir: String): DataFrame = annIvfProbes(s, dir, 3)
+
+  /** nprobe-parameterized IVF (Round11Spec pins nprobe=all-cells ≡ brute
+    * force — the recall dial's upper anchor). */
+  private[graft] def annIvfProbes(s: SparkSession, dir: String, nprobe: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val emb = withNorm(Tables(s, dir, "embeddings"))
     // per-label centroid: posexplode + avg + re-assemble ordered by dim
@@ -81,7 +85,7 @@ object Similarity {
       .select(col("qid"), col("qv"), col("qn"), col("clabel"),
         cosPre(col("qv"), col("cv"), col("qn"), col("cn")).as("ccos"))
       .withColumn("crank", row_number().over(wq))
-      .where(col("crank") <= 3)
+      .where(col("crank") <= nprobe)
       .select(col("qid"), col("qv"), col("qn"), col("clabel"))
     // search only the probed cells (join on cell id = partition pruning at scale)
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
@@ -92,6 +96,29 @@ object Similarity {
       .where(col("rank") <= 10)
       .select(col("qid"), col("rank"), col("vec_id"), col("cos"))
       .orderBy("qid", "rank")
+  }
+
+  /** ANN recall evaluation — the quality harness every approximate index
+    * ships with (FAISS's standard recall@k protocol): the IVF index's
+    * top-10 against the brute-force ground truth, per query. At 100 TB
+    * this is THE operational dial — nprobe (here: 3 probed cells) trades
+    * recall against the fraction of the corpus scanned, and a production
+    * deployment re-measures it on every index rebuild from a fixed query
+    * panel exactly like this. Composition of two already-oracle-checked
+    * operators, so the deterministic-tiebreak discipline (cos rounded to
+    * 6, vec_id tiebreak) makes the intersection itself exact. */
+  def annRecall(s: SparkSession, dir: String): DataFrame = {
+    val truth = annBruteForce(s, dir).select(col("qid"), col("vec_id"))
+    val approx = annIvf(s, dir).select(col("qid"), col("vec_id"))
+    val hits = truth.join(approx, Seq("qid", "vec_id"), "left_semi")
+      .groupBy("qid").agg(count(lit(1)).as("h"))
+    // report every query, a hypothetical 0-recall panel row included
+    truth.groupBy("qid").agg(count(lit(1)).as("k"))
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"), coalesce(col("h"), lit(0L)).as("n_hits"),
+        round(coalesce(col("h"), lit(0L)).cast("double") / col("k"), 2)
+          .as("recall_at_10"))
+      .orderBy("qid")
   }
 
   /** One k-means assignment pass: every vector to its max-cosine centroid

@@ -54,7 +54,7 @@ object StreamDedup {
   /** Write-once ordered 4-segment replay of documents (doc_id ranges in
     * file order, modtimes pinned so the file source replays them in
     * ascending order). */
-  private def prepare(s: SparkSession, dir: String): String = synchronized {
+  private[streaming] def prepare(s: SparkSession, dir: String): String = synchronized {
     val segDir = "/tmp/graft-docstream/v1-" + dir.replaceAll("[^A-Za-z0-9.]", "_")
     val root = new java.io.File(segDir)
     if (root.isDirectory && root.listFiles().exists(_.getName.endsWith(".parquet")))

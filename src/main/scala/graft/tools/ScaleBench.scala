@@ -321,6 +321,17 @@ object ScaleBench {
           spark.catalog.clearCache()
           graft.operators.TextAnalysis.bigramPerplexity(spark, out).count()
         },
+        // span removal = span coverage's two linear shuffles + an
+        // expression-only rewrite; must track span_dedup's own scaling.
+        // NB: a bare count() ELIMINATES the 1:1 left join to the grouped
+        // starts (unique-key outer-join elimination) and with it the whole
+        // gram pipeline — aggregate the computed column to force the work
+        time(s"span_strip_${k}x") {
+          spark.catalog.clearCache()
+          val r = graft.operators.Dedup.spanStrip(spark, out)
+            .agg(sum(col("n_removed")).as("rm"), count(lit(1)).as("n")).head()
+          r.getLong(1)
+        },
       )
       val total = results.map(_._2).sum
       println(f"""{"metric":"scale_bench_llm","value":$total%.2f,"unit":"sec","k":$k,"queries":{${

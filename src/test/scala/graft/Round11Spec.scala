@@ -68,6 +68,31 @@ class Round11Spec extends SparkSpec {
       s"shuffled corpus must cost more under the bigram LM: $meanB !> $meanA")
   }
 
+  test("ann recall: probing every cell is exact, nprobe=3 is bounded") {
+    import graft.operators.Similarity
+    val r3 = Similarity.annRecall(spark, sf).collect()
+    assert(r3.nonEmpty)
+    r3.foreach { r =>
+      val h = r.getLong(1)
+      assert(h >= 0 && h <= 10, r.toString)
+    }
+    // probing every cell degenerates to brute force — the recall dial's
+    // upper anchor, and the proof the harness measures what it claims
+    val truth = Similarity.annBruteForce(spark, sf).select("qid", "rank", "vec_id")
+    val all = Similarity.annIvfProbes(spark, sf, nprobe = Int.MaxValue).select("qid", "rank", "vec_id")
+    assert(truth.exceptAll(all).count() === 0 && all.exceptAll(truth).count() === 0,
+      "nprobe=all (every cell) must reproduce brute-force top-10 exactly")
+  }
+
+  test("stream bloom: streaming bit_or fold builds the bit-identical bitmap") {
+    import graft.operators.Dedup
+    import graft.streaming.StreamBloom
+    val batch = Dedup.bloomDedup(spark, sf)
+    val stream = StreamBloom.bloomStreamDedup(spark, sf)
+    assert(batch.exceptAll(stream).count() === 0 && stream.exceptAll(batch).count() === 0,
+      "stream-built bloom verdicts must equal the batch build's")
+  }
+
   test("state rescale: p=8 savepoint redistributed into p=32, totals lossless") {
     val (res, ckptA, ckptB) = StateBootstrap.rescaleRun(spark, sf)
     val got = res.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
