@@ -121,6 +121,75 @@ object Similarity {
       .orderBy("qid")
   }
 
+  /** Product quantization ANN (Jégou/Douze/Schmid 2011, the FAISS IVFPQ
+    * building block): the 64-dim vector splits into 8 contiguous 8-dim
+    * subspaces, each fitted with its own tiny L2 codebook (K=4, the same
+    * deterministic 2-round Lloyd discipline as [[kmeansFit]] — init =
+    * subvectors of vec 0..3, per-dim means rounded to 6); a vector is then
+    * STORED as 8 codebook indices. Search is asymmetric distance (ADC):
+    * the query precomputes its distance to all 8×4 codewords ONCE, and
+    * each candidate's approximate distance is 8 table lookups summed —
+    * quantized to integer micro-units before the sum so the aggregate is
+    * order-independent and the oracle replays it exactly.
+    *
+    * WHY at 100 TB: this is the memory-bound scale technique — a 64-dim
+    * float vector is 256 B, its PQ code is 8 small ints (2 bits each at
+    * K=4; one byte each at the production K=256), a 32–128× compression
+    * that lets the candidate scan live in RAM at corpus sizes where raw
+    * vectors cannot. Engine shape: the codebook fit is ONE pass per Lloyd
+    * round for ALL subspaces (subspace id is just a grouping key — never 8
+    * separate jobs); only the 8×4×8-double codebook is ever collected;
+    * encode and the ADC scan are broadcast-joined linear passes. */
+  def annPq(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val S = 8; val D = 8; val K = 4
+    val sess = s; import sess.implicits._
+    val sub = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x AS double))").as("v"))
+      .select(col("vec_id"), explode(expr(
+        s"transform(sequence(0, ${S - 1}), s -> struct(s AS s, slice(v, s * $D + 1, $D) AS sv))")).as("e"))
+      .select(col("vec_id"), col("e.s").cast("int").as("s"), col("e.sv").as("sv"))
+    val d2 = "round(aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)), " +
+      "0D, (acc, z) -> acc + z), 6)"
+    def assign(cents: Seq[(Int, Int, Seq[Double])]): DataFrame = {
+      val cdf = broadcast(cents.toDF("s", "cid", "cv"))
+      val w = Window.partitionBy(col("vec_id"), col("s")).orderBy(col("d2"), col("cid"))
+      sub.join(cdf, "s")
+        .withColumn("d2", expr(d2))
+        .withColumn("rk", row_number().over(w)).where(col("rk") === 1)
+        .select(col("vec_id"), col("s"), col("cid"))
+    }
+    var cents = sub.where(col("vec_id") < K)
+      .select(col("s"), col("vec_id").cast("int").as("cid"), col("sv"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2))).toSeq
+    for (_ <- 1 to 2) {
+      cents = assign(cents).join(sub, Seq("vec_id", "s"))
+        .select(col("s"), col("cid"), posexplode(col("sv")).as(Seq("d", "x")))
+        .groupBy(col("s"), col("cid"), col("d")).agg(round(avg(col("x")), 6).as("m"))
+        .groupBy(col("s"), col("cid"))
+        .agg(array_sort(collect_list(struct(col("d"), col("m")))).as("dm"))
+        .select(col("s"), col("cid"), expr("transform(dm, p -> p.m)").as("cv"))
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+        .toSeq.sortBy(t => (t._1, t._2))
+    }
+    val codes = assign(cents) // the stored index: (vec_id, s, code=cid)
+    // ADC: per-query distance table to every codeword, integer micro-units
+    val q = sub.where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("s"), col("sv"))
+    val cdf = broadcast(cents.toDF("s", "cid", "cv"))
+    val dt = broadcast(q.join(cdf, "s")
+      .select(col("qid"), col("s"), col("cid"), expr(
+        "cast(round(aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)), " +
+          "0D, (acc, z) -> acc + z) * 1e6) AS bigint)").as("du")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adist_u"), col("vec_id"))
+    codes.join(dt, Seq("s", "cid"))
+      .where(col("vec_id") =!= col("qid"))
+      .groupBy(col("qid"), col("vec_id")).agg(sum(col("du")).as("adist_u"))
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= 10)
+      .select(col("qid"), col("rank"), col("vec_id"), col("adist_u"))
+      .orderBy("qid", "rank")
+  }
+
   /** One k-means assignment pass: every vector to its max-cosine centroid
     * (cosine rounded to 6 before ranking, cid breaks ties — deterministic
     * and oracle-reproducible). Centroids ride in as a broadcast literal

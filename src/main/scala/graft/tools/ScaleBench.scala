@@ -321,6 +321,13 @@ object ScaleBench {
           spark.catalog.clearCache()
           graft.operators.TextAnalysis.bigramPerplexity(spark, out).count()
         },
+        // PQ: codebook fit is vocab-scale (8×4 codewords whatever the
+        // corpus), encode + ADC are broadcast-joined linear passes — the
+        // memory-compression path must track the scan, ~linear in k
+        time(s"ann_pq_${k}x") {
+          spark.catalog.clearCache()
+          graft.operators.Similarity.annPq(spark, out).count()
+        },
         // span removal = span coverage's two linear shuffles + an
         // expression-only rewrite; must track span_dedup's own scaling.
         // NB: a bare count() ELIMINATES the 1:1 left join to the grouped

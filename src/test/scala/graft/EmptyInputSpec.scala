@@ -76,7 +76,8 @@ class EmptyInputSpec extends SparkSpec {
     "q_stream_dedup_minhash", "q_state_surgery", "q_mix_temperature",
     // round-11 additions
     "q_dedup_bloom", "q_quality_bigram_lm", "q_state_rescale",
-    "q_dedup_span_strip", "q_tpch_q3", "q_ann_recall", "q_stream_bloom")
+    "q_dedup_span_strip", "q_tpch_q3", "q_ann_recall", "q_stream_bloom",
+    "q_ann_pq")
 
   for (name <- queries)
     test(s"$name runs on an empty corpus") {

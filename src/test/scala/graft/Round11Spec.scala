@@ -84,6 +84,26 @@ class Round11Spec extends SparkSpec {
       "nprobe=all (every cell) must reproduce brute-force top-10 exactly")
   }
 
+  test("pq: top-10 ADC lists are well-formed and distances rank monotonically") {
+    import graft.operators.Similarity
+    val out = Similarity.annPq(spark, sf).cache()
+    try {
+      val qids = out.select("qid").distinct().count()
+      assert(qids === 5)
+      // 10 ranked rows per query, distances non-negative and monotone in rank
+      out.collect().groupBy(_.getLong(0)).foreach { case (_, rows) =>
+        val sorted = rows.sortBy(_.getInt(1))
+        assert(sorted.map(_.getInt(1)).toSeq === (1 to 10))
+        val ds = sorted.map(_.getLong(3))
+        assert(ds.forall(_ >= 0L))
+        assert(ds.zip(ds.tail).forall { case (a, b) => a <= b },
+          s"ADC distances must be monotone in rank: ${ds.mkString(",")}")
+      }
+      // the query vector itself is excluded from its own candidates
+      assert(out.where(col("qid") === col("vec_id")).count() === 0)
+    } finally out.unpersist(false)
+  }
+
   test("stream bloom: streaming bit_or fold builds the bit-identical bitmap") {
     import graft.operators.Dedup
     import graft.streaming.StreamBloom
