@@ -31,6 +31,42 @@ object LlmOracles {
         |  (d.fp IN (SELECT fp FROM lake)) AS exact_dup
         |FROM shard d JOIN flag f USING (doc_id) ORDER BY d.doc_id""".stripMargin
 
+  /** PQ chain through `enc` (codes) and `dt` (per-query ADC tables) —
+    * shared by q_ann_pq and q_ann_ivfpq. */
+  private val pqCtes: String =
+    """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |sub AS (SELECT vec_id, CAST(s.range AS INT) AS s,
+        |  v[s.range*8+1 : s.range*8+8] AS sv FROM emb, range(8) s),
+        |c0 AS (SELECT s, CAST(vec_id AS INT) AS cid, sv AS cv FROM sub WHERE vec_id < 4),
+        |a1 AS (SELECT vec_id, s, cid FROM (
+        |  SELECT b.vec_id, b.s, c.cid, row_number() OVER (PARTITION BY b.vec_id, b.s
+        |    ORDER BY round(list_sum(list_transform(range(1, 9),
+        |      i -> (b.sv[i] - c.cv[i]) * (b.sv[i] - c.cv[i]))), 6), c.cid) AS rk
+        |  FROM sub b JOIN c0 c USING (s)) WHERE rk = 1),
+        |c1d AS (SELECT a.s, a.cid, i.i AS d, round(avg(b.sv[i.i]), 6) AS m
+        |  FROM a1 a JOIN sub b USING (vec_id, s), range(1, 9) i(i)
+        |  GROUP BY a.s, a.cid, i.i),
+        |c1 AS (SELECT s, cid, list(m ORDER BY d) AS cv FROM c1d GROUP BY s, cid),
+        |a2 AS (SELECT vec_id, s, cid FROM (
+        |  SELECT b.vec_id, b.s, c.cid, row_number() OVER (PARTITION BY b.vec_id, b.s
+        |    ORDER BY round(list_sum(list_transform(range(1, 9),
+        |      i -> (b.sv[i] - c.cv[i]) * (b.sv[i] - c.cv[i]))), 6), c.cid) AS rk
+        |  FROM sub b JOIN c1 c USING (s)) WHERE rk = 1),
+        |c2d AS (SELECT a.s, a.cid, i.i AS d, round(avg(b.sv[i.i]), 6) AS m
+        |  FROM a2 a JOIN sub b USING (vec_id, s), range(1, 9) i(i)
+        |  GROUP BY a.s, a.cid, i.i),
+        |c2 AS (SELECT s, cid, list(m ORDER BY d) AS cv FROM c2d GROUP BY s, cid),
+        |enc AS (SELECT vec_id, s, cid FROM (
+        |  SELECT b.vec_id, b.s, c.cid, row_number() OVER (PARTITION BY b.vec_id, b.s
+        |    ORDER BY round(list_sum(list_transform(range(1, 9),
+        |      i -> (b.sv[i] - c.cv[i]) * (b.sv[i] - c.cv[i]))), 6), c.cid) AS rk
+        |  FROM sub b JOIN c2 c USING (s)) WHERE rk = 1),
+        |q AS (SELECT vec_id AS qid, s, sv FROM sub WHERE vec_id < 5),
+        |dt AS (SELECT q.qid, q.s, c.cid,
+        |  CAST(round(list_sum(list_transform(range(1, 9),
+        |    i -> (q.sv[i] - c.cv[i]) * (q.sv[i] - c.cv[i]))) * 1e6) AS BIGINT) AS du
+        |  FROM q JOIN c2 c USING (s))""".stripMargin
+
   val toksCte =
     "WITH toks AS (SELECT doc_id, text, string_split(lower(text), ' ') AS t FROM documents)"
   val shinglesCte =
@@ -526,45 +562,43 @@ object LlmOracles {
     // under the same round-6 discipline as kmeansCtes), encode, then ADC
     // top-10 with integer micro-unit distance sums
     "q_ann_pq" ->
-      """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |sub AS (SELECT vec_id, CAST(s.range AS INT) AS s,
-        |  v[s.range*8+1 : s.range*8+8] AS sv FROM emb, range(8) s),
-        |c0 AS (SELECT s, CAST(vec_id AS INT) AS cid, sv AS cv FROM sub WHERE vec_id < 4),
-        |a1 AS (SELECT vec_id, s, cid FROM (
-        |  SELECT b.vec_id, b.s, c.cid, row_number() OVER (PARTITION BY b.vec_id, b.s
-        |    ORDER BY round(list_sum(list_transform(range(1, 9),
-        |      i -> (b.sv[i] - c.cv[i]) * (b.sv[i] - c.cv[i]))), 6), c.cid) AS rk
-        |  FROM sub b JOIN c0 c USING (s)) WHERE rk = 1),
-        |c1d AS (SELECT a.s, a.cid, i.i AS d, round(avg(b.sv[i.i]), 6) AS m
-        |  FROM a1 a JOIN sub b USING (vec_id, s), range(1, 9) i(i)
-        |  GROUP BY a.s, a.cid, i.i),
-        |c1 AS (SELECT s, cid, list(m ORDER BY d) AS cv FROM c1d GROUP BY s, cid),
-        |a2 AS (SELECT vec_id, s, cid FROM (
-        |  SELECT b.vec_id, b.s, c.cid, row_number() OVER (PARTITION BY b.vec_id, b.s
-        |    ORDER BY round(list_sum(list_transform(range(1, 9),
-        |      i -> (b.sv[i] - c.cv[i]) * (b.sv[i] - c.cv[i]))), 6), c.cid) AS rk
-        |  FROM sub b JOIN c1 c USING (s)) WHERE rk = 1),
-        |c2d AS (SELECT a.s, a.cid, i.i AS d, round(avg(b.sv[i.i]), 6) AS m
-        |  FROM a2 a JOIN sub b USING (vec_id, s), range(1, 9) i(i)
-        |  GROUP BY a.s, a.cid, i.i),
-        |c2 AS (SELECT s, cid, list(m ORDER BY d) AS cv FROM c2d GROUP BY s, cid),
-        |enc AS (SELECT vec_id, s, cid FROM (
-        |  SELECT b.vec_id, b.s, c.cid, row_number() OVER (PARTITION BY b.vec_id, b.s
-        |    ORDER BY round(list_sum(list_transform(range(1, 9),
-        |      i -> (b.sv[i] - c.cv[i]) * (b.sv[i] - c.cv[i]))), 6), c.cid) AS rk
-        |  FROM sub b JOIN c2 c USING (s)) WHERE rk = 1),
-        |q AS (SELECT vec_id AS qid, s, sv FROM sub WHERE vec_id < 5),
-        |dt AS (SELECT q.qid, q.s, c.cid,
-        |  CAST(round(list_sum(list_transform(range(1, 9),
-        |    i -> (q.sv[i] - c.cv[i]) * (q.sv[i] - c.cv[i]))) * 1e6) AS BIGINT) AS du
-        |  FROM q JOIN c2 c USING (s)),
+      (pqCtes + """,
         |ad AS (SELECT dt.qid, e.vec_id, CAST(sum(du) AS BIGINT) AS adist_u
         |  FROM enc e JOIN dt ON dt.s = e.s AND dt.cid = e.cid
         |  WHERE e.vec_id <> dt.qid GROUP BY dt.qid, e.vec_id)
         |SELECT qid, CAST(rank AS INT) AS rank, vec_id, adist_u FROM (
         |  SELECT qid, vec_id, adist_u,
         |    row_number() OVER (PARTITION BY qid ORDER BY adist_u, vec_id) AS rank
-        |  FROM ad) WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+        |  FROM ad) WHERE rank <= 10 ORDER BY qid, rank""".stripMargin),
+    // IVF-PQ: the probe CTEs from q_ann_ivf prune candidates to 3 cells,
+    // the ADC sum scores only the survivors from their codes
+    "q_ann_ivfpq" ->
+      (pqCtes + """,
+        |cent AS (
+        | SELECT label, i.i AS d, round(avg(embedding[i.i]), 6) AS c
+        | FROM embeddings, range(1, 65) i(i) GROUP BY label, i.i),
+        |centv AS (SELECT label AS clabel, list(c ORDER BY d) AS cv FROM cent GROUP BY label),
+        |qf AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+        |       FROM embeddings WHERE vec_id < 5),
+        |probes AS (
+        | SELECT qid, clabel,
+        |  CAST(row_number() OVER (PARTITION BY qid ORDER BY ccos DESC, clabel) AS INT) AS crank
+        | FROM (SELECT qid, clabel,
+        |   round(list_dot_product(qv, cv) /
+        |    (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS ccos
+        |  FROM qf, centv)),
+        |sel AS (SELECT qid, clabel FROM probes WHERE crank <= 3),
+        |cands AS (SELECT sel.qid, v.vec_id
+        |  FROM sel JOIN (SELECT vec_id, label FROM embeddings) v
+        |    ON v.label = sel.clabel AND v.vec_id <> sel.qid),
+        |ad AS (SELECT c.qid, c.vec_id, CAST(sum(du) AS BIGINT) AS adist_u
+        |  FROM cands c JOIN enc e USING (vec_id)
+        |  JOIN dt ON dt.qid = c.qid AND dt.s = e.s AND dt.cid = e.cid
+        |  GROUP BY c.qid, c.vec_id)
+        |SELECT qid, CAST(rank AS INT) AS rank, vec_id, adist_u FROM (
+        |  SELECT qid, vec_id, adist_u,
+        |    row_number() OVER (PARTITION BY qid ORDER BY adist_u, vec_id) AS rank
+        |  FROM ad) WHERE rank <= 10 ORDER BY qid, rank""".stripMargin),
     "q_ann_kmeans" ->
       (kmeansCtes + """
         |SELECT vec_id, cid AS cluster FROM asg ORDER BY vec_id""".stripMargin),

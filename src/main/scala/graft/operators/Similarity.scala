@@ -64,12 +64,11 @@ object Similarity {
     * centroids by cosine and searches only those cells. */
   def annIvf(s: SparkSession, dir: String): DataFrame = annIvfProbes(s, dir, 3)
 
-  /** nprobe-parameterized IVF (Round11Spec pins nprobe=all-cells ≡ brute
-    * force — the recall dial's upper anchor). */
-  private[graft] def annIvfProbes(s: SparkSession, dir: String, nprobe: Int): DataFrame = {
+  /** The IVF probe list: per query, its `nprobe` nearest cells by centroid
+    * cosine — (qid, qv, qn, clabel). Shared by [[annIvfProbes]] and
+    * [[annIvfPq]]. */
+  private def ivfProbeFrame(emb: DataFrame, nprobe: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val emb = withNorm(Tables(s, dir, "embeddings"))
-    // per-label centroid: posexplode + avg + re-assemble ordered by dim
     val cent = emb.select(col("label"), posexplode(col("embedding")).as(Seq("d", "v")))
       .groupBy(col("label"), col("d"))
       .agg(round(avg(col("v")), 6).as("c"))
@@ -79,14 +78,21 @@ object Similarity {
       .withColumn("cn", VecOps.norm(col("cv")))
     val queries = emb.where(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("nrm").as("qn"))
-    // probe: 3 nearest centroids per query
     val wq = Window.partitionBy(col("qid")).orderBy(col("ccos").desc, col("clabel"))
-    val probes = queries.crossJoin(broadcast(cent))
+    queries.crossJoin(broadcast(cent))
       .select(col("qid"), col("qv"), col("qn"), col("clabel"),
         cosPre(col("qv"), col("cv"), col("qn"), col("cn")).as("ccos"))
       .withColumn("crank", row_number().over(wq))
       .where(col("crank") <= nprobe)
       .select(col("qid"), col("qv"), col("qn"), col("clabel"))
+  }
+
+  /** nprobe-parameterized IVF (Round11Spec pins nprobe=all-cells ≡ brute
+    * force — the recall dial's upper anchor). */
+  private[graft] def annIvfProbes(s: SparkSession, dir: String, nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = withNorm(Tables(s, dir, "embeddings"))
+    val probes = ivfProbeFrame(emb, nprobe)
     // search only the probed cells (join on cell id = partition pruning at scale)
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
     probes.join(emb, col("label") === col("clabel") && col("vec_id") =!= col("qid"))
@@ -140,30 +146,35 @@ object Similarity {
     * round for ALL subspaces (subspace id is just a grouping key — never 8
     * separate jobs); only the 8×4×8-double codebook is ever collected;
     * encode and the ADC scan are broadcast-joined linear passes. */
-  def annPq(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val S = 8; val D = 8; val K = 4
-    val sess = s; import sess.implicits._
-    val sub = Tables(s, dir, "embeddings")
+  /** (vec_id, s, sv): the corpus split into 8 contiguous 8-dim subspaces. */
+  private def pqSub(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "embeddings")
       .select(col("vec_id"), expr("transform(embedding, x -> cast(x AS double))").as("v"))
       .select(col("vec_id"), explode(expr(
-        s"transform(sequence(0, ${S - 1}), s -> struct(s AS s, slice(v, s * $D + 1, $D) AS sv))")).as("e"))
+        "transform(sequence(0, 7), s -> struct(s AS s, slice(v, s * 8 + 1, 8) AS sv))")).as("e"))
       .select(col("vec_id"), col("e.s").cast("int").as("s"), col("e.sv").as("sv"))
-    val d2 = "round(aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)), " +
-      "0D, (acc, z) -> acc + z), 6)"
-    def assign(cents: Seq[(Int, Int, Seq[Double])]): DataFrame = {
-      val cdf = broadcast(cents.toDF("s", "cid", "cv"))
-      val w = Window.partitionBy(col("vec_id"), col("s")).orderBy(col("d2"), col("cid"))
-      sub.join(cdf, "s")
-        .withColumn("d2", expr(d2))
-        .withColumn("rk", row_number().over(w)).where(col("rk") === 1)
-        .select(col("vec_id"), col("s"), col("cid"))
-    }
-    var cents = sub.where(col("vec_id") < K)
+
+  /** Nearest codeword per (vector, subspace): round-6 L2², cid tiebreak. */
+  private def pqAssign(sub: DataFrame, cents: Seq[(Int, Int, Seq[Double])]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sess = sub.sparkSession; import sess.implicits._
+    val cdf = broadcast(cents.toDF("s", "cid", "cv"))
+    val w = Window.partitionBy(col("vec_id"), col("s")).orderBy(col("d2"), col("cid"))
+    sub.join(cdf, "s")
+      .withColumn("d2", expr(
+        "round(aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)), " +
+          "0D, (acc, z) -> acc + z), 6)"))
+      .withColumn("rk", row_number().over(w)).where(col("rk") === 1)
+      .select(col("vec_id"), col("s"), col("cid"))
+  }
+
+  /** The 2-round deterministic Lloyd codebook fit over all subspaces. */
+  private def pqFit(sub: DataFrame): Seq[(Int, Int, Seq[Double])] = {
+    var cents = sub.where(col("vec_id") < 4)
       .select(col("s"), col("vec_id").cast("int").as("cid"), col("sv"))
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2))).toSeq
     for (_ <- 1 to 2) {
-      cents = assign(cents).join(sub, Seq("vec_id", "s"))
+      cents = pqAssign(sub, cents).join(sub, Seq("vec_id", "s"))
         .select(col("s"), col("cid"), posexplode(col("sv")).as(Seq("d", "x")))
         .groupBy(col("s"), col("cid"), col("d")).agg(round(avg(col("x")), 6).as("m"))
         .groupBy(col("s"), col("cid"))
@@ -172,18 +183,56 @@ object Similarity {
         .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
         .toSeq.sortBy(t => (t._1, t._2))
     }
-    val codes = assign(cents) // the stored index: (vec_id, s, code=cid)
-    // ADC: per-query distance table to every codeword, integer micro-units
+    cents
+  }
+
+  /** Per-query ADC distance table: (qid, s, cid, du) in integer micro-units. */
+  private def pqDistTable(sub: DataFrame,
+      cents: Seq[(Int, Int, Seq[Double])]): DataFrame = {
+    val sess = sub.sparkSession; import sess.implicits._
     val q = sub.where(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("s"), col("sv"))
-    val cdf = broadcast(cents.toDF("s", "cid", "cv"))
-    val dt = broadcast(q.join(cdf, "s")
+    broadcast(q.join(broadcast(cents.toDF("s", "cid", "cv")), "s")
       .select(col("qid"), col("s"), col("cid"), expr(
         "cast(round(aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)), " +
           "0D, (acc, z) -> acc + z) * 1e6) AS bigint)").as("du")))
+  }
+
+  def annPq(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sub = pqSub(s, dir)
+    val cents = pqFit(sub)
+    val codes = pqAssign(sub, cents) // the stored index: (vec_id, s, code=cid)
+    val dt = pqDistTable(sub, cents)
     val w = Window.partitionBy(col("qid")).orderBy(col("adist_u"), col("vec_id"))
     codes.join(dt, Seq("s", "cid"))
       .where(col("vec_id") =!= col("qid"))
+      .groupBy(col("qid"), col("vec_id")).agg(sum(col("du")).as("adist_u"))
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= 10)
+      .select(col("qid"), col("rank"), col("vec_id"), col("adist_u"))
+      .orderBy("qid", "rank")
+  }
+
+  /** IVF-PQ — the composed production index (FAISS `IndexIVFPQ`): the IVF
+    * probe prunes the corpus to `nprobe` cells, PQ's ADC scores only the
+    * survivors from their 8-index codes. At 100 TB this pairing is the
+    * whole design: IVF bounds the fraction of the corpus TOUCHED
+    * (partition pruning on the cell key), PQ bounds the bytes PER
+    * candidate (codes in RAM, raw vectors never read at query time). */
+  def annIvfPq(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = withNorm(Tables(s, dir, "embeddings"))
+    val cells = ivfProbeFrame(emb, 3).select(col("qid"), col("clabel"))
+    val cands = cells.join(emb.select(col("vec_id"), col("label")),
+        col("label") === col("clabel") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"))
+    val sub = pqSub(s, dir)
+    val cents = pqFit(sub)
+    val codes = pqAssign(sub, cents)
+    val dt = pqDistTable(sub, cents)
+    val w = Window.partitionBy(col("qid")).orderBy(col("adist_u"), col("vec_id"))
+    cands.join(codes, "vec_id")
+      .join(dt, Seq("qid", "s", "cid"))
       .groupBy(col("qid"), col("vec_id")).agg(sum(col("du")).as("adist_u"))
       .withColumn("rank", row_number().over(w)).where(col("rank") <= 10)
       .select(col("qid"), col("rank"), col("vec_id"), col("adist_u"))

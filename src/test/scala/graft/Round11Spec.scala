@@ -104,6 +104,25 @@ class Round11Spec extends SparkSpec {
     } finally out.unpersist(false)
   }
 
+  test("ivf-pq: cell pruning never changes a surviving candidate's ADC distance") {
+    import graft.operators.Similarity
+    val full = Similarity.annPq(spark, sf)
+      .select(col("qid"), col("vec_id"), col("adist_u").as("d_full"))
+    val pruned = Similarity.annIvfPq(spark, sf).cache()
+    try {
+      // the composed index ranks a SUBSET of candidates with the SAME
+      // distance function — any pair in both top-10s must agree exactly
+      val both = pruned.join(full, Seq("qid", "vec_id"))
+      assert(both.where(col("adist_u") =!= col("d_full")).count() === 0)
+      // well-formed per-query lists (≤10; ranks contiguous from 1)
+      pruned.collect().groupBy(_.getLong(0)).foreach { case (_, rows) =>
+        val rk = rows.map(_.getInt(1)).sorted.toSeq
+        assert(rk === (1 to rk.size), rk.mkString(","))
+        assert(rk.size <= 10)
+      }
+    } finally pruned.unpersist(false)
+  }
+
   test("stream bloom: streaming bit_or fold builds the bit-identical bitmap") {
     import graft.operators.Dedup
     import graft.streaming.StreamBloom
