@@ -599,6 +599,48 @@ object LlmOracles {
         |  SELECT qid, vec_id, adist_u,
         |    row_number() OVER (PARTITION BY qid ORDER BY adist_u, vec_id) AS rank
         |  FROM ad) WHERE rank <= 10 ORDER BY qid, rank""".stripMargin),
+    // recall@10 of the composed IVF-PQ index vs the exact-cosine truth:
+    // both the cell miss and the code distortion are charged against it
+    "q_ann_recall_pq" ->
+      (pqCtes + """,
+        |cent AS (
+        | SELECT label, i.i AS d, round(avg(embedding[i.i]), 6) AS c
+        | FROM embeddings, range(1, 65) i(i) GROUP BY label, i.i),
+        |centv AS (SELECT label AS clabel, list(c ORDER BY d) AS cv FROM cent GROUP BY label),
+        |qf AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+        |       FROM embeddings WHERE vec_id < 5),
+        |probes AS (
+        | SELECT qid, clabel,
+        |  CAST(row_number() OVER (PARTITION BY qid ORDER BY ccos DESC, clabel) AS INT) AS crank
+        | FROM (SELECT qid, clabel,
+        |   round(list_dot_product(qv, cv) /
+        |    (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS ccos
+        |  FROM qf, centv)),
+        |sel AS (SELECT qid, clabel FROM probes WHERE crank <= 3),
+        |cands AS (SELECT sel.qid, v.vec_id
+        |  FROM sel JOIN (SELECT vec_id, label FROM embeddings) v
+        |    ON v.label = sel.clabel AND v.vec_id <> sel.qid),
+        |ad AS (SELECT c.qid, c.vec_id, CAST(sum(du) AS BIGINT) AS adist_u
+        |  FROM cands c JOIN enc e USING (vec_id)
+        |  JOIN dt ON dt.qid = c.qid AND dt.s = e.s AND dt.cid = e.cid
+        |  GROUP BY c.qid, c.vec_id),
+        |ir AS (SELECT qid, vec_id FROM (
+        |  SELECT qid, vec_id,
+        |    row_number() OVER (PARTITION BY qid ORDER BY adist_u, vec_id) AS rank
+        |  FROM ad) WHERE rank <= 10),
+        |bscored AS (
+        | SELECT qf.qid, e.vec_id,
+        |  round(list_dot_product(qv, CAST(e.embedding AS DOUBLE[])) /
+        |   (sqrt(list_dot_product(qv, qv)) *
+        |    sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))), 6) AS cos
+        | FROM embeddings e, qf WHERE e.vec_id <> qf.qid),
+        |br AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+        |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+        | FROM bscored) WHERE rank <= 10)
+        |SELECT b.qid, CAST(count(i.vec_id) AS BIGINT) AS n_hits,
+        | round(count(i.vec_id) / CAST(count(*) AS DOUBLE), 2) AS recall_at_10
+        |FROM br b LEFT JOIN ir i USING (qid, vec_id)
+        |GROUP BY b.qid ORDER BY b.qid""".stripMargin),
     "q_ann_kmeans" ->
       (kmeansCtes + """
         |SELECT vec_id, cid AS cluster FROM asg ORDER BY vec_id""".stripMargin),

@@ -139,6 +139,7 @@ object SparkEntry {
     "q_ann_recall"      -> (Similarity.annRecall _),
     "q_ann_pq"          -> (Similarity.annPq _),
     "q_ann_ivfpq"       -> (Similarity.annIvfPq _),
+    "q_ann_recall_pq"   -> (Similarity.annRecallPq _),
     "q_ann_kmeans"      -> (Similarity.annKmeans _),
     "q_ann_cos_pairs"   -> (Similarity.cosinePairs _),
     "q_emb_dedup_keep"  -> (Similarity.cosineDedupKeep _),

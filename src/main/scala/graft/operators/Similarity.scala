@@ -113,9 +113,21 @@ object Similarity {
     * panel exactly like this. Composition of two already-oracle-checked
     * operators, so the deterministic-tiebreak discipline (cos rounded to
     * 6, vec_id tiebreak) makes the intersection itself exact. */
-  def annRecall(s: SparkSession, dir: String): DataFrame = {
-    val truth = annBruteForce(s, dir).select(col("qid"), col("vec_id"))
-    val approx = annIvf(s, dir).select(col("qid"), col("vec_id"))
+  def annRecall(s: SparkSession, dir: String): DataFrame =
+    recallOf(annBruteForce(s, dir), annIvf(s, dir))
+
+  /** Recall of the IVF-PQ index — the number a deployment actually
+    * watches when buying PQ's 32–128× compression: how much of the true
+    * top-10 the pruned, quantized scan still surfaces. Ground truth stays
+    * the exact cosine ranking; the index ranks by quantized L2 over 3
+    * probed cells — BOTH approximations (cell miss + code distortion) are
+    * charged against it, exactly as in a FAISS recall sweep. */
+  def annRecallPq(s: SparkSession, dir: String): DataFrame =
+    recallOf(annBruteForce(s, dir), annIvfPq(s, dir))
+
+  private def recallOf(truthDf: DataFrame, approxDf: DataFrame): DataFrame = {
+    val truth = truthDf.select(col("qid"), col("vec_id"))
+    val approx = approxDf.select(col("qid"), col("vec_id"))
     val hits = truth.join(approx, Seq("qid", "vec_id"), "left_semi")
       .groupBy("qid").agg(count(lit(1)).as("h"))
     // report every query, a hypothetical 0-recall panel row included
