@@ -128,6 +128,7 @@ object SparkEntry {
     "q_sample_reservoir"  -> (Sketches.reservoirSample _),
     "q_sketch_quantile"   -> (Sketches.quantileSketch _),
     "q_stream_hll"        -> (streaming.StreamQueries.streamHll _),
+    "q_stream_quantile"   -> (streaming.StreamQueries.streamQuantile _),
     "q_stream_hll_window" -> (streaming.StreamQueries.streamHllWindow _),
     "q_sketch_overlap"    -> (Sketches.sourceOverlap _),
     "q_dq_checks"         -> (graft.operators.DataQuality.checks _),

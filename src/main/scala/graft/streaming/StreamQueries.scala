@@ -795,9 +795,86 @@ object StreamQueries {
       .orderBy("event_type")
   }
 
+  /** Streaming HDR-histogram quantiles — the live latency/size-percentile
+    * dashboard every stream platform runs: per event type, the ≤16·64-cell
+    * log₂ bucket grid (operators.Sketches.quantileSketch's pure-integer
+    * math) IS the streaming aggregation state, so an unbounded run keeps
+    * O(cells) per key and never stores raw values. Update mode re-emits a
+    * bucket's count each batch it grows; the drained final counts are the
+    * max per (type, bucket) — counts only grow, the same
+    * order/batching-independence argument as [[streamHll]]'s registers.
+    * Quantile extraction (q ∈ {0.5, 0.9, 0.99}) folds the final histogram
+    * batch-side and reports the bucket lower bound vs the true order
+    * statistic, ≤1/16 relative error by construction. */
+  def streamQuantile(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = StreamSource.events(s, dir)
+      .select(col("event_type"), expr("cast(round(value * 100) as bigint)").as("v"))
+      .select(col("event_type"), expr("length(bin(v)) - 1").as("e"), col("v"))
+      .select(col("event_type"),
+        expr("e * 16 + (shiftright(v, greatest(e - 4, 0)) & 15)").as("bucket"))
+      .groupBy(col("event_type"), col("bucket")).agg(count(lit(1)).as("cnt"))
+    val drained = StreamSource.runToTable(s, hist, "stream_quantile", "update")
+      .groupBy(col("event_type"), col("bucket")).agg(max(col("cnt")).as("cnt"))
+      // ≤16·64 cells per type; the checkpoint breaks the memory-sink
+      // lineage the downstream self-join (cum × n) would otherwise carry
+      // twice (conflicting-attribute resolution failure on MemoryPlan)
+      .localCheckpoint(true)
+    val w = Window.partitionBy(col("event_type")).orderBy("bucket")
+    val cum = drained.withColumn("cum", sum(col("cnt")).over(w))
+    val n = drained.groupBy(col("event_type")).agg(sum(col("cnt")).as("n"))
+    val qs = s.range(1).select(explode(array(lit(0.5), lit(0.9), lit(0.99))).as("q"))
+    val picked = qs.crossJoin(broadcast(n))
+      .withColumn("target", expr("cast(ceil(q * n) as bigint)"))
+      .join(broadcast(cum), Seq("event_type"))
+      .where(col("cum") >= col("target"))
+      .groupBy(col("event_type"), col("q"), col("target"))
+      .agg(min(col("bucket")).as("bucket"))
+      .withColumn("est_value", expr(
+        "shiftleft(cast(16 + (bucket & 15) as bigint), greatest(shiftright(bucket, 4) - 4, 0))"))
+    val cents = graft.Tables(s, dir, "events")
+      .select(col("event_type"), expr("cast(round(value * 100) as bigint)").as("v"))
+    val exact = cents
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("event_type")).orderBy("v")))
+      .join(picked.select(col("event_type").as("et"), col("q").as("eq"), col("target")),
+        col("event_type") === col("et") && col("rn") === col("target"))
+      .select(col("et"), col("eq"), col("v").as("exact_value"))
+    picked.join(exact, col("event_type") === col("et") && col("q") === col("eq"))
+      .select(col("event_type"), col("q"), col("est_value"), col("exact_value"),
+        round(expr("abs(est_value - exact_value) / exact_value * 100"), 2).as("rel_err_pct"))
+      .orderBy("event_type", "q")
+  }
+
   /** DuckDB oracles — batch-SQL statements equivalent to each streaming
     * operator's final drained output. */
   private val sqlBase: Map[String, String] = Map(
+    "q_stream_quantile" ->
+      """WITH cents AS (SELECT event_type,
+        |  CAST(round(value * 100) AS BIGINT) AS v FROM events),
+        |bk AS (SELECT event_type, (length(bin(v)) - 1) * 16 +
+        |   ((v >> greatest(length(bin(v)) - 1 - 4, 0)) & 15) AS bucket FROM cents),
+        |hist AS (SELECT event_type, bucket, count(*) AS cnt FROM bk
+        |  GROUP BY event_type, bucket),
+        |cum AS (SELECT event_type, bucket,
+        |   sum(cnt) OVER (PARTITION BY event_type ORDER BY bucket) AS cum FROM hist),
+        |nn AS (SELECT event_type, count(*) AS n FROM cents GROUP BY event_type),
+        |qs AS (SELECT unnest([0.5, 0.9, 0.99]) AS q),
+        |picked AS (SELECT event_type, q, target, min(bucket) AS bucket FROM (
+        |   SELECT nn.event_type, qs.q, CAST(ceil(qs.q * nn.n) AS BIGINT) AS target, c.bucket
+        |   FROM qs, nn JOIN cum c USING (event_type)
+        |   WHERE c.cum >= CAST(ceil(qs.q * nn.n) AS BIGINT))
+        |  GROUP BY event_type, q, target),
+        |est AS (SELECT event_type, q, target,
+        |   (16 + (bucket & 15))::BIGINT << greatest((bucket >> 4) - 4, 0) AS est_value
+        |  FROM picked),
+        |sorted AS (SELECT event_type, v,
+        |   row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn FROM cents),
+        |ex AS (SELECT e.event_type, e.q, e.est_value, s.v AS exact_value
+        |  FROM est e JOIN sorted s ON s.event_type = e.event_type AND s.rn = e.target)
+        |SELECT event_type, q, est_value, exact_value,
+        |  round(abs(est_value - exact_value) / exact_value * 100, 2) AS rel_err_pct
+        |FROM ex ORDER BY event_type, q""".stripMargin,
     "q_stream_drop_before" ->
       """WITH o AS (SELECT user_id, event_id, row_number() OVER w AS rn FROM events
         | WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id))
