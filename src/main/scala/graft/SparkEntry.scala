@@ -341,6 +341,7 @@ object SparkEntry {
     "q_sql_cascade"     -> (GroupWindowSql.cascade _),
     "q_ml_pipeline"     -> (graft.operators.MlPipeline.mlPipeline _),
     "q_ml_gaussian"     -> (graft.operators.MlPipeline.gaussian _),
+    "q_ml_ols"          -> (graft.operators.MlPipeline.ols _),
     "q_stream_iterate"  -> (streaming.StreamIterate.userCountdown _),
     "q_sql_system_time" -> (graft.operators.SystemTimeSql.systemTimeJoin _),
     "q_sql_temporal_func" -> (graft.operators.SystemTimeSql.temporalFuncJoin _),

@@ -171,7 +171,59 @@ object MlPipeline {
       .orderBy("vec_id")
   }
 
+  /** Distributed ordinary least squares via sufficient statistics — the
+    * canonical no-iteration ML fit at scale (flink-ml's closed-form
+    * regression analog): ONE aggregate over the fact table collects
+    * (n, Σx, Σy, Σxy, Σx², Σy²) per group and the model is closed-form
+    * driver arithmetic — no gradient rounds, no re-scan, the 100 TB shape.
+    * Per l_returnflag: extendedprice ~ quantity.
+    *
+    * Determinism discipline: x/y are quantized to integers first, so every
+    * sufficient statistic is an EXACT integer on both engines (Spark
+    * BIGINT sums / DuckDB HUGEINT — all magnitudes audited to fit; a
+    * 100 TB deployment would lift the sums to DECIMAL(38,0), same plan);
+    * slope = round(num/den, 6) from identical integer→double conversions,
+    * the intercept reuses the ROUNDED slope, and r² is double math over
+    * those exact inputs. */
+  def ols(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val st = graft.Tables(s, dir, "lineitem")
+      .select(col("l_returnflag"),
+        expr("cast(round(l_quantity) AS bigint)").as("x"),
+        expr("cast(round(l_extendedprice) AS bigint)").as("y"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(expr("x * y")).as("sxy"), sum(expr("x * x")).as("sxx"),
+        sum(expr("y * y")).as("syy"))
+    st.withColumn("slope", expr(
+        "round(cast(n * sxy - sx * sy AS double) / cast(n * sxx - sx * sx AS double), 6)"))
+      .withColumn("intercept", expr(
+        "round((cast(sy AS double) - slope * cast(sx AS double)) / n, 4)"))
+      .withColumn("r2", expr(
+        "round(cast(n * sxy - sx * sy AS double) * cast(n * sxy - sx * sy AS double) / " +
+          "(cast(n * sxx - sx * sx AS double) * " +
+          "(cast(n AS double) * cast(syy AS double) - cast(sy AS double) * cast(sy AS double))), 6)"))
+      .select(col("l_returnflag"), col("n"), col("slope"), col("intercept"), col("r2"))
+      .orderBy("l_returnflag")
+  }
+
   val sql: Map[String, String] = Map(
+    "q_ml_ols" ->
+      """WITH b AS (SELECT l_returnflag, CAST(round(l_quantity) AS BIGINT) AS x,
+        |    CAST(round(l_extendedprice) AS BIGINT) AS y FROM lineitem),
+        |st AS (SELECT l_returnflag, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x*y) AS sxy, sum(x*x) AS sxx, sum(y*y) AS syy
+        |  FROM b GROUP BY l_returnflag),
+        |m AS (SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+        |   round(CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE), 6) AS slope,
+        |   CAST(n*sxy - sx*sy AS DOUBLE) AS numd, CAST(n*sxx - sx*sx AS DOUBLE) AS dend,
+        |   CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+        |   CAST(syy AS DOUBLE) AS syyd
+        |  FROM st)
+        |SELECT l_returnflag, n, slope,
+        |  round((syd - slope * sxd) / n, 4) AS intercept,
+        |  round(numd * numd / (dend * (n * syyd - syd * syd)), 6) AS r2
+        |FROM m ORDER BY l_returnflag""".stripMargin,
     "q_ml_gaussian" ->
       """WITH q AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]), x ->
         |    CAST(floor(x / (list_max(list_transform(CAST(embedding AS DOUBLE[]), y -> abs(y))) / 127.0)
