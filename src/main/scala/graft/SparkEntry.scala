@@ -120,6 +120,7 @@ object SparkEntry {
     "q_quality_classifier" -> (WebPipeline.qualityClassifier _),
     "q_bpe_merges"        -> (Bpe.mergeTable _),
     "q_bpe_encode"        -> (Bpe.encode _),
+    "q_bpe_fertility"     -> (Bpe.fertility _),
     "q_semdedup"          -> (Similarity.semDedup _),
     "q_decontaminate_emb" -> (Similarity.decontaminateEmb _),
     "q_sketch_hll"        -> (Sketches.hllDistinct _),
@@ -129,6 +130,7 @@ object SparkEntry {
     "q_sketch_quantile"   -> (Sketches.quantileSketch _),
     "q_stream_hll"        -> (streaming.StreamQueries.streamHll _),
     "q_stream_quantile"   -> (streaming.StreamQueries.streamQuantile _),
+    "q_stream_ols"        -> (streaming.StreamQueries.streamOls _),
     "q_stream_hll_window" -> (streaming.StreamQueries.streamHllWindow _),
     "q_sketch_overlap"    -> (Sketches.sourceOverlap _),
     "q_dq_checks"         -> (graft.operators.DataQuality.checks _),

@@ -132,6 +132,27 @@ object Bpe {
       .orderBy("doc_id")
   }
 
+  /** q_bpe_fertility: tokenizer FERTILITY per language — mean subword
+    * tokens per word (the mT5/XGLM multilingual-vocab health metric: a
+    * language with high fertility pays more sequence length per word, so
+    * a mix designer re-balances the vocab or the sampling temperature).
+    * Same trained artifact and broadcast-vocab join as [[encode]], one
+    * more grouping. */
+  def fertility(s: SparkSession, dir: String): DataFrame = {
+    val (_, v) = trained(s, dir)
+    val enc = v.select(col("word"),
+      expr("size(split(trim(seq), ' '))").as("n_sym"))
+    val docs = Tables(s, dir, "documents")
+      .select(col("lang"), explode(TextAnalysis.tokens(col("text"))).as("word"))
+      .where(length(col("word")) > 0)
+    docs.join(broadcast(enc), "word")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sym")).as("n_bpe"))
+      .select(col("lang"), col("n_words"), col("n_bpe"),
+        round(col("n_bpe").cast("double") / col("n_words"), 4).as("fertility"))
+      .orderBy("lang")
+  }
+
   // ------------------------------------------------------------- oracle SQL
 
   /** One unrolled training round: vocab v$prev → best pair p$r → vocab v$r. */
@@ -174,5 +195,14 @@ object Bpe {
         | CAST(sum(length(word)) AS BIGINT) AS n_chars
         |FROM d JOIN enc USING (word) WHERE length(word) > 0
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    "q_bpe_fertility" ->
+      (baseCtes + (1 to Rounds).map(roundCte).mkString + s""",
+        |enc AS (SELECT word, len(string_split(trim(seq), ' ')) AS n_sym FROM v$Rounds),
+        |d AS (SELECT lang, unnest(string_split(lower(text), ' ')) AS word FROM documents)
+        |SELECT lang, count(*) AS n_words,
+        | CAST(sum(n_sym) AS BIGINT) AS n_bpe,
+        | round(CAST(sum(n_sym) AS DOUBLE) / count(*), 4) AS fertility
+        |FROM d JOIN enc USING (word) WHERE length(word) > 0
+        |GROUP BY lang ORDER BY lang""".stripMargin),
   )
 }

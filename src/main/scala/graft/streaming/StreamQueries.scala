@@ -846,9 +846,56 @@ object StreamQueries {
       .orderBy("event_type", "q")
   }
 
+  /** Streaming OLS — the sufficient-statistics regression
+    * (operators.MlPipeline.ols) kept LIVE: per event type, the six exact
+    * integer moments (n, Σx, Σy, Σxy, Σx², Σy²) ARE the streaming
+    * aggregation state (fixed-width per key, raw rows never stored), and
+    * the model — value-drift over day-of-year — is closed-form arithmetic
+    * over the drained final moments. n grows monotonically, so the final
+    * state per key is its max-n emission (the streamHll/streamQuantile
+    * argument); a production job would publish refreshed coefficients
+    * every batch from exactly these emissions. */
+  def streamOls(s: SparkSession, dir: String): DataFrame = {
+    val st = StreamSource.events(s, dir)
+      .select(col("event_type"),
+        expr("cast(dayofyear(ts) AS bigint)").as("x"),
+        expr("cast(round(value * 100) AS bigint)").as("y"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(expr("x * y")).as("sxy"), sum(expr("x * x")).as("sxx"),
+        sum(expr("y * y")).as("syy"))
+    val drained = StreamSource.runToTable(s, st, "stream_ols", "update")
+      .groupBy("event_type")
+      .agg(max_by(struct(col("n"), col("sx"), col("sy"), col("sxy"),
+        col("sxx"), col("syy")), col("n")).as("m"))
+      .select(col("event_type"), col("m.n").as("n"), col("m.sx").as("sx"),
+        col("m.sy").as("sy"), col("m.sxy").as("sxy"), col("m.sxx").as("sxx"),
+        col("m.syy").as("syy"))
+    drained.withColumn("slope", expr(
+        "round(cast(n * sxy - sx * sy AS double) / cast(n * sxx - sx * sx AS double), 6)"))
+      .withColumn("intercept", expr(
+        "round((cast(sy AS double) - slope * cast(sx AS double)) / n, 4)"))
+      .select(col("event_type"), col("n"), col("slope"), col("intercept"))
+      .orderBy("event_type")
+  }
+
   /** DuckDB oracles — batch-SQL statements equivalent to each streaming
     * operator's final drained output. */
   private val sqlBase: Map[String, String] = Map(
+    "q_stream_ols" ->
+      """WITH b AS (SELECT event_type,
+        |    CAST(dayofyear(CAST(ts AS TIMESTAMP)) AS BIGINT) AS x,
+        |    CAST(round(value * 100) AS BIGINT) AS y FROM events),
+        |st AS (SELECT event_type, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x*y) AS sxy, sum(x*x) AS sxx, sum(y*y) AS syy
+        |  FROM b GROUP BY event_type),
+        |m AS (SELECT event_type, CAST(n AS BIGINT) AS n,
+        |   round(CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE), 6) AS slope,
+        |   CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+        |  FROM st)
+        |SELECT event_type, n, slope,
+        |  round((syd - slope * sxd) / n, 4) AS intercept
+        |FROM m ORDER BY event_type""".stripMargin,
     "q_stream_quantile" ->
       """WITH cents AS (SELECT event_type,
         |  CAST(round(value * 100) AS BIGINT) AS v FROM events),
