@@ -153,6 +153,56 @@ class Round11Spec extends SparkSpec {
     assert(keysB === want.size.toLong)
   }
 
+  test("ols: recovers a planted exact linear relationship") {
+    // doctored lineitem: l_extendedprice := 3·round(l_quantity) + 7, an
+    // exact integer relationship — the closed-form fit must return it
+    // EXACTLY (slope 3, intercept 7, r² = 1) because every sufficient
+    // statistic is exact integer math
+    val dir2 = s"/tmp/graft-ols/${System.nanoTime()}"
+    Tables.all.foreach { t =>
+      val src = spark.read.parquet(s"$sf/$t.parquet")
+      val out =
+        if (t == "lineitem")
+          src.withColumn("l_extendedprice",
+            expr("cast(3 * round(l_quantity) + 7 AS double)"))
+        else src
+      out.coalesce(1).write.mode("overwrite").parquet(s"$dir2/$t.parquet")
+    }
+    graft.operators.MlPipeline.ols(spark, dir2).collect().foreach { r =>
+      assert(r.getDouble(2) === 3.0, s"slope ${r.getDouble(2)}")
+      assert(r.getDouble(3) === 7.0, s"intercept ${r.getDouble(3)}")
+      assert(r.getDouble(4) === 1.0, s"r2 ${r.getDouble(4)}")
+    }
+  }
+
+  test("stream ols: drained moments equal the batch aggregate's model") {
+    val streamed = streaming.StreamQueries.streamOls(spark, sf)
+    val batch = Tables(spark, sf, "events")
+      .select(col("event_type"),
+        expr("cast(dayofyear(ts) AS bigint)").as("x"),
+        expr("cast(round(value * 100) AS bigint)").as("y"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(expr("x * y")).as("sxy"), sum(expr("x * x")).as("sxx"))
+      .withColumn("slope", expr(
+        "round(cast(n * sxy - sx * sy AS double) / cast(n * sxx - sx * sx AS double), 6)"))
+      .withColumn("intercept", expr(
+        "round((cast(sy AS double) - slope * cast(sx AS double)) / n, 4)"))
+      .select(col("event_type"), col("n"), col("slope"), col("intercept"))
+    assert(streamed.exceptAll(batch).count() === 0 &&
+      batch.exceptAll(streamed).count() === 0,
+      "streaming moments must reproduce the batch model exactly")
+  }
+
+  test("bpe fertility: every word costs at least one symbol") {
+    val f = graft.operators.Bpe.fertility(spark, sf).collect()
+    assert(f.nonEmpty)
+    f.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1), r.toString) // n_bpe >= n_words
+      assert(r.getDouble(3) >= 1.0, r.toString)
+    }
+  }
+
   test("span strip: edit is consistent with span coverage") {
     val strip = Dedup.spanStrip(spark, sf)
     val cover = Dedup.spanDupCoverage(spark, sf)
