@@ -254,6 +254,43 @@ object LlmOracles {
     // must produce the bit-identical bitmap (commutative/associative OR)
     "q_dedup_bloom" -> bloomSql,
     "q_stream_bloom" -> bloomSql,
+    // sketch-sized bloom: the HLL measurement, the next-pow2 sizing
+    // decision (integer bit length) and every filter bit replay exactly
+    "q_dedup_bloom_sized" ->
+      """WITH fps AS (SELECT doc_id,
+        |  md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp FROM documents),
+        |lake AS (SELECT doc_id, fp FROM fps WHERE doc_id % 3 = 0),
+        |shard AS (SELECT doc_id, fp FROM fps WHERE doc_id % 3 <> 0
+        |  UNION ALL SELECT doc_id + 1000000, fp FROM lake WHERE doc_id % 2 = 0),
+        |hh AS (SELECT ('0x'||substr(md5('bf:'||fp),1,15))::UBIGINT::BIGINT AS h FROM lake),
+        |rr AS (SELECT h & 255 AS bucket,
+        |   CASE WHEN (h >> 8) = 0 THEN 53
+        |        ELSE CAST(round(log2((h >> 8) & (-(h >> 8)))) AS INT) + 1 END AS rho
+        |  FROM hh),
+        |regs AS (SELECT bucket, max(rho) AS r FROM rr GROUP BY bucket),
+        |agg AS (SELECT CAST(256 - count(*) AS INT) AS zero_regs,
+        |   coalesce(sum(1::BIGINT << (54 - r)), 0) AS sp FROM regs),
+        |est AS (SELECT CAST(round(CASE WHEN zero_regs > 0 AND
+        |     (0.7213/(1.0 + 1.079/256.0)) * 65536.0 * 18014398509481984.0
+        |       / (sp + zero_regs::BIGINT * (1::BIGINT << 54)) <= 640.0
+        |   THEN 256.0 * ln(256.0 / zero_regs)
+        |   ELSE (0.7213/(1.0 + 1.079/256.0)) * 65536.0 * 18014398509481984.0
+        |       / (sp + zero_regs::BIGINT * (1::BIGINT << 54)) END) AS BIGINT) AS e
+        |  FROM agg),
+        |mm AS (SELECT 1::BIGINT << len(bin(greatest(16*e, 1024) - 1)) AS m FROM est),
+        |lpos AS (SELECT DISTINCT
+        |    ((b & 1073741823) + i.range * (b >> 30)) % (SELECT m FROM mm) AS p
+        |  FROM (SELECT ('0x'||substr(fp, 1, 15))::UBIGINT AS b FROM lake), range(4) i),
+        |spos AS (SELECT doc_id,
+        |    ((b & 1073741823) + i.range * (b >> 30)) % (SELECT m FROM mm) AS p
+        |  FROM (SELECT doc_id, ('0x'||substr(fp, 1, 15))::UBIGINT AS b FROM shard),
+        |       range(4) i),
+        |flag AS (SELECT s.doc_id, count(l.p) = 4 AS bloom_dup
+        |  FROM spos s LEFT JOIN lpos l USING (p) GROUP BY s.doc_id)
+        |SELECT d.doc_id, f.bloom_dup,
+        |  (d.fp IN (SELECT fp FROM lake)) AS exact_dup,
+        |  (SELECT m FROM mm) AS m_bits
+        |FROM shard d JOIN flag f USING (doc_id) ORDER BY d.doc_id""".stripMargin,
     "q_text_repetition" ->
       (toksCte + """,
         |g AS (SELECT doc_id, len(t) AS n_tokens,

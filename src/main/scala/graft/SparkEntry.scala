@@ -98,6 +98,7 @@ object SparkEntry {
     "q_dedup_span_strip"  -> (Dedup.spanStrip _),
     "q_dedup_incremental" -> (Dedup.incrementalDedup _),
     "q_dedup_bloom"     -> (Dedup.bloomDedup _),
+    "q_dedup_bloom_sized" -> (Dedup.bloomSizedDedup _),
     "q_stream_bloom"    -> (streaming.StreamBloom.bloomStreamDedup _),
     "q_text_repetition"   -> (TextAnalysis.repetition _),
     "q_quality_gopher"    -> (TextAnalysis.gopherQuality _),

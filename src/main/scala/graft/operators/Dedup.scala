@@ -514,4 +514,69 @@ object Dedup {
     words.collect().foreach(r => bm(r.getInt(0)) = r.getLong(1))
     bloomVerdict(s, dir, bm)
   }
+
+  /** Sketch-sized Bloom dedup — the PRODUCTION sizing loop [[bloomDedup]]
+    * fixes at 2^18 bits: measure the lake's cardinality with the HLL
+    * sketch (m=256 exact-integer register math, the q_sketch_hll
+    * machinery verbatim), size the bitmap to the next power of two ≥
+    * 16·estimate (≈16 bits/element ⇒ FP ≈ (1/4)^4 at k=4... the fill
+    * lands near est·4/16 = 1/4 of the bits), then build and probe at
+    * THAT m. Every stage is the established determinism bridge: md5
+    * registers, integer next-pow2 via bit length (no cross-engine
+    * ceil-of-log2 ulp risk), md5 probe positions — so the DuckDB oracle
+    * replays the measurement, the sizing decision, and every bit of the
+    * resulting filter. */
+  def bloomSizedDedup(s: SparkSession, dir: String): DataFrame = {
+    val base = bloomFps(s, dir)
+    val lake = bloomLake(base)
+    // 1. measure: global HLL over the lake fingerprints
+    val regs = lake.select(expr(
+        "cast(conv(substring(md5(concat('bf:', fp)),1,15),16,10) as bigint)").as("h"))
+      .select(expr("h & 255").as("bucket"),
+        expr("CASE WHEN shiftright(h, 8) = 0 THEN 53 " +
+          "ELSE cast(round(log2(shiftright(h, 8) & -shiftright(h, 8))) as int) + 1 END").as("rho"))
+      .groupBy("bucket").agg(max(col("rho")).as("r"))
+    val est = regs
+      .agg(count(lit(1)).as("c"),
+        coalesce(sum(expr("shiftleft(cast(1 as bigint), 54 - r)")), lit(0L)).as("sp"))
+      .select(expr("cast(256 - c as int)").as("zero_regs"), col("sp"))
+      .select(expr(
+        "cast(round(CASE WHEN zero_regs > 0 AND " +
+          "(0.7213/(1.0 + 1.079/256.0)) * 65536.0 * 18014398509481984.0 " +
+          "/ (sp + cast(zero_regs as bigint) * shiftleft(cast(1 as bigint), 54)) <= 640.0 " +
+          "THEN 256.0 * log(256.0 / zero_regs) " +
+          "ELSE (0.7213/(1.0 + 1.079/256.0)) * 65536.0 * 18014398509481984.0 " +
+          "/ (sp + cast(zero_regs as bigint) * shiftleft(cast(1 as bigint), 54)) END) " +
+          "AS BIGINT)").as("e"))
+      .head().getLong(0)
+    // 2. size: next power of two ≥ 16·est, floor-clamped — integer bit
+    //    length, no floating log anywhere in the decision
+    val target = math.max(16L * est, 1024L)
+    val mBits = 1L << (64 - java.lang.Long.numberOfLeadingZeros(target - 1))
+    // 3. build at that m
+    def posAt(df: DataFrame): DataFrame = df
+      .withColumn("b", conv(substring(col("fp"), 1, 15), 16, 10).cast("long"))
+      .withColumn("pos", expr(
+        s"transform(sequence(0, ${BloomProbes - 1}), " +
+          s"i -> ((b & 1073741823) + i * (b >> 30)) % ${mBits}L)"))
+    val words = posAt(lake)
+      .select(explode(col("pos")).as("p"))
+      .select(expr("cast(p div 64 AS int)").as("w"),
+        expr("shiftleft(1L, cast(p % 64 AS int))").as("m"))
+      .groupBy("w").agg(expr("bit_or(m)").as("bits"))
+    val bm = Array.fill((mBits / 64).toInt)(0L)
+    words.collect().foreach(r => bm(r.getInt(0)) = r.getLong(1))
+    // 4. probe the shard at the sized m
+    val truth = lake.select(col("fp")).distinct()
+    posAt(bloomShard(base))
+      .withColumn("bm", typedLit(bm.toSeq))
+      .withColumn("bloom_dup", expr(
+        "forall(pos, p -> (element_at(bm, cast(p div 64 AS int) + 1) " +
+          "& shiftleft(1L, cast(p % 64 AS int))) != 0)"))
+      .join(truth.withColumn("exact_dup", lit(true)), Seq("fp"), "left")
+      .select(col("doc_id"), col("bloom_dup"),
+        coalesce(col("exact_dup"), lit(false)).as("exact_dup"),
+        lit(mBits).as("m_bits"))
+      .orderBy("doc_id")
+  }
 }

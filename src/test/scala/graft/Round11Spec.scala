@@ -123,6 +123,15 @@ class Round11Spec extends SparkSpec {
     } finally pruned.unpersist(false)
   }
 
+  test("sized bloom: m is a power of two >= 1024 and no false negatives") {
+    val out = Dedup.bloomSizedDedup(spark, sf).cache()
+    try {
+      val m = out.select("m_bits").head().getLong(0)
+      assert(m >= 1024 && (m & (m - 1)) === 0L, s"m_bits $m")
+      assert(out.where(col("exact_dup") && !col("bloom_dup")).count() === 0)
+    } finally out.unpersist(false)
+  }
+
   test("stream bloom: streaming bit_or fold builds the bit-identical bitmap") {
     import graft.operators.Dedup
     import graft.streaming.StreamBloom
