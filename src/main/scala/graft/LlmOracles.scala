@@ -16,8 +16,9 @@ object LlmOracles {
     """WITH fps AS (SELECT doc_id,
         |  md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp FROM documents),
         |lake AS (SELECT doc_id, fp FROM fps WHERE doc_id % 3 = 0),
+        |off AS (SELECT CAST(pow(10, length(CAST(max(doc_id) AS VARCHAR))) AS BIGINT) AS o FROM fps),
         |shard AS (SELECT doc_id, fp FROM fps WHERE doc_id % 3 <> 0
-        |  UNION ALL SELECT doc_id + 1000000, fp FROM lake WHERE doc_id % 2 = 0),
+        |  UNION ALL SELECT doc_id + (SELECT o FROM off), fp FROM lake WHERE doc_id % 2 = 0),
         |lpos AS (SELECT DISTINCT
         |    ((b & 1073741823) + i.range * (b >> 30)) % 262144 AS p
         |  FROM (SELECT ('0x'||substr(fp, 1, 15))::UBIGINT AS b FROM lake), range(4) i),
@@ -260,8 +261,9 @@ object LlmOracles {
       """WITH fps AS (SELECT doc_id,
         |  md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp FROM documents),
         |lake AS (SELECT doc_id, fp FROM fps WHERE doc_id % 3 = 0),
+        |off AS (SELECT CAST(pow(10, length(CAST(max(doc_id) AS VARCHAR))) AS BIGINT) AS o FROM fps),
         |shard AS (SELECT doc_id, fp FROM fps WHERE doc_id % 3 <> 0
-        |  UNION ALL SELECT doc_id + 1000000, fp FROM lake WHERE doc_id % 2 = 0),
+        |  UNION ALL SELECT doc_id + (SELECT o FROM off), fp FROM lake WHERE doc_id % 2 = 0),
         |hh AS (SELECT ('0x'||substr(md5('bf:'||fp),1,15))::UBIGINT::BIGINT AS h FROM lake),
         |rr AS (SELECT h & 255 AS bucket,
         |   CASE WHEN (h >> 8) = 0 THEN 53

@@ -466,9 +466,16 @@ object Dedup {
 
   private[graft] def bloomShard(base: DataFrame): DataFrame = {
     val lake = bloomLake(base)
+    // re-crawl ids ride above the smallest power of 10 beyond every real
+    // doc_id (max 4999 -> +10000, max 499k -> +1000000) so they can never
+    // collide with fresh ids at ANY corpus inflation (a fixed +1e6 offset
+    // silently merged rows once ScaleBench crossed a million documents);
+    // the oracle derives the identical offset from the same max()
+    val off = base.agg(expr(
+      "cast(pow(10, length(cast(max(doc_id) as string))) as bigint)").as("off"))
     base.where(col("doc_id") % 3 =!= 0)
-      .unionByName(lake.where(col("doc_id") % 2 === 0)
-        .select((col("doc_id") + lit(1000000)).as("doc_id"), col("fp")))
+      .unionByName(lake.where(col("doc_id") % 2 === 0).crossJoin(broadcast(off))
+        .select((col("doc_id") + col("off")).as("doc_id"), col("fp")))
   }
 
   /** k Kirsch–Mitzenmacher probe positions from the md5 prefix halves. */

@@ -269,8 +269,13 @@ object Sketches {
       .withColumn("target", expr("cast(ceil(q * n) as bigint)"))
       .join(broadcast(cum), col("cum") >= col("target"))
       .groupBy(col("q"), col("target")).agg(min(col("bucket")).as("bucket"))
+      // bucket lower bound: for exponent e >= 4 the cell is (16+mantissa)<<(e-4);
+      // for e < 4 the bucket stored v itself (bucket = 16e + v, v < 16), so the
+      // low nibble recovers v EXACTLY — without the branch, small values would
+      // overstate (v=5 -> 21) and the <=1/16 relative-error claim would not hold
       .withColumn("est_value", expr(
-        "shiftleft(cast(16 + (bucket & 15) as bigint), greatest(shiftright(bucket, 4) - 4, 0))"))
+        "CASE WHEN shiftright(bucket, 4) < 4 THEN cast(bucket & 15 AS bigint) " +
+          "ELSE shiftleft(cast(16 + (bucket & 15) as bigint), shiftright(bucket, 4) - 4) END"))
     val exact = cents
       .withColumn("rn", row_number().over(Window.orderBy("v")))
       .join(picked.select(col("q").as("eq"), col("target")), col("rn") === col("target"))
@@ -395,7 +400,8 @@ object Sketches {
         |   FROM qs, nn, cum c WHERE c.cum >= CAST(ceil(qs.q * nn.n) AS BIGINT))
         |  GROUP BY q, target),
         |est AS (SELECT q, target,
-        |   (16 + (bucket & 15))::BIGINT << greatest((bucket >> 4) - 4, 0) AS est_value
+        |   CASE WHEN (bucket >> 4) < 4 THEN (bucket & 15)::BIGINT
+        |        ELSE (16 + (bucket & 15))::BIGINT << ((bucket >> 4) - 4) END AS est_value
         |  FROM picked),
         |sorted AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM cents),
         |ex AS (SELECT e.q, e.est_value, s.v AS exact_value

@@ -55,8 +55,15 @@ object StreamBloom {
     val bm = Array.fill(Dedup.BloomBits / 64)(0L)
     if (new java.io.File(s"$ckpt/state").isDirectory) {
       val st = s.read.format("statestore").load(ckpt)
-      val vField = st.schema("value").dataType.asInstanceOf[StructType]
-        .fields.filter(_.dataType == LongType).head.name
+      // the bit_or aggregate's buffer is the single long in the state value
+      // struct; if a Spark upgrade ever adds another long bookkeeping field
+      // this would silently read the wrong column — fail loudly instead
+      val longFields = st.schema("value").dataType.asInstanceOf[StructType]
+        .fields.filter(_.dataType == LongType)
+      require(longFields.length == 1,
+        s"expected exactly one LongType field in the agg state value struct " +
+          s"(the bit_or buffer), found ${longFields.map(_.name).mkString(", ")}")
+      val vField = longFields.head.name
       st.select(col("key.w").as("w"), col(s"value.$vField").as("bits"))
         .collect().foreach(r => bm(r.getInt(0)) = r.getLong(1))
     }

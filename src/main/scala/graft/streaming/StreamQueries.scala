@@ -830,8 +830,12 @@ object StreamQueries {
       .where(col("cum") >= col("target"))
       .groupBy(col("event_type"), col("q"), col("target"))
       .agg(min(col("bucket")).as("bucket"))
+      // exponent < 4 stored v itself in the low nibble — recover it exactly
+      // (the same branch as Sketches.quantileSketch; without it small values
+      // overstate and the <=1/16 relative-error claim breaks below v=32)
       .withColumn("est_value", expr(
-        "shiftleft(cast(16 + (bucket & 15) as bigint), greatest(shiftright(bucket, 4) - 4, 0))"))
+        "CASE WHEN shiftright(bucket, 4) < 4 THEN cast(bucket & 15 AS bigint) " +
+          "ELSE shiftleft(cast(16 + (bucket & 15) as bigint), shiftright(bucket, 4) - 4) END"))
     val cents = graft.Tables(s, dir, "events")
       .select(col("event_type"), expr("cast(round(value * 100) as bigint)").as("v"))
     val exact = cents
@@ -913,7 +917,8 @@ object StreamQueries {
         |   WHERE c.cum >= CAST(ceil(qs.q * nn.n) AS BIGINT))
         |  GROUP BY event_type, q, target),
         |est AS (SELECT event_type, q, target,
-        |   (16 + (bucket & 15))::BIGINT << greatest((bucket >> 4) - 4, 0) AS est_value
+        |   CASE WHEN (bucket >> 4) < 4 THEN (bucket & 15)::BIGINT
+        |        ELSE (16 + (bucket & 15))::BIGINT << ((bucket >> 4) - 4) END AS est_value
         |  FROM picked),
         |sorted AS (SELECT event_type, v,
         |   row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn FROM cents),
