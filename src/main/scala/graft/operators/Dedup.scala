@@ -159,16 +159,24 @@ object Dedup {
     * Shape at 100 TB: gram index + dup-set join are the same two linear
     * shuffles as spanDupCoverage (a gram shared by m docs costs m rows,
     * never m²); the edit itself is expression-only — per-doc duplicate
-    * START positions come back as one array and the rewrite is a codegen
-    * `filter` with an `exists` over that array. The inner probe is
-    * O(n_tok × n_starts) per document — fine while dup spans are sparse
-    * (the web-corpus case); a boilerplate-saturated doc would want the
-    * starts sorted + two-pointer sweep, the same interval-merge Lee et
-    * al.'s suffix-array implementation does. */
-  def spanStrip(s: SparkSession, dir: String): DataFrame = {
+    * START positions come back as one array, which is sorted and merged
+    * into DISJOINT [lo, hi] intervals (the interval merge Lee et al.'s
+    * suffix-array implementation performs) before the codegen `filter`
+    * probes it. A boilerplate-saturated doc collapses to a handful of
+    * intervals, so the probe is O(n_tok · n_intervals) with
+    * n_intervals ≤ n_tok/(span+1) — and typically 1-2 — instead of the
+    * naive O(n_tok × n_starts) that went quadratic exactly there. The
+    * naive probe survives as the spec's equivalence baseline. */
+  def spanStrip(s: SparkSession, dir: String): DataFrame =
+    spanStripRewrite(Tables(s, dir, "documents"), naive = false)
+
+  /** The rewrite core over any (doc_id, text) frame; `naive = true` keeps
+    * the per-token exists-over-starts probe (identical semantics — the
+    * Round12Spec equivalence baseline on a saturated fixture). */
+  private[graft] def spanStripRewrite(docsIn: DataFrame,
+      naive: Boolean): DataFrame = {
     val span = 13
-    val docs = Tables(s, dir, "documents")
-      .withColumn("ws", split(lower(col("text")), " "))
+    val docs = docsIn.withColumn("ws", split(lower(col("text")), " "))
     val grams = docs.select(col("doc_id"), explode(expr(
         s"CASE WHEN size(ws) < $span THEN CAST(array() AS array<struct<i:int,gram:string>>) " +
           s"ELSE transform(sequence(1, size(ws) - ${span - 1}), " +
@@ -179,10 +187,23 @@ object Dedup {
       .where(col("dd") >= 2).select("gram")
     val starts = grams.join(dup, "gram")
       .groupBy("doc_id").agg(collect_list(col("i")).as("starts"))
-    docs.join(starts, Seq("doc_id"), "left")
+    val base = docs.join(starts, Seq("doc_id"), "left")
       .withColumn("st", coalesce(col("starts"), expr("CAST(array() AS array<int>)")))
-      .withColumn("kept", expr(
+    val probed =
+      if (naive) base.withColumn("kept", expr(
         s"filter(ws, (t, j) -> NOT exists(st, x -> j + 1 >= x AND j + 1 <= x + ${span - 1}))"))
+      else base
+        // sorted starts → disjoint merged intervals: [x, x+12] folds into
+        // the previous interval when it overlaps or touches it
+        .withColumn("iv", expr(
+          s"aggregate(array_sort(st), CAST(array() AS array<struct<lo:int,hi:int>>), " +
+            s"(acc, x) -> CASE WHEN size(acc) > 0 AND x <= element_at(acc, -1).hi + 1 " +
+            s"THEN concat(slice(acc, 1, size(acc) - 1), " +
+            s"array(named_struct('lo', element_at(acc, -1).lo, 'hi', x + ${span - 1}))) " +
+            s"ELSE concat(acc, array(named_struct('lo', x, 'hi', x + ${span - 1}))) END)"))
+        .withColumn("kept", expr(
+          "filter(ws, (t, j) -> NOT exists(iv, v -> j + 1 >= v.lo AND j + 1 <= v.hi))"))
+    probed
       .select(col("doc_id"), size(col("ws")).as("n_tok"),
         (size(col("ws")) - size(col("kept"))).as("n_removed"),
         when(size(col("kept")) === 0, lit(null).cast("string"))
@@ -438,12 +459,15 @@ object Dedup {
     * SHUFFLES the shard against a lake-sized index. The Bloom filter
     * replaces that shuffle entirely — the lake is folded once into m bits
     * (one linear pass that reduces to ≤ m/64 rows), the bitmap is
-    * broadcast as a plan literal, and the probe is a zero-shuffle
-    * WholeStageCodegen pass over the shard. At 100 TB the trade is
-    * explicit: O(lake) preprocessing into O(1) broadcast state, with a
-    * quantified false-positive rate ((set bits/m)^k — size m to the lake's
-    * distinct count; 2^18 bits here for the fixture, ~2^33 for a trillion
-    * docs is still only 1 GiB) instead of the index join's exactness.
+    * broadcast (plan literal up to [[BloomLiteralMaxWords]], a
+    * SparkContext broadcast + [[graft.functions.BloomContains]] beyond —
+    * the production ~2^33-bit = 1 GiB sizing must never become a plan
+    * Literal), and the probe is a zero-shuffle WholeStageCodegen pass
+    * over the shard. At 100 TB the trade is explicit: O(lake)
+    * preprocessing into O(1) broadcast state, with a quantified
+    * false-positive rate ((set bits/m)^k — size m to the lake's distinct
+    * count; 2^18 bits here for the fixture, ~2^33 for a trillion docs is
+    * still only 1 GiB) instead of the index join's exactness.
     *
     * Everything is md5-derived integer math (probe positions are
     * Kirsch–Mitzenmacher h1 + i·h2 over the two 30-bit halves of the
@@ -494,24 +518,53 @@ object Dedup {
       .select(expr("cast(p div 64 AS int)").as("w"),
         expr("shiftleft(1L, cast(p % 64 AS int))").as("m"))
 
-  /** Probe the shard against a built bitmap: the verdict is a plan-literal
-    * forall — zero shuffles, no join; the truth column back-checks FPs. */
+  /** Plan-literal ceiling for the bitmap: up to 2^20 words (8 MiB) the
+    * bitmap rides the plan as a `typedLit` array; beyond that a Literal
+    * would blow up plan serialization/codegen (the production ~2^33-bit
+    * sizing is 134M words), so the probe flips to a SparkContext
+    * broadcast consumed by the codegen [[graft.functions.BloomContains]]
+    * expression — identical bits, identical zero-shuffle plan shape. */
+  private[graft] val BloomLiteralMaxWords = 1 << 20
+
+  /** Attach the `bloom_dup` verdict to a frame carrying probe positions
+    * (`pos: array<bigint>`): size-guarded literal-vs-broadcast dispatch. */
+  private[graft] def withBloomDup(posed: DataFrame, bm: Array[Long],
+      maxLiteralWords: Int = BloomLiteralMaxWords): DataFrame =
+    if (bm.length <= maxLiteralWords)
+      posed.withColumn("bmlit", typedLit(bm.toSeq))
+        .withColumn("bloom_dup", expr(
+          "forall(pos, p -> (element_at(bmlit, cast(p div 64 AS int) + 1) " +
+            "& shiftleft(1L, cast(p % 64 AS int))) != 0)"))
+        .drop("bmlit")
+    else {
+      import org.apache.spark.sql.graftshim.ColumnShim
+      val bc = posed.sparkSession.sparkContext.broadcast(bm)
+      posed.withColumn("bloom_dup", ColumnShim.column(
+        graft.functions.BloomContains(ColumnShim.expression(col("pos")), bc)))
+    }
+
+  /** Probe the shard against a built bitmap: the verdict is a zero-shuffle
+    * codegen pass (plan-literal forall, or the broadcast expression above
+    * the size guard); the truth column back-checks FPs. */
   private[graft] def bloomVerdict(s: SparkSession, dir: String,
-      bm: Array[Long]): DataFrame = {
+      bm: Array[Long],
+      maxLiteralWords: Int = BloomLiteralMaxWords): DataFrame = {
     val base = bloomFps(s, dir)
     val truth = bloomLake(base).select(col("fp")).distinct()
-    bloomWithPos(bloomShard(base))
-      .withColumn("bm", typedLit(bm.toSeq))
-      .withColumn("bloom_dup", expr(
-        "forall(pos, p -> (element_at(bm, cast(p div 64 AS int) + 1) " +
-          "& shiftleft(1L, cast(p % 64 AS int))) != 0)"))
+    withBloomDup(bloomWithPos(bloomShard(base)), bm, maxLiteralWords)
       .join(truth.withColumn("exact_dup", lit(true)), Seq("fp"), "left")
       .select(col("doc_id"), col("bloom_dup"),
         coalesce(col("exact_dup"), lit(false)).as("exact_dup"))
       .orderBy("doc_id")
   }
 
-  def bloomDedup(s: SparkSession, dir: String): DataFrame = {
+  def bloomDedup(s: SparkSession, dir: String): DataFrame =
+    bloomDedupGuard(s, dir, BloomLiteralMaxWords)
+
+  /** [[bloomDedup]] with the literal/broadcast guard exposed — Round12Spec
+    * forces the broadcast path (guard = 0) and pins row-identical output. */
+  private[graft] def bloomDedupGuard(s: SparkSession, dir: String,
+      maxLiteralWords: Int): DataFrame = {
     // build: explode lake probe positions, OR them into 64-bit words —
     // one linear shuffle that REDUCES to at most m/64 = 4096 rows
     // (metadata scale, like the ANN centroid pulls)
@@ -519,7 +572,7 @@ object Dedup {
       .groupBy("w").agg(expr("bit_or(m)").as("bits"))
     val bm = Array.fill(BloomBits / 64)(0L)
     words.collect().foreach(r => bm(r.getInt(0)) = r.getLong(1))
-    bloomVerdict(s, dir, bm)
+    bloomVerdict(s, dir, bm, maxLiteralWords)
   }
 
   /** Sketch-sized Bloom dedup — the PRODUCTION sizing loop [[bloomDedup]]
@@ -573,13 +626,9 @@ object Dedup {
       .groupBy("w").agg(expr("bit_or(m)").as("bits"))
     val bm = Array.fill((mBits / 64).toInt)(0L)
     words.collect().foreach(r => bm(r.getInt(0)) = r.getLong(1))
-    // 4. probe the shard at the sized m
+    // 4. probe the shard at the sized m (size-guarded literal/broadcast)
     val truth = lake.select(col("fp")).distinct()
-    posAt(bloomShard(base))
-      .withColumn("bm", typedLit(bm.toSeq))
-      .withColumn("bloom_dup", expr(
-        "forall(pos, p -> (element_at(bm, cast(p div 64 AS int) + 1) " +
-          "& shiftleft(1L, cast(p % 64 AS int))) != 0)"))
+    withBloomDup(posAt(bloomShard(base)), bm)
       .join(truth.withColumn("exact_dup", lit(true)), Seq("fp"), "left")
       .select(col("doc_id"), col("bloom_dup"),
         coalesce(col("exact_dup"), lit(false)).as("exact_dup"),

@@ -15,9 +15,12 @@ class Round11Spec extends SparkSpec {
       // structural Bloom property: membership never misses — every exact
       // duplicate must be bloom-flagged
       assert(out.where(col("exact_dup") && !col("bloom_dup")).count() === 0)
-      // every planted re-crawl (doc_id > 1000000 by construction) is an
-      // exact dup and therefore flagged
-      val recrawl = out.where(col("doc_id") > 1000000L)
+      // every planted re-crawl (doc_id offset by the smallest power of 10
+      // above max(doc_id), by construction) is an exact dup → flagged
+      val maxId = Tables(spark, sf, "documents")
+        .agg(max(col("doc_id"))).head().getLong(0)
+      val off = math.pow(10, maxId.toString.length).toLong
+      val recrawl = out.where(col("doc_id") >= off)
       assert(recrawl.count() > 0)
       assert(recrawl.where(!col("bloom_dup")).count() === 0)
       // the FP set (bloom-yes, truth-no) is deterministic and tiny at this

@@ -1,0 +1,64 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+/** Round-12 pins: the Bloom bitmap size guard (plan-literal vs executor
+  * broadcast), the span-strip interval-merge rewrite, and the
+  * production-parameter ANN recall sweep. */
+class Round12Spec extends SparkSpec {
+
+  test("bloom size guard: broadcast probe ≡ literal probe, plan shapes flip") {
+    val lit = Dedup.bloomDedupGuard(spark, sf, Dedup.BloomLiteralMaxWords)
+    val bc = Dedup.bloomDedupGuard(spark, sf, 0) // force the broadcast path
+    val litPlan = lit.queryExecution.executedPlan.toString
+    val bcPlan = bc.queryExecution.executedPlan.toString
+    // fixture scale: bitmap rides the plan as a literal inside forall
+    assert(litPlan.contains("forall"), "literal path lost its forall probe")
+    assert(!litPlan.contains("bloom_contains"),
+      "literal path must not ship a broadcast")
+    // forced-production scale: bitmap is a broadcast read by the codegen
+    // expression; no Literal array, no join, no sort-merge anywhere new
+    assert(bcPlan.contains("bloom_contains"),
+      "broadcast path missing the BloomContains expression")
+    assert(!bcPlan.contains("forall"), "broadcast path still carries forall")
+    assert(!bcPlan.contains("SortMergeJoin"), bcPlan.take(2000))
+    // the two probes read the same bits: verdicts are row-identical
+    assert(lit.collect().toSeq === bc.collect().toSeq,
+      "broadcast probe diverged from the plan-literal probe")
+  }
+
+  test("span strip: interval merge ≡ naive probe on a boilerplate-saturated doc") {
+    import spark.implicits._
+    val boiler = (0 until 60).map(i => s"b${i % 7}x$i").mkString(" ")
+    val uniqA = (0 until 20).map(i => s"ua$i").mkString(" ")
+    val uniqB = (0 until 20).map(i => s"ub$i").mkString(" ")
+    val docs = Seq(
+      (0L, boiler),                      // saturated: every 13-gram duplicated
+      (1L, boiler),                      // its twin
+      (2L, s"$uniqA $boiler $uniqB"),    // boilerplate island mid-document
+      (3L, (0 until 40).map(i => s"uc$i").mkString(" ")), // untouched
+      (4L, "short doc under thirteen tokens")
+    ).toDF("doc_id", "text")
+    val merged = Dedup.spanStripRewrite(docs, naive = false).collect().toSeq
+    val naive = Dedup.spanStripRewrite(docs, naive = true).collect().toSeq
+    assert(merged === naive, "interval-merge rewrite changed the edit")
+    val byId = merged.map(r => r.getLong(0) -> r).toMap
+    // saturated docs: everything removed (48 overlapping starts merge to
+    // ONE [1,60] interval), fingerprint null
+    assert(byId(0L).getInt(2) === 60 && byId(0L).isNullAt(3))
+    // island doc keeps its unique flanks
+    assert(byId(2L).getInt(2) === 60 && !byId(2L).isNullAt(3))
+    // unique and sub-span docs untouched
+    assert(byId(3L).getInt(2) === 0)
+    assert(byId(4L).getInt(2) === 0)
+  }
+
+  test("span strip: corpus-wide equivalence of merged and naive probes") {
+    val merged = Dedup.spanStripRewrite(
+      Tables(spark, sf, "documents"), naive = false).collect().toSeq
+    val naive = Dedup.spanStripRewrite(
+      Tables(spark, sf, "documents"), naive = true).collect().toSeq
+    assert(merged === naive)
+  }
+}
