@@ -197,6 +197,7 @@ object ScaleBench {
     }
     if (llmOnly) {
       inflateLlm(spark, src, out, k)
+      var prodIx: graft.operators.Similarity.ProdIndex = null
       val results = Seq(
         time(s"ngram_pairs_${k}x") {
           spark.catalog.clearCache()
@@ -339,7 +340,22 @@ object ScaleBench {
             .agg(sum(col("n_removed")).as("rm"), count(lit(1)).as("n")).head()
           r.getLong(1)
         },
+        // r12: the production IVF-PQ at real parameters — fit = Lloyd
+        // cells + two K=256 kernel encode passes + an n×64 mean agg (the
+        // collected book is 16 KB whatever the corpus); search prices
+        // nprobe/10 of the corpus at 8 integer lookups per candidate and
+        // only the R=100 shortlist by exact distance. Both must stay
+        // ~linear in k — the book/centroid pulls are fixed-size.
+        time(s"ann_prod_fit_${k}x") {
+          spark.catalog.clearCache()
+          prodIx = graft.operators.Similarity.buildProdIndex(spark, out)
+          prodIx.codes.count()
+        },
+        time(s"ann_prod_search_${k}x") {
+          graft.operators.Similarity.prodSearch(prodIx, nprobe = 8).count()
+        },
       )
+      if (prodIx != null) graft.operators.Similarity.releaseProdIndex(prodIx)
       val total = results.map(_._2).sum
       println(f"""{"metric":"scale_bench_llm","value":$total%.2f,"unit":"sec","k":$k,"queries":{${
         results.map { case (n, t, rows) => f""""$n":[$t%.2f,$rows]""" }.mkString(",")}}}""")
