@@ -339,6 +339,8 @@ object SparkEntry {
     "q_ddl_like"        -> (graft.sources.DdlSql.ddlLike _),
     "q_ddl_hive_udf"    -> (graft.sources.DdlSql.ddlHiveUdf _),
     "q_type_multiset"   -> (MultisetOps.multisetLattice _),
+    "q_type_time"       -> (graft.operators.TypeLattice.timeLattice _),
+    "q_type_raw"        -> (graft.operators.TypeLattice.rawLattice _),
     "q_graph_checksum"  -> (Graph.docChecksum _),
     "q_ddl_insert_partition" -> (graft.sources.HiveCatalog.insertPartition _),
     "q_sql_cascade"     -> (GroupWindowSql.cascade _),
@@ -727,5 +729,6 @@ object SparkEntry {
     graft.operators.SystemTimeSql.sql ++ Similarity.sql ++ GraphGens.sql ++
     streaming.StreamIterate.sql ++ Sketches.sql ++ Layout.sql ++
     graft.operators.DataQuality.sql ++ streaming.StateBootstrap.sql ++
-    MultisetOps.sql ++ streaming.StreamDedup.sql
+    MultisetOps.sql ++ streaming.StreamDedup.sql ++
+    graft.operators.TypeLattice.sql
 }

@@ -78,7 +78,9 @@ class EmptyInputSpec extends SparkSpec {
     "q_dedup_bloom", "q_quality_bigram_lm", "q_state_rescale",
     "q_dedup_span_strip", "q_tpch_q3", "q_ann_recall", "q_stream_bloom",
     "q_ann_pq", "q_ann_ivfpq", "q_ann_recall_pq", "q_stream_quantile",
-    "q_ml_ols", "q_stream_ols", "q_bpe_fertility", "q_dedup_bloom_sized")
+    "q_ml_ols", "q_stream_ols", "q_bpe_fertility", "q_dedup_bloom_sized",
+    // round-12 additions
+    "q_type_time", "q_type_raw")
 
   for (name <- queries)
     test(s"$name runs on an empty corpus") {
