@@ -306,6 +306,8 @@ object SparkEntry {
     "q_sql_match_agg_def" -> (streaming.MatchRecognizeSql.matchAggDef _),
     "q_sql_match_skip_last" -> (streaming.MatchRecognizeSql.matchSkipLast _),
     "q_sql_match_permute" -> (streaming.MatchRecognizeSql.matchPermute _),
+    "q_sql_match_permute_skip" -> (streaming.MatchRecognizeSql.matchPermuteSkip _),
+    "q_sql_match_rep_skip" -> (streaming.MatchRecognizeSql.matchRepSkip _),
     "q_sql_match_number"  -> (streaming.MatchRecognizeSql.matchNumber _),
     "q_sql_match_multi"   -> (streaming.MatchRecognizeSql.matchMulti _),
     "q_sql_match_multi_deep" -> (streaming.MatchRecognizeSql.matchMultiDeep _),

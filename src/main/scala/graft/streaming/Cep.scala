@@ -100,6 +100,17 @@ object Cep {
   case object SkipToNextRow extends SkipPolicy
   case class SkipToFirst(step: Int) extends SkipPolicy
   case class SkipToLast(step: Int) extends SkipPolicy
+  /** Alt-aware SKIP TO FIRST/LAST (r12, lifting the PERMUTE/grouped-
+    * repetition rejection): the target variable's STEP positions depend on
+    * which alternative (PERMUTE order) or repetition count (grouped loop)
+    * fired, so the policy carries `posOf(alt) = the variable's step
+    * indices in that alternative`. FIRST resumes at the first row of the
+    * variable's first row-owning occurrence, LAST at the last row of its
+    * last — and, like the fixed forms, a target that would not advance
+    * past the match's start row fails loudly (the reference raises the
+    * same infinite-loop condition). */
+  case class SkipToFirstOf(posOf: Int => Seq[Int]) extends SkipPolicy
+  case class SkipToLastOf(posOf: Int => Seq[Int]) extends SkipPolicy
 
   case class CepBuffer(rows: Seq[Event], matched: Long = 0L)
 
@@ -182,17 +193,29 @@ object Cep {
     * standard expands PERMUTE lexicographically) and the first that
     * matches at a start position wins. `Match.alt` reports which
     * alternative fired so measures can segment by the right variable
-    * order. Skip policies: PAST LAST ROW / TO NEXT ROW (TO FIRST/LAST
-    * would need a per-alternative variable resolution — out of subset). */
+    * order. Skip policies: all of them — TO FIRST/LAST uses the alt-aware
+    * [[SkipToFirstOf]]/[[SkipToLastOf]] forms (r12), since a variable's
+    * step position depends on the permutation that fired; the
+    * fixed-index forms remain single-alternative only. */
   def matchRecognizeAlts(ds: Dataset[Event], alts: Seq[Seq[QStep]],
                          skip: SkipPolicy,
                          quiesceMs: Long = 24L * 3600 * 1000,
                          withinMicros: Option[Long] = None): Dataset[Match] = {
     require(alts.forall(_.nonEmpty))
     require(!skip.isInstanceOf[SkipToFirst] && !skip.isInstanceOf[SkipToLast] ||
-      alts.size == 1, "SKIP TO FIRST/LAST with PERMUTE is out of subset")
+      alts.size == 1,
+      "fixed-index SKIP TO FIRST/LAST needs one alternative; use the alt-aware forms")
     matcherAlts(ds, alts, skip, quiesceMs, eventTimeFlush = true, withinMicros)
   }
+
+  /** Batch-fixture variant of [[matchRecognizeAlts]]/[[matchRecognizeGroup]]
+    * (no event-time timeout — the matchRecognizeOrderedSkip convention):
+    * specs drive crafted sequences through the full alternation/group
+    * machinery, skip algebra included. */
+  def matchRecognizeOrderedAlts(ds: Dataset[Event], alts: Seq[Seq[QStep]],
+                                skip: SkipPolicy,
+                                group: Option[(Seq[QStep], Seq[QStep], Int)] = None): Dataset[Match] =
+    matcherAlts(ds, alts, skip, 0L, eventTimeFlush = false, None, group)
 
   /** UNCAPPED grouped repetition `(body)* tail` (ref NFA.java loop states +
     * SharedBuffer.java — the reference compiles a group quantifier to a
@@ -399,6 +422,22 @@ object Cep {
                 val target = i + cnts.take(k + 1).sum - 1
                 require(target > i,
                   s"SKIP TO LAST of variable $k would loop on the match's own start row")
+                target
+              case SkipToFirstOf(posOf) =>
+                val poss = posOf(alt).filter(p => p < cnts.length && cnts(p) > 0)
+                require(poss.nonEmpty,
+                  "SKIP TO FIRST of a variable that matched no rows")
+                val target = i + cnts.take(poss.head).sum
+                require(target > i,
+                  "SKIP TO FIRST would loop on the match's own start row")
+                target
+              case SkipToLastOf(posOf) =>
+                val poss = posOf(alt).filter(p => p < cnts.length && cnts(p) > 0)
+                require(poss.nonEmpty,
+                  "SKIP TO LAST of a variable that matched no rows")
+                val target = i + cnts.take(poss.last + 1).sum - 1
+                require(target > i,
+                  "SKIP TO LAST would loop on the match's own start row")
                 target
             }
         }

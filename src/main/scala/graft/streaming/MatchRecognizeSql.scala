@@ -83,7 +83,13 @@ object MatchRecognizeSql extends Serializable {
                   skipTo: Option[(String, String)] = None, // (FIRST|LAST, var)
                   permute: Boolean = false,
                   groupRep: Option[(Seq[String], Seq[String], Int)] = None,
-                  subsets: Map[String, Seq[String]] = Map.empty)
+                  subsets: Map[String, Seq[String]] = Map.empty,
+                  // PERMUTE split (r12): fixed prefix vars, the permuted
+                  // vars, fixed suffix vars — `PATTERN (S PERMUTE(A, B))`
+                  // keeps S at position 0 of every alternative
+                  permPre: Seq[String] = Seq.empty,
+                  permVars: Seq[String] = Seq.empty,
+                  permPost: Seq[String] = Seq.empty)
 
   // ---------------------------------------------------------------- parsing
 
@@ -177,16 +183,17 @@ object MatchRecognizeSql extends Serializable {
       .getOrElse(throw new IllegalArgumentException("missing PATTERN"))
       .trim
     // PERMUTE(A, B[, C]): the listed variables match in any order (ref
-    // SQL PERMUTE; alternatives expand lexicographically). Subset: the
-    // whole pattern is one PERMUTE of unquantified variables.
-    val permuteRe = "(?is)^PERMUTE\\s*\\(([^)]*)\\)$".r
+    // SQL PERMUTE; alternatives expand lexicographically). Subset: ONE
+    // PERMUTE of unquantified variables, optionally surrounded by fixed
+    // unquantified prefix/suffix variables (r12 — `S PERMUTE(A, B)`).
+    val permuteRe = "(?is)^(.*?)\\bPERMUTE\\s*\\(([^)]*)\\)\\s*(.*)$".r
     // Leading grouped repetition `(A B)* C...` / `(A B)+ C...` — the
     // multi-occurrence pattern-variable form (a variable may appear in
     // both the group body and the tail, e.g. (A B)* A). Matched by the
     // uncapped loop in Cep.matchRecognizeGroup (run() wires it).
     val groupRe = "(?is)^\\(([^)]+)\\)\\s*(\\*|\\+)\\s*(.*)$".r
     val groupRep: Option[(Seq[String], Seq[String], Int)] =
-      if (patternBody.toUpperCase.startsWith("PERMUTE")) None
+      if (patternBody.toUpperCase.contains("PERMUTE")) None
       else groupRe.findFirstMatchIn(patternBody).map { m =>
         val body = m.group(1).trim.split("\\s+").toSeq
         val tail = m.group(3).trim.split("\\s+").toSeq.filter(_.nonEmpty)
@@ -198,9 +205,19 @@ object MatchRecognizeSql extends Serializable {
           "(...)* with no tail could match empty — use (...)+ or add a tail variable")
         (body.map(_.toUpperCase), tail.map(_.toUpperCase), minRep)
       }
-    val (isPermute, patternTokens) = permuteRe.findFirstMatchIn(patternBody) match {
-      case Some(m) =>
-        (true, m.group(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    val permParts: Option[(Seq[String], Seq[String], Seq[String])] =
+      if (!patternBody.toUpperCase.contains("PERMUTE")) None
+      else permuteRe.findFirstMatchIn(patternBody).map { m =>
+        val pre = m.group(1).trim.split("\\s+").toSeq.filter(_.nonEmpty)
+        val vars = m.group(2).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val post = m.group(3).trim.split("\\s+").toSeq.filter(_.nonEmpty)
+        require(pre.forall(_.matches("[A-Za-z]\\w*")) &&
+          post.forall(_.matches("[A-Za-z]\\w*")),
+          "PERMUTE prefix/suffix variables take no quantifiers in this subset")
+        (pre.map(_.toUpperCase), vars.map(_.toUpperCase), post.map(_.toUpperCase))
+      }
+    val (isPermute, patternTokens) = permParts match {
+      case Some((pre, vars, post)) => (true, pre ++ vars ++ post)
       case None => groupRep match {
         // pattern list = each DISTINCT variable once, appearance order;
         // the repetition structure lives in groupRep
@@ -230,7 +247,11 @@ object MatchRecognizeSql extends Serializable {
     if (isPermute) {
       require(pattern.forall(_._2.max == 1),
         "PERMUTE variables take no quantifiers in this subset")
-      require(skipTo.isEmpty, "SKIP TO FIRST/LAST with PERMUTE is out of subset")
+      // SKIP TO FIRST/LAST is alt-aware since r12 (Cep.SkipToFirstOf/
+      // SkipToLastOf); a skip target that lands on the match's own start
+      // row fails loudly at runtime — the reference's own infinite-loop
+      // condition, reachable e.g. by SKIP TO LAST B on a whole-pattern
+      // PERMUTE when the B-first permutation fires
     }
     val patVars = pattern.map(_._1)
     require(patVars.distinct == patVars,
@@ -239,9 +260,6 @@ object MatchRecognizeSql extends Serializable {
       cd.aggVars.foreach(w => require(patVars.contains(w),
         s"DEFINE $v aggregates over $w, which is not a pattern variable"))
     }
-    if (groupRep.isDefined)
-      require(skipTo.isEmpty,
-        "SKIP TO FIRST/LAST with a grouped repetition is out of subset")
     subsets.foreach { case (name, members) =>
       require(!patVars.contains(name), s"SUBSET $name shadows a pattern variable")
       require(members.nonEmpty && members.forall(patVars.contains),
@@ -271,7 +289,10 @@ object MatchRecognizeSql extends Serializable {
       s"SKIP TO references undefined pattern variable $v") }
     Spec(selectCols, table, partitionCol.toLowerCase, orderCol.toLowerCase,
       measures, skipPast, pattern, allRows, within, skipTo, isPermute, groupRep,
-      subsets)
+      subsets,
+      permPre = permParts.map(_._1).getOrElse(Seq.empty),
+      permVars = permParts.map(_._2).getOrElse(Seq.empty),
+      permPost = permParts.map(_._3).getOrElse(Seq.empty))
   }
 
   /** Split a DEFINE body on commas that separate entries (`,` followed by
@@ -525,18 +546,14 @@ object MatchRecognizeSql extends Serializable {
     val steps = spec.pattern.map(_._2)
     val varIdx = spec.pattern.map(_._1).zipWithIndex.toMap
     val measures = spec.measures
-    val skipPolicy: Cep.SkipPolicy = spec.skipTo match {
-      case Some((which, v)) =>
-        val idx = spec.pattern.indexWhere(_._1 == v)
-        if (which == "FIRST") Cep.SkipToFirst(idx) else Cep.SkipToLast(idx)
-      case None =>
-        if (spec.skipPastLastRow) Cep.SkipPastLastRow else Cep.SkipToNextRow
-    }
     // PERMUTE: one alternative per permutation of the listed variables,
-    // expanded lexicographically (the standard's order); Match.alt then
-    // tells the measure layer which variable order actually fired.
+    // expanded lexicographically (the standard's order), with any fixed
+    // prefix/suffix variables pinned around them; Match.alt then tells
+    // the measure layer which variable order actually fired.
     val fixedAltOrders: Seq[Seq[String]] =
-      if (spec.permute) spec.pattern.map(_._1).permutations.toSeq
+      if (spec.permute)
+        spec.permVars.permutations
+          .map(p => spec.permPre ++ p ++ spec.permPost).toSeq
       else Seq(spec.pattern.map(_._1))
     // Match.alt carries the REPETITION COUNT in group mode (uncapped — the
     // variable order is reconstructed per match), an alternative INDEX
@@ -544,6 +561,20 @@ object MatchRecognizeSql extends Serializable {
     val altOrderOf: Int => Seq[String] = spec.groupRep match {
       case Some((body, tail, _)) => (k: Int) => Seq.fill(k)(body).flatten ++ tail
       case None                  => (i: Int) => fixedAltOrders(i)
+    }
+    val skipPolicy: Cep.SkipPolicy = spec.skipTo match {
+      case Some((which, v)) if spec.permute || spec.groupRep.isDefined =>
+        // alt-aware (r12): the variable's step positions depend on which
+        // permutation (or repetition count) actually fired
+        val posOf: Int => Seq[Int] = (alt: Int) =>
+          altOrderOf(alt).zipWithIndex.collect { case (w, i) if w == v => i }
+        if (which == "FIRST") Cep.SkipToFirstOf(posOf)
+        else Cep.SkipToLastOf(posOf)
+      case Some((which, v)) =>
+        val idx = spec.pattern.indexWhere(_._1 == v)
+        if (which == "FIRST") Cep.SkipToFirst(idx) else Cep.SkipToLast(idx)
+      case None =>
+        if (spec.skipPastLastRow) Cep.SkipPastLastRow else Cep.SkipToNextRow
     }
     val stepByVar = spec.pattern.toMap
     val out = spec.groupRep match {
@@ -917,6 +948,53 @@ object MatchRecognizeSql extends Serializable {
   def matchMulti(s: SparkSession, dir: String): DataFrame = run(s, dir, matchMultiSql)
   def matchMultiDeep(s: SparkSession, dir: String): DataFrame = run(s, dir, matchMultiDeepSql)
 
+  /** SKIP TO LAST over a prefixed PERMUTE (r12 — the lifted subset edge):
+    * a purchase followed by view+click in either order; after each match
+    * the scan resumes at that match's click row, wherever the fired
+    * permutation put it. The three DEFINE types are disjoint, so no
+    * skipped-back-to row can start a new match and the declarative oracle
+    * is exact; the output-visible chaining case (an un-DEFINEd prefix)
+    * and the reference-faithful loop error (SKIP TO LAST B on a
+    * whole-pattern PERMUTE when the B-first permutation fires) are pinned
+    * in MatchRecognizeSqlSpec. */
+  val matchPermuteSkipSql: String =
+    """SELECT user_id, s_id, a_id, b_id FROM events
+      |MATCH_RECOGNIZE (
+      |  PARTITION BY user_id
+      |  ORDER BY ts
+      |  MEASURES S.event_id AS s_id, A.event_id AS a_id, B.event_id AS b_id
+      |  ONE ROW PER MATCH
+      |  AFTER MATCH SKIP TO LAST B
+      |  PATTERN (S PERMUTE(A, B))
+      |  DEFINE S AS event_type = 'purchase', A AS event_type = 'view',
+      |         B AS event_type = 'click'
+      |)""".stripMargin
+
+  /** SKIP TO FIRST inside a grouped repetition (r12): greedy alternating
+    * (view click)+ view; resuming at the FIRST click makes every view of
+    * an alternating run start its own (overlapping) match — output-visibly
+    * different from SKIP PAST LAST ROW, and exactly replayable: per
+    * maximal view/click alternating run, each view with ≥2 rows after it
+    * in the run emits a match reaching the run's last odd position. */
+  val matchRepSkipSql: String =
+    """SELECT user_id, a_first, n_b, b_last, c_id FROM events
+      |MATCH_RECOGNIZE (
+      |  PARTITION BY user_id
+      |  ORDER BY ts
+      |  MEASURES FIRST(A.event_id) AS a_first, COUNT(B.*) AS n_b,
+      |           LAST(B.event_id) AS b_last, LAST(C.event_id) AS c_id
+      |  ONE ROW PER MATCH
+      |  AFTER MATCH SKIP TO FIRST B
+      |  PATTERN ((A B)+ C)
+      |  DEFINE A AS event_type = 'view', B AS event_type = 'click',
+      |         C AS event_type = 'view'
+      |)""".stripMargin
+
+  def matchPermuteSkip(s: SparkSession, dir: String): DataFrame =
+    run(s, dir, matchPermuteSkipSql)
+  def matchRepSkip(s: SparkSession, dir: String): DataFrame =
+    run(s, dir, matchRepSkipSql)
+
   def matchPermute(s: SparkSession, dir: String): DataFrame = run(s, dir, matchPermuteSql)
 
   def matchParen(s: SparkSession, dir: String): DataFrame = run(s, dir, matchParenSql)
@@ -932,6 +1010,50 @@ object MatchRecognizeSql extends Serializable {
   /** DuckDB oracles (no MATCH_RECOGNIZE there either — expressed with
     * window functions, same derivations as the programmatic CEP oracles). */
   val sql: Map[String, String] = Map(
+    // prefixed PERMUTE + SKIP TO LAST B: disjoint DEFINE types make the
+    // lead-based derivation exact (no row inside a match can start one,
+    // and the skip-back target row can never satisfy S)
+    "q_sql_match_permute_skip" ->
+      """WITH o AS (SELECT user_id, event_id, event_type,
+        |            CAST(ts AS TIMESTAMP) AS t FROM events),
+        |sq AS (SELECT user_id, event_id AS s_id, event_type AS et0,
+        |  lead(event_type, 1) OVER w AS et1, lead(event_id, 1) OVER w AS id1,
+        |  lead(event_type, 2) OVER w AS et2, lead(event_id, 2) OVER w AS id2
+        | FROM o WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id))
+        |SELECT user_id, s_id,
+        |  CASE WHEN et1 = 'view' THEN id1 ELSE id2 END AS a_id,
+        |  CASE WHEN et1 = 'click' THEN id1 ELSE id2 END AS b_id
+        |FROM sq
+        |WHERE et0 = 'purchase'
+        |  AND ((et1 = 'view' AND et2 = 'click') OR (et1 = 'click' AND et2 = 'view'))
+        |ORDER BY user_id, s_id""".stripMargin,
+    // grouped repetition + SKIP TO FIRST B: overlapping matches — every
+    // view of a maximal view/click alternating run with >= 2 rows after
+    // it in the run matches greedily to the run's last odd position
+    "q_sql_match_rep_skip" ->
+      """WITH o AS (SELECT user_id, event_id, event_type,
+        |            row_number() OVER (PARTITION BY user_id
+        |              ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+        |           FROM events),
+        |b AS (SELECT *, CASE WHEN event_type IN ('view','click')
+        |        AND lag(event_type) OVER w IN ('view','click')
+        |        AND event_type <> lag(event_type) OVER w
+        |      THEN 0 ELSE 1 END AS brk
+        |   FROM o WINDOW w AS (PARTITION BY user_id ORDER BY rn)),
+        |g AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY rn) AS grp FROM b),
+        |gr AS (SELECT user_id, grp, max(rn) AS re FROM g
+        |       WHERE event_type IN ('view','click') GROUP BY user_id, grp),
+        |m AS (SELECT v.user_id, v.rn AS p, v.event_id AS a_first,
+        |        CASE WHEN (gr.re - v.rn) % 2 = 0 THEN gr.re ELSE gr.re - 1 END AS e
+        |      FROM g v JOIN gr ON v.user_id = gr.user_id AND v.grp = gr.grp
+        |      WHERE v.event_type = 'view')
+        |SELECT m.user_id, m.a_first, CAST((m.e - m.p) // 2 AS BIGINT) AS n_b,
+        |   bl.event_id AS b_last, ce.event_id AS c_id
+        |FROM m
+        |JOIN g ce ON ce.user_id = m.user_id AND ce.rn = m.e
+        |JOIN g bl ON bl.user_id = m.user_id AND bl.rn = m.e - 1
+        |WHERE m.e >= m.p + 2
+        |ORDER BY m.user_id, m.a_first""".stripMargin,
     "q_sql_match_xvar" ->
       """WITH o AS (SELECT user_id, event_id, event_type, value,
         |            row_number() OVER (PARTITION BY user_id

@@ -80,7 +80,8 @@ class EmptyInputSpec extends SparkSpec {
     "q_ann_pq", "q_ann_ivfpq", "q_ann_recall_pq", "q_stream_quantile",
     "q_ml_ols", "q_stream_ols", "q_bpe_fertility", "q_dedup_bloom_sized",
     // round-12 additions
-    "q_type_time", "q_type_raw")
+    "q_type_time", "q_type_raw",
+    "q_sql_match_permute_skip", "q_sql_match_rep_skip")
 
   for (name <- queries)
     test(s"$name runs on an empty corpus") {

@@ -431,6 +431,84 @@ class MatchRecognizeSqlSpec extends SparkSpec {
     assert(byCls === Map("A" -> strict.length, "B" -> strict.length, "C" -> strict.length))
   }
 
+  test("prefixed PERMUTE parses: fixed prefix var pinned around the permuted pair") {
+    val spec = MatchRecognizeSql.parse(MatchRecognizeSql.matchPermuteSkipSql)
+    assert(spec.permute)
+    assert(spec.permPre === Seq("S"))
+    assert(spec.permVars === Seq("A", "B"))
+    assert(spec.permPost === Seq.empty)
+    assert(spec.pattern.map(_._1) === Seq("S", "A", "B"))
+    assert(spec.skipTo === Some(("LAST", "B")))
+    val rep = MatchRecognizeSql.parse(MatchRecognizeSql.matchRepSkipSql)
+    assert(rep.groupRep === Some((Seq("A", "B"), Seq("C"), 1)))
+    assert(rep.skipTo === Some(("FIRST", "B")))
+  }
+
+  test("alt-aware SKIP TO LAST chains matches through the fired permutation's B row") {
+    import spark.implicits._
+    def ev(id: Long, sec: Int, et: String) =
+      StreamSource.Event(id, new java.sql.Timestamp(sec * 1000L), 1L, et, 1.0)
+    // S = any row, then {view, click} in either order. purchase view click
+    // view click: match1 = (1,2,3) via alt (S A B); SKIP TO LAST B resumes
+    // AT the click row 3, which is the S of match2 = (3,4,5). PAST LAST
+    // ROW finds only match1 — the skip clause is output-visible.
+    val events = spark.createDataset(Seq(
+      ev(1, 1, "purchase"), ev(2, 2, "view"), ev(3, 3, "click"),
+      ev(4, 4, "view"), ev(5, 5, "click")))
+    val any = Cep.QStep.once(_.event_type != "__sentinel")
+    val v = Cep.QStep.once(_.event_type == "view")
+    val c = Cep.QStep.once(_.event_type == "click")
+    val alts = Seq(Seq(any, v, c), Seq(any, c, v)) // S A B, then S B A
+    val posOfB: Int => Seq[Int] = alt => if (alt == 0) Seq(2) else Seq(1)
+    def ids(skip: Cep.SkipPolicy): Seq[Seq[Long]] =
+      Cep.matchRecognizeOrderedAlts(events, alts, skip)
+        .collect().map(_.ids).toSeq.sortBy(_.head)
+    assert(ids(Cep.SkipToLastOf(posOfB)) ===
+      Seq(Seq(1L, 2L, 3L), Seq(3L, 4L, 5L)))
+    assert(ids(Cep.SkipPastLastRow) === Seq(Seq(1L, 2L, 3L)))
+  }
+
+  test("SKIP TO LAST B on a whole-pattern PERMUTE fails loudly when B fires first") {
+    import spark.implicits._
+    def ev(id: Long, sec: Int, et: String) =
+      StreamSource.Event(id, new java.sql.Timestamp(sec * 1000L), 1L, et, 1.0)
+    val events = spark.createDataset(Seq(ev(1, 1, "click"), ev(2, 2, "view")))
+    val v = Cep.QStep.once(_.event_type == "view")
+    val c = Cep.QStep.once(_.event_type == "click")
+    val alts = Seq(Seq(v, c), Seq(c, v)) // (A B), (B A)
+    val posOfB: Int => Seq[Int] = alt => if (alt == 0) Seq(1) else Seq(0)
+    // the (B A) permutation fires with B on the match's start row: the
+    // skip target would not advance — the reference's infinite-loop
+    // condition, raised loudly
+    val e = intercept[org.apache.spark.SparkException] {
+      Cep.matchRecognizeOrderedAlts(events, alts, Cep.SkipToLastOf(posOfB))
+        .collect()
+    }
+    assert(e.getMessage.contains("own start row") ||
+      Option(e.getCause).exists(_.getMessage.contains("own start row")), e.toString)
+  }
+
+  test("grouped repetition + SKIP TO FIRST B: every view of the run starts an overlapping match") {
+    import spark.implicits._
+    def ev(id: Long, sec: Int, et: String) =
+      StreamSource.Event(id, new java.sql.Timestamp(sec * 1000L), 1L, et, 1.0)
+    // v c v c v: greedy match1 = (1..5) with 2 repetitions; resume at the
+    // FIRST click (row 2) → next start row 3 matches (3,4,5) with 1 rep.
+    // The trailing purchase ends the run (the ordered variant's documented
+    // stream-end convention — without it the greedy loop parks on NeedMore)
+    val events = spark.createDataset(Seq(
+      ev(1, 1, "view"), ev(2, 2, "click"), ev(3, 3, "view"),
+      ev(4, 4, "click"), ev(5, 5, "view"), ev(6, 6, "purchase")))
+    val v = Cep.QStep.once(_.event_type == "view")
+    val c = Cep.QStep.once(_.event_type == "click")
+    val posOfB: Int => Seq[Int] = k => Seq.tabulate(k)(j => 2 * j + 1)
+    val out = Cep.matchRecognizeOrderedAlts(events, Seq(Seq(v, c, v)),
+        Cep.SkipToFirstOf(posOfB), group = Some((Seq(v, c), Seq(v), 1)))
+      .collect().sortBy(_.ids.head)
+    assert(out.map(_.ids).toSeq === Seq(Seq(1L, 2L, 3L, 4L, 5L), Seq(3L, 4L, 5L)))
+    assert(out.map(_.alt).toSeq === Seq(2, 1)) // repetition counts
+  }
+
   test("SQL value measures equal the window-function derivation") {
     val viaSql = MatchRecognizeSql.matchSum(spark, sf).collect().map(_.toSeq)
     Tables.registerAll(spark, sf)
