@@ -347,6 +347,24 @@ object LlmOracles {
         | CAST(su // n_tok AS BIGINT) AS nats_u,
         | (su // n_tok) <= 3405000 AS keep
         |FROM d ORDER BY doc_id""").stripMargin,
+    // CCNet head/middle/tail: per-language perplexity terciles over the
+    // same micro-nat column; ntile over (nats_u, doc_id) is deterministic
+    "q_quality_ccnet_buckets" ->
+      (toksCte + """,
+        |tok AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+        |cnt AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+        |mdl AS (SELECT (SELECT CAST(sum(c) AS BIGINT) FROM cnt)
+        |             + (SELECT count(*) FROM cnt) AS nv),
+        |cost AS (SELECT tok,
+        |  CAST(round(-ln((c + 1) / (SELECT nv FROM mdl)::DOUBLE) * 1e6) AS BIGINT) AS u
+        | FROM cnt),
+        |d AS (SELECT t.doc_id, CAST(sum(u) // count(*) AS BIGINT) AS nats_u
+        |  FROM tok t JOIN cost USING (tok) GROUP BY t.doc_id)
+        |SELECT d.doc_id, l.lang, d.nats_u,
+        |  CASE ntile(3) OVER (PARTITION BY l.lang ORDER BY d.nats_u, d.doc_id)
+        |    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+        |FROM d JOIN (SELECT doc_id, lang FROM documents) l USING (doc_id)
+        |ORDER BY doc_id""").stripMargin,
     // conditional bigram LM: same micro-nat quantization discipline, cost
     // −ln((c(w1,w2)+1)/(c(w1)+V)) per bigram event
     "q_quality_bigram_lm" ->

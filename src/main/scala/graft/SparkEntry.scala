@@ -106,6 +106,7 @@ object SparkEntry {
     "q_tfidf_top3"        -> (TextAnalysis.tfidfTop3 _),
     "q_quality_perplexity" -> (TextAnalysis.perplexity _),
     "q_quality_bigram_lm" -> (TextAnalysis.bigramPerplexity _),
+    "q_quality_ccnet_buckets" -> (TextAnalysis.ccnetBuckets _),
     "q_fingerprint_winnow" -> (TextAnalysis.winnowFingerprint _),
     "q_dedup_winnow_pairs" -> (TextAnalysis.winnowDupPairs _),
     "q_decontaminate"     -> (Pipeline.decontaminate _),
@@ -115,6 +116,7 @@ object SparkEntry {
     "q_pii_redact"        -> (Pipeline.piiRedact _),
     "q_mix_budget"        -> (Pipeline.mixBudget _),
     "q_mix_temperature"   -> (Pipeline.mixTemperature _),
+    "q_mix_unimax"        -> (Pipeline.mixUnimax _),
     "q_c4_filter"         -> (WebPipeline.c4Filter _),
     "q_dedup_lines"       -> (WebPipeline.lineDedup _),
     "q_dedup_url"         -> (WebPipeline.urlDedup _),

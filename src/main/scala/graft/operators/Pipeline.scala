@@ -293,6 +293,50 @@ object Pipeline {
       .orderBy("source")
   }
 
+  /** UniMax budget allocation (Chung et al. 2023, "UniMax: Fairer and More
+    * Effective Language Sampling for Large-Scale Multilingual
+    * Pretraining") — the published successor to [[mixTemperature]]'s p^α
+    * rule: allocate a global token budget (40% of the pool here) as
+    * UNIFORMLY as possible across sources, subject to an epoch cap
+    * (C = 2 epochs: no source is repeated more than twice, the paper's
+    * overfitting guard). The algorithm is an ascending-capacity
+    * waterfill: visit sources by capacity cap_s = C·n_s ascending; each
+    * takes min(cap_s, fair share of the remaining budget), integer
+    * division end-to-end so both engines replay the fold bit-for-bit
+    * (the oracle is a recursive CTE stepping the identical sequence).
+    *
+    * Shape at 100 TB: ONE per-source aggregate (sources number in the
+    * dozens); the fold itself is driver arithmetic over that
+    * metadata-scale table — the OLS closed-form discipline. epochs_micro
+    * lifts to DECIMAL on a corpus where alloc·10^6 would overflow BIGINT
+    * (not reachable below ~9·10^12 tokens/source). */
+  def mixUnimax(s: SparkSession, dir: String): DataFrame = {
+    val sess = s
+    import sess.implicits._
+    val per = Tables(s, dir, "documents")
+      .select(col("source"), size(TextAnalysis.tokens(col("text"))).cast("long").as("n"))
+      .groupBy("source").agg(sum("n").as("src_toks"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (src, n) => (2L * n, src) }
+    if (per.isEmpty)
+      return Seq.empty[(String, Long, Long, Long, Long)]
+        .toDF("source", "src_toks", "cap_toks", "alloc_toks", "epochs_micro")
+    val budget = per.map(_._2).sum * 40 / 100
+    var r = budget
+    var m = per.length
+    val rows = per.map { case (src, n) =>
+      val cap = 2L * n
+      val fair = r / m // integer fair share of what remains
+      val alloc = math.min(cap, fair)
+      r -= alloc
+      m -= 1
+      (src, n, cap, alloc, if (n == 0) 0L else alloc * 1000000L / n)
+    }
+    rows.toSeq
+      .toDF("source", "src_toks", "cap_toks", "alloc_toks", "epochs_micro")
+      .orderBy("source")
+  }
+
   /** Int8 quantization summary per vector. */
   def quantize(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "embeddings")
@@ -380,6 +424,27 @@ object Pipeline {
         |  round((pa / z) / p_nat, 6) AS upsample,
         |  CAST(round(round(pa / z, 6) * 1000000, 0) AS BIGINT) AS budget_toks
         |FROM p, z ORDER BY source""".stripMargin,
+    // UniMax waterfill: the recursive CTE replays the engine's driver fold
+    // step by step (ascending capacity, integer fair share of the rest)
+    "q_mix_unimax" ->
+      """WITH RECURSIVE d AS (SELECT source,
+        |  len(string_split(lower(text), ' '))::BIGINT AS n FROM documents),
+        |per AS (SELECT source, CAST(sum(n) AS BIGINT) AS src_toks FROM d GROUP BY source),
+        |ord AS (SELECT source, src_toks, 2 * src_toks AS cap_toks,
+        |  row_number() OVER (ORDER BY 2 * src_toks, source) AS i FROM per),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS ns,
+        |  CAST(sum(src_toks) AS BIGINT) * 40 // 100 AS b FROM ord),
+        |steps AS (
+        |  SELECT CAST(0 AS BIGINT) AS i, (SELECT b FROM tot) AS r,
+        |         CAST(NULL AS VARCHAR) AS source, CAST(0 AS BIGINT) AS alloc
+        |  UNION ALL
+        |  SELECT o.i, s.r - least(o.cap_toks, s.r // ((SELECT ns FROM tot) - o.i + 1)),
+        |         o.source, least(o.cap_toks, s.r // ((SELECT ns FROM tot) - o.i + 1))
+        |  FROM steps s JOIN ord o ON o.i = s.i + 1)
+        |SELECT o.source, o.src_toks, o.cap_toks, st.alloc AS alloc_toks,
+        |  st.alloc * 1000000 // o.src_toks AS epochs_micro
+        |FROM ord o JOIN steps st ON st.source = o.source
+        |ORDER BY o.source""".stripMargin,
     "q_mix_budget" ->
       """WITH d AS (SELECT doc_id, source,
         |  len(string_split(lower(text), ' '))::BIGINT AS n_tokens FROM documents),

@@ -226,6 +226,35 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** CCNet head/middle/tail bucketing (Wenzek et al. 2020 §4.3 — the
+    * production form of [[perplexity]]'s fixed-threshold `keep`): within
+    * each LANGUAGE, documents split into perplexity terciles; 'head' (the
+    * most in-distribution third) trains high-quality models, 'tail' is
+    * dropped or demoted. Per-language percentiles matter because raw
+    * perplexities are not comparable across languages (different vocab
+    * sizes and token statistics). The split is ntile(3) over the total
+    * order (nats_u, doc_id) — integer micro-nats with a deterministic
+    * tiebreak, so both engines assign identical buckets (SQL-standard
+    * ntile puts the n mod 3 remainder on the first buckets in both).
+    *
+    * Shape at 100 TB: [[perplexity]]'s two linear shuffles + one
+    * per-language sort for the tercile window — the one genuinely
+    * rank-based step, bounded per language, and replaceable by the
+    * quantile sketch's two percentile scalars when an approximate split
+    * is acceptable. */
+  def ccnetBuckets(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val langs = Tables(s, dir, "documents").select(col("doc_id"), col("lang"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("nats_u"), col("doc_id"))
+    perplexity(s, dir).select(col("doc_id"), col("nats_u"))
+      .join(langs, "doc_id")
+      .withColumn("t", ntile(3).over(w))
+      .select(col("doc_id"), col("lang"), col("nats_u"),
+        when(col("t") === 1, "head").when(col("t") === 2, "middle")
+          .otherwise("tail").as("bucket"))
+      .orderBy("doc_id")
+  }
+
   /** Interpolation-free conditional BIGRAM-LM perplexity — the KenLM-grade
     * upgrade of [[perplexity]]'s unigram signal (CCNet's production filter
     * is a 5-gram KenLM; the bigram is the smallest model that catches what

@@ -81,7 +81,8 @@ class EmptyInputSpec extends SparkSpec {
     "q_ml_ols", "q_stream_ols", "q_bpe_fertility", "q_dedup_bloom_sized",
     // round-12 additions
     "q_type_time", "q_type_raw",
-    "q_sql_match_permute_skip", "q_sql_match_rep_skip")
+    "q_sql_match_permute_skip", "q_sql_match_rep_skip",
+    "q_mix_unimax", "q_quality_ccnet_buckets")
 
   for (name <- queries)
     test(s"$name runs on an empty corpus") {
