@@ -112,6 +112,7 @@ object SparkEntry {
     "q_decontaminate"     -> (Pipeline.decontaminate _),
     "q_sample_stratified" -> (Pipeline.stratifiedSample _),
     "q_pack_sequences"    -> (Pipeline.packSequences _),
+    "q_pack_nfd"          -> (Pipeline.packBinNfd _),
     "q_dsir_weight"       -> (Pipeline.dsirWeights _),
     "q_pii_redact"        -> (Pipeline.piiRedact _),
     "q_mix_budget"        -> (Pipeline.mixBudget _),

@@ -154,6 +154,45 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Bin-packed sequence layout — NEXT-FIT DECREASING, the
+    * boundary-preserving alternative to [[packSequences]]'s
+    * concat-and-chunk (Krell/Kosec et al. 2021, "Efficient Sequence
+    * Packing without Cross-contamination", popularized length-sorted bin
+    * packing for training sequences; next-fit is its one-pass member —
+    * documents are never split across sequences and no bin is revisited).
+    * Packing runs PER (source, shard) with shard = doc_id % 8: the
+    * sequential fold runs INSIDE each group (`flatMapGroups`), groups
+    * pack in parallel after one hash shuffle, and the shard modulus is
+    * the scale knob bounding group size — no global sort, no driver
+    * materialization. Group order is (n_tokens DESC, doc_id):
+    * deterministic, and the oracle's recursive CTE steps every group in
+    * lockstep through the identical fold. A document longer than the
+    * 256-token bin opens its own overflowing bin (the standard
+    * long-document policy ahead of truncation). */
+  def packBinNfd(s: SparkSession, dir: String): DataFrame = {
+    val sess = s
+    import sess.implicits._
+    val ctx = 256L
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        expr("cast(doc_id % 8 AS bigint)").as("shard"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+      .as[(Long, String, Long, Long)]
+      .groupByKey { case (_, src, shard, _) => (src, shard) }
+      .flatMapGroups { (key: (String, Long), it: Iterator[(Long, String, Long, Long)]) =>
+        val (src, shard) = key
+        val docs = it.toSeq.sortBy { case (id, _, _, n) => (-n, id) }
+        var bin = 0L
+        var used = ctx // the first document always opens bin 1
+        docs.iterator.map { case (id, _, _, n) =>
+          if (used + n <= ctx) used += n else { bin += 1; used = n }
+          (id, src, shard, n, bin)
+        }
+      }
+      .toDF("doc_id", "source", "shard", "n_tokens", "bin")
+      .orderBy("doc_id")
+  }
+
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): a hashed bag-of-words
     * log-likelihood ratio between a target distribution (the src0 slice
@@ -424,6 +463,27 @@ object Pipeline {
         |  round((pa / z) / p_nat, 6) AS upsample,
         |  CAST(round(round(pa / z, 6) * 1000000, 0) AS BIGINT) AS budget_toks
         |FROM p, z ORDER BY source""".stripMargin,
+    // NFD bin packing: the recursive CTE steps every (source, shard) group
+    // in lockstep through the identical next-fit fold
+    "q_pack_nfd" ->
+      """WITH RECURSIVE d AS (SELECT doc_id, source, doc_id % 8 AS shard,
+        |  len(string_split(lower(text), ' '))::BIGINT AS n FROM documents),
+        |o AS (SELECT *, row_number() OVER (PARTITION BY source, shard
+        |        ORDER BY n DESC, doc_id) AS rn FROM d),
+        |steps AS (
+        |  SELECT source, shard, CAST(0 AS BIGINT) AS rn,
+        |         CAST(0 AS BIGINT) AS bin, CAST(256 AS BIGINT) AS used,
+        |         CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS n
+        |  FROM (SELECT DISTINCT source, shard FROM d)
+        |  UNION ALL
+        |  SELECT o.source, o.shard, o.rn,
+        |    CASE WHEN s.used + o.n <= 256 THEN s.bin ELSE s.bin + 1 END,
+        |    CASE WHEN s.used + o.n <= 256 THEN s.used + o.n ELSE o.n END,
+        |    o.doc_id, o.n
+        |  FROM steps s JOIN o ON o.source = s.source AND o.shard = s.shard
+        |                     AND o.rn = s.rn + 1)
+        |SELECT doc_id, source, shard, n AS n_tokens, bin
+        |FROM steps WHERE rn > 0 ORDER BY doc_id""".stripMargin,
     // UniMax waterfill: the recursive CTE replays the engine's driver fold
     // step by step (ascending capacity, integer fair share of the rest)
     "q_mix_unimax" ->

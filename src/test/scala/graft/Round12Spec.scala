@@ -79,6 +79,22 @@ class Round12Spec extends SparkSpec {
       s"ADC-only ${sweep(8)._3} should trail refined ${sweep(8)._1}")
   }
 
+  test("NFD packing: capacity respected except single oversized docs; dense bin ids") {
+    val out = graft.operators.Pipeline.packBinNfd(spark, sf)
+      .groupBy(col("source"), col("shard"), col("bin"))
+      .agg(sum(col("n_tokens")).as("toks"), count(lit(1)).as("n_docs"))
+      .cache()
+    try {
+      // a bin over capacity must be a lone oversized document
+      assert(out.where(col("toks") > 256 && col("n_docs") > 1).count() === 0)
+      // next-fit never leaves a gap in bin numbering: ids are dense 1..max
+      val dense = out.groupBy(col("source"), col("shard"))
+        .agg(max(col("bin")).as("mx"), count(lit(1)).as("nb"))
+      assert(dense.where(col("mx") =!= col("nb")).count() === 0)
+      assert(out.count() > 0)
+    } finally out.unpersist(false)
+  }
+
   test("span strip: corpus-wide equivalence of merged and naive probes") {
     val merged = Dedup.spanStripRewrite(
       Tables(spark, sf, "documents"), naive = false).collect().toSeq
