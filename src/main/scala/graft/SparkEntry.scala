@@ -138,6 +138,7 @@ object SparkEntry {
     "q_stream_hll_window" -> (streaming.StreamQueries.streamHllWindow _),
     "q_sketch_overlap"    -> (Sketches.sourceOverlap _),
     "q_dq_checks"         -> (graft.operators.DataQuality.checks _),
+    "q_drift_psi"         -> (graft.operators.DataQuality.driftPsi _),
     "q_layout_zorder"     -> (Layout.zorderCells _),
     "q_bucket_join"       -> (Layout.bucketJoin _),
     "q_dedup_simhash"   -> (Dedup.simhashPairs _),

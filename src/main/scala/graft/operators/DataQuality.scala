@@ -30,6 +30,58 @@ import org.apache.spark.sql.functions._
   * production lake produces. */
 object DataQuality {
 
+  /** Population Stability Index drift monitor — the standard production
+    * gate between a reference corpus snapshot and a new ingest (credit-
+    * scoring lineage, now the default data-drift alarm in ML pipelines):
+    * PSI = Σ_b (p_b − q_b)·ln(p_b/q_b) over a binned feature, with
+    * PSI > 0.2 conventionally "major drift". Here the feature is document
+    * length in tokens on the HDR log₂ grid (16 mantissa cells per octave
+    * — the quantile sketch's bucket math reused), the reference is the
+    * src0 slice and every other source is scored against it, add-one
+    * smoothed over each pair's joint bucket set.
+    *
+    * Determinism: p and q are exact integer ratios in double (exactly
+    * rounded), the single ln is quantized to integer NANO units per
+    * bucket before the per-source sum (the micro-nat discipline at one
+    * more digit — contributions are tiny by construction). Shape at
+    * 100 TB: one expression-only binning pass + two bucket-count
+    * aggregates (≤ ~16·64 cells/source — metadata scale), then
+    * broadcast-size arithmetic. */
+  def driftPsi(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents")
+      .select(col("source"), expr(
+        "(length(bin(greatest(size(split(lower(text), ' ')), 1))) - 1) * 16 " +
+          "+ (shiftright(greatest(size(split(lower(text), ' ')), 1), " +
+          "greatest(length(bin(greatest(size(split(lower(text), ' ')), 1))) - 5, 0)) & 15)")
+        .as("bucket"))
+    val refc = d.where(col("source") === "src0")
+      .groupBy("bucket").agg(count(lit(1)).as("cr"))
+    val curc = d.where(col("source") =!= "src0")
+      .groupBy("source", "bucket").agg(count(lit(1)).as("cc"))
+    val nref = refc.agg(coalesce(sum(col("cr")), lit(0L))).head().getLong(0)
+    // joint bucket set per source: every reference bucket plus the
+    // source's own
+    val pairs = curc.select(col("source")).distinct()
+      .crossJoin(refc.select(col("bucket")))
+      .union(curc.select(col("source"), col("bucket"))).distinct()
+    val bs = pairs.join(curc, Seq("source", "bucket"), "left")
+      .groupBy("source").agg(count(lit(1)).as("b"),
+        coalesce(sum(col("cc")), lit(0L)).as("ncur"))
+    val contrib = pairs
+      .join(refc, Seq("bucket"), "left")
+      .join(curc, Seq("source", "bucket"), "left")
+      .join(bs, "source")
+      .withColumn("p", expr(s"cast(coalesce(cr, 0) + 1 AS double) / cast(${nref}L + b AS double)"))
+      .withColumn("q", expr("cast(coalesce(cc, 0) + 1 AS double) / cast(ncur + b AS double)"))
+      .withColumn("contrib_nano", expr("cast(round((p - q) * ln(p / q) * 1e9) AS bigint)"))
+    contrib.groupBy("source")
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(col("contrib_nano")).as("psi_nano"),
+        max(col("contrib_nano")).as("max_contrib_nano"))
+      .withColumn("drifted", col("psi_nano") > 200000000L)
+      .orderBy("source")
+  }
+
   def checks(s: SparkSession, dir: String): DataFrame = {
     val li = Tables(s, dir, "lineitem")
     val ord = Tables(s, dir, "orders")
@@ -95,6 +147,37 @@ object DataQuality {
   }
 
   val sql: Map[String, String] = Map(
+    // PSI drift: same HDR bucket math, exact integer ratios, ln quantized
+    // to nano units per bucket before the per-source sum
+    "q_drift_psi" ->
+      """WITH d AS (SELECT source,
+        |  (length(bin(greatest(len(string_split(lower(text), ' ')), 1))) - 1) * 16
+        |  + ((greatest(len(string_split(lower(text), ' ')), 1)
+        |      >> greatest(length(bin(greatest(len(string_split(lower(text), ' ')), 1))) - 5, 0)) & 15) AS bucket
+        | FROM documents),
+        |refc AS (SELECT bucket, count(*) AS cr FROM d WHERE source = 'src0' GROUP BY bucket),
+        |curc AS (SELECT source, bucket, count(*) AS cc FROM d
+        |  WHERE source <> 'src0' GROUP BY source, bucket),
+        |nref AS (SELECT coalesce(CAST(sum(cr) AS BIGINT), 0) AS nr FROM refc),
+        |pairs AS (SELECT DISTINCT source, bucket FROM
+        |  (SELECT s.source, r.bucket FROM (SELECT DISTINCT source FROM curc) s, refc r
+        |   UNION ALL SELECT source, bucket FROM curc)),
+        |bs AS (SELECT p.source, count(*) AS b,
+        |   coalesce(CAST(sum(c.cc) AS BIGINT), 0) AS ncur
+        |  FROM pairs p LEFT JOIN curc c USING (source, bucket) GROUP BY p.source),
+        |ctr AS (SELECT p.source,
+        |   CAST(round((CAST(coalesce(r.cr, 0) + 1 AS DOUBLE) / ((SELECT nr FROM nref) + bs.b)
+        |     - CAST(coalesce(c.cc, 0) + 1 AS DOUBLE) / (bs.ncur + bs.b))
+        |     * ln((CAST(coalesce(r.cr, 0) + 1 AS DOUBLE) / ((SELECT nr FROM nref) + bs.b))
+        |        / (CAST(coalesce(c.cc, 0) + 1 AS DOUBLE) / (bs.ncur + bs.b))) * 1e9) AS BIGINT) AS contrib
+        |  FROM pairs p LEFT JOIN refc r USING (bucket)
+        |    LEFT JOIN curc c USING (source, bucket)
+        |    JOIN bs ON bs.source = p.source)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_buckets,
+        |  CAST(sum(contrib) AS BIGINT) AS psi_nano,
+        |  CAST(max(contrib) AS BIGINT) AS max_contrib_nano,
+        |  CAST(sum(contrib) AS BIGINT) > 200000000 AS drifted
+        |FROM ctr GROUP BY source ORDER BY source""".stripMargin,
     "q_dq_checks" ->
       """WITH li AS (SELECT count(*) AS total,
         |   CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_null_qty,

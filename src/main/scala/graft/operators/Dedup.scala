@@ -193,14 +193,25 @@ object Dedup {
       if (naive) base.withColumn("kept", expr(
         s"filter(ws, (t, j) -> NOT exists(st, x -> j + 1 >= x AND j + 1 <= x + ${span - 1}))"))
       else base
-        // sorted starts → disjoint merged intervals: [x, x+12] folds into
-        // the previous interval when it overlaps or touches it
+        // sorted starts → disjoint merged intervals. All windows share
+        // length `span`, so hi = x + span - 1 is MONOTONE in the sorted
+        // starts and the merge is a pairwise gap test: a new interval
+        // begins exactly where the gap to the previous start exceeds
+        // span. (An aggregate-with-concat fold computes the same thing
+        // but copies its accumulator per start — measured 2.2x slower
+        // than the naive probe at the 100x rehearsal; this spelling is
+        // O(n_starts) with no per-step allocation.)
+        .withColumn("ss", expr("array_sort(st)"))
+        .withColumn("bidx", expr(
+          s"CASE WHEN size(ss) = 0 THEN CAST(array() AS array<int>) ELSE " +
+            s"filter(sequence(1, size(ss)), j -> j = 1 OR " +
+            s"element_at(ss, j) > element_at(ss, greatest(j - 1, 1)) + $span) END"))
         .withColumn("iv", expr(
-          s"aggregate(array_sort(st), CAST(array() AS array<struct<lo:int,hi:int>>), " +
-            s"(acc, x) -> CASE WHEN size(acc) > 0 AND x <= element_at(acc, -1).hi + 1 " +
-            s"THEN concat(slice(acc, 1, size(acc) - 1), " +
-            s"array(named_struct('lo', element_at(acc, -1).lo, 'hi', x + ${span - 1}))) " +
-            s"ELSE concat(acc, array(named_struct('lo', x, 'hi', x + ${span - 1}))) END)"))
+          s"CASE WHEN size(bidx) = 0 THEN CAST(array() AS array<struct<lo:int,hi:int>>) ELSE " +
+            s"transform(sequence(1, size(bidx)), k -> named_struct(" +
+            s"'lo', element_at(ss, element_at(bidx, k)), " +
+            s"'hi', element_at(ss, CASE WHEN k < size(bidx) THEN element_at(bidx, k + 1) - 1 " +
+            s"ELSE size(ss) END) + ${span - 1})) END"))
         .withColumn("kept", expr(
           "filter(ws, (t, j) -> NOT exists(iv, v -> j + 1 >= v.lo AND j + 1 <= v.hi))"))
     probed
