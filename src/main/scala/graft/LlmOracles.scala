@@ -519,6 +519,23 @@ object LlmOracles {
         |SELECT doc_id FROM documents
         |WHERE doc_id NOT IN (SELECT u FROM lbl WHERE mv < u)
         |ORDER BY doc_id""").stripMargin,
+    // leakage-safe split: rep = component minimum (same reach derivation),
+    // split key = md5(rep) bucket — clusters move together
+    "q_split_leakage" ->
+      (minhashPairCtes.replaceFirst("WITH ", "WITH RECURSIVE ") + """,
+        |edges AS (SELECT doc_a AS u, doc_b AS v FROM vpairs
+        |          UNION SELECT doc_b, doc_a FROM vpairs),
+        |reach AS (SELECT u, v FROM edges
+        |          UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+        |lbl AS (SELECT u, min(v) AS mv FROM reach GROUP BY u),
+        |rep AS (SELECT d.doc_id,
+        |   least(d.doc_id, coalesce(l.mv, d.doc_id)) AS rep
+        |  FROM documents d LEFT JOIN lbl l ON l.u = d.doc_id),
+        |sp AS (SELECT doc_id, rep,
+        |   ('0x' || substr(md5(rep::VARCHAR), 1, 8))::UBIGINT % 10 AS b FROM rep)
+        |SELECT doc_id, rep,
+        |  CASE WHEN b <= 7 THEN 'train' WHEN b = 8 THEN 'val' ELSE 'test' END AS split
+        |FROM sp ORDER BY doc_id""").stripMargin,
     "q_dedup_simhash" ->
       (toksCte + """,
         |th AS (SELECT doc_id, ('0x'||substr(md5(tok), 1, 15))::UBIGINT AS h

@@ -93,6 +93,7 @@ object SparkEntry {
     "q_dedup_ngram_keep"  -> (Dedup.ngramDedupKeep _),
     "q_dedup_minhash_lsh" -> (Dedup.minhashLshPairs _),
     "q_dedup_cluster_keep" -> (Dedup.minhashClusterKeep _),
+    "q_split_leakage"   -> (Dedup.leakageSafeSplit _),
     "q_stream_dedup_minhash" -> (streaming.StreamDedup.minhashStreamKeep _),
     "q_dedup_span"        -> (Dedup.spanDupCoverage _),
     "q_dedup_span_strip"  -> (Dedup.spanStrip _),
@@ -143,6 +144,7 @@ object SparkEntry {
     "q_bucket_join"       -> (Layout.bucketJoin _),
     "q_dedup_simhash"   -> (Dedup.simhashPairs _),
     "q_ann_brute"       -> (Similarity.annBruteForce _),
+    "q_ann_negatives"   -> (Similarity.annHardNegatives _),
     "q_ann_ivf"         -> (Similarity.annIvf _),
     "q_ann_recall"      -> (Similarity.annRecall _),
     "q_ann_pq"          -> (Similarity.annPq _),

@@ -329,6 +329,70 @@ object Dedup {
     } finally pairs.unpersist(blocking = false)
   }
 
+  /** (doc_id, rep): every document labeled with its near-dup component's
+    * MINIMUM doc_id (isolated docs are their own rep) — the cluster
+    * identity [[minhashClusterKeep]] keys its keep decision on, exposed
+    * for consumers that need the label itself. Same size-guarded
+    * union-find / distributed-CC flip. */
+  private[graft] def clusterReps(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = minhashLshPairs(s, dir)
+      .select(col("doc_a"), col("doc_b")).persist()
+    try {
+      val nPairs = pairs.count()
+      val labels: DataFrame =
+        if (nPairs <= 2000000L) {
+          val es = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+          val parent = scala.collection.mutable.Map.empty[Long, Long]
+          def find(x: Long): Long = {
+            var r = x
+            while (parent.getOrElse(r, r) != r) r = parent(r)
+            var c = x
+            while (parent.getOrElse(c, c) != c) {
+              val n = parent(c); parent(c) = r; c = n
+            }
+            r
+          }
+          // union by MIN root: the component's root stays its minimum id
+          es.foreach { case (a, b) =>
+            val (ra, rb) = (find(a), find(b))
+            if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+          }
+          val verts = es.flatMap(e => Seq(e._1, e._2)).distinct
+          s.createDataset(verts.map(v => (v, find(v)))).toDF("doc_id", "rep")
+        } else {
+          val verts = pairs.select(col("doc_a").as("id"))
+            .union(pairs.select(col("doc_b").as("id"))).distinct()
+          Graph.connectedComponents(verts,
+              pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+            .select(col("id").as("doc_id"), col("label").as("rep"))
+        }
+      Tables(s, dir, "documents").select(col("doc_id"))
+        .join(labels, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("rep"))
+    } finally pairs.unpersist(blocking = false)
+  }
+
+  /** Leakage-safe train/val/test split — the benchmark-hygiene step after
+    * dedup: a plain per-document hash split leaks whenever two NEAR-DUPES
+    * land on opposite sides (the validation set then contains soft copies
+    * of training documents, inflating eval). Here the split key is the
+    * near-dup COMPONENT representative, so an entire cluster always moves
+    * together: md5(rep) % 10 → 0-7 train, 8 val, 9 test (the standard
+    * 80/10/10). Round12Spec pins the guarantee: no verified near-dup pair
+    * straddles splits. Cost over the pair table: one label pass + a
+    * map-side hash — the split itself adds no shuffle beyond
+    * [[clusterReps]]. */
+  def leakageSafeSplit(s: SparkSession, dir: String): DataFrame =
+    clusterReps(s, dir)
+      .withColumn("b",
+        expr("conv(substring(md5(cast(rep AS STRING)), 1, 8), 16, 10)")
+          .cast("long") % 10)
+      .select(col("doc_id"), col("rep"),
+        when(col("b") <= 7, "train").when(col("b") === 8, "val")
+          .otherwise("test").as("split"))
+      .orderBy("doc_id")
+
   /** MinHash (32 seeds) + LSH banding (16 bands x 2 rows): candidates share
     * at least one band bucket; verified with exact Jaccard >= 0.5.
     * Ref shape: MinHashLSH; hashes are md5-derived so the DuckDB oracle

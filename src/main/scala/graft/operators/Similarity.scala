@@ -104,6 +104,30 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
+  /** Hard-negative mining — the contrastive-training counterpart of
+    * nearest-neighbor search (DPR/Contriever recipe: the most useful
+    * negatives are the most SIMILAR vectors from a different class): per
+    * query, the top-5 highest-cosine vectors whose `label` differs from
+    * the query's. Same deterministic rounded-cosine ranking as
+    * [[annBruteForce]]; at scale the brute pass swaps for the IVF/PQ
+    * index with a label post-filter, exactly as recall search does. */
+  def annHardNegatives(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = withNorm(Tables(s, dir, "embeddings"))
+    val queries = emb.where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        col("nrm").as("qn"), col("label").as("ql"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    emb.crossJoin(broadcast(queries))
+      .where(col("label") =!= col("ql"))
+      .select(col("qid"), col("vec_id"),
+        cosPre(col("qv"), col("embedding"), col("qn"), col("nrm")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 5)
+      .select(col("qid"), col("rank"), col("vec_id"), col("cos"))
+      .orderBy("qid", "rank")
+  }
+
   /** ANN recall evaluation — the quality harness every approximate index
     * ships with (FAISS's standard recall@k protocol): the IVF index's
     * top-10 against the brute-force ground truth, per query. At 100 TB
@@ -585,6 +609,17 @@ object Similarity {
   }
 
   val sql: Map[String, String] = Map(
+    "q_ann_negatives" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv, label AS ql FROM e WHERE vec_id < 5),
+        |px AS (SELECT q.qid, e.vec_id,
+        |   round(list_dot_product(e.v, q.qv) /
+        |     (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos
+        |  FROM e JOIN q ON e.label <> q.ql),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+        |  FROM px)
+        |SELECT qid, rank, vec_id, cos FROM rk WHERE rank <= 5
+        |ORDER BY qid, rank""".stripMargin,
     "q_sparse_cosine" -> (graft.LlmOracles.pairsCte + """,
       |tfu AS (SELECT doc_id, tok, count(*) AS c
       |  FROM (SELECT doc_id, unnest(t) AS tok FROM toks) GROUP BY doc_id, tok),

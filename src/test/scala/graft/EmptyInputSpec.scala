@@ -82,7 +82,8 @@ class EmptyInputSpec extends SparkSpec {
     // round-12 additions
     "q_type_time", "q_type_raw",
     "q_sql_match_permute_skip", "q_sql_match_rep_skip",
-    "q_mix_unimax", "q_quality_ccnet_buckets", "q_pack_nfd", "q_drift_psi")
+    "q_mix_unimax", "q_quality_ccnet_buckets", "q_pack_nfd", "q_drift_psi",
+    "q_split_leakage", "q_ann_negatives")
 
   for (name <- queries)
     test(s"$name runs on an empty corpus") {

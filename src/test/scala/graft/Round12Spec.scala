@@ -95,6 +95,26 @@ class Round12Spec extends SparkSpec {
     } finally out.unpersist(false)
   }
 
+  test("leakage-safe split: no verified near-dup pair straddles splits") {
+    val split = Dedup.leakageSafeSplit(spark, sf)
+      .select(col("doc_id"), col("split")).cache()
+    try {
+      val pairs = Dedup.minhashLshPairs(spark, sf)
+        .select(col("doc_a"), col("doc_b"))
+      val straddle = pairs
+        .join(split.select(col("doc_id").as("doc_a"), col("split").as("sa")), "doc_a")
+        .join(split.select(col("doc_id").as("doc_b"), col("split").as("sb")), "doc_b")
+        .where(col("sa") =!= col("sb"))
+      assert(straddle.count() === 0,
+        "a near-dup pair landed on opposite sides of the split")
+      // all three splits populated at the 80/10/10 hash shares
+      val shares = split.groupBy("split").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(shares.keySet === Set("train", "val", "test"), shares.toString)
+      assert(shares("train") > shares("val") && shares("train") > shares("test"))
+    } finally split.unpersist(false)
+  }
+
   test("span strip: corpus-wide equivalence of merged and naive probes") {
     val merged = Dedup.spanStripRewrite(
       Tables(spark, sf, "documents"), naive = false).collect().toSeq
