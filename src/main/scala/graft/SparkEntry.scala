@@ -140,6 +140,7 @@ object SparkEntry {
     "q_sketch_overlap"    -> (Sketches.sourceOverlap _),
     "q_dq_checks"         -> (graft.operators.DataQuality.checks _),
     "q_drift_psi"         -> (graft.operators.DataQuality.driftPsi _),
+    "q_stream_drift_psi"  -> (streaming.StreamQueries.streamDriftPsi _),
     "q_layout_zorder"     -> (Layout.zorderCells _),
     "q_bucket_join"       -> (Layout.bucketJoin _),
     "q_dedup_simhash"   -> (Dedup.simhashPairs _),

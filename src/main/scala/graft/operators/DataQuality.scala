@@ -47,17 +47,27 @@ object DataQuality {
     * 100 TB: one expression-only binning pass + two bucket-count
     * aggregates (≤ ~16·64 cells/source — metadata scale), then
     * broadcast-size arithmetic. */
+  /** The HDR length-bucket expression shared by the batch and streaming
+    * PSI variants. */
+  private[graft] val lenBucketExpr: String =
+    "(length(bin(greatest(size(split(lower(text), ' ')), 1))) - 1) * 16 " +
+      "+ (shiftright(greatest(size(split(lower(text), ' ')), 1), " +
+      "greatest(length(bin(greatest(size(split(lower(text), ' ')), 1))) - 5, 0)) & 15)"
+
   def driftPsi(s: SparkSession, dir: String): DataFrame = {
     val d = Tables(s, dir, "documents")
-      .select(col("source"), expr(
-        "(length(bin(greatest(size(split(lower(text), ' ')), 1))) - 1) * 16 " +
-          "+ (shiftright(greatest(size(split(lower(text), ' ')), 1), " +
-          "greatest(length(bin(greatest(size(split(lower(text), ' ')), 1))) - 5, 0)) & 15)")
-        .as("bucket"))
+      .select(col("source"), expr(lenBucketExpr).as("bucket"))
     val refc = d.where(col("source") === "src0")
       .groupBy("bucket").agg(count(lit(1)).as("cr"))
     val curc = d.where(col("source") =!= "src0")
       .groupBy("source", "bucket").agg(count(lit(1)).as("cc"))
+    psiOf(refc, curc)
+  }
+
+  /** The PSI arithmetic over bucket-count tables — shared by the batch
+    * scan and the streaming fold (whose drained state must produce the
+    * bit-identical report; counts are the only stream-derived input). */
+  private[graft] def psiOf(refc: DataFrame, curc: DataFrame): DataFrame = {
     val nref = refc.agg(coalesce(sum(col("cr")), lit(0L))).head().getLong(0)
     // joint bucket set per source: every reference bucket plus the
     // source's own
@@ -146,10 +156,10 @@ object DataQuality {
     }
   }
 
-  val sql: Map[String, String] = Map(
-    // PSI drift: same HDR bucket math, exact integer ratios, ln quantized
-    // to nano units per bucket before the per-source sum
-    "q_drift_psi" ->
+  /** Shared by the batch query and its streaming twin: the incremental
+    * fold must produce the bit-identical report (monotone counts, drained
+    * max per cell == batch count). */
+  private val driftPsiSql: String =
       """WITH d AS (SELECT source,
         |  (length(bin(greatest(len(string_split(lower(text), ' ')), 1))) - 1) * 16
         |  + ((greatest(len(string_split(lower(text), ' ')), 1)
@@ -177,7 +187,14 @@ object DataQuality {
         |  CAST(sum(contrib) AS BIGINT) AS psi_nano,
         |  CAST(max(contrib) AS BIGINT) AS max_contrib_nano,
         |  CAST(sum(contrib) AS BIGINT) > 200000000 AS drifted
-        |FROM ctr GROUP BY source ORDER BY source""".stripMargin,
+        |FROM ctr GROUP BY source ORDER BY source""".stripMargin
+
+  val sql: Map[String, String] = Map(
+    // PSI drift: same HDR bucket math, exact integer ratios, ln quantized
+    // to nano units per bucket before the per-source sum; the streaming
+    // twin shares the text verbatim (incremental fold ≡ batch build)
+    "q_drift_psi" -> driftPsiSql,
+    "q_stream_drift_psi" -> driftPsiSql,
     "q_dq_checks" ->
       """WITH li AS (SELECT count(*) AS total,
         |   CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_null_qty,

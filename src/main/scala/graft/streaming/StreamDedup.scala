@@ -54,8 +54,11 @@ object StreamDedup {
   /** Write-once ordered 4-segment replay of documents (doc_id ranges in
     * file order, modtimes pinned so the file source replays them in
     * ascending order). */
-  private[streaming] def prepare(s: SparkSession, dir: String): String = synchronized {
-    val segDir = "/tmp/graft-docstream/v1-" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+  private[streaming] def prepare(s: SparkSession, dir: String,
+      withSource: Boolean = false): String = synchronized {
+    val segDir = (if (withSource) "/tmp/graft-docstream/v2src-"
+                  else "/tmp/graft-docstream/v1-") +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")
     val root = new java.io.File(segDir)
     if (root.isDirectory && root.listFiles().exists(_.getName.endsWith(".parquet")))
       return segDir
@@ -63,7 +66,9 @@ object StreamDedup {
       s"$segDir.inprogress-${ProcessHandle.current().pid()}-${System.nanoTime()}")
     staging.mkdirs()
     val tmp = new java.io.File(staging, "tmp")
-    Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+    val cols = if (withSource) Seq(col("doc_id"), col("text"), col("source"))
+               else Seq(col("doc_id"), col("text"))
+    Tables(s, dir, "documents").select(cols: _*)
       .repartitionByRange(4, col("doc_id")).sortWithinPartitions("doc_id")
       .write.mode("overwrite").parquet(tmp.getPath)
     val t0 = System.currentTimeMillis() - 3600 * 1000L

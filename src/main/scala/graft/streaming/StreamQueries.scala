@@ -850,6 +850,41 @@ object StreamQueries {
       .orderBy("event_type", "q")
   }
 
+  /** Streaming PSI drift — [[graft.operators.DataQuality.driftPsi]] kept
+    * LIVE as documents arrive in micro-batches: the per-(source, bucket)
+    * count grid IS the streaming aggregation state — ≤16·64 fixed-width
+    * cells per source however large the corpus grows (the streamHll /
+    * streamQuantile / streamBloom state argument, fourth use). Update
+    * mode re-emits a cell each batch it grows; counts are monotone, so
+    * the drained max per cell equals the batch scan's count and the PSI
+    * arithmetic over them is bit-identical — the oracle is the batch
+    * q_drift_psi SQL verbatim. A production job would publish refreshed
+    * PSI per source every batch from exactly these emissions. */
+  def streamDriftPsi(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val segDir = StreamDedup.prepare(s, dir, withSource = true)
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType), StructField("source", StringType)))
+    val docs = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "seg-*.parquet")
+      .parquet(segDir)
+    val counts = docs
+      .select(col("source"),
+        expr(graft.operators.DataQuality.lenBucketExpr).as("bucket"))
+      .groupBy(col("source"), col("bucket")).agg(count(lit(1)).as("c"))
+    val drained = StreamSource.runToTable(s, counts, "stream_psi", "update")
+      .groupBy(col("source"), col("bucket")).agg(max(col("c")).as("c"))
+      // tiny (≤16·64 cells/source); the checkpoint breaks the memory-sink
+      // lineage psiOf's multiple branches would otherwise carry twice
+      .localCheckpoint(true)
+    val refc = drained.where(col("source") === "src0")
+      .select(col("bucket"), col("c").as("cr"))
+    val curc = drained.where(col("source") =!= "src0")
+      .select(col("source"), col("bucket"), col("c").as("cc"))
+    graft.operators.DataQuality.psiOf(refc, curc)
+  }
+
   /** Streaming OLS — the sufficient-statistics regression
     * (operators.MlPipeline.ols) kept LIVE: per event type, the six exact
     * integer moments (n, Σx, Σy, Σxy, Σx², Σy²) ARE the streaming

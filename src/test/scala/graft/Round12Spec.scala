@@ -115,6 +115,14 @@ class Round12Spec extends SparkSpec {
     } finally split.unpersist(false)
   }
 
+  test("streaming PSI ≡ batch PSI (monotone counts, drained max = scan count)") {
+    val batch = graft.operators.DataQuality.driftPsi(spark, sf).collect().toSeq
+    val stream = graft.streaming.StreamQueries.streamDriftPsi(spark, sf)
+      .collect().toSeq
+    assert(stream === batch, "streaming PSI fold diverged from the batch scan")
+    assert(batch.nonEmpty)
+  }
+
   test("span strip: corpus-wide equivalence of merged and naive probes") {
     val merged = Dedup.spanStripRewrite(
       Tables(spark, sf, "documents"), naive = false).collect().toSeq
