@@ -115,6 +115,16 @@ class Round12Spec extends SparkSpec {
     } finally split.unpersist(false)
   }
 
+  test("NFD packing plan: the group shuffle + output sort are the only exchanges") {
+    val plan = graft.operators.Pipeline.packBinNfd(spark, sf)
+      .queryExecution.executedPlan.toString
+    val nHash = "Exchange hashpartitioning".r.findAllIn(plan).length
+    val nRange = "Exchange rangepartitioning".r.findAllIn(plan).length
+    assert(nHash === 1, s"expected exactly the (source, shard) group shuffle:\n${plan.take(2000)}")
+    assert(nRange === 1, s"expected exactly the final orderBy:\n${plan.take(2000)}")
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
   test("streaming PSI ≡ batch PSI (monotone counts, drained max = scan count)") {
     val batch = graft.operators.DataQuality.driftPsi(spark, sf).collect().toSeq
     val stream = graft.streaming.StreamQueries.streamDriftPsi(spark, sf)
