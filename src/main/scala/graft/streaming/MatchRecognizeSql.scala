@@ -275,8 +275,10 @@ object MatchRecognizeSql extends Serializable {
 
     val selectCols = selectList.split(",").map(_.trim).filter(_.nonEmpty).toSeq
     val allRows = allRowsRe.findFirstIn(body).isDefined
-    if (allRows) require(measures.isEmpty,
-      "ALL ROWS PER MATCH exposes the row itself plus CLASSIFIER()/MATCH_NUMBER(); MEASURES unsupported in this subset")
+    // ALL ROWS PER MATCH + MEASURES is supported with the standard's
+    // default RUNNING semantics (r12): each emitted row sees aggregates
+    // over the match's rows up to and including itself. FINAL prefixes
+    // stay out of subset (the ONE ROW mode gives final values).
     val within = withinRe.findFirstMatchIn(body).map { m =>
       m.group(1).toLong * (m.group(2).toUpperCase match {
         case "DAY" => 86400000000L
@@ -676,30 +678,112 @@ object MatchRecognizeSql extends Serializable {
     * it) and MATCH_NUMBER() (the match's per-partition sequence number).
     * An event matched by several overlapping matches appears once per
     * match, per the standard. */
+  private def aliasOf(mm: Measure): String = mm match {
+    case FirstM(_, a, _) => a
+    case LastM(_, a, _)  => a
+    case CountM(_, a)    => a
+    case ValAggM(_, _, a) => a
+    case MatchNumM(a)    => a
+  }
+
   private def runAllRows(s: SparkSession, spec: Spec,
                          out: org.apache.spark.sql.Dataset[Cep.Match],
                          sqlText: String,
                          altOrderOf: Int => Seq[String]): DataFrame = {
     import s.implicits._
+    val measures = spec.measures
+    val isDouble: Measure => Boolean = {
+      case _: ValAggM            => true
+      case FirstM(_, _, "value") => true
+      case LastM(_, _, "value")  => true
+      case _                     => false
+    }
+    val slots: Seq[(Boolean, Int)] = {
+      var li = 0; var di = 0
+      measures.map { mm =>
+        if (isDouble(mm)) { val r = (true, di); di += 1; r }
+        else { val r = (false, li); li += 1; r }
+      }
+    }
+    val subsets = spec.subsets
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
     val rows = out.flatMap { m =>
       // classifier names follow the alternative that actually matched —
       // under PERMUTE a non-first permutation reorders the variables.
       val varNames = altOrderOf(m.alt)
       val classifiers = m.counts.zipWithIndex.flatMap { case (c, i) =>
         Seq.fill(c)(varNames(i)) }
-      m.ids.lazyZip(m.vals).lazyZip(classifiers).map { (id, v, cls) =>
-        (m.user_id, id, v, cls, m.seq) }
-    }.toDF("__pk", "__row_id", "__val", "__cls", "__mn")
+      // RUNNING measures (the ALL ROWS default, SQL:2016 / ref semantics):
+      // row j sees each measure over the match's rows 0..j
+      val nameSets: Seq[Set[String]] = measures.map {
+        case _: MatchNumM => Set.empty[String]
+        case mm => subsets.getOrElse(mm.variable.toUpperCase,
+          Seq(mm.variable.toUpperCase)).toSet
+      }
+      val k = measures.length
+      val cnts = Array.fill(k)(0L)
+      val firstId = Array.fill[Option[Long]](k)(None)
+      val lastId = Array.fill[Option[Long]](k)(None)
+      val firstVal = Array.fill[Option[Double]](k)(None)
+      val lastVal = Array.fill[Option[Double]](k)(None)
+      val sums = Array.fill(k)(0.0)
+      val mins = Array.fill(k)(Double.MaxValue)
+      val maxs = Array.fill(k)(Double.MinValue)
+      m.ids.indices.iterator.map { j =>
+        val cls = classifiers(j)
+        measures.indices.foreach { i =>
+          if (nameSets(i)(cls)) {
+            cnts(i) += 1
+            if (firstId(i).isEmpty) {
+              firstId(i) = Some(m.ids(j)); firstVal(i) = Some(m.vals(j))
+            }
+            lastId(i) = Some(m.ids(j)); lastVal(i) = Some(m.vals(j))
+            sums(i) += m.vals(j)
+            mins(i) = math.min(mins(i), m.vals(j))
+            maxs(i) = math.max(maxs(i), m.vals(j))
+          }
+        }
+        val longs = Seq.newBuilder[Option[Long]]
+        val dbls = Seq.newBuilder[Option[Double]]
+        measures.zipWithIndex.foreach { case (mm, i) =>
+          mm match {
+            case _: MatchNumM => longs += Some(m.seq)
+            case _: CountM    => longs += Some(cnts(i))
+            case FirstM(_, _, "value") => dbls += firstVal(i).map(round6)
+            case LastM(_, _, "value")  => dbls += lastVal(i).map(round6)
+            case _: FirstM    => longs += firstId(i)
+            case _: LastM     => longs += lastId(i)
+            case ValAggM(fn, _, _) =>
+              dbls += (if (cnts(i) == 0) None
+                       else Some(round6(fn match {
+                         case "SUM" => sums(i)
+                         case "MIN" => mins(i)
+                         case "MAX" => maxs(i)
+                         case _     => sums(i) / cnts(i)
+                       })))
+          }
+        }
+        (m.user_id, m.ids(j), m.vals(j), cls, m.seq,
+          longs.result(), dbls.result())
+      }
+    }.toDF("__pk", "__row_id", "__val", "__cls", "__mn", "__ml", "__md")
     val name = "sql_matchr_" + Integer.toHexString(sqlText.hashCode).takeWhile(_ != '-')
     val drained = StreamSource.runToTable(s, rows, name, "append")
+    val aliasSlot: Map[String, (Boolean, Int)] =
+      measures.zip(slots).map { case (mm, sl) => aliasOf(mm).toLowerCase -> sl }.toMap
     val pairs = spec.selectCols.map {
       case classifierRe(alias) => (col("__cls").as(alias), alias)
       case matchNumSelRe(alias) => (col("__mn").as(alias), alias)
       case c if c.equalsIgnoreCase(spec.partitionCol) => (col("__pk").as(c), c)
       case c if c.equalsIgnoreCase("event_id") => (col("__row_id").as(c), c)
       case c if c.equalsIgnoreCase("value") => (col("__val").as(c), c)
+      case c if aliasSlot.contains(c.toLowerCase) =>
+        val (d, i) = aliasSlot(c.toLowerCase)
+        (org.apache.spark.sql.functions.element_at(
+          col(if (d) "__md" else "__ml"), i + 1).as(c), c)
       case c => throw new IllegalArgumentException(
-        s"ALL ROWS PER MATCH select supports the partition key, event_id, value, CLASSIFIER(), MATCH_NUMBER(); got $c")
+        s"ALL ROWS PER MATCH select supports the partition key, event_id, value, CLASSIFIER(), MATCH_NUMBER(), and measure aliases; got $c")
     }
     drained.select(pairs.map(_._1): _*).orderBy(pairs.map(p => col(p._2)): _*)
   }
@@ -775,6 +859,24 @@ object MatchRecognizeSql extends Serializable {
       |  ALL ROWS PER MATCH
       |  AFTER MATCH SKIP TO NEXT ROW
       |  PATTERN (A B C)
+      |  DEFINE A AS event_type = 'view', B AS event_type = 'click',
+      |         C AS event_type = 'purchase'
+      |)""".stripMargin
+
+  /** ALL ROWS PER MATCH with RUNNING MEASURES (r12 — the reference allows
+    * both clauses together; the standard's ALL ROWS default is RUNNING
+    * semantics): every emitted row carries COUNT(A.*) and SUM over the
+    * SUBSET union as seen up to that row. */
+  val matchAllRowsMeasuresSql: String =
+    """SELECT user_id, event_id, CLASSIFIER() AS cls, n_a, run_sum FROM events
+      |MATCH_RECOGNIZE (
+      |  PARTITION BY user_id
+      |  ORDER BY ts
+      |  MEASURES COUNT(A.*) AS n_a, SUM(U.value) AS run_sum
+      |  ALL ROWS PER MATCH
+      |  AFTER MATCH SKIP PAST LAST ROW
+      |  PATTERN (A{2} B C)
+      |  SUBSET U = (A, B, C)
       |  DEFINE A AS event_type = 'view', B AS event_type = 'click',
       |         C AS event_type = 'purchase'
       |)""".stripMargin
@@ -1005,11 +1107,34 @@ object MatchRecognizeSql extends Serializable {
   def matchStrict(s: SparkSession, dir: String): DataFrame = run(s, dir, matchStrictSql)
   def matchSum(s: SparkSession, dir: String): DataFrame = run(s, dir, matchSumSql)
   def matchAllRows(s: SparkSession, dir: String): DataFrame = run(s, dir, matchAllRowsSql)
+  def matchAllRowsMeasures(s: SparkSession, dir: String): DataFrame =
+    run(s, dir, matchAllRowsMeasuresSql)
   def matchWithin(s: SparkSession, dir: String): DataFrame = run(s, dir, matchWithinSql)
 
   /** DuckDB oracles (no MATCH_RECOGNIZE there either — expressed with
     * window functions, same derivations as the programmatic CEP oracles). */
   val sql: Map[String, String] = Map(
+    // ALL ROWS + RUNNING measures: fixed-length disjoint-type pattern →
+    // lead-based derivation exact; running sums unroll left-to-right
+    "q_sql_match_rows_measures" ->
+      """WITH o AS (SELECT user_id, event_id, event_type, value,
+        |            CAST(ts AS TIMESTAMP) AS t FROM events),
+        |sq AS (SELECT user_id,
+        |  event_id AS id0, value AS v0, event_type AS et0,
+        |  lead(event_id,1) OVER w AS id1, lead(value,1) OVER w AS v1, lead(event_type,1) OVER w AS et1,
+        |  lead(event_id,2) OVER w AS id2, lead(value,2) OVER w AS v2, lead(event_type,2) OVER w AS et2,
+        |  lead(event_id,3) OVER w AS id3, lead(value,3) OVER w AS v3, lead(event_type,3) OVER w AS et3
+        | FROM o WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+        |m AS (SELECT * FROM sq WHERE et0 = 'view' AND et1 = 'view'
+        |      AND et2 = 'click' AND et3 = 'purchase'),
+        |r AS (
+        | SELECT user_id, id0 AS event_id, 'A' AS cls, CAST(1 AS BIGINT) AS n_a,
+        |        round(v0, 6) AS run_sum FROM m
+        | UNION ALL SELECT user_id, id1, 'A', 2, round(v0 + v1, 6) FROM m
+        | UNION ALL SELECT user_id, id2, 'B', 2, round(v0 + v1 + v2, 6) FROM m
+        | UNION ALL SELECT user_id, id3, 'C', 2, round(v0 + v1 + v2 + v3, 6) FROM m)
+        |SELECT user_id, event_id, cls, n_a, run_sum FROM r
+        |ORDER BY user_id, event_id, cls, n_a, run_sum""".stripMargin,
     // prefixed PERMUTE + SKIP TO LAST B: disjoint DEFINE types make the
     // lead-based derivation exact (no row inside a match can start one,
     // and the skip-back target row can never satisfy S)
