@@ -309,6 +309,7 @@ object SparkEntry {
     "q_sql_match_sum"    -> (streaming.MatchRecognizeSql.matchSum _),
     "q_sql_match_rows"   -> (streaming.MatchRecognizeSql.matchAllRows _),
     "q_sql_match_rows_measures" -> (streaming.MatchRecognizeSql.matchAllRowsMeasures _),
+    "q_sql_match_rows_final" -> (streaming.MatchRecognizeSql.matchAllRowsFinal _),
     "q_sql_match_within" -> (streaming.MatchRecognizeSql.matchWithin _),
     "q_sql_match_paren"  -> (streaming.MatchRecognizeSql.matchParen _),
     "q_sql_match_agg_def" -> (streaming.MatchRecognizeSql.matchAggDef _),

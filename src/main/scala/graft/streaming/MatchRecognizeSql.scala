@@ -89,7 +89,10 @@ object MatchRecognizeSql extends Serializable {
                   // keeps S at position 0 of every alternative
                   permPre: Seq[String] = Seq.empty,
                   permVars: Seq[String] = Seq.empty,
-                  permPost: Seq[String] = Seq.empty)
+                  permPost: Seq[String] = Seq.empty,
+                  // aliases declared FINAL in MEASURES (ALL ROWS mode
+                  // shows the match-final value on every row for these)
+                  finalAliases: Set[String] = Set.empty)
 
   // ---------------------------------------------------------------- parsing
 
@@ -108,7 +111,8 @@ object MatchRecognizeSql extends Serializable {
     "(?is)PATTERN\\s*\\((?:[^()]|\\([^)]*\\))*\\)\\s*WITHIN\\s+INTERVAL\\s+'(\\d+)'\\s+(DAY|HOUR|MINUTE|SECOND)S?".r
   private val defineRe = "(?is)DEFINE\\s+(.*)$".r
   private val measureRe =
-    "(?is)^(?:(FIRST|LAST|COUNT|SUM|MIN|MAX|AVG)\\s*\\(\\s*)?(\\w+)\\.(event_id|value|\\*)\\s*\\)?\\s+AS\\s+(\\w+)$".r
+    ("(?is)^(?:(FINAL|RUNNING)\\s+)?(?:(FIRST|LAST|COUNT|SUM|MIN|MAX|AVG)" +
+      "\\s*\\(\\s*)?(\\w+)\\.(event_id|value|\\*)\\s*\\)?\\s+AS\\s+(\\w+)$").r
   private val matchNumRe =
     "(?is)^MATCH_NUMBER\\s*\\(\\s*\\)\\s+AS\\s+(\\w+)$".r
   private val tokenRe = "([A-Za-z]\\w*)(\\+\\?|\\*\\?|\\+|\\*|\\{(\\d+)\\})?".r
@@ -129,13 +133,21 @@ object MatchRecognizeSql extends Serializable {
     require(orderCol.equalsIgnoreCase("ts"),
       s"unsupported ORDER BY column: $orderCol (event time is ts)")
 
+    // FINAL/RUNNING prefixes (SQL:2016 / ref MATCH_RECOGNIZE): in ALL ROWS
+    // mode a FINAL measure shows the match's final value on every row,
+    // RUNNING (the default there) the value as of the current row; in ONE
+    // ROW mode both coincide with the final row's value, so the flag only
+    // matters for ALL ROWS (tracked by alias in finalAliases).
+    val finalAliasB = Set.newBuilder[String]
     val measures = measuresRe.findFirstMatchIn(body)
       .map(_.group(1)).toSeq
       .flatMap(_.split(","))
       .map(_.trim).filter(_.nonEmpty)
       .map {
         case matchNumRe(alias) => MatchNumM(alias)
-        case measureRe(fn, v, field, alias) =>
+        case measureRe(sem, fn, v, field, alias) =>
+          if (Option(sem).exists(_.equalsIgnoreCase("FINAL")))
+            finalAliasB += alias.toLowerCase
           val f = Option(fn).map(_.toUpperCase).getOrElse("LAST")
           f match {
             case "COUNT" => CountM(v, alias)
@@ -151,6 +163,7 @@ object MatchRecognizeSql extends Serializable {
           }
         case m => throw new IllegalArgumentException(s"unsupported measure: $m")
       }
+    val finalAliases = finalAliasB.result()
 
     // SUBSET U = (A, B): union variables usable in MEASURES — the
     // measure's segments concatenate across every member's occurrences
@@ -294,7 +307,8 @@ object MatchRecognizeSql extends Serializable {
       subsets,
       permPre = permParts.map(_._1).getOrElse(Seq.empty),
       permVars = permParts.map(_._2).getOrElse(Seq.empty),
-      permPost = permParts.map(_._3).getOrElse(Seq.empty))
+      permPost = permParts.map(_._3).getOrElse(Seq.empty),
+      finalAliases = finalAliases)
   }
 
   /** Split a DEFINE body on commas that separate entries (`,` followed by
@@ -706,6 +720,11 @@ object MatchRecognizeSql extends Serializable {
       }
     }
     val subsets = spec.subsets
+    // measure indexes declared FINAL: their ALL ROWS emission shows the
+    // match-final value (= the running value at the LAST row) on every row
+    val finals: Seq[Int] = measures.zipWithIndex.collect {
+      case (mm, i) if spec.finalAliases.contains(aliasOf(mm).toLowerCase) => i
+    }
     def round6(x: Double): Double =
       BigDecimal(x).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
     val rows = out.flatMap { m =>
@@ -730,7 +749,7 @@ object MatchRecognizeSql extends Serializable {
       val sums = Array.fill(k)(0.0)
       val mins = Array.fill(k)(Double.MaxValue)
       val maxs = Array.fill(k)(Double.MinValue)
-      m.ids.indices.iterator.map { j =>
+      val emissions = m.ids.indices.map { j =>
         val cls = classifiers(j)
         measures.indices.foreach { i =>
           if (nameSets(i)(cls)) {
@@ -764,8 +783,21 @@ object MatchRecognizeSql extends Serializable {
                        })))
           }
         }
-        (m.user_id, m.ids(j), m.vals(j), cls, m.seq,
-          longs.result(), dbls.result())
+        (longs.result(), dbls.result())
+      }
+      // FINAL measures: substitute the last row's (= the match-final)
+      // value into every row's emission at that measure's slot
+      val finL = emissions.lastOption.map(_._1).getOrElse(Seq.empty)
+      val finD = emissions.lastOption.map(_._2).getOrElse(Seq.empty)
+      m.ids.indices.iterator.map { j =>
+        var lo = emissions(j)._1
+        var db = emissions(j)._2
+        finals.foreach { i =>
+          val (isD, slot) = slots(i)
+          if (isD) db = db.updated(slot, finD(slot))
+          else lo = lo.updated(slot, finL(slot))
+        }
+        (m.user_id, m.ids(j), m.vals(j), classifiers(j), m.seq, lo, db)
       }
     }.toDF("__pk", "__row_id", "__val", "__cls", "__mn", "__ml", "__md")
     val name = "sql_matchr_" + Integer.toHexString(sqlText.hashCode).takeWhile(_ != '-')
@@ -873,6 +905,24 @@ object MatchRecognizeSql extends Serializable {
       |  PARTITION BY user_id
       |  ORDER BY ts
       |  MEASURES COUNT(A.*) AS n_a, SUM(U.value) AS run_sum
+      |  ALL ROWS PER MATCH
+      |  AFTER MATCH SKIP PAST LAST ROW
+      |  PATTERN (A{2} B C)
+      |  SUBSET U = (A, B, C)
+      |  DEFINE A AS event_type = 'view', B AS event_type = 'click',
+      |         C AS event_type = 'purchase'
+      |)""".stripMargin
+
+  /** FINAL vs RUNNING prefixes in ALL ROWS mode (r12): the running count
+    * climbs 1..4 down the match while the FINAL twin shows 4 on every
+    * row, and the FINAL sum is the whole match's total everywhere. */
+  val matchAllRowsFinalSql: String =
+    """SELECT user_id, event_id, CLASSIFIER() AS cls, n_run, n_fin, total FROM events
+      |MATCH_RECOGNIZE (
+      |  PARTITION BY user_id
+      |  ORDER BY ts
+      |  MEASURES RUNNING COUNT(U.*) AS n_run, FINAL COUNT(U.*) AS n_fin,
+      |           FINAL SUM(U.value) AS total
       |  ALL ROWS PER MATCH
       |  AFTER MATCH SKIP PAST LAST ROW
       |  PATTERN (A{2} B C)
@@ -1109,6 +1159,8 @@ object MatchRecognizeSql extends Serializable {
   def matchAllRows(s: SparkSession, dir: String): DataFrame = run(s, dir, matchAllRowsSql)
   def matchAllRowsMeasures(s: SparkSession, dir: String): DataFrame =
     run(s, dir, matchAllRowsMeasuresSql)
+  def matchAllRowsFinal(s: SparkSession, dir: String): DataFrame =
+    run(s, dir, matchAllRowsFinalSql)
   def matchWithin(s: SparkSession, dir: String): DataFrame = run(s, dir, matchWithinSql)
 
   /** DuckDB oracles (no MATCH_RECOGNIZE there either — expressed with
@@ -1135,6 +1187,27 @@ object MatchRecognizeSql extends Serializable {
         | UNION ALL SELECT user_id, id3, 'C', 2, round(v0 + v1 + v2 + v3, 6) FROM m)
         |SELECT user_id, event_id, cls, n_a, run_sum FROM r
         |ORDER BY user_id, event_id, cls, n_a, run_sum""".stripMargin,
+    // FINAL vs RUNNING in ALL ROWS: running count climbs, FINAL count and
+    // sum are the match totals on every row
+    "q_sql_match_rows_final" ->
+      """WITH o AS (SELECT user_id, event_id, event_type, value,
+        |            CAST(ts AS TIMESTAMP) AS t FROM events),
+        |sq AS (SELECT user_id,
+        |  event_id AS id0, value AS v0, event_type AS et0,
+        |  lead(event_id,1) OVER w AS id1, lead(value,1) OVER w AS v1, lead(event_type,1) OVER w AS et1,
+        |  lead(event_id,2) OVER w AS id2, lead(value,2) OVER w AS v2, lead(event_type,2) OVER w AS et2,
+        |  lead(event_id,3) OVER w AS id3, lead(value,3) OVER w AS v3, lead(event_type,3) OVER w AS et3
+        | FROM o WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+        |m AS (SELECT *, round(v0 + v1 + v2 + v3, 6) AS tot FROM sq
+        |      WHERE et0 = 'view' AND et1 = 'view' AND et2 = 'click' AND et3 = 'purchase'),
+        |r AS (
+        | SELECT user_id, id0 AS event_id, 'A' AS cls, CAST(1 AS BIGINT) AS n_run,
+        |        CAST(4 AS BIGINT) AS n_fin, tot AS total FROM m
+        | UNION ALL SELECT user_id, id1, 'A', 2, 4, tot FROM m
+        | UNION ALL SELECT user_id, id2, 'B', 3, 4, tot FROM m
+        | UNION ALL SELECT user_id, id3, 'C', 4, 4, tot FROM m)
+        |SELECT user_id, event_id, cls, n_run, n_fin, total FROM r
+        |ORDER BY user_id, event_id, cls, n_run, n_fin, total""".stripMargin,
     // prefixed PERMUTE + SKIP TO LAST B: disjoint DEFINE types make the
     // lead-based derivation exact (no row inside a match can start one,
     // and the skip-back target row can never satisfy S)
