@@ -354,6 +354,24 @@ object ScaleBench {
         time(s"ann_prod_search_${k}x") {
           graft.operators.Similarity.prodSearch(prodIx, nprobe = 8).count()
         },
+        // r12: NFD packing is one hash shuffle + per-group sequential
+        // folds (group size bounded by the shard modulus — must track n);
+        // PSI's bucket aggregates are metadata-scale after the binning
+        // scan (must track the scan); the leakage split prices one label
+        // pass over the shared pair table
+        time(s"pack_nfd_${k}x") {
+          spark.catalog.clearCache()
+          // count() cannot collapse a typed flatMapGroups — the fold runs
+          graft.operators.Pipeline.packBinNfd(spark, out).count()
+        },
+        time(s"drift_psi_${k}x") {
+          spark.catalog.clearCache()
+          graft.operators.DataQuality.driftPsi(spark, out).count()
+        },
+        time(s"split_leakage_${k}x") {
+          spark.catalog.clearCache()
+          graft.operators.Dedup.leakageSafeSplit(spark, out).count()
+        },
       )
       if (prodIx != null) graft.operators.Similarity.releaseProdIndex(prodIx)
       val total = results.map(_._2).sum
