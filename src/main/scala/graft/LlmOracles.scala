@@ -365,6 +365,36 @@ object LlmOracles {
         |    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
         |FROM d JOIN (SELECT doc_id, lang FROM documents) l USING (doc_id)
         |ORDER BY doc_id""").stripMargin,
+    // sketch-threshold tercile twin (r13): the same nats_u per document,
+    // split by HDR-cell thresholds instead of ntile — pure integer cell
+    // math, bit-replayable on both engines
+    "q_quality_ccnet_sketch" ->
+      (toksCte + """,
+        |tok AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+        |cnt AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+        |mdl AS (SELECT (SELECT CAST(sum(c) AS BIGINT) FROM cnt)
+        |             + (SELECT count(*) FROM cnt) AS nv),
+        |cost AS (SELECT tok,
+        |  CAST(round(-ln((c + 1) / (SELECT nv FROM mdl)::DOUBLE) * 1e6) AS BIGINT) AS u
+        | FROM cnt),
+        |d AS (SELECT t.doc_id, CAST(sum(u) // count(*) AS BIGINT) AS nats_u
+        |  FROM tok t JOIN cost USING (tok) GROUP BY t.doc_id),
+        |dl AS (SELECT d.doc_id, l.lang, d.nats_u,
+        |  (length(bin(d.nats_u)) - 1) * 16384
+        |  + ((d.nats_u >> greatest(length(bin(d.nats_u)) - 15, 0)) & 16383) AS cell
+        | FROM d JOIN (SELECT doc_id, lang FROM documents) l USING (doc_id)),
+        |h AS (SELECT lang, cell, count(*) AS cnt2 FROM dl GROUP BY lang, cell),
+        |c2 AS (SELECT lang, cell, sum(cnt2) OVER (PARTITION BY lang ORDER BY cell) AS cum FROM h),
+        |nn AS (SELECT lang, count(*) AS n FROM dl GROUP BY lang),
+        |thr AS (SELECT c2.lang,
+        |   min(CASE WHEN c2.cum >= CAST(ceil(nn.n / 3.0) AS BIGINT) THEN c2.cell END) AS b1,
+        |   min(CASE WHEN c2.cum >= CAST(ceil(2 * nn.n / 3.0) AS BIGINT) THEN c2.cell END) AS b2
+        |  FROM c2 JOIN nn USING (lang) GROUP BY c2.lang)
+        |SELECT dl.doc_id, dl.lang, dl.nats_u,
+        |  CASE WHEN dl.cell <= thr.b1 THEN 'head'
+        |       WHEN dl.cell <= thr.b2 THEN 'middle' ELSE 'tail' END AS bucket
+        |FROM dl JOIN thr USING (lang)
+        |ORDER BY dl.doc_id""").stripMargin,
     // conditional bigram LM: same micro-nat quantization discipline, cost
     // −ln((c(w1,w2)+1)/(c(w1)+V)) per bigram event
     "q_quality_bigram_lm" ->

@@ -108,6 +108,7 @@ object SparkEntry {
     "q_quality_perplexity" -> (TextAnalysis.perplexity _),
     "q_quality_bigram_lm" -> (TextAnalysis.bigramPerplexity _),
     "q_quality_ccnet_buckets" -> (TextAnalysis.ccnetBuckets _),
+    "q_quality_ccnet_sketch" -> (TextAnalysis.ccnetBucketsSketch _),
     "q_fingerprint_winnow" -> (TextAnalysis.winnowFingerprint _),
     "q_dedup_winnow_pairs" -> (TextAnalysis.winnowDupPairs _),
     "q_decontaminate"     -> (Pipeline.decontaminate _),
@@ -146,6 +147,7 @@ object SparkEntry {
     "q_dedup_simhash"   -> (Dedup.simhashPairs _),
     "q_ann_brute"       -> (Similarity.annBruteForce _),
     "q_ann_negatives"   -> (Similarity.annHardNegatives _),
+    "q_ann_negatives_ix" -> (Similarity.annHardNegativesIndexed _),
     "q_ann_ivf"         -> (Similarity.annIvf _),
     "q_ann_recall"      -> (Similarity.annRecall _),
     "q_ann_pq"          -> (Similarity.annPq _),
@@ -323,6 +325,8 @@ object SparkEntry {
     "q_sql_match_subset"  -> (streaming.MatchRecognizeSql.matchSubset _),
     "q_sql_match_xvar"    -> (streaming.MatchRecognizeSql.matchXvar _),
     "q_sql_match_xvar_min" -> (streaming.MatchRecognizeSql.matchXvarMin _),
+    "q_sql_match_nav"     -> (streaming.MatchRecognizeSql.matchNav _),
+    "q_sql_match_xagg"    -> (streaming.MatchRecognizeSql.matchXagg _),
     "q_sql_tumble"       -> (GroupWindowSql.tumble _),
     "q_sql_hop"          -> (GroupWindowSql.hop _),
     "q_sql_session"      -> (GroupWindowSql.session _),

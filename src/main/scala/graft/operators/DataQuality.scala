@@ -41,9 +41,10 @@ object DataQuality {
     * smoothed over each pair's joint bucket set.
     *
     * Determinism: p and q are exact integer ratios in double (exactly
-    * rounded), the single ln is quantized to integer NANO units per
-    * bucket before the per-source sum (the micro-nat discipline at one
-    * more digit — contributions are tiny by construction). Shape at
+    * rounded), the single ln is quantized to integer MICRO units per
+    * bucket before the per-source sum (the repo-wide micro discipline —
+    * r13 moved off nano, whose boundary sat ~2e-9 from a last-ulp
+    * Math.log/libm divergence). Shape at
     * 100 TB: one expression-only binning pass + two bucket-count
     * aggregates (≤ ~16·64 cells/source — metadata scale), then
     * broadcast-size arithmetic. */
@@ -83,12 +84,16 @@ object DataQuality {
       .join(bs, "source")
       .withColumn("p", expr(s"cast(coalesce(cr, 0) + 1 AS double) / cast(${nref}L + b AS double)"))
       .withColumn("q", expr("cast(coalesce(cc, 0) + 1 AS double) / cast(ncur + b AS double)"))
-      .withColumn("contrib_nano", expr("cast(round((p - q) * ln(p / q) * 1e9) AS bigint)"))
+      // MICRO quantization (r13, ADVICE r12): nano units put the rounding
+      // boundary ~2e-9 from a last-ulp Math.log-vs-libm divergence; micro
+      // is the repo-wide oracle discipline and widens that margin 1000x
+      // while still resolving per-bucket contributions (~1e2-1e4 micro)
+      .withColumn("contrib_micro", expr("cast(round((p - q) * ln(p / q) * 1e6) AS bigint)"))
     contrib.groupBy("source")
       .agg(count(lit(1)).as("n_buckets"),
-        sum(col("contrib_nano")).as("psi_nano"),
-        max(col("contrib_nano")).as("max_contrib_nano"))
-      .withColumn("drifted", col("psi_nano") > 200000000L)
+        sum(col("contrib_micro")).as("psi_micro"),
+        max(col("contrib_micro")).as("max_contrib_micro"))
+      .withColumn("drifted", col("psi_micro") > 200000L)
       .orderBy("source")
   }
 
@@ -179,19 +184,19 @@ object DataQuality {
         |   CAST(round((CAST(coalesce(r.cr, 0) + 1 AS DOUBLE) / ((SELECT nr FROM nref) + bs.b)
         |     - CAST(coalesce(c.cc, 0) + 1 AS DOUBLE) / (bs.ncur + bs.b))
         |     * ln((CAST(coalesce(r.cr, 0) + 1 AS DOUBLE) / ((SELECT nr FROM nref) + bs.b))
-        |        / (CAST(coalesce(c.cc, 0) + 1 AS DOUBLE) / (bs.ncur + bs.b))) * 1e9) AS BIGINT) AS contrib
+        |        / (CAST(coalesce(c.cc, 0) + 1 AS DOUBLE) / (bs.ncur + bs.b))) * 1e6) AS BIGINT) AS contrib
         |  FROM pairs p LEFT JOIN refc r USING (bucket)
         |    LEFT JOIN curc c USING (source, bucket)
         |    JOIN bs ON bs.source = p.source)
         |SELECT source, CAST(count(*) AS BIGINT) AS n_buckets,
-        |  CAST(sum(contrib) AS BIGINT) AS psi_nano,
-        |  CAST(max(contrib) AS BIGINT) AS max_contrib_nano,
-        |  CAST(sum(contrib) AS BIGINT) > 200000000 AS drifted
+        |  CAST(sum(contrib) AS BIGINT) AS psi_micro,
+        |  CAST(max(contrib) AS BIGINT) AS max_contrib_micro,
+        |  CAST(sum(contrib) AS BIGINT) > 200000 AS drifted
         |FROM ctr GROUP BY source ORDER BY source""".stripMargin
 
   val sql: Map[String, String] = Map(
     // PSI drift: same HDR bucket math, exact integer ratios, ln quantized
-    // to nano units per bucket before the per-source sum; the streaming
+    // to micro units per bucket before the per-source sum; the streaming
     // twin shares the text verbatim (incremental fold ≡ batch build)
     "q_drift_psi" -> driftPsiSql,
     "q_stream_drift_psi" -> driftPsiSql,

@@ -613,10 +613,26 @@ object Dedup {
         .drop("bmlit")
     else {
       import org.apache.spark.sql.graftshim.ColumnShim
+      // free the PREVIOUS probe's executor copies before shipping a new
+      // bitmap (ADVICE r12): repeated bench/sweep invocations otherwise
+      // accumulate multi-MiB broadcast blocks until the ContextCleaner
+      // GCs them. unpersist (not destroy) — the driver keeps the value,
+      // so an earlier probe's DataFrame re-materializes correctly if
+      // re-run; only the executor-side cached copies are dropped.
+      bloomBroadcasts.synchronized {
+        bloomBroadcasts.foreach(_.unpersist(false))
+        bloomBroadcasts.clear()
+      }
       val bc = posed.sparkSession.sparkContext.broadcast(bm)
+      bloomBroadcasts.synchronized { bloomBroadcasts += bc }
       posed.withColumn("bloom_dup", ColumnShim.column(
         graft.functions.BloomContains(ColumnShim.expression(col("pos")), bc)))
     }
+
+  /** Live bitmap broadcasts from [[withBloomDup]]'s over-guard path — at
+    * most the latest is kept executor-resident (see the unpersist note). */
+  private val bloomBroadcasts =
+    scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.broadcast.Broadcast[Array[Long]]]
 
   /** Probe the shard against a built bitmap: the verdict is a zero-shuffle
     * codegen pass (plan-literal forall, or the broadcast expression above

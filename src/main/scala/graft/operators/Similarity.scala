@@ -109,8 +109,9 @@ object Similarity {
     * negatives are the most SIMILAR vectors from a different class): per
     * query, the top-5 highest-cosine vectors whose `label` differs from
     * the query's. Same deterministic rounded-cosine ranking as
-    * [[annBruteForce]]; at scale the brute pass swaps for the IVF/PQ
-    * index with a label post-filter, exactly as recall search does. */
+    * [[annBruteForce]]. This brute form is the ORACLE twin; the scale
+    * path is wired as [[annHardNegativesIndexed]] (q_ann_negatives_ix) —
+    * production IVF-PQ shortlist + label post-filter, pinned equivalent. */
   def annHardNegatives(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val emb = withNorm(Tables(s, dir, "embeddings"))
@@ -124,6 +125,69 @@ object Similarity {
         cosPre(col("qv"), col("embedding"), col("qn"), col("nrm")).as("cos"))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= 5)
+      .select(col("qid"), col("rank"), col("vec_id"), col("cos"))
+      .orderBy("qid", "rank")
+  }
+
+  /** Hard-negative mining from the PRODUCTION index (r13, VERDICT r12
+    * task 4 — DPR, Karpukhin 2020 §4.2, mines negatives from the live ANN
+    * index, not a brute scan): the IVF-PQ ADC shortlist at production
+    * parameters (K=256 books, nprobe=8) is widened to R=200 so enough
+    * cross-label candidates survive the label post-filter, then the
+    * filtered shortlist is exact-cosine re-ranked to the top-5 per query —
+    * [[annHardNegatives]]'s contract served by the index. The driver
+    * oracle is the same brute-force SQL: the index-mined ≡ brute
+    * equivalence IS the claim (Round13Spec pins it on the fixture too).
+    * Scale shape: candidate generation prunes to nprobe cells and prices
+    * 8 table lookups per candidate (the prodSearch story); the label
+    * filter is a column test on R rows per query; exact cosine touches
+    * only the filtered shortlist — the corpus-×-queries scan of the brute
+    * twin never happens. */
+  def annHardNegativesIndexed(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // an empty corpus has no index to fit (pqFitProd requires rows):
+    // answer the empty panel directly with the contract schema
+    if (Tables(s, dir, "embeddings").limit(1).isEmpty)
+      return s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("qid", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("rank", org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("vec_id", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("cos", org.apache.spark.sql.types.DoubleType))))
+    val ix = buildProdIndex(s, dir)
+    try {
+      val out = hardNegativesFromIndex(ix, dir)
+      // materialize before releasing the cached index artifacts
+      val rows = out.collect().toSeq
+      s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), out.schema)
+    } finally releaseProdIndex(ix)
+  }
+
+  /** The mining pass against an ALREADY-BUILT index (ScaleBench reuses the
+    * rehearsal's fitted index rather than fitting twice): ADC shortlist →
+    * label post-filter → exact-cosine top-5. */
+  private[graft] def hardNegativesFromIndex(ix: ProdIndex, dir: String,
+      nprobe: Int = 8, rlist: Int = 200): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = ix.emb.sparkSession
+    val labels = Tables(s, dir, "embeddings").select(col("vec_id"), col("label"))
+    val ql = broadcast(labels.where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("label").as("ql")))
+    val wS = Window.partitionBy(col("qid")).orderBy(col("adist_u"), col("vec_id"))
+    val short = prodSearchShortlistWithDist(ix, nprobe)
+      .withColumn("rk", row_number().over(wS)).where(col("rk") <= rlist)
+      .select("qid", "vec_id")
+    val qv = broadcast(ix.emb.where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvv"),
+        col("nrm").as("qn")))
+    val wR = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    short.join(ix.emb, "vec_id").join(labels, "vec_id")
+      .join(qv, "qid").join(ql, "qid")
+      .where(col("label") =!= col("ql"))
+      .select(col("qid"), col("vec_id"),
+        cosPre(col("qvv"), col("embedding"), col("qn"), col("nrm")).as("cos"))
+      .withColumn("rank", row_number().over(wR)).where(col("rank") <= 5)
       .select(col("qid"), col("rank"), col("vec_id"), col("cos"))
       .orderBy("qid", "rank")
   }
@@ -608,8 +672,10 @@ object Similarity {
       .orderBy("doc_a", "doc_b")
   }
 
-  val sql: Map[String, String] = Map(
-    "q_ann_negatives" ->
+  /** Brute-force hard-negative oracle — shared verbatim by the scan form
+    * (q_ann_negatives) and the index-mined form (q_ann_negatives_ix): the
+    * production index must reproduce the exact scan answer. */
+  private val negativesSql: String =
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
         |q AS (SELECT vec_id AS qid, v AS qv, label AS ql FROM e WHERE vec_id < 5),
         |px AS (SELECT q.qid, e.vec_id,
@@ -619,7 +685,11 @@ object Similarity {
         |rk AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
         |  FROM px)
         |SELECT qid, rank, vec_id, cos FROM rk WHERE rank <= 5
-        |ORDER BY qid, rank""".stripMargin,
+        |ORDER BY qid, rank""".stripMargin
+
+  val sql: Map[String, String] = Map(
+    "q_ann_negatives" -> negativesSql,
+    "q_ann_negatives_ix" -> negativesSql,
     "q_sparse_cosine" -> (graft.LlmOracles.pairsCte + """,
       |tfu AS (SELECT doc_id, tok, count(*) AS c
       |  FROM (SELECT doc_id, unnest(t) AS tok FROM toks) GROUP BY doc_id, tok),

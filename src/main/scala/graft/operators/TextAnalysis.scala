@@ -239,9 +239,8 @@ object TextAnalysis {
     *
     * Shape at 100 TB: [[perplexity]]'s two linear shuffles + one
     * per-language sort for the tercile window — the one genuinely
-    * rank-based step, bounded per language, and replaceable by the
-    * quantile sketch's two percentile scalars when an approximate split
-    * is acceptable. */
+    * rank-based step, bounded per language; [[ccnetBucketsSketch]]
+    * (r13) is the sort-free sketch-threshold twin for when it is not. */
   def ccnetBuckets(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val langs = Tables(s, dir, "documents").select(col("doc_id"), col("lang"))
@@ -251,6 +250,52 @@ object TextAnalysis {
       .withColumn("t", ntile(3).over(w))
       .select(col("doc_id"), col("lang"), col("nats_u"),
         when(col("t") === 1, "head").when(col("t") === 2, "middle")
+          .otherwise("tail").as("bucket"))
+      .orderBy("doc_id")
+  }
+
+  /** CCNet terciles via the QUANTILE SKETCH (r13, the docstring's named
+    * alternative made real — Wenzek 2020 §4.3 buckets by percentile
+    * THRESHOLDS, not a full sort): per language, a log₂ histogram over
+    * nats_u with 14 MANTISSA BITS per octave (1/16384 relative cell
+    * width — the DDSketch move of choosing γ for the statistic: mean
+    * unigram costs cluster within ~0.5% of each other, so the coarse
+    * 16-cell grid the length sketches use cannot separate the tercile
+    * thresholds, measured 0.48 agreement; pure integer math either way,
+    * bit-replayable) yields the 1/3 and 2/3 threshold CELLS; documents
+    * are bucketed by comparing their own cell id to the thresholds. Same
+    * output schema as [[ccnetBuckets]]; Round13Spec pins ≥95% bucket
+    * agreement against the exact ntile split (disagreements are confined
+    * to threshold-cell ties).
+    *
+    * Shape at 100 TB: replaces the per-language SORT with one histogram
+    * aggregate — cells OCCUPIED are what ride the shuffle (a few hundred
+    * per language at this concentration; ≤ 64·2¹⁴ ever) — plus a
+    * broadcast threshold join: the variant to run when a language's
+    * partition no longer fits a sort. */
+  def ccnetBucketsSketch(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val langs = Tables(s, dir, "documents").select(col("doc_id"), col("lang"))
+    val d = perplexity(s, dir).select(col("doc_id"), col("nats_u"))
+      .join(langs, "doc_id")
+      .withColumn("cell", expr(
+        "(length(bin(nats_u)) - 1) * 16384 + " +
+          "(shiftright(nats_u, greatest(length(bin(nats_u)) - 15, 0)) & 16383)"))
+    val hist = d.groupBy(col("lang"), col("cell")).agg(count(lit(1)).as("cnt"))
+    val cum = hist.withColumn("cum",
+      sum(col("cnt")).over(Window.partitionBy("lang").orderBy("cell")))
+    val n = d.groupBy("lang").agg(count(lit(1)).as("n"))
+    val thr = cum.join(broadcast(n), "lang")
+      .groupBy(col("lang"))
+      .agg(
+        min(when(col("cum") >= expr("cast(ceil(n / 3.0) as bigint)"),
+          col("cell"))).as("b1"),
+        min(when(col("cum") >= expr("cast(ceil(2 * n / 3.0) as bigint)"),
+          col("cell"))).as("b2"))
+    d.join(broadcast(thr), "lang")
+      .select(col("doc_id"), col("lang"), col("nats_u"),
+        when(col("cell") <= col("b1"), "head")
+          .when(col("cell") <= col("b2"), "middle")
           .otherwise("tail").as("bucket"))
       .orderBy("doc_id")
   }

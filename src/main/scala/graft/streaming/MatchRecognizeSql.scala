@@ -17,11 +17,14 @@ import org.apache.spark.sql.functions.col
   *   MATCH_RECOGNIZE (
   *     PARTITION BY user_id
   *     ORDER BY ts
-  *     MEASURES { FIRST(V.f) | LAST(V.f) | V.f | COUNT(V.*)
+  *     MEASURES { FIRST(V.f [, n]) | LAST(V.f [, n]) | V.f | COUNT(V.*)
   *              | SUM(V.value) | MIN(V.value) | MAX(V.value)
   *              | AVG(V.value) | MATCH_NUMBER() } AS alias, ...
   *                                               -- f ∈ event_id, value
   *                                               -- doubles rounded to 6
+  *                                               -- n = logical offset
+  *                                               -- (r13); out of range
+  *                                               -- → NULL
   *     [ONE ROW PER MATCH]
   *     AFTER MATCH SKIP { TO NEXT ROW | PAST LAST ROW
   *                      | TO FIRST <var> | TO LAST <var> }
@@ -35,14 +38,23 @@ import org.apache.spark.sql.functions.col
   *   )
   * where <pred> is a full boolean expression — AND/OR/NOT with
   * parentheses — over comparisons `field op literal` (fields
-  * event_type/value/user_id/event_id), TRUE, and RUNNING aggregate
+  * event_type/value/user_id/event_id), TRUE, RUNNING aggregate
   * conjuncts `{SUM|COUNT|MIN|MAX|AVG}(W.value|W.*) op {n | V.field}`
   * (top-level AND position only) where W is ANY pattern variable — the
   * cross-variable form reads the rows W has matched so far in the partial
   * match (the reference evaluates DEFINE against the shared buffer,
   * flink-cep nfa/sharedbuffer/SharedBuffer.java), e.g.
   * `DEFINE B AS SUM(A.value) > B.value`; the RHS field reference must be
-  * the defined variable itself (= the current row). An aggregate over a
+  * the defined variable itself (= the current row) — and, r13,
+  * LOGICAL-OFFSET NAVIGATION in any boolean position (ref
+  * match_recognize.md:718-750, whose flagship V-pattern at :538-545 now
+  * runs): comparisons `term op term` and `nav IS [NOT] NULL` where term ∈
+  * { [k *] LAST(W.f [, n]) | [k *] FIRST(W.f [, n]) | W.f | field |
+  * number } (f numeric). LAST(W.f, n) reads the n-th-from-last row mapped
+  * to W in the partial match — the candidate row counts as the latest
+  * when W is the variable being defined; a qualified `W.f` is the current
+  * row when W is the defining variable, LAST(W.f, 0) otherwise. Out of
+  * range → SQL NULL: comparisons false, IS NULL true. An aggregate over a
   * variable that has matched no rows yet is SQL NULL — the comparison is
   * false (COUNT is 0, not NULL). A pattern
   * variable without a DEFINE matches any row (SQL default). `V.event_id`
@@ -57,10 +69,16 @@ object MatchRecognizeSql extends Serializable {
   import StreamSource.Event
 
   sealed trait Measure { def variable: String; def alias: String }
+  /** `offset` is the SQL:2016 logical-offset form `FIRST(V.f, n)` — the
+    * n-th element counting from the variable's first matched row (ref
+    * docs/dev/table/streaming/match_recognize.md:718-750); out of range →
+    * NULL. */
   case class FirstM(variable: String, alias: String,
-                    field: String = "event_id") extends Measure
+                    field: String = "event_id", offset: Int = 0) extends Measure
+  /** `offset`: `LAST(V.f, n)` — n-th counting back from the LAST matched
+    * row (n = 0 is the last row itself); out of range → NULL. */
   case class LastM(variable: String, alias: String,
-                   field: String = "event_id") extends Measure
+                   field: String = "event_id", offset: Int = 0) extends Measure
   case class CountM(variable: String, alias: String) extends Measure
   /** SUM/MIN/MAX/AVG over a variable's `value` rows; emitted rounded to 6
     * decimals (the repo-wide cross-engine convention). */
@@ -112,7 +130,7 @@ object MatchRecognizeSql extends Serializable {
   private val defineRe = "(?is)DEFINE\\s+(.*)$".r
   private val measureRe =
     ("(?is)^(?:(FINAL|RUNNING)\\s+)?(?:(FIRST|LAST|COUNT|SUM|MIN|MAX|AVG)" +
-      "\\s*\\(\\s*)?(\\w+)\\.(event_id|value|\\*)\\s*\\)?\\s+AS\\s+(\\w+)$").r
+      "\\s*\\(\\s*)?(\\w+)\\.(event_id|value|\\*)\\s*(?:,\\s*(\\d+)\\s*)?\\)?\\s+AS\\s+(\\w+)$").r
   private val matchNumRe =
     "(?is)^MATCH_NUMBER\\s*\\(\\s*\\)\\s+AS\\s+(\\w+)$".r
   private val tokenRe = "([A-Za-z]\\w*)(\\+\\?|\\*\\?|\\+|\\*|\\{(\\d+)\\})?".r
@@ -141,14 +159,17 @@ object MatchRecognizeSql extends Serializable {
     val finalAliasB = Set.newBuilder[String]
     val measures = measuresRe.findFirstMatchIn(body)
       .map(_.group(1)).toSeq
-      .flatMap(_.split(","))
+      .flatMap(splitCommas) // paren-aware: LAST(V.f, n) carries a comma
       .map(_.trim).filter(_.nonEmpty)
       .map {
         case matchNumRe(alias) => MatchNumM(alias)
-        case measureRe(sem, fn, v, field, alias) =>
+        case measureRe(sem, fn, v, field, off, alias) =>
           if (Option(sem).exists(_.equalsIgnoreCase("FINAL")))
             finalAliasB += alias.toLowerCase
           val f = Option(fn).map(_.toUpperCase).getOrElse("LAST")
+          val offset = Option(off).map(_.toInt).getOrElse(0)
+          require(offset == 0 || f == "FIRST" || f == "LAST",
+            s"logical offset applies to FIRST/LAST only, got $f")
           f match {
             case "COUNT" => CountM(v, alias)
             case "SUM" | "MIN" | "MAX" | "AVG" =>
@@ -156,10 +177,10 @@ object MatchRecognizeSql extends Serializable {
               ValAggM(f, v, alias)
             case "FIRST" =>
               require(field != "*", "FIRST expects a field")
-              FirstM(v, alias, field)
+              FirstM(v, alias, field, offset)
             case _ =>
               require(field != "*", "LAST expects a field")
-              LastM(v, alias, field)
+              LastM(v, alias, field, offset)
           }
         case m => throw new IllegalArgumentException(s"unsupported measure: $m")
       }
@@ -205,8 +226,11 @@ object MatchRecognizeSql extends Serializable {
     // both the group body and the tail, e.g. (A B)* A). Matched by the
     // uncapped loop in Cep.matchRecognizeGroup (run() wires it).
     val groupRe = "(?is)^\\(([^)]+)\\)\\s*(\\*|\\+)\\s*(.*)$".r
+    // gate on the same shape the extractor matches — a variable merely
+    // CONTAINING the substring PERMUTE (e.g. PERMUTED) is not a PERMUTE
+    val hasPermute = "(?is)PERMUTE\\s*\\(".r.findFirstIn(patternBody).isDefined
     val groupRep: Option[(Seq[String], Seq[String], Int)] =
-      if (patternBody.toUpperCase.contains("PERMUTE")) None
+      if (hasPermute) None
       else groupRe.findFirstMatchIn(patternBody).map { m =>
         val body = m.group(1).trim.split("\\s+").toSeq
         val tail = m.group(3).trim.split("\\s+").toSeq.filter(_.nonEmpty)
@@ -219,7 +243,7 @@ object MatchRecognizeSql extends Serializable {
         (body.map(_.toUpperCase), tail.map(_.toUpperCase), minRep)
       }
     val permParts: Option[(Seq[String], Seq[String], Seq[String])] =
-      if (!patternBody.toUpperCase.contains("PERMUTE")) None
+      if (!hasPermute) None
       else permuteRe.findFirstMatchIn(patternBody).map { m =>
         val pre = m.group(1).trim.split("\\s+").toSeq.filter(_.nonEmpty)
         val vars = m.group(2).split(",").map(_.trim).filter(_.nonEmpty).toSeq
@@ -288,10 +312,11 @@ object MatchRecognizeSql extends Serializable {
 
     val selectCols = selectList.split(",").map(_.trim).filter(_.nonEmpty).toSeq
     val allRows = allRowsRe.findFirstIn(body).isDefined
-    // ALL ROWS PER MATCH + MEASURES is supported with the standard's
-    // default RUNNING semantics (r12): each emitted row sees aggregates
-    // over the match's rows up to and including itself. FINAL prefixes
-    // stay out of subset (the ONE ROW mode gives final values).
+    // ALL ROWS PER MATCH + MEASURES: the standard's default RUNNING
+    // semantics (each emitted row sees aggregates over the match's rows up
+    // to and including itself); a FINAL prefix (r12, finalAliases →
+    // matchAllRowsFinalSql / q_sql_match_rows_final) substitutes the
+    // match-final value on every row instead.
     val within = withinRe.findFirstMatchIn(body).map { m =>
       m.group(1).toLong * (m.group(2).toUpperCase match {
         case "DAY" => 86400000000L
@@ -311,11 +336,29 @@ object MatchRecognizeSql extends Serializable {
       finalAliases = finalAliases)
   }
 
-  /** Split a DEFINE body on commas that separate entries (`,` followed by
-    * `ident AS` later) — predicates themselves contain no commas in this
-    * subset, so a plain split suffices. */
-  private def splitTopLevel(s: String): Seq[String] =
-    s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+  /** Split on commas OUTSIDE parentheses — DEFINE entries and MEASURES
+    * items may contain `LAST(V.field, n)` navigation calls whose commas
+    * must not split the list. */
+  private def splitCommas(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0
+    var start = 0
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case ',' if depth == 0 =>
+          out += s.substring(start, i); start = i + 1
+        case _ => ()
+      }
+      i += 1
+    }
+    out += s.substring(start)
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  private def splitTopLevel(s: String): Seq[String] = splitCommas(s)
 
   // -------------------------------------------- DEFINE predicate language
   //
@@ -341,9 +384,57 @@ object MatchRecognizeSql extends Serializable {
   private case class POr(l: Px, r: Px) extends Px
   private case class PNot(p: Px) extends Px
 
+  // ---- logical-offset navigation terms (SQL:2016 / ref
+  // docs/dev/table/streaming/match_recognize.md:718-750): LAST(V.field, n)
+  // reads the n-th-from-last row mapped to V in the PARTIAL match (the
+  // candidate row counts as LAST(..., 0) when V is the variable being
+  // defined); FIRST(V.field, n) the n-th from the front. Out of range →
+  // SQL NULL: comparisons are false, IS NULL is true. A bare qualified
+  // field `W.field` means LAST(W.field, 0) when W is another variable and
+  // the CURRENT row when W is the defining variable (the reference's
+  // cross-variable row references — its flagship V-pattern at
+  // match_recognize.md:538-545 uses both forms). Terms may carry a
+  // `k * LAST(...)` numeric scale (the doc's `2 * LAST(B.price, 2)`).
+  private sealed trait NavTerm
+  private case class NavLit(x: Double) extends NavTerm
+  /** Field of the CURRENT candidate row (bare, or qualified by the
+    * defining variable — resolved in compileDefine). */
+  private case class NavCur(field: String) extends NavTerm
+  /** Unresolved qualified field `W.field` — compileDefine resolves it to
+    * NavCur (W = defining var) or NavOf LAST 0 (cross-variable). */
+  private case class NavQual(variable: String, field: String) extends NavTerm
+  private case class NavOf(fn: String, variable: String, field: String,
+                           n: Int, scale: Double = 1.0) extends NavTerm
+  private case class NavCmpPx(l: NavTerm, op: String, r: NavTerm) extends Px
+  private case class NavNullPx(t: NavTerm, negated: Boolean) extends Px
+
   private val aggAtomRe =
     ("(?is)^(SUM|COUNT|MIN|MAX|AVG)\\s*\\(\\s*(\\w+)\\.(value|\\*)\\s*\\)\\s*" +
       "(<=|>=|<>|!=|<|>|=)\\s*(?:([-0-9.eE]+)|(\\w+)\\.(value|user_id|event_id))").r
+  private val navFnRe =
+    ("(?is)^(?:([-0-9.]+(?:[eE]-?\\d+)?)\\s*\\*\\s*)?(LAST|FIRST)\\s*\\(\\s*" +
+      "(\\w+)\\.(value|event_id|user_id)\\s*(?:,\\s*(\\d+)\\s*)?\\)$").r
+  private val qualFieldRe = "(?is)^(\\w+)\\.(value|event_id|user_id)$".r
+  private val navNullRe = "(?is)^(.*?)\\s+IS\\s+(NOT\\s+)?NULL$".r
+  private val cmpSplitRe = "(?s)^(.*?)\\s*(<=|>=|<>|!=|=|<|>)\\s*(.*)$".r
+
+  /** Parse one comparison term of the navigation grammar; None if the text
+    * is not a term (caller falls back to the plain row-comparison path). */
+  private def parseNavTerm(t: String): Option[NavTerm] = t.trim match {
+    case navFnRe(scale, fn, v, field, n) =>
+      Some(NavOf(fn.toUpperCase, v.toUpperCase, field.toLowerCase,
+        Option(n).map(_.toInt).getOrElse(0),
+        Option(scale).map(_.toDouble).getOrElse(1.0)))
+    case qualFieldRe(v, field) => Some(NavQual(v.toUpperCase, field.toLowerCase))
+    case s if s.matches("(?i)value|user_id|event_id") => Some(NavCur(s.toLowerCase))
+    case s if s.matches("[-0-9.eE]+") &&
+      scala.util.Try(s.toDouble).isSuccess => Some(NavLit(s.toDouble))
+    case _ => None
+  }
+
+  private def navMentioned(t: String): Boolean =
+    "(?is)(LAST|FIRST)\\s*\\(".r.findFirstIn(t).isDefined ||
+      "(?is)\\b\\w+\\.(value|event_id|user_id)\\b".r.findFirstIn(t).isDefined
 
   private class PredParser(text: String) {
     private var rest = text.trim
@@ -412,8 +503,32 @@ object MatchRecognizeSql extends Serializable {
       }
       val t = rest.substring(0, endIdx).trim
       rest = rest.substring(endIdx)
-      RowCmp(compileCmp(t))
+      compileAtom(t)
     }
+  }
+
+  /** Compile one comparison token: navigation forms (LAST/FIRST(V.f, n),
+    * qualified fields, IS [NOT] NULL) when present, else the plain
+    * row-comparison path (bare field vs literal — keeps string
+    * comparisons like event_type = 'view'). */
+  private def compileAtom(t: String): Px = {
+    t match {
+      case navNullRe(term, not) if navMentioned(term) =>
+        val nav = parseNavTerm(term).getOrElse(
+          throw new IllegalArgumentException(s"bad IS NULL term: $term"))
+        require(!nav.isInstanceOf[NavLit], s"IS NULL of a literal: $term")
+        return NavNullPx(nav, negated = not != null)
+      case _ => ()
+    }
+    if (navMentioned(t)) t match {
+      case cmpSplitRe(lhs, op, rhs) =>
+        val l = parseNavTerm(lhs).getOrElse(throw new IllegalArgumentException(
+          s"unsupported navigation term: $lhs"))
+        val r = parseNavTerm(rhs).getOrElse(throw new IllegalArgumentException(
+          s"unsupported navigation term: $rhs"))
+        NavCmpPx(l, op, r)
+      case _ => throw new IllegalArgumentException(s"unsupported predicate term: $t")
+    } else RowCmp(compileCmp(t))
   }
 
   private def cmpNum(op: String): (Double, Double) => Boolean = op match {
@@ -485,14 +600,86 @@ object MatchRecognizeSql extends Serializable {
       case PNot(x) => containsAgg(x)
       case _ => false
     }
+    // navigation atoms participate in FULL boolean positions (the
+    // reference's flagship DEFINE puts LAST(...) under OR) — they need the
+    // partial match's per-variable rows, so any sub-expression containing
+    // one routes through the xagg evaluation slot
+    def containsNav(p: Px): Boolean = p match {
+      case _: NavCmpPx | _: NavNullPx => true
+      case PAnd(l, r) => containsNav(l) || containsNav(r)
+      case POr(l, r) => containsNav(l) || containsNav(r)
+      case PNot(x) => containsNav(x)
+      case _ => false
+    }
+    def navVarsOf(p: Px): Set[String] = {
+      def ofTerm(t: NavTerm): Set[String] = t match {
+        case NavOf(_, v, _, _, _) => Set(v)
+        case NavQual(v, _) if v != varName => Set(v)
+        case _ => Set.empty
+      }
+      p match {
+        case NavCmpPx(l, _, r) => ofTerm(l) ++ ofTerm(r)
+        case NavNullPx(t, _) => ofTerm(t)
+        case PAnd(l, r) => navVarsOf(l) ++ navVarsOf(r)
+        case POr(l, r) => navVarsOf(l) ++ navVarsOf(r)
+        case PNot(x) => navVarsOf(x)
+        case _ => Set.empty
+      }
+    }
     def evalRow(p: Px, e: Event): Boolean = p match {
       case RowCmp(f) => f(e)
       case PAnd(l, r) => evalRow(l, e) && evalRow(r, e)
       case POr(l, r) => evalRow(l, e) || evalRow(r, e)
       case PNot(x) => !evalRow(x, e)
       case _: AggCmp => true // stripped into the agg predicates
+      case _ => throw new IllegalStateException("nav atom on the row-only path")
     }
-    val (rowParts, aggParts) = split(ast)
+    // resolve qualified fields: the defining variable's own qualifier is
+    // the current row; any other variable is LAST(W.field, 0) over the
+    // rows W has matched so far (the reference's running semantics)
+    def resolveTerm(t: NavTerm): NavTerm = t match {
+      case NavQual(v, f) if v == varName => NavCur(f)
+      case NavQual(v, f) => NavOf("LAST", v, f, 0)
+      case other => other
+    }
+    def fieldOf(e: Event, f: String): Double = f match {
+      case "value" => e.value
+      case "user_id" => e.user_id.toDouble
+      case _ => e.event_id.toDouble
+    }
+    // NULL-aware term evaluation: None = SQL NULL (offset out of range)
+    def evalTerm(t: NavTerm, vars: Map[String, IndexedSeq[Event]],
+                 e: Event): Option[Double] = resolveTerm(t) match {
+      case NavLit(x) => Some(x)
+      case NavCur(f) => Some(fieldOf(e, f))
+      case NavOf(fn, v, f, n, scale) =>
+        // the candidate row counts as the variable's latest row when the
+        // navigation targets the variable being defined (ref semantics:
+        // LAST(A.price, 0) inside DEFINE A is the current row)
+        val rows = if (v == varName) vars(v) :+ e else vars(v)
+        val idx = if (fn == "LAST") rows.length - 1 - n else n
+        if (idx >= 0 && idx < rows.length) Some(scale * fieldOf(rows(idx), f))
+        else None
+      case q: NavQual => throw new IllegalStateException(s"unresolved $q")
+    }
+    def evalX(p: Px, vars: Map[String, IndexedSeq[Event]], e: Event): Boolean =
+      p match {
+        case RowCmp(f) => f(e)
+        case NavCmpPx(l, op, r) =>
+          (evalTerm(l, vars, e), evalTerm(r, vars, e)) match {
+            case (Some(a), Some(b)) => cmpNum(op)(a, b)
+            case _ => false // NULL comparison is UNKNOWN → false
+          }
+        case NavNullPx(t, neg) =>
+          val isNull = evalTerm(t, vars, e).isEmpty
+          if (neg) !isNull else isNull
+        case PAnd(l, r) => evalX(l, vars, e) && evalX(r, vars, e)
+        case POr(l, r) => evalX(l, vars, e) || evalX(r, vars, e)
+        case PNot(x) => !evalX(x, vars, e)
+        case _: AggCmp => true
+      }
+    val (rowParts0, aggParts) = split(ast)
+    val (navParts, rowParts) = rowParts0.partition(containsNav)
     aggParts.foreach { a =>
       a.rhsField.foreach { rf =>
         val q = rf.split("\\.")(0)
@@ -517,7 +704,7 @@ object MatchRecognizeSql extends Serializable {
           }
         }
       }
-    val xagg: Option[(Map[String, IndexedSeq[Event]], Event) => Boolean] =
+    val xaggAgg: Option[(Map[String, IndexedSeq[Event]], Event) => Boolean] =
       if (xParts.isEmpty) None
       else Some { (vars, e) =>
         xParts.forall { a =>
@@ -541,7 +728,19 @@ object MatchRecognizeSql extends Serializable {
           }
         }
       }
-    CompiledDefine(rowPred, agg, xagg, aggParts.map(_.variable).toSet)
+    // navigation conjuncts evaluate the FULL sub-expression (row atoms
+    // included — they share OR/NOT structure with the nav atoms)
+    val xnav: Option[(Map[String, IndexedSeq[Event]], Event) => Boolean] =
+      if (navParts.isEmpty) None
+      else Some { (vars, e) => navParts.forall(evalX(_, vars, e)) }
+    val xagg: Option[(Map[String, IndexedSeq[Event]], Event) => Boolean] =
+      (xaggAgg, xnav) match {
+        case (None, None) => None
+        case (a, b) => Some((vars, e) =>
+          a.forall(_(vars, e)) && b.forall(_(vars, e)))
+      }
+    CompiledDefine(rowPred, agg, xagg,
+      aggParts.map(_.variable).toSet ++ navParts.flatMap(navVarsOf))
   }
 
   /** Back-compat shim for row-only predicates (parser spec entry point). */
@@ -619,10 +818,10 @@ object MatchRecognizeSql extends Serializable {
     // double-valued measures land in two parallel arrays; `slots` records
     // each measure's (array, index).
     val isDouble: Measure => Boolean = {
-      case _: ValAggM            => true
-      case FirstM(_, _, "value") => true
-      case LastM(_, _, "value")  => true
-      case _                     => false
+      case _: ValAggM               => true
+      case FirstM(_, _, "value", _) => true
+      case LastM(_, _, "value", _)  => true
+      case _                        => false
     }
     val slots: Seq[(String, Int)] = {
       var li = 0; var di = 0
@@ -653,12 +852,15 @@ object MatchRecognizeSql extends Serializable {
         meas match {
           case _: MatchNumM => longs += Some(m.seq)
           case _: CountM => longs += Some(cnt.toLong)
-          case FirstM(_, _, "value") =>
-            dbls += (if (cnt == 0) None else Some(round6(valSeg.head)))
-          case LastM(_, _, "value") =>
-            dbls += (if (cnt == 0) None else Some(round6(valSeg.last)))
-          case _: FirstM => longs += (if (cnt == 0) None else Some(idSeg.head))
-          case _: LastM  => longs += (if (cnt == 0) None else Some(idSeg.last))
+          // logical offsets (FIRST/LAST(V.f, n)): out of range → NULL
+          case FirstM(_, _, "value", off) =>
+            dbls += (if (off >= cnt) None else Some(round6(valSeg(off))))
+          case LastM(_, _, "value", off) =>
+            dbls += (if (off >= cnt) None else Some(round6(valSeg(cnt - 1 - off))))
+          case FirstM(_, _, _, off) =>
+            longs += (if (off >= cnt) None else Some(idSeg(off)))
+          case LastM(_, _, _, off) =>
+            longs += (if (off >= cnt) None else Some(idSeg(cnt - 1 - off)))
           case ValAggM(fn, _, _) =>
             dbls += (if (cnt == 0) None else Some(round6(fn match {
               case "SUM" => valSeg.sum
@@ -693,11 +895,11 @@ object MatchRecognizeSql extends Serializable {
     * An event matched by several overlapping matches appears once per
     * match, per the standard. */
   private def aliasOf(mm: Measure): String = mm match {
-    case FirstM(_, a, _) => a
-    case LastM(_, a, _)  => a
-    case CountM(_, a)    => a
-    case ValAggM(_, _, a) => a
-    case MatchNumM(a)    => a
+    case FirstM(_, a, _, _) => a
+    case LastM(_, a, _, _)  => a
+    case CountM(_, a)       => a
+    case ValAggM(_, _, a)   => a
+    case MatchNumM(a)       => a
   }
 
   private def runAllRows(s: SparkSession, spec: Spec,
@@ -707,10 +909,10 @@ object MatchRecognizeSql extends Serializable {
     import s.implicits._
     val measures = spec.measures
     val isDouble: Measure => Boolean = {
-      case _: ValAggM            => true
-      case FirstM(_, _, "value") => true
-      case LastM(_, _, "value")  => true
-      case _                     => false
+      case _: ValAggM               => true
+      case FirstM(_, _, "value", _) => true
+      case LastM(_, _, "value", _)  => true
+      case _                        => false
     }
     val slots: Seq[(Boolean, Int)] = {
       var li = 0; var di = 0
@@ -742,10 +944,10 @@ object MatchRecognizeSql extends Serializable {
       }
       val k = measures.length
       val cnts = Array.fill(k)(0L)
-      val firstId = Array.fill[Option[Long]](k)(None)
-      val lastId = Array.fill[Option[Long]](k)(None)
-      val firstVal = Array.fill[Option[Double]](k)(None)
-      val lastVal = Array.fill[Option[Double]](k)(None)
+      // per-measure (id, value) rows seen so far — RUNNING navigation
+      // (FIRST/LAST with logical offsets) reads positions from this list
+      val seen = Array.fill(k)(
+        scala.collection.mutable.ArrayBuffer.empty[(Long, Double)])
       val sums = Array.fill(k)(0.0)
       val mins = Array.fill(k)(Double.MaxValue)
       val maxs = Array.fill(k)(Double.MinValue)
@@ -754,10 +956,7 @@ object MatchRecognizeSql extends Serializable {
         measures.indices.foreach { i =>
           if (nameSets(i)(cls)) {
             cnts(i) += 1
-            if (firstId(i).isEmpty) {
-              firstId(i) = Some(m.ids(j)); firstVal(i) = Some(m.vals(j))
-            }
-            lastId(i) = Some(m.ids(j)); lastVal(i) = Some(m.vals(j))
+            seen(i) += ((m.ids(j), m.vals(j)))
             sums(i) += m.vals(j)
             mins(i) = math.min(mins(i), m.vals(j))
             maxs(i) = math.max(maxs(i), m.vals(j))
@@ -766,13 +965,17 @@ object MatchRecognizeSql extends Serializable {
         val longs = Seq.newBuilder[Option[Long]]
         val dbls = Seq.newBuilder[Option[Double]]
         measures.zipWithIndex.foreach { case (mm, i) =>
+          def at(idx: Int): Option[(Long, Double)] =
+            if (idx >= 0 && idx < seen(i).length) Some(seen(i)(idx)) else None
           mm match {
             case _: MatchNumM => longs += Some(m.seq)
             case _: CountM    => longs += Some(cnts(i))
-            case FirstM(_, _, "value") => dbls += firstVal(i).map(round6)
-            case LastM(_, _, "value")  => dbls += lastVal(i).map(round6)
-            case _: FirstM    => longs += firstId(i)
-            case _: LastM     => longs += lastId(i)
+            case FirstM(_, _, "value", off) => dbls += at(off).map(p => round6(p._2))
+            case LastM(_, _, "value", off) =>
+              dbls += at(seen(i).length - 1 - off).map(p => round6(p._2))
+            case FirstM(_, _, _, off) => longs += at(off).map(_._1)
+            case LastM(_, _, _, off) =>
+              longs += at(seen(i).length - 1 - off).map(_._1)
             case ValAggM(fn, _, _) =>
               dbls += (if (cnts(i) == 0) None
                        else Some(round6(fn match {
@@ -1092,6 +1295,59 @@ object MatchRecognizeSql extends Serializable {
       |  DEFINE A AS event_type = 'view', B AS event_type = 'click'
       |)""".stripMargin
 
+  /** The reference's FLAGSHIP V-pattern (match_recognize.md:538-545 /
+    * the overview example at :180-260, re-keyed onto the events table):
+    * a price down-run then an up-tick, expressed entirely with
+    * logical-offset navigation — `LAST(DOWN.value, 1) IS NULL` opens the
+    * run, cross-variable `DOWN.value < STRT.value` anchors it to the
+    * start row, and UP closes it against the run's second-to-last value.
+    * AFTER MATCH SKIP TO LAST UP resumes AT the up row (it can start the
+    * next match as STRT — the reference's own skip choice there).
+    *
+    * Oracle derivation (declarative, exact): STRT is un-DEFINEd and DOWN
+    * is greedy, so a match exists exactly once per maximal strictly-
+    * decreasing run x_1..x_m (per user, (ts, event_id) order) with m >= 3
+    * whose following row u satisfies u.value > x_{m-1}.value — interior
+    * starts repeat the same final condition and are either consumed by
+    * the covering match or fail with it, and backtracking below the
+    * maximal run length can never satisfy UP (the run is decreasing). */
+  val matchNavSql: String =
+    """SELECT user_id, strt_id, bottom_id, n_down, penult, up_val FROM events
+      |MATCH_RECOGNIZE (
+      |  PARTITION BY user_id
+      |  ORDER BY ts
+      |  MEASURES STRT.event_id AS strt_id, LAST(DOWN.event_id) AS bottom_id,
+      |           COUNT(DOWN.*) AS n_down, LAST(DOWN.value, 1) AS penult,
+      |           UP.value AS up_val
+      |  ONE ROW PER MATCH
+      |  AFTER MATCH SKIP TO LAST UP
+      |  PATTERN (STRT DOWN+ UP)
+      |  DEFINE DOWN AS (LAST(DOWN.value, 1) IS NULL AND DOWN.value < STRT.value)
+      |                 OR DOWN.value < LAST(DOWN.value, 1),
+      |         UP AS UP.value > LAST(DOWN.value, 1)
+      |)""".stripMargin
+
+  /** Cross-variable aggregate conjunct against a LITERAL (r13, VERDICT
+    * r12 task 5): B's DEFINE reads SUM over A's matched rows compared to
+    * a constant (ref SharedBuffer.java — the literal-RHS twin of
+    * matchXvarSql's field-RHS form). */
+  val matchXaggSql: String =
+    """SELECT user_id, a_first, n_a, b_id FROM events
+      |MATCH_RECOGNIZE (
+      |  PARTITION BY user_id
+      |  ORDER BY ts
+      |  MEASURES FIRST(A.event_id) AS a_first, COUNT(A.*) AS n_a,
+      |           B.event_id AS b_id
+      |  ONE ROW PER MATCH
+      |  AFTER MATCH SKIP TO NEXT ROW
+      |  PATTERN (A+ B)
+      |  DEFINE A AS event_type = 'view',
+      |         B AS event_type = 'purchase' AND SUM(A.value) > 100
+      |)""".stripMargin
+
+  def matchNav(s: SparkSession, dir: String): DataFrame = run(s, dir, matchNavSql)
+  def matchXagg(s: SparkSession, dir: String): DataFrame = run(s, dir, matchXaggSql)
+
   def matchSubset(s: SparkSession, dir: String): DataFrame = run(s, dir, matchSubsetSql)
   def matchXvar(s: SparkSession, dir: String): DataFrame = run(s, dir, matchXvarSql)
   def matchXvarMin(s: SparkSession, dir: String): DataFrame = run(s, dir, matchXvarMinSql)
@@ -1166,6 +1422,55 @@ object MatchRecognizeSql extends Serializable {
   /** DuckDB oracles (no MATCH_RECOGNIZE there either — expressed with
     * window functions, same derivations as the programmatic CEP oracles). */
   val sql: Map[String, String] = Map(
+    // V-pattern with logical offsets: one match per maximal strictly-
+    // decreasing run (>= 3 rows) whose next row beats the run's
+    // second-to-last value (see matchNavSql's derivation note)
+    "q_sql_match_nav" ->
+      """WITH o AS (SELECT user_id, event_id, value,
+        |        row_number() OVER (PARTITION BY user_id
+        |          ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+        |      FROM events),
+        |b AS (SELECT *, CASE WHEN value < lag(value)
+        |        OVER (PARTITION BY user_id ORDER BY rn)
+        |      THEN 0 ELSE 1 END AS brk FROM o),
+        |g AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY rn) AS grp
+        |      FROM b),
+        |r AS (SELECT user_id, grp, count(*) AS m, max(rn) AS re,
+        |        arg_min(event_id, rn) AS strt_id, arg_max(event_id, rn) AS bottom_id
+        |      FROM g GROUP BY user_id, grp)
+        |SELECT r.user_id, r.strt_id, r.bottom_id,
+        |       CAST(r.m - 1 AS BIGINT) AS n_down,
+        |       round(p.value, 6) AS penult, round(u.value, 6) AS up_val
+        |FROM r
+        |JOIN o p ON p.user_id = r.user_id AND p.rn = r.re - 1
+        |JOIN o u ON u.user_id = r.user_id AND u.rn = r.re + 1
+        |WHERE r.m >= 3 AND u.value > p.value
+        |ORDER BY r.user_id, r.strt_id""".stripMargin,
+    // literal-RHS cross-variable aggregate: greedy A+ = the maximal view
+    // run from each start; B = the immediately-following purchase; the
+    // run's suffix-sum must beat the constant (same islands derivation as
+    // q_sql_match_xvar with a literal bound)
+    "q_sql_match_xagg" ->
+      """WITH o AS (SELECT user_id, event_id, event_type, value,
+        |            row_number() OVER (PARTITION BY user_id
+        |              ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+        |           FROM events),
+        |g AS (SELECT *, sum(CASE WHEN event_type = 'view' THEN 0 ELSE 1 END)
+        |        OVER (PARTITION BY user_id ORDER BY rn) AS grp FROM o),
+        |v AS (SELECT user_id, grp, rn, event_id,
+        |        sum(value) OVER (PARTITION BY user_id, grp ORDER BY rn
+        |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS ssum,
+        |        count(*) OVER (PARTITION BY user_id, grp ORDER BY rn
+        |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS scnt,
+        |        max(rn) OVER (PARTITION BY user_id, grp) AS end_rn
+        |      FROM g WHERE event_type = 'view'),
+        |p AS (SELECT user_id, rn, event_id FROM o
+        |      WHERE event_type = 'purchase')
+        |SELECT v.user_id, v.event_id AS a_first, CAST(v.scnt AS BIGINT) AS n_a,
+        |       p.event_id AS b_id
+        |FROM v JOIN p ON p.user_id = v.user_id AND p.rn = v.end_rn + 1
+        |WHERE v.ssum > 100
+        |ORDER BY v.user_id, a_first""".stripMargin,
     // ALL ROWS + RUNNING measures: fixed-length disjoint-type pattern →
     // lead-based derivation exact; running sums unroll left-to-right
     "q_sql_match_rows_measures" ->

@@ -354,6 +354,13 @@ object ScaleBench {
         time(s"ann_prod_search_${k}x") {
           graft.operators.Similarity.prodSearch(prodIx, nprobe = 8).count()
         },
+        // r13: hard-negative mining from the SAME fitted index (VERDICT
+        // r12 task 4) — the shortlist pass at R=200 plus a label filter;
+        // must track ann_prod_search's scaling (identical candidate walk,
+        // 2x shortlist, one extra metadata join)
+        time(s"ann_negatives_ix_${k}x") {
+          graft.operators.Similarity.hardNegativesFromIndex(prodIx, out).count()
+        },
         // r12: NFD packing is one hash shuffle + per-group sequential
         // folds (group size bounded by the shard modulus — must track n);
         // PSI's bucket aggregates are metadata-scale after the binning

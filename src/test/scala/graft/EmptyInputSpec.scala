@@ -84,7 +84,10 @@ class EmptyInputSpec extends SparkSpec {
     "q_sql_match_permute_skip", "q_sql_match_rep_skip",
     "q_mix_unimax", "q_quality_ccnet_buckets", "q_pack_nfd", "q_drift_psi",
     "q_split_leakage", "q_ann_negatives", "q_stream_drift_psi",
-    "q_sql_match_rows_measures", "q_sql_match_rows_final")
+    "q_sql_match_rows_measures", "q_sql_match_rows_final",
+    // round-13 additions
+    "q_sql_match_nav", "q_sql_match_xagg", "q_ann_negatives_ix",
+    "q_quality_ccnet_sketch")
 
   for (name <- queries)
     test(s"$name runs on an empty corpus") {

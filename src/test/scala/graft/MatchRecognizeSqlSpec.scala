@@ -509,6 +509,161 @@ class MatchRecognizeSqlSpec extends SparkSpec {
     assert(out.map(_.alt).toSeq === Seq(2, 1)) // repetition counts
   }
 
+  test("logical offsets in DEFINE: the reference's LAST(B.price, n) table replays exactly") {
+    // ref docs/dev/table/streaming/match_recognize.md:744-830 — PATTERN
+    // (A B+) with B gated by LAST(B.price, 1) and 2 * LAST(B.price, 2):
+    // prices 10 → A, 15/20/31 → B, 35 NOT mapped (35 < 2 * 20)
+    import spark.implicits._
+    def ev(id: Long, sec: Int, v: Double) =
+      StreamSource.Event(id, new java.sql.Timestamp(sec * 1000L), 1L, "tick", v)
+    val events = spark.createDataset(Seq(
+      ev(1, 1, 10.0), ev(2, 2, 15.0), ev(3, 3, 20.0), ev(4, 4, 31.0),
+      ev(5, 5, 35.0)))
+    val spec = MatchRecognizeSql.parse(
+      """SELECT user_id, n_b FROM events
+        |MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES COUNT(B.*) AS n_b
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (A B+)
+        |  DEFINE A AS value >= 10,
+        |         B AS (LAST(B.value, 1) IS NULL OR B.value > LAST(B.value, 1))
+        |           AND (LAST(B.value, 2) IS NULL OR B.value > 2 * LAST(B.value, 2))
+        |)""".stripMargin)
+    val bStep = spec.pattern(1)._2
+    assert(bStep.xagg.nonEmpty, "offset navigation routes through the xagg slot")
+    val got = Cep.matchRecognizeOrderedSkip(events, spec.pattern.map(_._2),
+      Cep.SkipPastLastRow).collect()
+    assert(got.map(_.ids).toSeq === Seq(Seq(1L, 2L, 3L, 4L)),
+      "row 5 (35) must be rejected by the offset-2 condition: 35 < 2 * 20")
+    assert(got.head.counts === Seq(1, 3))
+  }
+
+  test("V-pattern navigation (the reference's flagship example shape) on a fixture") {
+    import spark.implicits._
+    def ev(id: Long, sec: Int, v: Double) =
+      StreamSource.Event(id, new java.sql.Timestamp(sec * 1000L), 1L, "tick", v)
+    val spec = MatchRecognizeSql.parse(MatchRecognizeSql.matchNavSql)
+    assert(spec.skipTo === Some(("LAST", "UP")))
+    // penult measure is the offset form LAST(DOWN.value, 1)
+    assert(spec.measures.exists {
+      case MatchRecognizeSql.LastM("DOWN", "penult", "value", 1) => true
+      case _ => false })
+    val steps = spec.pattern.map(_._2)
+    // 50 40 30 45: STRT=50, DOWN=[40, 30], UP=45 > LAST(DOWN.value,1)=40
+    val hit = spark.createDataset(Seq(
+      ev(1, 1, 50.0), ev(2, 2, 40.0), ev(3, 3, 30.0), ev(4, 4, 45.0)))
+    val got = Cep.matchRecognizeOrderedSkip(hit, steps, Cep.SkipPastLastRow)
+      .collect()
+    assert(got.map(_.ids).toSeq === Seq(Seq(1L, 2L, 3L, 4L)))
+    assert(got.head.counts === Seq(1, 2, 1))
+    // 50 40 30 35: up-tick 35 fails 35 > 40 — and a single-row down run
+    // (LAST(DOWN,1) NULL at the UP check) can never close: no match
+    val miss = spark.createDataset(Seq(
+      ev(1, 1, 50.0), ev(2, 2, 40.0), ev(3, 3, 30.0), ev(4, 4, 35.0),
+      ev(5, 5, 34.0))) // trailing row keeps the last attempt decided
+    assert(Cep.matchRecognizeOrderedSkip(miss, steps, Cep.SkipPastLastRow)
+      .collect().isEmpty)
+    // cross-variable anchor: first DOWN must sit BELOW the start row
+    // (DOWN.value < STRT.value reads STRT's matched row) — 50 55 30 45
+    // has 55 not below 50, and 30 < 55 opens a fresh attempt at 55 only
+    val anchor = spark.createDataset(Seq(
+      ev(1, 1, 50.0), ev(2, 2, 55.0), ev(3, 3, 30.0), ev(4, 4, 45.0),
+      ev(5, 5, 44.0)))
+    val got2 = Cep.matchRecognizeOrderedSkip(anchor, steps, Cep.SkipPastLastRow)
+      .collect()
+    // start at 55: DOWN=[30] is a 1-row run → UP nav NULL → no match;
+    // no other start yields >= 2 downs: empty
+    assert(got2.isEmpty)
+    // 60 55 30 45 ...: STRT=60, DOWN=[55, 30], UP=45 > 55? no → but
+    // backtracking cannot shorten (45 > LAST(...,1) needs the 2-row run);
+    // make it match: UP 56 > 55
+    val got3 = Cep.matchRecognizeOrderedSkip(spark.createDataset(Seq(
+      ev(1, 1, 60.0), ev(2, 2, 55.0), ev(3, 3, 30.0), ev(4, 4, 56.0))),
+      steps, Cep.SkipPastLastRow).collect()
+    assert(got3.map(_.ids).toSeq === Seq(Seq(1L, 2L, 3L, 4L)))
+  }
+
+  test("measure logical offsets: FIRST/LAST(V.f, n) with out-of-range → NULL") {
+    val spec = MatchRecognizeSql.parse(
+      """SELECT user_id, p1, f1, f9 FROM events
+        |MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES LAST(A.value, 1) AS p1, FIRST(A.event_id, 1) AS f1,
+        |           FIRST(A.value, 9) AS f9
+        |  PATTERN (A+ B)
+        |  DEFINE A AS event_type = 'view', B AS event_type = 'purchase'
+        |)""".stripMargin)
+    import MatchRecognizeSql.{FirstM, LastM}
+    assert(spec.measures === Seq(LastM("A", "p1", "value", 1),
+      FirstM("A", "f1", "event_id", 1), FirstM("A", "f9", "value", 9)))
+    // offset on an aggregate rejects
+    intercept[IllegalArgumentException](MatchRecognizeSql.parse(
+      """SELECT x FROM events MATCH_RECOGNIZE (
+        | PARTITION BY user_id ORDER BY ts
+        | MEASURES SUM(A.value, 1) AS x PATTERN (A) DEFINE A AS TRUE
+        |)""".stripMargin))
+  }
+
+  test("navigation compile rules: cross-var resolution, NULL comparisons, validation") {
+    val t = new java.sql.Timestamp(0L)
+    def e(id: Long, v: Double) = StreamSource.Event(id, t, 1L, "tick", v)
+    // UP.value > LAST(DOWN.value, 1): qualified self = current row,
+    // foreign var navigates its matched rows
+    val up = MatchRecognizeSql.compileDefine("UP",
+      "UP.value > LAST(DOWN.value, 1)")
+    assert(up.xagg.nonEmpty && up.aggVars === Set("DOWN"))
+    val vars2 = Map("DOWN" -> IndexedSeq(e(1, 40.0), e(2, 30.0)))
+      .withDefaultValue(IndexedSeq.empty[StreamSource.Event])
+    assert(up.xagg.get(vars2, e(3, 45.0)))   // 45 > 40
+    assert(!up.xagg.get(vars2, e(3, 35.0)))  // 35 <= 40
+    // one DOWN row: LAST(DOWN.value, 1) is NULL → comparison false
+    val vars1 = Map("DOWN" -> IndexedSeq(e(1, 40.0)))
+      .withDefaultValue(IndexedSeq.empty[StreamSource.Event])
+    assert(!up.xagg.get(vars1, e(3, 99.0)))
+    // own-variable LAST counts the candidate as the latest row
+    val own = MatchRecognizeSql.compileDefine("B",
+      "B.value > LAST(B.value, 1)")
+    val varsB = Map("B" -> IndexedSeq(e(1, 10.0)))
+      .withDefaultValue(IndexedSeq.empty[StreamSource.Event])
+    assert(own.xagg.get(varsB, e(2, 11.0)))   // 11 > 10
+    assert(!own.xagg.get(varsB, e(2, 9.0)))
+    // IS NOT NULL
+    val nn = MatchRecognizeSql.compileDefine("B",
+      "LAST(B.value, 1) IS NOT NULL")
+    assert(!nn.xagg.get(Map.empty[String, IndexedSeq[StreamSource.Event]]
+      .withDefaultValue(IndexedSeq.empty), e(1, 1.0)))
+    assert(nn.xagg.get(varsB, e(2, 1.0)))
+    // FIRST offset + numeric scale
+    val sc = MatchRecognizeSql.compileDefine("B",
+      "B.value > 2 * FIRST(B.value, 0)")
+    assert(sc.xagg.get(varsB, e(2, 21.0)))   // 21 > 2 * 10
+    assert(!sc.xagg.get(varsB, e(2, 20.0)))
+    // navigating a non-pattern variable rejects at parse time
+    intercept[IllegalArgumentException] {
+      MatchRecognizeSql.parse(
+        """SELECT user_id, x FROM events
+          |MATCH_RECOGNIZE (
+          |  PARTITION BY user_id ORDER BY ts
+          |  MEASURES COUNT(A.*) AS x
+          |  PATTERN (A B)
+          |  DEFINE B AS value > LAST(Z.value, 1)
+          |)""".stripMargin)
+    }
+    // a variable merely CONTAINING the substring PERMUTE still parses as a
+    // grouped repetition (ADVICE r12: the substring gate is now shape-based)
+    val g = MatchRecognizeSql.parse(
+      """SELECT user_id, x FROM events
+        |MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES COUNT(PERMUTED.*) AS x
+        |  PATTERN ((PERMUTED B)+ C)
+        |  DEFINE PERMUTED AS event_type = 'view', B AS event_type = 'click'
+        |)""".stripMargin)
+    assert(g.groupRep === Some((Seq("PERMUTED", "B"), Seq("C"), 1)))
+    assert(!g.permute)
+  }
+
   test("SQL value measures equal the window-function derivation") {
     val viaSql = MatchRecognizeSql.matchSum(spark, sf).collect().map(_.toSeq)
     Tables.registerAll(spark, sf)
