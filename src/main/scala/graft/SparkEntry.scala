@@ -327,6 +327,8 @@ object SparkEntry {
     "q_sql_match_xvar_min" -> (streaming.MatchRecognizeSql.matchXvarMin _),
     "q_sql_match_nav"     -> (streaming.MatchRecognizeSql.matchNav _),
     "q_sql_match_xagg"    -> (streaming.MatchRecognizeSql.matchXagg _),
+    "q_sql_match_rowtime" -> (streaming.MatchRecognizeSql.matchRowtime _),
+    "q_sql_match_cascade" -> (streaming.MatchRecognizeSql.matchCascade _),
     "q_sql_tumble"       -> (GroupWindowSql.tumble _),
     "q_sql_hop"          -> (GroupWindowSql.hop _),
     "q_sql_session"      -> (GroupWindowSql.session _),

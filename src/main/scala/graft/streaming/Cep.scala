@@ -29,9 +29,14 @@ object Cep {
     * computed from. */
   /** `seq` is the 1-based per-key MATCH_NUMBER (sequential in match-start
     * order — the matcher emits matches in buffer order and persists the
-    * counter in keyed state); 0 from matchers that don't number. */
+    * counter in keyed state); 0 from matchers that don't number.
+    * `lastTsMicros` is the event time of the match's LAST row — the
+    * SQL:2016 MATCH_ROWTIME() value (r13; the reference lists the
+    * time-attribute output as unsupported, match_recognize.md:1123) —
+    * filled by the quantified matcher, 0 from the legacy matchers. */
   case class Match(user_id: Long, ids: Seq[Long], counts: Seq[Int],
-                   vals: Seq[Double], alt: Int = 0, seq: Long = 0L)
+                   vals: Seq[Double], alt: Int = 0, seq: Long = 0L,
+                   lastTsMicros: Long = 0L)
   case class Partial(ids: Seq[Long], startMicros: Long, next: Int,
                      lastMicros: Long, vals: Seq[Double],
                      seenSince: Boolean = false)
@@ -460,7 +465,8 @@ object Cep {
           def emit(out: List[(List[Event], List[Int], Int)]) =
             out.iterator.zipWithIndex.map { case ((rows, cnts, alt), i) =>
               Match(key, rows.map(_.event_id), cnts, rows.map(_.value), alt,
-                seq = base + i + 1) }
+                seq = base + i + 1,
+                lastTsMicros = StatefulOps.micros(rows.last.ts)) }
           if (state.hasTimedOut) {
             // quiesce flush prunes the key entirely, counter included —
             // MATCH_NUMBER restarts if the key resumes after the quiet

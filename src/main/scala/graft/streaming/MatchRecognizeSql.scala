@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, count, lit, timestamp_micros, window}
 
 /** SQL text surface for MATCH_RECOGNIZE, routed onto Cep.matchRecognize —
   * the reference exposes CEP through SQL (StreamExecMatch translating the
@@ -19,7 +19,8 @@ import org.apache.spark.sql.functions.col
   *     ORDER BY ts
   *     MEASURES { FIRST(V.f [, n]) | LAST(V.f [, n]) | V.f | COUNT(V.*)
   *              | SUM(V.value) | MIN(V.value) | MAX(V.value)
-  *              | AVG(V.value) | MATCH_NUMBER() } AS alias, ...
+  *              | AVG(V.value) | MATCH_NUMBER()
+  *              | MATCH_ROWTIME() } AS alias, ...  -- rowtime: ONE ROW mode
   *                                               -- f ∈ event_id, value
   *                                               -- doubles rounded to 6
   *                                               -- n = logical offset
@@ -87,6 +88,12 @@ object MatchRecognizeSql extends Serializable {
     * partition, in match-start order (ref docs/dev/table/sql/queries.md:366;
     * the matcher persists the counter in keyed state). */
   case class MatchNumM(alias: String) extends Measure { val variable = "" }
+  /** MATCH_ROWTIME(): the event time of the match's LAST row, emitted as
+    * a timestamp — usable for downstream windowing over match output
+    * (r13, EXCEEDS the reference: its docs name the time-attribute output
+    * as wanted but unsupported, match_recognize.md:1123). ONE ROW PER
+    * MATCH only. */
+  case class MatchRowtimeM(alias: String) extends Measure { val variable = "" }
 
   /** `groupRep` carries a leading grouped repetition `(A B)* C...`:
     * (group body vars, tail vars, min repetitions). Matched by the
@@ -133,6 +140,8 @@ object MatchRecognizeSql extends Serializable {
       "\\s*\\(\\s*)?(\\w+)\\.(event_id|value|\\*)\\s*(?:,\\s*(\\d+)\\s*)?\\)?\\s+AS\\s+(\\w+)$").r
   private val matchNumRe =
     "(?is)^MATCH_NUMBER\\s*\\(\\s*\\)\\s+AS\\s+(\\w+)$".r
+  private val matchRowtimeRe =
+    "(?is)^MATCH_ROWTIME\\s*\\(\\s*\\)\\s+AS\\s+(\\w+)$".r
   private val tokenRe = "([A-Za-z]\\w*)(\\+\\?|\\*\\?|\\+|\\*|\\{(\\d+)\\})?".r
   private val cmpRe = "(?s)^(\\w+)\\s*(<>|!=|<=|>=|=|<|>)\\s*(?:'([^']*)'|([-0-9.eE]+))$".r
 
@@ -163,6 +172,7 @@ object MatchRecognizeSql extends Serializable {
       .map(_.trim).filter(_.nonEmpty)
       .map {
         case matchNumRe(alias) => MatchNumM(alias)
+        case matchRowtimeRe(alias) => MatchRowtimeM(alias)
         case measureRe(sem, fn, v, field, off, alias) =>
           if (Option(sem).exists(_.equalsIgnoreCase("FINAL")))
             finalAliasB += alias.toLowerCase
@@ -304,11 +314,15 @@ object MatchRecognizeSql extends Serializable {
     }
     measures.foreach {
       case _: MatchNumM => ()
+      case _: MatchRowtimeM => ()
       case m => require(
         patVars.contains(m.variable.toUpperCase) ||
           subsets.contains(m.variable.toUpperCase),
         s"measure references undefined pattern variable ${m.variable}")
     }
+    require(!measures.exists(_.isInstanceOf[MatchRowtimeM]) ||
+      allRowsRe.findFirstIn(body).isEmpty,
+      "MATCH_ROWTIME() is a ONE ROW PER MATCH measure in this subset")
 
     val selectCols = selectList.split(",").map(_.trim).filter(_.nonEmpty).toSeq
     val allRows = allRowsRe.findFirstIn(body).isDefined
@@ -851,6 +865,7 @@ object MatchRecognizeSql extends Serializable {
         def valSeg = poss.flatMap(i => m.vals.slice(offs(i), offs(i) + m.counts(i)))
         meas match {
           case _: MatchNumM => longs += Some(m.seq)
+          case _: MatchRowtimeM => longs += Some(m.lastTsMicros)
           case _: CountM => longs += Some(cnt.toLong)
           // logical offsets (FIRST/LAST(V.f, n)): out of range → NULL
           case FirstM(_, _, "value", off) =>
@@ -880,7 +895,11 @@ object MatchRecognizeSql extends Serializable {
         val mi = measures.indexWhere(_.alias.equalsIgnoreCase(c))
         require(mi >= 0, s"SELECT column $c is neither the partition key nor a measure")
         val (arr, idx) = slots(mi)
-        col(arr).getItem(idx).as(c)
+        val raw = col(arr).getItem(idx)
+        // MATCH_ROWTIME travels the long array as micros; surface a timestamp
+        if (measures(mi).isInstanceOf[MatchRowtimeM])
+          timestamp_micros(raw).as(c)
+        else raw.as(c)
       }
     }
     drained.select(cols: _*).orderBy(spec.selectCols.map(col): _*)
@@ -900,6 +919,7 @@ object MatchRecognizeSql extends Serializable {
     case CountM(_, a)       => a
     case ValAggM(_, _, a)   => a
     case MatchNumM(a)       => a
+    case MatchRowtimeM(a)   => a
   }
 
   private def runAllRows(s: SparkSession, spec: Spec,
@@ -968,6 +988,8 @@ object MatchRecognizeSql extends Serializable {
           def at(idx: Int): Option[(Long, Double)] =
             if (idx >= 0 && idx < seen(i).length) Some(seen(i)(idx)) else None
           mm match {
+            case _: MatchRowtimeM => throw new IllegalStateException(
+              "MATCH_ROWTIME is parse-rejected in ALL ROWS mode")
             case _: MatchNumM => longs += Some(m.seq)
             case _: CountM    => longs += Some(cnts(i))
             case FirstM(_, _, "value", off) => dbls += at(off).map(p => round6(p._2))
@@ -1345,6 +1367,40 @@ object MatchRecognizeSql extends Serializable {
       |         B AS event_type = 'purchase' AND SUM(A.value) > 100
       |)""".stripMargin
 
+  /** MATCH_ROWTIME() in MEASURES (r13 stretch — EXCEEDS the reference,
+    * whose docs list the time-attribute output as wanted-but-unsupported,
+    * match_recognize.md:1123): each view→purchase match carries the event
+    * time of its last row as a real timestamp column. */
+  val matchRowtimeSql: String =
+    """SELECT user_id, a_id, b_id, mrt FROM events
+      |MATCH_RECOGNIZE (
+      |  PARTITION BY user_id
+      |  ORDER BY ts
+      |  MEASURES A.event_id AS a_id, B.event_id AS b_id,
+      |           MATCH_ROWTIME() AS mrt
+      |  ONE ROW PER MATCH
+      |  AFTER MATCH SKIP TO NEXT ROW
+      |  PATTERN (A B)
+      |  DEFINE A AS event_type = 'view', B AS event_type = 'purchase'
+      |)""".stripMargin
+
+  def matchRowtime(s: SparkSession, dir: String): DataFrame =
+    run(s, dir, matchRowtimeSql)
+
+  /** The CASCADE the reference's docs wish for: MATCH_RECOGNIZE output
+    * windowed downstream — matches (from the streaming matcher) tumbled
+    * into 1-day event-time windows keyed on MATCH_ROWTIME(). The window
+    * consumes the drained match table (the standard handoff for a second
+    * aggregation stage); window arithmetic is Spark's epoch-aligned
+    * `window()`, replayed exactly by the oracle's integer-micros tumble. */
+  def matchCascade(s: SparkSession, dir: String): DataFrame = {
+    val m = run(s, dir, matchRowtimeSql)
+    m.groupBy(window(col("mrt"), "1 day").as("w"))
+      .agg(count(lit(1)).as("n_matches"))
+      .select(col("w.start").as("win_start"), col("n_matches"))
+      .orderBy("win_start")
+  }
+
   def matchNav(s: SparkSession, dir: String): DataFrame = run(s, dir, matchNavSql)
   def matchXagg(s: SparkSession, dir: String): DataFrame = run(s, dir, matchXaggSql)
 
@@ -1422,6 +1478,28 @@ object MatchRecognizeSql extends Serializable {
   /** DuckDB oracles (no MATCH_RECOGNIZE there either — expressed with
     * window functions, same derivations as the programmatic CEP oracles). */
   val sql: Map[String, String] = Map(
+    // MATCH_ROWTIME: the B row's timestamp surfaces as the measure
+    "q_sql_match_rowtime" ->
+      """WITH o AS (SELECT user_id, event_id, event_type,
+        |            CAST(ts AS TIMESTAMP) AS t FROM events),
+        |sq AS (SELECT user_id, event_id AS a_id, event_type AS et0,
+        |  lead(event_type, 1) OVER w AS et1, lead(event_id, 1) OVER w AS b_id,
+        |  lead(t, 1) OVER w AS mrt
+        | FROM o WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id))
+        |SELECT user_id, a_id, b_id, mrt FROM sq
+        |WHERE et0 = 'view' AND et1 = 'purchase'
+        |ORDER BY user_id, a_id""".stripMargin,
+    // cascade: the same matches tumbled into epoch-aligned 1-day windows
+    "q_sql_match_cascade" ->
+      """WITH o AS (SELECT user_id, event_id, event_type,
+        |            CAST(ts AS TIMESTAMP) AS t FROM events),
+        |sq AS (SELECT user_id, event_type AS et0,
+        |  lead(event_type, 1) OVER w AS et1, lead(t, 1) OVER w AS mrt
+        | FROM o WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+        |m AS (SELECT mrt FROM sq WHERE et0 = 'view' AND et1 = 'purchase')
+        |SELECT make_timestamp((epoch_us(mrt) // 86400000000) * 86400000000) AS win_start,
+        |  CAST(count(*) AS BIGINT) AS n_matches
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
     // V-pattern with logical offsets: one match per maximal strictly-
     // decreasing run (>= 3 rows) whose next row beats the run's
     // second-to-last value (see matchNavSql's derivation note)

@@ -87,7 +87,7 @@ class EmptyInputSpec extends SparkSpec {
     "q_sql_match_rows_measures", "q_sql_match_rows_final",
     // round-13 additions
     "q_sql_match_nav", "q_sql_match_xagg", "q_ann_negatives_ix",
-    "q_quality_ccnet_sketch")
+    "q_quality_ccnet_sketch", "q_sql_match_rowtime", "q_sql_match_cascade")
 
   for (name <- queries)
     test(s"$name runs on an empty corpus") {

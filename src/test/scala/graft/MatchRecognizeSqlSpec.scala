@@ -664,6 +664,32 @@ class MatchRecognizeSqlSpec extends SparkSpec {
     assert(!g.permute)
   }
 
+  test("MATCH_ROWTIME() carries the match's last-row event time; ALL ROWS rejects") {
+    import spark.implicits._
+    def ev(id: Long, sec: Int, et: String) =
+      StreamSource.Event(id, new java.sql.Timestamp(sec * 1000L), 1L, et, 1.0)
+    val spec = MatchRecognizeSql.parse(MatchRecognizeSql.matchRowtimeSql)
+    assert(spec.measures.exists {
+      case MatchRecognizeSql.MatchRowtimeM("mrt") => true; case _ => false })
+    // fixture: the match (1, 2) must report row 2's timestamp in micros
+    val events = spark.createDataset(Seq(
+      ev(1, 10, "view"), ev(2, 25, "purchase"), ev(3, 40, "click")))
+    val got = Cep.matchRecognizeOrderedSkip(events, spec.pattern.map(_._2),
+      Cep.SkipToNextRow).collect()
+    assert(got.map(m => (m.ids, m.lastTsMicros)).toSeq ===
+      Seq((Seq(1L, 2L), 25000000L)))
+    // ALL ROWS + MATCH_ROWTIME is out of subset, rejected at parse time
+    intercept[IllegalArgumentException](MatchRecognizeSql.parse(
+      """SELECT user_id, event_id, x FROM events
+        |MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES MATCH_ROWTIME() AS x
+        |  ALL ROWS PER MATCH
+        |  PATTERN (A B)
+        |  DEFINE A AS event_type = 'view'
+        |)""".stripMargin))
+  }
+
   test("SQL value measures equal the window-function derivation") {
     val viaSql = MatchRecognizeSql.matchSum(spark, sf).collect().map(_.toSeq)
     Tables.registerAll(spark, sf)
