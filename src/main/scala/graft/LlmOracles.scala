@@ -915,5 +915,82 @@ object LlmOracles {
         | FROM toks)
         |SELECT doc_id, n_tok, su AS logit_u, su > 0 AS keep
         |FROM w ORDER BY doc_id""").stripMargin,
+    // character-distribution entropy gate: micro-nat terms summed as ints
+    "q_text_entropy" ->
+      """WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
+        |c AS (SELECT doc_id, ch, count(*) AS c FROM ch WHERE length(ch) > 0 GROUP BY 1, 2),
+        |n AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY 1),
+        |t AS (SELECT c.doc_id, n.n,
+        |        c.c * CAST(round(ln(n.n / CAST(c.c AS DOUBLE)) * 1e6) AS BIGINT) AS term_u
+        |      FROM c JOIN n ON n.doc_id = c.doc_id)
+        |SELECT doc_id, max(n) AS n_chars, CAST(sum(term_u) AS BIGINT) AS ent_u,
+        |       CAST(sum(term_u) AS BIGINT) >= 2500000 * max(n) AS keep
+        |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // normalization-keyed exact dedup over planted recrawl variants
+    "q_dedup_norm" ->
+      """WITH d AS (SELECT doc_id, text FROM documents),
+        |v AS (SELECT doc_id + 2000000 AS vid,
+        |        CASE ('0x'||substr(md5('nk:'||doc_id),1,15))::UBIGINT % 3
+        |          WHEN 0 THEN upper(text)
+        |          WHEN 1 THEN translate(text, 'aeiou', 'áéíóú')
+        |          ELSE replace(text, ' ', ' , ') || '  '
+        |        END AS vtext
+        |      FROM d WHERE ('0x'||substr(md5('nv:'||doc_id),1,15))::UBIGINT % 4 = 0),
+        |u AS (SELECT doc_id, text FROM d
+        |      UNION ALL SELECT vid, vtext FROM v),
+        |nrm AS (SELECT doc_id, text,
+        |        trim(regexp_replace(regexp_replace(
+        |          translate(lower(text), 'áéíóú', 'aeiou'),
+        |          '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+        |      FROM u)
+        |SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies,
+        |       CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_raw
+        |FROM nrm GROUP BY md5(norm) ORDER BY keep_id""".stripMargin,
+    // Efraimidis–Spirakis weighted sample: integer-grid rank key, top-100
+    "q_sample_weighted" ->
+      """WITH d AS (SELECT doc_id, n_chars AS w,
+        |    ('0x'||substr(md5('ws:'||doc_id),1,15))::UBIGINT % 1000000000 + 1 AS u9
+        |  FROM documents),
+        |k AS (SELECT doc_id, w,
+        |    CAST(round(CAST(round(ln(u9 / 1.0e9) * 1e6) AS BIGINT) * 1000.0 / w) AS BIGINT) AS key_u
+        |  FROM d),
+        |top AS (SELECT * FROM k ORDER BY key_u DESC, doc_id LIMIT 100)
+        |SELECT doc_id, w, key_u FROM top ORDER BY doc_id""".stripMargin,
+    // LSH calibration: candidates + verified TPs vs exact ground truth
+    "q_dedup_minhash_eval" ->
+      (minhashPairCtes + """,
+        |truth AS (SELECT doc_a, doc_b FROM (
+        |   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    round(len(list_intersect(a.s, b.s))::DOUBLE /
+        |          (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS j
+        |   FROM sh a JOIN sh b ON a.doc_id < b.doc_id) WHERE j >= 0.5),
+        |m AS (SELECT
+        |  (SELECT count(*) FROM truth) AS n_truth,
+        |  (SELECT count(*) FROM cand) AS n_cand,
+        |  (SELECT count(*) FROM vpairs) AS n_tp,
+        |  (SELECT count(*) FROM truth t JOIN cand c
+        |     ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b) AS n_hit)
+        |SELECT CAST(n_truth AS BIGINT) AS n_truth, CAST(n_cand AS BIGINT) AS n_cand,
+        |  CAST(n_tp AS BIGINT) AS n_tp,
+        |  CAST(CASE WHEN n_cand = 0 THEN 0 ELSE 10000 * n_tp // n_cand END AS BIGINT) AS precision_bp,
+        |  CAST(CASE WHEN n_truth = 0 THEN 0 ELSE 10000 * n_hit // n_truth END AS BIGINT) AS recall_bp
+        |FROM m""").stripMargin,
+    // UT1-style registrable-domain blocklist filter
+    "q_url_blocklist" ->
+      """WITH h AS (SELECT doc_id,
+        |  ['','www.','cdn.','news.'][CAST(('0x'||substr(md5('sub:'||doc_id),1,15))::UBIGINT % 4 AS INT) + 1] ||
+        |  'site' || (doc_id % 7) || '.' ||
+        |  ['example.com','sample.org','tracker-hub.net','web-mall.io','fast-ads.dev'][CAST(doc_id % 5 AS INT) + 1] AS host
+        | FROM documents),
+        |r AS (SELECT doc_id, host,
+        |        regexp_extract(host, '[^.]+\.[^.]+$') AS registrable FROM h),
+        |b AS (SELECT DISTINCT registrable FROM r
+        |      WHERE ('0x'||substr(md5('blk:'||registrable),1,15))::UBIGINT % 3 = 0)
+        |SELECT r.registrable, (b.registrable IS NOT NULL) AS blocked,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT r.host) AS BIGINT) AS n_hosts,
+        |  min(r.doc_id) AS first_doc
+        |FROM r LEFT JOIN b ON b.registrable = r.registrable
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
   )
 }

@@ -113,6 +113,7 @@ object SparkEntry {
     "q_dedup_winnow_pairs" -> (TextAnalysis.winnowDupPairs _),
     "q_decontaminate"     -> (Pipeline.decontaminate _),
     "q_sample_stratified" -> (Pipeline.stratifiedSample _),
+    "q_sample_weighted"   -> (Pipeline.weightedSample _),
     "q_pack_sequences"    -> (Pipeline.packSequences _),
     "q_pack_nfd"          -> (Pipeline.packBinNfd _),
     "q_dsir_weight"       -> (Pipeline.dsirWeights _),
@@ -123,6 +124,10 @@ object SparkEntry {
     "q_c4_filter"         -> (WebPipeline.c4Filter _),
     "q_dedup_lines"       -> (WebPipeline.lineDedup _),
     "q_dedup_url"         -> (WebPipeline.urlDedup _),
+    "q_url_blocklist"     -> (WebPipeline.urlBlocklist _),
+    "q_dedup_minhash_eval" -> (Dedup.minhashEval _),
+    "q_dedup_norm"        -> (Dedup.normalizedDedup _),
+    "q_text_entropy"      -> (TextAnalysis.charEntropy _),
     "q_quality_classifier" -> (WebPipeline.qualityClassifier _),
     "q_bpe_merges"        -> (Bpe.mergeTable _),
     "q_bpe_encode"        -> (Bpe.encode _),
@@ -201,6 +206,7 @@ object SparkEntry {
     "q_stream_cep"      -> (streaming.StreamQueries.cep _),
     "q_stream_cep_relaxed" -> (streaming.StreamQueries.cepRelaxed _),
     "q_stream_cep_plus"    -> (streaming.StreamQueries.cepPlus _),
+    "q_stream_cep_until"   -> (streaming.StreamQueries.cepUntil _),
     "q_stream_cep_plus_rel" -> (streaming.StreamQueries.cepPlusReluctant _),
     "q_stream_cep_skip_past" -> (streaming.StreamQueries.cepSkipPast _),
     "q_stream_semi_join" -> (streaming.StreamQueries.semiJoin _),
@@ -326,6 +332,12 @@ object SparkEntry {
     "q_sql_match_xvar"    -> (streaming.MatchRecognizeSql.matchXvar _),
     "q_sql_match_xvar_min" -> (streaming.MatchRecognizeSql.matchXvarMin _),
     "q_sql_match_nav"     -> (streaming.MatchRecognizeSql.matchNav _),
+    "q_sql_match_qopt"    -> (streaming.MatchRecognizeSql.matchQOpt _),
+    "q_sql_match_qopt_rel" -> (streaming.MatchRecognizeSql.matchQOptRel _),
+    "q_sql_match_qrange"  -> (streaming.MatchRecognizeSql.matchQRange _),
+    "q_sql_match_qrange_rel" -> (streaming.MatchRecognizeSql.matchQRangeRel _),
+    "q_sql_match_qupto"   -> (streaming.MatchRecognizeSql.matchQUpto _),
+    "q_sql_match_qopen"   -> (streaming.MatchRecognizeSql.matchQOpen _),
     "q_sql_match_xagg"    -> (streaming.MatchRecognizeSql.matchXagg _),
     "q_sql_match_rowtime" -> (streaming.MatchRecognizeSql.matchRowtime _),
     "q_sql_match_cascade" -> (streaming.MatchRecognizeSql.matchCascade _),

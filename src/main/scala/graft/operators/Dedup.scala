@@ -52,6 +52,42 @@ object Dedup {
       .orderBy("keep_id")
   }
 
+  /** q_dedup_norm — normalization-keyed exact dedup (the Dolma/CCNet
+    * convention: hash a NORMALIZED form — case-fold, accent-fold,
+    * punctuation strip, whitespace collapse — so trivially-mutated
+    * recrawls collapse to one key). The fixture plants three recrawl
+    * variant classes through the md5 bridge (uppercased, accented vowels,
+    * comma-injected + trailing whitespace); `n_raw` counts DISTINCT raw
+    * fingerprints inside each normalized group — every group with
+    * n_raw > 1 is a duplicate that raw-text exact dedup (q_dedup_exact's
+    * key) would have MISSED, which is the operator's whole point. Same
+    * single groupBy shape as [[exact]]; the normalization is
+    * expression-only on the scan. */
+  def normalizedDedup(s: SparkSession, dir: String): DataFrame = {
+    def d(tag: String) =
+      s"CAST(conv(substr(md5(concat('$tag:', CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+    val docs = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+    val variants = docs
+      .where(expr(s"${d("nv")} % 4 = 0"))
+      .selectExpr("doc_id + 2000000 AS doc_id",
+        s"""CASE ${d("nk")} % 3
+           | WHEN 0 THEN upper(text)
+           | WHEN 1 THEN translate(text, 'aeiou', 'áéíóú')
+           | ELSE concat(replace(text, ' ', ' , '), '  ')
+           |END AS text""".stripMargin)
+    docs.union(variants)
+      .withColumn("norm", expr(
+        "trim(regexp_replace(regexp_replace(" +
+          "translate(lower(text), 'áéíóú', 'aeiou'), '[^a-z0-9 ]', ' '), ' +', ' '))"))
+      .withColumn("nfp", md5(col("norm")))
+      .withColumn("rfp", md5(col("text")))
+      .groupBy("nfp")
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"),
+        countDistinct(col("rfp")).as("n_raw"))
+      .select(col("keep_id"), col("n_copies"), col("n_raw"))
+      .orderBy("keep_id")
+  }
+
   /** Exact n-gram Jaccard near-dup pairs via inverted-index join.
     * Returns (doc_a, doc_b, j) with J >= 0.5.
     *
@@ -408,6 +444,16 @@ object Dedup {
     * cost and only sacrifices recall inside pathological buckets (their
     * members still meet through their other 15 bands). */
   def minhashLshPairsFrom(s: SparkSession, docs: DataFrame,
+                          maxBucket: Int): DataFrame =
+    minhashCandidatesWithJ(s, docs, maxBucket)
+      .where(col("j") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("j"))
+      .orderBy("doc_a", "doc_b")
+
+  /** The LSH candidate set BEFORE the Jaccard threshold — every band-bucket
+    * pair with its exact J. [[minhashLshPairsFrom]] filters this at 0.5;
+    * [[minhashEval]] scores it against ground truth. */
+  private[graft] def minhashCandidatesWithJ(s: SparkSession, docs: DataFrame,
                           maxBucket: Int): DataFrame = {
     TextHashes.register(s)
     val ds = docs
@@ -439,9 +485,34 @@ object Dedup {
       .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
       .withColumn("j", round(col("inter").cast("double") /
         (col("na") + col("nb") - col("inter")), 4))
-      .where(col("j") >= 0.5)
       .select(col("doc_a"), col("doc_b"), col("j"))
-      .orderBy("doc_a", "doc_b")
+  }
+
+  /** q_dedup_minhash_eval — LSH parameter evaluation against exact ground
+    * truth, the calibration step every production near-dup deployment runs
+    * before committing to a (bands, rows) configuration (the S-curve in
+    * Leskovec/Rajaraman/Ullman ch.3 predicts collision probability; this
+    * MEASURES it). Ground truth = the exact-Jaccard pair table (complete
+    * for J ≥ 0.5: such a pair always shares a shingle, so the inverted
+    * index finds it). One row: |truth|, |candidates|, verified true
+    * positives, precision and recall in integer basis points — precision
+    * prices the wasted exact-verify work, recall the missed duplicates.
+    * Scale shape: both inputs are the linear-shuffle pair pipelines this
+    * file already bounds (hot-cap / banding); the scoring join is on the
+    * tiny pair tables, and only five integers reach the driver. */
+  def minhashEval(s: SparkSession, dir: String): DataFrame = {
+    val truth = ngramJaccardPairsShared(s, dir).select("doc_a", "doc_b")
+    val cand = minhashCandidatesWithJ(s, Tables(s, dir, "documents"),
+      Int.MaxValue).localCheckpoint(true)
+    val nTruth = truth.count()
+    val nCand = cand.count()
+    val nTp = cand.where(col("j") >= 0.5).count()
+    val nHit = truth.join(cand, Seq("doc_a", "doc_b")).count()
+    val one = s.range(1).toDF("i")
+    one.select(
+      lit(nTruth).as("n_truth"), lit(nCand).as("n_cand"), lit(nTp).as("n_tp"),
+      lit(if (nCand == 0) 0L else 10000L * nTp / nCand).as("precision_bp"),
+      lit(if (nTruth == 0) 0L else 10000L * nHit / nTruth).as("recall_bp"))
   }
 
   /** SimHash near-dup pairs: 60-bit signature, banded into 4 x 15-bit chunks

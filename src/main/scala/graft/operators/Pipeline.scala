@@ -112,6 +112,31 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** q_sample_weighted — deterministic weighted sampling WITHOUT
+    * replacement (Efraimidis–Spirakis 2006 A-ES: per item draw u ∈ (0,1],
+    * rank by u^(1/w), keep the top k — inclusion probability ∝ weight,
+    * one pass, mergeable). The rank key here is the monotone-equivalent
+    * ln(u)/w, computed on the integer grid: u from the md5 bridge on a
+    * 1e-9 lattice, ln(u) quantized to micro-nats BEFORE the division so
+    * both engines rank identical integers (ties break by doc_id). Weight
+    * = n_chars: the standard "sample tokens, not documents" correction.
+    * Scale shape: key assignment is map-side expression work on the scan;
+    * top-k is TakeOrderedAndProject (k rows per partition cross the wire,
+    * never a full sort) — the reservoir query's plan with a weighted key. */
+  def weightedSample(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "documents")
+      .withColumn("w", col("n_chars"))
+      .withColumn("u9",
+        expr("conv(substring(md5(concat('ws:', cast(doc_id AS STRING))), 1, 15), 16, 10)")
+          .cast("long") % 1000000000L + 1L)
+      .withColumn("lnu_u", expr("cast(round(ln(u9 / 1.0e9) * 1e6) AS BIGINT)"))
+      .withColumn("key_u", expr("cast(round(lnu_u * 1000.0 / w) AS BIGINT)"))
+      .orderBy(col("key_u").desc, col("doc_id"))
+      .limit(100)
+      .select(col("doc_id"), col("w"), col("key_u"))
+      .orderBy("doc_id")
+  }
+
   /** Unit-normalized embeddings (first 4 components + norm, rounded).
     * Components emitted as scalar columns h1..h4 — numeric scalars avoid the
     * driver compare's array limitation and cross-engine float formatting. */

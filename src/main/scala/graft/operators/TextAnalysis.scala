@@ -422,6 +422,34 @@ object TextAnalysis {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** q_text_entropy — character-distribution Shannon entropy, the cheap
+    * gibberish/boilerplate gate quality pipelines run before anything
+    * model-based (a keyboard-mash or base64 blob has near-uniform chars,
+    * a repeated-char page near-zero; natural English sits ~2.5-3.1
+    * nats/char). H = Σ_c (c_count/n)·ln(n/c_count), computed as integer
+    * micro-nat terms (the tfidfTop3 quantization discipline — ln rounded
+    * to the 1e-6 grid BEFORE the per-doc sum so both engines add the same
+    * integers). Two linear shuffles: (doc, char) counts, then the per-doc
+    * sum; at 100 TB both are partial-agg-first hash shuffles bounded by
+    * |alphabet| ≈ dozens of rows per doc — never wider than the corpus. */
+  def charEntropy(s: SparkSession, dir: String): DataFrame = {
+    val chars = Tables(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .where(length(col("ch")) > 0)
+      .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+    val n = chars.groupBy("doc_id").agg(sum("c").as("n"))
+    chars.join(n, "doc_id")
+      .withColumn("term_u",
+        expr("c * cast(round(ln(n / cast(c AS DOUBLE)) * 1e6) AS BIGINT)"))
+      .groupBy("doc_id")
+      .agg(max("n").as("n_chars"), sum("term_u").as("ent_u"))
+      // keep when mean entropy ≥ 2.5 nats/char (integer cross-multiply —
+      // no division on the compare path)
+      .withColumn("keep", expr("ent_u >= 2500000 * n_chars"))
+      .select(col("doc_id"), col("n_chars"), col("ent_u"), col("keep"))
+      .orderBy("doc_id")
+  }
+
   /** Language ID by stopword-hit scoring over 4 language lists, ties broken
     * in fixed order en>de>fr>es. N-gram-heuristic class of the reference-era
     * langid tools; exact arithmetic so the oracle reproduces it. */

@@ -145,6 +145,41 @@ object WebPipeline {
       .orderBy("canon")
   }
 
+  /** q_url_blocklist — UT1-style domain blocklist filtering (the
+    * RefinedWeb §3.1 first gate: drop every document whose REGISTRABLE
+    * domain is on the adult/fraud category lists, subdomains included).
+    * The fixture plants hosts with subdomain variety (www./cdn./news.)
+    * over five registrable domains; the blocklist is a deterministic md5
+    * draw over the DISTINCT registrable domains (category stand-in, same
+    * convention as the classifier weights). Registrable-domain extraction
+    * = last two dot-labels, so cdn.site3.tracker-hub.net matches a
+    * tracker-hub.net entry — the suffix-match every naive
+    * full-host-equality filter gets wrong. Scale shape: the real UT1 list
+    * is ~4M domains ≈ 100 MB — still a BROADCAST join against the corpus
+    * (the join is on the extracted registrable key, never a suffix scan);
+    * the filter itself is one map-side probe, no shuffle of the corpus. */
+  def urlBlocklist(s: SparkSession, dir: String): DataFrame = {
+    def d(tag: String) = mdi(s"concat('$tag:', CAST(doc_id AS STRING))")
+    val hosts = Tables(s, dir, "documents").selectExpr("doc_id",
+      s"""concat(
+         | element_at(array('', 'www.', 'cdn.', 'news.'), CAST(${d("sub")} % 4 AS INT) + 1),
+         | 'site', CAST(doc_id % 7 AS STRING), '.',
+         | element_at(array('example.com', 'sample.org', 'tracker-hub.net',
+         |                  'web-mall.io', 'fast-ads.dev'), CAST(doc_id % 5 AS INT) + 1)
+         |) AS host""".stripMargin)
+      .withColumn("registrable", regexp_extract(col("host"), "[^.]+\\.[^.]+$", 0))
+    val blocklist = hosts.select("registrable").distinct()
+      .where(expr(s"${mdi("concat('blk:', registrable)")} % 3 = 0"))
+      .withColumn("blocked", lit(true))
+    hosts.join(broadcast(blocklist), Seq("registrable"), "left")
+      .groupBy("registrable")
+      .agg(coalesce(max(col("blocked")), lit(false)).as("blocked"),
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("host")).as("n_hosts"),
+        min(col("doc_id")).as("first_doc"))
+      .orderBy("registrable")
+  }
+
   /** q_quality_classifier — hashed-bag-of-words linear quality scorer, the
     * inference shape of the fastText classifier used to filter CommonCrawl
     * against a reference corpus (GPT-3 appendix A / LLaMA §2): token →

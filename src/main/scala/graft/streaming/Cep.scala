@@ -80,7 +80,13 @@ object Cep {
   case class QStep(pred: Event => Boolean, min: Int, max: Int, greedy: Boolean,
                    agg: Option[(Int, Double, Event) => Boolean] = None,
                    name: String = "",
-                   xagg: Option[(Map[String, IndexedSeq[Event]], Event) => Boolean] = None)
+                   xagg: Option[(Map[String, IndexedSeq[Event]], Event) => Boolean] = None,
+                   // stop condition for a looping step (ref Pattern#until,
+                   // docs/dev/libs/cep.md:449-456): an event matching it is
+                   // NOT accepted into the repetition — the loop ends there
+                   // and the next step is tried at that row. Also the
+                   // reference's state-cleanup hook for unbounded loops.
+                   until: Option[Event => Boolean] = None)
   object QStep {
     def once(p: Event => Boolean): QStep = QStep(p, 1, 1, greedy = true)
     def times(p: Event => Boolean, n: Int): QStep = QStep(p, n, n, greedy = true)
@@ -320,7 +326,8 @@ object Cep {
             byVar.toMap.withDefaultValue(IndexedSeq.empty)
           }
           def admits(e: Event): Boolean =
-            st.pred(e) && st.agg.forall(f => f(run, runSum, e)) &&
+            st.pred(e) && !st.until.exists(f => f(e)) &&
+              st.agg.forall(f => f(run, runSum, e)) &&
               st.xagg.forall(f => f(varRowsSoFar(), e))
           while (pos + run < buf.length && run < st.max && admits(buf(pos + run))) {
             runSum += buf(pos + run).value

@@ -29,7 +29,12 @@ import org.apache.spark.sql.functions.{col, count, lit, timestamp_micros, window
   *     [ONE ROW PER MATCH]
   *     AFTER MATCH SKIP { TO NEXT ROW | PAST LAST ROW
   *                      | TO FIRST <var> | TO LAST <var> }
-  *     PATTERN (V[+|+?|*|*?|{n}] ...) | PATTERN (PERMUTE(V1, V2[, V3]))
+  *     PATTERN (V[+|*|?|{n}|{n,}|{n,m}|{,m}][?] ...)  -- trailing ? =
+  *                                         -- reluctant (r13: full SQL:2016
+  *                                         -- quantifier set incl. ?? and
+  *                                         -- {n,m}?, both in the
+  *                                         -- reference's unsupported list)
+  *       | PATTERN (PERMUTE(V1, V2[, V3]))
   *       | PATTERN ((V1 V2)[*|+] V3 ...)   -- grouped repetition; a var may
   *                                         -- recur (multi-occurrence), e.g.
   *                                         -- (A B)* A; repetitions UNCAPPED
@@ -142,7 +147,14 @@ object MatchRecognizeSql extends Serializable {
     "(?is)^MATCH_NUMBER\\s*\\(\\s*\\)\\s+AS\\s+(\\w+)$".r
   private val matchRowtimeRe =
     "(?is)^MATCH_ROWTIME\\s*\\(\\s*\\)\\s+AS\\s+(\\w+)$".r
-  private val tokenRe = "([A-Za-z]\\w*)(\\+\\?|\\*\\?|\\+|\\*|\\{(\\d+)\\})?".r
+  // quantifiers (ref match_recognize.md:352-359): + * ? {n} {n,} {n,m}
+  // {,m}, each with an optional reluctant '?' suffix. The reference
+  // rejects the reluctant optional (`A??`, match_recognize.md:1113) and
+  // any greedy quantifier on the LAST pattern variable (:424); this
+  // engine's replay matcher needs neither restriction, so both run here
+  // (superset, spec-pinned).
+  private val tokenRe =
+    "([A-Za-z]\\w*)(\\+\\?|\\*\\?|\\+|\\*|\\?\\?|\\?|\\{\\s*(\\d*)\\s*(,?)\\s*(\\d*)\\s*\\}(\\?)?)?".r
   private val cmpRe = "(?s)^(\\w+)\\s*(<>|!=|<=|>=|=|<|>)\\s*(?:'([^']*)'|([-0-9.eE]+))$".r
 
   def parse(sqlText: String): Spec = {
@@ -273,7 +285,7 @@ object MatchRecognizeSql extends Serializable {
       }
     }
     val pattern = patternTokens.map {
-        case tokenRe(v, quant, times) =>
+        case tokenRe(v, quant, qLo, qComma, qHi, qRel) =>
           // SQL default for an un-DEFINEd variable is "matches any row" —
           // any *user* row; the engine-internal sentinel must never match
           // (compiled predicates guard identically for defined variables).
@@ -285,12 +297,43 @@ object MatchRecognizeSql extends Serializable {
             case Some("+?") => Cep.QStep.oneOrMore(cd.rowPred, greedy = false)
             case Some("*")  => Cep.QStep.zeroOrMore(cd.rowPred)
             case Some("*?") => Cep.QStep.zeroOrMore(cd.rowPred, greedy = false)
-            case Some(_)    => Cep.QStep.times(cd.rowPred, times.toInt)
+            // optional: 0 or 1 rows; `??` (reluctant optional, prefers the
+            // absent branch) is in the reference's OWN unsupported list
+            // (match_recognize.md:1113) — supported here
+            case Some("?")  => Cep.QStep(cd.rowPred, 0, 1, greedy = true)
+            case Some("??") => Cep.QStep(cd.rowPred, 0, 1, greedy = false)
+            // braces: {n} exact, {n,} open range, {n,m} closed, {,m}
+            // zero-to-m (bounds per match_recognize.md:355-358); a '?'
+            // suffix makes the range reluctant (no-op when lo == hi)
+            case Some(_) =>
+              val greedy = qRel == null || qRel.isEmpty
+              val lo = Option(qLo).filter(_.nonEmpty).map(_.toInt)
+              val hi = Option(qHi).filter(_.nonEmpty).map(_.toInt)
+              (lo, qComma == ",", hi) match {
+                case (Some(n), false, None) =>
+                  require(n > 0, s"{n} requires n > 0; got {$n} on $v")
+                  Cep.QStep.times(cd.rowPred, n)
+                case (Some(n), true, None) =>
+                  Cep.QStep(cd.rowPred, n, Int.MaxValue, greedy)
+                case (Some(n), true, Some(m)) =>
+                  require(n <= m && m > 0,
+                    s"{n,m} requires 0 <= n <= m, m > 0; got {$n,$m} on $v")
+                  Cep.QStep(cd.rowPred, n, m, greedy)
+                case (None, true, Some(m)) =>
+                  require(m > 0, s"{,m} requires m > 0; got {,$m} on $v")
+                  Cep.QStep(cd.rowPred, 0, m, greedy)
+                case _ => throw new IllegalArgumentException(
+                  s"bad quantifier on pattern variable $v")
+              }
           }).copy(agg = cd.agg, name = v.toUpperCase, xagg = cd.xagg)
           v.toUpperCase -> step
         case t => throw new IllegalArgumentException(s"bad pattern token: $t")
       }
     require(pattern.nonEmpty, "empty PATTERN")
+    // a pattern every variable of which admits zero rows could match empty —
+    // unsupported in the reference too (match_recognize.md:360-362)
+    require(pattern.exists(_._2.min >= 1),
+      "pattern can produce an empty match (every variable allows 0 rows) — unsupported")
     if (isPermute) {
       require(pattern.forall(_._2.max == 1),
         "PERMUTE variables take no quantifiers in this subset")
@@ -1404,6 +1447,106 @@ object MatchRecognizeSql extends Serializable {
   def matchNav(s: SparkSession, dir: String): DataFrame = run(s, dir, matchNavSql)
   def matchXagg(s: SparkSession, dir: String): DataFrame = run(s, dir, matchXaggSql)
 
+  // ---- r13: the full SQL:2016 quantifier set (ref match_recognize.md:
+  // 352-359). B's predicate OVERLAPS C's so greedy-vs-reluctant is
+  // load-bearing (29 rows differ at sf0.01, not just branch order).
+
+  /** Greedy optional `B?`: prefer the B-present parse — a view, then
+    * (greedily) one value>50 row IF a purchase follows it, else the
+    * purchase directly. */
+  val matchQOptSql: String =
+    """SELECT user_id, a_id, b_id, c_id FROM events
+      |MATCH_RECOGNIZE (
+      |  PARTITION BY user_id
+      |  ORDER BY ts
+      |  MEASURES A.event_id AS a_id, B.event_id AS b_id, C.event_id AS c_id
+      |  ONE ROW PER MATCH
+      |  AFTER MATCH SKIP TO NEXT ROW
+      |  PATTERN (A B? C)
+      |  DEFINE A AS event_type = 'view', B AS value > 50,
+      |         C AS event_type = 'purchase'
+      |)""".stripMargin
+
+  /** Reluctant optional `B??` — in the reference's OWN unsupported list
+    * (match_recognize.md:1113): prefer the B-absent parse. Same DEFINEs as
+    * [[matchQOptSql]]; the two differ exactly where both parses are viable
+    * (view, value>50 purchase, purchase). */
+  val matchQOptRelSql: String = matchQOptSql.replace("(A B? C)", "(A B?? C)")
+
+  /** Closed range `A{2,3}` greedy: three views before the purchase when
+    * the data allows, two otherwise (disjoint DEFINEs — the branch is
+    * data-determined). */
+  val matchQRangeSql: String =
+    """SELECT user_id, a_id, n_a, c_id FROM events
+      |MATCH_RECOGNIZE (
+      |  PARTITION BY user_id
+      |  ORDER BY ts
+      |  MEASURES FIRST(A.event_id) AS a_id, COUNT(A.*) AS n_a,
+      |           C.event_id AS c_id
+      |  ONE ROW PER MATCH
+      |  AFTER MATCH SKIP TO NEXT ROW
+      |  PATTERN (A{2,3} C)
+      |  DEFINE A AS event_type = 'view', C AS event_type = 'purchase'
+      |)""".stripMargin
+
+  /** Reluctant closed range `A{2,3}?` with an A-predicate that overlaps
+    * C's (any non-error row): take the SHORTEST repetition that lets the
+    * purchase close the match — 2 rows when row 3 is already a purchase,
+    * 3 only otherwise. */
+  val matchQRangeRelSql: String =
+    """SELECT user_id, a_id, n_a, c_id FROM events
+      |MATCH_RECOGNIZE (
+      |  PARTITION BY user_id
+      |  ORDER BY ts
+      |  MEASURES FIRST(A.event_id) AS a_id, COUNT(A.*) AS n_a,
+      |           C.event_id AS c_id
+      |  ONE ROW PER MATCH
+      |  AFTER MATCH SKIP TO NEXT ROW
+      |  PATTERN (A{2,3}? C)
+      |  DEFINE A AS event_type <> 'error', C AS event_type = 'purchase'
+      |)""".stripMargin
+
+  /** Zero-to-m range `B{,2}` greedy: up to two clicks between the view and
+    * the purchase, as many as the data has; LAST(B.event_id) is NULL on
+    * the zero-click parse (empty optional variable → SQL NULL). */
+  val matchQUptoSql: String =
+    """SELECT user_id, a_id, n_b, b_last, c_id FROM events
+      |MATCH_RECOGNIZE (
+      |  PARTITION BY user_id
+      |  ORDER BY ts
+      |  MEASURES A.event_id AS a_id, COUNT(B.*) AS n_b,
+      |           LAST(B.event_id) AS b_last, C.event_id AS c_id
+      |  ONE ROW PER MATCH
+      |  AFTER MATCH SKIP TO NEXT ROW
+      |  PATTERN (A B{,2} C)
+      |  DEFINE A AS event_type = 'view', B AS event_type = 'click',
+      |         C AS event_type = 'purchase'
+      |)""".stripMargin
+
+  /** Open range `A{2,}` greedy: the maximal view run (≥ 2) from each start
+    * row, closed by the purchase immediately after the run — the {n,}
+    * twin of the A+ family, SKIP TO NEXT ROW so every suffix of the run
+    * with ≥ 2 views matches. */
+  val matchQOpenSql: String =
+    """SELECT user_id, a_id, n_a, c_id FROM events
+      |MATCH_RECOGNIZE (
+      |  PARTITION BY user_id
+      |  ORDER BY ts
+      |  MEASURES FIRST(A.event_id) AS a_id, COUNT(A.*) AS n_a,
+      |           C.event_id AS c_id
+      |  ONE ROW PER MATCH
+      |  AFTER MATCH SKIP TO NEXT ROW
+      |  PATTERN (A{2,} C)
+      |  DEFINE A AS event_type = 'view', C AS event_type = 'purchase'
+      |)""".stripMargin
+
+  def matchQOpt(s: SparkSession, dir: String): DataFrame = run(s, dir, matchQOptSql)
+  def matchQOptRel(s: SparkSession, dir: String): DataFrame = run(s, dir, matchQOptRelSql)
+  def matchQRange(s: SparkSession, dir: String): DataFrame = run(s, dir, matchQRangeSql)
+  def matchQRangeRel(s: SparkSession, dir: String): DataFrame = run(s, dir, matchQRangeRelSql)
+  def matchQUpto(s: SparkSession, dir: String): DataFrame = run(s, dir, matchQUptoSql)
+  def matchQOpen(s: SparkSession, dir: String): DataFrame = run(s, dir, matchQOpenSql)
+
   def matchSubset(s: SparkSession, dir: String): DataFrame = run(s, dir, matchSubsetSql)
   def matchXvar(s: SparkSession, dir: String): DataFrame = run(s, dir, matchXvarSql)
   def matchXvarMin(s: SparkSession, dir: String): DataFrame = run(s, dir, matchXvarMinSql)
@@ -1478,6 +1621,108 @@ object MatchRecognizeSql extends Serializable {
   /** DuckDB oracles (no MATCH_RECOGNIZE there either — expressed with
     * window functions, same derivations as the programmatic CEP oracles). */
   val sql: Map[String, String] = Map(
+    // greedy optional B?: the B-present branch wins where both parses fit
+    "q_sql_match_qopt" ->
+      """WITH o AS (SELECT user_id, event_id, event_type, value,
+        |            CAST(ts AS TIMESTAMP) AS t FROM events),
+        |sq AS (SELECT user_id, event_id AS a_id, event_type AS et0,
+        |  lead(event_type,1) OVER w AS et1, lead(event_id,1) OVER w AS id1,
+        |  lead(value,1) OVER w AS v1,
+        |  lead(event_type,2) OVER w AS et2, lead(event_id,2) OVER w AS id2
+        | FROM o WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id))
+        |SELECT user_id, a_id,
+        |  CASE WHEN v1 > 50 AND et2 = 'purchase' THEN id1 ELSE NULL END AS b_id,
+        |  CASE WHEN v1 > 50 AND et2 = 'purchase' THEN id2 ELSE id1 END AS c_id
+        |FROM sq WHERE et0 = 'view'
+        |  AND ((v1 > 50 AND et2 = 'purchase') OR et1 = 'purchase')
+        |ORDER BY user_id, a_id""".stripMargin,
+    // reluctant optional B??: the B-absent branch wins where both fit
+    "q_sql_match_qopt_rel" ->
+      """WITH o AS (SELECT user_id, event_id, event_type, value,
+        |            CAST(ts AS TIMESTAMP) AS t FROM events),
+        |sq AS (SELECT user_id, event_id AS a_id, event_type AS et0,
+        |  lead(event_type,1) OVER w AS et1, lead(event_id,1) OVER w AS id1,
+        |  lead(value,1) OVER w AS v1,
+        |  lead(event_type,2) OVER w AS et2, lead(event_id,2) OVER w AS id2
+        | FROM o WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id))
+        |SELECT user_id, a_id,
+        |  CASE WHEN et1 = 'purchase' THEN NULL ELSE id1 END AS b_id,
+        |  CASE WHEN et1 = 'purchase' THEN id1 ELSE id2 END AS c_id
+        |FROM sq WHERE et0 = 'view'
+        |  AND (et1 = 'purchase' OR (v1 > 50 AND et2 = 'purchase'))
+        |ORDER BY user_id, a_id""".stripMargin,
+    // A{2,3} greedy: disjoint DEFINEs make the branch data-determined
+    "q_sql_match_qrange" ->
+      """WITH o AS (SELECT user_id, event_id, event_type,
+        |            CAST(ts AS TIMESTAMP) AS t FROM events),
+        |sq AS (SELECT user_id, event_id AS a_id, event_type AS et0,
+        |  lead(event_type,1) OVER w AS et1,
+        |  lead(event_type,2) OVER w AS et2, lead(event_id,2) OVER w AS id2,
+        |  lead(event_type,3) OVER w AS et3, lead(event_id,3) OVER w AS id3
+        | FROM o WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id))
+        |SELECT user_id, a_id,
+        |  CAST(CASE WHEN et2 = 'view' AND et3 = 'purchase' THEN 3 ELSE 2 END AS BIGINT) AS n_a,
+        |  CASE WHEN et2 = 'view' AND et3 = 'purchase' THEN id3 ELSE id2 END AS c_id
+        |FROM sq WHERE et0 = 'view' AND et1 = 'view'
+        |  AND ((et2 = 'view' AND et3 = 'purchase') OR et2 = 'purchase')
+        |ORDER BY user_id, a_id""".stripMargin,
+    // A{2,3}? reluctant with A overlapping C: shortest repetition first
+    "q_sql_match_qrange_rel" ->
+      """WITH o AS (SELECT user_id, event_id, event_type,
+        |            CAST(ts AS TIMESTAMP) AS t FROM events),
+        |sq AS (SELECT user_id, event_id AS a_id, event_type AS et0,
+        |  lead(event_type,1) OVER w AS et1,
+        |  lead(event_type,2) OVER w AS et2, lead(event_id,2) OVER w AS id2,
+        |  lead(event_type,3) OVER w AS et3, lead(event_id,3) OVER w AS id3
+        | FROM o WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id))
+        |SELECT user_id, a_id,
+        |  CAST(CASE WHEN et2 = 'purchase' THEN 2 ELSE 3 END AS BIGINT) AS n_a,
+        |  CASE WHEN et2 = 'purchase' THEN id2 ELSE id3 END AS c_id
+        |FROM sq WHERE et0 <> 'error' AND et1 <> 'error'
+        |  AND (et2 = 'purchase' OR (et2 <> 'error' AND et3 = 'purchase'))
+        |ORDER BY user_id, a_id""".stripMargin,
+    // B{,2} greedy: as many clicks as the data has before the purchase
+    "q_sql_match_qupto" ->
+      """WITH o AS (SELECT user_id, event_id, event_type,
+        |            CAST(ts AS TIMESTAMP) AS t FROM events),
+        |sq AS (SELECT user_id, event_id AS a_id, event_type AS et0,
+        |  lead(event_type,1) OVER w AS et1, lead(event_id,1) OVER w AS id1,
+        |  lead(event_type,2) OVER w AS et2, lead(event_id,2) OVER w AS id2,
+        |  lead(event_type,3) OVER w AS et3, lead(event_id,3) OVER w AS id3
+        | FROM o WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id))
+        |SELECT user_id, a_id,
+        |  CAST(CASE WHEN et1 = 'click' AND et2 = 'click' AND et3 = 'purchase' THEN 2
+        |            WHEN et1 = 'click' AND et2 = 'purchase' THEN 1
+        |            ELSE 0 END AS BIGINT) AS n_b,
+        |  CASE WHEN et1 = 'click' AND et2 = 'click' AND et3 = 'purchase' THEN id2
+        |       WHEN et1 = 'click' AND et2 = 'purchase' THEN id1
+        |       ELSE NULL END AS b_last,
+        |  CASE WHEN et1 = 'click' AND et2 = 'click' AND et3 = 'purchase' THEN id3
+        |       WHEN et1 = 'click' AND et2 = 'purchase' THEN id2
+        |       ELSE id1 END AS c_id
+        |FROM sq WHERE et0 = 'view'
+        |  AND ((et1 = 'click' AND et2 = 'click' AND et3 = 'purchase')
+        |    OR (et1 = 'click' AND et2 = 'purchase')
+        |    OR et1 = 'purchase')
+        |ORDER BY user_id, a_id""".stripMargin,
+    // A{2,} greedy: islands — every >= 2-view suffix of a view run whose
+    // next row is a purchase
+    "q_sql_match_qopen" ->
+      """WITH o AS (SELECT user_id, event_id, event_type,
+        |        row_number() OVER (PARTITION BY user_id
+        |          ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn FROM events),
+        |v AS (SELECT user_id, event_id, rn,
+        |        rn - row_number() OVER (PARTITION BY user_id ORDER BY rn) AS grp
+        |      FROM o WHERE event_type = 'view'),
+        |r AS (SELECT user_id, grp, max(rn) AS end_rn FROM v GROUP BY 1, 2),
+        |p AS (SELECT user_id, rn, event_id FROM o WHERE event_type = 'purchase')
+        |SELECT v.user_id, v.event_id AS a_id,
+        |       CAST(r.end_rn - v.rn + 1 AS BIGINT) AS n_a,
+        |       p.event_id AS c_id
+        |FROM v JOIN r ON r.user_id = v.user_id AND r.grp = v.grp
+        |JOIN p ON p.user_id = v.user_id AND p.rn = r.end_rn + 1
+        |WHERE r.end_rn - v.rn + 1 >= 2
+        |ORDER BY v.user_id, a_id""".stripMargin,
     // MATCH_ROWTIME: the B row's timestamp surfaces as the measure
     "q_sql_match_rowtime" ->
       """WITH o AS (SELECT user_id, event_id, event_type,

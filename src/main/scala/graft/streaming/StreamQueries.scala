@@ -210,6 +210,28 @@ object StreamQueries {
       .orderBy("user_id", "a_id")
   }
 
+  /** PATTERN (A+ until(signup) B) — the reference's stop condition for
+    * looping patterns (Pattern#until, docs/dev/libs/cep.md:449-456): a
+    * signup is never accepted into the A-run, so the loop ends there and
+    * the purchase must close the match before it. Identical to cepPlus
+    * except the island additionally splits at signups — the until row
+    * itself is not consumed (the next step is tried AT it). Also the
+    * reference's state-cleanup knob: an unbounded A+ with until keeps
+    * per-key state bounded by the stop event's cadence. */
+  def cepUntil(s: SparkSession, dir: String): DataFrame = {
+    import StreamSource.Event
+    val a: Event => Boolean = e => e.event_type != "error" && e.event_type != "__sentinel"
+    val stop: Event => Boolean = _.event_type == "signup"
+    val b: Event => Boolean = _.event_type == "purchase"
+    val out = Cep.matchRecognize(StreamSource.eventsTypedWithSentinel(s, dir),
+      Seq(Cep.QStep.oneOrMore(a).copy(until = Some(stop)), Cep.QStep.once(b)),
+      skipPastLastRow = false).toDF()
+    StreamSource.runToTable(s, out, "stream_cep_until", "append")
+      .select(col("user_id"), expr("ids[0]").as("a_id"),
+        expr("element_at(ids, -1)").as("b_id"), (size(col("ids")) - 1).as("n_a"))
+      .orderBy("user_id", "a_id")
+  }
+
   /** PATTERN (view view) AFTER MATCH SKIP PAST LAST ROW: consecutive
     * view pairs, non-overlapping — within a run of k views the matcher
     * pairs rows (1,2), (3,4), ... (skip-to-next-row would emit k-1
@@ -1121,6 +1143,27 @@ object StreamQueries {
         |      FROM e),
         |g AS (SELECT *, sum(is_err) OVER (PARTITION BY user_id ORDER BY rn) AS grp FROM o),
         |a AS (SELECT * FROM g WHERE is_err = 0),
+        |s AS (SELECT user_id, grp, rn, event_id,
+        |        max(CASE WHEN event_type = 'purchase' THEN rn END) OVER
+        |          (PARTITION BY user_id, grp ORDER BY rn
+        |           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS j_rn
+        |      FROM a)
+        |SELECT s.user_id, s.event_id AS a_id, b.event_id AS b_id,
+        |       CAST(s.j_rn - s.rn AS INT) AS n_a
+        |FROM s JOIN a b ON b.user_id = s.user_id AND b.rn = s.j_rn
+        |WHERE s.j_rn IS NOT NULL
+        |ORDER BY s.user_id, a_id""".stripMargin,
+    // until(signup): same islands derivation as q_stream_cep_plus with the
+    // island additionally split at the stop event (signup never enters the
+    // loop, so no A-run or its closing purchase crosses one)
+    "q_stream_cep_until" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS t FROM events),
+        |o AS (SELECT user_id, event_id, event_type,
+        |        row_number() OVER (PARTITION BY user_id ORDER BY t, event_id) AS rn,
+        |        CASE WHEN event_type IN ('error', 'signup') THEN 1 ELSE 0 END AS brk
+        |      FROM e),
+        |g AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY rn) AS grp FROM o),
+        |a AS (SELECT * FROM g WHERE brk = 0),
         |s AS (SELECT user_id, grp, rn, event_id,
         |        max(CASE WHEN event_type = 'purchase' THEN rn END) OVER
         |          (PARTITION BY user_id, grp ORDER BY rn

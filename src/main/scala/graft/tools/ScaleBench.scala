@@ -379,6 +379,27 @@ object ScaleBench {
           spark.catalog.clearCache()
           graft.operators.Dedup.leakageSafeSplit(spark, out).count()
         },
+        // r13: char entropy = two partial-agg-first shuffles bounded by
+        // |alphabet| rows/doc; normalized dedup = the exact-dedup groupBy
+        // with expression-only normalization; weighted sample = map-side
+        // keys + TakeOrderedAndProject (k rows/partition); blocklist =
+        // broadcast probe + one small agg. All must track the scan.
+        time(s"text_entropy_${k}x") {
+          spark.catalog.clearCache()
+          graft.operators.TextAnalysis.charEntropy(spark, out).count()
+        },
+        time(s"dedup_norm_${k}x") {
+          spark.catalog.clearCache()
+          graft.operators.Dedup.normalizedDedup(spark, out).count()
+        },
+        time(s"sample_weighted_${k}x") {
+          spark.catalog.clearCache()
+          graft.operators.Pipeline.weightedSample(spark, out).count()
+        },
+        time(s"url_blocklist_${k}x") {
+          spark.catalog.clearCache()
+          graft.operators.WebPipeline.urlBlocklist(spark, out).count()
+        },
       )
       if (prodIx != null) graft.operators.Similarity.releaseProdIndex(prodIx)
       val total = results.map(_._2).sum

@@ -87,7 +87,13 @@ class EmptyInputSpec extends SparkSpec {
     "q_sql_match_rows_measures", "q_sql_match_rows_final",
     // round-13 additions
     "q_sql_match_nav", "q_sql_match_xagg", "q_ann_negatives_ix",
-    "q_quality_ccnet_sketch", "q_sql_match_rowtime", "q_sql_match_cascade")
+    "q_quality_ccnet_sketch", "q_sql_match_rowtime", "q_sql_match_cascade",
+    // r13 quantifier-set queries
+    "q_sql_match_qopt", "q_sql_match_qopt_rel", "q_sql_match_qrange",
+    "q_sql_match_qrange_rel", "q_sql_match_qupto", "q_sql_match_qopen",
+    // r13 until() + LLM-ops batch
+    "q_stream_cep_until", "q_url_blocklist", "q_dedup_norm", "q_text_entropy",
+    "q_sample_weighted", "q_dedup_minhash_eval")
 
   for (name <- queries)
     test(s"$name runs on an empty corpus") {
@@ -101,7 +107,8 @@ class EmptyInputSpec extends SparkSpec {
       // empty corpus (the DuckDB oracle does the same); q_values reads no
       // corpus table at all
       val oneRowGlobals = Set("q_values", "q_graph_triadic_directed",
-        "q_dq_checks") // dq: a 9-row all-pass report over zero rows IS the answer
+        "q_dq_checks", // dq: a 9-row all-pass report over zero rows IS the answer
+        "q_dedup_minhash_eval") // all-zero calibration row ≡ the oracle's
       if (!oneRowGlobals(name))
         assert(n == 0, s"$name returned $n rows on empty input")
       spark.catalog.clearCache()

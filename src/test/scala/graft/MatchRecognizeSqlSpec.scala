@@ -690,6 +690,105 @@ class MatchRecognizeSqlSpec extends SparkSpec {
         |)""".stripMargin))
   }
 
+  test("full quantifier set parses: ? ?? {n,} {n,m}? {,m}; bounds validated") {
+    def stepOf(pat: String) = MatchRecognizeSql.parse(
+      s"""SELECT user_id, n FROM events
+         |MATCH_RECOGNIZE (
+         |  PARTITION BY user_id ORDER BY ts
+         |  MEASURES COUNT(A.*) AS n
+         |  PATTERN ($pat)
+         |  DEFINE A AS event_type = 'view'
+         |)""".stripMargin).pattern.head._2
+    val opt = stepOf("A? B")
+    assert(opt.min === 0 && opt.max === 1 && opt.greedy)
+    val optRel = stepOf("A?? B") // in the reference's own unsupported list
+    assert(optRel.min === 0 && optRel.max === 1 && !optRel.greedy)
+    val open = stepOf("A{2,} B")
+    assert(open.min === 2 && open.max === Int.MaxValue && open.greedy)
+    val closedRel = stepOf("A{2,4}? B")
+    assert(closedRel.min === 2 && closedRel.max === 4 && !closedRel.greedy)
+    val upto = stepOf("A{,3} B")
+    assert(upto.min === 0 && upto.max === 3 && upto.greedy)
+    // bounds per match_recognize.md:355-358
+    intercept[IllegalArgumentException](stepOf("A{0} B"))
+    intercept[IllegalArgumentException](stepOf("A{3,2} B"))
+    intercept[IllegalArgumentException](stepOf("A{,0} B"))
+    // a pattern where every variable admits zero rows could match empty
+    intercept[IllegalArgumentException](stepOf("A* B?"))
+  }
+
+  test("greedy vs reluctant optional: B-present preferred vs B-absent (fixture)") {
+    import spark.implicits._
+    def ev(id: Long, sec: Int, t: String, v: Double) =
+      StreamSource.Event(id, new java.sql.Timestamp(sec * 1000L), 1L, t, v)
+    // view, high-value purchase, purchase: both parses of (A B? C) fit
+    val events = spark.createDataset(Seq(
+      ev(1, 1, "view", 5.0), ev(2, 2, "purchase", 60.0), ev(3, 3, "purchase", 8.0)))
+    def steps(pat: String) = MatchRecognizeSql.parse(
+      s"""SELECT user_id, a_id FROM events
+         |MATCH_RECOGNIZE (
+         |  PARTITION BY user_id ORDER BY ts
+         |  MEASURES A.event_id AS a_id
+         |  PATTERN ($pat)
+         |  DEFINE A AS event_type = 'view', B AS value > 50,
+         |         C AS event_type = 'purchase'
+         |)""".stripMargin).pattern.map(_._2)
+    val greedy = Cep.matchRecognizeOrderedSkip(events, steps("A B? C"),
+      Cep.SkipToNextRow).collect()
+    assert(greedy.map(m => (m.ids, m.counts)).toSeq ===
+      Seq((Seq(1L, 2L, 3L), Seq(1, 1, 1))), "greedy takes the B row")
+    val rel = Cep.matchRecognizeOrderedSkip(events, steps("A B?? C"),
+      Cep.SkipToNextRow).collect()
+    assert(rel.map(m => (m.ids, m.counts)).toSeq ===
+      Seq((Seq(1L, 2L), Seq(1, 0, 1))), "reluctant skips the optional row")
+  }
+
+  test("range quantifiers on a fixture: {2,3} greedy/reluctant, {,2}, {2,}") {
+    import spark.implicits._
+    def ev(id: Long, sec: Int, t: String) =
+      StreamSource.Event(id, new java.sql.Timestamp(sec * 1000L), 1L, t, 1.0)
+    def steps(pat: String, defs: String) = MatchRecognizeSql.parse(
+      s"""SELECT user_id, n FROM events
+         |MATCH_RECOGNIZE (
+         |  PARTITION BY user_id ORDER BY ts
+         |  MEASURES COUNT(A.*) AS n
+         |  PATTERN ($pat)
+         |  DEFINE $defs
+         |)""".stripMargin).pattern.map(_._2)
+    // click click purchase purchase: A = non-error overlaps C = purchase
+    val overlap = spark.createDataset(Seq(
+      ev(1, 1, "click"), ev(2, 2, "click"), ev(3, 3, "purchase"), ev(4, 4, "purchase")))
+    val defs = "A AS event_type <> 'error', C AS event_type = 'purchase'"
+    val g = Cep.matchRecognizeOrderedSkip(overlap,
+      steps("A{2,3} C", defs), Cep.SkipPastLastRow).collect()
+    assert(g.map(_.counts).toSeq === Seq(Seq(3, 1)),
+      "greedy {2,3} swallows the first purchase as its third A row")
+    val r = Cep.matchRecognizeOrderedSkip(overlap,
+      steps("A{2,3}? C", defs), Cep.SkipPastLastRow).collect()
+    assert(r.map(_.counts).toSeq === Seq(Seq(2, 1)),
+      "reluctant {2,3}? closes at the shortest repetition")
+    // {,2}: zero-to-two clicks between view and purchase
+    val clicks = spark.createDataset(Seq(
+      ev(1, 1, "view"), ev(2, 2, "click"), ev(3, 3, "purchase"),
+      ev(4, 4, "view"), ev(5, 5, "purchase")))
+    val upto = Cep.matchRecognizeOrderedSkip(clicks,
+      steps("A B{,2} C",
+        "A AS event_type = 'view', B AS event_type = 'click', C AS event_type = 'purchase'"),
+      Cep.SkipPastLastRow).collect()
+    assert(upto.map(m => (m.ids, m.counts)).toSeq ===
+      Seq((Seq(1L, 2L, 3L), Seq(1, 1, 1)), (Seq(4L, 5L), Seq(1, 0, 1))))
+    // {2,}: unbounded greedy run closed by the purchase
+    val run = spark.createDataset(Seq(
+      ev(1, 1, "view"), ev(2, 2, "view"), ev(3, 3, "view"), ev(4, 4, "view"),
+      ev(5, 5, "purchase")))
+    val open = Cep.matchRecognizeOrderedSkip(run,
+      steps("A{2,} C",
+        "A AS event_type = 'view', C AS event_type = 'purchase'"),
+      Cep.SkipPastLastRow).collect()
+    assert(open.map(m => (m.ids, m.counts)).toSeq ===
+      Seq((Seq(1L, 2L, 3L, 4L, 5L), Seq(4, 1))))
+  }
+
   test("SQL value measures equal the window-function derivation") {
     val viaSql = MatchRecognizeSql.matchSum(spark, sf).collect().map(_.toSeq)
     Tables.registerAll(spark, sf)

@@ -43,4 +43,65 @@ class Round13Spec extends SparkSpec {
     assert(Seq("head", "middle", "tail").forall(counts.getOrElse(_, 0) > 0),
       s"degenerate sketch split: $counts")
   }
+
+  test("until() stops the loop at the stop event without consuming it") {
+    // ref Pattern#until (docs/dev/libs/cep.md:449-456): an event matching
+    // the stop condition is never accepted into the repetition; the next
+    // step is tried AT that row. view,signup,purchase: plain A+ B swallows
+    // the signup and matches, A+ until(signup) B cannot.
+    import spark.implicits._
+    import graft.streaming.{Cep, StreamSource}
+    def ev(id: Long, sec: Int, u: Long, t: String) =
+      StreamSource.Event(id, new java.sql.Timestamp(sec * 1000L), u, t, 1.0)
+    val events = spark.createDataset(Seq(
+      ev(1, 1, 1L, "view"), ev(2, 2, 1L, "signup"), ev(3, 3, 1L, "purchase"),
+      // key 2: the stop event ends the run AFTER the closing purchase —
+      // backtracking still finds the match the stop row doesn't block
+      ev(4, 4, 2L, "view"), ev(5, 5, 2L, "purchase"), ev(6, 6, 2L, "signup"),
+      // pattern-breaking tail rows so trailing attempts are decidable in
+      // the batch-ordered matcher (no sentinel on this path)
+      ev(7, 7, 1L, "error"), ev(8, 8, 2L, "error")))
+    val a: StreamSource.Event => Boolean =
+      e => e.event_type != "error" && e.event_type != "__sentinel"
+    val b: StreamSource.Event => Boolean = _.event_type == "purchase"
+    val plain = Seq(Cep.QStep.oneOrMore(a), Cep.QStep.once(b))
+    val stopped = Seq(Cep.QStep.oneOrMore(a).copy(
+      until = Some((e: StreamSource.Event) => e.event_type == "signup")),
+      Cep.QStep.once(b))
+    val plainGot = Cep.matchRecognizeOrderedSkip(events, plain,
+      Cep.SkipPastLastRow).collect().map(_.ids).toSeq
+    assert(plainGot === Seq(Seq(1L, 2L, 3L), Seq(4L, 5L)),
+      "plain A+ must swallow the signup")
+    val stoppedGot = Cep.matchRecognizeOrderedSkip(events, stopped,
+      Cep.SkipPastLastRow).collect().map(_.ids).toSeq
+    assert(stoppedGot === Seq(Seq(4L, 5L)),
+      "until(signup) must refuse the signup into the loop, killing match 1")
+  }
+
+  test("normalization-keyed dedup collapses variants raw exact dedup misses") {
+    import graft.operators.Dedup
+    val out = Dedup.normalizedDedup(spark, sf).collect()
+    assert(out.nonEmpty)
+    // planted recrawl variants (uppercased / accented / comma-injected)
+    // have DIFFERENT raw fingerprints but the SAME normalized key: groups
+    // with n_raw > 1 are exactly the duplicates a raw-text key misses
+    val caught = out.count(r => r.getLong(2) > 1)
+    assert(caught > 0, "no variant group collapsed — normalization not load-bearing")
+    out.foreach { r =>
+      assert(r.getLong(1) >= r.getLong(2), s"n_copies < n_raw in $r")
+    }
+  }
+
+  test("LSH calibration: TPs ⊆ candidates, recall/precision in range and non-vacuous") {
+    import graft.operators.Dedup
+    val r = Dedup.minhashEval(spark, sf).head()
+    val (nTruth, nCand, nTp, prec, rec) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(nTruth > 0 && nCand > 0, "vacuous fixture")
+    assert(nTp <= nCand, "verified TPs must be a subset of candidates")
+    assert(prec >= 0 && prec <= 10000 && rec >= 0 && rec <= 10000)
+    // 16x2 banding at J >= 0.5: collision prob 1-(1-j^2)^16 >= 0.99 — the
+    // planted near-dup pairs should essentially all be found
+    assert(rec >= 9000, s"recall_bp $rec unexpectedly low for 16x2 banding")
+  }
 }
