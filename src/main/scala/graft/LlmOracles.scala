@@ -815,6 +815,26 @@ object LlmOracles {
         | FROM documents, range(8) b(b))
         |SELECT doc_id, array_to_string(list(CAST(cnt AS BIGINT) ORDER BY band), ',') AS features
         |FROM x GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // perceptual near-dup pairs: brute Hamming replay — completeness proof
+    // for the 4x15 banding at threshold 3 (pigeonhole)
+    "q_mm_phash" ->
+      """WITH d0 AS (SELECT doc_id, text FROM documents),
+        |v AS (SELECT doc_id, text FROM d0
+        |      UNION ALL SELECT doc_id + 3000000, 'xxxxxxxx' || substr(text, 9)
+        |      FROM d0 WHERE ('0x'||substr(md5('mv:'||doc_id),1,15))::UBIGINT % 5 = 0),
+        |b AS (SELECT doc_id, [ascii(c) FOR c IN string_split(text, '')] AS by,
+        |        length(text) AS n FROM v),
+        |px AS (SELECT doc_id, [CASE WHEN ((i+1)*n)//60 > (i*n)//60
+        |         THEN list_sum(by[(i*n)//60 + 1 : ((i+1)*n)//60]) // (((i+1)*n)//60 - (i*n)//60)
+        |         ELSE 0 END FOR i IN range(0, 60)] AS px FROM b),
+        |h AS (SELECT doc_id, list_sum([CASE WHEN px[i+1] > list_sum(px)//60
+        |        THEN 1::BIGINT << i ELSE 0::BIGINT END FOR i IN range(0, 60)]) AS ah
+        |      FROM px)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(bit_count(xor(a.ah, b.ah)) AS INT) AS hamming
+        |FROM h a JOIN h b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.ah, b.ah)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "q_mm_decode" ->
       """SELECT doc_id,
         | CAST(octet_length(encode(text)) AS INT) AS n_bytes,
@@ -946,6 +966,18 @@ object LlmOracles {
         |SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies,
         |       CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_raw
         |FROM nrm GROUP BY md5(norm) ORDER BY keep_id""".stripMargin,
+    // PPJoin prefix-filtered pairs: the oracle is the BRUTE all-pairs scan,
+    // so the hash compare is itself the completeness proof for the prefix
+    // filter (no false negatives at J >= 0.5)
+    "q_dedup_ppjoin" ->
+      (shinglesCte + """
+        |SELECT doc_a, doc_b, j FROM (
+        | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  round(len(list_intersect(a.s, b.s))::DOUBLE /
+        |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS j
+        | FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        | WHERE len(a.s) > 0 AND len(b.s) > 0)
+        |WHERE j >= 0.5 ORDER BY doc_a, doc_b""").stripMargin,
     // Efraimidis–Spirakis weighted sample: integer-grid rank key, top-100
     "q_sample_weighted" ->
       """WITH d AS (SELECT doc_id, n_chars AS w,

@@ -114,6 +114,7 @@ object SparkEntry {
     "q_decontaminate"     -> (Pipeline.decontaminate _),
     "q_sample_stratified" -> (Pipeline.stratifiedSample _),
     "q_sample_weighted"   -> (Pipeline.weightedSample _),
+    "q_stream_sample_weighted" -> (streaming.StreamQueries.streamWeightedSample _),
     "q_pack_sequences"    -> (Pipeline.packSequences _),
     "q_pack_nfd"          -> (Pipeline.packBinNfd _),
     "q_dsir_weight"       -> (Pipeline.dsirWeights _),
@@ -126,6 +127,7 @@ object SparkEntry {
     "q_dedup_url"         -> (WebPipeline.urlDedup _),
     "q_url_blocklist"     -> (WebPipeline.urlBlocklist _),
     "q_dedup_minhash_eval" -> (Dedup.minhashEval _),
+    "q_dedup_ppjoin"      -> (Dedup.ppjoinPairs _),
     "q_dedup_norm"        -> (Dedup.normalizedDedup _),
     "q_text_entropy"      -> (TextAnalysis.charEntropy _),
     "q_quality_classifier" -> (WebPipeline.qualityClassifier _),
@@ -163,6 +165,7 @@ object SparkEntry {
     "q_emb_dedup_keep"  -> (Similarity.cosineDedupKeep _),
     "q_ann_hyperplane_lsh" -> (Similarity.hyperplaneLshPairs _),
     "q_mm_decode"       -> (Multimodal.decodeStub _),
+    "q_mm_phash"        -> (Multimodal.phashPairs _),
     "q_mm_frames"       -> (Multimodal.frameSample _),
     "q_mm_resize"       -> (Multimodal.resizeStub _),
     "q_mm_features"     -> (Multimodal.featureStub _),

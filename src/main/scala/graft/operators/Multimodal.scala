@@ -88,6 +88,70 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** 60-bit average hash of a binary payload — the perceptual-dup
+    * fingerprint (aHash): average-pool the byte stream into 60 cells,
+    * threshold each cell against the global mean, pack the bits. With a
+    * real codec the pooling runs over 8×8 grayscale pixels; the byte-slice
+    * pooling here is the same computation over the stub payload, and the
+    * banding/verify machinery downstream is codec-agnostic. */
+  def aHash60(data: Array[Byte]): Long = {
+    val n = data.length
+    val px = new Array[Long](60)
+    var i = 0
+    while (i < 60) {
+      val lo = i * n / 60; val hi = (i + 1) * n / 60
+      if (hi > lo) {
+        var sm = 0L; var j = lo
+        while (j < hi) { sm += (data(j) & 0xffL); j += 1 }
+        px(i) = sm / (hi - lo)
+      }
+      i += 1
+    }
+    val mean = px.sum / 60
+    var hash = 0L
+    i = 0
+    while (i < 60) { if (px(i) > mean) hash |= 1L << i; i += 1 }
+    hash
+  }
+
+  /** q_mm_phash — perceptual near-dup pairs over media payloads (the image
+    * re-crawl dedup every multimodal corpus runs: aHash/pHash + Hamming
+    * threshold). Fixture plants re-encode variants through the md5 bridge
+    * (a localized 8-byte overlay — the watermark/corner-stamp analog; a
+    * length-changing edit would shift the pooling grid like a crop does,
+    * and indeed lands far from the original). Candidates by 4×15-bit
+    * banding; Hamming ≤ 3 verification — pigeonhole makes 4 bands COMPLETE
+    * at that threshold (≤ 3 flipped bits leave one band intact), so the
+    * brute-force oracle's hash compare proves no pair is missed. Scale
+    * shape: hashing is one mapPartitions pass (codec-shaped); the join
+    * runs on 4 postings/doc with 15-bit buckets — the simhash plan. */
+  def phashPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val mdi = "CAST(conv(substr(md5(concat('mv:', CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+    val base = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+    val media = base.union(
+      base.where(expr(s"$mdi % 5 = 0"))
+        .selectExpr("doc_id + 3000000 AS doc_id",
+          "concat('xxxxxxxx', substr(text, 9)) AS text"))
+      .select(col("doc_id"), col("text").cast("binary").as("data"))
+    val hashes = media.as[MediaRow]
+      .mapPartitions(_.map(r => (r.doc_id, aHash60(r.data))))
+      .toDF("doc_id", "ah")
+      .localCheckpoint(true) // band postings + verify both read it
+    val chunks = hashes.select(col("doc_id"), col("ah"),
+        explode(expr("transform(sequence(0, 3), " +
+          "c -> struct(c AS chunk, shiftright(ah, 15*c) & 32767 AS cv))")).as("cc"))
+      .select(col("doc_id"), col("ah"), col("cc.chunk"), col("cc.cv"))
+    chunks.as("a").join(chunks.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.cv") === col("b.cv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.ah").bitwiseXOR(col("b.ah"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= 3)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Frame sampling: one output row per sampled frame, frame identity =
     * md5(doc fingerprint + frame index). Generator-based — never collects. */
   def frameSample(s: SparkSession, dir: String): DataFrame = {

@@ -916,6 +916,63 @@ object StreamQueries {
     * state per key is its max-n emission (the streamHll/streamQuantile
     * argument); a production job would publish refreshed coefficients
     * every batch from exactly these emissions. */
+  /** q_stream_sample_weighted — the Efraimidis–Spirakis weighted sample
+    * kept LIVE (the algorithm's selling point: a weighted reservoir is a
+    * bounded mergeable summary, so ingestion can maintain it forever).
+    * Each shard's state is its top-100 (key_u, doc_id, w) triples plus a
+    * monotone seen-counter — fixed width regardless of corpus size, the
+    * streamHll register argument. The drain takes each shard's max-n
+    * emission and merges the 8 shard reservoirs into the global top-100 —
+    * EXACTLY the batch q_sample_weighted answer (same oracle SQL
+    * verbatim), because per-shard top-k then global top-k is lossless for
+    * a total order. */
+  def streamWeightedSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val segDir = StreamDedup.prepare(s, dir)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val docs = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "seg-*.parquet")
+      .parquet(segDir)
+    val keyed = docs
+      .select(col("doc_id"), length(col("text")).cast("long").as("w"))
+      .withColumn("u9",
+        expr("conv(substring(md5(concat('ws:', cast(doc_id AS STRING))), 1, 15), 16, 10)")
+          .cast("long") % 1000000000L + 1L)
+      .withColumn("lnu_u", expr("cast(round(ln(u9 / 1.0e9) * 1e6) AS BIGINT)"))
+      .withColumn("key_u", expr("cast(round(lnu_u * 1000.0 / w) AS BIGINT)"))
+      .select(expr("cast(doc_id % 8 AS INT)").as("shard"),
+        col("doc_id"), col("w"), col("key_u"))
+      .as[(Int, Long, Long, Long)]
+    val perShard = keyed.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Seq[(Long, Long, Long)]), (Int, Long, Seq[Long], Seq[Long], Seq[Long])](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (shard: Int, rows: Iterator[(Int, Long, Long, Long)],
+         st: GroupState[(Long, Seq[(Long, Long, Long)])]) =>
+          val (seen0, top0) = st.getOption.getOrElse((0L, Seq.empty))
+          var seen = seen0
+          val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+          buf ++= top0
+          rows.foreach { r => seen += 1; buf += ((r._4, r._2, r._3)) } // (key_u, doc_id, w)
+          val top = buf.sortBy { case (k, id, _) => (-k, id) }.take(100).toSeq
+          st.update((seen, top))
+          Iterator.single((shard, seen,
+            top.map(_._1), top.map(_._2), top.map(_._3)))
+      }.toDF("shard", "n_seen", "keys", "ids", "ws")
+    val drained = StreamSource.runToTable(s, perShard, "stream_wsample", "update")
+      .groupBy("shard")
+      .agg(max_by(struct(col("keys"), col("ids"), col("ws")), col("n_seen")).as("m"))
+      .select(explode(arrays_zip(col("m.keys"), col("m.ids"), col("m.ws"))).as("z"))
+      .select(col("z.ids").as("doc_id"), col("z.ws").as("w"), col("z.keys").as("key_u"))
+    drained.orderBy(col("key_u").desc, col("doc_id")).limit(100)
+      .orderBy("doc_id")
+  }
+
   def streamOls(s: SparkSession, dir: String): DataFrame = {
     val st = StreamSource.events(s, dir)
       .select(col("event_type"),
@@ -943,6 +1000,9 @@ object StreamQueries {
   /** DuckDB oracles — batch-SQL statements equivalent to each streaming
     * operator's final drained output. */
   private val sqlBase: Map[String, String] = Map(
+    // the batch weighted-sample oracle VERBATIM: per-shard reservoirs
+    // merged at drain must equal the one-pass batch answer exactly
+    "q_stream_sample_weighted" -> graft.LlmOracles.sql("q_sample_weighted"),
     "q_stream_ols" ->
       """WITH b AS (SELECT event_type,
         |    CAST(dayofyear(CAST(ts AS TIMESTAMP)) AS BIGINT) AS x,

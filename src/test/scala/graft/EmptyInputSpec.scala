@@ -93,7 +93,8 @@ class EmptyInputSpec extends SparkSpec {
     "q_sql_match_qrange_rel", "q_sql_match_qupto", "q_sql_match_qopen",
     // r13 until() + LLM-ops batch
     "q_stream_cep_until", "q_url_blocklist", "q_dedup_norm", "q_text_entropy",
-    "q_sample_weighted", "q_dedup_minhash_eval")
+    "q_sample_weighted", "q_dedup_minhash_eval", "q_dedup_ppjoin",
+    "q_stream_sample_weighted", "q_mm_phash")
 
   for (name <- queries)
     test(s"$name runs on an empty corpus") {

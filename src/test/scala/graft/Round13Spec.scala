@@ -104,4 +104,36 @@ class Round13Spec extends SparkSpec {
     // planted near-dup pairs should essentially all be found
     assert(rec >= 9000, s"recall_bp $rec unexpectedly low for 16x2 banding")
   }
+
+  test("PPJoin prefix index is a strict prune of the full inverted index") {
+    // the oracle hash-compare proves COMPLETENESS (ppjoin pairs ≡ brute
+    // pairs); this pins the other half of the bargain — the prefix index
+    // is materially smaller than the full posting table, and rarest-first
+    // ordering keeps prefix collisions far below full-index collisions
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.{Dedup, TextAnalysis}
+    val ds = Tables(spark, sf, "documents")
+      .withColumn("toks", TextAnalysis.tokens(col("text")))
+      .withColumn("sh", Dedup.shingles(col("toks")))
+      .select(col("doc_id"), explode(col("sh")).as("sg"), size(col("sh")).as("n"))
+    val dfreq = ds.groupBy("sg").agg(count(lit(1)).as("df"))
+    val ranked = ds.join(dfreq, "sg").withColumn("rn",
+      row_number().over(Window.partitionBy("doc_id").orderBy("df", "sg")))
+    val full = ranked.count()
+    val prefix = ranked
+      .where(col("rn") <= col("n") - expr("CAST(ceil(n * 0.5) AS INT)") + 1)
+      .count()
+    assert(prefix * 2 <= full + 1000,
+      s"prefix postings $prefix not ~half of full $full")
+    // collision work: full-index self-join pairs vs prefix-probed pairs
+    val fullCollisions = dfreq.agg(sum(col("df") * col("df"))).head().getLong(0)
+    val prefixDf = ranked
+      .where(col("rn") <= col("n") - expr("CAST(ceil(n * 0.5) AS INT)") + 1)
+      .groupBy("sg").agg(count(lit(1)).as("pdf"))
+    val probeCollisions = dfreq.join(prefixDf, "sg")
+      .agg(sum(col("df") * col("pdf"))).head().getLong(0)
+    assert(probeCollisions * 2 < fullCollisions,
+      s"prefix probing $probeCollisions not < half of full self-join $fullCollisions")
+  }
 }
