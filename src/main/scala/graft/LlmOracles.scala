@@ -935,6 +935,20 @@ object LlmOracles {
         | FROM toks)
         |SELECT doc_id, n_tok, su AS logit_u, su > 0 AS keep
         |FROM w ORDER BY doc_id""").stripMargin,
+    // classifier calibration: decile sweep of the quality logits
+    "q_quality_calibration" ->
+      (toksCte + """,
+        |w AS (SELECT doc_id,
+        |  coalesce(CAST(list_sum(list_transform(t, tk ->
+        |    CAST(('0x'||substr(md5('w:' || CAST(('0x'||substr(md5('b:'||tk),1,15))::UBIGINT % 4096 AS VARCHAR)),1,15))::UBIGINT % 2000001 AS BIGINT) - 1000000
+        |  )) AS BIGINT), 0) AS su
+        | FROM toks),
+        |d AS (SELECT doc_id, su,
+        |        ntile(10) OVER (ORDER BY su, doc_id) AS decile FROM w)
+        |SELECT decile, CAST(count(*) AS BIGINT) AS n_docs,
+        |  min(su) AS lo, max(su) AS hi,
+        |  CAST(sum(CASE WHEN su > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+        |FROM d GROUP BY decile ORDER BY decile""").stripMargin,
     // character-distribution entropy gate: micro-nat terms summed as ints
     "q_text_entropy" ->
       """WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),

@@ -518,11 +518,11 @@ object Dedup {
   /** q_dedup_ppjoin — prefix-filtered all-pairs similarity join (Bayardo/
     * Ma/Srikant 2007 "Scaling Up All Pairs Similarity Search"; Xiao 2008
     * PPJoin): the EXACT-recall alternative to MinHash-LSH. Tokens are
-    * globally ordered rarest-first (df asc, shingle asc); each doc INDEXES
-    * only its first |x| − ⌈t·|x|⌉ + 1 shingles in that order, and full
-    * token lists probe that prefix index — a J ≥ t pair shares ≥ ⌈t·|y|⌉
-    * elements, so by pigeonhole one of them sits inside y's prefix and the
-    * probe collides. Candidates passing the size bound (J ≥ 0.5 ⟹
+    * globally ordered rarest-first (df asc, shingle asc); each doc keeps
+    * only its first |x| − ⌈t·|x|⌉ + 1 shingles in that order, and the
+    * PREFIXES self-join — Lemma 1 (Xiao 2008) guarantees a J ≥ t pair's
+    * prefixes share a token, so both join sides shrink to ~half the
+    * postings. Candidates passing the size bound (J ≥ 0.5 ⟹
     * 2·min ≥ max) cover every true pair; exact Jaccard verifies. The
     * ORACLE is the
     * brute-force all-pairs SQL — the hash compare itself proves the
@@ -552,15 +552,18 @@ object Dedup {
       // t = 0.5: prefix length |x| − ⌈|x|/2⌉ + 1
       .where(col("rn") <= col("n") - expr("CAST(ceil(n * 0.5) AS INT)") + 1)
       .select(col("doc_id"), col("n"), col("sg"))
-    // candidates = FULL postings probed against the PREFIX index (the
-    // AllPairs guarantee: a J ≥ t pair has ≥ ⌈t·|y|⌉ common elements, and
-    // by pigeonhole one of them sits inside y's prefix — the probing side
-    // must carry every token, only the INDEXED side shrinks to prefixes)
-    val cand = posting.as("a").join(prefixes.as("b"),
-        col("a.sg") === col("b.sg") && col("a.doc_id") =!= col("b.doc_id") &&
+    // candidates = PREFIX postings self-joined (Xiao 2008 Lemma 1: for a
+    // J ≥ t pair with overlap o ≥ ⌈t·max(|x|,|y|)⌉, order the two prefix
+    // boundary elements — WLOG x's ≤ y's; some common element c lies in
+    // x's prefix (≤ o−1 fit beyond it), and c ≤ x's boundary ≤ y's
+    // boundary puts c inside y's prefix too — so the PREFIXES themselves
+    // share a token and both join sides shrink to ~|x|/2 postings; the
+    // k=100 rehearsal measured the full-probe spelling at 2× the brute
+    // pipeline's wall clock, exactly the forfeited half of the prune)
+    val cand = prefixes.as("a").join(prefixes.as("b"),
+        col("a.sg") === col("b.sg") && col("a.doc_id") < col("b.doc_id") &&
           lit(2) * least(col("a.n"), col("b.n")) >= greatest(col("a.n"), col("b.n")))
-      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
-        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     cand
       .join(ds.select(col("doc_id").as("doc_a"), col("sh").as("sha"), col("n").as("na")), "doc_a")

@@ -120,6 +120,76 @@ object GroupWindowSql {
     s.sql(rewrite(sql))
   }
 
+  // ---------------------------------------------- window TVFs (FLIP-145)
+
+  // `FROM TABLE(TUMBLE(TABLE t, DESCRIPTOR(ts), <size>))` + GROUP BY
+  // window_start, window_end — the windowing syntax the reference SHIPPED
+  // ONE RELEASE LATER (1.13's FLIP-145 window TVFs; 1.12 users had only
+  // the GROUP BY TUMBLE(...) dialect above). EXCEEDS-reference row: the
+  // adapter lowers the 1.13 surface onto the 1.12 group-window dialect,
+  // which then lowers onto Spark — so every assigner/selector behavior
+  // (alignment, HOP argument order, CUMULATE expansion) is shared with
+  // the proven path, and the oracles are byte-identical to the
+  // group-window queries'. Subset: aggregation form (the TVF's dominant
+  // use), GROUP BY lists window_start, window_end adjacently; the
+  // window_time column is the *_ROWTIME selector's job in the 1.12
+  // dialect.
+  private val tvfTumbleRe =
+    s"(?i)TABLE\\s*\\(\\s*TUMBLE\\s*\\(\\s*TABLE\\s+(\\w+)\\s*,\\s*DESCRIPTOR\\s*\\(\\s*(\\w+)\\s*\\)\\s*,\\s*$Interval\\s*\\)\\s*\\)".r
+  private val tvfHopRe =
+    s"(?i)TABLE\\s*\\(\\s*HOP\\s*\\(\\s*TABLE\\s+(\\w+)\\s*,\\s*DESCRIPTOR\\s*\\(\\s*(\\w+)\\s*\\)\\s*,\\s*$Interval\\s*,\\s*$Interval\\s*\\)\\s*\\)".r
+  private val tvfCumulateRe =
+    s"(?i)TABLE\\s*\\(\\s*CUMULATE\\s*\\(\\s*TABLE\\s+(\\w+)\\s*,\\s*DESCRIPTOR\\s*\\(\\s*(\\w+)\\s*\\)\\s*,\\s*$Interval\\s*,\\s*$Interval\\s*\\)\\s*\\)".r
+  private val wsePairRe = "(?i)window_start\\s*,\\s*window_end".r
+  private val wsRe = "(?i)\\bwindow_start\\b".r
+  private val weRe = "(?i)\\bwindow_end\\b".r
+
+  /** Lower FLIP-145 TVF syntax onto the 1.12 group-window dialect (then
+    * [[rewrite]] finishes the job). Pure text → text; non-TVF SQL passes
+    * through untouched. */
+  def rewriteTvf(sql: String): String = {
+    def lower(out0: String, table: String, ts: String,
+              assigner: String, selArgs: String): String = {
+      var out = out0
+      // GROUP BY's adjacent window_start, window_end pair becomes the
+      // assigner; remaining selector references become *_START/*_END
+      out = wsePairRe.replaceAllIn(out,
+        java.util.regex.Matcher.quoteReplacement(assigner))
+      val base = assigner.takeWhile(_ != '(')
+      out = wsRe.replaceAllIn(out,
+        java.util.regex.Matcher.quoteReplacement(s"${base}_START($selArgs)"))
+      out = weRe.replaceAllIn(out,
+        java.util.regex.Matcher.quoteReplacement(s"${base}_END($selArgs)"))
+      out
+    }
+    tvfTumbleRe.findFirstMatchIn(sql).foreach { m =>
+      val iv = s"INTERVAL '${m.group(3)}' ${m.group(4)}"
+      val args = s"${m.group(2)}, $iv"
+      return lower(sql.substring(0, m.start) + m.group(1) + sql.substring(m.end),
+        m.group(1), m.group(2), s"TUMBLE($args)", args)
+    }
+    tvfHopRe.findFirstMatchIn(sql).foreach { m =>
+      // FLIP-145 HOP(TABLE t, DESCRIPTOR(ts), slide, size) — same argument
+      // order as the 1.12 dialect's HOP(ts, slide, size)
+      val args = s"${m.group(2)}, INTERVAL '${m.group(3)}' ${m.group(4)}, " +
+        s"INTERVAL '${m.group(5)}' ${m.group(6)}"
+      return lower(sql.substring(0, m.start) + m.group(1) + sql.substring(m.end),
+        m.group(1), m.group(2), s"HOP($args)", args)
+    }
+    tvfCumulateRe.findFirstMatchIn(sql).foreach { m =>
+      val args = s"${m.group(2)}, INTERVAL '${m.group(3)}' ${m.group(4)}, " +
+        s"INTERVAL '${m.group(5)}' ${m.group(6)}"
+      return lower(sql.substring(0, m.start) + m.group(1) + sql.substring(m.end),
+        m.group(1), m.group(2), s"CUMULATE($args)", args)
+    }
+    sql
+  }
+
+  def runTvf(s: SparkSession, dir: String, sql: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(rewrite(rewriteTvf(sql)))
+  }
+
   // ------------------------------------------------------------- queries
 
   val tumbleSql: String =
@@ -167,6 +237,33 @@ object GroupWindowSql {
       |) h
       |GROUP BY TUMBLE(rt, INTERVAL '1' DAY)
       |ORDER BY d_start""".stripMargin
+
+  // FLIP-145 TVF spellings of the same three aggregations — the oracles
+  // are byte-identical to the group-window queries' (same semantics)
+  val tvfTumbleSql: String =
+    """SELECT window_start AS w_start, event_type,
+      | count(*) AS cnt, round(sum(value), 2) AS sum_value
+      |FROM TABLE(TUMBLE(TABLE events, DESCRIPTOR(ts), INTERVAL '1' DAY))
+      |GROUP BY window_start, window_end, event_type
+      |ORDER BY w_start, event_type""".stripMargin
+
+  val tvfHopSql: String =
+    """SELECT window_start AS w_start, event_type,
+      | count(*) AS cnt, round(sum(value), 2) AS sum_value
+      |FROM TABLE(HOP(TABLE events, DESCRIPTOR(ts), INTERVAL '12' HOUR, INTERVAL '1' DAY))
+      |GROUP BY window_start, window_end, event_type
+      |ORDER BY w_start, event_type""".stripMargin
+
+  val tvfCumulateSql: String =
+    """SELECT window_start AS w_start, window_end AS w_end,
+      | event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
+      |FROM TABLE(CUMULATE(TABLE events, DESCRIPTOR(ts), INTERVAL '6' HOUR, INTERVAL '1' DAY))
+      |GROUP BY window_start, window_end, event_type
+      |ORDER BY w_start, w_end, event_type""".stripMargin
+
+  def tvfTumble(s: SparkSession, dir: String): DataFrame = runTvf(s, dir, tvfTumbleSql)
+  def tvfHop(s: SparkSession, dir: String): DataFrame = runTvf(s, dir, tvfHopSql)
+  def tvfCumulate(s: SparkSession, dir: String): DataFrame = runTvf(s, dir, tvfCumulateSql)
 
   def tumble(s: SparkSession, dir: String): DataFrame = run(s, dir, tumbleSql)
   def cascade(s: SparkSession, dir: String): DataFrame = run(s, dir, cascadeSql)
@@ -235,8 +332,18 @@ object GroupWindowSql {
       .orderBy("user_id", "w_start")
   }
 
-  /** DuckDB oracles — same derivations as the API-path window oracles. */
-  val sql: Map[String, String] = Map(
+  /** DuckDB oracles — same derivations as the API-path window oracles.
+    * The TVF queries share the group-window oracles verbatim: FLIP-145 is
+    * new syntax over identical window semantics. */
+  lazy val sql: Map[String, String] = {
+    val base = sqlBase
+    base ++ Map(
+      "q_sql_tvf_tumble"   -> base("q_sql_tumble"),
+      "q_sql_tvf_hop"      -> base("q_sql_hop"),
+      "q_sql_tvf_cumulate" -> base("q_sql_cumulate"))
+  }
+
+  private val sqlBase: Map[String, String] = Map(
     "q_sql_cascade" ->
       """WITH h AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hs,
         |  count(*) AS cnt, sum(value) AS sv FROM events GROUP BY 1)

@@ -122,9 +122,11 @@ object Multimodal {
     * and indeed lands far from the original). Candidates by 4×15-bit
     * banding; Hamming ≤ 3 verification — pigeonhole makes 4 bands COMPLETE
     * at that threshold (≤ 3 flipped bits leave one band intact), so the
-    * brute-force oracle's hash compare proves no pair is missed. Scale
-    * shape: hashing is one mapPartitions pass (codec-shaped); the join
-    * runs on 4 postings/doc with 15-bit buckets — the simhash plan. */
+    * brute-force oracle's hash compare proves no pair is missed (the
+    * 256-doc hot-bucket cap never binds on the fixture — spec-pinned —
+    * so the proof is unconditional there). Scale shape: hashing is one
+    * mapPartitions pass (codec-shaped); the join runs on 4 postings/doc
+    * with 15-bit buckets, bucket cost capped — the simhash plan. */
   def phashPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val mdi = "CAST(conv(substr(md5(concat('mv:', CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)"
@@ -138,10 +140,22 @@ object Multimodal {
       .mapPartitions(_.map(r => (r.doc_id, aHash60(r.data))))
       .toDF("doc_id", "ah")
       .localCheckpoint(true) // band postings + verify both read it
-    val chunks = hashes.select(col("doc_id"), col("ah"),
+    val allChunks = hashes.select(col("doc_id"), col("ah"),
         explode(expr("transform(sequence(0, 3), " +
           "c -> struct(c AS chunk, shiftright(ah, 15*c) & 32767 AS cv))")).as("cc"))
       .select(col("doc_id"), col("ah"), col("cc.chunk"), col("cc.cv"))
+    // hot-bucket cap (the minhash maxBucket convention): a band bucket of
+    // m docs costs m² candidate rows, and a degenerate corpus whose hashes
+    // CLUSTER (the k=100 rehearsal's inflated token soup produced 27M
+    // sub-threshold pairs) would otherwise explode the self-join. No
+    // fixture bucket comes near the cap, so the completeness proof holds
+    // verbatim there (Round13Spec pins it); where the cap does bind, the
+    // output degrades to what the uncapped bands still agree on — the
+    // standard recall/cost dial every banded index ships with.
+    val small = allChunks.groupBy(col("chunk"), col("cv"))
+      .agg(count(lit(1)).as("bsz")).where(col("bsz") <= 256)
+      .select(col("chunk"), col("cv"))
+    val chunks = allChunks.join(small, Seq("chunk", "cv"))
     chunks.as("a").join(chunks.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.cv") === col("b.cv") &&
           col("a.doc_id") < col("b.doc_id"))

@@ -129,6 +129,38 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
+  /** q_train_triplets — contrastive training-pair assembly (the DPR/
+    * Contriever data-prep step downstream of mining: each anchor query
+    * paired with its best in-label positive and its hardest cross-label
+    * negatives, emitted as (q, p, n) rows ready for an InfoNCE loader).
+    * Positive = top-1 same-label by cosine excluding self; negatives =
+    * the top-2 hard negatives (the annHardNegatives ranking). One scored
+    * broadcast pass serves both sides; the final join is per-query
+    * metadata. Deterministic rounded-cosine ranking throughout. */
+  def trainTriplets(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = withNorm(Tables(s, dir, "embeddings"))
+    val queries = emb.where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        col("nrm").as("qn"), col("label").as("ql"))
+    val scored = emb.crossJoin(broadcast(queries))
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("ql"), col("vec_id"), col("label"),
+        cosPre(col("qv"), col("embedding"), col("qn"), col("nrm")).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    val pos = scored.where(col("label") === col("ql"))
+      .withColumn("r", row_number().over(w)).where(col("r") === 1)
+      .select(col("qid"), col("vec_id").as("pos_id"), col("cos").as("pos_cos"))
+    val neg = scored.where(col("label") =!= col("ql"))
+      .withColumn("neg_rank", row_number().over(w)).where(col("neg_rank") <= 2)
+      .select(col("qid"), col("neg_rank"), col("vec_id").as("neg_id"),
+        col("cos").as("neg_cos"))
+    pos.join(neg, "qid")
+      .select(col("qid"), col("pos_id"), col("pos_cos"),
+        col("neg_rank"), col("neg_id"), col("neg_cos"))
+      .orderBy("qid", "neg_rank")
+  }
+
   /** Hard-negative mining from the PRODUCTION index (r13, VERDICT r12
     * task 4 — DPR, Karpukhin 2020 §4.2, mines negatives from the live ANN
     * index, not a brute scan): the IVF-PQ ADC shortlist at production
@@ -690,6 +722,22 @@ object Similarity {
   val sql: Map[String, String] = Map(
     "q_ann_negatives" -> negativesSql,
     "q_ann_negatives_ix" -> negativesSql,
+    "q_train_triplets" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv, label AS ql FROM e WHERE vec_id < 5),
+        |px AS (SELECT q.qid, q.ql, e.vec_id, e.label,
+        |   round(list_dot_product(e.v, q.qv) /
+        |     (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos
+        |  FROM e JOIN q ON e.vec_id <> q.qid),
+        |pos AS (SELECT qid, vec_id AS pos_id, cos AS pos_cos FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS r
+        |  FROM px WHERE label = ql) WHERE r = 1),
+        |neg AS (SELECT qid, r AS neg_rank, vec_id AS neg_id, cos AS neg_cos FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS r
+        |  FROM px WHERE label <> ql) WHERE r <= 2)
+        |SELECT pos.qid AS qid, pos_id, pos_cos, neg_rank, neg_id, neg_cos
+        |FROM pos JOIN neg ON neg.qid = pos.qid
+        |ORDER BY pos.qid, neg_rank""".stripMargin,
     "q_sparse_cosine" -> (graft.LlmOracles.pairsCte + """,
       |tfu AS (SELECT doc_id, tok, count(*) AS c
       |  FROM (SELECT doc_id, unnest(t) AS tok FROM toks) GROUP BY doc_id, tok),

@@ -191,6 +191,28 @@ object WebPipeline {
     * lookup-and-sum runs as ONE codegen expression over the scan, no
     * shuffle, no UDF, no weight table to join (a 4096-bucket model lives in
     * the instruction stream; a 10M-bucket one would broadcast). */
+  /** q_quality_calibration — the threshold-sweep table a classifier gate
+    * ships with (FineWeb-Edu/DCLM release reports): corpus scored, split
+    * into logit deciles, each row reporting volume, score range and the
+    * keep-rate the production threshold (0) would yield there — the table
+    * one reads to PICK the threshold. Deterministic ntile over (logit,
+    * doc_id). Scale note: a corpus-wide ntile is a range-partitioned sort;
+    * at petabyte scale the sketch-threshold split takes over — the exact
+    * same swap q_quality_ccnet_sketch demonstrates for the per-language
+    * terciles. */
+  def qualityCalibration(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = qualityClassifier(s, dir).select(col("doc_id"), col("logit_u"))
+    scored
+      .withColumn("decile",
+        ntile(10).over(Window.orderBy(col("logit_u"), col("doc_id"))))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("logit_u")).as("lo"), max(col("logit_u")).as("hi"),
+        sum(when(col("logit_u") > 0, 1L).otherwise(0L)).as("n_keep"))
+      .orderBy("decile")
+  }
+
   def qualityClassifier(s: SparkSession, dir: String): DataFrame = {
     val bucket = s"CAST(${mdi("concat('b:', t)")} % 4096 AS STRING)"
     val weight = s"(${mdi(s"concat('w:', $bucket)")} % 2000001) - 1000000"

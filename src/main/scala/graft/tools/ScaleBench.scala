@@ -400,6 +400,17 @@ object ScaleBench {
           spark.catalog.clearCache()
           graft.operators.WebPipeline.urlBlocklist(spark, out).count()
         },
+        // r13: PPJoin must track ngram_pairs (same inverted-index shuffles
+        // plus the df-rank window, minus the full self-join); phash is one
+        // hashing pass + the simhash-shaped band join
+        time(s"ppjoin_${k}x") {
+          spark.catalog.clearCache()
+          graft.operators.Dedup.ppjoinPairs(spark, out).count()
+        },
+        time(s"mm_phash_${k}x") {
+          spark.catalog.clearCache()
+          graft.operators.Multimodal.phashPairs(spark, out).count()
+        },
       )
       if (prodIx != null) graft.operators.Similarity.releaseProdIndex(prodIx)
       val total = results.map(_._2).sum

@@ -86,4 +86,26 @@ class GroupWindowSqlSpec extends SparkSpec {
     assert(GroupWindowSql.session(spark, sf).collect().map(_.toSeq) ===
       WindowAggs.session(spark, sf).collect().map(_.toSeq))
   }
+
+  test("FLIP-145 TVF syntax lowers onto the group-window dialect") {
+    // textual lowering: the TVF wrapper disappears, GROUP BY's adjacent
+    // (window_start, window_end) pair becomes the assigner, selectors
+    // become *_START/*_END
+    val lowered = GroupWindowSql.rewriteTvf(GroupWindowSql.tvfTumbleSql)
+    assert(lowered.contains("GROUP BY TUMBLE(ts, INTERVAL '1' DAY), event_type"))
+    assert(lowered.contains("TUMBLE_START(ts, INTERVAL '1' DAY) AS w_start"))
+    assert(!lowered.toUpperCase.contains("DESCRIPTOR"))
+    // non-TVF SQL passes through untouched
+    assert(GroupWindowSql.rewriteTvf(GroupWindowSql.tumbleSql) ===
+      GroupWindowSql.tumbleSql)
+  }
+
+  test("TVF tumble/hop/cumulate equal their group-window twins") {
+    assert(GroupWindowSql.tvfTumble(spark, sf).collect().map(_.toSeq) ===
+      GroupWindowSql.tumble(spark, sf).collect().map(_.toSeq))
+    assert(GroupWindowSql.tvfHop(spark, sf).collect().map(_.toSeq) ===
+      GroupWindowSql.hop(spark, sf).collect().map(_.toSeq))
+    assert(GroupWindowSql.tvfCumulate(spark, sf).collect().map(_.toSeq) ===
+      GroupWindowSql.cumulate(spark, sf).collect().map(_.toSeq))
+  }
 }

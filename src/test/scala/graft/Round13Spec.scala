@@ -105,6 +105,29 @@ class Round13Spec extends SparkSpec {
     assert(rec >= 9000, s"recall_bp $rec unexpectedly low for 16x2 banding")
   }
 
+  test("phash band buckets stay far below the hot-bucket cap on the fixture") {
+    // the completeness proof (4 bands, Hamming ≤ 3) is unconditional only
+    // while no bucket is dropped by the 256 cap — pin that with headroom
+    import org.apache.spark.sql.functions._
+    import graft.operators.Multimodal
+    import spark.implicits._
+    val mdi = "CAST(conv(substr(md5(concat('mv:', CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+    val base = Tables(spark, sf, "documents").select(col("doc_id"), col("text"))
+    val media = base.union(
+      base.where(expr(s"$mdi % 5 = 0"))
+        .selectExpr("doc_id + 3000000 AS doc_id",
+          "concat('xxxxxxxx', substr(text, 9)) AS text"))
+      .select(col("doc_id"), col("text").cast("binary").as("data"))
+    val maxBucket = media.as[Multimodal.MediaRow]
+      .mapPartitions(_.map(r => (r.doc_id, Multimodal.aHash60(r.data))))
+      .toDF("doc_id", "ah")
+      .select(explode(expr("transform(sequence(0, 3), " +
+        "c -> struct(c AS chunk, shiftright(ah, 15*c) & 32767 AS cv))")).as("cc"))
+      .groupBy("cc.chunk", "cc.cv").count()
+      .agg(max("count")).head().getLong(0)
+    assert(maxBucket <= 64, s"fixture band bucket $maxBucket too close to the 256 cap")
+  }
+
   test("PPJoin prefix index is a strict prune of the full inverted index") {
     // the oracle hash-compare proves COMPLETENESS (ppjoin pairs ≡ brute
     // pairs); this pins the other half of the bargain — the prefix index
