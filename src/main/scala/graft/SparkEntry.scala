@@ -115,6 +115,7 @@ object SparkEntry {
     "q_sample_stratified" -> (Pipeline.stratifiedSample _),
     "q_sample_weighted"   -> (Pipeline.weightedSample _),
     "q_stream_sample_weighted" -> (streaming.StreamQueries.streamWeightedSample _),
+    "q_stream_entropy"    -> (streaming.StreamQueries.streamEntropy _),
     "q_pack_sequences"    -> (Pipeline.packSequences _),
     "q_pack_nfd"          -> (Pipeline.packBinNfd _),
     "q_dsir_weight"       -> (Pipeline.dsirWeights _),

@@ -907,6 +907,40 @@ object StreamQueries {
     graft.operators.DataQuality.psiOf(refc, curc)
   }
 
+  /** q_stream_entropy — per-source character-distribution entropy kept
+    * LIVE (the corpus-health dashboard number next to streaming PSI: a
+    * source whose char entropy drifts is emitting gibberish or
+    * boilerplate). State is the (source, char) count grid — ≤ |alphabet|
+    * cells per source regardless of corpus size, the streamHll register
+    * argument; counts are monotone so the drained max per cell is the
+    * final grid, and the entropy (micro-nat terms, the charEntropy
+    * quantization) is batch arithmetic over that drained grid. Oracle =
+    * the same per-source batch SQL. */
+  def streamEntropy(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val segDir = StreamDedup.prepare(s, dir, withSource = true)
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType), StructField("source", StringType)))
+    val docs = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "seg-*.parquet")
+      .parquet(segDir)
+    val counts = docs
+      .select(col("source"), explode(split(col("text"), "")).as("ch"))
+      .where(length(col("ch")) > 0)
+      .groupBy(col("source"), col("ch")).agg(count(lit(1)).as("c"))
+    val grid = StreamSource.runToTable(s, counts, "stream_entropy", "update")
+      .groupBy(col("source"), col("ch")).agg(max(col("c")).as("c"))
+      .localCheckpoint(true)
+    val n = grid.groupBy("source").agg(sum("c").as("n"))
+    grid.join(n, "source")
+      .withColumn("term_u",
+        expr("c * cast(round(ln(n / cast(c AS DOUBLE)) * 1e6) AS BIGINT)"))
+      .groupBy("source")
+      .agg(max("n").as("n_chars"), sum("term_u").as("ent_u"))
+      .orderBy("source")
+  }
+
   /** Streaming OLS — the sufficient-statistics regression
     * (operators.MlPipeline.ols) kept LIVE: per event type, the six exact
     * integer moments (n, Σx, Σy, Σxy, Σx², Σy²) ARE the streaming
@@ -1003,6 +1037,17 @@ object StreamQueries {
     // the batch weighted-sample oracle VERBATIM: per-shard reservoirs
     // merged at drain must equal the one-pass batch answer exactly
     "q_stream_sample_weighted" -> graft.LlmOracles.sql("q_sample_weighted"),
+    // per-source char entropy: the drained (source, char) grid replayed
+    // by one batch pass (monotone counts → max ≡ final)
+    "q_stream_entropy" ->
+      """WITH ch AS (SELECT source, unnest(string_split(text, '')) AS ch FROM documents),
+        |c AS (SELECT source, ch, count(*) AS c FROM ch WHERE length(ch) > 0 GROUP BY 1, 2),
+        |n AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY 1),
+        |t AS (SELECT c.source, n.n,
+        |        c.c * CAST(round(ln(n.n / CAST(c.c AS DOUBLE)) * 1e6) AS BIGINT) AS term_u
+        |      FROM c JOIN n ON n.source = c.source)
+        |SELECT source, max(n) AS n_chars, CAST(sum(term_u) AS BIGINT) AS ent_u
+        |FROM t GROUP BY source ORDER BY source""".stripMargin,
     "q_stream_ols" ->
       """WITH b AS (SELECT event_type,
         |    CAST(dayofyear(CAST(ts AS TIMESTAMP)) AS BIGINT) AS x,

@@ -95,7 +95,8 @@ class EmptyInputSpec extends SparkSpec {
     "q_stream_cep_until", "q_url_blocklist", "q_dedup_norm", "q_text_entropy",
     "q_sample_weighted", "q_dedup_minhash_eval", "q_dedup_ppjoin",
     "q_stream_sample_weighted", "q_mm_phash", "q_train_triplets",
-    "q_quality_calibration", "q_sql_tvf_tumble", "q_sql_tvf_cumulate")
+    "q_quality_calibration", "q_sql_tvf_tumble", "q_sql_tvf_cumulate",
+    "q_stream_entropy")
 
   for (name <- queries)
     test(s"$name runs on an empty corpus") {
