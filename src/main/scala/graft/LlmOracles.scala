@@ -935,6 +935,26 @@ object LlmOracles {
         | FROM toks)
         |SELECT doc_id, n_tok, su AS logit_u, su > 0 AS keep
         |FROM w ORDER BY doc_id""").stripMargin,
+    // two-phase mix: natural shares then quality-upweighted anneal
+    "q_mix_two_phase" ->
+      (toksCte + """,
+        |w AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tok,
+        |  coalesce(CAST(list_sum(list_transform(t, tk ->
+        |    CAST(('0x'||substr(md5('w:' || CAST(('0x'||substr(md5('b:'||tk),1,15))::UBIGINT % 4096 AS VARCHAR)),1,15))::UBIGINT % 2000001 AS BIGINT) - 1000000
+        |  )) AS BIGINT), 0) AS su
+        | FROM toks),
+        |per AS (SELECT d.source, CAST(sum(w.n_tok) AS BIGINT) AS n_tokens,
+        |    count(*) AS n_docs,
+        |    CAST(sum(CASE WHEN w.su > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+        |  FROM w JOIN documents d ON d.doc_id = w.doc_id GROUP BY d.source),
+        |k AS (SELECT source, n_tokens, 10000 * n_keep // n_docs AS keep_bp,
+        |    n_tokens * (10000 * n_keep // n_docs) AS w2 FROM per),
+        |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t1,
+        |    CAST(sum(w2) AS BIGINT) AS t2 FROM k)
+        |SELECT source, n_tokens, keep_bp,
+        |  CAST(900000 * n_tokens // t1 AS BIGINT) AS quota_p1,
+        |  CAST(100000 * w2 // t2 AS BIGINT) AS quota_p2
+        |FROM k, t ORDER BY source""").stripMargin,
     // classifier calibration: decile sweep of the quality logits
     "q_quality_calibration" ->
       (toksCte + """,

@@ -169,9 +169,11 @@ object SparkEntry {
     "q_mm_phash"        -> (Multimodal.phashPairs _),
     "q_train_triplets"  -> (Similarity.trainTriplets _),
     "q_quality_calibration" -> (WebPipeline.qualityCalibration _),
+    "q_mix_two_phase"     -> (Pipeline.mixTwoPhase _),
     "q_sql_tvf_tumble"    -> (GroupWindowSql.tvfTumble _),
     "q_sql_tvf_hop"       -> (GroupWindowSql.tvfHop _),
     "q_sql_tvf_cumulate"  -> (GroupWindowSql.tvfCumulate _),
+    "q_sql_tvf_stream_tumble" -> (GroupWindowSql.tvfStreamTumble _),
     "q_mm_frames"       -> (Multimodal.frameSample _),
     "q_mm_resize"       -> (Multimodal.resizeStub _),
     "q_mm_features"     -> (Multimodal.featureStub _),

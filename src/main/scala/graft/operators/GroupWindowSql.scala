@@ -298,6 +298,25 @@ object GroupWindowSql {
       .orderBy("w_start", "event_type")
   }
 
+  /** FLIP-145 TVF syntax as a STREAMING query — the syntax's primary mode
+    * (windowed aggregation over an unbounded table). Same lowering chain
+    * (TVF → group-window dialect → Spark SQL), same watermark/sentinel
+    * conventions as [[streamTumble]]; oracle identical. */
+  def tvfStreamTumble(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.streaming.StreamSource.eventsWithSentinel(s, dir)
+      .withWatermark("ts", "1 hour")
+      .createOrReplaceTempView("events_stream")
+    val out = s.sql(rewrite(rewriteTvf(
+      """SELECT window_start AS w_start, event_type,
+        | count(*) AS cnt, round(sum(value), 2) AS sum_value
+        |FROM TABLE(TUMBLE(TABLE events_stream, DESCRIPTOR(ts), INTERVAL '1' DAY))
+        |GROUP BY window_start, window_end, event_type""".stripMargin)))
+    graft.streaming.StreamSource.runToTable(s, out, "sql_tvf_stream_tumble", "append")
+      .where(col("event_type") =!= "__sentinel")
+      .orderBy("w_start", "event_type")
+  }
+
   /** HOP SQL text as a streaming query (same conventions as streamTumble). */
   def streamHop(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.col
@@ -340,7 +359,8 @@ object GroupWindowSql {
     base ++ Map(
       "q_sql_tvf_tumble"   -> base("q_sql_tumble"),
       "q_sql_tvf_hop"      -> base("q_sql_hop"),
-      "q_sql_tvf_cumulate" -> base("q_sql_cumulate"))
+      "q_sql_tvf_cumulate" -> base("q_sql_cumulate"),
+      "q_sql_tvf_stream_tumble" -> base("q_sql_stream_tumble"))
   }
 
   private val sqlBase: Map[String, String] = Map(

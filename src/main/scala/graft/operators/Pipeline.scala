@@ -112,6 +112,37 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** q_mix_two_phase — two-phase training mix (the OLMo-2/MiniCPM
+    * "decay-phase upweighting" recipe: most of the budget at natural
+    * source proportions, the final anneal phase re-weighted toward
+    * measured quality). Phase 1 (90% of the token budget) allocates by
+    * natural token share; phase 2 (10%) weights each source by
+    * token_share × classifier keep-rate (integer basis points from the
+    * q_quality_classifier scorer), so cleaner sources dominate the
+    * anneal. All integer arithmetic: keep_bp and quotas are floor
+    * divisions both engines compute identically; quotas are per-source
+    * floors of the phase budget (the UniMax/temperature queries cover the
+    * exact-fill variants). One scan for scores, one per-source aggregate,
+    * a 1-row total broadcast — driver never sees more than the mix table. */
+  def mixTwoPhase(s: SparkSession, dir: String): DataFrame = {
+    val budget = 1000000L
+    val q = WebPipeline.qualityClassifier(s, dir)
+      .select(col("doc_id"), col("n_tok").cast("long").as("n_tok"), col("logit_u"))
+    val src = Tables(s, dir, "documents").select(col("doc_id"), col("source"))
+    val per = q.join(src, "doc_id")
+      .groupBy("source")
+      .agg(sum(col("n_tok")).as("n_tokens"), count(lit(1)).as("n_docs"),
+        sum(when(col("logit_u") > 0, 1L).otherwise(0L)).as("n_keep"))
+      .withColumn("keep_bp", expr("10000 * n_keep div n_docs"))
+      .withColumn("w2", expr("n_tokens * keep_bp"))
+    val tot = per.agg(sum("n_tokens").as("t1"), sum("w2").as("t2"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_tokens"), col("keep_bp"),
+        expr(s"${budget * 9 / 10} * n_tokens div t1").as("quota_p1"),
+        expr(s"${budget / 10} * w2 div t2").as("quota_p2"))
+      .orderBy("source")
+  }
+
   /** q_sample_weighted — deterministic weighted sampling WITHOUT
     * replacement (Efraimidis–Spirakis 2006 A-ES: per item draw u ∈ (0,1],
     * rank by u^(1/w), keep the top k — inclusion probability ∝ weight,
