@@ -349,6 +349,7 @@ object SparkEntry {
     "q_sql_match_qrange_rel" -> (streaming.MatchRecognizeSql.matchQRangeRel _),
     "q_sql_match_qupto"   -> (streaming.MatchRecognizeSql.matchQUpto _),
     "q_sql_match_qopen"   -> (streaming.MatchRecognizeSql.matchQOpen _),
+    "q_sql_match_subset_def" -> (streaming.MatchRecognizeSql.matchSubsetDef _),
     "q_sql_match_xagg"    -> (streaming.MatchRecognizeSql.matchXagg _),
     "q_sql_match_rowtime" -> (streaming.MatchRecognizeSql.matchRowtime _),
     "q_sql_match_cascade" -> (streaming.MatchRecognizeSql.matchCascade _),

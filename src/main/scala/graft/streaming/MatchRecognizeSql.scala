@@ -208,9 +208,10 @@ object MatchRecognizeSql extends Serializable {
       }
     val finalAliases = finalAliasB.result()
 
-    // SUBSET U = (A, B): union variables usable in MEASURES — the
-    // measure's segments concatenate across every member's occurrences
-    // (ref SQL MATCH_RECOGNIZE SUBSET; Flink grammar ibid.)
+    // SUBSET U = (A, B): union variables usable in MEASURES and (r13)
+    // in DEFINE aggregate/navigation atoms — the union's rows are the
+    // members' occurrences, merged into partition order. SUBSET is in
+    // the reference's OWN unsupported list (match_recognize.md:1119).
     val subsetRe = "(?is)SUBSET\\s+(\\w+)\\s*=\\s*\\(([^)]*)\\)".r
     val subsets: Map[String, Seq[String]] =
       subsetRe.findAllMatchIn(body).map { m =>
@@ -232,7 +233,7 @@ object MatchRecognizeSql extends Serializable {
           val kv = d.split("(?is)\\s+AS\\s+", 2)
           require(kv.length == 2, s"bad DEFINE entry: $d")
           val varName = kv(0).trim.toUpperCase
-          varName -> compileDefine(varName, kv(1).trim)
+          varName -> compileDefine(varName, kv(1).trim, subsets)
         }.toMap
 
     val patternBody = patternRe.findFirstMatchIn(body).map(_.group(1))
@@ -347,8 +348,9 @@ object MatchRecognizeSql extends Serializable {
     require(patVars.distinct == patVars,
       "a pattern variable may appear only once in this subset")
     defines.foreach { case (v, cd) =>
-      cd.aggVars.foreach(w => require(patVars.contains(w),
-        s"DEFINE $v aggregates over $w, which is not a pattern variable"))
+      cd.aggVars.foreach(w => require(
+        patVars.contains(w) || subsets.contains(w),
+        s"DEFINE $v aggregates over $w, which is neither a pattern variable nor a SUBSET"))
     }
     subsets.foreach { case (name, members) =>
       require(!patVars.contains(name), s"SUBSET $name shadows a pattern variable")
@@ -637,8 +639,26 @@ object MatchRecognizeSql extends Serializable {
     * MIN/MAX/AVG, and field-valued RHS go through the cross-variable path
     * reading the partial match's per-variable rows (ref NFA.java DEFINE
     * evaluation against SharedBuffer.java's partial-match rows). */
-  def compileDefine(varName: String, text: String): CompiledDefine = {
+  def compileDefine(varName: String, text: String,
+                    subsets: Map[String, Seq[String]] = Map.empty): CompiledDefine = {
     val ast = new PredParser(text).parse()
+    // SUBSET union resolution inside DEFINE (r13 — SUBSET itself is in the
+    // reference's unsupported list, match_recognize.md:1119, which names
+    // "using those groups in the DEFINE and MEASURES clauses" as the
+    // feature): a subset name reads the CONCATENATION of its members' rows
+    // matched so far, merged into partition order (ts, event_id) so
+    // navigation offsets over the union are well-defined.
+    def rowsOf(vars: Map[String, IndexedSeq[Event]], v: String): IndexedSeq[Event] =
+      subsets.get(v) match {
+        case Some(members) =>
+          members.flatMap(vars.apply)
+            .sortBy(ev => (ev.ts.getTime, ev.event_id)).toIndexedSeq
+        case None => vars(v)
+      }
+    // the candidate row counts as the latest when the reference names the
+    // defining variable — directly or through a subset containing it
+    def includesSelf(v: String): Boolean =
+      v == varName || subsets.get(v).exists(_.contains(varName))
     // aggregates: only top-level AND conjuncts of the variable's DEFINE
     def split(p: Px): (List[Px], List[AggCmp]) = p match {
       case PAnd(l, r) =>
@@ -713,7 +733,7 @@ object MatchRecognizeSql extends Serializable {
         // the candidate row counts as the variable's latest row when the
         // navigation targets the variable being defined (ref semantics:
         // LAST(A.price, 0) inside DEFINE A is the current row)
-        val rows = if (v == varName) vars(v) :+ e else vars(v)
+        val rows = if (includesSelf(v)) rowsOf(vars, v) :+ e else rowsOf(vars, v)
         val idx = if (fn == "LAST") rows.length - 1 - n else n
         if (idx >= 0 && idx < rows.length) Some(scale * fieldOf(rows(idx), f))
         else None
@@ -765,9 +785,10 @@ object MatchRecognizeSql extends Serializable {
       if (xParts.isEmpty) None
       else Some { (vars, e) =>
         xParts.forall { a =>
-          val rows0 = vars(a.variable)
+          val rows0 = rowsOf(vars, a.variable)
           // own-variable aggregates are RUNNING: include the candidate row
-          val rows = if (a.variable == varName) rows0 :+ e else rows0
+          // (directly or through a subset containing the defined variable)
+          val rows = if (includesSelf(a.variable)) rows0 :+ e else rows0
           val rhs: Double = a.lit.getOrElse(a.rhsField.get.split("\\.")(1) match {
             case "value"    => e.value
             case "user_id"  => e.user_id.toDouble
@@ -1540,6 +1561,27 @@ object MatchRecognizeSql extends Serializable {
       |  DEFINE A AS event_type = 'view', C AS event_type = 'purchase'
       |)""".stripMargin
 
+  /** SUBSET union referenced in DEFINE (r13 — a second layer on the
+    * SUBSET exceeds-reference row): the closing purchase is gated by the
+    * running SUM over the (A, B) union's rows. */
+  val matchSubsetDefSql: String =
+    """SELECT user_id, a_id, u_sum, c_id FROM events
+      |MATCH_RECOGNIZE (
+      |  PARTITION BY user_id
+      |  ORDER BY ts
+      |  MEASURES FIRST(A.event_id) AS a_id, SUM(U.value) AS u_sum,
+      |           C.event_id AS c_id
+      |  ONE ROW PER MATCH
+      |  AFTER MATCH SKIP TO NEXT ROW
+      |  PATTERN (A{2} B C)
+      |  SUBSET U = (A, B)
+      |  DEFINE A AS event_type = 'view', B AS event_type = 'click',
+      |         C AS event_type = 'purchase' AND SUM(U.value) > 120
+      |)""".stripMargin
+
+  def matchSubsetDef(s: SparkSession, dir: String): DataFrame =
+    run(s, dir, matchSubsetDefSql)
+
   def matchQOpt(s: SparkSession, dir: String): DataFrame = run(s, dir, matchQOptSql)
   def matchQOptRel(s: SparkSession, dir: String): DataFrame = run(s, dir, matchQOptRelSql)
   def matchQRange(s: SparkSession, dir: String): DataFrame = run(s, dir, matchQRangeSql)
@@ -1621,6 +1663,19 @@ object MatchRecognizeSql extends Serializable {
   /** DuckDB oracles (no MATCH_RECOGNIZE there either — expressed with
     * window functions, same derivations as the programmatic CEP oracles). */
   val sql: Map[String, String] = Map(
+    // SUBSET-in-DEFINE: fixed-shape pattern, lead replay with the union sum
+    "q_sql_match_subset_def" ->
+      """WITH o AS (SELECT user_id, event_id, event_type, value,
+        |            CAST(ts AS TIMESTAMP) AS t FROM events),
+        |sq AS (SELECT user_id, event_id AS a_id, event_type AS et0, value AS v0,
+        |  lead(event_type,1) OVER w AS et1, lead(value,1) OVER w AS v1,
+        |  lead(event_type,2) OVER w AS et2, lead(value,2) OVER w AS v2,
+        |  lead(event_type,3) OVER w AS et3, lead(event_id,3) OVER w AS id3
+        | FROM o WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id))
+        |SELECT user_id, a_id, round(v0 + v1 + v2, 6) AS u_sum, id3 AS c_id
+        |FROM sq WHERE et0 = 'view' AND et1 = 'view' AND et2 = 'click'
+        |  AND et3 = 'purchase' AND v0 + v1 + v2 > 120
+        |ORDER BY user_id, a_id""".stripMargin,
     // greedy optional B?: the B-present branch wins where both parses fit
     "q_sql_match_qopt" ->
       """WITH o AS (SELECT user_id, event_id, event_type, value,

@@ -96,7 +96,8 @@ class EmptyInputSpec extends SparkSpec {
     "q_sample_weighted", "q_dedup_minhash_eval", "q_dedup_ppjoin",
     "q_stream_sample_weighted", "q_mm_phash", "q_train_triplets",
     "q_quality_calibration", "q_sql_tvf_tumble", "q_sql_tvf_cumulate",
-    "q_stream_entropy", "q_sql_tvf_stream_tumble", "q_mix_two_phase")
+    "q_stream_entropy", "q_sql_tvf_stream_tumble", "q_mix_two_phase",
+    "q_sql_match_subset_def")
 
   for (name <- queries)
     test(s"$name runs on an empty corpus") {

@@ -789,6 +789,27 @@ class MatchRecognizeSqlSpec extends SparkSpec {
       Seq((Seq(1L, 2L, 3L, 4L, 5L), Seq(4, 1))))
   }
 
+  test("SUBSET union in DEFINE: the gate reads the members' merged rows") {
+    import spark.implicits._
+    def ev(id: Long, sec: Int, t: String, v: Double) =
+      StreamSource.Event(id, new java.sql.Timestamp(sec * 1000L), 1L, t, v)
+    // view(50) view(50) click(30) purchase: SUM(U.value) = 130 > 120 → match;
+    // second group sums 90 → C's DEFINE rejects the purchase
+    val events = spark.createDataset(Seq(
+      ev(1, 1, "view", 50), ev(2, 2, "view", 50), ev(3, 3, "click", 30),
+      ev(4, 4, "purchase", 5),
+      ev(5, 5, "view", 20), ev(6, 6, "view", 30), ev(7, 7, "click", 40),
+      ev(8, 8, "purchase", 5)))
+    val spec = MatchRecognizeSql.parse(MatchRecognizeSql.matchSubsetDefSql)
+    val got = Cep.matchRecognizeOrderedSkip(events, spec.pattern.map(_._2),
+      Cep.SkipToNextRow).collect()
+    assert(got.map(_.ids).toSeq === Seq(Seq(1L, 2L, 3L, 4L)),
+      "only the >120 union sum may admit the purchase")
+    // a DEFINE aggregate over an unknown name still fails loudly
+    intercept[IllegalArgumentException](MatchRecognizeSql.parse(
+      MatchRecognizeSql.matchSubsetDefSql.replace("SUM(U.value)", "SUM(Z.value)")))
+  }
+
   test("SQL value measures equal the window-function derivation") {
     val viaSql = MatchRecognizeSql.matchSum(spark, sf).collect().map(_.toSeq)
     Tables.registerAll(spark, sf)
