@@ -935,6 +935,39 @@ object LlmOracles {
         | FROM toks)
         |SELECT doc_id, n_tok, su AS logit_u, su > 0 AS keep
         |FROM w ORDER BY doc_id""").stripMargin,
+    // mixed-language halves: planted German second half, per-half langid
+    "q_text_mixed_lang" ->
+      """WITH base AS (SELECT doc_id, text, string_split(lower(text), ' ') AS t0 FROM documents),
+        |t2 AS (SELECT doc_id,
+        |  CASE WHEN ('0x'||substr(md5('ml:'||doc_id),1,15))::UBIGINT % 6 = 0 THEN
+        |    array_to_string(t0[1:(len(t0)+1)//2], ' ') || ' ' ||
+        |    array_to_string(
+        |      string_split(repeat('der die das und ist nicht mit ein zu den ',
+        |        CAST(len(t0)//10 AS INT) + 1), ' ')[1 : len(t0) - (len(t0)+1)//2], ' ')
+        |  ELSE text END AS text2 FROM base),
+        |tk AS (SELECT doc_id, string_split(lower(text2), ' ') AS t FROM t2),
+        |h AS (SELECT doc_id, t[1:(len(t)+1)//2] AS h1,
+        |        t[(len(t)+1)//2 + 1 : len(t)] AS h2 FROM tk),
+        |sc AS (SELECT doc_id,
+        | len(list_intersect(list_distinct(h1), ['the','a','of','to','and','in','is','it','that','as'])) AS a_en,
+        | len(list_intersect(list_distinct(h1), ['der','die','das','und','ist','nicht','mit','ein','zu','den'])) AS a_de,
+        | len(list_intersect(list_distinct(h1), ['le','la','les','et','est','un','une','dans','que','pour'])) AS a_fr,
+        | len(list_intersect(list_distinct(h1), ['el','los','y','es','en','una','lo','como','mas','por'])) AS a_es,
+        | len(list_intersect(list_distinct(h2), ['the','a','of','to','and','in','is','it','that','as'])) AS b_en,
+        | len(list_intersect(list_distinct(h2), ['der','die','das','und','ist','nicht','mit','ein','zu','den'])) AS b_de,
+        | len(list_intersect(list_distinct(h2), ['le','la','les','et','est','un','une','dans','que','pour'])) AS b_fr,
+        | len(list_intersect(list_distinct(h2), ['el','los','y','es','en','una','lo','como','mas','por'])) AS b_es
+        | FROM h),
+        |v AS (SELECT doc_id,
+        | CASE WHEN a_en >= a_de AND a_en >= a_fr AND a_en >= a_es THEN 'en'
+        |      WHEN a_de >= a_fr AND a_de >= a_es THEN 'de'
+        |      WHEN a_fr >= a_es THEN 'fr' ELSE 'es' END AS lang_a,
+        | CASE WHEN b_en >= b_de AND b_en >= b_fr AND b_en >= b_es THEN 'en'
+        |      WHEN b_de >= b_fr AND b_de >= b_es THEN 'de'
+        |      WHEN b_fr >= b_es THEN 'fr' ELSE 'es' END AS lang_b
+        | FROM sc)
+        |SELECT doc_id, lang_a, lang_b, lang_a <> lang_b AS mixed
+        |FROM v ORDER BY doc_id""".stripMargin,
     // two-phase mix: natural shares then quality-upweighted anneal
     "q_mix_two_phase" ->
       (toksCte + """,

@@ -131,6 +131,7 @@ object SparkEntry {
     "q_dedup_ppjoin"      -> (Dedup.ppjoinPairs _),
     "q_dedup_norm"        -> (Dedup.normalizedDedup _),
     "q_text_entropy"      -> (TextAnalysis.charEntropy _),
+    "q_text_mixed_lang"   -> (TextAnalysis.mixedLang _),
     "q_quality_classifier" -> (WebPipeline.qualityClassifier _),
     "q_bpe_merges"        -> (Bpe.mergeTable _),
     "q_bpe_encode"        -> (Bpe.encode _),

@@ -450,6 +450,52 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** q_text_mixed_lang — code-switching / mixed-language detection (the
+    * CCNet §4.2 per-paragraph language check: a page whose halves vote
+    * for different languages is dropped or split, since a document-level
+    * langid mislabels it and the tokenizer pays for it). The fixture
+    * plants the defect through the md5 bridge: 1/6 of docs get their
+    * second half replaced by German filler. Each half is scored with the
+    * [[langId]] stopword machinery (same tie order), mixed = the halves
+    * disagree. Expression-only over the scan — no shuffle. */
+  def mixedLang(s: SparkSession, dir: String): DataFrame = {
+    val mdi = "CAST(conv(substr(md5(concat('ml:', CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+    def score(half: String, words: Seq[String]): Column =
+      size(array_intersect(array_distinct(col(half)),
+        array(words.map(lit): _*)))
+    def vote(p: String): Column =
+      when(col(s"${p}_en") >= col(s"${p}_de") && col(s"${p}_en") >= col(s"${p}_fr")
+          && col(s"${p}_en") >= col(s"${p}_es"), "en")
+        .when(col(s"${p}_de") >= col(s"${p}_fr") && col(s"${p}_de") >= col(s"${p}_es"), "de")
+        .when(col(s"${p}_fr") >= col(s"${p}_es"), "fr")
+        .otherwise("es")
+    Tables(s, dir, "documents")
+      .withColumn("toks0", tokens(col("text")))
+      // the plant swaps EXACTLY the second half's token count for German
+      // filler, so text2's midpoint stays at the language boundary (a
+      // length-changing filler would shift the half split into the
+      // English part and dilute both votes)
+      .withColumn("text2", expr(
+        s"""CASE WHEN $mdi % 6 = 0 THEN concat(
+           |  concat_ws(' ', slice(toks0, 1, CAST((size(toks0) + 1) / 2 AS INT))),
+           |  ' ', concat_ws(' ', slice(
+           |    split(repeat('der die das und ist nicht mit ein zu den ',
+           |      CAST(size(toks0) / 10 AS INT) + 1), ' '),
+           |    1, size(toks0) - CAST((size(toks0) + 1) / 2 AS INT))))
+           |ELSE text END""".stripMargin))
+      .withColumn("toks", tokens(col("text2")))
+      .withColumn("nh", expr("CAST((size(toks) + 1) / 2 AS INT)"))
+      .withColumn("h1", expr("slice(toks, 1, nh)"))
+      .withColumn("h2", expr("slice(toks, nh + 1, size(toks) - nh)"))
+      .withColumn("a_en", score("h1", stopEn)).withColumn("a_de", score("h1", stopDe))
+      .withColumn("a_fr", score("h1", stopFr)).withColumn("a_es", score("h1", stopEs))
+      .withColumn("b_en", score("h2", stopEn)).withColumn("b_de", score("h2", stopDe))
+      .withColumn("b_fr", score("h2", stopFr)).withColumn("b_es", score("h2", stopEs))
+      .select(col("doc_id"), vote("a").as("lang_a"), vote("b").as("lang_b"))
+      .withColumn("mixed", col("lang_a") =!= col("lang_b"))
+      .orderBy("doc_id")
+  }
+
   /** Language ID by stopword-hit scoring over 4 language lists, ties broken
     * in fixed order en>de>fr>es. N-gram-heuristic class of the reference-era
     * langid tools; exact arithmetic so the oracle reproduces it. */
