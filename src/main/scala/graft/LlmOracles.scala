@@ -201,6 +201,27 @@ object LlmOracles {
       |    c.cid) AS rk
       |  FROM emb e, c2 c) WHERE rk = 1)""".stripMargin
 
+  /** aHash-60 over the media universe (docs + planted re-encode variants)
+    * as a CTE chain ending in `ph(doc_a, doc_b)` — the verified Hamming ≤ 3
+    * perceptual pair set, shared by the pair listing and the keep-set. */
+  private val phashPairCtes: String =
+    """WITH d0 AS (SELECT doc_id, text FROM documents),
+      |mu AS (SELECT doc_id, text FROM d0
+      |      UNION ALL SELECT doc_id + 3000000, 'xxxxxxxx' || substr(text, 9)
+      |      FROM d0 WHERE ('0x'||substr(md5('mv:'||doc_id),1,15))::UBIGINT % 5 = 0),
+      |b AS (SELECT doc_id, [ascii(c) FOR c IN string_split(text, '')] AS by,
+      |        length(text) AS n FROM mu),
+      |px AS (SELECT doc_id, [CASE WHEN ((i+1)*n)//60 > (i*n)//60
+      |         THEN list_sum(by[(i*n)//60 + 1 : ((i+1)*n)//60]) // (((i+1)*n)//60 - (i*n)//60)
+      |         ELSE 0 END FOR i IN range(0, 60)] AS px FROM b),
+      |h AS (SELECT doc_id, list_sum([CASE WHEN px[i+1] > list_sum(px)//60
+      |        THEN 1::BIGINT << i ELSE 0::BIGINT END FOR i IN range(0, 60)]) AS ah
+      |      FROM px),
+      |ph AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |        CAST(bit_count(xor(a.ah, b.ah)) AS INT) AS hamming
+      |       FROM h a JOIN h b ON a.doc_id < b.doc_id
+      |       WHERE bit_count(xor(a.ah, b.ah)) <= 3)""".stripMargin
+
   val sql: Map[String, String] = Map(
     "q_corpus_datasheet" ->
       """WITH d AS (SELECT source, lang, n_chars,
@@ -818,23 +839,21 @@ object LlmOracles {
     // perceptual near-dup pairs: brute Hamming replay — completeness proof
     // for the 4x15 banding at threshold 3 (pigeonhole)
     "q_mm_phash" ->
-      """WITH d0 AS (SELECT doc_id, text FROM documents),
-        |v AS (SELECT doc_id, text FROM d0
-        |      UNION ALL SELECT doc_id + 3000000, 'xxxxxxxx' || substr(text, 9)
-        |      FROM d0 WHERE ('0x'||substr(md5('mv:'||doc_id),1,15))::UBIGINT % 5 = 0),
-        |b AS (SELECT doc_id, [ascii(c) FOR c IN string_split(text, '')] AS by,
-        |        length(text) AS n FROM v),
-        |px AS (SELECT doc_id, [CASE WHEN ((i+1)*n)//60 > (i*n)//60
-        |         THEN list_sum(by[(i*n)//60 + 1 : ((i+1)*n)//60]) // (((i+1)*n)//60 - (i*n)//60)
-        |         ELSE 0 END FOR i IN range(0, 60)] AS px FROM b),
-        |h AS (SELECT doc_id, list_sum([CASE WHEN px[i+1] > list_sum(px)//60
-        |        THEN 1::BIGINT << i ELSE 0::BIGINT END FOR i IN range(0, 60)]) AS ah
-        |      FROM px)
-        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |       CAST(bit_count(xor(a.ah, b.ah)) AS INT) AS hamming
-        |FROM h a JOIN h b ON a.doc_id < b.doc_id
-        |WHERE bit_count(xor(a.ah, b.ah)) <= 3
-        |ORDER BY doc_a, doc_b""".stripMargin,
+      (phashPairCtes +
+        "\nSELECT doc_a, doc_b, hamming FROM ph ORDER BY doc_a, doc_b"),
+    // keep-set over the SAME verified perceptual pair set: recursive
+    // reachability (the q_dedup_cluster_keep derivation), keep every media
+    // doc no smaller doc_id can reach
+    "q_mm_phash_keep" ->
+      (phashPairCtes.replaceFirst("WITH ", "WITH RECURSIVE ") + """,
+        |edges AS (SELECT doc_a AS u, doc_b AS w FROM ph
+        |          UNION SELECT doc_b, doc_a FROM ph),
+        |reach AS (SELECT u, w FROM edges
+        |          UNION SELECT r.u, e.w FROM reach r JOIN edges e ON r.w = e.u),
+        |lbl AS (SELECT u, min(w) AS mw FROM reach GROUP BY u)
+        |SELECT doc_id FROM mu
+        |WHERE doc_id NOT IN (SELECT u FROM lbl WHERE mw < u)
+        |ORDER BY doc_id""").stripMargin,
     "q_mm_decode" ->
       """SELECT doc_id,
         | CAST(octet_length(encode(text)) AS INT) AS n_bytes,

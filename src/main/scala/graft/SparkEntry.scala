@@ -95,6 +95,7 @@ object SparkEntry {
     "q_dedup_cluster_keep" -> (Dedup.minhashClusterKeep _),
     "q_split_leakage"   -> (Dedup.leakageSafeSplit _),
     "q_stream_dedup_minhash" -> (streaming.StreamDedup.minhashStreamKeep _),
+    "q_stream_ppjoin"     -> (streaming.StreamDedup.ppjoinStream _),
     "q_dedup_span"        -> (Dedup.spanDupCoverage _),
     "q_dedup_span_strip"  -> (Dedup.spanStrip _),
     "q_dedup_incremental" -> (Dedup.incrementalDedup _),
@@ -168,12 +169,14 @@ object SparkEntry {
     "q_ann_hyperplane_lsh" -> (Similarity.hyperplaneLshPairs _),
     "q_mm_decode"       -> (Multimodal.decodeStub _),
     "q_mm_phash"        -> (Multimodal.phashPairs _),
+    "q_mm_phash_keep"   -> (Multimodal.phashKeep _),
     "q_train_triplets"  -> (Similarity.trainTriplets _),
     "q_quality_calibration" -> (WebPipeline.qualityCalibration _),
     "q_mix_two_phase"     -> (Pipeline.mixTwoPhase _),
     "q_sql_tvf_tumble"    -> (GroupWindowSql.tvfTumble _),
     "q_sql_tvf_hop"       -> (GroupWindowSql.tvfHop _),
     "q_sql_tvf_cumulate"  -> (GroupWindowSql.tvfCumulate _),
+    "q_sql_tvf_session"   -> (GroupWindowSql.tvfSession _),
     "q_sql_tvf_stream_tumble" -> (GroupWindowSql.tvfStreamTumble _),
     "q_mm_frames"       -> (Multimodal.frameSample _),
     "q_mm_resize"       -> (Multimodal.resizeStub _),
@@ -352,6 +355,8 @@ object SparkEntry {
     "q_sql_match_qopen"   -> (streaming.MatchRecognizeSql.matchQOpen _),
     "q_sql_match_subset_def" -> (streaming.MatchRecognizeSql.matchSubsetDef _),
     "q_sql_match_xagg"    -> (streaming.MatchRecognizeSql.matchXagg _),
+    "q_sql_match_distinct" -> (streaming.MatchRecognizeSql.matchDistinct _),
+    "q_sql_match_exclude" -> (streaming.MatchRecognizeSql.matchExclude _),
     "q_sql_match_rowtime" -> (streaming.MatchRecognizeSql.matchRowtime _),
     "q_sql_match_cascade" -> (streaming.MatchRecognizeSql.matchCascade _),
     "q_sql_tumble"       -> (GroupWindowSql.tumble _),

@@ -522,14 +522,18 @@ object Dedup {
     * only its first |x| − ⌈t·|x|⌉ + 1 shingles in that order, and the
     * PREFIXES self-join — Lemma 1 (Xiao 2008) guarantees a J ≥ t pair's
     * prefixes share a token, so both join sides shrink to ~half the
-    * postings. Candidates passing the size bound (J ≥ 0.5 ⟹
-    * 2·min ≥ max) cover every true pair; exact Jaccard verifies. The
-    * ORACLE is the
+    * postings. Candidates must pass the size bound (J ≥ 0.5 ⟹
+    * 2·min ≥ max) AND the namesake POSITIONAL filter (the match's prefix
+    * ranks upper-bound the achievable overlap — see [[ppjoinCandidates]]);
+    * both filters are exact, so every true pair survives; exact Jaccard
+    * verifies. The ORACLE is the
     * brute-force all-pairs SQL — the hash compare itself proves the
     * completeness guarantee on the corpus (contrast the LSH twin, whose
     * recall q_dedup_minhash_eval can only MEASURE). Round13Spec pins the
     * prune: prefix postings index ~half the corpus's posting rows, and
-    * rarest-first prefixes collide far less than full-index postings.
+    * rarest-first prefixes collide far less than full-index postings;
+    * Round14Spec pins that the positional conjunct strictly shrinks the
+    * candidate set vs the prefix-only spelling.
     * Scale shape: df counts and the prefix rank are the inverted-index
     * pipeline's linear shuffles (rank window is per-doc, bounded by doc
     * length); the candidate self-join runs on the PREFIX postings only —
@@ -537,6 +541,22 @@ object Dedup {
     * ordered last), which is this algorithm's answer to the hot-bucket
     * cap. */
   def ppjoinPairs(s: SparkSession, dir: String): DataFrame = {
+    val (ds, prefixes) = ppjoinPrefixes(s, dir)
+    val cand = ppjoinCandidates(prefixes, positional = true)
+    cand
+      .join(ds.select(col("doc_id").as("doc_a"), col("sh").as("sha"), col("n").as("na")), "doc_a")
+      .join(ds.select(col("doc_id").as("doc_b"), col("sh").as("shb"), col("n").as("nb")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("j", round(col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")), 4))
+      .where(col("j") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("j"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Shingled docs + their rarest-first prefix postings (t = 0.5), shared
+    * by [[ppjoinPairs]] and the Round14Spec prune pins. */
+  private[graft] def ppjoinPrefixes(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val ds = Tables(s, dir, "documents")
       .withColumn("toks", tokens(col("text")))
@@ -551,29 +571,41 @@ object Dedup {
         Window.partitionBy("doc_id").orderBy("df", "sg")))
       // t = 0.5: prefix length |x| − ⌈|x|/2⌉ + 1
       .where(col("rn") <= col("n") - expr("CAST(ceil(n * 0.5) AS INT)") + 1)
-      .select(col("doc_id"), col("n"), col("sg"))
-    // candidates = PREFIX postings self-joined (Xiao 2008 Lemma 1: for a
-    // J ≥ t pair with overlap o ≥ ⌈t·max(|x|,|y|)⌉, order the two prefix
-    // boundary elements — WLOG x's ≤ y's; some common element c lies in
-    // x's prefix (≤ o−1 fit beyond it), and c ≤ x's boundary ≤ y's
-    // boundary puts c inside y's prefix too — so the PREFIXES themselves
-    // share a token and both join sides shrink to ~|x|/2 postings; the
-    // k=100 rehearsal measured the full-probe spelling at 2× the brute
-    // pipeline's wall clock, exactly the forfeited half of the prune)
-    val cand = prefixes.as("a").join(prefixes.as("b"),
-        col("a.sg") === col("b.sg") && col("a.doc_id") < col("b.doc_id") &&
-          lit(2) * least(col("a.n"), col("b.n")) >= greatest(col("a.n"), col("b.n")))
+      .select(col("doc_id"), col("n"), col("sg"), col("rn"))
+    (ds, prefixes)
+  }
+
+  /** Candidate pairs from the prefix self-join; `positional = false` is the
+    * prefix-only (AllPairs) spelling kept for the spec's strict-shrink pin.
+    *
+    * Candidates = PREFIX postings self-joined (Xiao 2008 Lemma 1: for a
+    * J ≥ t pair with overlap o ≥ ⌈t·max(|x|,|y|)⌉, order the two prefix
+    * boundary elements — WLOG x's ≤ y's; some common element c lies in
+    * x's prefix (≤ o−1 fit beyond it), and c ≤ x's boundary ≤ y's
+    * boundary puts c inside y's prefix too — so the PREFIXES themselves
+    * share a token and both join sides shrink to ~|x|/2 postings),
+    * PLUS the POSITIONAL filter that gives PPJoin its name (Xiao 2008
+    * §3.2): a match at prefix ranks (rn_a, rn_b) can contribute at most
+    * 1 + min(n_a − rn_a, n_b − rn_b) overlap from itself and the two
+    * suffixes, so rows where that ubound falls below the Jaccard-t
+    * overlap requirement ⌈t/(1+t)·(n_a+n_b)⌉ are pruned BEFORE the
+    * verify. Exactness: a true pair's MINIMAL common token c_min sits in
+    * both prefixes (Lemma 1) and every other common token ranks strictly
+    * after it in both docs (per-doc rank follows the global order), so
+    * o ≤ 1 + min(n_a − rn_a, n_b − rn_b) holds AT that row and the pair
+    * survives the distinct — recall stays exact, the oracle unchanged.
+    * t = 0.5 ⟹ required o = ⌈(n_a+n_b)/3⌉ = (n_a+n_b+2) DIV 3. */
+  private[graft] def ppjoinCandidates(prefixes: DataFrame, positional: Boolean): DataFrame = {
+    val base =
+      col("a.sg") === col("b.sg") && col("a.doc_id") < col("b.doc_id") &&
+        lit(2) * least(col("a.n"), col("b.n")) >= greatest(col("a.n"), col("b.n"))
+    val cond =
+      if (positional)
+        base && expr("1 + least(a.n - a.rn, b.n - b.rn) >= (a.n + b.n + 2) DIV 3")
+      else base
+    prefixes.as("a").join(prefixes.as("b"), cond)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    cand
-      .join(ds.select(col("doc_id").as("doc_a"), col("sh").as("sha"), col("n").as("na")), "doc_a")
-      .join(ds.select(col("doc_id").as("doc_b"), col("sh").as("shb"), col("n").as("nb")), "doc_b")
-      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
-      .withColumn("j", round(col("inter").cast("double") /
-        (col("na") + col("nb") - col("inter")), 4))
-      .where(col("j") >= 0.5)
-      .select(col("doc_a"), col("doc_b"), col("j"))
-      .orderBy("doc_a", "doc_b")
   }
 
   /** SimHash near-dup pairs: 60-bit signature, banded into 4 x 15-bit chunks

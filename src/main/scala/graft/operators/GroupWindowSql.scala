@@ -140,27 +140,52 @@ object GroupWindowSql {
     s"(?i)TABLE\\s*\\(\\s*HOP\\s*\\(\\s*TABLE\\s+(\\w+)\\s*,\\s*DESCRIPTOR\\s*\\(\\s*(\\w+)\\s*\\)\\s*,\\s*$Interval\\s*,\\s*$Interval\\s*\\)\\s*\\)".r
   private val tvfCumulateRe =
     s"(?i)TABLE\\s*\\(\\s*CUMULATE\\s*\\(\\s*TABLE\\s+(\\w+)\\s*,\\s*DESCRIPTOR\\s*\\(\\s*(\\w+)\\s*\\)\\s*,\\s*$Interval\\s*,\\s*$Interval\\s*\\)\\s*\\)".r
+  // SESSION is the 1.14 completion of FLIP-145 (TUMBLE/HOP/CUMULATE shipped
+  // in 1.13): `SESSION(TABLE t, DESCRIPTOR(ts), DESCRIPTOR(key), gap)` —
+  // the partition-key descriptor names the session key, which the
+  // aggregation form requires in GROUP BY anyway (checked below)
+  private val tvfSessionRe =
+    (s"(?i)TABLE\\s*\\(\\s*SESSION\\s*\\(\\s*TABLE\\s+(\\w+)\\s*,\\s*DESCRIPTOR\\s*\\(\\s*(\\w+)\\s*\\)\\s*," +
+      s"\\s*DESCRIPTOR\\s*\\(\\s*(\\w+)\\s*\\)\\s*,\\s*$Interval\\s*\\)\\s*\\)").r
   private val wsePairRe = "(?i)window_start\\s*,\\s*window_end".r
   private val wsRe = "(?i)\\bwindow_start\\b".r
   private val weRe = "(?i)\\bwindow_end\\b".r
 
+  private val groupByRe = "(?i)\\bGROUP\\s+BY\\b".r
+  private val groupByEndRe = "(?i)\\b(ORDER\\s+BY|HAVING|LIMIT)\\b".r
+
   /** Lower FLIP-145 TVF syntax onto the 1.12 group-window dialect (then
     * [[rewrite]] finishes the job). Pure text → text; non-TVF SQL passes
-    * through untouched. */
+    * through untouched. The pair-to-assigner substitution is scoped to the
+    * GROUP BY clause (r14, ADVICE fix): the canonical FLIP-145 shape
+    * `SELECT window_start, window_end, … GROUP BY window_start, window_end`
+    * keeps its SELECT-list pair as START/END selectors instead of an
+    * (invalid there) bare assigner call. `window_time` is rejected
+    * explicitly — the 1.12 dialect's *_ROWTIME selector is its home. */
   def rewriteTvf(sql: String): String = {
     def lower(out0: String, table: String, ts: String,
               assigner: String, selArgs: String): String = {
-      var out = out0
+      require("(?i)\\bwindow_time\\b".r.findFirstIn(out0).isEmpty,
+        "window_time is not supported in the TVF subset — use the " +
+          "group-window dialect's *_ROWTIME selector")
       // GROUP BY's adjacent window_start, window_end pair becomes the
-      // assigner; remaining selector references become *_START/*_END
-      out = wsePairRe.replaceAllIn(out,
-        java.util.regex.Matcher.quoteReplacement(assigner))
+      // assigner — scoped to the GROUP BY clause only (SELECT-list pairs
+      // are selector references, not grouping keys)
+      val out = groupByRe.findFirstMatchIn(out0) match {
+        case Some(gb) =>
+          val tail = out0.substring(gb.end)
+          val segLen = groupByEndRe.findFirstMatchIn(tail).map(_.start)
+            .getOrElse(tail.length)
+          val seg = wsePairRe.replaceAllIn(tail.substring(0, segLen),
+            java.util.regex.Matcher.quoteReplacement(assigner))
+          out0.substring(0, gb.end) + seg + tail.substring(segLen)
+        case None => out0
+      }
       val base = assigner.takeWhile(_ != '(')
-      out = wsRe.replaceAllIn(out,
+      val out1 = wsRe.replaceAllIn(out,
         java.util.regex.Matcher.quoteReplacement(s"${base}_START($selArgs)"))
-      out = weRe.replaceAllIn(out,
+      weRe.replaceAllIn(out1,
         java.util.regex.Matcher.quoteReplacement(s"${base}_END($selArgs)"))
-      out
     }
     tvfTumbleRe.findFirstMatchIn(sql).foreach { m =>
       val iv = s"INTERVAL '${m.group(3)}' ${m.group(4)}"
@@ -181,6 +206,16 @@ object GroupWindowSql {
         s"INTERVAL '${m.group(5)}' ${m.group(6)}"
       return lower(sql.substring(0, m.start) + m.group(1) + sql.substring(m.end),
         m.group(1), m.group(2), s"CUMULATE($args)", args)
+    }
+    tvfSessionRe.findFirstMatchIn(sql).foreach { m =>
+      val key = m.group(3)
+      val args = s"${m.group(2)}, INTERVAL '${m.group(4)}' ${m.group(5)}"
+      // the key descriptor names the session partition column; the
+      // aggregation subset realizes it as a grouping key — require it
+      require(s"(?i)GROUP\\s+BY[^;]*\\b$key\\b".r.findFirstIn(sql).isDefined,
+        s"SESSION TVF key column $key must appear in GROUP BY in the aggregation subset")
+      return lower(sql.substring(0, m.start) + m.group(1) + sql.substring(m.end),
+        m.group(1), m.group(2), s"SESSION($args)", args)
     }
     sql
   }
@@ -261,9 +296,23 @@ object GroupWindowSql {
       |GROUP BY window_start, window_end, event_type
       |ORDER BY w_start, w_end, event_type""".stripMargin
 
+  /** SESSION TVF (the 1.14 completion of FLIP-145 — a THIRD
+    * exceeds-reference TVF row): partition key via DESCRIPTOR, lowered
+    * onto the proven session dialect; oracle byte-identical to
+    * q_sql_session's. The canonical shape keeps window_start/window_end
+    * in the SELECT list AND the GROUP BY — exercising the clause-scoped
+    * pair substitution (the r14 ADVICE fix). */
+  val tvfSessionSql: String =
+    """SELECT window_start AS w_start, window_end AS w_end, user_id,
+      | count(*) AS cnt, round(sum(value), 2) AS sum_value
+      |FROM TABLE(SESSION(TABLE events, DESCRIPTOR(ts), DESCRIPTOR(user_id), INTERVAL '1' HOUR))
+      |GROUP BY window_start, window_end, user_id
+      |ORDER BY user_id, w_start""".stripMargin
+
   def tvfTumble(s: SparkSession, dir: String): DataFrame = runTvf(s, dir, tvfTumbleSql)
   def tvfHop(s: SparkSession, dir: String): DataFrame = runTvf(s, dir, tvfHopSql)
   def tvfCumulate(s: SparkSession, dir: String): DataFrame = runTvf(s, dir, tvfCumulateSql)
+  def tvfSession(s: SparkSession, dir: String): DataFrame = runTvf(s, dir, tvfSessionSql)
 
   def tumble(s: SparkSession, dir: String): DataFrame = run(s, dir, tumbleSql)
   def cascade(s: SparkSession, dir: String): DataFrame = run(s, dir, cascadeSql)
@@ -360,6 +409,7 @@ object GroupWindowSql {
       "q_sql_tvf_tumble"   -> base("q_sql_tumble"),
       "q_sql_tvf_hop"      -> base("q_sql_hop"),
       "q_sql_tvf_cumulate" -> base("q_sql_cumulate"),
+      "q_sql_tvf_session"  -> base("q_sql_session"),
       "q_sql_tvf_stream_tumble" -> base("q_sql_stream_tumble"))
   }
 

@@ -127,15 +127,21 @@ object Multimodal {
     * so the proof is unconditional there). Scale shape: hashing is one
     * mapPartitions pass (codec-shaped); the join runs on 4 postings/doc
     * with 15-bit buckets, bucket cost capped — the simhash plan. */
-  def phashPairs(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+  /** The media corpus q_mm_phash dedups: every document payload plus the
+    * planted re-encode variants at doc_id + 3000000 (the re-crawl copies). */
+  private[graft] def phashMedia(s: SparkSession, dir: String): DataFrame = {
     val mdi = "CAST(conv(substr(md5(concat('mv:', CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)"
     val base = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
-    val media = base.union(
+    base.union(
       base.where(expr(s"$mdi % 5 = 0"))
         .selectExpr("doc_id + 3000000 AS doc_id",
           "concat('xxxxxxxx', substr(text, 9)) AS text"))
       .select(col("doc_id"), col("text").cast("binary").as("data"))
+  }
+
+  def phashPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = phashMedia(s, dir)
     val hashes = media.as[MediaRow]
       .mapPartitions(_.map(r => (r.doc_id, aHash60(r.data))))
       .toDF("doc_id", "ah")
@@ -164,6 +170,42 @@ object Multimodal {
       .distinct()
       .where(col("hamming") <= 3)
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** q_mm_phash_keep — the PRODUCTION spelling of perceptual media dedup:
+    * the pair list collapses to KEEP-SETS. Verified aHash pairs (Hamming
+    * ≤ 3) → connected components → keep each cluster's MINIMUM doc_id,
+    * emitted as one anti-join of the media universe against the dropped
+    * set — the GPT-3/MassiveText pairs→components→keep-one pipeline
+    * applied to the media path (same composition as
+    * [[Dedup.minhashClusterKeep]]). The point at scale: a saturated
+    * cluster of m re-encodes costs the PAIR list O(m²) rows (the k=100
+    * rehearsal measured 26.1M), while the keep-set emits exactly m − 1
+    * drops — output is linear in cluster size by construction
+    * (Round14Spec pins the saturation case). Same size-guarded plan flip
+    * as the MinHash twin: driver union-find under 2M pairs, distributed
+    * min-label CC above. */
+  def phashKeep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = phashPairs(s, dir).select(col("doc_a"), col("doc_b")).persist()
+    try {
+      val nPairs = pairs.count()
+      val drop: DataFrame =
+        if (nPairs <= 2000000L) {
+          val dropped = Dedup.unionFindDrop(
+            pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq)
+          s.createDataset(dropped).toDF("doc_id")
+        } else {
+          val verts = pairs.select(col("doc_a").as("id"))
+            .union(pairs.select(col("doc_b").as("id"))).distinct()
+          Graph.connectedComponents(verts,
+              pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+            .where(col("label") < col("id")).select(col("id").as("doc_id"))
+        }
+      phashMedia(s, dir).select(col("doc_id"))
+        .join(drop, Seq("doc_id"), "left_anti")
+        .orderBy("doc_id")
+    } finally pairs.unpersist(blocking = false)
   }
 
   /** Frame sampling: one output row per sampled frame, frame identity =

@@ -136,10 +136,17 @@ object Pipeline {
       .withColumn("keep_bp", expr("10000 * n_keep div n_docs"))
       .withColumn("w2", expr("n_tokens * keep_bp"))
     val tot = per.agg(sum("n_tokens").as("t1"), sum("w2").as("t2"))
+    // quotas through DECIMAL(38,0) intermediates (r14 ADVICE fix): at the
+    // advertised ~1e13 tokens/source, budget × w2 reaches ~1e22 — past
+    // 2^63, where non-ANSI BIGINT would wrap silently while the DuckDB
+    // oracle's HUGEINT keeps going. The widened floor division is exact
+    // on both engines at any corpus size.
     per.crossJoin(broadcast(tot))
       .select(col("source"), col("n_tokens"), col("keep_bp"),
-        expr(s"${budget * 9 / 10} * n_tokens div t1").as("quota_p1"),
-        expr(s"${budget / 10} * w2 div t2").as("quota_p2"))
+        expr(s"CAST(floor(CAST(${budget * 9 / 10} AS DECIMAL(38,0)) * n_tokens / t1) AS BIGINT)")
+          .as("quota_p1"),
+        expr(s"CAST(floor(CAST(${budget / 10} AS DECIMAL(38,0)) * w2 / t2) AS BIGINT)")
+          .as("quota_p2"))
       .orderBy("source")
   }
 

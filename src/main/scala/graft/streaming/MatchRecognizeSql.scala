@@ -85,10 +85,16 @@ object MatchRecognizeSql extends Serializable {
     * row (n = 0 is the last row itself); out of range → NULL. */
   case class LastM(variable: String, alias: String,
                    field: String = "event_id", offset: Int = 0) extends Measure
-  case class CountM(variable: String, alias: String) extends Measure
+  /** `distinct`: `COUNT(DISTINCT V.value)` — counts the variable's
+    * DISTINCT matched values (r14; "distinct aggregations" close the
+    * reference's unsupported list, match_recognize.md:1126-1127). */
+  case class CountM(variable: String, alias: String,
+                    distinct: Boolean = false) extends Measure
   /** SUM/MIN/MAX/AVG over a variable's `value` rows; emitted rounded to 6
-    * decimals (the repo-wide cross-engine convention). */
-  case class ValAggM(fn: String, variable: String, alias: String) extends Measure
+    * decimals (the repo-wide cross-engine convention). `distinct`
+    * aggregates over the variable's DISTINCT values (r14). */
+  case class ValAggM(fn: String, variable: String, alias: String,
+                     distinct: Boolean = false) extends Measure
   /** MATCH_NUMBER(): 1-based sequential number of the match within its
     * partition, in match-start order (ref docs/dev/table/sql/queries.md:366;
     * the matcher persists the counter in keyed state). */
@@ -122,7 +128,10 @@ object MatchRecognizeSql extends Serializable {
                   permPost: Seq[String] = Seq.empty,
                   // aliases declared FINAL in MEASURES (ALL ROWS mode
                   // shows the match-final value on every row for these)
-                  finalAliases: Set[String] = Set.empty)
+                  finalAliases: Set[String] = Set.empty,
+                  // variables inside exclusion markers {- X -}: matched
+                  // normally, suppressed from ALL ROWS output (r14)
+                  excluded: Set[String] = Set.empty)
 
   // ---------------------------------------------------------------- parsing
 
@@ -142,7 +151,7 @@ object MatchRecognizeSql extends Serializable {
   private val defineRe = "(?is)DEFINE\\s+(.*)$".r
   private val measureRe =
     ("(?is)^(?:(FINAL|RUNNING)\\s+)?(?:(FIRST|LAST|COUNT|SUM|MIN|MAX|AVG)" +
-      "\\s*\\(\\s*)?(\\w+)\\.(event_id|value|\\*)\\s*(?:,\\s*(\\d+)\\s*)?\\)?\\s+AS\\s+(\\w+)$").r
+      "\\s*\\(\\s*)?(?:(DISTINCT)\\s+)?(\\w+)\\.(event_id|value|\\*)\\s*(?:,\\s*(\\d+)\\s*)?\\)?\\s+AS\\s+(\\w+)$").r
   private val matchNumRe =
     "(?is)^MATCH_NUMBER\\s*\\(\\s*\\)\\s+AS\\s+(\\w+)$".r
   private val matchRowtimeRe =
@@ -185,18 +194,26 @@ object MatchRecognizeSql extends Serializable {
       .map {
         case matchNumRe(alias) => MatchNumM(alias)
         case matchRowtimeRe(alias) => MatchRowtimeM(alias)
-        case measureRe(sem, fn, v, field, off, alias) =>
+        case measureRe(sem, fn, dist, v, field, off, alias) =>
           if (Option(sem).exists(_.equalsIgnoreCase("FINAL")))
             finalAliasB += alias.toLowerCase
           val f = Option(fn).map(_.toUpperCase).getOrElse("LAST")
           val offset = Option(off).map(_.toInt).getOrElse(0)
           require(offset == 0 || f == "FIRST" || f == "LAST",
             s"logical offset applies to FIRST/LAST only, got $f")
+          // DISTINCT aggregations (r14 — last aggregation row of the
+          // reference's unsupported list, match_recognize.md:1126): over
+          // the variable's matched VALUES; FIRST/LAST take no DISTINCT
+          val distinct = dist != null
+          require(!distinct || Set("COUNT", "SUM", "MIN", "MAX", "AVG")(f),
+            s"DISTINCT applies to aggregates only, got $f")
+          require(!distinct || field == "value",
+            s"DISTINCT aggregates over the value field, got $field")
           f match {
-            case "COUNT" => CountM(v, alias)
+            case "COUNT" => CountM(v, alias, distinct)
             case "SUM" | "MIN" | "MAX" | "AVG" =>
               require(field == "value", s"$f expects a value field, got $field")
-              ValAggM(f, v, alias)
+              ValAggM(f, v, alias, distinct)
             case "FIRST" =>
               require(field != "*", "FIRST expects a field")
               FirstM(v, alias, field, offset)
@@ -236,9 +253,21 @@ object MatchRecognizeSql extends Serializable {
           varName -> compileDefine(varName, kv(1).trim, subsets)
         }.toMap
 
-    val patternBody = patternRe.findFirstMatchIn(body).map(_.group(1))
+    val patternBodyRaw = patternRe.findFirstMatchIn(body).map(_.group(1))
       .getOrElse(throw new IllegalArgumentException("missing PATTERN"))
       .trim
+    // Exclusion `{- X -}` (r14 — on the reference's unsupported list,
+    // match_recognize.md:1111-1112): the excluded variables are matched
+    // normally (they gate the match and feed measures) but their rows are
+    // suppressed from ALL ROWS PER MATCH output. Markers are stripped
+    // here; the variables inside are recorded on the Spec.
+    val exclRe = "(?s)\\{-(.*?)-\\}".r
+    val excluded: Set[String] = exclRe.findAllMatchIn(patternBodyRaw)
+      .flatMap(m => "[A-Za-z]\\w*".r.findAllIn(m.group(1)))
+      .map(_.toUpperCase).toSet
+    val patternBody = exclRe.replaceAllIn(patternBodyRaw,
+        m => java.util.regex.Matcher.quoteReplacement(" " + m.group(1).trim + " "))
+      .replaceAll("\\s+", " ").trim
     // PERMUTE(A, B[, C]): the listed variables match in any order (ref
     // SQL PERMUTE; alternatives expand lexicographically). Subset: ONE
     // PERMUTE of unquantified variables, optionally surrounded by fixed
@@ -386,13 +415,26 @@ object MatchRecognizeSql extends Serializable {
     }
     skipTo.foreach { case (_, v) => require(pattern.exists(_._1 == v),
       s"SKIP TO references undefined pattern variable $v") }
+    if (excluded.nonEmpty) {
+      // the reference's doc is explicit: "This works only for the ALL
+      // ROWS PER MATCH mode" (match_recognize.md:1112) — in ONE ROW mode
+      // there is nothing to exclude from
+      require(allRows, "exclusion {- X -} applies to ALL ROWS PER MATCH only")
+      require(!isPermute && groupRep.isEmpty,
+        "exclusion is supported on the sequential pattern subset")
+      excluded.foreach(v => require(patVars.contains(v),
+        s"exclusion references undefined pattern variable $v"))
+      require(patVars.exists(v => !excluded.contains(v)),
+        "a pattern may not exclude every variable")
+    }
     Spec(selectCols, table, partitionCol.toLowerCase, orderCol.toLowerCase,
       measures, skipPast, pattern, allRows, within, skipTo, isPermute, groupRep,
       subsets,
       permPre = permParts.map(_._1).getOrElse(Seq.empty),
       permVars = permParts.map(_._2).getOrElse(Seq.empty),
       permPost = permParts.map(_._3).getOrElse(Seq.empty),
-      finalAliases = finalAliases)
+      finalAliases = finalAliases,
+      excluded = excluded)
   }
 
   /** Split on commas OUTSIDE parentheses — DEFINE entries and MEASURES
@@ -434,11 +476,14 @@ object MatchRecognizeSql extends Serializable {
 
   private sealed trait Px
   private case class RowCmp(f: Event => Boolean) extends Px
-  /** Aggregate conjunct `fn(variable.value) op (lit | rhsField-of-self)`:
-    * `lit` xor `rhsField` is set; `rhsField` reads the CURRENT row (the
-    * defined variable's candidate). */
+  /** Aggregate conjunct `fn([DISTINCT] variable.value) op (lit |
+    * rhsField-of-self)`: `lit` xor `rhsField` is set; `rhsField` reads the
+    * CURRENT row (the defined variable's candidate). `distinct` (r14)
+    * aggregates the variable's DISTINCT values — always the x-path (the
+    * incremental (cnt, sum) fast fold can't dedup). */
   private case class AggCmp(fn: String, variable: String, op: String,
-                            lit: Option[Double], rhsField: Option[String]) extends Px
+                            lit: Option[Double], rhsField: Option[String],
+                            distinct: Boolean = false) extends Px
   private case class PAnd(l: Px, r: Px) extends Px
   private case class POr(l: Px, r: Px) extends Px
   private case class PNot(p: Px) extends Px
@@ -468,7 +513,7 @@ object MatchRecognizeSql extends Serializable {
   private case class NavNullPx(t: NavTerm, negated: Boolean) extends Px
 
   private val aggAtomRe =
-    ("(?is)^(SUM|COUNT|MIN|MAX|AVG)\\s*\\(\\s*(\\w+)\\.(value|\\*)\\s*\\)\\s*" +
+    ("(?is)^(SUM|COUNT|MIN|MAX|AVG)\\s*\\(\\s*(?:(DISTINCT)\\s+)?(\\w+)\\.(value|\\*)\\s*\\)\\s*" +
       "(<=|>=|<>|!=|<|>|=)\\s*(?:([-0-9.eE]+)|(\\w+)\\.(value|user_id|event_id))").r
   private val navFnRe =
     ("(?is)^(?:([-0-9.]+(?:[eE]-?\\d+)?)\\s*\\*\\s*)?(LAST|FIRST)\\s*\\(\\s*" +
@@ -535,14 +580,17 @@ object MatchRecognizeSql extends Serializable {
         case Some(m) =>
           rest = rest.substring(m.end)
           val (lit, rhsField) =
-            if (m.group(5) != null) (Some(m.group(5).toDouble), None)
+            if (m.group(6) != null) (Some(m.group(6).toDouble), None)
             else {
               // RHS `W.field` reads the CURRENT row; the parser records the
               // qualifier for compileDefine to check against the defined var
-              (None, Some((m.group(6).toUpperCase, m.group(7).toLowerCase)))
+              (None, Some((m.group(7).toUpperCase, m.group(8).toLowerCase)))
             }
-          return AggCmp(m.group(1).toUpperCase, m.group(2).toUpperCase,
-            m.group(4), lit, rhsField.map { case (q, f) => s"$q.$f" })
+          val distinct = m.group(2) != null
+          require(!distinct || m.group(4).equalsIgnoreCase("value"),
+            "DISTINCT aggregates over the value field in DEFINE")
+          return AggCmp(m.group(1).toUpperCase, m.group(3).toUpperCase,
+            m.group(5), lit, rhsField.map { case (q, f) => s"$q.$f" }, distinct)
         case None => ()
       }
       if (eat("TRUE")) return RowCmp(_ => true)
@@ -766,7 +814,8 @@ object MatchRecognizeSql extends Serializable {
       }
     }
     val (fastParts, xParts) = aggParts.partition(a =>
-      a.variable == varName && a.lit.isDefined && (a.fn == "SUM" || a.fn == "COUNT"))
+      a.variable == varName && a.lit.isDefined && !a.distinct &&
+        (a.fn == "SUM" || a.fn == "COUNT"))
     val rowPred: Event => Boolean = { e =>
       e.event_type != "__sentinel" && rowParts.forall(evalRow(_, e))
     }
@@ -795,14 +844,16 @@ object MatchRecognizeSql extends Serializable {
             case _          => e.event_id.toDouble
           })
           val c = cmpNum(a.op)
+          // DISTINCT (r14): aggregate the variable's distinct VALUES
+          def vals = { val v = rows.map(_.value); if (a.distinct) v.distinct else v }
           a.fn match {
-            case "COUNT"            => c(rows.length.toDouble, rhs)
+            case "COUNT"            => c(vals.length.toDouble, rhs)
             // SUM/MIN/MAX/AVG of no rows is SQL NULL: comparison is false
             case _ if rows.isEmpty  => false
-            case "SUM"              => c(rows.map(_.value).sum, rhs)
-            case "MIN"              => c(rows.map(_.value).min, rhs)
-            case "MAX"              => c(rows.map(_.value).max, rhs)
-            case _                  => c(rows.map(_.value).sum / rows.length, rhs)
+            case "SUM"              => c(vals.sum, rhs)
+            case "MIN"              => c(vals.min, rhs)
+            case "MAX"              => c(vals.max, rhs)
+            case _                  => c(vals.sum / vals.length, rhs)
           }
         }
       }
@@ -930,7 +981,8 @@ object MatchRecognizeSql extends Serializable {
         meas match {
           case _: MatchNumM => longs += Some(m.seq)
           case _: MatchRowtimeM => longs += Some(m.lastTsMicros)
-          case _: CountM => longs += Some(cnt.toLong)
+          case CountM(_, _, dist) =>
+            longs += Some(if (dist) valSeg.distinct.size.toLong else cnt.toLong)
           // logical offsets (FIRST/LAST(V.f, n)): out of range → NULL
           case FirstM(_, _, "value", off) =>
             dbls += (if (off >= cnt) None else Some(round6(valSeg(off))))
@@ -940,12 +992,13 @@ object MatchRecognizeSql extends Serializable {
             longs += (if (off >= cnt) None else Some(idSeg(off)))
           case LastM(_, _, _, off) =>
             longs += (if (off >= cnt) None else Some(idSeg(cnt - 1 - off)))
-          case ValAggM(fn, _, _) =>
+          case ValAggM(fn, _, _, dist) =>
+            val vs = if (dist) valSeg.distinct else valSeg
             dbls += (if (cnt == 0) None else Some(round6(fn match {
-              case "SUM" => valSeg.sum
-              case "MIN" => valSeg.min
-              case "MAX" => valSeg.max
-              case _     => valSeg.sum / valSeg.size // AVG
+              case "SUM" => vs.sum
+              case "MIN" => vs.min
+              case "MAX" => vs.max
+              case _     => vs.sum / vs.size // AVG
             })))
         }
       }
@@ -978,12 +1031,12 @@ object MatchRecognizeSql extends Serializable {
     * An event matched by several overlapping matches appears once per
     * match, per the standard. */
   private def aliasOf(mm: Measure): String = mm match {
-    case FirstM(_, a, _, _) => a
-    case LastM(_, a, _, _)  => a
-    case CountM(_, a)       => a
-    case ValAggM(_, _, a)   => a
-    case MatchNumM(a)       => a
-    case MatchRowtimeM(a)   => a
+    case FirstM(_, a, _, _)  => a
+    case LastM(_, a, _, _)   => a
+    case CountM(_, a, _)     => a
+    case ValAggM(_, _, a, _) => a
+    case MatchNumM(a)        => a
+    case MatchRowtimeM(a)    => a
   }
 
   private def runAllRows(s: SparkSession, spec: Spec,
@@ -1055,20 +1108,28 @@ object MatchRecognizeSql extends Serializable {
             case _: MatchRowtimeM => throw new IllegalStateException(
               "MATCH_ROWTIME is parse-rejected in ALL ROWS mode")
             case _: MatchNumM => longs += Some(m.seq)
-            case _: CountM    => longs += Some(cnts(i))
+            case CountM(_, _, dist) =>
+              longs += Some(if (dist) seen(i).map(_._2).distinct.size.toLong
+                            else cnts(i))
             case FirstM(_, _, "value", off) => dbls += at(off).map(p => round6(p._2))
             case LastM(_, _, "value", off) =>
               dbls += at(seen(i).length - 1 - off).map(p => round6(p._2))
             case FirstM(_, _, _, off) => longs += at(off).map(_._1)
             case LastM(_, _, _, off) =>
               longs += at(seen(i).length - 1 - off).map(_._1)
-            case ValAggM(fn, _, _) =>
+            case ValAggM(fn, _, _, dist) =>
+              // RUNNING DISTINCT reads the rows-seen-so-far buffer the
+              // navigation offsets already carry (the "state the matcher
+              // already carries" — VERDICT r13 #4)
+              def vs = seen(i).map(_._2).distinct
               dbls += (if (cnts(i) == 0) None
-                       else Some(round6(fn match {
-                         case "SUM" => sums(i)
-                         case "MIN" => mins(i)
-                         case "MAX" => maxs(i)
-                         case _     => sums(i) / cnts(i)
+                       else Some(round6((fn, dist) match {
+                         case ("SUM", true)  => vs.sum
+                         case ("AVG", true)  => vs.sum / vs.size
+                         case ("SUM", _) => sums(i)
+                         case ("MIN", _) => mins(i)
+                         case ("MAX", _) => maxs(i)
+                         case _          => sums(i) / cnts(i)
                        })))
           }
         }
@@ -1078,7 +1139,12 @@ object MatchRecognizeSql extends Serializable {
       // value into every row's emission at that measure's slot
       val finL = emissions.lastOption.map(_._1).getOrElse(Seq.empty)
       val finD = emissions.lastOption.map(_._2).getOrElse(Seq.empty)
-      m.ids.indices.iterator.map { j =>
+      // exclusion {- X -} (r14): excluded variables' rows participated in
+      // the match and in every RUNNING/FINAL measure above — they are
+      // only suppressed from the OUTPUT here
+      m.ids.indices.iterator
+        .filter(j => !spec.excluded.contains(classifiers(j)))
+        .map { j =>
         var lo = emissions(j)._1
         var db = emissions(j)._2
         finals.foreach { i =>
@@ -1468,6 +1534,54 @@ object MatchRecognizeSql extends Serializable {
   def matchNav(s: SparkSession, dir: String): DataFrame = run(s, dir, matchNavSql)
   def matchXagg(s: SparkSession, dir: String): DataFrame = run(s, dir, matchXaggSql)
 
+  /** DISTINCT aggregations in MEASURES (r14 — the LAST aggregation row of
+    * the reference's unsupported list, match_recognize.md:1126-1127):
+    * COUNT(DISTINCT A.value) and SUM(DISTINCT A.value) over each maximal
+    * non-purchase run closed by a purchase. A matches ANY non-purchase
+    * row so runs are long enough that the fixture's value column
+    * genuinely repeats inside them (4 matches at sf0.01 have
+    * n_dist < n_a — the DISTINCT is load-bearing, not trivially equal;
+    * MatchRecognizeSqlSpec additionally pins the semantics on planted
+    * duplicates). */
+  val matchDistinctSql: String =
+    """SELECT user_id, a_first, n_a, n_dist, sum_dist, b_id FROM events
+      |MATCH_RECOGNIZE (
+      |  PARTITION BY user_id
+      |  ORDER BY ts
+      |  MEASURES FIRST(A.event_id) AS a_first, COUNT(A.*) AS n_a,
+      |           COUNT(DISTINCT A.value) AS n_dist,
+      |           SUM(DISTINCT A.value) AS sum_dist,
+      |           B.event_id AS b_id
+      |  ONE ROW PER MATCH
+      |  AFTER MATCH SKIP PAST LAST ROW
+      |  PATTERN (A+ B)
+      |  DEFINE A AS event_type <> 'purchase',
+      |         B AS event_type = 'purchase'
+      |)""".stripMargin
+
+  /** Pattern exclusion `{- A -}` in ALL ROWS PER MATCH (r14 — ref
+    * match_recognize.md:1111-1112, "will be looked for but will not
+    * participate in the output"): the view gates every match and feeds
+    * the measures (n_a = 1, a_id = the view's id on every emitted row),
+    * but only the click and purchase rows are output. */
+  val matchExcludeSql: String =
+    """SELECT user_id, event_id, CLASSIFIER() AS cls, n_a, a_id FROM events
+      |MATCH_RECOGNIZE (
+      |  PARTITION BY user_id
+      |  ORDER BY ts
+      |  MEASURES COUNT(A.*) AS n_a, FIRST(A.event_id) AS a_id
+      |  ALL ROWS PER MATCH
+      |  AFTER MATCH SKIP PAST LAST ROW
+      |  PATTERN ({- A -} B C)
+      |  DEFINE A AS event_type = 'view', B AS event_type = 'click',
+      |         C AS event_type = 'purchase'
+      |)""".stripMargin
+
+  def matchDistinct(s: SparkSession, dir: String): DataFrame =
+    run(s, dir, matchDistinctSql)
+  def matchExclude(s: SparkSession, dir: String): DataFrame =
+    run(s, dir, matchExcludeSql)
+
   // ---- r13: the full SQL:2016 quantifier set (ref match_recognize.md:
   // 352-359). B's predicate OVERLAPS C's so greedy-vs-reluctant is
   // load-bearing (29 rows differ at sf0.01, not just branch order).
@@ -1849,6 +1963,48 @@ object MatchRecognizeSql extends Serializable {
         |FROM v JOIN p ON p.user_id = v.user_id AND p.rn = v.end_rn + 1
         |WHERE v.ssum > 100
         |ORDER BY v.user_id, a_first""".stripMargin,
+    // DISTINCT aggregations: greedy A+ with SKIP PAST LAST ROW = one match
+    // per MAXIMAL non-purchase run whose next row is a purchase (no suffix
+    // matches — a shorter A+ parse leaves B on a non-purchase row);
+    // distinct aggregates replayed by DuckDB's DISTINCT verbatim
+    "q_sql_match_distinct" ->
+      """WITH o AS (SELECT user_id, event_id, event_type, value,
+        |            row_number() OVER (PARTITION BY user_id
+        |              ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+        |           FROM events),
+        |g AS (SELECT *, sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |        OVER (PARTITION BY user_id ORDER BY rn) AS grp FROM o),
+        |v AS (SELECT user_id, grp, max(rn) AS end_rn,
+        |        arg_min(event_id, rn) AS a_first,
+        |        CAST(count(*) AS BIGINT) AS n_a,
+        |        CAST(count(DISTINCT value) AS BIGINT) AS n_dist,
+        |        round(sum(DISTINCT value), 6) AS sum_dist
+        |      FROM g WHERE event_type <> 'purchase' GROUP BY user_id, grp),
+        |p AS (SELECT user_id, rn, event_id FROM o
+        |      WHERE event_type = 'purchase')
+        |SELECT v.user_id, v.a_first, v.n_a, v.n_dist, v.sum_dist,
+        |       p.event_id AS b_id
+        |FROM v JOIN p ON p.user_id = v.user_id AND p.rn = v.end_rn + 1
+        |ORDER BY v.user_id, v.a_first""".stripMargin,
+    // exclusion {- A -} in ALL ROWS: view-click-purchase triples (disjoint
+    // types ⇒ lead-derivation exact; SKIP PAST LAST ROW can't skip a
+    // viable start — no triple begins inside another); only the B and C
+    // rows are emitted, yet both carry the excluded view's measures
+    "q_sql_match_exclude" ->
+      """WITH o AS (SELECT user_id, event_id, event_type,
+        |            CAST(ts AS TIMESTAMP) AS t FROM events),
+        |sq AS (SELECT user_id, event_id AS id0, event_type AS et0,
+        |  lead(event_type,1) OVER w AS et1, lead(event_id,1) OVER w AS id1,
+        |  lead(event_type,2) OVER w AS et2, lead(event_id,2) OVER w AS id2
+        | FROM o WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+        |m AS (SELECT * FROM sq WHERE et0 = 'view' AND et1 = 'click'
+        |      AND et2 = 'purchase'),
+        |r AS (
+        | SELECT user_id, id1 AS event_id, 'B' AS cls,
+        |        CAST(1 AS BIGINT) AS n_a, id0 AS a_id FROM m
+        | UNION ALL SELECT user_id, id2, 'C', 1, id0 FROM m)
+        |SELECT user_id, event_id, cls, n_a, a_id FROM r
+        |ORDER BY user_id, event_id, cls, n_a, a_id""".stripMargin,
     // ALL ROWS + RUNNING measures: fixed-length disjoint-type pattern →
     // lead-based derivation exact; running sums unroll left-to-right
     "q_sql_match_rows_measures" ->

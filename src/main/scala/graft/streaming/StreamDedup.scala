@@ -56,8 +56,12 @@ object StreamDedup {
     * ascending order). */
   private[streaming] def prepare(s: SparkSession, dir: String,
       withSource: Boolean = false): String = synchronized {
-    val segDir = (if (withSource) "/tmp/graft-docstream/v2src-"
-                  else "/tmp/graft-docstream/v1-") +
+    // v3: segments carry n_chars so the streaming weighted sample weighs
+    // by the SAME column as its batch twin (r14 ADVICE fix — length(text)
+    // only coincides with n_chars on all-ASCII fixtures). Extra columns
+    // are invisible to readers that declare narrower schemas.
+    val segDir = (if (withSource) "/tmp/graft-docstream/v3src-"
+                  else "/tmp/graft-docstream/v3-") +
       dir.replaceAll("[^A-Za-z0-9.]", "_")
     val root = new java.io.File(segDir)
     if (root.isDirectory && root.listFiles().exists(_.getName.endsWith(".parquet")))
@@ -66,8 +70,8 @@ object StreamDedup {
       s"$segDir.inprogress-${ProcessHandle.current().pid()}-${System.nanoTime()}")
     staging.mkdirs()
     val tmp = new java.io.File(staging, "tmp")
-    val cols = if (withSource) Seq(col("doc_id"), col("text"), col("source"))
-               else Seq(col("doc_id"), col("text"))
+    val cols = if (withSource) Seq(col("doc_id"), col("text"), col("n_chars"), col("source"))
+               else Seq(col("doc_id"), col("text"), col("n_chars"))
     Tables(s, dir, "documents").select(cols: _*)
       .repartitionByRange(4, col("doc_id")).sortWithinPartitions("doc_id")
       .write.mode("overwrite").parquet(tmp.getPath)
@@ -160,6 +164,105 @@ object StreamDedup {
       .orderBy("doc_id")
   }
 
+  // state rows for the streaming PPJoin prefix index (public: encoder
+  // codegen instantiates these from generated classes)
+  case class PrefRow(doc_id: Long, n: Int, rn: Int, tok: String)
+  case class PrefBucket(rows: Seq[PrefRow])
+
+  /** q_stream_ppjoin — the EXACT-recall similarity join kept live (r14
+    * stretch, VERDICT #7): each arriving document probes the prefix
+    * postings of everything seen before it and then joins the index —
+    * the incrementalDedup asymmetry applied to the PPJoin index, with
+    * state = PREFIX postings only (the |x| − ⌈t·|x|⌉ + 1 cut, ~half the
+    * posting rows; a full-posting state would be the naive spelling).
+    *
+    * The batch operator orders tokens rarest-first, but global df does
+    * not exist mid-stream — the prefix cut here uses a FIXED universal
+    * order (md5 of the shingle) instead. Lemma 1 (Xiao 2008) holds for
+    * ANY agreed total order: a J ≥ t pair's minimal common token in that
+    * order sits in both prefixes, so the pair meets in the bucket of that
+    * token whichever doc arrives later — recall stays exact and the
+    * ORACLE is the same brute all-pairs SQL as the batch twin. The size
+    * bound and the positional ubound (both order-agnostic) prune inside
+    * the state handler before any pair is emitted. Honest trade vs the
+    * batch form: hash order can land a viral shingle in prefixes that
+    * rarest-first would have pushed out — the streaming price of not
+    * knowing df; the batch operator remains the scale path for full-lake
+    * joins, this form is for the arriving-shard check.
+    *
+    * Exact-Jaccard verification runs as one batch join AFTER the drain
+    * (the minhashStreamKeep convention: candidates from state, verify
+    * against the lake). */
+  def ppjoinStream(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val segDir = prepare(s, dir)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    val docs = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "seg-*.parquet")
+      .parquet(segDir)
+    val pref = docs
+      .withColumn("toks", TextAnalysis.tokens(col("text")))
+      .withColumn("sh", Dedup.shingles(col("toks")))
+      .withColumn("n", size(col("sh")))
+      .where(col("n") > 0)
+      // fixed universal order: (md5(shingle), shingle) — expression-only,
+      // so the prefix cut needs no window function (streams forbid them)
+      .withColumn("plen", expr("n - CAST(ceil(n * 0.5) AS INT) + 1"))
+      .select(col("doc_id"), col("n"), col("plen"),
+        posexplode(expr(
+          "slice(array_sort(transform(sh, x -> struct(md5(x) AS h, x AS sg))), 1, plen)")))
+      .select(col("doc_id"), col("n").cast("int").as("n"),
+        (col("pos") + 1).cast("int").as("rn"), col("col.sg").as("tok"))
+      .as[PrefRow]
+    val candidates = pref.groupByKey(_.tok)
+      .flatMapGroupsWithState[PrefBucket, CandPair](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout()) {
+        (_: String, rows: Iterator[PrefRow], st: GroupState[PrefBucket]) =>
+          var posted = st.getOption.map(_.rows).getOrElse(Seq.empty)
+          val out = scala.collection.mutable.ListBuffer.empty[CandPair]
+          // ascending within the batch: in-batch pairs meet exactly once
+          rows.toSeq.sortBy(_.doc_id).foreach { d =>
+            posted.foreach { p =>
+              if (p.doc_id != d.doc_id) {
+                val sizeOk = 2 * math.min(p.n, d.n) >= math.max(p.n, d.n)
+                // Xiao 2008 §3.2 positional ubound at this matched token
+                val posOk =
+                  1 + math.min(p.n - p.rn, d.n - d.rn) >= (p.n + d.n + 2) / 3
+                if (sizeOk && posOk)
+                  out += (if (p.doc_id < d.doc_id) CandPair(p.doc_id, d.doc_id)
+                          else CandPair(d.doc_id, p.doc_id))
+              }
+            }
+            posted = posted :+ d
+          }
+          st.update(PrefBucket(posted))
+          out.iterator
+      }
+    val drained = StreamSource.runToTable(s, candidates.toDF(),
+      s"stream_ppjoin_${math.abs(dir.hashCode)}", "append")
+    // batch verification of the streamed candidate set (exact filters
+    // upstream mean this only REMOVES sub-threshold pairs, never misses)
+    val withSh = Tables(s, dir, "documents")
+      .withColumn("toks", TextAnalysis.tokens(col("text")))
+      .withColumn("sh", Dedup.shingles(col("toks")))
+      .select(col("doc_id"), col("sh"), size(col("sh")).as("n_sh"))
+    drained.select(col("doc_a"), col("doc_b")).distinct()
+      .join(withSh.select(col("doc_id").as("doc_a"),
+        col("sh").as("sha"), col("n_sh").as("na")), "doc_a")
+      .join(withSh.select(col("doc_id").as("doc_b"),
+        col("sh").as("shb"), col("n_sh").as("nb")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("j", round(col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")), 4))
+      .where(col("j") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("j"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   val sql: Map[String, String] = Map(
     // the batch LSH pipeline from scratch: streaming banded state must
     // surface the SAME candidates, so the keep sets coincide
@@ -167,5 +270,17 @@ object StreamDedup {
       (graft.LlmOracles.minhashPairCtes + """
         |SELECT doc_id FROM documents
         |WHERE doc_id NOT IN (SELECT doc_b FROM vpairs)
-        |ORDER BY doc_id""".stripMargin))
+        |ORDER BY doc_id""".stripMargin),
+    // streaming PPJoin: exact recall by construction (Lemma 1 under the
+    // md5 universal order) — the oracle is the batch twin's brute
+    // all-pairs SQL verbatim
+    "q_stream_ppjoin" ->
+      (graft.LlmOracles.shinglesCte + """
+        |SELECT doc_a, doc_b, j FROM (
+        | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  round(len(list_intersect(a.s, b.s))::DOUBLE /
+        |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS j
+        | FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        | WHERE len(a.s) > 0 AND len(b.s) > 0)
+        |WHERE j >= 0.5 ORDER BY doc_a, doc_b""").stripMargin)
 }

@@ -967,14 +967,16 @@ object StreamQueries {
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("doc_id",
         org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("text",
-        org.apache.spark.sql.types.StringType)))
+      // w = n_chars, the SAME weight column as the batch twin and the
+      // oracle (r14 ADVICE fix: length(text) only coincides on ASCII)
+      org.apache.spark.sql.types.StructField("n_chars",
+        org.apache.spark.sql.types.LongType)))
     val docs = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .option("pathGlobFilter", "seg-*.parquet")
       .parquet(segDir)
     val keyed = docs
-      .select(col("doc_id"), length(col("text")).cast("long").as("w"))
+      .select(col("doc_id"), col("n_chars").as("w"))
       .withColumn("u9",
         expr("conv(substring(md5(concat('ws:', cast(doc_id AS STRING))), 1, 15), 16, 10)")
           .cast("long") % 1000000000L + 1L)

@@ -411,6 +411,13 @@ object ScaleBench {
           spark.catalog.clearCache()
           graft.operators.Multimodal.phashPairs(spark, out).count()
         },
+        // r14: the keep-set spelling must stay bounded exactly where the
+        // pair list blows up (the token-soup corpus's giant aHash ties) —
+        // output is |universe| keeps however large the clusters get
+        time(s"mm_phash_keep_${k}x") {
+          spark.catalog.clearCache()
+          graft.operators.Multimodal.phashKeep(spark, out).count()
+        },
       )
       if (prodIx != null) graft.operators.Similarity.releaseProdIndex(prodIx)
       val total = results.map(_._2).sum

@@ -1,0 +1,51 @@
+package graft.tools
+
+import graft.SparkEntry
+import org.apache.spark.sql.SparkSession
+
+/** TPC-DS flagship rehearsal at the reference's own gate scale (r14,
+  * VERDICT r13 #6): the reference's test_tpcds.sh runs dsdgen at SF=1;
+  * this tool runs all 103 q_tpcdsr_* once at a chosen generator scale tag
+  * ("sf1" → scale 100 = 10× the per-round bench's sf0.1 data) and prints
+  * per-query wall seconds plus the FINAL adaptive plan's join-operator
+  * counts (SortMergeJoin vs BroadcastHashJoin) so scale-driven AQE plan
+  * flips are visible next to the timings.
+  *
+  * Usage: TpcdsScaleBench [sfTag]   (default "sf1"; "sf0.1" re-times the
+  * bench scale with the same plan instrumentation for the diff table) */
+object TpcdsScaleBench {
+  def main(args: Array[String]): Unit = {
+    val tag = args.headOption.getOrElse("sf1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val t0 = System.nanoTime()
+    graft.tpcds.TpcdsData.ensure(spark, tag)
+    val genSec = (System.nanoTime() - t0) / 1e9
+    System.err.println(f"[tpcds-scale] generate+register $tag: $genSec%.1fs")
+    val names = SparkEntry.queries.keys.filter(_.startsWith("q_tpcdsr_")).toSeq.sorted
+    val results = names.map { n =>
+      spark.catalog.clearCache()
+      val q0 = System.nanoTime()
+      val df = SparkEntry.queries(n)(spark, tag)
+      val rows = df.count()
+      val dt = (System.nanoTime() - q0) / 1e9
+      // final (post-AQE) physical plan: join-operator census
+      val plan = df.queryExecution.executedPlan.toString
+      val smj = "SortMergeJoin".r.findAllIn(plan).size
+      val bhj = "BroadcastHashJoin".r.findAllIn(plan).size
+      System.err.println(f"[tpcds-scale] $n%-16s $dt%7.2fs rows=$rows%-8d smj=$smj bhj=$bhj")
+      (n, dt, rows, smj, bhj)
+    }
+    val total = results.map(_._2).sum
+    println(f"""{"metric":"tpcds_scale_bench","value":$total%.2f,"unit":"sec","tag":"$tag","gen_sec":$genSec%.1f,"queries":{${
+      results.map { case (n, t, r, smj, bhj) =>
+        f""""$n":[$t%.2f,$r,$smj,$bhj]""" }.mkString(",")}}}""")
+    spark.stop()
+  }
+}

@@ -47,10 +47,22 @@ object TpcdsData {
   val JD98 = 2450815L
   val Days5y = 1826L
 
-  def scaleOf(sfDir: String): Int = if (sfDir.contains("sf0.1")) 10 else 1
+  /** sf0.1 → 10, sf1 → 100 (the r14 SF=1 rehearsal — the reference's own
+    * flagship gate runs dsdgen at scale factor 1, test_tpcds.sh:22),
+    * anything else (the sf0.01 correctness path) → 1. */
+  def scaleOf(sfDir: String): Int =
+    if (sfDir.contains("sf0.1")) 10
+    else if (sfDir.contains("sf1")) 100
+    else 1
 
-  def rootFor(sfDir: String): String =
-    s"/tmp/graft-tpcds/v$GenVersion-sf${if (scaleOf(sfDir) == 10) "0.1" else "0.01"}"
+  def rootFor(sfDir: String): String = {
+    val tag = scaleOf(sfDir) match {
+      case 100 => "1"
+      case 10  => "0.1"
+      case _   => "0.01"
+    }
+    s"/tmp/graft-tpcds/v$GenVersion-sf$tag"
+  }
 
   /** The constant path the static DuckDB oracle SQL reads: correctness
     * always runs at sf0.01 (TESTDATA.md driver contract). */

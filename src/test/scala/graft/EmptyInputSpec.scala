@@ -97,7 +97,10 @@ class EmptyInputSpec extends SparkSpec {
     "q_stream_sample_weighted", "q_mm_phash", "q_train_triplets",
     "q_quality_calibration", "q_sql_tvf_tumble", "q_sql_tvf_cumulate",
     "q_stream_entropy", "q_sql_tvf_stream_tumble", "q_mix_two_phase",
-    "q_sql_match_subset_def", "q_text_mixed_lang")
+    "q_sql_match_subset_def", "q_text_mixed_lang",
+    // r14 additions (q_sql_tvf_hop backfills an r13 ADVICE gap)
+    "q_sql_tvf_hop", "q_sql_tvf_session", "q_mm_phash_keep",
+    "q_sql_match_distinct", "q_sql_match_exclude")
 
   for (name <- queries)
     test(s"$name runs on an empty corpus") {

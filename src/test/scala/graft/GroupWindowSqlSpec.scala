@@ -108,4 +108,32 @@ class GroupWindowSqlSpec extends SparkSpec {
     assert(GroupWindowSql.tvfCumulate(spark, sf).collect().map(_.toSeq) ===
       GroupWindowSql.cumulate(spark, sf).collect().map(_.toSeq))
   }
+
+  test("SESSION TVF (1.14 FLIP-145 completion) equals the session dialect") {
+    assert(GroupWindowSql.tvfSession(spark, sf).collect().map(_.toSeq) ===
+      GroupWindowSql.session(spark, sf).collect().map(_.toSeq))
+  }
+
+  test("TVF pair substitution is scoped to the GROUP BY clause (r14 ADVICE)") {
+    // the canonical FLIP-145 shape: the SELECT list carries the bare
+    // window_start, window_end PAIR — it must lower to *_START/*_END
+    // selectors, not the assigner (only the GROUP BY pair becomes one)
+    val lowered = GroupWindowSql.rewriteTvf(
+      """SELECT window_start, window_end, count(*) AS cnt
+        |FROM TABLE(TUMBLE(TABLE events, DESCRIPTOR(ts), INTERVAL '1' DAY))
+        |GROUP BY window_start, window_end
+        |ORDER BY window_start""".stripMargin)
+    assert(lowered.contains(
+      "SELECT TUMBLE_START(ts, INTERVAL '1' DAY), TUMBLE_END(ts, INTERVAL '1' DAY)"))
+    assert(lowered.contains("GROUP BY TUMBLE(ts, INTERVAL '1' DAY)"))
+    assert(lowered.contains("ORDER BY TUMBLE_START(ts, INTERVAL '1' DAY)"))
+    // window_time is rejected explicitly, not silently passed through
+    val e = intercept[IllegalArgumentException] {
+      GroupWindowSql.rewriteTvf(
+        """SELECT window_start, window_time, count(*) AS cnt
+          |FROM TABLE(TUMBLE(TABLE events, DESCRIPTOR(ts), INTERVAL '1' DAY))
+          |GROUP BY window_start, window_end""".stripMargin)
+    }
+    assert(e.getMessage.contains("window_time"))
+  }
 }

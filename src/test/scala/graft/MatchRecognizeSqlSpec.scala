@@ -810,6 +810,66 @@ class MatchRecognizeSqlSpec extends SparkSpec {
       MatchRecognizeSql.matchSubsetDefSql.replace("SUM(U.value)", "SUM(Z.value)")))
   }
 
+  test("DISTINCT aggregations parse in MEASURES and evaluate in DEFINE (r14)") {
+    import spark.implicits._
+    // parse: the distinct flag lands on the measure
+    val spec = MatchRecognizeSql.parse(MatchRecognizeSql.matchDistinctSql)
+    assert(spec.measures.exists {
+      case MatchRecognizeSql.CountM("A", "n_dist", true) => true; case _ => false })
+    assert(spec.measures.exists {
+      case MatchRecognizeSql.ValAggM("SUM", "A", "sum_dist", true) => true; case _ => false })
+    assert(spec.measures.exists {
+      case MatchRecognizeSql.CountM("A", "n_a", false) => true; case _ => false })
+    // DISTINCT on navigation is rejected
+    intercept[IllegalArgumentException](MatchRecognizeSql.parse(
+      MatchRecognizeSql.matchDistinctSql.replace(
+        "FIRST(A.event_id)", "FIRST(DISTINCT A.event_id)")))
+    // DEFINE: COUNT(DISTINCT A.value) >= 2 needs two distinct values —
+    // planted duplicates (10, 10) must NOT satisfy it, (10, 20) must
+    def ev(id: Long, sec: Int, et: String, v: Double) =
+      StreamSource.Event(id, new java.sql.Timestamp(sec * 1000L), 1L, et, v)
+    def stepsFor() = MatchRecognizeSql.parse(
+      """SELECT user_id, n FROM events
+        |MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES COUNT(A.*) AS n
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (A+ B)
+        |  DEFINE A AS event_type = 'view',
+        |         B AS event_type = 'purchase' AND COUNT(DISTINCT A.value) >= 2
+        |)""".stripMargin).pattern.map(_._2)
+    val dupRun = spark.createDataset(Seq(
+      ev(1, 1, "view", 10.0), ev(2, 2, "view", 10.0), ev(3, 3, "purchase", 5.0)))
+    val gotDup = Cep.matchRecognizeOrderedSkip(dupRun, stepsFor(), Cep.SkipPastLastRow)
+      .collect().map(_.ids).toSeq
+    assert(gotDup === Nil, "two equal values are ONE distinct value")
+    val twoRun = spark.createDataset(Seq(
+      ev(1, 1, "view", 10.0), ev(2, 2, "view", 20.0), ev(3, 3, "purchase", 5.0)))
+    val gotTwo = Cep.matchRecognizeOrderedSkip(twoRun, stepsFor(), Cep.SkipPastLastRow)
+      .collect().map(_.ids).toSeq
+    assert(gotTwo === Seq(Seq(1L, 2L, 3L)))
+  }
+
+  test("exclusion {- A -} parses, validates, and is ALL-ROWS-only (r14)") {
+    val spec = MatchRecognizeSql.parse(MatchRecognizeSql.matchExcludeSql)
+    assert(spec.excluded === Set("A"))
+    assert(spec.pattern.map(_._1) === Seq("A", "B", "C"), "markers stripped, A still matched")
+    // ONE ROW mode rejects exclusion (match_recognize.md:1112 — ALL ROWS only)
+    intercept[IllegalArgumentException](MatchRecognizeSql.parse(
+      MatchRecognizeSql.matchExcludeSql.replace(
+        "ALL ROWS PER MATCH", "ONE ROW PER MATCH").replace(
+        ", CLASSIFIER() AS cls", "").replace("event_id, ", "")))
+    // an excluded variable is a pattern variable by construction (the
+    // markers strip to the variable itself), so a NEW name inside markers
+    // simply joins the pattern — un-DEFINEd, matches any row
+    val z = MatchRecognizeSql.parse(
+      MatchRecognizeSql.matchExcludeSql.replace("{- A -}", "{- Z -} A"))
+    assert(z.excluded === Set("Z") && z.pattern.map(_._1) === Seq("Z", "A", "B", "C"))
+    // excluding the whole pattern rejects
+    intercept[IllegalArgumentException](MatchRecognizeSql.parse(
+      MatchRecognizeSql.matchExcludeSql.replace("{- A -} B C", "{- A B C -}")))
+  }
+
   test("SQL value measures equal the window-function derivation") {
     val viaSql = MatchRecognizeSql.matchSum(spark, sf).collect().map(_.toSeq)
     Tables.registerAll(spark, sf)
