@@ -178,6 +178,7 @@ object SparkEntry {
     "q_sql_tvf_cumulate"  -> (GroupWindowSql.tvfCumulate _),
     "q_sql_tvf_session"   -> (GroupWindowSql.tvfSession _),
     "q_sql_tvf_stream_tumble" -> (GroupWindowSql.tvfStreamTumble _),
+    "q_sql_tvf_stream_session" -> (GroupWindowSql.tvfStreamSession _),
     "q_mm_frames"       -> (Multimodal.frameSample _),
     "q_mm_resize"       -> (Multimodal.resizeStub _),
     "q_mm_features"     -> (Multimodal.featureStub _),
@@ -357,6 +358,7 @@ object SparkEntry {
     "q_sql_match_xagg"    -> (streaming.MatchRecognizeSql.matchXagg _),
     "q_sql_match_distinct" -> (streaming.MatchRecognizeSql.matchDistinct _),
     "q_sql_match_exclude" -> (streaming.MatchRecognizeSql.matchExclude _),
+    "q_sql_match_prev"    -> (streaming.MatchRecognizeSql.matchPrev _),
     "q_sql_match_rowtime" -> (streaming.MatchRecognizeSql.matchRowtime _),
     "q_sql_match_cascade" -> (streaming.MatchRecognizeSql.matchCascade _),
     "q_sql_tumble"       -> (GroupWindowSql.tumble _),

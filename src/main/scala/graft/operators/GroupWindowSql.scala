@@ -384,6 +384,25 @@ object GroupWindowSql {
 
   /** SESSION SQL text as a streaming query (session_window + watermark;
     * the sentinel key's session never closes, so it never reaches the sink). */
+  /** SESSION TVF in STREAMING mode (r14 — the 1.14 syntax's streaming
+    * home): same lowering chain (TVF → session dialect → Spark
+    * session_window), same watermark/sentinel conventions as
+    * [[streamSession]]; oracle identical. */
+  def tvfStreamSession(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.streaming.StreamSource.eventsWithSentinel(s, dir)
+      .withWatermark("ts", "1 hour")
+      .createOrReplaceTempView("events_stream")
+    val out = s.sql(rewrite(rewriteTvf(
+      """SELECT window_start AS w_start, window_end AS w_end, user_id,
+        | count(*) AS cnt, round(sum(value), 2) AS sum_value
+        |FROM TABLE(SESSION(TABLE events_stream, DESCRIPTOR(ts), DESCRIPTOR(user_id), INTERVAL '1' HOUR))
+        |GROUP BY window_start, window_end, user_id""".stripMargin)))
+    graft.streaming.StreamSource.runToTable(s, out, "sql_tvf_stream_session", "append")
+      .where(col("user_id") =!= -1L)
+      .orderBy("user_id", "w_start")
+  }
+
   def streamSession(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.col
     graft.streaming.StreamSource.eventsWithSentinel(s, dir)
@@ -410,7 +429,8 @@ object GroupWindowSql {
       "q_sql_tvf_hop"      -> base("q_sql_hop"),
       "q_sql_tvf_cumulate" -> base("q_sql_cumulate"),
       "q_sql_tvf_session"  -> base("q_sql_session"),
-      "q_sql_tvf_stream_tumble" -> base("q_sql_stream_tumble"))
+      "q_sql_tvf_stream_tumble" -> base("q_sql_stream_tumble"),
+      "q_sql_tvf_stream_session" -> base("q_sql_stream_session"))
   }
 
   private val sqlBase: Map[String, String] = Map(

@@ -86,7 +86,16 @@ object Cep {
                    // NOT accepted into the repetition — the loop ends there
                    // and the next step is tried at that row. Also the
                    // reference's state-cleanup hook for unbounded loops.
-                   until: Option[Event => Boolean] = None)
+                   until: Option[Event => Boolean] = None,
+                   // physical-offset DEFINE conjuncts (r14, SQL:2016
+                   // PREV — on the reference's unsupported list): receives
+                   // (partition buffer, candidate index, candidate row);
+                   // PREV(f, n) reads buf(idx − n) whatever variable that
+                   // row mapped to. physDepth = the deepest n any PREV in
+                   // this step reaches — the matcher retains that many
+                   // decided rows as history across drains.
+                   phys: Option[(IndexedSeq[Event], Int, Event) => Boolean] = None,
+                   physDepth: Int = 0)
   object QStep {
     def once(p: Event => Boolean): QStep = QStep(p, 1, 1, greedy = true)
     def times(p: Event => Boolean, n: Int): QStep = QStep(p, n, n, greedy = true)
@@ -123,7 +132,10 @@ object Cep {
   case class SkipToFirstOf(posOf: Int => Seq[Int]) extends SkipPolicy
   case class SkipToLastOf(posOf: Int => Seq[Int]) extends SkipPolicy
 
-  case class CepBuffer(rows: Seq[Event], matched: Long = 0L)
+  /** `hist`: leading rows of `rows` that are already-DECIDED history kept
+    * only so PREV physical offsets can read across a drain boundary —
+    * attempts resume after them (r14). */
+  case class CepBuffer(rows: Seq[Event], matched: Long = 0L, hist: Int = 0)
 
   private sealed trait Res
   private case class Found(end: Int, rows: List[Event], counts: List[Int],
@@ -328,7 +340,11 @@ object Cep {
           def admits(e: Event): Boolean =
             st.pred(e) && !st.until.exists(f => f(e)) &&
               st.agg.forall(f => f(run, runSum, e)) &&
-              st.xagg.forall(f => f(varRowsSoFar(), e))
+              st.xagg.forall(f => f(varRowsSoFar(), e)) &&
+              // physical offsets: the candidate's index in the retained
+              // buffer; rows before buf(0) are off the partition start
+              // (the matcher retains physDepth decided rows — see drain)
+              st.phys.forall(f => f(buf, pos + run, e))
           while (pos + run < buf.length && run < st.max && admits(buf(pos + run))) {
             runSum += buf(pos + run).value
             run += 1
@@ -410,13 +426,21 @@ object Cep {
       case None                       => tryFixedAlts
     }
 
-    def drain(buf: IndexedSeq[Event], atEnd: Boolean): (List[(List[Event], List[Int], Int)], IndexedSeq[Event]) = {
+    // deepest PREV any step reaches: that many DECIDED rows are retained
+    // as buffer history so physical offsets resolve across drains (r14)
+    val physDepth = (alts.flatten ++ group.toSeq.flatMap(g => g._1 ++ g._2))
+      .map(_.physDepth).foldLeft(0)(math.max)
+
+    def drain(buf: IndexedSeq[Event], atEnd: Boolean,
+              hist: Int): (List[(List[Event], List[Int], Int)], IndexedSeq[Event], Int) = {
       ticksLeft = attemptBudget
       val out = scala.collection.mutable.ListBuffer.empty[(List[Event], List[Int], Int)]
-      var i = 0
+      var i = hist
       while (i < buf.length) {
         tryAlts(buf, i, atEnd) match {
-          case NeedMore        => return (out.toList, buf.drop(i))
+          case NeedMore        =>
+            val keep = math.max(0, i - physDepth)
+            return (out.toList, buf.drop(keep), i - keep)
           case NoMatch         => i += 1
           case Found(end, rows, cnts, alt) =>
             out += ((rows, cnts, alt))
@@ -454,7 +478,9 @@ object Cep {
             }
         }
       }
-      (out.toList, IndexedSeq.empty)
+      // fully decided: keep only PREV history (none when physDepth == 0)
+      val tail = buf.takeRight(physDepth)
+      (out.toList, tail, tail.length)
     }
 
     // Append: every match emits exactly once and is never revised — which
@@ -467,6 +493,7 @@ object Cep {
         OutputMode.Append(), timeoutConf) {
         (key: Long, rows: Iterator[Event], state: GroupState[CepBuffer]) =>
           val buf0 = state.getOption.map(_.rows.toIndexedSeq).getOrElse(IndexedSeq.empty)
+          val hist0 = state.getOption.map(_.hist).getOrElse(0)
           // MATCH_NUMBER base: matches already emitted for this key
           val base = state.getOption.map(_.matched).getOrElse(0L)
           def emit(out: List[(List[Event], List[Int], Int)]) =
@@ -479,13 +506,13 @@ object Cep {
             // MATCH_NUMBER restarts if the key resumes after the quiet
             // horizon (the idle-state-retention contract: pruned state is
             // pruned; the reference's TTL drops NFA state the same way)
-            val (out, _) = drain(buf0, atEnd = true)
+            val (out, _, _) = drain(buf0, atEnd = true, hist0)
             state.remove()
             emit(out)
           } else {
             val sorted = rows.toSeq.sortBy(e => (StatefulOps.micros(e.ts), e.event_id))
             val all = buf0 ++ sorted
-            val (out, rest) = drain(all, atEnd = false)
+            val (out, rest, restHist) = drain(all, atEnd = false, hist0)
             val cnt = base + out.length
             // every retained state row carries a LIVE quiesce timer, so
             // per-key state (buffer or bare MATCH_NUMBER counter) is
@@ -503,7 +530,7 @@ object Cep {
                 case _: UnsupportedOperationException => ()
               }
             if (rest.nonEmpty) {
-              state.update(CepBuffer(rest, cnt))
+              state.update(CepBuffer(rest, cnt, restHist))
               if (eventTimeFlush) armTimer()
             } else if (eventTimeFlush && cnt > 0) {
               state.update(CepBuffer(Nil, cnt))

@@ -355,7 +355,8 @@ object MatchRecognizeSql extends Serializable {
                 case _ => throw new IllegalArgumentException(
                   s"bad quantifier on pattern variable $v")
               }
-          }).copy(agg = cd.agg, name = v.toUpperCase, xagg = cd.xagg)
+          }).copy(agg = cd.agg, name = v.toUpperCase, xagg = cd.xagg,
+            phys = cd.phys, physDepth = cd.physDepth)
           v.toUpperCase -> step
         case t => throw new IllegalArgumentException(s"bad pattern token: $t")
       }
@@ -509,6 +510,16 @@ object MatchRecognizeSql extends Serializable {
   private case class NavQual(variable: String, field: String) extends NavTerm
   private case class NavOf(fn: String, variable: String, field: String,
                            n: Int, scale: Double = 1.0) extends NavTerm
+  /** Physical offset `PREV([V.]field [, n])` (r14 — ref match_recognize.md:
+    * 1121-1122, unsupported there): the row n BEFORE the candidate in the
+    * partition's INPUT order, whatever variable (if any) it mapped to —
+    * contrast NavOf, which walks only the rows a variable matched. Off the
+    * partition start → SQL NULL. The qualifier, when present, must name
+    * the defining variable (the standard's own DEFINE idiom). NEXT stays
+    * out of subset: forward lookahead against unarrived rows is the same
+    * anti-streaming shape as anchors, and the matcher rejects it loudly. */
+  private case class NavPrev(field: String, n: Int, scale: Double = 1.0,
+                             qual: Option[String] = None) extends NavTerm
   private case class NavCmpPx(l: NavTerm, op: String, r: NavTerm) extends Px
   private case class NavNullPx(t: NavTerm, negated: Boolean) extends Px
 
@@ -518,6 +529,9 @@ object MatchRecognizeSql extends Serializable {
   private val navFnRe =
     ("(?is)^(?:([-0-9.]+(?:[eE]-?\\d+)?)\\s*\\*\\s*)?(LAST|FIRST)\\s*\\(\\s*" +
       "(\\w+)\\.(value|event_id|user_id)\\s*(?:,\\s*(\\d+)\\s*)?\\)$").r
+  private val physPrevRe =
+    ("(?is)^(?:([-0-9.]+(?:[eE]-?\\d+)?)\\s*\\*\\s*)?PREV\\s*\\(\\s*" +
+      "(?:(\\w+)\\.)?(value|event_id|user_id)\\s*(?:,\\s*(\\d+)\\s*)?\\)$").r
   private val qualFieldRe = "(?is)^(\\w+)\\.(value|event_id|user_id)$".r
   private val navNullRe = "(?is)^(.*?)\\s+IS\\s+(NOT\\s+)?NULL$".r
   private val cmpSplitRe = "(?s)^(.*?)\\s*(<=|>=|<>|!=|=|<|>)\\s*(.*)$".r
@@ -529,6 +543,11 @@ object MatchRecognizeSql extends Serializable {
       Some(NavOf(fn.toUpperCase, v.toUpperCase, field.toLowerCase,
         Option(n).map(_.toInt).getOrElse(0),
         Option(scale).map(_.toDouble).getOrElse(1.0)))
+    // SQL:2016 default physical offset is 1 (PREV(f) = the row just before)
+    case physPrevRe(scale, q, field, n) =>
+      Some(NavPrev(field.toLowerCase, Option(n).map(_.toInt).getOrElse(1),
+        Option(scale).map(_.toDouble).getOrElse(1.0),
+        Option(q).map(_.toUpperCase)))
     case qualFieldRe(v, field) => Some(NavQual(v.toUpperCase, field.toLowerCase))
     case s if s.matches("(?i)value|user_id|event_id") => Some(NavCur(s.toLowerCase))
     case s if s.matches("[-0-9.eE]+") &&
@@ -536,9 +555,13 @@ object MatchRecognizeSql extends Serializable {
     case _ => None
   }
 
-  private def navMentioned(t: String): Boolean =
-    "(?is)(LAST|FIRST)\\s*\\(".r.findFirstIn(t).isDefined ||
+  private def navMentioned(t: String): Boolean = {
+    require("(?is)\\bNEXT\\s*\\(".r.findFirstIn(t).isEmpty,
+      "NEXT physical offset is out of subset (forward lookahead against " +
+        "unarrived rows — the anchors argument); use PREV from a later row")
+    "(?is)(LAST|FIRST|PREV)\\s*\\(".r.findFirstIn(t).isDefined ||
       "(?is)\\b\\w+\\.(value|event_id|user_id)\\b".r.findFirstIn(t).isDefined
+  }
 
   private class PredParser(text: String) {
     private var rest = text.trim
@@ -679,7 +702,11 @@ object MatchRecognizeSql extends Serializable {
   case class CompiledDefine(rowPred: Event => Boolean,
                             agg: Option[(Int, Double, Event) => Boolean],
                             xagg: Option[(Map[String, IndexedSeq[Event]], Event) => Boolean],
-                            aggVars: Set[String] = Set.empty)
+                            aggVars: Set[String] = Set.empty,
+                            // physical-offset conjuncts (PREV): evaluated
+                            // against (partition buffer, candidate index)
+                            phys: Option[(IndexedSeq[Event], Int, Event) => Boolean] = None,
+                            physDepth: Int = 0)
 
   /** Compile one DEFINE body. The engine-internal sentinel row never
     * matches. Same-variable SUM/COUNT against a literal keep the
@@ -803,8 +830,72 @@ object MatchRecognizeSql extends Serializable {
         case PNot(x) => !evalX(x, vars, e)
         case _: AggCmp => true
       }
+    // physical offsets: a sub-expression containing a PREV atom routes to
+    // the (buffer, index) evaluation slot; it may mix current-row fields
+    // and literals but NOT logical navigation or cross-variable terms —
+    // those live in different evaluation contexts (kept as separate
+    // top-level conjuncts they compose freely)
+    def containsPhys(p: Px): Boolean = p match {
+      case NavCmpPx(l, _, r) =>
+        l.isInstanceOf[NavPrev] || r.isInstanceOf[NavPrev]
+      case NavNullPx(t, _) => t.isInstanceOf[NavPrev]
+      case PAnd(l, r) => containsPhys(l) || containsPhys(r)
+      case POr(l, r) => containsPhys(l) || containsPhys(r)
+      case PNot(x) => containsPhys(x)
+      case _ => false
+    }
+    def physDepthOf(p: Px): Int = {
+      def ofTerm(t: NavTerm): Int = t match {
+        case NavPrev(_, n, _, q) =>
+          q.foreach(v => require(v == varName,
+            s"PREV qualifier $v inside DEFINE $varName must name the defined variable"))
+          n
+        case _ => 0
+      }
+      p match {
+        case NavCmpPx(l, _, r) => math.max(ofTerm(l), ofTerm(r))
+        case NavNullPx(t, _) => ofTerm(t)
+        case PAnd(l, r) => math.max(physDepthOf(l), physDepthOf(r))
+        case POr(l, r) => math.max(physDepthOf(l), physDepthOf(r))
+        case PNot(x) => physDepthOf(x)
+        case _ => 0
+      }
+    }
+    def evalPhysTerm(t: NavTerm, buf: IndexedSeq[Event], idx: Int,
+                     e: Event): Option[Double] = t match {
+      case NavLit(x) => Some(x)
+      case NavCur(f) => Some(fieldOf(e, f))
+      case NavQual(v, f) =>
+        require(v == varName,
+          s"cross-variable field $v.$f cannot share a conjunct with PREV")
+        Some(fieldOf(e, f))
+      case NavPrev(f, n, scale, _) =>
+        // idx is the candidate's position in the retained buffer; rows
+        // before buf(0) are before the partition start (the matcher keeps
+        // physDepth decided rows of history across drains)
+        if (idx - n >= 0) Some(scale * fieldOf(buf(idx - n), f)) else None
+      case o: NavOf => throw new IllegalArgumentException(
+        s"logical navigation ${o.fn} cannot share a conjunct with PREV")
+    }
+    def evalPhys(p: Px, buf: IndexedSeq[Event], idx: Int, e: Event): Boolean =
+      p match {
+        case RowCmp(f) => f(e)
+        case NavCmpPx(l, op, r) =>
+          (evalPhysTerm(l, buf, idx, e), evalPhysTerm(r, buf, idx, e)) match {
+            case (Some(a), Some(b)) => cmpNum(op)(a, b)
+            case _ => false // NULL comparison is UNKNOWN → false
+          }
+        case NavNullPx(t, neg) =>
+          val isNull = evalPhysTerm(t, buf, idx, e).isEmpty
+          if (neg) !isNull else isNull
+        case PAnd(l, r) => evalPhys(l, buf, idx, e) && evalPhys(r, buf, idx, e)
+        case POr(l, r) => evalPhys(l, buf, idx, e) || evalPhys(r, buf, idx, e)
+        case PNot(x) => !evalPhys(x, buf, idx, e)
+        case _: AggCmp => true
+      }
     val (rowParts0, aggParts) = split(ast)
-    val (navParts, rowParts) = rowParts0.partition(containsNav)
+    val (navParts0, rowParts) = rowParts0.partition(containsNav)
+    val (physParts, navParts) = navParts0.partition(containsPhys)
     aggParts.foreach { a =>
       a.rhsField.foreach { rf =>
         val q = rf.split("\\.")(0)
@@ -868,8 +959,15 @@ object MatchRecognizeSql extends Serializable {
         case (a, b) => Some((vars, e) =>
           a.forall(_(vars, e)) && b.forall(_(vars, e)))
       }
+    // physical-offset conjuncts: validate depth/qualifier at compile time
+    // (physDepthOf runs the qualifier requires), then close over the parts
+    val pDepth = physParts.map(physDepthOf).foldLeft(0)(math.max)
+    val phys: Option[(IndexedSeq[Event], Int, Event) => Boolean] =
+      if (physParts.isEmpty) None
+      else Some { (buf, idx, e) => physParts.forall(evalPhys(_, buf, idx, e)) }
     CompiledDefine(rowPred, agg, xagg,
-      aggParts.map(_.variable).toSet ++ navParts.flatMap(navVarsOf))
+      aggParts.map(_.variable).toSet ++ navParts.flatMap(navVarsOf),
+      phys = phys, physDepth = pDepth)
   }
 
   /** Back-compat shim for row-only predicates (parser spec entry point). */
@@ -1582,6 +1680,37 @@ object MatchRecognizeSql extends Serializable {
   def matchExclude(s: SparkSession, dir: String): DataFrame =
     run(s, dir, matchExcludeSql)
 
+  /** Physical offsets in DEFINE (r14 — PREV is on the reference's
+    * unsupported list, match_recognize.md:1121-1122): the SQL:2016
+    * ticker idiom, the flagship V-pattern spelled with PREV instead of
+    * logical navigation. PREV walks the partition's INPUT rows whatever
+    * variable they mapped to: at a DOWN candidate PREV(DOWN.value) is the
+    * physically previous row (the prior DOWN, or STRT at the first), and
+    * at the UP candidate PREV(UP.value, 2) reaches back across the last
+    * DOWN to the penultimate one. Matches here are contiguous, so with
+    * DOWN{2,} this query is row-for-row the logical-navigation
+    * matchNavSql — the shared oracle IS the equivalence proof (and
+    * MatchRecognizeSqlSpec pins the boundary case where PREV and LAST
+    * genuinely differ). NEXT stays out of subset (forward lookahead —
+    * the anchors argument), rejected loudly at parse. */
+  val matchPrevSql: String =
+    """SELECT user_id, strt_id, bottom_id, n_down, penult, up_val FROM events
+      |MATCH_RECOGNIZE (
+      |  PARTITION BY user_id
+      |  ORDER BY ts
+      |  MEASURES STRT.event_id AS strt_id, LAST(DOWN.event_id) AS bottom_id,
+      |           COUNT(DOWN.*) AS n_down, LAST(DOWN.value, 1) AS penult,
+      |           UP.value AS up_val
+      |  ONE ROW PER MATCH
+      |  AFTER MATCH SKIP TO LAST UP
+      |  PATTERN (STRT DOWN{2,} UP)
+      |  DEFINE DOWN AS DOWN.value < PREV(DOWN.value),
+      |         UP AS UP.value > PREV(UP.value, 2)
+      |)""".stripMargin
+
+  def matchPrev(s: SparkSession, dir: String): DataFrame =
+    run(s, dir, matchPrevSql)
+
   // ---- r13: the full SQL:2016 quantifier set (ref match_recognize.md:
   // 352-359). B's predicate OVERLAPS C's so greedy-vs-reluctant is
   // load-bearing (29 rows differ at sf0.01, not just branch order).
@@ -1776,7 +1905,13 @@ object MatchRecognizeSql extends Serializable {
 
   /** DuckDB oracles (no MATCH_RECOGNIZE there either — expressed with
     * window functions, same derivations as the programmatic CEP oracles). */
-  val sql: Map[String, String] = Map(
+  /** q_sql_match_prev shares q_sql_match_nav's oracle verbatim: with
+    * DOWN{2,}, the PREV spelling and the logical-navigation spelling are
+    * the same query over contiguous matches (see [[matchPrevSql]]). */
+  lazy val sql: Map[String, String] =
+    sqlBase + ("q_sql_match_prev" -> sqlBase("q_sql_match_nav"))
+
+  private val sqlBase: Map[String, String] = Map(
     // SUBSET-in-DEFINE: fixed-shape pattern, lead replay with the union sum
     "q_sql_match_subset_def" ->
       """WITH o AS (SELECT user_id, event_id, event_type, value,

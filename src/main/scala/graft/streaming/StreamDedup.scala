@@ -165,8 +165,12 @@ object StreamDedup {
   }
 
   // state rows for the streaming PPJoin prefix index (public: encoder
-  // codegen instantiates these from generated classes)
-  case class PrefRow(doc_id: Long, n: Int, rn: Int, tok: String)
+  // codegen instantiates these from generated classes). The token travels
+  // as its 60-bit md5 hash, not the shingle string: the key only needs to
+  // AGREE (same shingle ⇒ same bucket, so Lemma-1 recall is untouched);
+  // a cross-shingle collision merely adds a candidate the exact verify
+  // removes — and the hash shrinks both the shuffle and the state rows.
+  case class PrefRow(doc_id: Long, n: Int, rn: Int, tok: Long)
   case class PrefBucket(rows: Seq[PrefRow])
 
   /** q_stream_ppjoin — the EXACT-recall similarity join kept live (r14
@@ -215,13 +219,14 @@ object StreamDedup {
         posexplode(expr(
           "slice(array_sort(transform(sh, x -> struct(md5(x) AS h, x AS sg))), 1, plen)")))
       .select(col("doc_id"), col("n").cast("int").as("n"),
-        (col("pos") + 1).cast("int").as("rn"), col("col.sg").as("tok"))
+        (col("pos") + 1).cast("int").as("rn"),
+        expr("CAST(conv(substr(col.h, 1, 15), 16, 10) AS BIGINT)").as("tok"))
       .as[PrefRow]
     val candidates = pref.groupByKey(_.tok)
       .flatMapGroupsWithState[PrefBucket, CandPair](
         org.apache.spark.sql.streaming.OutputMode.Append(),
         org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout()) {
-        (_: String, rows: Iterator[PrefRow], st: GroupState[PrefBucket]) =>
+        (_: Long, rows: Iterator[PrefRow], st: GroupState[PrefBucket]) =>
           var posted = st.getOption.map(_.rows).getOrElse(Seq.empty)
           val out = scala.collection.mutable.ListBuffer.empty[CandPair]
           // ascending within the batch: in-batch pairs meet exactly once

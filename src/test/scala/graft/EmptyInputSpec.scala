@@ -100,7 +100,8 @@ class EmptyInputSpec extends SparkSpec {
     "q_sql_match_subset_def", "q_text_mixed_lang",
     // r14 additions (q_sql_tvf_hop backfills an r13 ADVICE gap)
     "q_sql_tvf_hop", "q_sql_tvf_session", "q_mm_phash_keep",
-    "q_sql_match_distinct", "q_sql_match_exclude")
+    "q_sql_match_distinct", "q_sql_match_exclude", "q_sql_match_prev",
+    "q_stream_ppjoin", "q_sql_tvf_stream_session")
 
   for (name <- queries)
     test(s"$name runs on an empty corpus") {

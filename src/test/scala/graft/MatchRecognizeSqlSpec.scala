@@ -870,6 +870,54 @@ class MatchRecognizeSqlSpec extends SparkSpec {
       MatchRecognizeSql.matchExcludeSql.replace("{- A -} B C", "{- A B C -}")))
   }
 
+  test("PREV physical offset reads input rows, not mapped rows (r14)") {
+    import spark.implicits._
+    def ev(id: Long, sec: Int, et: String, v: Double) =
+      StreamSource.Event(id, new java.sql.Timestamp(sec * 1000L), 1L, et, v)
+    def stepsOf(defA: String) = MatchRecognizeSql.parse(
+      s"""SELECT user_id, a_id FROM events
+         |MATCH_RECOGNIZE (
+         |  PARTITION BY user_id ORDER BY ts
+         |  MEASURES A.event_id AS a_id
+         |  ONE ROW PER MATCH
+         |  AFTER MATCH SKIP PAST LAST ROW
+         |  PATTERN (B A)
+         |  DEFINE B AS event_type = 'click', A AS $defA
+         |)""".stripMargin).pattern.map(_._2)
+    val events = spark.createDataset(Seq(
+      ev(1, 1, "click", 10.0), ev(2, 2, "view", 20.0)))
+    // the divergence pin: PREV sees the physically previous row (the B
+    // click) where logical LAST(A.value, 1) sees NULL (no prior A row)
+    val prev = Cep.matchRecognizeOrderedSkip(events,
+      stepsOf("A.value > PREV(A.value)"), Cep.SkipPastLastRow)
+      .collect().map(_.ids).toSeq
+    assert(prev === Seq(Seq(1L, 2L)),
+      "PREV must read the physically previous row (whatever variable mapped it)")
+    val last = Cep.matchRecognizeOrderedSkip(events,
+      stepsOf("A.value > LAST(A.value, 1)"), Cep.SkipPastLastRow)
+      .collect().map(_.ids).toSeq
+    assert(last === Nil,
+      "LAST(A.value, 1) is NULL here — logical and physical offsets genuinely differ")
+    // off the partition start → SQL NULL → comparison false
+    val fromStart = Cep.matchRecognizeOrderedSkip(
+      spark.createDataset(Seq(ev(1, 1, "click", 10.0), ev(2, 2, "view", 20.0))),
+      MatchRecognizeSql.parse(
+        """SELECT user_id, a_id FROM events
+          |MATCH_RECOGNIZE (
+          |  PARTITION BY user_id ORDER BY ts
+          |  MEASURES A.event_id AS a_id
+          |  ONE ROW PER MATCH
+          |  PATTERN (A)
+          |  DEFINE A AS A.value > PREV(A.value, 5)
+          |)""".stripMargin).pattern.map(_._2),
+      Cep.SkipPastLastRow).collect()
+    assert(fromStart.isEmpty, "PREV past the partition start is NULL, never a match")
+    // NEXT is out of subset (forward lookahead), rejected loudly
+    intercept[IllegalArgumentException](stepsOf("A.value > NEXT(A.value)"))
+    // a PREV qualifier must name the defining variable
+    intercept[IllegalArgumentException](stepsOf("A.value > PREV(B.value)"))
+  }
+
   test("SQL value measures equal the window-function derivation") {
     val viaSql = MatchRecognizeSql.matchSum(spark, sf).collect().map(_.toSeq)
     Tables.registerAll(spark, sf)
