@@ -223,6 +223,7 @@ object SparkEntry {
     "q_stream_cep_relaxed" -> (streaming.StreamQueries.cepRelaxed _),
     "q_stream_cep_plus"    -> (streaming.StreamQueries.cepPlus _),
     "q_stream_cep_until"   -> (streaming.StreamQueries.cepUntil _),
+    "q_stream_cep_timeout" -> (streaming.StreamQueries.cepTimedOut _),
     "q_stream_cep_plus_rel" -> (streaming.StreamQueries.cepPlusReluctant _),
     "q_stream_cep_skip_past" -> (streaming.StreamQueries.cepSkipPast _),
     "q_stream_semi_join" -> (streaming.StreamQueries.semiJoin _),

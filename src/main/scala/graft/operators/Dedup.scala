@@ -333,19 +333,29 @@ object Dedup {
     ks.filter(k => find(k) != k).toSeq.sorted
   }
 
-  def minhashClusterKeep(s: SparkSession, dir: String): DataFrame = {
+  def minhashClusterKeep(s: SparkSession, dir: String): DataFrame =
+    clusterKeepFrom(minhashLshPairs(s, dir),
+      Tables(s, dir, "documents").select(col("doc_id")))
+
+  /** pairs → connected components → min-id representative + anti-join of
+    * `universe(doc_id)` — the keep-set composition shared by the MinHash
+    * path and the perceptual-media path (Multimodal.phashKeep), so the
+    * 2M-pair plan-flip threshold and the unpersist discipline live once.
+    *
+    * Size-guarded plan flip (the decontaminate convention,
+    * Pipeline.scala): the verified pair list is priced by the near-dup
+    * RATE, not corpus size, so it is almost always tiny. Under the cap,
+    * driver union-find beats O(diameter) rounds of distributed joins
+    * whose per-round fixed cost dominates at this size (measured: ~10 s
+    * of round overhead on a 2.5k-pair graph); a pathological corpus
+    * over the cap flips to the distributed min-label CC — identical
+    * labels (component minimum) either way. */
+  private[graft] def clusterKeepFrom(pairs0: DataFrame,
+                                     universe: DataFrame): DataFrame = {
+    val s = pairs0.sparkSession
     import s.implicits._
-    val pairs = minhashLshPairs(s, dir)
-      .select(col("doc_a"), col("doc_b")).persist()
+    val pairs = pairs0.select(col("doc_a"), col("doc_b")).persist()
     try {
-      // Size-guarded plan flip (the decontaminate convention,
-      // Pipeline.scala): the verified pair list is priced by the near-dup
-      // RATE, not corpus size, so it is almost always tiny. Under the cap,
-      // driver union-find beats O(diameter) rounds of distributed joins
-      // whose per-round fixed cost dominates at this size (measured: ~10 s
-      // of round overhead on a 2.5k-pair graph); a pathological corpus
-      // over the cap flips to the distributed min-label CC — identical
-      // labels (component minimum) either way.
       val nPairs = pairs.count()
       val drop: DataFrame =
         if (nPairs <= 2000000L) {
@@ -359,7 +369,7 @@ object Dedup {
               pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
             .where(col("label") < col("id")).select(col("id").as("doc_id"))
         }
-      Tables(s, dir, "documents").select(col("doc_id"))
+      universe.select(col("doc_id"))
         .join(drop, Seq("doc_id"), "left_anti")
         .orderBy("doc_id")
     } finally pairs.unpersist(blocking = false)

@@ -211,8 +211,16 @@ object GroupWindowSql {
       val key = m.group(3)
       val args = s"${m.group(2)}, INTERVAL '${m.group(4)}' ${m.group(5)}"
       // the key descriptor names the session partition column; the
-      // aggregation subset realizes it as a grouping key — require it
-      require(s"(?i)GROUP\\s+BY[^;]*\\b$key\\b".r.findFirstIn(sql).isDefined,
+      // aggregation subset realizes it as a grouping key — require it IN
+      // THE GROUP BY CLAUSE itself (scoped like the pair substitution: a
+      // key mentioned only in HAVING/ORDER BY must not pass)
+      val inGroupBy = groupByRe.findFirstMatchIn(sql).exists { gb =>
+        val tail = sql.substring(gb.end)
+        val seg = tail.substring(0,
+          groupByEndRe.findFirstMatchIn(tail).map(_.start).getOrElse(tail.length))
+        s"(?i)\\b$key\\b".r.findFirstIn(seg).isDefined
+      }
+      require(inGroupBy,
         s"SESSION TVF key column $key must appear in GROUP BY in the aggregation subset")
       return lower(sql.substring(0, m.start) + m.group(1) + sql.substring(m.end),
         m.group(1), m.group(2), s"SESSION($args)", args)

@@ -185,28 +185,9 @@ object Multimodal {
     * (Round14Spec pins the saturation case). Same size-guarded plan flip
     * as the MinHash twin: driver union-find under 2M pairs, distributed
     * min-label CC above. */
-  def phashKeep(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val pairs = phashPairs(s, dir).select(col("doc_a"), col("doc_b")).persist()
-    try {
-      val nPairs = pairs.count()
-      val drop: DataFrame =
-        if (nPairs <= 2000000L) {
-          val dropped = Dedup.unionFindDrop(
-            pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq)
-          s.createDataset(dropped).toDF("doc_id")
-        } else {
-          val verts = pairs.select(col("doc_a").as("id"))
-            .union(pairs.select(col("doc_b").as("id"))).distinct()
-          Graph.connectedComponents(verts,
-              pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
-            .where(col("label") < col("id")).select(col("id").as("doc_id"))
-        }
-      phashMedia(s, dir).select(col("doc_id"))
-        .join(drop, Seq("doc_id"), "left_anti")
-        .orderBy("doc_id")
-    } finally pairs.unpersist(blocking = false)
-  }
+  def phashKeep(s: SparkSession, dir: String): DataFrame =
+    Dedup.clusterKeepFrom(phashPairs(s, dir),
+      phashMedia(s, dir).select(col("doc_id")))
 
   /** Frame sampling: one output row per sampled frame, frame identity =
     * md5(doc fingerprint + frame index). Generator-based — never collects. */

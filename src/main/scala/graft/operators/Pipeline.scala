@@ -139,13 +139,15 @@ object Pipeline {
     // quotas through DECIMAL(38,0) intermediates (r14 ADVICE fix): at the
     // advertised ~1e13 tokens/source, budget × w2 reaches ~1e22 — past
     // 2^63, where non-ANSI BIGINT would wrap silently while the DuckDB
-    // oracle's HUGEINT keeps going. The widened floor division is exact
-    // on both engines at any corpus size.
+    // oracle's HUGEINT keeps going. INTEGRAL division (`div`) on the
+    // decimal product — NOT floor(a / b), whose fractional division
+    // rounds HALF_UP at scale 6 first and can cross the integer — keeps
+    // the floor exact on both engines at any corpus size.
     per.crossJoin(broadcast(tot))
       .select(col("source"), col("n_tokens"), col("keep_bp"),
-        expr(s"CAST(floor(CAST(${budget * 9 / 10} AS DECIMAL(38,0)) * n_tokens / t1) AS BIGINT)")
+        expr(s"CAST(CAST(${budget * 9 / 10} AS DECIMAL(38,0)) * n_tokens div t1 AS BIGINT)")
           .as("quota_p1"),
-        expr(s"CAST(floor(CAST(${budget / 10} AS DECIMAL(38,0)) * w2 / t2) AS BIGINT)")
+        expr(s"CAST(CAST(${budget / 10} AS DECIMAL(38,0)) * w2 div t2 AS BIGINT)")
           .as("quota_p2"))
       .orderBy("source")
   }

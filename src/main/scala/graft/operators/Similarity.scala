@@ -202,9 +202,16 @@ object Similarity {
 
   private val prodIxMemo =
     new java.util.concurrent.ConcurrentHashMap[String, ProdIndex]()
-  /** Fit-once-per-(dir, process) production index (default parameters). */
+  /** Fit-once-per-(dir, process) production index (default parameters).
+    * A cached entry whose DataFrames belong to a DIFFERENT (e.g. stopped
+    * and replaced) SparkSession is rebuilt — the memo keys only by path,
+    * and a stale session's cached plans would throw or silently serve the
+    * old fit. Testdata dirs are immutable within a process, so path-keyed
+    * reuse is otherwise sound. */
   private[graft] def prodIndexFor(s: SparkSession, dir: String): ProdIndex =
-    prodIxMemo.computeIfAbsent(dir, d => buildProdIndex(s, d))
+    prodIxMemo.compute(dir, (d, cached) =>
+      if (cached != null && (cached.emb.sparkSession eq s)) cached
+      else buildProdIndex(s, d))
 
   /** The mining pass against an ALREADY-BUILT index (ScaleBench reuses the
     * rehearsal's fitted index rather than fitting twice): ADC shortlist →

@@ -567,6 +567,73 @@ object Cep {
     * advances on every later matching event instead of only the first, so
     * ALL combinations with increasing event time inside the window match.
     * The `within` expiry is what keeps the branch count finite. */
+  /** Timed-out partial matches as a FIRST-CLASS output (r14 — ref
+    * TimedOutPartialMatchHandler / PatternStream#select with a timeout
+    * side output, docs/dev/libs/cep.md:1524-1598): partial matches that
+    * exceed the WITHIN window are not silently discarded — each is
+    * reported once, carrying the rows matched so far and the deadline
+    * (start + within) in `lastTsMicros`. Detection is event-time-driven
+    * twice over: an arriving event expires partials whose window closed
+    * before it (the matchRelaxed filter, now reporting instead of
+    * dropping), and an EventTimeTimeout timer armed at the earliest
+    * pending deadline flushes keys that go quiet — the far-future
+    * sentinel row advances the global watermark past every deadline, so
+    * trailing partials flush at stream end exactly like the reference's
+    * watermark-driven timeout path. */
+  def matchRelaxedTimedOut(ds: Dataset[Event], steps: Seq[Event => Boolean],
+                           withinMs: Long): Dataset[Match] = {
+    import ds.sparkSession.implicits._
+    val L = steps.length
+    val withinMicros = withinMs * 1000L
+    require(L >= 2)
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[NfaState, Match](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: Long, rows: Iterator[Event], state: GroupState[NfaState]) =>
+          var partials = state.getOption.map(_.partials.toList).getOrElse(Nil)
+          val out = scala.collection.mutable.ArrayBuffer.empty[Match]
+          def report(p: Partial): Unit =
+            out += Match(key, p.ids, Seq.fill(p.next)(1), p.vals,
+              lastTsMicros = p.startMicros + withinMicros)
+          def expire(horizonMicros: Long): Unit = {
+            val (dead, live) = partials.partition(
+              p => horizonMicros > p.startMicros + withinMicros)
+            dead.foreach(report)
+            partials = live
+          }
+          if (!state.hasTimedOut) {
+            rows.toSeq.sortBy(e => (StatefulOps.micros(e.ts), e.event_id))
+              .filter(_.event_type != "__sentinel")
+              .foreach { e =>
+                val m = StatefulOps.micros(e.ts)
+                expire(m) // windows closed strictly before this event
+                partials = partials.flatMap { p =>
+                  if (m > p.lastMicros && steps(p.next)(e)) {
+                    val adv = Partial(p.ids :+ e.event_id, p.startMicros,
+                      p.next + 1, m, p.vals :+ e.value)
+                    if (adv.next == L) Nil // completed — not a timeout
+                    else List(adv)
+                  } else List(p)
+                }
+                if (steps.head(e))
+                  partials = partials :+ Partial(Seq(e.event_id), m, 1, m, Seq(e.value))
+              }
+          }
+          // watermark horizon: quiet keys flush through the timer; the
+          // sentinel pushes the final watermark past every deadline
+          expire(state.getCurrentWatermarkMs() * 1000L)
+          if (partials.isEmpty) state.remove()
+          else {
+            state.update(NfaState(partials))
+            val nextDeadlineMs =
+              partials.map(p => (p.startMicros + withinMicros) / 1000L).min
+            state.setTimeoutTimestamp(
+              math.max(nextDeadlineMs + 1, state.getCurrentWatermarkMs() + 1))
+          }
+          out.iterator
+      }
+  }
+
   def matchRelaxed(ds: Dataset[Event], steps: Seq[Event => Boolean],
                    withinMs: Long,
                    nots: Map[Int, Event => Boolean] = Map.empty,

@@ -959,8 +959,27 @@ object MatchRecognizeSql extends Serializable {
         case (a, b) => Some((vars, e) =>
           a.forall(_(vars, e)) && b.forall(_(vars, e)))
       }
-    // physical-offset conjuncts: validate depth/qualifier at compile time
-    // (physDepthOf runs the qualifier requires), then close over the parts
+    // physical-offset conjuncts: validate the WHOLE shape at compile time
+    // (the subset's loud-reject convention — a bad DEFINE must fail at
+    // parse, not inside an executor task): no logical navigation and no
+    // cross-variable fields may share a conjunct with PREV, and a PREV
+    // qualifier must name the defining variable (physDepthOf checks it)
+    def validatePhysTerm(t: NavTerm): Unit = t match {
+      case o: NavOf => throw new IllegalArgumentException(
+        s"logical navigation ${o.fn} cannot share a conjunct with PREV")
+      case NavQual(v, f) => require(v == varName,
+        s"cross-variable field $v.$f cannot share a conjunct with PREV")
+      case _ => ()
+    }
+    def validatePhys(p: Px): Unit = p match {
+      case NavCmpPx(l, _, r) => validatePhysTerm(l); validatePhysTerm(r)
+      case NavNullPx(t, _) => validatePhysTerm(t)
+      case PAnd(l, r) => validatePhys(l); validatePhys(r)
+      case POr(l, r) => validatePhys(l); validatePhys(r)
+      case PNot(x) => validatePhys(x)
+      case _ => ()
+    }
+    physParts.foreach(validatePhys)
     val pDepth = physParts.map(physDepthOf).foldLeft(0)(math.max)
     val phys: Option[(IndexedSeq[Event], Int, Event) => Boolean] =
       if (physParts.isEmpty) None

@@ -293,6 +293,27 @@ object StreamQueries {
       .orderBy("user_id", "p_id")
   }
 
+  /** q_stream_cep_timeout — timed-out partial matches surfaced as a
+    * first-class output (ref TimedOutPartialMatchHandler,
+    * docs/dev/libs/cep.md:1524-1598): every view whose purchase does NOT
+    * arrive within 7 days is reported once with its deadline — the
+    * abandoned-funnel feed the reference routes to a side output. The
+    * oracle is the declarative twin: views with no same-key purchase in
+    * (t, t + 7d]. */
+  def cepTimedOut(s: SparkSession, dir: String): DataFrame = {
+    import StreamSource.Event
+    val pattern: Seq[Event => Boolean] = Seq(
+      _.event_type == "view", _.event_type == "purchase")
+    val out = Cep.matchRelaxedTimedOut(
+      StreamSource.eventsTypedWithSentinel(s, dir), pattern,
+      withinMs = 7L * 24 * 3600 * 1000).toDF()
+    StreamSource.runToTable(s, out, "stream_cep_timeout", "append")
+      .select(col("user_id"),
+        col("ids").getItem(0).as("v_id"),
+        timestamp_micros(col("lastTsMicros")).as("deadline"))
+      .orderBy("user_id", "v_id")
+  }
+
   /** followedByAny: ALL view→click→purchase combinations (increasing event
     * time) within 2 days, not just the earliest continuation. */
   def cepAny(s: SparkSession, dir: String): DataFrame = {
@@ -1401,6 +1422,21 @@ object StreamQueries {
         | AND nxt.rn = 1 AND nxt.kind <> 'error'
         |WHERE c.rn = 1
         |ORDER BY c.user_id, c.p_id""".stripMargin,
+    // timed-out partials: the declarative twin — views with no same-key
+    // purchase strictly after them within the 7-day window (boundary
+    // INCLUSIVE: a purchase AT the deadline completes, per the matcher's
+    // strict > expiry); deadline = view time + 7 days
+    "q_stream_cep_timeout" ->
+      """WITH o AS (SELECT user_id, event_id, event_type,
+        |            CAST(ts AS TIMESTAMP) AS t FROM events)
+        |SELECT v.user_id, v.event_id AS v_id,
+        |       v.t + INTERVAL 7 DAY AS deadline
+        |FROM o v
+        |WHERE v.event_type = 'view'
+        |  AND NOT EXISTS (SELECT 1 FROM o p
+        |    WHERE p.user_id = v.user_id AND p.event_type = 'purchase'
+        |      AND p.t > v.t AND p.t <= v.t + INTERVAL 7 DAY)
+        |ORDER BY v.user_id, v_id""".stripMargin,
     "q_stream_cep_not" ->
       """WITH p AS (SELECT user_id, event_id AS p_id, CAST(ts AS TIMESTAMP) AS pt
         |           FROM events WHERE event_type = 'purchase'),

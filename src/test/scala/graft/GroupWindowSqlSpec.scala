@@ -112,6 +112,17 @@ class GroupWindowSqlSpec extends SparkSpec {
   test("SESSION TVF (1.14 FLIP-145 completion) equals the session dialect") {
     assert(GroupWindowSql.tvfSession(spark, sf).collect().map(_.toSeq) ===
       GroupWindowSql.session(spark, sf).collect().map(_.toSeq))
+    // the key descriptor must be realized as a grouping key IN the GROUP
+    // BY clause — a key mentioned only in HAVING must not pass (sessions
+    // would silently merge across keys otherwise)
+    val e = intercept[IllegalArgumentException] {
+      GroupWindowSql.rewriteTvf(
+        """SELECT window_start, count(*) AS cnt
+          |FROM TABLE(SESSION(TABLE events, DESCRIPTOR(ts), DESCRIPTOR(user_id), INTERVAL '1' HOUR))
+          |GROUP BY window_start, window_end
+          |HAVING max(user_id) > 0""".stripMargin)
+    }
+    assert(e.getMessage.contains("user_id"))
   }
 
   test("TVF pair substitution is scoped to the GROUP BY clause (r14 ADVICE)") {

@@ -868,6 +868,11 @@ class MatchRecognizeSqlSpec extends SparkSpec {
     // excluding the whole pattern rejects
     intercept[IllegalArgumentException](MatchRecognizeSql.parse(
       MatchRecognizeSql.matchExcludeSql.replace("{- A -} B C", "{- A B C -}")))
+    // a variable occurring both inside AND outside markers is a duplicate
+    // pattern variable after stripping — rejected loudly by the
+    // single-occurrence rule, never silently all-suppressed
+    intercept[IllegalArgumentException](MatchRecognizeSql.parse(
+      MatchRecognizeSql.matchExcludeSql.replace("{- A -} B C", "A {- A -} B C")))
   }
 
   test("PREV physical offset reads input rows, not mapped rows (r14)") {
@@ -916,6 +921,13 @@ class MatchRecognizeSqlSpec extends SparkSpec {
     intercept[IllegalArgumentException](stepsOf("A.value > NEXT(A.value)"))
     // a PREV qualifier must name the defining variable
     intercept[IllegalArgumentException](stepsOf("A.value > PREV(B.value)"))
+    // mixed-context conjuncts reject AT COMPILE TIME (the loud-reject
+    // convention): logical navigation and cross-variable fields evaluate
+    // against the partial match, PREV against the input buffer — they may
+    // not share one conjunct (separate top-level ANDs compose fine)
+    intercept[IllegalArgumentException](
+      stepsOf("PREV(A.value) > 1 OR LAST(A.value, 1) > 2"))
+    intercept[IllegalArgumentException](stepsOf("B.value > PREV(A.value)"))
   }
 
   test("SQL value measures equal the window-function derivation") {
