@@ -418,6 +418,13 @@ object ScaleBench {
           spark.catalog.clearCache()
           graft.operators.Multimodal.phashKeep(spark, out).count()
         },
+        // r14: the live exact-recall join — state is the prefix postings
+        // of everything seen, so the rehearsal prices keyed-state growth
+        // (~n/2 postings per doc through the 4-segment replay)
+        time(s"stream_ppjoin_${k}x") {
+          spark.catalog.clearCache()
+          graft.streaming.StreamDedup.ppjoinStream(spark, out).count()
+        },
       )
       if (prodIx != null) graft.operators.Similarity.releaseProdIndex(prodIx)
       val total = results.map(_._2).sum
