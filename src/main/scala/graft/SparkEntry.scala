@@ -95,7 +95,9 @@ object SparkEntry {
     "q_dedup_cluster_keep" -> (Dedup.minhashClusterKeep _),
     "q_split_leakage"   -> (Dedup.leakageSafeSplit _),
     "q_stream_dedup_minhash" -> (streaming.StreamDedup.minhashStreamKeep _),
-    "q_stream_ppjoin"     -> (streaming.StreamDedup.ppjoinStream _),
+    "q_stream_ppjoin"     -> ((s: SparkSession, d: String) =>
+      streaming.StreamDedup.ppjoinStream(s, d)),
+    "q_stream_ppjoin_keep" -> (streaming.StreamDedup.ppjoinStreamKeep _),
     "q_dedup_span"        -> (Dedup.spanDupCoverage _),
     "q_dedup_span_strip"  -> (Dedup.spanStrip _),
     "q_dedup_incremental" -> (Dedup.incrementalDedup _),
@@ -177,6 +179,7 @@ object SparkEntry {
     "q_sql_tvf_hop"       -> (GroupWindowSql.tvfHop _),
     "q_sql_tvf_cumulate"  -> (GroupWindowSql.tvfCumulate _),
     "q_sql_tvf_session"   -> (GroupWindowSql.tvfSession _),
+    "q_sql_tvf_window_time" -> (GroupWindowSql.tvfWindowTime _),
     "q_sql_tvf_stream_tumble" -> (GroupWindowSql.tvfStreamTumble _),
     "q_sql_tvf_stream_session" -> (GroupWindowSql.tvfStreamSession _),
     "q_mm_frames"       -> (Multimodal.frameSample _),
@@ -360,6 +363,7 @@ object SparkEntry {
     "q_sql_match_distinct" -> (streaming.MatchRecognizeSql.matchDistinct _),
     "q_sql_match_exclude" -> (streaming.MatchRecognizeSql.matchExclude _),
     "q_sql_match_prev"    -> (streaming.MatchRecognizeSql.matchPrev _),
+    "q_sql_match_next"    -> (streaming.MatchRecognizeSql.matchNext _),
     "q_sql_match_rowtime" -> (streaming.MatchRecognizeSql.matchRowtime _),
     "q_sql_match_cascade" -> (streaming.MatchRecognizeSql.matchCascade _),
     "q_sql_tumble"       -> (GroupWindowSql.tumble _),

@@ -50,6 +50,7 @@ object GroupWindowSql {
   private val sessionStartRe = s"(?i)SESSION_START\\s*\\(\\s*\\w+\\s*,\\s*$Interval\\s*\\)".r
   private val sessionEndRe = s"(?i)SESSION_END\\s*\\(\\s*\\w+\\s*,\\s*$Interval\\s*\\)".r
   private val sessionRe = s"(?i)SESSION\\s*\\(\\s*(\\w+)\\s*,\\s*$Interval\\s*\\)".r
+  private val cumulateRowtimeRe = s"(?i)CUMULATE_ROWTIME\\s*\\(\\s*\\w+\\s*,\\s*$Interval\\s*,\\s*$Interval\\s*\\)".r
   private val cumulateStartRe = s"(?i)CUMULATE_START\\s*\\(\\s*\\w+\\s*,\\s*$Interval\\s*,\\s*$Interval\\s*\\)".r
   private val cumulateEndRe = s"(?i)CUMULATE_END\\s*\\(\\s*\\w+\\s*,\\s*$Interval\\s*,\\s*$Interval\\s*\\)".r
   private val cumulateRe = s"(?i)CUMULATE\\s*\\(\\s*(\\w+)\\s*,\\s*$Interval\\s*,\\s*$Interval\\s*\\)".r
@@ -95,6 +96,11 @@ object GroupWindowSql {
     val endExpr =
       s"timestamp_micros(unix_micros(__cum_start) + __cum_k * ${step}L)"
     var out = sql
+    // *_ROWTIME = end − 1ms (the shared selector convention) — substituted
+    // before *_END so the two replacements can't shadow each other
+    out = cumulateRowtimeRe.replaceAllIn(out,
+      java.util.regex.Matcher.quoteReplacement(
+        s"($endExpr - INTERVAL 1 MILLISECOND)"))
     out = cumulateStartRe.replaceAllIn(out, "__cum_start")
     out = cumulateEndRe.replaceAllIn(out, java.util.regex.Matcher.quoteReplacement(endExpr))
     out = cumulateRe.replaceAllIn(out, "__cum_start, __cum_k")
@@ -152,7 +158,11 @@ object GroupWindowSql {
   private val weRe = "(?i)\\bwindow_end\\b".r
 
   private val groupByRe = "(?i)\\bGROUP\\s+BY\\b".r
-  private val groupByEndRe = "(?i)\\b(ORDER\\s+BY|HAVING|LIMIT)\\b".r
+  // clause terminators (r15 ADVICE fix): WINDOW/UNION keywords and a
+  // closing paren (the TVF-in-derived-table shape) end the GROUP BY
+  // clause too — without them a trailing clause would be substituted into
+  private val groupByEndRe = "(?i)\\b(ORDER\\s+BY|HAVING|LIMIT|WINDOW|UNION)\\b|\\)".r
+  private val wtRe = "(?i)\\bwindow_time\\b".r
 
   /** Lower FLIP-145 TVF syntax onto the 1.12 group-window dialect (then
     * [[rewrite]] finishes the job). Pure text → text; non-TVF SQL passes
@@ -160,18 +170,21 @@ object GroupWindowSql {
     * GROUP BY clause (r14, ADVICE fix): the canonical FLIP-145 shape
     * `SELECT window_start, window_end, … GROUP BY window_start, window_end`
     * keeps its SELECT-list pair as START/END selectors instead of an
-    * (invalid there) bare assigner call. `window_time` is rejected
-    * explicitly — the 1.12 dialect's *_ROWTIME selector is its home. */
+    * (invalid there) bare assigner call. The anchor is the LAST GROUP BY
+    * in the statement (r15 ADVICE fix — the TVF feeds the OUTERMOST
+    * aggregation in this subset; a subquery's own GROUP BY earlier in the
+    * text must not swallow the substitution span). `window_time` (r15,
+    * completing FLIP-145's third column) lowers onto the dialect's
+    * *_ROWTIME selector = window_end − 1ms, the event-time attribute of
+    * the window (ref FLIP-145 / window-tvf docs: window_time is the
+    * TVF's time attribute column). */
   def rewriteTvf(sql: String): String = {
     def lower(out0: String, table: String, ts: String,
               assigner: String, selArgs: String): String = {
-      require("(?i)\\bwindow_time\\b".r.findFirstIn(out0).isEmpty,
-        "window_time is not supported in the TVF subset — use the " +
-          "group-window dialect's *_ROWTIME selector")
       // GROUP BY's adjacent window_start, window_end pair becomes the
       // assigner — scoped to the GROUP BY clause only (SELECT-list pairs
       // are selector references, not grouping keys)
-      val out = groupByRe.findFirstMatchIn(out0) match {
+      val out = groupByRe.findAllMatchIn(out0).toSeq.lastOption match {
         case Some(gb) =>
           val tail = out0.substring(gb.end)
           val segLen = groupByEndRe.findFirstMatchIn(tail).map(_.start)
@@ -182,9 +195,11 @@ object GroupWindowSql {
         case None => out0
       }
       val base = assigner.takeWhile(_ != '(')
-      val out1 = wsRe.replaceAllIn(out,
+      val out1 = wtRe.replaceAllIn(out,
+        java.util.regex.Matcher.quoteReplacement(s"${base}_ROWTIME($selArgs)"))
+      val out2 = wsRe.replaceAllIn(out1,
         java.util.regex.Matcher.quoteReplacement(s"${base}_START($selArgs)"))
-      weRe.replaceAllIn(out1,
+      weRe.replaceAllIn(out2,
         java.util.regex.Matcher.quoteReplacement(s"${base}_END($selArgs)"))
     }
     tvfTumbleRe.findFirstMatchIn(sql).foreach { m =>
@@ -214,7 +229,7 @@ object GroupWindowSql {
       // aggregation subset realizes it as a grouping key — require it IN
       // THE GROUP BY CLAUSE itself (scoped like the pair substitution: a
       // key mentioned only in HAVING/ORDER BY must not pass)
-      val inGroupBy = groupByRe.findFirstMatchIn(sql).exists { gb =>
+      val inGroupBy = groupByRe.findAllMatchIn(sql).toSeq.lastOption.exists { gb =>
         val tail = sql.substring(gb.end)
         val seg = tail.substring(0,
           groupByEndRe.findFirstMatchIn(tail).map(_.start).getOrElse(tail.length))
@@ -316,6 +331,22 @@ object GroupWindowSql {
       |FROM TABLE(SESSION(TABLE events, DESCRIPTOR(ts), DESCRIPTOR(user_id), INTERVAL '1' HOUR))
       |GROUP BY window_start, window_end, user_id
       |ORDER BY user_id, w_start""".stripMargin
+
+  /** FLIP-145's THIRD column (r15 — removes the one carve-out in the
+    * exceeds-reference TVF claim): `window_time` is the window's event-time
+    * attribute, window_end − 1ms — lowered onto the dialect's *_ROWTIME
+    * selector, the column cascading windows consume. Here it rides the
+    * SELECT list next to window_start (functionally dependent on the
+    * grouping pair, exactly like the selectors). */
+  val tvfWindowTimeSql: String =
+    """SELECT window_start AS w_start, window_time AS w_time, event_type,
+      | count(*) AS cnt, round(sum(value), 2) AS sum_value
+      |FROM TABLE(TUMBLE(TABLE events, DESCRIPTOR(ts), INTERVAL '1' DAY))
+      |GROUP BY window_start, window_end, event_type
+      |ORDER BY w_start, event_type""".stripMargin
+
+  def tvfWindowTime(s: SparkSession, dir: String): DataFrame =
+    runTvf(s, dir, tvfWindowTimeSql)
 
   def tvfTumble(s: SparkSession, dir: String): DataFrame = runTvf(s, dir, tvfTumbleSql)
   def tvfHop(s: SparkSession, dir: String): DataFrame = runTvf(s, dir, tvfHopSql)
@@ -438,7 +469,15 @@ object GroupWindowSql {
       "q_sql_tvf_cumulate" -> base("q_sql_cumulate"),
       "q_sql_tvf_session"  -> base("q_sql_session"),
       "q_sql_tvf_stream_tumble" -> base("q_sql_stream_tumble"),
-      "q_sql_tvf_stream_session" -> base("q_sql_stream_session"))
+      "q_sql_tvf_stream_session" -> base("q_sql_stream_session"),
+      // window_time = window_end − 1ms, derived the same way the oracle
+      // derives *_ROWTIME elsewhere (q_sql_cascade's inner hour)
+      "q_sql_tvf_window_time" ->
+        """SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS w_start,
+          | date_trunc('day', CAST(ts AS TIMESTAMP)) + INTERVAL 1 DAY
+          |   - INTERVAL 1 MILLISECOND AS w_time,
+          | event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
+          |FROM events GROUP BY 1, 2, 3 ORDER BY 1, 3""".stripMargin)
   }
 
   private val sqlBase: Map[String, String] = Map(

@@ -200,8 +200,11 @@ object Similarity {
       scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), out.schema)
   }
 
-  private val prodIxMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, ProdIndex]()
+  // single-slot memo (r15 ADVICE fix: the per-dir map retained every
+  // touched corpus's fitted artifacts and persisted DataFrames for the
+  // process lifetime; one slot bounds that to the latest corpus, and the
+  // replaced entry's caches are released on swap)
+  private var prodIxSlot: Option[(String, ProdIndex)] = None
   /** Fit-once-per-(dir, process) production index (default parameters).
     * A cached entry whose DataFrames belong to a DIFFERENT (e.g. stopped
     * and replaced) SparkSession is rebuilt — the memo keys only by path,
@@ -209,9 +212,21 @@ object Similarity {
     * old fit. Testdata dirs are immutable within a process, so path-keyed
     * reuse is otherwise sound. */
   private[graft] def prodIndexFor(s: SparkSession, dir: String): ProdIndex =
-    prodIxMemo.compute(dir, (d, cached) =>
-      if (cached != null && (cached.emb.sparkSession eq s)) cached
-      else buildProdIndex(s, d))
+    synchronized {
+      prodIxSlot match {
+        case Some((d, ix)) if d == dir && (ix.emb.sparkSession eq s) => ix
+        case replaced =>
+          // release the evicted entry's persisted DataFrames; a stale
+          // session's unpersist may throw against a stopped context —
+          // nothing to release there, swallow and rebuild
+          replaced.foreach { case (_, old) =>
+            try releaseProdIndex(old) catch { case _: Exception => () }
+          }
+          val ix = buildProdIndex(s, dir)
+          prodIxSlot = Some(dir -> ix)
+          ix
+      }
+    }
 
   /** The mining pass against an ALREADY-BUILT index (ScaleBench reuses the
     * rehearsal's fitted index rather than fitting twice): ADC shortlist →

@@ -191,6 +191,18 @@ object Cep {
                          withinMicros: Option[Long] = None): Dataset[Match] =
     matcher(ds, steps, skip, quiesceMs, eventTimeFlush = true, withinMicros)
 
+  /** BOUNDED-input variant (r15): the key's rows arrive in ONE invocation
+    * (batch execution of the stateful operator), so the single drain runs
+    * with atEnd = true — no attempt ever parks, and forward lookahead
+    * (NEXT physical offsets) is decidable because every row of the
+    * partition is already in the buffer. Streaming inputs must NOT use
+    * this: atEnd would decide attempts a later batch could extend. */
+  def matchRecognizeBoundedSkip(ds: Dataset[Event], steps: Seq[QStep],
+                                skip: SkipPolicy,
+                                withinMicros: Option[Long] = None): Dataset[Match] =
+    matcherAlts(ds, Seq(steps), skip, 0L, eventTimeFlush = false,
+      withinMicros, bounded = true)
+
   /** Variant for composing AFTER another stateful operator (sortedEvents):
     * downstream of a sorter there is no watermarked column left to hang an
     * EventTimeTimeout on (re-tagging one would make the engine drop the
@@ -271,7 +283,8 @@ object Cep {
                       skip: SkipPolicy, quiesceMs: Long,
                       eventTimeFlush: Boolean,
                       withinMicros: Option[Long],
-                      group: Option[(Seq[QStep], Seq[QStep], Int)] = None): Dataset[Match] = {
+                      group: Option[(Seq[QStep], Seq[QStep], Int)] = None,
+                      bounded: Boolean = false): Dataset[Match] = {
     import ds.sparkSession.implicits._
     require(alts.nonEmpty && alts.forall(_.nonEmpty))
     // WITHIN bound (ref Pattern#within / SQL `PATTERN (...) WITHIN
@@ -512,7 +525,10 @@ object Cep {
           } else {
             val sorted = rows.toSeq.sortBy(e => (StatefulOps.micros(e.ts), e.event_id))
             val all = buf0 ++ sorted
-            val (out, rest, restHist) = drain(all, atEnd = false, hist0)
+            // bounded: this single invocation holds the key's whole
+            // partition — drain decides everything (and NEXT offsets may
+            // read forward, every row being present)
+            val (out, rest, restHist) = drain(all, atEnd = bounded, hist0)
             val cnt = base + out.length
             // every retained state row carries a LIVE quiesce timer, so
             // per-key state (buffer or bare MATCH_NUMBER counter) is

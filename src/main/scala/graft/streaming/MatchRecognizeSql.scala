@@ -166,7 +166,12 @@ object MatchRecognizeSql extends Serializable {
     "([A-Za-z]\\w*)(\\+\\?|\\*\\?|\\+|\\*|\\?\\?|\\?|\\{\\s*(\\d*)\\s*(,?)\\s*(\\d*)\\s*\\}(\\?)?)?".r
   private val cmpRe = "(?s)^(\\w+)\\s*(<>|!=|<=|>=|=|<|>)\\s*(?:'([^']*)'|([-0-9.eE]+))$".r
 
-  def parse(sqlText: String): Spec = {
+  def parse(sqlText: String): Spec = parse(sqlText, allowNext = false)
+
+  /** `allowNext = true` admits NEXT physical offsets in DEFINE — callers
+    * must run the spec on a BOUNDED input (runBatch); the streaming entry
+    * parses with the default and keeps the loud reject. */
+  def parse(sqlText: String, allowNext: Boolean): Spec = {
     val (selectList, table, body) = sqlText match {
       case mrRe(sel, tbl, b) => (sel, tbl, b)
       case _ => throw new IllegalArgumentException(
@@ -250,7 +255,7 @@ object MatchRecognizeSql extends Serializable {
           val kv = d.split("(?is)\\s+AS\\s+", 2)
           require(kv.length == 2, s"bad DEFINE entry: $d")
           val varName = kv(0).trim.toUpperCase
-          varName -> compileDefine(varName, kv(1).trim, subsets)
+          varName -> compileDefine(varName, kv(1).trim, subsets, allowNext)
         }.toMap
 
     val patternBodyRaw = patternRe.findFirstMatchIn(body).map(_.group(1))
@@ -520,6 +525,16 @@ object MatchRecognizeSql extends Serializable {
     * anti-streaming shape as anchors, and the matcher rejects it loudly. */
   private case class NavPrev(field: String, n: Int, scale: Double = 1.0,
                              qual: Option[String] = None) extends NavTerm
+  /** Physical FORWARD offset `NEXT([V.]field [, n])` (r15 — BATCH mode
+    * only): the row n AFTER the candidate in the partition's input order.
+    * On a bounded partition forward lookahead is free — every row is in
+    * the buffer when the single atEnd drain runs — which is exactly the
+    * reference's own argument inverted: its docs reject NEXT because a
+    * stream's later rows haven't arrived (match_recognize.md:1121-1122),
+    * an argument void in batch. Past the partition end → SQL NULL. The
+    * STREAMING path keeps the loud reject (parse with allowNext=false). */
+  private case class NavNext(field: String, n: Int, scale: Double = 1.0,
+                             qual: Option[String] = None) extends NavTerm
   private case class NavCmpPx(l: NavTerm, op: String, r: NavTerm) extends Px
   private case class NavNullPx(t: NavTerm, negated: Boolean) extends Px
 
@@ -531,6 +546,9 @@ object MatchRecognizeSql extends Serializable {
       "(\\w+)\\.(value|event_id|user_id)\\s*(?:,\\s*(\\d+)\\s*)?\\)$").r
   private val physPrevRe =
     ("(?is)^(?:([-0-9.]+(?:[eE]-?\\d+)?)\\s*\\*\\s*)?PREV\\s*\\(\\s*" +
+      "(?:(\\w+)\\.)?(value|event_id|user_id)\\s*(?:,\\s*(\\d+)\\s*)?\\)$").r
+  private val physNextRe =
+    ("(?is)^(?:([-0-9.]+(?:[eE]-?\\d+)?)\\s*\\*\\s*)?NEXT\\s*\\(\\s*" +
       "(?:(\\w+)\\.)?(value|event_id|user_id)\\s*(?:,\\s*(\\d+)\\s*)?\\)$").r
   private val qualFieldRe = "(?is)^(\\w+)\\.(value|event_id|user_id)$".r
   private val navNullRe = "(?is)^(.*?)\\s+IS\\s+(NOT\\s+)?NULL$".r
@@ -548,6 +566,10 @@ object MatchRecognizeSql extends Serializable {
       Some(NavPrev(field.toLowerCase, Option(n).map(_.toInt).getOrElse(1),
         Option(scale).map(_.toDouble).getOrElse(1.0),
         Option(q).map(_.toUpperCase)))
+    case physNextRe(scale, q, field, n) =>
+      Some(NavNext(field.toLowerCase, Option(n).map(_.toInt).getOrElse(1),
+        Option(scale).map(_.toDouble).getOrElse(1.0),
+        Option(q).map(_.toUpperCase)))
     case qualFieldRe(v, field) => Some(NavQual(v.toUpperCase, field.toLowerCase))
     case s if s.matches("(?i)value|user_id|event_id") => Some(NavCur(s.toLowerCase))
     case s if s.matches("[-0-9.eE]+") &&
@@ -555,15 +577,19 @@ object MatchRecognizeSql extends Serializable {
     case _ => None
   }
 
-  private def navMentioned(t: String): Boolean = {
-    require("(?is)\\bNEXT\\s*\\(".r.findFirstIn(t).isEmpty,
-      "NEXT physical offset is out of subset (forward lookahead against " +
-        "unarrived rows — the anchors argument); use PREV from a later row")
-    "(?is)(LAST|FIRST|PREV)\\s*\\(".r.findFirstIn(t).isDefined ||
+  private def navMentioned(t: String, allowNext: Boolean = false): Boolean = {
+    // streaming keeps the loud reject (the reference's own anti-streaming
+    // argument); BATCH parses with allowNext = true, where the whole
+    // partition is buffered and forward lookahead is decidable (r15)
+    require(allowNext || "(?is)\\bNEXT\\s*\\(".r.findFirstIn(t).isEmpty,
+      "NEXT physical offset is out of subset on the streaming path (forward " +
+        "lookahead against unarrived rows — the anchors argument); run the " +
+        "statement in BATCH mode (runBatch) or use PREV from a later row")
+    "(?is)(LAST|FIRST|PREV|NEXT)\\s*\\(".r.findFirstIn(t).isDefined ||
       "(?is)\\b\\w+\\.(value|event_id|user_id)\\b".r.findFirstIn(t).isDefined
   }
 
-  private class PredParser(text: String) {
+  private class PredParser(text: String, allowNext: Boolean = false) {
     private var rest = text.trim
     private def ws(): Unit = { rest = rest.dropWhile(_.isWhitespace) }
     private def eat(kw: String): Boolean = {
@@ -633,7 +659,7 @@ object MatchRecognizeSql extends Serializable {
       }
       val t = rest.substring(0, endIdx).trim
       rest = rest.substring(endIdx)
-      compileAtom(t)
+      compileAtom(t, allowNext)
     }
   }
 
@@ -641,16 +667,16 @@ object MatchRecognizeSql extends Serializable {
     * qualified fields, IS [NOT] NULL) when present, else the plain
     * row-comparison path (bare field vs literal — keeps string
     * comparisons like event_type = 'view'). */
-  private def compileAtom(t: String): Px = {
+  private def compileAtom(t: String, allowNext: Boolean = false): Px = {
     t match {
-      case navNullRe(term, not) if navMentioned(term) =>
+      case navNullRe(term, not) if navMentioned(term, allowNext) =>
         val nav = parseNavTerm(term).getOrElse(
           throw new IllegalArgumentException(s"bad IS NULL term: $term"))
         require(!nav.isInstanceOf[NavLit], s"IS NULL of a literal: $term")
         return NavNullPx(nav, negated = not != null)
       case _ => ()
     }
-    if (navMentioned(t)) t match {
+    if (navMentioned(t, allowNext)) t match {
       case cmpSplitRe(lhs, op, rhs) =>
         val l = parseNavTerm(lhs).getOrElse(throw new IllegalArgumentException(
           s"unsupported navigation term: $lhs"))
@@ -715,8 +741,9 @@ object MatchRecognizeSql extends Serializable {
     * reading the partial match's per-variable rows (ref NFA.java DEFINE
     * evaluation against SharedBuffer.java's partial-match rows). */
   def compileDefine(varName: String, text: String,
-                    subsets: Map[String, Seq[String]] = Map.empty): CompiledDefine = {
-    val ast = new PredParser(text).parse()
+                    subsets: Map[String, Seq[String]] = Map.empty,
+                    allowNext: Boolean = false): CompiledDefine = {
+    val ast = new PredParser(text, allowNext).parse()
     // SUBSET union resolution inside DEFINE (r13 — SUBSET itself is in the
     // reference's unsupported list, match_recognize.md:1119, which names
     // "using those groups in the DEFINE and MEASURES clauses" as the
@@ -813,6 +840,10 @@ object MatchRecognizeSql extends Serializable {
         if (idx >= 0 && idx < rows.length) Some(scale * fieldOf(rows(idx), f))
         else None
       case q: NavQual => throw new IllegalStateException(s"unresolved $q")
+      // physical offsets never reach this path: containsPhys routes any
+      // conjunct holding one to the (buffer, index) evaluation slot
+      case _: NavPrev | _: NavNext =>
+        throw new IllegalStateException("physical offset on the logical path")
     }
     def evalX(p: Px, vars: Map[String, IndexedSeq[Event]], e: Event): Boolean =
       p match {
@@ -835,10 +866,11 @@ object MatchRecognizeSql extends Serializable {
     // and literals but NOT logical navigation or cross-variable terms —
     // those live in different evaluation contexts (kept as separate
     // top-level conjuncts they compose freely)
+    def isPhysTerm(t: NavTerm): Boolean =
+      t.isInstanceOf[NavPrev] || t.isInstanceOf[NavNext]
     def containsPhys(p: Px): Boolean = p match {
-      case NavCmpPx(l, _, r) =>
-        l.isInstanceOf[NavPrev] || r.isInstanceOf[NavPrev]
-      case NavNullPx(t, _) => t.isInstanceOf[NavPrev]
+      case NavCmpPx(l, _, r) => isPhysTerm(l) || isPhysTerm(r)
+      case NavNullPx(t, _) => isPhysTerm(t)
       case PAnd(l, r) => containsPhys(l) || containsPhys(r)
       case POr(l, r) => containsPhys(l) || containsPhys(r)
       case PNot(x) => containsPhys(x)
@@ -850,6 +882,13 @@ object MatchRecognizeSql extends Serializable {
           q.foreach(v => require(v == varName,
             s"PREV qualifier $v inside DEFINE $varName must name the defined variable"))
           n
+        // NEXT reads FORWARD — no decided-row history to retain across
+        // drains (and batch mode's single drain never truncates anyway);
+        // only the qualifier needs validating
+        case NavNext(_, _, _, q) =>
+          q.foreach(v => require(v == varName,
+            s"NEXT qualifier $v inside DEFINE $varName must name the defined variable"))
+          0
         case _ => 0
       }
       p match {
@@ -874,8 +913,13 @@ object MatchRecognizeSql extends Serializable {
         // before buf(0) are before the partition start (the matcher keeps
         // physDepth decided rows of history across drains)
         if (idx - n >= 0) Some(scale * fieldOf(buf(idx - n), f)) else None
+      case NavNext(f, n, scale, _) =>
+        // batch mode: the single atEnd drain holds the WHOLE partition,
+        // so buf past idx is the partition's actual future; off the
+        // partition end → SQL NULL (mirror of PREV off the start)
+        if (idx + n < buf.length) Some(scale * fieldOf(buf(idx + n), f)) else None
       case o: NavOf => throw new IllegalArgumentException(
-        s"logical navigation ${o.fn} cannot share a conjunct with PREV")
+        s"logical navigation ${o.fn} cannot share a conjunct with PREV/NEXT")
     }
     def evalPhys(p: Px, buf: IndexedSeq[Event], idx: Int, e: Event): Boolean =
       p match {
@@ -999,11 +1043,26 @@ object MatchRecognizeSql extends Serializable {
     * table at `dir`: file-stream source → Cep.matchRecognize → measure
     * projection → memory sink, drained (same harness as every other
     * streaming Verify entry). */
-  def run(s: SparkSession, dir: String, sqlText: String): DataFrame = {
+  def run(s: SparkSession, dir: String, sqlText: String): DataFrame =
+    run(s, dir, sqlText, batch = false)
+
+  /** BATCH execution of the same statement (r15): the events table read
+    * as a bounded Dataset, matched per key in ONE atEnd drain
+    * (Cep.matchRecognizeBoundedSkip) — the mode where NEXT physical
+    * offsets are decidable. No sentinel, no memory-sink drain: the match
+    * table is an ordinary batch DataFrame. Plain sequential patterns only
+    * (PERMUTE/grouped repetition keep their streaming home). */
+  def runBatch(s: SparkSession, dir: String, sqlText: String): DataFrame =
+    run(s, dir, sqlText, batch = true)
+
+  private def run(s: SparkSession, dir: String, sqlText: String,
+                  batch: Boolean): DataFrame = {
     import s.implicits._
-    val spec = parse(sqlText)
+    val spec = parse(sqlText, allowNext = batch)
     require(spec.table.equalsIgnoreCase("events"),
       s"unsupported table ${spec.table}")
+    require(!batch || (spec.groupRep.isEmpty && !spec.permute),
+      "batch mode supports the plain sequential pattern subset")
     val steps = spec.pattern.map(_._2)
     val varIdx = spec.pattern.map(_._1).zipWithIndex.toMap
     val measures = spec.measures
@@ -1052,12 +1111,15 @@ object MatchRecognizeSql extends Serializable {
           StreamSource.eventsTypedWithSentinel(s, dir),
           fixedAltOrders.map(_.map(stepByVar)), skipPolicy,
           withinMicros = spec.withinMicros)
+      case None if batch =>
+        Cep.matchRecognizeBoundedSkip(
+          batchEvents(s, dir), steps, skipPolicy, spec.withinMicros)
       case None =>
         Cep.matchRecognizeSkip(
           StreamSource.eventsTypedWithSentinel(s, dir), steps, skipPolicy,
           withinMicros = spec.withinMicros)
     }
-    if (spec.allRows) return runAllRows(s, spec, out, sqlText, altOrderOf)
+    if (spec.allRows) return runAllRows(s, spec, out, sqlText, altOrderOf, batch)
     // ONE ROW PER MATCH: evaluate each measure from the match's rows and
     // the per-step segmentation (counts). FIRST/LAST/aggregates on an
     // empty optional variable are NULL, per the standard. Long-valued and
@@ -1122,7 +1184,8 @@ object MatchRecognizeSql extends Serializable {
       (m.user_id, longs.result(), dbls.result())
     }.toDF("__pk", "__m", "__d")
     val name = "sql_match_" + Integer.toHexString(sqlText.hashCode).takeWhile(_ != '-')
-    val drained = StreamSource.runToTable(s, rows, name, "append")
+    val drained =
+      if (batch) rows else StreamSource.runToTable(s, rows, name, "append")
     val cols = spec.selectCols.map { c =>
       if (c.equalsIgnoreCase(spec.partitionCol)) col("__pk").as(c)
       else {
@@ -1137,6 +1200,19 @@ object MatchRecognizeSql extends Serializable {
       }
     }
     drained.select(cols: _*).orderBy(spec.selectCols.map(col): _*)
+  }
+
+  /** Bounded events source for batch mode: the batch table (ts already
+    * normalized by graft.Tables), typed — the matcher's per-invocation
+    * sort puts each key's rows in (ts, event_id) order, and batch
+    * execution of the stateful operator delivers the whole key at once. */
+  private def batchEvents(s: SparkSession,
+                          dir: String): org.apache.spark.sql.Dataset[StreamSource.Event] = {
+    import s.implicits._
+    graft.Tables(s, dir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[StreamSource.Event]
   }
 
   private val classifierRe = "(?i)^CLASSIFIER\\s*\\(\\s*\\)\\s+AS\\s+(\\w+)$".r
@@ -1159,7 +1235,8 @@ object MatchRecognizeSql extends Serializable {
   private def runAllRows(s: SparkSession, spec: Spec,
                          out: org.apache.spark.sql.Dataset[Cep.Match],
                          sqlText: String,
-                         altOrderOf: Int => Seq[String]): DataFrame = {
+                         altOrderOf: Int => Seq[String],
+                         batch: Boolean = false): DataFrame = {
     import s.implicits._
     val measures = spec.measures
     val isDouble: Measure => Boolean = {
@@ -1273,7 +1350,8 @@ object MatchRecognizeSql extends Serializable {
       }
     }.toDF("__pk", "__row_id", "__val", "__cls", "__mn", "__ml", "__md")
     val name = "sql_matchr_" + Integer.toHexString(sqlText.hashCode).takeWhile(_ != '-')
-    val drained = StreamSource.runToTable(s, rows, name, "append")
+    val drained =
+      if (batch) rows else StreamSource.runToTable(s, rows, name, "append")
     val aliasSlot: Map[String, (Boolean, Int)] =
       measures.zip(slots).map { case (mm, sl) => aliasOf(mm).toLowerCase -> sl }.toMap
     val pairs = spec.selectCols.map {
@@ -1730,6 +1808,34 @@ object MatchRecognizeSql extends Serializable {
   def matchPrev(s: SparkSession, dir: String): DataFrame =
     run(s, dir, matchPrevSql)
 
+  /** NEXT physical offsets in BATCH mode (r15 — completes the reference's
+    * physical-navigation row, match_recognize.md:1121-1122: the docs
+    * reject NEXT because a stream's later rows haven't arrived, an
+    * argument void on a bounded partition where the single atEnd drain
+    * holds every row). The SQL:2016 ascending-run idiom: UP matches while
+    * the PHYSICALLY next row is larger, so greedy UP{2,} consumes a
+    * maximal strictly-ascending run's rows up to (excluding) its peak and
+    * TOP lands exactly on the peak — one match per maximal ascending run
+    * of ≥ 3 rows, NEXT off the partition end evaluating to SQL NULL (the
+    * run's last row never extends past end-of-data). Streaming keeps the
+    * loud reject (MatchRecognizeSqlSpec pin unchanged); Round15Spec pins
+    * the batch semantics and the end-of-partition NULL. */
+  val matchNextSql: String =
+    """SELECT user_id, strt_id, peak_id, n_up, peak_val FROM events
+      |MATCH_RECOGNIZE (
+      |  PARTITION BY user_id
+      |  ORDER BY ts
+      |  MEASURES FIRST(UP.event_id) AS strt_id, TOP.event_id AS peak_id,
+      |           COUNT(UP.*) AS n_up, TOP.value AS peak_val
+      |  ONE ROW PER MATCH
+      |  AFTER MATCH SKIP PAST LAST ROW
+      |  PATTERN (UP{2,} TOP)
+      |  DEFINE UP AS UP.value < NEXT(UP.value)
+      |)""".stripMargin
+
+  def matchNext(s: SparkSession, dir: String): DataFrame =
+    runBatch(s, dir, matchNextSql)
+
   // ---- r13: the full SQL:2016 quantifier set (ref match_recognize.md:
   // 352-359). B's predicate OVERLAPS C's so greedy-vs-reluctant is
   // load-bearing (29 rows differ at sf0.01, not just branch order).
@@ -1928,7 +2034,30 @@ object MatchRecognizeSql extends Serializable {
     * DOWN{2,}, the PREV spelling and the logical-navigation spelling are
     * the same query over contiguous matches (see [[matchPrevSql]]). */
   lazy val sql: Map[String, String] =
-    sqlBase + ("q_sql_match_prev" -> sqlBase("q_sql_match_nav"))
+    sqlBase +
+      ("q_sql_match_prev" -> sqlBase("q_sql_match_nav")) +
+      // NEXT in batch: one match per maximal strictly-ascending run of
+      // ≥ 3 rows — island derivation mirroring q_sql_match_nav's
+      // descending twin; the island's last row is the peak (TOP), the
+      // rows before it are the UP run (m − 1 of them)
+      ("q_sql_match_next" ->
+        """WITH o AS (SELECT user_id, event_id, value,
+          |        row_number() OVER (PARTITION BY user_id
+          |          ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+          |      FROM events),
+          |b AS (SELECT *, CASE WHEN value > lag(value)
+          |        OVER (PARTITION BY user_id ORDER BY rn)
+          |      THEN 0 ELSE 1 END AS brk FROM o),
+          |g AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY rn) AS grp
+          |      FROM b),
+          |r AS (SELECT user_id, grp, count(*) AS m,
+          |        arg_min(event_id, rn) AS strt_id, arg_max(event_id, rn) AS peak_id,
+          |        arg_max(value, rn) AS peak_val
+          |      FROM g GROUP BY user_id, grp)
+          |SELECT user_id, strt_id, peak_id, CAST(m - 1 AS BIGINT) AS n_up,
+          |       round(peak_val, 6) AS peak_val
+          |FROM r WHERE m >= 3
+          |ORDER BY user_id, strt_id""".stripMargin)
 
   private val sqlBase: Map[String, String] = Map(
     // SUBSET-in-DEFINE: fixed-shape pattern, lead replay with the union sum

@@ -11,11 +11,22 @@ import org.apache.spark.sql.SparkSession
   * counts (SortMergeJoin vs BroadcastHashJoin) so scale-driven AQE plan
   * flips are visible next to the timings.
   *
-  * Usage: TpcdsScaleBench [sfTag]   (default "sf1"; "sf0.1" re-times the
-  * bench scale with the same plan instrumentation for the diff table) */
+  * Usage: TpcdsScaleBench [sfTag] [q48,q64,...]   (default "sf1", all
+  * queries; "sf0.1" re-times the bench scale with the same plan
+  * instrumentation for the diff table; the optional second arg restricts
+  * to named queries — the r15 heavyweight audit's handle).
+  *
+  * Conf-override knobs for the audit (r15, VERDICT r14 #6): set
+  * GRAFT_TPCDS_BROADCAST (bytes, e.g. 67108864) to raise
+  * autoBroadcastJoinThreshold — tests whether the SF=1 SMJ flips on
+  * q48/q64/q72/q75 are CBO caution (dim sides still broadcastable) or the
+  * genuinely right plan; GRAFT_TPCDS_PARTITIONS overrides
+  * spark.sql.shuffle.partitions. */
 object TpcdsScaleBench {
   def main(args: Array[String]): Unit = {
     val tag = args.headOption.getOrElse("sf1")
+    val only: Option[Set[String]] = args.lift(1)
+      .map(_.split(",").map(q => s"q_tpcdsr_${q.trim.stripPrefix("q_tpcdsr_")}").toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -24,11 +35,21 @@ object TpcdsScaleBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    sys.env.get("GRAFT_TPCDS_BROADCAST").foreach { b =>
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", b)
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", b)
+      System.err.println(s"[tpcds-scale] autoBroadcastJoinThreshold=$b")
+    }
+    sys.env.get("GRAFT_TPCDS_PARTITIONS").foreach { p =>
+      spark.conf.set("spark.sql.shuffle.partitions", p)
+      System.err.println(s"[tpcds-scale] shuffle.partitions=$p")
+    }
     val t0 = System.nanoTime()
     graft.tpcds.TpcdsData.ensure(spark, tag)
     val genSec = (System.nanoTime() - t0) / 1e9
     System.err.println(f"[tpcds-scale] generate+register $tag: $genSec%.1fs")
     val names = SparkEntry.queries.keys.filter(_.startsWith("q_tpcdsr_")).toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     val results = names.map { n =>
       spark.catalog.clearCache()
       val q0 = System.nanoTime()

@@ -51,9 +51,14 @@ object TpcdsData {
     * flagship gate runs dsdgen at scale factor 1, test_tpcds.sh:22),
     * anything else (the sf0.01 correctness path) → 1. */
   def scaleOf(sfDir: String): Int =
-    if (sfDir.contains("sf0.1")) 10
-    else if (sfDir.contains("sf1")) 100
-    else 1
+    // exact tag-token match (r15 ADVICE fix): substring contains() would
+    // classify a future sf10/sf1.5 tag as scale 100 and silently depended
+    // on check order; the extracted token disambiguates for free
+    "sf(\\d+(?:\\.\\d+)?)".r.findFirstMatchIn(sfDir).map(_.group(1)) match {
+      case Some("0.1") => 10
+      case Some("1")   => 100
+      case _           => 1
+    }
 
   def rootFor(sfDir: String): String = {
     val tag = scaleOf(sfDir) match {

@@ -101,7 +101,9 @@ class EmptyInputSpec extends SparkSpec {
     // r14 additions (q_sql_tvf_hop backfills an r13 ADVICE gap)
     "q_sql_tvf_hop", "q_sql_tvf_session", "q_mm_phash_keep",
     "q_sql_match_distinct", "q_sql_match_exclude", "q_sql_match_prev",
-    "q_stream_ppjoin", "q_sql_tvf_stream_session", "q_stream_cep_timeout")
+    "q_stream_ppjoin", "q_sql_tvf_stream_session", "q_stream_cep_timeout",
+    // r15 additions
+    "q_sql_match_next", "q_sql_tvf_window_time", "q_stream_ppjoin_keep")
 
   for (name <- queries)
     test(s"$name runs on an empty corpus") {
