@@ -138,13 +138,13 @@ class GroupWindowSqlSpec extends SparkSpec {
       "SELECT TUMBLE_START(ts, INTERVAL '1' DAY), TUMBLE_END(ts, INTERVAL '1' DAY)"))
     assert(lowered.contains("GROUP BY TUMBLE(ts, INTERVAL '1' DAY)"))
     assert(lowered.contains("ORDER BY TUMBLE_START(ts, INTERVAL '1' DAY)"))
-    // window_time is rejected explicitly, not silently passed through
-    val e = intercept[IllegalArgumentException] {
-      GroupWindowSql.rewriteTvf(
-        """SELECT window_start, window_time, count(*) AS cnt
-          |FROM TABLE(TUMBLE(TABLE events, DESCRIPTOR(ts), INTERVAL '1' DAY))
-          |GROUP BY window_start, window_end""".stripMargin)
-    }
-    assert(e.getMessage.contains("window_time"))
+    // window_time (r15 — implemented, formerly rejected): FLIP-145's third
+    // column lowers onto the dialect's *_ROWTIME selector (end − 1ms)
+    val withTime = GroupWindowSql.rewriteTvf(
+      """SELECT window_start, window_time, count(*) AS cnt
+        |FROM TABLE(TUMBLE(TABLE events, DESCRIPTOR(ts), INTERVAL '1' DAY))
+        |GROUP BY window_start, window_end""".stripMargin)
+    assert(withTime.contains("TUMBLE_ROWTIME(ts, INTERVAL '1' DAY)"),
+      s"window_time must lower onto the ROWTIME selector:\n$withTime")
   }
 }
