@@ -180,6 +180,8 @@ object SparkEntry {
     "q_sql_tvf_cumulate"  -> (GroupWindowSql.tvfCumulate _),
     "q_sql_tvf_session"   -> (GroupWindowSql.tvfSession _),
     "q_sql_tvf_window_time" -> (GroupWindowSql.tvfWindowTime _),
+    "q_sql_tvf_cumulate_time" -> (GroupWindowSql.tvfCumulateTime _),
+    "q_sql_tvf_stream_window_time" -> (GroupWindowSql.tvfStreamWindowTime _),
     "q_sql_tvf_stream_tumble" -> (GroupWindowSql.tvfStreamTumble _),
     "q_sql_tvf_stream_session" -> (GroupWindowSql.tvfStreamSession _),
     "q_mm_frames"       -> (Multimodal.frameSample _),
@@ -364,6 +366,8 @@ object SparkEntry {
     "q_sql_match_exclude" -> (streaming.MatchRecognizeSql.matchExclude _),
     "q_sql_match_prev"    -> (streaming.MatchRecognizeSql.matchPrev _),
     "q_sql_match_next"    -> (streaming.MatchRecognizeSql.matchNext _),
+    "q_sql_match_batch_nav" -> (streaming.MatchRecognizeSql.matchNavBatch _),
+    "q_sql_match_batch_rows" -> (streaming.MatchRecognizeSql.matchAllRowsBatch _),
     "q_sql_match_rowtime" -> (streaming.MatchRecognizeSql.matchRowtime _),
     "q_sql_match_cascade" -> (streaming.MatchRecognizeSql.matchCascade _),
     "q_sql_tumble"       -> (GroupWindowSql.tumble _),

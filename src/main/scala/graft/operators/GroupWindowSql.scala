@@ -348,6 +348,37 @@ object GroupWindowSql {
   def tvfWindowTime(s: SparkSession, dir: String): DataFrame =
     runTvf(s, dir, tvfWindowTimeSql)
 
+  /** window_time over the CUMULATE TVF (r15): the third column through
+    * the structural expansion — CUMULATE_ROWTIME = the growing window's
+    * end − 1ms, so w_time varies per step within one w_start. */
+  val tvfCumulateTimeSql: String =
+    """SELECT window_start AS w_start, window_time AS w_time,
+      | event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
+      |FROM TABLE(CUMULATE(TABLE events, DESCRIPTOR(ts), INTERVAL '6' HOUR, INTERVAL '1' DAY))
+      |GROUP BY window_start, window_end, event_type
+      |ORDER BY w_start, w_time, event_type""".stripMargin
+
+  def tvfCumulateTime(s: SparkSession, dir: String): DataFrame =
+    runTvf(s, dir, tvfCumulateTimeSql)
+
+  /** window_time in STREAMING mode (r15): the time-attribute column over
+    * the watermarked stream view — the handle a downstream window would
+    * consume, FLIP-145's primary composition. */
+  def tvfStreamWindowTime(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.streaming.StreamSource.eventsWithSentinel(s, dir)
+      .withWatermark("ts", "1 hour")
+      .createOrReplaceTempView("events_stream")
+    val out = s.sql(rewrite(rewriteTvf(
+      """SELECT window_start AS w_start, window_time AS w_time, event_type,
+        | count(*) AS cnt, round(sum(value), 2) AS sum_value
+        |FROM TABLE(TUMBLE(TABLE events_stream, DESCRIPTOR(ts), INTERVAL '1' DAY))
+        |GROUP BY window_start, window_end, event_type""".stripMargin)))
+    graft.streaming.StreamSource.runToTable(s, out, "sql_tvf_stream_wt", "append")
+      .where(col("event_type") =!= "__sentinel")
+      .orderBy("w_start", "event_type")
+  }
+
   def tvfTumble(s: SparkSession, dir: String): DataFrame = runTvf(s, dir, tvfTumbleSql)
   def tvfHop(s: SparkSession, dir: String): DataFrame = runTvf(s, dir, tvfHopSql)
   def tvfCumulate(s: SparkSession, dir: String): DataFrame = runTvf(s, dir, tvfCumulateSql)
@@ -477,7 +508,25 @@ object GroupWindowSql {
           | date_trunc('day', CAST(ts AS TIMESTAMP)) + INTERVAL 1 DAY
           |   - INTERVAL 1 MILLISECOND AS w_time,
           | event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
-          |FROM events GROUP BY 1, 2, 3 ORDER BY 1, 3""".stripMargin)
+          |FROM events GROUP BY 1, 2, 3 ORDER BY 1, 3""".stripMargin,
+      // streaming twin: identical window arithmetic over the same rows
+      "q_sql_tvf_stream_window_time" ->
+        """SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS w_start,
+          | date_trunc('day', CAST(ts AS TIMESTAMP)) + INTERVAL 1 DAY
+          |   - INTERVAL 1 MILLISECOND AS w_time,
+          | event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
+          |FROM events GROUP BY 1, 2, 3 ORDER BY 1, 3""".stripMargin,
+      // CUMULATE window_time = each growing window's end − 1ms (the
+      // q_sql_cumulate derivation with w_end shifted)
+      "q_sql_tvf_cumulate_time" ->
+        """WITH e AS (SELECT event_type, value, CAST(ts AS TIMESTAMP) AS t,
+          |  date_trunc('day', CAST(ts AS TIMESTAMP)) AS day FROM events),
+          |kk AS (SELECT *, CAST(floor((epoch_us(t) - epoch_us(day)) / 21600000000.0) AS INT) + 1 AS k0 FROM e),
+          |x AS (SELECT event_type, value, day, unnest(range(k0, 5)) AS k FROM kk)
+          |SELECT day AS w_start,
+          | make_timestamp(epoch_us(day) + k * 21600000000 - 1000) AS w_time,
+          | event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
+          |FROM x GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)
   }
 
   private val sqlBase: Map[String, String] = Map(

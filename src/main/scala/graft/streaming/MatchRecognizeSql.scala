@@ -1836,6 +1836,20 @@ object MatchRecognizeSql extends Serializable {
   def matchNext(s: SparkSession, dir: String): DataFrame =
     runBatch(s, dir, matchNextSql)
 
+  /** Unified batch/stream MATCH_RECOGNIZE (r15): the flagship V-pattern
+    * (logical navigation, ONE ROW) and the CLASSIFIER funnel (ALL ROWS)
+    * executed in BATCH mode over the bounded events table — the SAME
+    * statements as their streaming twins, sharing those twins' oracles
+    * verbatim. The shared oracle IS the batch ≡ stream equivalence proof
+    * for the whole measure/emission layer (the reference's unified
+    * planner runs MATCH_RECOGNIZE over bounded and unbounded inputs the
+    * same way; here the bounded form additionally skips the sentinel and
+    * memory-sink machinery — one atEnd drain, plain batch DataFrame out). */
+  def matchNavBatch(s: SparkSession, dir: String): DataFrame =
+    runBatch(s, dir, matchNavSql)
+  def matchAllRowsBatch(s: SparkSession, dir: String): DataFrame =
+    runBatch(s, dir, matchAllRowsSql)
+
   // ---- r13: the full SQL:2016 quantifier set (ref match_recognize.md:
   // 352-359). B's predicate OVERLAPS C's so greedy-vs-reluctant is
   // load-bearing (29 rows differ at sf0.01, not just branch order).
@@ -2036,6 +2050,10 @@ object MatchRecognizeSql extends Serializable {
   lazy val sql: Map[String, String] =
     sqlBase +
       ("q_sql_match_prev" -> sqlBase("q_sql_match_nav")) +
+      // batch-mode twins share the streaming statements' oracles verbatim
+      // — the hash equality is the batch ≡ stream proof
+      ("q_sql_match_batch_nav" -> sqlBase("q_sql_match_nav")) +
+      ("q_sql_match_batch_rows" -> sqlBase("q_sql_match_rows")) +
       // NEXT in batch: one match per maximal strictly-ascending run of
       // ≥ 3 rows — island derivation mirroring q_sql_match_nav's
       // descending twin; the island's last row is the peak (TOP), the

@@ -103,7 +103,9 @@ class EmptyInputSpec extends SparkSpec {
     "q_sql_match_distinct", "q_sql_match_exclude", "q_sql_match_prev",
     "q_stream_ppjoin", "q_sql_tvf_stream_session", "q_stream_cep_timeout",
     // r15 additions
-    "q_sql_match_next", "q_sql_tvf_window_time", "q_stream_ppjoin_keep")
+    "q_sql_match_next", "q_sql_tvf_window_time", "q_stream_ppjoin_keep",
+    "q_sql_match_batch_nav", "q_sql_match_batch_rows",
+    "q_sql_tvf_cumulate_time", "q_sql_tvf_stream_window_time")
 
   for (name <- queries)
     test(s"$name runs on an empty corpus") {
