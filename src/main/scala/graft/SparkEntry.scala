@@ -368,6 +368,8 @@ object SparkEntry {
     "q_sql_match_next"    -> (streaming.MatchRecognizeSql.matchNext _),
     "q_sql_match_batch_nav" -> (streaming.MatchRecognizeSql.matchNavBatch _),
     "q_sql_match_batch_rows" -> (streaming.MatchRecognizeSql.matchAllRowsBatch _),
+    "q_sql_match_anchor"    -> (streaming.MatchRecognizeSql.matchAnchorStart _),
+    "q_sql_match_anchor_end" -> (streaming.MatchRecognizeSql.matchAnchorEnd _),
     "q_sql_match_rowtime" -> (streaming.MatchRecognizeSql.matchRowtime _),
     "q_sql_match_cascade" -> (streaming.MatchRecognizeSql.matchCascade _),
     "q_sql_tumble"       -> (GroupWindowSql.tumble _),

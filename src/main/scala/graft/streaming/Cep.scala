@@ -199,9 +199,17 @@ object Cep {
     * this: atEnd would decide attempts a later batch could extend. */
   def matchRecognizeBoundedSkip(ds: Dataset[Event], steps: Seq[QStep],
                                 skip: SkipPolicy,
-                                withinMicros: Option[Long] = None): Dataset[Match] =
+                                withinMicros: Option[Long] = None,
+                                // anchors (r15, bounded only): ^ pins the
+                                // match start to the partition's first
+                                // row, $ pins its end to the last row —
+                                // both decidable only when the whole
+                                // partition is buffered
+                                anchorStart: Boolean = false,
+                                anchorEnd: Boolean = false): Dataset[Match] =
     matcherAlts(ds, Seq(steps), skip, 0L, eventTimeFlush = false,
-      withinMicros, bounded = true)
+      withinMicros, bounded = true,
+      anchorStart = anchorStart, anchorEnd = anchorEnd)
 
   /** Variant for composing AFTER another stateful operator (sortedEvents):
     * downstream of a sorter there is no watermarked column left to hang an
@@ -284,7 +292,11 @@ object Cep {
                       eventTimeFlush: Boolean,
                       withinMicros: Option[Long],
                       group: Option[(Seq[QStep], Seq[QStep], Int)] = None,
-                      bounded: Boolean = false): Dataset[Match] = {
+                      bounded: Boolean = false,
+                      anchorStart: Boolean = false,
+                      anchorEnd: Boolean = false): Dataset[Match] = {
+    require((!anchorStart && !anchorEnd) || bounded,
+      "anchors require bounded execution — a stream has no last row")
     import ds.sparkSession.implicits._
     require(alts.nonEmpty && alts.forall(_.nonEmpty))
     // WITHIN bound (ref Pattern#within / SQL `PATTERN (...) WITHIN
@@ -319,7 +331,11 @@ object Cep {
       def go(pos: Int, si: Int, acc: List[Event], cacc: List[Int]): Res = {
         tick()
         if (si == steps.length) {
-          if (spanOk(buf, start, pos)) Found(pos, acc.reverse, cacc.reverse)
+          // $ (bounded only): the match must consume through the
+          // partition's last row — a shorter parse is refused here and
+          // backtracking tries other repetition counts
+          if (anchorEnd && pos != buf.length) NoMatch
+          else if (spanOk(buf, start, pos)) Found(pos, acc.reverse, cacc.reverse)
           else NoMatch // over the WITHIN bound; backtracking tries shorter
         } else {
           val st = steps(si)
@@ -449,7 +465,9 @@ object Cep {
       ticksLeft = attemptBudget
       val out = scala.collection.mutable.ListBuffer.empty[(List[Event], List[Int], Int)]
       var i = hist
-      while (i < buf.length) {
+      // ^ (bounded only): only the partition's first row may start a
+      // match — any advance past it ends the scan
+      while (i < buf.length && (!anchorStart || i == hist)) {
         tryAlts(buf, i, atEnd) match {
           case NeedMore        =>
             val keep = math.max(0, i - physDepth)

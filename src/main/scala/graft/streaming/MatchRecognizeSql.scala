@@ -131,7 +131,11 @@ object MatchRecognizeSql extends Serializable {
                   finalAliases: Set[String] = Set.empty,
                   // variables inside exclusion markers {- X -}: matched
                   // normally, suppressed from ALL ROWS output (r14)
-                  excluded: Set[String] = Set.empty)
+                  excluded: Set[String] = Set.empty,
+                  // anchors ^/$ (r15 — BATCH mode only): pin the match to
+                  // the partition's first / last row
+                  anchorStart: Boolean = false,
+                  anchorEnd: Boolean = false)
 
   // ---------------------------------------------------------------- parsing
 
@@ -270,9 +274,26 @@ object MatchRecognizeSql extends Serializable {
     val excluded: Set[String] = exclRe.findAllMatchIn(patternBodyRaw)
       .flatMap(m => "[A-Za-z]\\w*".r.findAllIn(m.group(1)))
       .map(_.toUpperCase).toSet
-    val patternBody = exclRe.replaceAllIn(patternBodyRaw,
+    val patternBody0 = exclRe.replaceAllIn(patternBodyRaw,
         m => java.util.regex.Matcher.quoteReplacement(" " + m.group(1).trim + " "))
       .replaceAll("\\s+", " ").trim
+    // Anchors ^ / $ (r15 — the LAST open row of the reference's
+    // unsupported list, match_recognize.md:1109-1110: anchors "denote
+    // beginning/end of a partition, those do not make sense in the
+    // streaming context and will not be supported". The argument is void
+    // on a BOUNDED partition — like NEXT, they run in batch mode): ^ pins
+    // the match start to the partition's first row, $ pins its end to the
+    // partition's last row. Stripped here, gated below on the same
+    // bounded-features flag as NEXT; mid-pattern anchors are not a thing.
+    val anchorStart = patternBody0.startsWith("^")
+    val anchorEnd = patternBody0.endsWith("$")
+    val patternBody = patternBody0.stripPrefix("^").stripSuffix("$").trim
+    require(!patternBody.contains("^") && !patternBody.contains("$"),
+      "anchors are supported only at the pattern's ends")
+    require(allowNext || (!anchorStart && !anchorEnd),
+      "anchors ^/$ are out of subset on the streaming path (a stream has " +
+        "no first or last row to pin to — the reference's own argument); " +
+        "run the statement in BATCH mode (runBatch)")
     // PERMUTE(A, B[, C]): the listed variables match in any order (ref
     // SQL PERMUTE; alternatives expand lexicographically). Subset: ONE
     // PERMUTE of unquantified variables, optionally surrounded by fixed
@@ -433,6 +454,9 @@ object MatchRecognizeSql extends Serializable {
       require(patVars.exists(v => !excluded.contains(v)),
         "a pattern may not exclude every variable")
     }
+    if (anchorStart || anchorEnd)
+      require(!isPermute && groupRep.isEmpty,
+        "anchors are supported on the sequential pattern subset")
     Spec(selectCols, table, partitionCol.toLowerCase, orderCol.toLowerCase,
       measures, skipPast, pattern, allRows, within, skipTo, isPermute, groupRep,
       subsets,
@@ -440,7 +464,8 @@ object MatchRecognizeSql extends Serializable {
       permVars = permParts.map(_._2).getOrElse(Seq.empty),
       permPost = permParts.map(_._3).getOrElse(Seq.empty),
       finalAliases = finalAliases,
-      excluded = excluded)
+      excluded = excluded,
+      anchorStart = anchorStart, anchorEnd = anchorEnd)
   }
 
   /** Split on commas OUTSIDE parentheses — DEFINE entries and MEASURES
@@ -1113,7 +1138,8 @@ object MatchRecognizeSql extends Serializable {
           withinMicros = spec.withinMicros)
       case None if batch =>
         Cep.matchRecognizeBoundedSkip(
-          batchEvents(s, dir), steps, skipPolicy, spec.withinMicros)
+          batchEvents(s, dir), steps, skipPolicy, spec.withinMicros,
+          anchorStart = spec.anchorStart, anchorEnd = spec.anchorEnd)
       case None =>
         Cep.matchRecognizeSkip(
           StreamSource.eventsTypedWithSentinel(s, dir), steps, skipPolicy,
@@ -1850,6 +1876,47 @@ object MatchRecognizeSql extends Serializable {
   def matchAllRowsBatch(s: SparkSession, dir: String): DataFrame =
     runBatch(s, dir, matchAllRowsSql)
 
+  /** Anchors in BATCH mode (r15 — the last open row of the reference's
+    * unsupported list, match_recognize.md:1109-1110: anchors "do not make
+    * sense in the streaming context", an argument void on a bounded
+    * partition). `^`: each user's OPENING engagement run — the partition
+    * must START with non-purchase rows, closed by the first purchase; a
+    * user whose first event is a purchase matches nothing, and no later
+    * run can match (the anchor ends the scan). */
+  val matchAnchorStartSql: String =
+    """SELECT user_id, n_lead, first_id FROM events
+      |MATCH_RECOGNIZE (
+      |  PARTITION BY user_id
+      |  ORDER BY ts
+      |  MEASURES COUNT(A.*) AS n_lead, FIRST(A.event_id) AS first_id
+      |  ONE ROW PER MATCH
+      |  AFTER MATCH SKIP PAST LAST ROW
+      |  PATTERN (^ A+ B)
+      |  DEFINE A AS event_type <> 'purchase', B AS event_type = 'purchase'
+      |)""".stripMargin
+
+  /** `$`: each user's TRAILING unconverted run — the LAST purchase
+    * followed only by non-purchase rows through the partition's end.
+    * Earlier purchases fail the anchor (their B+ run stops at the next
+    * purchase, short of end-of-partition), so exactly the final-purchase
+    * row anchors the match. */
+  val matchAnchorEndSql: String =
+    """SELECT user_id, a_id, n_tail FROM events
+      |MATCH_RECOGNIZE (
+      |  PARTITION BY user_id
+      |  ORDER BY ts
+      |  MEASURES A.event_id AS a_id, COUNT(B.*) AS n_tail
+      |  ONE ROW PER MATCH
+      |  AFTER MATCH SKIP PAST LAST ROW
+      |  PATTERN (A B+ $)
+      |  DEFINE A AS event_type = 'purchase', B AS event_type <> 'purchase'
+      |)""".stripMargin
+
+  def matchAnchorStart(s: SparkSession, dir: String): DataFrame =
+    runBatch(s, dir, matchAnchorStartSql)
+  def matchAnchorEnd(s: SparkSession, dir: String): DataFrame =
+    runBatch(s, dir, matchAnchorEndSql)
+
   // ---- r13: the full SQL:2016 quantifier set (ref match_recognize.md:
   // 352-359). B's predicate OVERLAPS C's so greedy-vs-reluctant is
   // load-bearing (29 rows differ at sf0.01, not just branch order).
@@ -2054,6 +2121,38 @@ object MatchRecognizeSql extends Serializable {
       // — the hash equality is the batch ≡ stream proof
       ("q_sql_match_batch_nav" -> sqlBase("q_sql_match_nav")) +
       ("q_sql_match_batch_rows" -> sqlBase("q_sql_match_rows")) +
+      // ^: the opening non-purchase run closed by the FIRST purchase —
+      // rows 1..prn-1 are non-purchase by the minimality of prn, so the
+      // greedy A+ from the anchored start is exactly that prefix
+      ("q_sql_match_anchor" ->
+        """WITH o AS (SELECT user_id, event_id, event_type,
+          |        row_number() OVER (PARTITION BY user_id
+          |          ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+          |      FROM events),
+          |p AS (SELECT user_id, min(rn) AS prn FROM o
+          |      WHERE event_type = 'purchase' GROUP BY user_id),
+          |f AS (SELECT user_id, event_id AS first_id FROM o WHERE rn = 1)
+          |SELECT p.user_id, CAST(p.prn - 1 AS BIGINT) AS n_lead, f.first_id
+          |FROM p JOIN f ON f.user_id = p.user_id
+          |WHERE p.prn >= 2
+          |ORDER BY p.user_id""".stripMargin) +
+      // $: the LAST purchase followed only by non-purchase rows through
+      // end-of-partition (rows k+1..n are non-purchase by the maximality
+      // of k); users whose final event IS the purchase have no B row
+      ("q_sql_match_anchor_end" ->
+        """WITH o AS (SELECT user_id, event_id, event_type,
+          |        row_number() OVER (PARTITION BY user_id
+          |          ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+          |      FROM events),
+          |mx AS (SELECT user_id, max(rn) AS n FROM o GROUP BY user_id),
+          |lp AS (SELECT user_id, max(rn) AS k FROM o
+          |       WHERE event_type = 'purchase' GROUP BY user_id),
+          |a AS (SELECT o.user_id, o.event_id AS a_id, lp.k
+          |      FROM o JOIN lp ON o.user_id = lp.user_id AND o.rn = lp.k)
+          |SELECT a.user_id, a.a_id, CAST(mx.n - a.k AS BIGINT) AS n_tail
+          |FROM a JOIN mx ON mx.user_id = a.user_id
+          |WHERE mx.n > a.k
+          |ORDER BY a.user_id""".stripMargin) +
       // NEXT in batch: one match per maximal strictly-ascending run of
       // ≥ 3 rows — island derivation mirroring q_sql_match_nav's
       // descending twin; the island's last row is the peak (TOP), the

@@ -76,6 +76,48 @@ class Round15Spec extends SparkSpec {
     assert(ex.getMessage.contains("NEXT"), s"wrong reject: ${ex.getMessage}")
   }
 
+  test("anchors ^/$ in batch mode: partition-pinned matches; streaming reject") {
+    import spark.implicits._
+    def ev(id: Long, sec: Int, et: String, v: Double = 1.0) =
+      StreamSource.Event(id, new java.sql.Timestamp(sec * 1000L), 1L, et, v)
+    // ^ A+ B over [view, view, purchase, view, purchase]: only the OPENING
+    // run matches (rows 1-3); the second purchase's run starts past the
+    // anchor and must NOT match
+    val spec = MatchRecognizeSql.parse(
+      MatchRecognizeSql.matchAnchorStartSql, allowNext = true)
+    assert(spec.anchorStart && !spec.anchorEnd)
+    val steps = spec.pattern.map(_._2)
+    val events = spark.createDataset(Seq(
+      ev(1, 1, "view"), ev(2, 2, "view"), ev(3, 3, "purchase"),
+      ev(4, 4, "view"), ev(5, 5, "purchase")))
+    val got = Cep.matchRecognizeBoundedSkip(events, steps, Cep.SkipPastLastRow,
+      anchorStart = true).collect().map(_.ids).toSeq
+    assert(got === Seq(Seq(1L, 2L, 3L)),
+      s"^ must pin the match to the partition start only: $got")
+    // a partition whose FIRST row is a purchase has no anchored match at
+    // all, even though an interior run exists
+    val startsWithPurchase = spark.createDataset(Seq(
+      ev(1, 1, "purchase"), ev(2, 2, "view"), ev(3, 3, "purchase")))
+    assert(Cep.matchRecognizeBoundedSkip(startsWithPurchase, steps,
+      Cep.SkipPastLastRow, anchorStart = true).collect().isEmpty)
+    // $ A B+ over [purchase, view, purchase, view, view]: only the LAST
+    // purchase's run reaches the partition end
+    val specE = MatchRecognizeSql.parse(
+      MatchRecognizeSql.matchAnchorEndSql, allowNext = true)
+    assert(specE.anchorEnd && !specE.anchorStart)
+    val tail = spark.createDataset(Seq(
+      ev(1, 1, "purchase"), ev(2, 2, "view"), ev(3, 3, "purchase"),
+      ev(4, 4, "view"), ev(5, 5, "view")))
+    val gotE = Cep.matchRecognizeBoundedSkip(tail, specE.pattern.map(_._2),
+      Cep.SkipPastLastRow, anchorEnd = true).collect().map(_.ids).toSeq
+    assert(gotE === Seq(Seq(3L, 4L, 5L)),
+      s"$$ must pin the match end to the partition's last row: $gotE")
+    // streaming keeps the loud reject (default parse), same as NEXT
+    val ex = intercept[IllegalArgumentException](
+      MatchRecognizeSql.parse(MatchRecognizeSql.matchAnchorStartSql))
+    assert(ex.getMessage.contains("anchors"), s"wrong reject: ${ex.getMessage}")
+  }
+
   test("q_sql_match_next equals the ascending-islands window derivation") {
     val viaMr = MatchRecognizeSql.matchNext(spark, sf).collect().map(_.toSeq)
     Tables.registerAll(spark, sf)
