@@ -370,6 +370,7 @@ object SparkEntry {
     "q_sql_match_batch_rows" -> (streaming.MatchRecognizeSql.matchAllRowsBatch _),
     "q_sql_match_anchor"    -> (streaming.MatchRecognizeSql.matchAnchorStart _),
     "q_sql_match_anchor_end" -> (streaming.MatchRecognizeSql.matchAnchorEnd _),
+    "q_sql_match_anchor_both" -> (streaming.MatchRecognizeSql.matchAnchorBoth _),
     "q_sql_match_rowtime" -> (streaming.MatchRecognizeSql.matchRowtime _),
     "q_sql_match_cascade" -> (streaming.MatchRecognizeSql.matchCascade _),
     "q_sql_tumble"       -> (GroupWindowSql.tumble _),

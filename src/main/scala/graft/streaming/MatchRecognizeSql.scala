@@ -1912,10 +1912,31 @@ object MatchRecognizeSql extends Serializable {
       |  DEFINE A AS event_type = 'purchase', B AS event_type <> 'purchase'
       |)""".stripMargin
 
+  /** Both anchors at once — the WHOLE-partition match `^ A+ $`: the
+    * pattern must consume every row of the partition, here selecting the
+    * users whose every event stays under the value threshold (one
+    * over-threshold row anywhere breaks A+ before the end anchor, and
+    * the start anchor forbids resuming past it). The fixture splits
+    * ~40/60 on the 200 bound (per-user max(value) median ≈ 222), so the
+    * anchors are load-bearing, not vacuously empty or vacuously full. */
+  val matchAnchorBothSql: String =
+    """SELECT user_id, n_events FROM events
+      |MATCH_RECOGNIZE (
+      |  PARTITION BY user_id
+      |  ORDER BY ts
+      |  MEASURES COUNT(A.*) AS n_events
+      |  ONE ROW PER MATCH
+      |  AFTER MATCH SKIP PAST LAST ROW
+      |  PATTERN (^ A+ $)
+      |  DEFINE A AS value < 200
+      |)""".stripMargin
+
   def matchAnchorStart(s: SparkSession, dir: String): DataFrame =
     runBatch(s, dir, matchAnchorStartSql)
   def matchAnchorEnd(s: SparkSession, dir: String): DataFrame =
     runBatch(s, dir, matchAnchorEndSql)
+  def matchAnchorBoth(s: SparkSession, dir: String): DataFrame =
+    runBatch(s, dir, matchAnchorBothSql)
 
   // ---- r13: the full SQL:2016 quantifier set (ref match_recognize.md:
   // 352-359). B's predicate OVERLAPS C's so greedy-vs-reluctant is
@@ -2153,6 +2174,13 @@ object MatchRecognizeSql extends Serializable {
           |FROM a JOIN mx ON mx.user_id = a.user_id
           |WHERE mx.n > a.k
           |ORDER BY a.user_id""".stripMargin) +
+      // ^ A+ $: the whole partition matches iff EVERY row is under the
+      // threshold — i.e. the per-user max is
+      ("q_sql_match_anchor_both" ->
+        """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+          |FROM events GROUP BY user_id
+          |HAVING max(value) < 200
+          |ORDER BY user_id""".stripMargin) +
       // NEXT in batch: one match per maximal strictly-ascending run of
       // ≥ 3 rows — island derivation mirroring q_sql_match_nav's
       // descending twin; the island's last row is the peak (TOP), the
