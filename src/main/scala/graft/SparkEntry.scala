@@ -98,6 +98,8 @@ object SparkEntry {
     "q_stream_ppjoin"     -> ((s: SparkSession, d: String) =>
       streaming.StreamDedup.ppjoinStream(s, d)),
     "q_stream_ppjoin_keep" -> (streaming.StreamDedup.ppjoinStreamKeep _),
+    "q_stream_ppjoin_ttl" -> ((s: SparkSession, d: String) =>
+      streaming.StreamDedup.ppjoinStreamTtl(s, d)),
     "q_dedup_span"        -> (Dedup.spanDupCoverage _),
     "q_dedup_span_strip"  -> (Dedup.spanStrip _),
     "q_dedup_incremental" -> (Dedup.incrementalDedup _),
@@ -181,6 +183,8 @@ object SparkEntry {
     "q_sql_tvf_session"   -> (GroupWindowSql.tvfSession _),
     "q_sql_tvf_window_time" -> (GroupWindowSql.tvfWindowTime _),
     "q_sql_tvf_cumulate_time" -> (GroupWindowSql.tvfCumulateTime _),
+    "q_sql_tvf_hop_time" -> (GroupWindowSql.tvfHopTime _),
+    "q_sql_tvf_session_time" -> (GroupWindowSql.tvfSessionTime _),
     "q_sql_tvf_stream_window_time" -> (GroupWindowSql.tvfStreamWindowTime _),
     "q_sql_tvf_stream_tumble" -> (GroupWindowSql.tvfStreamTumble _),
     "q_sql_tvf_stream_session" -> (GroupWindowSql.tvfStreamSession _),
@@ -368,6 +372,8 @@ object SparkEntry {
     "q_sql_match_next"    -> (streaming.MatchRecognizeSql.matchNext _),
     "q_sql_match_batch_nav" -> (streaming.MatchRecognizeSql.matchNavBatch _),
     "q_sql_match_batch_rows" -> (streaming.MatchRecognizeSql.matchAllRowsBatch _),
+    "q_sql_match_batch_permute" -> (streaming.MatchRecognizeSql.matchPermuteBatch _),
+    "q_sql_match_batch_group" -> (streaming.MatchRecognizeSql.matchMultiBatch _),
     "q_sql_match_anchor"    -> (streaming.MatchRecognizeSql.matchAnchorStart _),
     "q_sql_match_anchor_end" -> (streaming.MatchRecognizeSql.matchAnchorEnd _),
     "q_sql_match_anchor_both" -> (streaming.MatchRecognizeSql.matchAnchorBoth _),

@@ -203,7 +203,13 @@ object Similarity {
   // single-slot memo (r15 ADVICE fix: the per-dir map retained every
   // touched corpus's fitted artifacts and persisted DataFrames for the
   // process lifetime; one slot bounds that to the latest corpus, and the
-  // replaced entry's caches are released on swap)
+  // replaced entry's caches are released on swap).
+  // SINGLE-CONSUMER contract (r16, documenting the r15 ADVICE residual):
+  // one corpus at a time per process. Callers alternating two dirs
+  // rebuild on every swap (correct, just recomputes), and a holder of an
+  // evicted index sees its persisted inputs silently recompute — both
+  // safe; a multi-corpus workload should widen this to a small LRU with
+  // deferred release, which no committed path needs.
   private var prodIxSlot: Option[(String, ProdIndex)] = None
   /** Fit-once-per-(dir, process) production index (default parameters).
     * A cached entry whose DataFrames belong to a DIFFERENT (e.g. stopped

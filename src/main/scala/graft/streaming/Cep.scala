@@ -211,6 +211,42 @@ object Cep {
       withinMicros, bounded = true,
       anchorStart = anchorStart, anchorEnd = anchorEnd)
 
+  /** Bounded-input PERMUTE/alternation (r16 — extends unified
+    * batch/stream execution past the plain sequential subset): same
+    * alternative-precedence semantics as [[matchRecognizeAlts]], run as
+    * ONE atEnd drain per key over a batch Dataset. Anchors compose — the
+    * drain's ^ scan pin and the backtracker's $ completion check are in
+    * the shared matcher, not the sequential-pattern path. */
+  def matchRecognizeBoundedAlts(ds: Dataset[Event], alts: Seq[Seq[QStep]],
+                                skip: SkipPolicy,
+                                withinMicros: Option[Long] = None,
+                                anchorStart: Boolean = false,
+                                anchorEnd: Boolean = false): Dataset[Match] = {
+    require(alts.forall(_.nonEmpty))
+    require(!skip.isInstanceOf[SkipToFirst] && !skip.isInstanceOf[SkipToLast] ||
+      alts.size == 1,
+      "fixed-index SKIP TO FIRST/LAST needs one alternative; use the alt-aware forms")
+    matcherAlts(ds, alts, skip, 0L, eventTimeFlush = false, withinMicros,
+      bounded = true, anchorStart = anchorStart, anchorEnd = anchorEnd)
+  }
+
+  /** Bounded-input grouped repetition `(body)* tail` (r16): the greedy
+    * longest-first loop of [[matchRecognizeGroup]] with atEnd = true from
+    * the start — no repetition count ever parks, the buffer IS the
+    * partition. Anchors compose here too: `^ (A B)* A $` is a
+    * whole-partition alternating parse. */
+  def matchRecognizeBoundedGroup(ds: Dataset[Event], body: Seq[QStep],
+                                 tail: Seq[QStep], minRep: Int,
+                                 skip: SkipPolicy,
+                                 withinMicros: Option[Long] = None,
+                                 anchorStart: Boolean = false,
+                                 anchorEnd: Boolean = false): Dataset[Match] = {
+    require(body.nonEmpty && minRep >= 0)
+    matcherAlts(ds, Seq(body ++ tail), skip, 0L, eventTimeFlush = false,
+      withinMicros, group = Some((body, tail, minRep)), bounded = true,
+      anchorStart = anchorStart, anchorEnd = anchorEnd)
+  }
+
   /** Variant for composing AFTER another stateful operator (sortedEvents):
     * downstream of a sorter there is no watermarked column left to hang an
     * EventTimeTimeout on (re-tagging one would make the engine drop the

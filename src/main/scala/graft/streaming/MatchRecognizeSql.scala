@@ -170,12 +170,16 @@ object MatchRecognizeSql extends Serializable {
     "([A-Za-z]\\w*)(\\+\\?|\\*\\?|\\+|\\*|\\?\\?|\\?|\\{\\s*(\\d*)\\s*(,?)\\s*(\\d*)\\s*\\}(\\?)?)?".r
   private val cmpRe = "(?s)^(\\w+)\\s*(<>|!=|<=|>=|=|<|>)\\s*(?:'([^']*)'|([-0-9.eE]+))$".r
 
-  def parse(sqlText: String): Spec = parse(sqlText, allowNext = false)
+  def parse(sqlText: String): Spec = parse(sqlText, boundedInput = false)
 
-  /** `allowNext = true` admits NEXT physical offsets in DEFINE — callers
-    * must run the spec on a BOUNDED input (runBatch); the streaming entry
-    * parses with the default and keeps the loud reject. */
-  def parse(sqlText: String, allowNext: Boolean): Spec = {
+  /** `boundedInput = true` admits the batch-only features — NEXT physical
+    * offsets in DEFINE and the anchors `^`/`$` (r16 rename from
+    * `allowNext`, whose name no longer described its scope once anchors
+    * joined the gate) — callers must run the spec on a BOUNDED input
+    * (runBatch); the streaming entry parses with the default and keeps
+    * the loud reject on both features. */
+  def parse(sqlText: String, boundedInput: Boolean): Spec = {
+    val allowNext = boundedInput
     val (selectList, table, body) = sqlText match {
       case mrRe(sel, tbl, b) => (sel, tbl, b)
       case _ => throw new IllegalArgumentException(
@@ -1075,19 +1079,18 @@ object MatchRecognizeSql extends Serializable {
     * as a bounded Dataset, matched per key in ONE atEnd drain
     * (Cep.matchRecognizeBoundedSkip) — the mode where NEXT physical
     * offsets are decidable. No sentinel, no memory-sink drain: the match
-    * table is an ordinary batch DataFrame. Plain sequential patterns only
-    * (PERMUTE/grouped repetition keep their streaming home). */
+    * table is an ordinary batch DataFrame. Full grammar (r16): plain
+    * sequential, PERMUTE and grouped repetition all route through the
+    * bounded matcher; anchors compose with each. */
   def runBatch(s: SparkSession, dir: String, sqlText: String): DataFrame =
     run(s, dir, sqlText, batch = true)
 
   private def run(s: SparkSession, dir: String, sqlText: String,
                   batch: Boolean): DataFrame = {
     import s.implicits._
-    val spec = parse(sqlText, allowNext = batch)
+    val spec = parse(sqlText, boundedInput = batch)
     require(spec.table.equalsIgnoreCase("events"),
       s"unsupported table ${spec.table}")
-    require(!batch || (spec.groupRep.isEmpty && !spec.permute),
-      "batch mode supports the plain sequential pattern subset")
     val steps = spec.pattern.map(_._2)
     val varIdx = spec.pattern.map(_._1).zipWithIndex.toMap
     val measures = spec.measures
@@ -1123,6 +1126,15 @@ object MatchRecognizeSql extends Serializable {
     }
     val stepByVar = spec.pattern.toMap
     val out = spec.groupRep match {
+      case Some((body, tail, minRep)) if batch =>
+        // grouped repetition in BATCH mode (r16 — closes the "plain
+        // sequential subset" carve-out): the same greedy loop, one atEnd
+        // drain per key, sharing the streaming statement's oracle verbatim
+        Cep.matchRecognizeBoundedGroup(
+          batchEvents(s, dir),
+          body.map(stepByVar), tail.map(stepByVar), minRep, skipPolicy,
+          withinMicros = spec.withinMicros,
+          anchorStart = spec.anchorStart, anchorEnd = spec.anchorEnd)
       case Some((body, tail, minRep)) =>
         // uncapped grouped repetition: the NFA-style loop decides the count
         // from the data (greedy longest-first; NeedMore parks a start while
@@ -1131,6 +1143,12 @@ object MatchRecognizeSql extends Serializable {
           StreamSource.eventsTypedWithSentinel(s, dir),
           body.map(stepByVar), tail.map(stepByVar), minRep, skipPolicy,
           withinMicros = spec.withinMicros)
+      case None if spec.permute && batch =>
+        Cep.matchRecognizeBoundedAlts(
+          batchEvents(s, dir),
+          fixedAltOrders.map(_.map(stepByVar)), skipPolicy,
+          withinMicros = spec.withinMicros,
+          anchorStart = spec.anchorStart, anchorEnd = spec.anchorEnd)
       case None if spec.permute =>
         Cep.matchRecognizeAlts(
           StreamSource.eventsTypedWithSentinel(s, dir),
@@ -1876,6 +1894,17 @@ object MatchRecognizeSql extends Serializable {
   def matchAllRowsBatch(s: SparkSession, dir: String): DataFrame =
     runBatch(s, dir, matchAllRowsSql)
 
+  /** Full-grammar unified batch/stream (r16 — closes the r15 "plain
+    * sequential subset" carve-out): PERMUTE and uncapped grouped
+    * repetition executed in BATCH mode, sharing their streaming twins'
+    * oracles verbatim (the q_sql_match_batch_nav proof pattern — the
+    * hash equality IS the batch ≡ stream equivalence proof for the
+    * alternation and loop machinery). */
+  def matchPermuteBatch(s: SparkSession, dir: String): DataFrame =
+    runBatch(s, dir, matchPermuteSql)
+  def matchMultiBatch(s: SparkSession, dir: String): DataFrame =
+    runBatch(s, dir, matchMultiSql)
+
   /** Anchors in BATCH mode (r15 — the last open row of the reference's
     * unsupported list, match_recognize.md:1109-1110: anchors "do not make
     * sense in the streaming context", an argument void on a bounded
@@ -2142,6 +2171,10 @@ object MatchRecognizeSql extends Serializable {
       // — the hash equality is the batch ≡ stream proof
       ("q_sql_match_batch_nav" -> sqlBase("q_sql_match_nav")) +
       ("q_sql_match_batch_rows" -> sqlBase("q_sql_match_rows")) +
+      // r16: the full grammar joins the unified batch/stream proof —
+      // PERMUTE and grouped repetition share their twins' oracles too
+      ("q_sql_match_batch_permute" -> sqlBase("q_sql_match_permute")) +
+      ("q_sql_match_batch_group" -> sqlBase("q_sql_match_multi")) +
       // ^: the opening non-purchase run closed by the FIRST purchase —
       // rows 1..prn-1 are non-purchase by the minimality of prn, so the
       // greedy A+ from the anchored start is exactly that prefix

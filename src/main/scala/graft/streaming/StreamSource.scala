@@ -156,7 +156,11 @@ object StreamSource {
   }
 
   def runToTable(s: SparkSession, df: DataFrame, name: String,
-                 mode: String, afterStart: () => Unit = () => ()): DataFrame = {
+                 mode: String, afterStart: () => Unit = () => (),
+                 // runs after the drain, before stop — the hook that lets
+                 // callers read the query's final progress (state-store
+                 // row counts for the TTL-bound demonstrations)
+                 onDrained: StreamingQuery => Unit = _ => ()): DataFrame = {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     // default 4 (was 8): measured at sf0.1, the replay-driven queries spend
     // their time in per-partition state-store lifecycle (snapshot + fsync
@@ -175,6 +179,7 @@ object StreamSource {
           .start()
         finally afterStart()
       q.processAllAvailable()
+      onDrained(q)
       q.stop()
     } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     s.table(name)

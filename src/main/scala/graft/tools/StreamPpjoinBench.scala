@@ -46,6 +46,11 @@ object StreamPpjoinBench {
         for ((pname, pclass) <- providers; mft <- triggers) yield {
           spark.conf.set(provKey, pclass)
           spark.catalog.clearCache()
+          // Spark-INTERNAL API (r15 ADVICE): forces the loaded provider
+          // instances to unload so the next cell's providerClass conf is
+          // honored. Stable on the pinned Spark 4.1.x; on an upgrade,
+          // replace with one SparkSession per cell (tool-only blast
+          // radius — no product path calls this).
           org.apache.spark.sql.execution.streaming.state.StateStore.stop()
           val t0 = System.nanoTime()
           val n = graft.streaming.StreamDedup.ppjoinStream(spark, out, mft).count()

@@ -44,7 +44,7 @@ class Round15Spec extends SparkSpec {
       ev(1, 1, 1.0), ev(2, 2, 2.0), ev(3, 3, 3.0), ev(4, 4, 5.0),
       ev(5, 5, 4.0), ev(6, 6, 7.0), ev(7, 7, 9.0), ev(8, 8, 2.0)))
     val steps = MatchRecognizeSql.parse(
-      MatchRecognizeSql.matchNextSql, allowNext = true).pattern.map(_._2)
+      MatchRecognizeSql.matchNextSql, boundedInput = true).pattern.map(_._2)
     val got = Cep.matchRecognizeBoundedSkip(events, steps, Cep.SkipPastLastRow)
       .collect().map(m => (m.ids, m.counts)).toSeq
     assert(got === Seq(
@@ -61,7 +61,7 @@ class Round15Spec extends SparkSpec {
     // UP stops there, TOP lands on the partition's last row
     val events = spark.createDataset(Seq(ev(1, 1, 1.0), ev(2, 2, 2.0), ev(3, 3, 3.0)))
     val steps = MatchRecognizeSql.parse(
-      MatchRecognizeSql.matchNextSql, allowNext = true).pattern.map(_._2)
+      MatchRecognizeSql.matchNextSql, boundedInput = true).pattern.map(_._2)
     val got = Cep.matchRecognizeBoundedSkip(events, steps, Cep.SkipPastLastRow)
       .collect().map(_.ids).toSeq
     assert(got === Seq(Seq(1L, 2L, 3L)),
@@ -84,7 +84,7 @@ class Round15Spec extends SparkSpec {
     // run matches (rows 1-3); the second purchase's run starts past the
     // anchor and must NOT match
     val spec = MatchRecognizeSql.parse(
-      MatchRecognizeSql.matchAnchorStartSql, allowNext = true)
+      MatchRecognizeSql.matchAnchorStartSql, boundedInput = true)
     assert(spec.anchorStart && !spec.anchorEnd)
     val steps = spec.pattern.map(_._2)
     val events = spark.createDataset(Seq(
@@ -103,7 +103,7 @@ class Round15Spec extends SparkSpec {
     // $ A B+ over [purchase, view, purchase, view, view]: only the LAST
     // purchase's run reaches the partition end
     val specE = MatchRecognizeSql.parse(
-      MatchRecognizeSql.matchAnchorEndSql, allowNext = true)
+      MatchRecognizeSql.matchAnchorEndSql, boundedInput = true)
     assert(specE.anchorEnd && !specE.anchorStart)
     val tail = spark.createDataset(Seq(
       ev(1, 1, "purchase"), ev(2, 2, "view"), ev(3, 3, "purchase"),

@@ -1,0 +1,159 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.GroupWindowSql
+import graft.streaming.{Cep, MatchRecognizeSql, StreamDedup, StreamSource}
+
+/** Round-16 pins: the full MATCH_RECOGNIZE grammar in bounded mode (PERMUTE
+  * and grouped repetition, anchors composing with both), the TTL-bounded
+  * streaming PPJoin (horizon eviction + idle-bucket timeout, state row
+  * count bounded), the balanced-paren TVF GROUP BY scan (parenthesized
+  * grouping keys, loud pair-missing reject), and window_time ≡
+  * window_end − 1ms over the HOP and SESSION assigners. */
+class Round16Spec extends SparkSpec {
+
+  private def ev(id: Long, sec: Int, tpe: String) =
+    StreamSource.Event(id, new java.sql.Timestamp(sec * 1000L), 1L, tpe, 0.0)
+
+  private val view = Cep.QStep.once(_.event_type == "view").copy(name = "A")
+  private val click = Cep.QStep.once(_.event_type == "click").copy(name = "B")
+
+  test("anchors compose with PERMUTE in bounded mode") {
+    import spark.implicits._
+    val alts = Seq(Seq(view, click), Seq(click, view))
+    // click view | click view — PERMUTE(A,B) matches at rows 1-2 and 3-4
+    val events = spark.createDataset(Seq(
+      ev(1, 1, "click"), ev(2, 2, "view"), ev(3, 3, "click"), ev(4, 4, "view")))
+    def ids(anchorStart: Boolean, anchorEnd: Boolean): Seq[Seq[Long]] =
+      Cep.matchRecognizeBoundedAlts(events, alts, Cep.SkipPastLastRow,
+        anchorStart = anchorStart, anchorEnd = anchorEnd)
+        .collect().map(_.ids).toSeq
+    assert(ids(false, false) === Seq(Seq(1L, 2L), Seq(3L, 4L)))
+    assert(ids(anchorStart = true, anchorEnd = false) === Seq(Seq(1L, 2L)),
+      "^ must keep only the partition-opening permutation")
+    assert(ids(anchorStart = false, anchorEnd = true) === Seq(Seq(3L, 4L)),
+      "$ must keep only the partition-closing permutation")
+    assert(ids(anchorStart = true, anchorEnd = true).isEmpty,
+      "^ PERMUTE(A,B) $ cannot cover a 4-row partition")
+    // whole-partition match fires the SECOND alternative (B A — alt=1)
+    val two = spark.createDataset(Seq(ev(1, 1, "click"), ev(2, 2, "view")))
+    val whole = Cep.matchRecognizeBoundedAlts(two, alts, Cep.SkipPastLastRow,
+      anchorStart = true, anchorEnd = true)
+      .collect().map(m => (m.ids, m.alt)).toSeq
+    assert(whole === Seq((Seq(1L, 2L), 1)),
+      "the click-first permutation must fire as alternative 1")
+  }
+
+  test("anchors compose with grouped repetition in bounded mode") {
+    import spark.implicits._
+    // ^ (A B)* A $ — whole-partition alternating parse, repetition count
+    // decided by the data (alt carries k)
+    val ok = spark.createDataset(Seq(
+      ev(1, 1, "view"), ev(2, 2, "click"), ev(3, 3, "view"),
+      ev(4, 4, "click"), ev(5, 5, "view")))
+    val got = Cep.matchRecognizeBoundedGroup(ok, Seq(view, click), Seq(view),
+      minRep = 0, Cep.SkipPastLastRow, anchorStart = true, anchorEnd = true)
+      .collect().map(m => (m.ids, m.alt)).toSeq
+    assert(got === Seq((Seq(1L, 2L, 3L, 4L, 5L), 2)),
+      s"5 alternating rows must parse as k=2 repetitions + tail: $got")
+    // 4 alternating rows: no repetition count lands the tail A on the last
+    // row (k=2 needs 5 rows, k=1 ends at row 3, k=0 at row 1) → no match
+    val bad = spark.createDataset(Seq(
+      ev(1, 1, "view"), ev(2, 2, "click"), ev(3, 3, "view"), ev(4, 4, "click")))
+    assert(Cep.matchRecognizeBoundedGroup(bad, Seq(view, click), Seq(view),
+      minRep = 0, Cep.SkipPastLastRow, anchorStart = true, anchorEnd = true)
+      .collect().isEmpty)
+  }
+
+  test("runBatch accepts the full grammar (PERMUTE + grouped repetition)") {
+    // end-to-end: the r15 subset require is gone; both statements run
+    // bounded with rows (their oracle equality to the streaming twins is
+    // the Verify gate's job — q_sql_match_batch_permute/_group)
+    assert(MatchRecognizeSql.matchPermuteBatch(spark, sf).count() > 0)
+    assert(MatchRecognizeSql.matchMultiBatch(spark, sf).count() > 0)
+  }
+
+  test("TVF GROUP BY scan skips balanced parens (date_trunc grouping key)") {
+    // pair BEFORE the parenthesized key: the r15 regex truncated the span
+    // at date_trunc's ')' — harmless here, but the span must now cover it
+    val before =
+      """SELECT window_start AS w_start, count(*) AS cnt
+        |FROM TABLE(TUMBLE(TABLE events, DESCRIPTOR(ts), INTERVAL '1' DAY))
+        |GROUP BY window_start, window_end, date_trunc('day', ts)
+        |ORDER BY w_start""".stripMargin
+    val lb = GroupWindowSql.rewriteTvf(before)
+    assert(lb.contains("GROUP BY TUMBLE(ts, INTERVAL '1' DAY), date_trunc('day', ts)"),
+      s"pair before a parenthesized key must substitute:\n$lb")
+    // pair AFTER the parenthesized key: the r15 silent miss — the scan
+    // stopped at date_trunc's ')' and never reached the pair
+    val after =
+      """SELECT window_start AS w_start, count(*) AS cnt
+        |FROM TABLE(TUMBLE(TABLE events, DESCRIPTOR(ts), INTERVAL '1' DAY))
+        |GROUP BY date_trunc('day', ts), window_start, window_end
+        |ORDER BY w_start""".stripMargin
+    val la = GroupWindowSql.rewriteTvf(after)
+    assert(la.contains("GROUP BY date_trunc('day', ts), TUMBLE(ts, INTERVAL '1' DAY)"),
+      s"pair after a parenthesized key must substitute:\n$la")
+    // both lowered statements actually run
+    assert(GroupWindowSql.runTvf(spark, sf, before).count() > 0)
+    assert(GroupWindowSql.runTvf(spark, sf, after).count() > 0)
+    // a GROUP BY without the pair is a LOUD reject, not a silent miss
+    val bad =
+      """SELECT event_type, count(*) AS cnt
+        |FROM TABLE(TUMBLE(TABLE events, DESCRIPTOR(ts), INTERVAL '1' DAY))
+        |GROUP BY event_type""".stripMargin
+    val ex = intercept[IllegalArgumentException](GroupWindowSql.rewriteTvf(bad))
+    assert(ex.getMessage.contains("window_start"), s"wrong reject: ${ex.getMessage}")
+  }
+
+  test("window_time = window_end - 1ms over HOP and SESSION TVFs") {
+    val hopLowered = GroupWindowSql.rewriteTvf(GroupWindowSql.tvfHopTimeSql)
+    assert(hopLowered.contains(
+      "HOP_ROWTIME(ts, INTERVAL '12' HOUR, INTERVAL '1' DAY)"),
+      s"HOP window_time must lower onto HOP_ROWTIME:\n$hopLowered")
+    val hop = GroupWindowSql.tvfHopTime(spark, sf)
+      .withColumn("expect", col("w_start") + expr("INTERVAL 1 DAY") -
+        expr("INTERVAL 1 MILLISECOND"))
+    assert(hop.where(col("w_time") =!= col("expect")).count() === 0L)
+    assert(hop.count() > 0)
+    val sesLowered = GroupWindowSql.rewriteTvf(GroupWindowSql.tvfSessionTimeSql)
+    assert(sesLowered.contains("SESSION_ROWTIME(ts, INTERVAL '1' HOUR)"),
+      s"SESSION window_time must lower onto SESSION_ROWTIME:\n$sesLowered")
+    // SESSION's end is data-driven — compare against the proven TVF
+    // session's w_end per (user, window start)
+    val ses = GroupWindowSql.tvfSessionTime(spark, sf)
+      .select(col("user_id"), col("w_start"), col("w_time"))
+    val base = GroupWindowSql.tvfSession(spark, sf)
+      .select(col("user_id"), col("w_start"),
+        (col("w_end") - expr("INTERVAL 1 MILLISECOND")).as("expect"))
+    val joined = ses.join(base, Seq("user_id", "w_start"))
+    assert(joined.count() === ses.count(), "every session must line up")
+    assert(joined.where(col("w_time") =!= col("expect")).count() === 0L)
+  }
+
+  test("TTL-bounded streaming PPJoin: horizon evicts, state stays bounded") {
+    // VERDICT r15 what's-wrong #2. doc_ids replay globally ascending, so
+    // doc_id is the stream's logical clock; horizon 100 splits sf0.001's
+    // 28 true pairs (distances 4..445).
+    val dir = sf
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = pairSet(StreamDedup.ppjoinStream(spark, dir))
+    val fullState = StreamDedup.lastStateRows
+    val ttl = pairSet(StreamDedup.ppjoinStreamTtl(spark, dir, 100L, 1))
+    val ttlState = StreamDedup.lastStateRows
+    // pairs within the horizon unchanged; beyond-horizon pairs gone
+    assert(ttl === full.filter { case (a, b) => b - a <= 100L },
+      "TTL pairs must be exactly the within-horizon subset of the full join")
+    assert(ttl.nonEmpty && ttl != full,
+      "horizon 100 must be load-bearing (keeps some pairs, drops some)")
+    assert(full.exists { case (a, b) => b - a > 100L },
+      "fixture must contain a beyond-horizon pair to demonstrate eviction")
+    // state row count provably bounded below the NoTimeout run's
+    assert(fullState > 0 && ttlState > 0,
+      s"state progress must be captured (full=$fullState, ttl=$ttlState)")
+    assert(ttlState < fullState,
+      s"TTL state ($ttlState rows) must stay under NoTimeout state ($fullState rows)")
+  }
+}
