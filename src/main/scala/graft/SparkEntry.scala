@@ -95,6 +95,8 @@ object SparkEntry {
     "q_dedup_cluster_keep" -> (Dedup.minhashClusterKeep _),
     "q_split_leakage"   -> (Dedup.leakageSafeSplit _),
     "q_stream_dedup_minhash" -> (streaming.StreamDedup.minhashStreamKeep _),
+    "q_stream_dedup_ttl" -> ((s: SparkSession, d: String) =>
+      streaming.StreamDedup.minhashStreamKeepTtl(s, d)),
     "q_stream_ppjoin"     -> ((s: SparkSession, d: String) =>
       streaming.StreamDedup.ppjoinStream(s, d)),
     "q_stream_ppjoin_keep" -> (streaming.StreamDedup.ppjoinStreamKeep _),
@@ -110,6 +112,8 @@ object SparkEntry {
     "q_quality_gopher"    -> (TextAnalysis.gopherQuality _),
     "q_corpus_datasheet"  -> (TextAnalysis.corpusDatasheet _),
     "q_tfidf_top3"        -> (TextAnalysis.tfidfTop3 _),
+    "q_retrieval_bm25"    -> (graft.operators.Retrieval.bm25 _),
+    "q_retrieval_rrf"     -> (graft.operators.Retrieval.hybridRrf _),
     "q_quality_perplexity" -> (TextAnalysis.perplexity _),
     "q_quality_bigram_lm" -> (TextAnalysis.bigramPerplexity _),
     "q_quality_ccnet_buckets" -> (TextAnalysis.ccnetBuckets _),
@@ -797,5 +801,5 @@ object SparkEntry {
     streaming.StreamIterate.sql ++ Sketches.sql ++ Layout.sql ++
     graft.operators.DataQuality.sql ++ streaming.StateBootstrap.sql ++
     MultisetOps.sql ++ streaming.StreamDedup.sql ++
-    graft.operators.TypeLattice.sql
+    graft.operators.TypeLattice.sql ++ graft.operators.Retrieval.sql
 }

@@ -172,6 +172,104 @@ object StreamDedup {
       .orderBy("doc_id")
   }
 
+  // TTL variant's band row: carries the watermarked event-time column
+  // (the PrefRowT convention — state stays the compact Bucket)
+  case class BandRowT(doc_id: Long, band: Int, h1: Long, h2: Long,
+                      ets: java.sql.Timestamp)
+
+  /** q_stream_dedup_ttl (r16 — the OTHER stateful dedup handler's
+    * NoTimeout residual, noted alongside PPJoin's in VERDICT r15): the
+    * streaming MinHash-LSH dedup with band-bucket state bounded to the
+    * dedup horizon. Same two mechanisms as [[ppjoinStreamTtl]]:
+    * deterministic row-level eviction (an arriving doc drops bucket
+    * occupants more than `horizonDocs` behind it — doc_id is the replay's
+    * logical clock) and an EventTimeTimeout clearing idle buckets at
+    * newest + horizon. The oracle is the batch LSH keep-set SQL with one
+    * extra predicate: only verified pairs within the horizon evict a
+    * document. Bucket sizes only shrink under eviction, so the 64-cap
+    * interacts identically to the unbounded twin's. */
+  def minhashStreamKeepTtl(s: SparkSession, dir: String): DataFrame =
+    minhashStreamKeepTtl(s, dir, HorizonDocs, 1)
+
+  def minhashStreamKeepTtl(s: SparkSession, dir: String, horizonDocs: Long,
+                           maxFilesPerTrigger: Int): DataFrame = {
+    import s.implicits._
+    TextHashes.register(s)
+    val segDir = prepare(s, dir)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    val docs = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .option("pathGlobFilter", "seg-*.parquet")
+      .parquet(segDir)
+    val bands = docs
+      .withColumn("ets", timestamp_seconds(col("doc_id") + lit(EtsBaseSec)))
+      .withWatermark("ets", "0 seconds")
+      .withColumn("toks", TextAnalysis.tokens(col("text")))
+      .withColumn("sh", Dedup.shingles(col("toks")))
+      .withColumn("mh", expr("minhash32(sh)"))
+      .select(col("doc_id"), col("ets"), explode(expr(
+        "transform(sequence(0, 15), b -> struct(b AS band, " +
+          "element_at(mh, 2*b+1) AS h1, element_at(mh, 2*b+2) AS h2))")).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.h1"), col("bb.h2"), col("ets"))
+      .as[BandRowT]
+    val horizonMs = horizonDocs * 1000L
+    val candidates = bands.groupByKey(r => (r.band, r.h1, r.h2))
+      .flatMapGroupsWithState[Bucket, CandPair](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: (Int, Long, Long), rows: Iterator[BandRowT], st: GroupState[Bucket]) =>
+          if (st.hasTimedOut) { st.remove(); Iterator.empty }
+          else {
+            val out = scala.collection.mutable.ListBuffer.empty[CandPair]
+            // retained ascending (the append order); eviction = stale
+            // prefix drop, exactly the ppjoinStreamTtl discipline
+            val retained = scala.collection.mutable.ArrayBuffer.empty[Long]
+            retained ++= st.getOption.map(_.ids).getOrElse(Seq.empty)
+            rows.toSeq.map(_.doc_id).distinct.sorted.foreach { d =>
+              val cut = d - horizonDocs
+              var stale = 0
+              while (stale < retained.length && retained(stale) < cut) stale += 1
+              if (stale > 0) retained.dropInPlace(stale)
+              if (retained.size < BucketCap) {
+                retained.foreach { p =>
+                  out += (if (p < d) CandPair(p, d) else CandPair(d, p))
+                }
+                retained += d
+              }
+            }
+            if (retained.isEmpty) st.remove()
+            else {
+              st.update(Bucket(retained.toSeq))
+              st.setTimeoutTimestamp(math.max(
+                (retained.last + EtsBaseSec) * 1000L + horizonMs,
+                st.getCurrentWatermarkMs() + 1))
+            }
+            out.iterator
+          }
+      }
+    val drained = StreamSource.runToTable(s, candidates.toDF(),
+      s"stream_dedup_ttl_${math.abs(dir.hashCode)}", "append",
+      onDrained = recordStateRows)
+    // batch verification + keep set (the minhashStreamKeep convention)
+    val withSh = Tables(s, dir, "documents")
+      .withColumn("toks", TextAnalysis.tokens(col("text")))
+      .withColumn("sh", Dedup.shingles(col("toks")))
+      .select(col("doc_id"), col("sh"), size(col("sh")).as("n_sh"))
+    val verified = drained.select(col("doc_a"), col("doc_b")).distinct()
+      .join(withSh.select(col("doc_id").as("doc_a"),
+        col("sh").as("sha"), col("n_sh").as("na")), "doc_a")
+      .join(withSh.select(col("doc_id").as("doc_b"),
+        col("sh").as("shb"), col("n_sh").as("nb")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .where(col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")) >= 0.5)
+      .select(col("doc_b"))
+    Tables(s, dir, "documents").select(col("doc_id"))
+      .join(verified.select(col("doc_b").as("doc_id")), Seq("doc_id"), "left_anti")
+      .orderBy("doc_id")
+  }
+
   // state rows for the streaming PPJoin prefix index (public: encoder
   // codegen instantiates these from generated classes). The token travels
   // as its 60-bit md5 hash, not the shingle string: the key only needs to
@@ -448,10 +546,18 @@ object StreamDedup {
     * 2M-pair union-find/star-CC flip included), exactly like
     * minhashClusterKeep and phashKeep. Oracle = brute all-pairs J ≥ 0.5 +
     * recursive transitive closure (the q_dedup_cluster_keep derivation
-    * over the PPJoin pair set). */
+    * over the PPJoin pair set).
+    *
+    * r16 (VERDICT r15 #7): the gate entry runs at the DEMONSTRATED floor
+    * dial — maxFilesPerTrigger=4 batches the whole 4-segment replay into
+    * one trigger (the r15 provider × trigger matrix's 28.2 s cell; rows
+    * invariant, Round15Spec-pinned), the honest cadence when the keep-set
+    * is composed once per arriving shard wave. The pair-emitting twin
+    * q_stream_ppjoin keeps the worst-case mft=1 cell as the conservative
+    * record. */
   def ppjoinStreamKeep(s: SparkSession, dir: String): DataFrame =
     graft.operators.Dedup.clusterKeepFrom(
-      ppjoinStream(s, dir).select(col("doc_a"), col("doc_b")),
+      ppjoinStream(s, dir, 4).select(col("doc_a"), col("doc_b")),
       Tables(s, dir, "documents").select(col("doc_id")))
 
   val sql: Map[String, String] = Map(
@@ -474,6 +580,15 @@ object StreamDedup {
         | FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         | WHERE len(a.s) > 0 AND len(b.s) > 0)
         |WHERE j >= 0.5 ORDER BY doc_a, doc_b""").stripMargin,
+    // TTL-bounded streaming LSH dedup: the deterministic horizon rule
+    // (doc_id logical clock — a pair meets iff its distance fits the
+    // horizon, proof in the scaladoc) makes the oracle the batch LSH
+    // keep-set SQL with one distance predicate on the verified pairs
+    "q_stream_dedup_ttl" ->
+      (graft.LlmOracles.minhashPairCtes + """
+        |SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_b FROM vpairs WHERE doc_b - doc_a <= 200)
+        |ORDER BY doc_id""".stripMargin),
     // TTL-bounded streaming PPJoin: the deterministic horizon rule makes
     // the oracle exact — the batch brute-force SQL with one extra
     // predicate (pair distance within the dedup horizon). 200 splits the

@@ -106,7 +106,11 @@ class EmptyInputSpec extends SparkSpec {
     "q_sql_match_next", "q_sql_tvf_window_time", "q_stream_ppjoin_keep",
     "q_sql_match_batch_nav", "q_sql_match_batch_rows",
     "q_sql_tvf_cumulate_time", "q_sql_tvf_stream_window_time",
-    "q_sql_match_anchor", "q_sql_match_anchor_end", "q_sql_match_anchor_both")
+    "q_sql_match_anchor", "q_sql_match_anchor_end", "q_sql_match_anchor_both",
+    // r16 additions
+    "q_sql_match_batch_permute", "q_sql_match_batch_group",
+    "q_sql_tvf_hop_time", "q_sql_tvf_session_time", "q_stream_ppjoin_ttl",
+    "q_stream_dedup_ttl", "q_retrieval_bm25", "q_retrieval_rrf")
 
   for (name <- queries)
     test(s"$name runs on an empty corpus") {

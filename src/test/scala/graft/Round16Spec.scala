@@ -156,4 +156,53 @@ class Round16Spec extends SparkSpec {
     assert(ttlState < fullState,
       s"TTL state ($ttlState rows) must stay under NoTimeout state ($fullState rows)")
   }
+
+  test("TTL-bounded streaming LSH dedup: keep-set relaxes monotonically, state bounded") {
+    // the minhash twin of the PPJoin TTL pin: only verified pairs WITHIN
+    // the horizon evict a document, so the TTL keep-set is a strict
+    // SUPERSET of the unbounded run's (fewer pairs seen → more docs kept)
+    def keeps(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.collect().map(_.getLong(0)).toSet
+    val full = keeps(StreamDedup.minhashStreamKeep(spark, sf))
+    val ttl = keeps(StreamDedup.minhashStreamKeepTtl(spark, sf, 100L, 1))
+    val ttlState = StreamDedup.lastStateRows
+    assert(full.subsetOf(ttl), "horizon must only ADD kept documents")
+    assert(ttl != full, "horizon 100 must be load-bearing on the keep set")
+    assert(ttlState > 0, "state progress must be captured")
+  }
+
+  test("BM25 retrieval: contiguous ranks, monotone scores, no self-match") {
+    val rows = graft.operators.Retrieval.bm25(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      assert(rs.map(_.getInt(1)).sorted.toSeq === (1 to rs.length),
+        s"qid $q ranks must be contiguous from 1")
+      val scores = rs.sortBy(_.getInt(1)).map(_.getDouble(3)).toSeq
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+        s"qid $q scores must be non-increasing down the ranking: $scores")
+      assert(!rs.exists(_.getLong(2) == q), s"qid $q must not retrieve itself")
+    }
+  }
+
+  test("hybrid RRF: fused score recomputes exactly from the two source lists") {
+    val sparse = graft.operators.Retrieval.bm25(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getInt(1)).toMap
+    val dense = graft.operators.Similarity.annBruteForce(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getInt(1)).toMap
+    val fused = graft.operators.Retrieval.hybridRrf(spark, sf).collect()
+    assert(fused.nonEmpty)
+    fused.foreach { r =>
+      val key = (r.getLong(0), r.getLong(2))
+      val expect =
+        sparse.get(key).map(rk => 1000000L / (60L + rk)).getOrElse(0L) +
+        dense.get(key).map(rk => 1000000L / (60L + rk)).getOrElse(0L)
+      assert(r.getLong(3) === expect,
+        s"RRF mismatch at $key: got ${r.getLong(3)}, want $expect")
+    }
+    // fusion is load-bearing: at least one fused top-10 contains a doc
+    // from EACH source list (lexical-only and semantic-only candidates)
+    val fusedKeys = fused.map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(fusedKeys.exists(sparse.contains), "a BM25 doc must surface")
+    assert(fusedKeys.exists(dense.contains), "a dense doc must surface")
+  }
 }
