@@ -151,7 +151,8 @@ object StreamDedup {
     // a 4-batch replay shuffling 16 band rows per document through keyed
     // state — the job itself, not fixture overhead.
     val drained = StreamSource.runToTable(s, candidates.toDF(),
-      s"stream_dedup_${math.abs(dir.hashCode)}", "append")
+      s"stream_dedup_${math.abs(dir.hashCode)}", "append",
+      onDrained = recordStateRows)
 
     // batch verification of the streamed candidate set
     val withSh = Tables(s, dir, "documents")

@@ -35,9 +35,16 @@ object PpjoinTtlReport {
       graft.streaming.StreamDedup.ppjoinStream(spark, dir).count())
     val ttl = cell("ttl",
       graft.streaming.StreamDedup.ppjoinStreamTtl(spark, dir, horizon, 1).count())
+    // the LSH band-bucket handler's twin cells (rows here = kept docs)
+    val lshFull = cell("lsh_full",
+      graft.streaming.StreamDedup.minhashStreamKeep(spark, dir).count())
+    val lshTtl = cell("lsh_ttl",
+      graft.streaming.StreamDedup.minhashStreamKeepTtl(spark, dir, horizon, 1).count())
     println(f"""{"metric":"ppjoin_ttl","dir":"$dir","horizon":$horizon,""" +
       f""""full":{"sec":${full._2}%.2f,"pairs":${full._3},"state_rows":${full._4}},""" +
-      f""""ttl":{"sec":${ttl._2}%.2f,"pairs":${ttl._3},"state_rows":${ttl._4}}}""")
+      f""""ttl":{"sec":${ttl._2}%.2f,"pairs":${ttl._3},"state_rows":${ttl._4}},""" +
+      f""""lsh_full":{"sec":${lshFull._2}%.2f,"kept":${lshFull._3},"state_rows":${lshFull._4}},""" +
+      f""""lsh_ttl":{"sec":${lshTtl._2}%.2f,"kept":${lshTtl._3},"state_rows":${lshTtl._4}}}""")
     spark.stop()
   }
 }

@@ -420,10 +420,20 @@ object ScaleBench {
         },
         // r14: the live exact-recall join — state is the prefix postings
         // of everything seen, so the rehearsal prices keyed-state growth
-        // (~n/2 postings per doc through the 4-segment replay)
-        time(s"stream_ppjoin_${k}x") {
+        // (~n/2 postings per doc through the 4-segment replay).
+        // r16: at k >= 100 the NoTimeout spelling OOMs an 8 GB driver
+        // (500k docs of unbounded postings — NOTES r16 table; 721.7 s /
+        // 18 GiB at 24 GB heap, isolated) — the rehearsal runs the
+        // TTL-bounded spelling there (486.4 s / 2.4 GiB, same cpus), the
+        // only one that fits the default budget; k <= 10 keeps pricing
+        // the unbounded twin.
+        time(if (k >= 100) s"stream_ppjoin_ttl_${k}x"
+             else s"stream_ppjoin_${k}x") {
           spark.catalog.clearCache()
-          graft.streaming.StreamDedup.ppjoinStream(spark, out).count()
+          if (k >= 100)
+            graft.streaming.StreamDedup.ppjoinStreamTtl(spark, out,
+              graft.streaming.StreamDedup.HorizonDocs, 1).count()
+          else graft.streaming.StreamDedup.ppjoinStream(spark, out).count()
         },
       )
       if (prodIx != null) graft.operators.Similarity.releaseProdIndex(prodIx)

@@ -164,11 +164,14 @@ class Round16Spec extends SparkSpec {
     def keeps(df: org.apache.spark.sql.DataFrame): Set[Long] =
       df.collect().map(_.getLong(0)).toSet
     val full = keeps(StreamDedup.minhashStreamKeep(spark, sf))
+    val fullState = StreamDedup.lastStateRows
     val ttl = keeps(StreamDedup.minhashStreamKeepTtl(spark, sf, 100L, 1))
     val ttlState = StreamDedup.lastStateRows
     assert(full.subsetOf(ttl), "horizon must only ADD kept documents")
     assert(ttl != full, "horizon 100 must be load-bearing on the keep set")
-    assert(ttlState > 0, "state progress must be captured")
+    assert(fullState > 0 && ttlState > 0, "state progress must be captured")
+    assert(ttlState < fullState,
+      s"TTL state ($ttlState rows) must stay under NoTimeout state ($fullState rows)")
   }
 
   test("BM25 retrieval: contiguous ranks, monotone scores, no self-match") {
