@@ -34,7 +34,7 @@ object LlmOracles {
 
   /** PQ chain through `enc` (codes) and `dt` (per-query ADC tables) —
     * shared by q_ann_pq and q_ann_ivfpq. */
-  private val pqCtes: String =
+  private[graft] val pqCtes: String =
     """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |sub AS (SELECT vec_id, CAST(s.range AS INT) AS s,
         |  v[s.range*8+1 : s.range*8+8] AS sv FROM emb, range(8) s),

@@ -114,6 +114,7 @@ object SparkEntry {
     "q_tfidf_top3"        -> (TextAnalysis.tfidfTop3 _),
     "q_retrieval_bm25"    -> (graft.operators.Retrieval.bm25 _),
     "q_retrieval_rrf"     -> (graft.operators.Retrieval.hybridRrf _),
+    "q_retrieval_rrf_ivf" -> (graft.operators.Retrieval.hybridRrfIvf _),
     "q_quality_perplexity" -> (TextAnalysis.perplexity _),
     "q_quality_bigram_lm" -> (TextAnalysis.bigramPerplexity _),
     "q_quality_ccnet_buckets" -> (TextAnalysis.ccnetBuckets _),

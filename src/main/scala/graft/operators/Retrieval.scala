@@ -100,6 +100,66 @@ object Retrieval {
       .orderBy("qid", "rank")
   }
 
+  /** q_retrieval_rrf_ivf — the SCALE PATH made concrete: the same RRF
+    * fusion with the dense list swapped from the brute baseline to the
+    * IVF-PQ index (annIvfPq — 3-cell probe + 8-codeword ADC; candidate
+    * generation prunes to the probed cells, raw vectors never read at
+    * query time). The fusion code is IDENTICAL — only the list provider
+    * changes, which is the whole point of the (qid, rank, id) contract.
+    * IVF-PQ ranks by quantized distance ascending (adist_u); rank is all
+    * RRF consumes, so approximation error surfaces only as list
+    * membership/order, priced by q_ann_recall_pq. */
+  def hybridRrfIvf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sparse = bm25(s, dir)
+      .select(col("qid"), col("doc_id"), col("rank").as("rs"))
+    val dense = Similarity.annIvfPq(s, dir)
+      .select(col("qid"), col("vec_id").as("doc_id"), col("rank").as("rd"))
+    val fused = sparse.join(dense, Seq("qid", "doc_id"), "full_outer")
+      .withColumn("rrf", expr(
+        "coalesce(1000000 div (60 + rs), 0) + coalesce(1000000 div (60 + rd), 0)"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("rrf").desc, col("doc_id").asc)
+    fused.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 10)
+      .select(col("qid"), col("rank"), col("doc_id"), col("rrf"))
+      .orderBy("qid", "rank")
+  }
+
+  /** The BM25 CTE chain ending in `sparse(qid, doc_id, rs)` — shared by
+    * both fusion oracles; `bq` (not `q`) names the query-term CTE so the
+    * chain composes with pqCtes (whose `q` is the PQ query subvectors). */
+  private val bm25SparseCtes: String =
+    """tok AS (SELECT doc_id, unnest(t) AS token FROM toks),
+      |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+      |dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+      |dl AS (SELECT doc_id, len(t) AS dl FROM toks),
+      |st AS (SELECT count(*) AS n, sum(len(t))::DOUBLE / count(*) AS avgdl FROM toks),
+      |bq AS (SELECT doc_id AS qid, token FROM tf WHERE doc_id < 5),
+      |bsc AS (SELECT bq.qid, tf.doc_id,
+      |  CAST(round(ln(1 + (st.n - df + 0.5) / (df + 0.5)) * (tf * 2.2) /
+      |    (tf + 1.2 * (0.25 + 0.75 * dl / st.avgdl)) * 1e6) AS BIGINT) AS skey
+      | FROM tf JOIN bq USING (token) JOIN dfq USING (token)
+      |  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st
+      | WHERE tf.doc_id <> bq.qid),
+      |bagg AS (SELECT qid, doc_id, CAST(sum(skey) AS BIGINT) AS sk
+      |        FROM bsc GROUP BY qid, doc_id),
+      |sparse AS (SELECT qid, doc_id, CAST(row_number() OVER
+      |  (PARTITION BY qid ORDER BY sk DESC, doc_id) AS INT) AS rs FROM bagg
+      |  QUALIFY rs <= 10)""".stripMargin
+
+  /** RRF fusion tail over `sparse` + `dense` CTEs. */
+  private val rrfTail: String =
+    """fused AS (SELECT coalesce(s.qid, d.qid) AS qid,
+      |  coalesce(s.doc_id, d.doc_id) AS doc_id,
+      |  CAST(coalesce(1000000 // (60 + rs), 0) +
+      |       coalesce(1000000 // (60 + rd), 0) AS BIGINT) AS rrf
+      | FROM sparse s FULL OUTER JOIN dense d
+      |  ON s.qid = d.qid AND s.doc_id = d.doc_id)
+      |SELECT qid, CAST(row_number() OVER
+      |  (PARTITION BY qid ORDER BY rrf DESC, doc_id) AS INT) AS rank,
+      | doc_id, rrf
+      |FROM fused QUALIFY rank <= 10 ORDER BY qid, rank""".stripMargin
+
   val sql: Map[String, String] = Map(
     "q_retrieval_bm25" ->
       (graft.LlmOracles.toksCte + """,
@@ -122,24 +182,7 @@ object Retrieval {
         |SELECT qid, rank, doc_id, round(sk / 1000000.0, 4) AS score
         |FROM r WHERE rank <= 10 ORDER BY qid, rank""").stripMargin,
     "q_retrieval_rrf" ->
-      (graft.LlmOracles.toksCte + """,
-        |tok AS (SELECT doc_id, unnest(t) AS token FROM toks),
-        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
-        |dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
-        |dl AS (SELECT doc_id, len(t) AS dl FROM toks),
-        |st AS (SELECT count(*) AS n, sum(len(t))::DOUBLE / count(*) AS avgdl FROM toks),
-        |q AS (SELECT doc_id AS qid, token FROM tf WHERE doc_id < 5),
-        |sc AS (SELECT q.qid, tf.doc_id,
-        |  CAST(round(ln(1 + (st.n - df + 0.5) / (df + 0.5)) * (tf * 2.2) /
-        |    (tf + 1.2 * (0.25 + 0.75 * dl / st.avgdl)) * 1e6) AS BIGINT) AS skey
-        | FROM tf JOIN q USING (token) JOIN dfq USING (token)
-        |  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st
-        | WHERE tf.doc_id <> q.qid),
-        |agg AS (SELECT qid, doc_id, CAST(sum(skey) AS BIGINT) AS sk
-        |        FROM sc GROUP BY qid, doc_id),
-        |sparse AS (SELECT qid, doc_id, CAST(row_number() OVER
-        |  (PARTITION BY qid ORDER BY sk DESC, doc_id) AS INT) AS rs FROM agg
-        |  QUALIFY rs <= 10),
+      (graft.LlmOracles.toksCte + ",\n" + bm25SparseCtes + """,
         |dq AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
         |       FROM embeddings WHERE vec_id < 5),
         |dsc AS (SELECT qid, e.vec_id AS doc_id,
@@ -150,15 +193,33 @@ object Retrieval {
         | FROM embeddings e, dq WHERE e.vec_id <> qid),
         |dense AS (SELECT qid, doc_id, CAST(row_number() OVER
         |  (PARTITION BY qid ORDER BY cos DESC, doc_id) AS INT) AS rd FROM dsc
-        |  QUALIFY rd <= 10),
-        |fused AS (SELECT coalesce(s.qid, d.qid) AS qid,
-        |  coalesce(s.doc_id, d.doc_id) AS doc_id,
-        |  CAST(coalesce(1000000 // (60 + rs), 0) +
-        |       coalesce(1000000 // (60 + rd), 0) AS BIGINT) AS rrf
-        | FROM sparse s FULL OUTER JOIN dense d
-        |  ON s.qid = d.qid AND s.doc_id = d.doc_id)
-        |SELECT qid, CAST(row_number() OVER
-        |  (PARTITION BY qid ORDER BY rrf DESC, doc_id) AS INT) AS rank,
-        | doc_id, rrf
-        |FROM fused QUALIFY rank <= 10 ORDER BY qid, rank""").stripMargin)
+        |  QUALIFY rd <= 10),""".stripMargin + "\n" + rrfTail),
+    "q_retrieval_rrf_ivf" ->
+      (graft.LlmOracles.pqCtes + """,
+        |cent AS (
+        | SELECT label, i.i AS d, round(avg(embedding[i.i]), 6) AS c
+        | FROM embeddings, range(1, 65) i(i) GROUP BY label, i.i),
+        |centv AS (SELECT label AS clabel, list(c ORDER BY d) AS cv FROM cent GROUP BY label),
+        |qf AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+        |       FROM embeddings WHERE vec_id < 5),
+        |probes AS (
+        | SELECT qid, clabel,
+        |  CAST(row_number() OVER (PARTITION BY qid ORDER BY ccos DESC, clabel) AS INT) AS crank
+        | FROM (SELECT qid, clabel,
+        |   round(list_dot_product(qv, cv) /
+        |    (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS ccos
+        |  FROM qf, centv)),
+        |sel AS (SELECT qid, clabel FROM probes WHERE crank <= 3),
+        |cands AS (SELECT sel.qid, v.vec_id
+        |  FROM sel JOIN (SELECT vec_id, label FROM embeddings) v
+        |    ON v.label = sel.clabel AND v.vec_id <> sel.qid),
+        |ad AS (SELECT c.qid, c.vec_id, CAST(sum(du) AS BIGINT) AS adist_u
+        |  FROM cands c JOIN enc e USING (vec_id)
+        |  JOIN dt ON dt.qid = c.qid AND dt.s = e.s AND dt.cid = e.cid
+        |  GROUP BY c.qid, c.vec_id),
+        |dense AS (SELECT qid, vec_id AS doc_id, CAST(row_number() OVER
+        |  (PARTITION BY qid ORDER BY adist_u, vec_id) AS INT) AS rd FROM ad
+        |  QUALIFY rd <= 10),""".stripMargin + "\n" +
+        graft.LlmOracles.toksCte.replaceFirst("WITH ", "") + ",\n" +
+        bm25SparseCtes + ",\n" + rrfTail))
 }

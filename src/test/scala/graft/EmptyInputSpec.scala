@@ -110,7 +110,8 @@ class EmptyInputSpec extends SparkSpec {
     // r16 additions
     "q_sql_match_batch_permute", "q_sql_match_batch_group",
     "q_sql_tvf_hop_time", "q_sql_tvf_session_time", "q_stream_ppjoin_ttl",
-    "q_stream_dedup_ttl", "q_retrieval_bm25", "q_retrieval_rrf")
+    "q_stream_dedup_ttl", "q_retrieval_bm25", "q_retrieval_rrf",
+    "q_retrieval_rrf_ivf")
 
   for (name <- queries)
     test(s"$name runs on an empty corpus") {

@@ -208,4 +208,21 @@ class Round16Spec extends SparkSpec {
     assert(fusedKeys.exists(sparse.contains), "a BM25 doc must surface")
     assert(fusedKeys.exists(dense.contains), "a dense doc must surface")
   }
+
+  test("hybrid RRF over IVF-PQ: same contract, scores recompute from the swapped list") {
+    val sparse = graft.operators.Retrieval.bm25(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getInt(1)).toMap
+    val dense = graft.operators.Similarity.annIvfPq(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getInt(1)).toMap
+    val fused = graft.operators.Retrieval.hybridRrfIvf(spark, sf).collect()
+    assert(fused.nonEmpty)
+    fused.foreach { r =>
+      val key = (r.getLong(0), r.getLong(2))
+      val expect =
+        sparse.get(key).map(rk => 1000000L / (60L + rk)).getOrElse(0L) +
+        dense.get(key).map(rk => 1000000L / (60L + rk)).getOrElse(0L)
+      assert(r.getLong(3) === expect,
+        s"IVF-PQ RRF mismatch at $key: got ${r.getLong(3)}, want $expect")
+    }
+  }
 }
