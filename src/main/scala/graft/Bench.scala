@@ -259,9 +259,14 @@ object Bench {
       "\"(q\\w+)\":\\[([0-9.]+)".r.findAllMatchIn(txt)
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
     } catch { case _: Throwable => Map.empty }
+    // absolute floor (+0.5 s) alongside the 2x ratio: sub-100ms queries
+    // jitter past 2x on pure scheduler noise — the r15 incident class was
+    // multi-second regressions, and a ratio-only trigger would burn a
+    // fresh JVM per noisy tiny query and could ship a meaningless flag
     def driftedNow: Seq[String] = attempts.toSeq.collect {
       case (n, v) if v.nonEmpty &&
-        priorMins.get(n).exists(p => p > 0 && minOf(v) > 2 * p) => n
+        priorMins.get(n).exists(p =>
+          p > 0 && minOf(v) > 2 * p && minOf(v) > p + 0.5) => n
     }
     val drifted0 = driftedNow
     System.err.println(s"[bench] drift pass: ${drifted0.size} carried queries " +

@@ -217,18 +217,26 @@ object GroupWindowSql {
       // silent miss producing invalid lowered SQL downstream).
       val out = {
         val gbs = groupByRe.findAllMatchIn(out0).toSeq
-        gbs.find(_.start >= tvfPos).orElse(gbs.lastOption) match {
-          case Some(gb) =>
-            val tail = out0.substring(gb.end)
-            val segLen = groupBySegEnd(tail)
-            val seg0 = tail.substring(0, segLen)
-            require(wsePairRe.findFirstIn(seg0).isDefined,
-              "FLIP-145 aggregation subset: the GROUP BY feeding the window " +
-                "TVF must list window_start, window_end adjacently")
+        // candidate = a GROUP BY whose own segment contains the pair; an
+        // intervening clause WITHOUT it (a derived table's GROUP BY
+        // between the call site and the windowed aggregation — r16
+        // review finding) is skipped, not mis-anchored
+        val withPair = gbs.map { gb =>
+          val tail = out0.substring(gb.end)
+          val segLen = groupBySegEnd(tail)
+          (gb, segLen, tail.substring(0, segLen))
+        }.filter { case (_, _, seg) => wsePairRe.findFirstIn(seg).isDefined }
+        withPair.find(_._1.start >= tvfPos).orElse(withPair.headOption) match {
+          case Some((gb, segLen, seg0)) =>
             val seg = wsePairRe.replaceAllIn(seg0,
               java.util.regex.Matcher.quoteReplacement(assigner))
-            out0.substring(0, gb.end) + seg + tail.substring(segLen)
-          case None => out0
+            out0.substring(0, gb.end) + seg +
+              out0.substring(gb.end + segLen)
+          case None =>
+            require(gbs.isEmpty,
+              "FLIP-145 aggregation subset: the GROUP BY feeding the window " +
+                "TVF must list window_start, window_end adjacently")
+            out0
         }
       }
       val base = assigner.takeWhile(_ != '(')
@@ -264,9 +272,11 @@ object GroupWindowSql {
       val args = s"${m.group(2)}, INTERVAL '${m.group(4)}' ${m.group(5)}"
       // the key descriptor names the session partition column; the
       // aggregation subset realizes it as a grouping key — require it IN
-      // THE GROUP BY CLAUSE itself (scoped like the pair substitution: a
-      // key mentioned only in HAVING/ORDER BY must not pass)
-      val inGroupBy = groupByRe.findAllMatchIn(sql).toSeq.lastOption.exists { gb =>
+      // a GROUP BY CLAUSE itself (scoped like the pair substitution: a
+      // key mentioned only in HAVING/ORDER BY must not pass; ANY clause
+      // counts, matching the pair-anchoring fix — an inner windowed
+      // GROUP BY under an outer aggregation must not be missed)
+      val inGroupBy = groupByRe.findAllMatchIn(sql).exists { gb =>
         val tail = sql.substring(gb.end)
         val seg = tail.substring(0, groupBySegEnd(tail))
         s"(?i)\\b$key\\b".r.findFirstIn(seg).isDefined

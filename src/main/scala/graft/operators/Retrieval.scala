@@ -84,12 +84,16 @@ object Retrieval {
     * by reciprocal-rank fusion, score = Σ 1e6 div (60 + rank) over the
     * lists a document appears in (Cormack et al.'s k=60). Integer
     * arithmetic end-to-end — both engines agree exactly. */
-  def hybridRrf(s: SparkSession, dir: String): DataFrame = {
+  def hybridRrf(s: SparkSession, dir: String): DataFrame =
+    fuse(bm25(s, dir),
+      Similarity.annBruteForce(s, dir)
+        .select(col("qid"), col("vec_id").as("doc_id"), col("rank").as("rd")))
+
+  /** The one fusion implementation both hybrids share: RRF over a sparse
+    * (qid, doc_id, rank) list and a dense (qid, doc_id, rd) list. */
+  private def fuse(sparseList: DataFrame, dense: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sparse = bm25(s, dir)
-      .select(col("qid"), col("doc_id"), col("rank").as("rs"))
-    val dense = Similarity.annBruteForce(s, dir)
-      .select(col("qid"), col("vec_id").as("doc_id"), col("rank").as("rd"))
+    val sparse = sparseList.select(col("qid"), col("doc_id"), col("rank").as("rs"))
     val fused = sparse.join(dense, Seq("qid", "doc_id"), "full_outer")
       .withColumn("rrf", expr(
         "coalesce(1000000 div (60 + rs), 0) + coalesce(1000000 div (60 + rd), 0)"))
@@ -109,21 +113,10 @@ object Retrieval {
     * IVF-PQ ranks by quantized distance ascending (adist_u); rank is all
     * RRF consumes, so approximation error surfaces only as list
     * membership/order, priced by q_ann_recall_pq. */
-  def hybridRrfIvf(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val sparse = bm25(s, dir)
-      .select(col("qid"), col("doc_id"), col("rank").as("rs"))
-    val dense = Similarity.annIvfPq(s, dir)
-      .select(col("qid"), col("vec_id").as("doc_id"), col("rank").as("rd"))
-    val fused = sparse.join(dense, Seq("qid", "doc_id"), "full_outer")
-      .withColumn("rrf", expr(
-        "coalesce(1000000 div (60 + rs), 0) + coalesce(1000000 div (60 + rd), 0)"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("rrf").desc, col("doc_id").asc)
-    fused.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= 10)
-      .select(col("qid"), col("rank"), col("doc_id"), col("rrf"))
-      .orderBy("qid", "rank")
-  }
+  def hybridRrfIvf(s: SparkSession, dir: String): DataFrame =
+    fuse(bm25(s, dir),
+      Similarity.annIvfPq(s, dir)
+        .select(col("qid"), col("vec_id").as("doc_id"), col("rank").as("rd")))
 
   /** The BM25 CTE chain ending in `sparse(qid, doc_id, rs)` — shared by
     * both fusion oracles; `bq` (not `q`) names the query-term CTE so the

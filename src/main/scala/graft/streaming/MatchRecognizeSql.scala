@@ -458,9 +458,11 @@ object MatchRecognizeSql extends Serializable {
       require(patVars.exists(v => !excluded.contains(v)),
         "a pattern may not exclude every variable")
     }
-    if (anchorStart || anchorEnd)
-      require(!isPermute && groupRep.isEmpty,
-        "anchors are supported on the sequential pattern subset")
+    // r16: anchors compose with the FULL bounded grammar — the PERMUTE /
+    // grouped-repetition branches forward anchorStart/anchorEnd into the
+    // bounded matchers (matchRecognizeBoundedAlts/BoundedGroup), so the
+    // former sequential-subset require here is gone; the streaming path
+    // is still gated above on the bounded-features flag.
     Spec(selectCols, table, partitionCol.toLowerCase, orderCol.toLowerCase,
       measures, skipPast, pattern, allRows, within, skipTo, isPermute, groupRep,
       subsets,

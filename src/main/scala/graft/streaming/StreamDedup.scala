@@ -150,6 +150,7 @@ object StreamDedup {
     // 1M-key soaks prove that path. The wall cost is the honest price of
     // a 4-batch replay shuffling 16 band rows per document through keyed
     // state — the job itself, not fixture overhead.
+    lastStateRows = -1L // reset so a failed drain can't surface a prior run's count
     val drained = StreamSource.runToTable(s, candidates.toDF(),
       s"stream_dedup_${math.abs(dir.hashCode)}", "append",
       onDrained = recordStateRows)
@@ -187,8 +188,16 @@ object StreamDedup {
     * logical clock) and an EventTimeTimeout clearing idle buckets at
     * newest + horizon. The oracle is the batch LSH keep-set SQL with one
     * extra predicate: only verified pairs within the horizon evict a
-    * document. Bucket sizes only shrink under eviction, so the 64-cap
-    * interacts identically to the unbounded twin's. */
+    * document.
+    *
+    * Cap interaction (r16 review): horizon eviction FREES bucket
+    * capacity, so on a corpus where a bucket saturates the 64-cap the
+    * TTL run can admit (and pair) a doc the unbounded run's full bucket
+    * dropped — there the TTL keep-set is not necessarily a superset of
+    * the unbounded one, and (as for the unbounded twin) the cap-free
+    * batch oracle only coincides where buckets stay under the cap. No
+    * fixture bucket comes near it; the Round16Spec superset pin runs
+    * where caps never bind. */
   def minhashStreamKeepTtl(s: SparkSession, dir: String): DataFrame =
     minhashStreamKeepTtl(s, dir, HorizonDocs, 1)
 
@@ -249,6 +258,7 @@ object StreamDedup {
             out.iterator
           }
       }
+    lastStateRows = -1L // reset so a failed drain can't surface a prior run's count
     val drained = StreamSource.runToTable(s, candidates.toDF(),
       s"stream_dedup_ttl_${math.abs(dir.hashCode)}", "append",
       onDrained = recordStateRows)
@@ -379,6 +389,7 @@ object StreamDedup {
           if (acc.nonEmpty) st.update(PrefBucket(prior ++ acc))
           out.iterator
       }
+    lastStateRows = -1L // reset so a failed drain can't surface a prior run's count
     val drained = StreamSource.runToTable(s, candidates.toDF(),
       s"stream_ppjoin_${math.abs(dir.hashCode)}", "append",
       onDrained = recordStateRows)
@@ -534,6 +545,7 @@ object StreamDedup {
             out.iterator
           }
       }
+    lastStateRows = -1L // reset so a failed drain can't surface a prior run's count
     val drained = StreamSource.runToTable(s, candidates.toDF(),
       s"stream_ppjoin_ttl_${math.abs(dir.hashCode)}", "append",
       onDrained = recordStateRows)

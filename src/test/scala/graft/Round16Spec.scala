@@ -209,6 +209,51 @@ class Round16Spec extends SparkSpec {
     assert(fusedKeys.exists(dense.contains), "a dense doc must surface")
   }
 
+  test("SQL-level anchors compose with PERMUTE in batch mode (review fix)") {
+    // r16 review finding: the matchers accepted anchor flags but parse()
+    // still rejected anchors outside the sequential subset, so the SQL
+    // surface could never reach them — the gate is now bounded-mode only
+    val anchoredSql =
+      """SELECT user_id, a_id, b_id FROM events
+        |MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts
+        |  MEASURES A.event_id AS a_id, B.event_id AS b_id
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP TO NEXT ROW
+        |  PATTERN (^ PERMUTE(A, B))
+        |  DEFINE A AS event_type = 'view', B AS event_type = 'click'
+        |)""".stripMargin
+    def keys(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val anchored = keys(MatchRecognizeSql.runBatch(spark, sf, anchoredSql))
+    val free = keys(MatchRecognizeSql.matchPermuteBatch(spark, sf))
+    assert(anchored.subsetOf(free),
+      "^ must only REMOVE permutation matches (those not at partition start)")
+    assert(anchored != free, "^ must be load-bearing on the fixture")
+    // the streaming path still rejects anchors loudly
+    val ex = intercept[IllegalArgumentException](
+      MatchRecognizeSql.run(spark, sf, anchoredSql))
+    assert(ex.getMessage.contains("BATCH"), s"wrong reject: ${ex.getMessage}")
+  }
+
+  test("TVF pair substitution skips an intervening pair-less GROUP BY (review fix)") {
+    // a derived table whose GROUP BY sits between the TVF call site and
+    // the windowed aggregation must not capture the anchor
+    val sql =
+      """SELECT window_start AS w_start, count(*) AS cnt
+        |FROM TABLE(TUMBLE(TABLE events, DESCRIPTOR(ts), INTERVAL '1' DAY)) w
+        |JOIN (SELECT user_id, count(*) AS n FROM events GROUP BY user_id) d
+        |  ON w.user_id = d.user_id
+        |GROUP BY window_start, window_end
+        |ORDER BY w_start""".stripMargin
+    val lowered = GroupWindowSql.rewriteTvf(sql)
+    assert(lowered.contains("GROUP BY TUMBLE(ts, INTERVAL '1' DAY)"),
+      s"the windowed clause (not the derived table's) must be substituted:\n$lowered")
+    assert(lowered.contains("GROUP BY user_id"),
+      s"the derived table's GROUP BY must be untouched:\n$lowered")
+  }
+
   test("hybrid RRF over IVF-PQ: same contract, scores recompute from the swapped list") {
     val sparse = graft.operators.Retrieval.bm25(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(2)) -> r.getInt(1)).toMap
