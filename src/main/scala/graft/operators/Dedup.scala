@@ -610,14 +610,21 @@ object Dedup {
     * survives the distinct — recall stays exact, the oracle unchanged.
     * t = 0.5 ⟹ required o = ⌈(n_a+n_b)/3⌉ = (n_a+n_b+2) DIV 3. */
   private[graft] def ppjoinCandidates(prefixes: DataFrame, positional: Boolean): DataFrame = {
+    // r16 optimization (guide §2.3, shuffle fewer bytes): the equi-join key
+    // is the 64-bit hash of the shingle, not the ~25-byte string — the
+    // streaming twin's trick (StreamDedup.PrefRow.tok). Exactness holds:
+    // same shingle ⇒ same hash (every true pair still meets), and a
+    // cross-shingle collision only ADDS a candidate the exact-Jaccard
+    // verify removes. The string itself never reaches the join exchange.
+    val pp = prefixes.withColumn("tokh", xxhash64(col("sg"))).drop("sg")
     val base =
-      col("a.sg") === col("b.sg") && col("a.doc_id") < col("b.doc_id") &&
+      col("a.tokh") === col("b.tokh") && col("a.doc_id") < col("b.doc_id") &&
         lit(2) * least(col("a.n"), col("b.n")) >= greatest(col("a.n"), col("b.n"))
     val cond =
       if (positional)
         base && expr("1 + least(a.n - a.rn, b.n - b.rn) >= (a.n + b.n + 2) DIV 3")
       else base
-    prefixes.as("a").join(prefixes.as("b"), cond)
+    pp.as("a").join(pp.as("b"), cond)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
   }

@@ -311,7 +311,12 @@ object Sketches {
             "transform(sequence(1, size(toks) - 2), " +
               "i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))")))
         .as("tok"))
+    // r16 optimization (guide §2.4): dh feeds FOUR consumers (the KMV
+    // signature, both sides of the exact self-join, and the per-source
+    // sizes); unmaterialized, each re-runs the corpus-wide shingle explode
+    // + distinct past the reused exchange. One eager checkpoint runs it once.
     val dh = sh.select(col("source"), expr(h60("concat('ovl:', tok)")).as("h")).distinct()
+      .localCheckpoint(true)
     val sig = dh
       .withColumn("rn", row_number().over(Window.partitionBy("source").orderBy("h")))
       .filter(col("rn") <= 256).select(col("source"), col("h"))
