@@ -155,11 +155,13 @@ object StreamDedup {
       s"stream_dedup_${math.abs(dir.hashCode)}", "append",
       onDrained = recordStateRows)
 
-    // batch verification of the streamed candidate set
+    // batch verification of the streamed candidate set (withSh checkpointed
+    // once — the verifyPairs r16 note: pure-map subtree, two consumers)
     val withSh = Tables(s, dir, "documents")
       .withColumn("toks", TextAnalysis.tokens(col("text")))
       .withColumn("sh", Dedup.shingles(col("toks")))
       .select(col("doc_id"), col("sh"), size(col("sh")).as("n_sh"))
+      .localCheckpoint(true)
     val verified = drained.select(col("doc_a"), col("doc_b")).distinct()
       .join(withSh.select(col("doc_id").as("doc_a"),
         col("sh").as("sha"), col("n_sh").as("na")), "doc_a")
@@ -262,11 +264,13 @@ object StreamDedup {
     val drained = StreamSource.runToTable(s, candidates.toDF(),
       s"stream_dedup_ttl_${math.abs(dir.hashCode)}", "append",
       onDrained = recordStateRows)
-    // batch verification + keep set (the minhashStreamKeep convention)
+    // batch verification + keep set (the minhashStreamKeep convention;
+    // withSh checkpointed once — pure-map subtree, two consumers)
     val withSh = Tables(s, dir, "documents")
       .withColumn("toks", TextAnalysis.tokens(col("text")))
       .withColumn("sh", Dedup.shingles(col("toks")))
       .select(col("doc_id"), col("sh"), size(col("sh")).as("n_sh"))
+      .localCheckpoint(true)
     val verified = drained.select(col("doc_a"), col("doc_b")).distinct()
       .join(withSh.select(col("doc_id").as("doc_a"),
         col("sh").as("sha"), col("n_sh").as("na")), "doc_a")
@@ -410,10 +414,15 @@ object StreamDedup {
     * upstream mean this only REMOVES sub-threshold pairs, never misses). */
   private def verifyPairs(s: SparkSession, dir: String,
                           drained: DataFrame): DataFrame = {
+    // r16 optimization (guide §2.4/§1): withSh feeds BOTH sides of the
+    // verify join; the subtree is a pure map (no exchange), so nothing is
+    // reused and the corpus-wide tokenize+shingle pass ran twice. One
+    // eager checkpoint runs it once.
     val withSh = Tables(s, dir, "documents")
       .withColumn("toks", TextAnalysis.tokens(col("text")))
       .withColumn("sh", Dedup.shingles(col("toks")))
       .select(col("doc_id"), col("sh"), size(col("sh")).as("n_sh"))
+      .localCheckpoint(true)
     drained.select(col("doc_a"), col("doc_b")).distinct()
       .join(withSh.select(col("doc_id").as("doc_a"),
         col("sh").as("sha"), col("n_sh").as("na")), "doc_a")

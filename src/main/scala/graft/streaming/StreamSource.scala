@@ -179,6 +179,13 @@ object StreamSource {
           .start()
         finally afterStart()
       q.processAllAvailable()
+      // GRAFT_STREAM_PROGRESS=1: per-batch duration breakdown on stderr
+      // (optimization-round measurement aid; off in normal runs)
+      if (sys.env.contains("GRAFT_STREAM_PROGRESS"))
+        q.recentProgress.foreach { p =>
+          System.err.println(s"[stream-prof] $name batch=${p.batchId} " +
+            s"rows=${p.numInputRows} durationMs=${p.durationMs}")
+        }
       onDrained(q)
       q.stop()
     } finally s.conf.set("spark.sql.shuffle.partitions", prev)
