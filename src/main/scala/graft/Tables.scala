@@ -55,13 +55,32 @@ object Tables {
     }
   }
 
+  /** Per-path parquet schema cache (r16 optimization, guide §1/§6): the
+    * fixture and generated-TPC-DS parquet under a given path are write-once
+    * for the life of a JVM, yet every operator invocation re-ran schema
+    * inference (footer read + listing) through `spark.read.parquet` —
+    * measured at ~1.5 s per TPC-DS query build (24 tables) and a steady tax
+    * on every registerAll-based SQL query. One inference per (JVM, path);
+    * reads then pass the schema explicitly. This is exactly the role a
+    * catalog/metastore plays in production — schemas come from metadata,
+    * not from re-opening data files per query. nanosAsLong must already be
+    * set by the caller for event-time tables so the cached schema matches
+    * the flagged read path. */
+  private val schemaCache =
+    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.types.StructType]
+
+  def cachedSchema(spark: SparkSession, path: String): org.apache.spark.sql.types.StructType =
+    schemaCache.getOrElseUpdate(path, spark.read.parquet(path).schema)
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
     if (name == "events") {
       // nanosAsLong only affects TIMESTAMP(NANOS) columns (micros files are
       // untouched); setting it unconditionally keeps the nanos drop readable.
+      // Set BEFORE the (cached) inference so the cached schema reflects it.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      normalizeTs(spark.read.parquet(s"$dir/$name.parquet"))
-    } else spark.read.parquet(s"$dir/$name.parquet")
+      normalizeTs(spark.read.schema(cachedSchema(spark, path)).parquet(path))
+    } else spark.read.schema(cachedSchema(spark, path)).parquet(path)
   }
 
   /** Register every table as a temp view so `spark.sql` matches the oracle. */

@@ -790,7 +790,18 @@ object TpcdsData {
     ("inventory", () => inventory(s), 4))
 
   /** Generate (once) and register all 24 tables as temp views. Returns the
-    * materialization root. Thread-safe and idempotent via _SUCCESS marker. */
+    * materialization root. Thread-safe and idempotent via _SUCCESS marker.
+    *
+    * r16 optimization (guide §1 — measured): ensure() runs for EVERY
+    * q_tpcdsr_* invocation, and the 24 per-table `read.parquet` schema
+    * inferences (footer reads) cost ~1.5 s per query BEFORE execution —
+    * ~150 s across the 103-query family per bench run. The parquet under
+    * `root` is write-once (the _SUCCESS marker), so the inferred schemas
+    * are cached per path in [[graft.Tables.cachedSchema]] and registration
+    * reads with an explicit schema. Views are still re-registered on every
+    * call: other query paths rebind shared names (`customer` is also a
+    * TPC-H fixture view via Tables.registerAll), so skipping registration
+    * outright would read another family's table after an interleaved run. */
   def ensure(s: SparkSession, sfDir: String): String = synchronized {
     val root = rootFor(sfDir)
     val scale = scaleOf(sfDir)
@@ -803,7 +814,9 @@ object TpcdsData {
       java.nio.file.Files.writeString(marker.toPath, "ok")
     }
     tableNames.foreach { t =>
-      s.read.parquet(s"$root/$t").createOrReplaceTempView(t)
+      val path = s"$root/$t"
+      s.read.schema(graft.Tables.cachedSchema(s, path)).parquet(path)
+        .createOrReplaceTempView(t)
     }
     root
   }
