@@ -69,8 +69,13 @@ object Tables {
   private val schemaCache =
     scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.types.StructType]
 
-  def cachedSchema(spark: SparkSession, path: String): org.apache.spark.sql.types.StructType =
-    schemaCache.getOrElseUpdate(path, spark.read.parquet(path).schema)
+  def cachedSchema(spark: SparkSession, path: String): org.apache.spark.sql.types.StructType = {
+    // nanosAsLong changes what inference returns for TIMESTAMP(NANOS)
+    // columns — key the cache on it so a flagged and an unflagged reader
+    // of the same file can never serve each other's schema
+    val key = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") + ":" + path
+    schemaCache.getOrElseUpdate(key, spark.read.parquet(path).schema)
+  }
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"

@@ -52,7 +52,7 @@ object Descriptors {
   /** Unbounded stream with the declared watermark applied from metadata. */
   def stream(s: SparkSession, d: TableDescriptor): DataFrame = {
     if (d.tsNanosAsLong) s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = s.read.parquet(d.path).schema
+    val schema = graft.Tables.cachedSchema(s, d.path)
     // the file-stream source wants a DIRECTORY; a descriptor pointing at
     // one file becomes parent dir + exact-name glob
     val f = new java.io.File(d.path)

@@ -194,7 +194,7 @@ object OooReplay {
     // segments carry ts as long MICROS (doPrepare canonicalizes whatever the
     // source parquet declared), so take the schema from the segments
     // themselves — `_delay_sec` is underscore-hidden to the reader
-    val schema = s.read.parquet(replayDir).schema
+    val schema = graft.Tables.cachedSchema(s, replayDir)
     import s.implicits._
     val ds = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
