@@ -148,3 +148,45 @@ case class MinHash32Expr(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): MinHash32Expr =
     copy(child = newChild)
 }
+
+/** 3-gram shingles over a token array: distinct, first-occurrence order —
+  * exactly `array_distinct(transform(sequence(1, n-2), i ->
+  * concat_ws(' ', t[i], t[i+1], t[i+2])))` with the `n < 3 → empty` guard,
+  * as one JVM call per row (r16 optimization, guide §4.1: the HOF chain is
+  * CodegenFallback with an interpreted lambda + concat per element; this
+  * is the corpus-dedup family's hottest expression). concat_ws semantics
+  * kept: null tokens are skipped inside a gram (split() never produces
+  * them, but exactness is the contract). */
+case class Shingles3Expr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes() =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"shingles3 expects array<string>, got $other")
+    }
+  private val space = UTF8String.fromString(" ")
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n < 3) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[UTF8String]((n - 2) * 2)
+    var j = 0
+    while (j <= n - 3) {
+      def at(i: Int): UTF8String = if (arr.isNullAt(i)) null else arr.getUTF8String(i)
+      seen.add(UTF8String.concatWs(space, at(j), at(j + 1), at(j + 2)))
+      j += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    new GenericArrayData(out)
+  }
+  override def prettyName: String = "shingles3"
+  override protected def withNewChildInternal(newChild: Expression): Shingles3Expr =
+    copy(child = newChild)
+}

@@ -24,12 +24,14 @@ object Dedup {
   import TextAnalysis.tokens
 
   /** Word 3-gram shingles from the token array (distinct set). */
-  def shingles(toksCol: Column): Column =
-    array_distinct(
-      when(size(toksCol) < lit(3), array().cast("array<string>"))
-        .otherwise(expr(
-          "transform(sequence(1, size(toks) - 2), " +
-            "i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))")))
+  def shingles(toksCol: Column): Column = {
+    // r16 optimization (guide §4.1): one JVM call per row replaces the
+    // interpreted transform/concat_ws/array_distinct HOF chain (semantics
+    // identical — Shingles3Expr's scaladoc spells the equivalence; the
+    // Round16Spec shingles3 pin proves it on nulls/short/dup inputs)
+    import org.apache.spark.sql.graftshim.ColumnShim.{column, expression}
+    column(graft.functions.Shingles3Expr(expression(toksCol)))
+  }
 
   private def docShingles(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")

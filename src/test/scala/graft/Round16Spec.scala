@@ -270,4 +270,33 @@ class Round16Spec extends SparkSpec {
         s"IVF-PQ RRF mismatch at $key: got ${r.getLong(3)}, want $expect")
     }
   }
+
+  test("shingles3 expression ≡ the HOF spelling (distinct, order, guards)") {
+    import spark.implicits._
+    val rows = Seq(
+      Seq("a", "b", "c", "d"),            // two grams
+      Seq("x", "x", "x", "x", "x"),       // duplicates collapse to one
+      Seq("a", "b"),                      // n < 3 → empty
+      Seq.empty[String],                  // empty → empty
+      null,                               // null → null
+      Seq("a", null, "c", "d")            // null token: concat_ws skips it
+    )
+    val df = spark.createDataset(rows.map(r =>
+      Option(r).map(_.map(Option(_))).orNull))(
+      implicitly[org.apache.spark.sql.Encoder[Seq[Option[String]]]])
+      .toDF("toks").withColumn("toks", col("toks").cast("array<string>"))
+    val legacy = array_distinct(
+      when(size(col("toks")) < lit(3), array().cast("array<string>"))
+        .otherwise(expr(
+          "transform(sequence(1, size(toks) - 2), " +
+            "i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))")))
+    val out = df.select(
+      graft.operators.Dedup.shingles(col("toks")).as("fast"),
+      legacy.as("slow")).collect()
+    out.foreach { r =>
+      assert(r.isNullAt(0) === r.isNullAt(1), s"null disagreement: $r")
+      if (!r.isNullAt(0))
+        assert(r.getSeq[String](0) === r.getSeq[String](1), s"mismatch: $r")
+    }
+  }
 }
