@@ -190,3 +190,74 @@ case class Shingles3Expr(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): Shingles3Expr =
     copy(child = newChild)
 }
+
+/** Fused winnowing fingerprints (Schleimer/Wilkerson/Aiken MOSS, the
+  * TextAnalysis.winnowSets machinery) as ONE call per row — r16
+  * optimization, guide §4.1: the SQL spelling pays an interpreted lambda
+  * PER CHARACTER of every k-gram (rolling hash) plus two more HOF layers
+  * (window mins, distinct) on top. Semantics replicated exactly:
+  *   g   = concat_ws(' ', slice(toks, i, k))            for i in 1..n-k+1
+  *   h_i = fold over g_i's CHARACTERS (code points, the probe-verified
+  *         ascii(substring(g, i, 1)) semantics): acc*31 + cp mod 1e9+7
+  *   sel = array_min(slice(h, j, w))  for j in 1..max(size(h)-w+1, 1)
+  *   fps = array_sort(array_distinct(sel)); n_grams = size(g)
+  * Returns struct(n_grams int, fps array<bigint>). Round16Spec pins
+  * equivalence against the legacy spelling on the real fixture plus
+  * unicode/short/empty/null synthetics. */
+case class WinnowFpsExpr(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with CodegenFallback {
+  private val Mod = 1000000007L
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_grams", IntegerType, nullable = false),
+    StructField("fps", ArrayType(LongType, containsNull = false), nullable = false)))
+  override def checkInputDataTypes() =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"winnow_fps expects array<string>, got $other")
+    }
+  private val space = UTF8String.fromString(" ")
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val nG = if (n < k) 0 else n - k + 1
+    val hs = new Array[Long](nG)
+    var i = 0
+    val part = new Array[UTF8String](k)
+    while (i < nG) {
+      var t = 0
+      while (t < k) {
+        part(t) = if (arr.isNullAt(i + t)) null else arr.getUTF8String(i + t)
+        t += 1
+      }
+      val gram = UTF8String.concatWs(space, part: _*)
+      var acc = 0L
+      val it = gram.toString.codePoints().iterator()
+      while (it.hasNext) acc = (acc * 31L + it.nextInt()) % Mod
+      hs(i) = acc
+      i += 1
+    }
+    val fps: Array[Long] =
+      if (nG == 0) Array.empty[Long]
+      else {
+        val m = math.max(nG - w + 1, 1)
+        val sel = new Array[Long](m)
+        var j = 0
+        while (j < m) {
+          var mn = Long.MaxValue
+          var x = j
+          val end = math.min(j + w, nG)
+          while (x < end) { if (hs(x) < mn) mn = hs(x); x += 1 }
+          sel(j) = mn
+          j += 1
+        }
+        sel.distinct.sorted
+      }
+    org.apache.spark.sql.catalyst.InternalRow(nG, new GenericArrayData(fps))
+  }
+  override def prettyName: String = "winnow_fps"
+  override protected def withNewChildInternal(newChild: Expression): WinnowFpsExpr =
+    copy(child = newChild)
+}

@@ -361,10 +361,26 @@ object TextAnalysis {
     * hashes — the shared core of [[winnowFingerprint]] and
     * [[winnowDupPairs]]. */
   private def winnowSets(s: SparkSession, dir: String): DataFrame = {
-    val k = 5
-    val w = 4
+    // r16 optimization (guide §4.1): the fused WinnowFpsExpr replaces a
+    // 3-layer HOF chain whose rolling hash paid an interpreted lambda per
+    // CHARACTER of every 5-gram; semantics identical (Round16Spec pin
+    // against the legacy spelling, fixture + unicode synthetics).
+    import org.apache.spark.sql.graftshim.ColumnShim.{column, expression}
     Tables(s, dir, "documents")
       .withColumn("toks", tokens(col("text")))
+      .withColumn("wf", column(graft.functions.WinnowFpsExpr(
+        expression(col("toks")), 5, 4)))
+      .select(col("doc_id"), col("wf.n_grams").as("n_grams"),
+        col("wf.fps").as("fps"))
+  }
+
+  /** The pre-r16 HOF spelling of [[winnowSets]]'s gram/hash/window pipeline
+    * over a `toks` column — kept ONLY as the Round16Spec equivalence
+    * oracle for [[graft.functions.WinnowFpsExpr]]. */
+  private[graft] def winnowFpsLegacy(withToks: DataFrame): DataFrame = {
+    val k = 5
+    val w = 4
+    withToks
       .withColumn("g",
         when(size(col("toks")) < k, array().cast("array<string>"))
           .otherwise(expr(

@@ -299,4 +299,40 @@ class Round16Spec extends SparkSpec {
         assert(r.getSeq[String](0) === r.getSeq[String](1), s"mismatch: $r")
     }
   }
+
+  test("winnow_fps expression ≡ the legacy HOF spelling (fixture + synthetics)") {
+    import org.apache.spark.sql.graftshim.ColumnShim.{column, expression}
+    import graft.operators.TextAnalysis
+    def fused(withToks: org.apache.spark.sql.DataFrame) =
+      withToks.withColumn("wf",
+          column(graft.functions.WinnowFpsExpr(expression(col("toks")), 5, 4)))
+        .select(col("doc_id"), col("wf.n_grams").as("n_grams"),
+          col("wf.fps").as("fps"))
+    def check(withToks: org.apache.spark.sql.DataFrame): Unit = {
+      def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => r.getLong(0) -> (r.getInt(1), r.getSeq[Long](2))).toMap
+      val f = m(fused(withToks))
+      val l = m(TextAnalysis.winnowFpsLegacy(withToks))
+      assert(f.keySet === l.keySet)
+      f.keys.foreach(id => assert(f(id) === l(id), s"doc $id: ${f(id)} vs ${l(id)}"))
+    }
+    // real fixture: every document, tokens() exactly as winnowSets builds them
+    check(Tables(spark, sf, "documents")
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks")))
+    // synthetics: short/exact-k/window-short/duplicate/multibyte/empty-token
+    import spark.implicits._
+    val rows: Seq[(Long, Seq[String])] = Seq(
+      1L -> Seq("a", "b", "c", "d"),                      // n < k → 0 grams
+      2L -> Seq("a", "b", "c", "d", "e"),                 // exactly k → 1 gram < w
+      3L -> Seq("a", "b", "c", "d", "e", "f", "g"),       // 3 grams < w windows
+      4L -> (1 to 30).map(i => s"t${i % 7}"),             // repeats → distinct collapse
+      5L -> Seq("héllo", "wörld", "日本語", "🎉emoji", "x", "ß", "末"), // multibyte + astral
+      6L -> Seq("", "a", "", "b", "c", "", "d"),          // empty-string tokens
+      7L -> Seq.empty[String])
+    check(spark.createDataset(rows).toDF("doc_id", "toks"))
+    // null toks is unreachable in production (split of non-null text);
+    // the fused kernel is null-in → null-out
+    val nul = spark.sql("SELECT 8L AS doc_id, CAST(NULL AS ARRAY<STRING>) AS toks")
+    assert(fused(nul).collect()(0).isNullAt(1))
+  }
 }
