@@ -240,8 +240,10 @@ object CdcFormats {
 
   private def roundTrip(s: SparkSession, events: => DataFrame, path: String,
                         offsetFrom: Column): DataFrame = {
-    fixtureMemo.getOrElseUpdate(path,
-      events.select("value").write.mode("overwrite").text(path))
+    // synchronized: two concurrent first-callers must not overwrite the
+    // same path mid-read (callers are sequential today; cheap insurance)
+    synchronized(fixtureMemo.getOrElseUpdate(path,
+      events.select("value").write.mode("overwrite").text(path)))
     s.read.text(path).withColumn("offset", offsetFrom)
   }
 
@@ -272,9 +274,9 @@ object CdcFormats {
     * query and the streaming CDC pipeline (streaming/CdcStream). */
   def writeDebeziumFixture(s: SparkSession, dir: String, which: String): String = {
     val path = tmpDir(which, dir)
-    fixtureMemo.getOrElseUpdate(path,
+    synchronized(fixtureMemo.getOrElseUpdate(path,
       debeziumEvents(ordersWithBucket(s, dir), wrapped = false)
-        .select("value").write.mode("overwrite").text(path))
+        .select("value").write.mode("overwrite").text(path)))
     path
   }
 
