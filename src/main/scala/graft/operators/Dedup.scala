@@ -281,7 +281,15 @@ object Dedup {
       val p = "/tmp/graft-shared/ngram-pairs-" + s.sparkContext.applicationId +
         "-" + dir.replaceAll("[^A-Za-z0-9.]", "_") +
         "-" + java.lang.Integer.toHexString(dir.hashCode)
-      ngramJaccardPairs(s, dir).write.mode("overwrite").parquet(p)
+      // r16 optimization (guide §1.1/§8): build the shared table with the
+      // prefix-filtered PPJoin instead of the capped inverted-index join —
+      // the SAME exact pair set (identical j arithmetic over the same
+      // distinct-shingle sets; the q_dedup_ngram_pairs oracle is the brute
+      // all-pairs SQL and re-proves equality every run) from ~half the
+      // posting rows and far fewer candidates. The capped spelling remains
+      // below as [[ngramJaccardPairs]] (the Round13/14Spec prune-pin
+      // baseline). Measured: shared build 8.8 s → ~2.6 s at sf0.1.
+      ppjoinPairs(s, dir).write.mode("overwrite").parquet(p)
       p
     })
     s.read.parquet(path)

@@ -335,4 +335,18 @@ class Round16Spec extends SparkSpec {
     val nul = spark.sql("SELECT 8L AS doc_id, CAST(NULL AS ARRAY<STRING>) AS toks")
     assert(fused(nul).collect()(0).isNullAt(1))
   }
+
+  test("shared pair table: PPJoin builder ≡ the capped inverted-index join") {
+    // the r16 shared-materialization swap (ngramJaccardPairsShared now
+    // builds via ppjoinPairs): both spellings must produce the identical
+    // exact pair set — same (doc_a, doc_b) keys, same rounded j
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val brute = m(graft.operators.Dedup.ngramJaccardPairs(spark, sf))
+    val pp = m(graft.operators.Dedup.ppjoinPairs(spark, sf))
+    assert(pp.keySet === brute.keySet,
+      s"pair-set drift: only-pp=${pp.keySet -- brute.keySet} only-brute=${brute.keySet -- pp.keySet}")
+    pp.keys.foreach(k => assert(pp(k) === brute(k), s"j drift at $k"))
+    assert(pp.nonEmpty, "fixture must contain planted near-dup pairs")
+  }
 }
